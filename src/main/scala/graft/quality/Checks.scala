@@ -1,0 +1,70 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality check library — SURVEY §5 (dbt-test equivalents).
+ *
+ * The reference treats data quality as a first-class pipeline stage
+ * (`run_data_quality_checks` before transform, reference
+ * `5_dbt/READ.md:53-56`) with four declarative test kinds
+ * (`5_dbt/READ.md:296-381`) plus thresholded custom SQL tests
+ * (`5_dbt/READ.md:826-879`). Each check returns the VIOLATING rows as a
+ * DataFrame (dbt's fail-if-rows-returned contract); [[CheckResult]] wraps
+ * the count for report-style use.
+ *
+ * Scale notes: every check is a single distributed scan/agg — uniqueness
+ * is groupBy-count (no global sort), relationships is a broadcast
+ * anti-join when the parent is a dimension.
+ */
+object Checks {
+
+  final case class CheckResult(name: String, violations: Long, threshold: Long = 0) {
+    def passed: Boolean = violations <= threshold
+  }
+
+  /** dbt `not_null` (reference `5_dbt/READ.md:300-305`). */
+  def notNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(col(_).isNull).reduce(_ || _))
+
+  /** dbt `unique` (reference `5_dbt/READ.md:298-299`): keys with >1 row. */
+  def unique(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** dbt `relationships` FK test (reference `5_dbt/READ.md:306-311`): orphan children. */
+  def relationships(child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String): DataFrame =
+    child.join(
+      broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
+      Seq(childKey), "left_anti")
+
+  /** dbt `accepted_values`/range test (reference `5_dbt/READ.md:312-381`). */
+  def acceptedRange(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
+    df.filter(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+
+  /** dbt `accepted_values` enum test. */
+  def acceptedValues(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).isin(allowed: _*))
+
+  /**
+   * 3-sigma outlier test (reference `5_dbt/READ.md:841-864`): rows more
+   * than 3 sample-stddevs from the global mean. The 1-row stats frame is
+   * cross-broadcast (J7), so the fact side never shuffles.
+   */
+  def threeSigmaOutliers(df: DataFrame, c: String): DataFrame = {
+    val stats = df.agg(avg(col(c)).as("__mu"), stddev(col(c)).as("__sd"))
+    df.crossJoin(broadcast(stats))
+      .filter(abs(col(c) - col("__mu")) > lit(3) * col("__sd"))
+      .drop("__mu", "__sd")
+  }
+
+  /** Interval-consistency test: end before start (reference `5_dbt/READ.md:866-879`). */
+  def endBeforeStart(df: DataFrame, startCol: String, endCol: String): DataFrame =
+    df.filter(col(endCol) < col(startCol))
+
+  /** Thresholded runner (dbt `HAVING COUNT(*) > {{var}}`, reference `5_dbt/READ.md:836-837`). */
+  def run(name: String, violations: DataFrame, threshold: Long = 0): CheckResult =
+    CheckResult(name, violations.count(), threshold)
+}
