@@ -43,7 +43,10 @@ object Sources {
     val conf = spark.sparkContext.hadoopConfiguration
     val existing = candidates.filter { p =>
       val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(conf).exists(path)
+      val fs = path.getFileSystem(conf)
+      // globStatus handles wildcard paths (exists() is false for globs);
+      // it returns null for non-glob paths that don't exist.
+      Option(fs.globStatus(path)).exists(_.nonEmpty)
     }
     require(existing.nonEmpty, s"none of ${candidates.size} candidate paths exist")
     csv(spark, schema, existing, header)

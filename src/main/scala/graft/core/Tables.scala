@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Table registry over the driver's parquet fixtures (TESTDATA.md).
@@ -27,7 +28,25 @@ object Tables {
   val dimensionNames: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * `events.ts` is physically INT64 TIMESTAMP(NANOS) — a type Spark's
+   * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). The sanctioned
+   * escape hatch is `spark.sql.legacy.parquet.nanosAsLong`, which surfaces
+   * the raw nanosecond count as LongType; we then truncate ns → µs with
+   * INTEGER division (`ts div 1000` — float division would lose precision:
+   * epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa) and rebuild a
+   * TimestampType column. DuckDB performs the same ns → µs truncation when
+   * it reads the file, so oracle comparisons see identical values.
+   */
+  private def eventsNanoFixed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
@@ -36,7 +55,7 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame = eventsNanoFixed(spark, dir)
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -32,13 +32,26 @@ object MetricExpr {
   /** Per-lane-hour capacity constant from the macro (reference `5_dbt/READ.md:794`). */
   val LaneCapacityPerHour = 2000d
 
-  /** F8: congestion index ∈ [0,1] ∪ {NULL} (reference `5_dbt/READ.md:786-807`). */
+  /**
+   * F8: congestion index, faithful to the macro's CASE
+   * (reference `5_dbt/READ.md:786-807`):
+   *   - speed/volume NULL → NULL
+   *   - speed <= 0 → 1.0 (max congestion)
+   *   - else LEAST((1 - speed/NULLIF(limit,0)) * (volume/NULLIF(2000*lanes,1)), 1.0)
+   * The macro clamps only from ABOVE (no lower clamp to 0). NULL factors
+   * (speed_limit = 0, lanes NULL) propagate to NULL — the product is
+   * guarded explicitly because Spark's `least` would otherwise skip the
+   * NULL and return 1.0, violating the [0,1] ∪ {NULL} contract
+   * (reference `5_dbt/READ.md:746-748`).
+   */
   def congestionIndex(volume: Column, speed: Column, speedLimit: Column,
                       lanes: Column): Column = {
     val speedFactor  = lit(1d) - safeDiv(speed, speedLimit)
-    val volumeFactor = safeDiv(volume, lit(LaneCapacityPerHour) * lanes)
-    when(speed.isNull || volume.isNull || speedLimit.isNull || lanes.isNull, lit(null))
-      .otherwise(clamp01(speedFactor * volumeFactor))
+    val volumeFactor = volume / nullif(lit(LaneCapacityPerHour) * lanes, lit(1d))
+    val product      = speedFactor * volumeFactor
+    when(speed.isNull || volume.isNull, lit(null))
+      .when(speed <= 0, lit(1d))
+      .otherwise(when(product.isNull, lit(null)).otherwise(least(product, lit(1d))))
   }
 
   /** P2: speed ratio `avg_speed / speed_limit` (reference `5_dbt/READ.md:720`). */

@@ -32,50 +32,59 @@ object TimeExpr {
   def dowSql(ts: Column): Column = dayofweek(ts)
 
   /**
-   * P7: NPMRDS analysis-period classifier (reference `1_AWS/README.md:79-91`):
-   * weekday AM peak 6-10 → 'amp', midday 10-16 → 'mid', PM peak 16-20 →
-   * 'pmp', weekend 6-20 → 'we', otherwise NULL (overnight readings are
-   * dropped by the caller, reference `1_AWS/README.md:92`).
-   *
-   * `wday` uses the pandas convention (Mon=1 … Sun=7), so weekdays are
-   * wday <= 5 and weekends wday >= 6.
+   * P7: the NPMRDS analysis-period classifier, faithful to ALL THREE
+   * reference DAGs (reference `1_AWS/README.md:79-91`,
+   * `3_BigQuery/READ.md:66-71`, `4_Snowflake/READ.md:65-70`), which share
+   * the same masks over pandas `wday = weekday + 1` (Mon=1 … Sun=7):
+   *   - "weekday" is `1 < wday < 7`, i.e. **Tue–Sat** (a reference quirk;
+   *     Monday is NOT a weekday here);
+   *   - 'amp' Tue–Sat 6-10h, 'mid' Tue–Sat 10-16h, 'pmp' Tue–Sat 16-20h;
+   *   - 'we' is any REMAINING 6-20h row — Sunday AND Monday;
+   *   - everything else (overnight) → NULL, dropped by the caller
+   *     (reference `1_AWS/README.md:92`).
    */
   def period(ts: Column): Column = {
     val wd = wdayPandas(ts)
     val h  = hour(ts)
-    val weekdayRow = wd <= 5
-    when(weekdayRow && h >= 6  && h < 10, "amp")
-      .when(weekdayRow && h >= 10 && h < 16, "mid")
-      .when(weekdayRow && h >= 16 && h < 20, "pmp")
-      .when(!weekdayRow && h >= 6 && h < 20, "we")
+    val tueSat = wd > 1 && wd < 7
+    when(tueSat && h >= 6  && h < 10, "amp")
+      .when(tueSat && h >= 10 && h < 16, "mid")
+      .when(tueSat && h >= 16 && h < 20, "pmp")
+      .when(h >= 6 && h < 20, "we")
       .otherwise(lit(null))
   }
 
   /**
-   * P7 variant: BigQuery/Snowflake DAGs build the same four periods from
-   * boolean masks `(wday>1)&(wday<7)&(hour>=6)&(hour<10)` etc. over the
-   * pandas wday (reference `3_BigQuery/READ.md:66-76`,
-   * `4_Snowflake/READ.md:65-70`) — i.e. weekday = Tue…Sat there. Kept
-   * faithful as its own classifier.
+   * P7 variant (NOT reference parity — an intentional fix of the Tue–Sat
+   * quirk): ISO weekdays Mon–Fri for the peak periods, Sat+Sun for 'we'.
+   * Kept for users who want calendar-correct periods; [[period]] is the
+   * reference-faithful classifier.
    */
-  def periodMasked(ts: Column): Column = {
+  def periodIsoWeekday(ts: Column): Column = {
     val wd = wdayPandas(ts)
     val h  = hour(ts)
-    val mid = wd > lit(1) && wd < lit(7)
-    when(mid && h >= 6  && h < 10, "amp")
-      .when(mid && h >= 10 && h < 16, "mid")
-      .when(mid && h >= 16 && h < 20, "pmp")
-      .when((wd === 1 || wd === 7) && h >= 6 && h < 20, "we")
+    val monFri = wd <= 5
+    when(monFri && h >= 6  && h < 10, "amp")
+      .when(monFri && h >= 10 && h < 16, "mid")
+      .when(monFri && h >= 16 && h < 20, "pmp")
+      .when(!monFri && h >= 6 && h < 20, "we")
       .otherwise(lit(null))
   }
 
-  /** P7: rush-hour bucketing macro (reference `5_dbt/READ.md:810-822`). */
+  /**
+   * P7: rush-hour bucketing macro, mirroring the reference CASE exactly —
+   * same inclusive BETWEEN bounds, same branch order (hour 22 falls in
+   * 'Evening (7-10pm)' because that branch wins), same labels
+   * (reference `5_dbt/READ.md:810-822`).
+   */
   def timeBucket(ts: Column): Column = {
     val h = hour(ts)
-    when(h >= 6 && h < 9, "morning_rush")
-      .when(h >= 9 && h < 16, "midday")
-      .when(h >= 16 && h < 19, "evening_rush")
-      .otherwise("off_peak")
+    when(h.between(6, 9), "Morning Rush (6-9am)")
+      .when(h.between(15, 18), "Evening Rush (3-6pm)")
+      .when(h.between(11, 13), "Midday (11am-1pm)")
+      .when(h.between(19, 22), "Evening (7-10pm)")
+      .when(h.between(22, 24) || h.between(0, 5), "Overnight (10pm-5am)")
+      .otherwise("Other Daytime")
   }
 
   /** F2/P7: day-name decode (reference `5_dbt/READ.md:672-680`, DAYOFWEEK Sun=1). */

@@ -106,6 +106,6 @@ object TextOps {
     val ts = tokens(lower(text))
     when(size(ts) < k, array(xxhash64(concat_ws(" ", ts))))
       .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)),
-        i => xxhash64(concat_ws(" ", slice(ts, i, k)))))
+        i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
   }
 }

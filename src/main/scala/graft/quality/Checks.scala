@@ -33,10 +33,16 @@ object Checks {
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
 
-  /** dbt `relationships` FK test (reference `5_dbt/READ.md:306-311`): orphan children. */
+  /**
+   * dbt `relationships` FK test (reference `5_dbt/READ.md:306-311`):
+   * non-NULL child keys with no parent. NULL child keys are excluded —
+   * dbt's relationships test ignores them (NULL coverage is `not_null`'s
+   * job), and a left_anti join would otherwise report every NULL as an
+   * orphan.
+   */
   def relationships(child: DataFrame, childKey: String,
                     parent: DataFrame, parentKey: String): DataFrame =
-    child.join(
+    child.filter(col(childKey).isNotNull).join(
       broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
       Seq(childKey), "left_anti")
 
