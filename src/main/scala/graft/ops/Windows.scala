@@ -36,6 +36,27 @@ object Windows {
     df.withColumn(rankName,
       rank().over(Window.partitionBy(partitionCols.map(col): _*).orderBy(ordering: _*)))
 
+  /** W3: PERCENT_RANK over a partitioned ordering (reference `5_dbt/READ.md:630`). */
+  def percentRank(df: DataFrame, partitionCols: Seq[String], outName: String,
+                  ordering: Column*): DataFrame = {
+    val w = if (partitionCols.isEmpty) Window.orderBy(ordering: _*)
+            else Window.partitionBy(partitionCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn(outName, percent_rank().over(w))
+  }
+
+  /**
+   * W4: PERCENTILE_CONT as a window whose partition equals the GROUP BY
+   * keys (the BigQuery idiom at reference `5_dbt/READ.md:403`). Spark
+   * computes it as an exact percentile AGGREGATE in the same groupBy —
+   * semantically identical when partition == group keys, and it avoids a
+   * second window shuffle.
+   */
+  def medianInGroup(df: DataFrame, keys: Seq[String], valueCol: String,
+                    extraAggs: Seq[Column] = Nil): DataFrame = {
+    val aggs = percentile(col(valueCol), lit(0.5)).as(s"median_$valueCol") +: extraAggs
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** W5: QUALIFY rank <= k — tie-keeping top-k (vs [[topK]]'s exactly-k). */
   def qualifyTopK(df: DataFrame, partitionCols: Seq[String], k: Int,
                   ordering: Column*): DataFrame = {

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Aggregates, Joins}
+
+/**
+ * SURVEY §2.3 joins (J1-J7) and §2.4 aggregations (A1-A10) as
+ * oracle-checkable queries.
+ *
+ * Scale shapes exercised here: dimension sides are explicitly broadcast
+ * (no fact shuffle), the fold-of-left-joins has its one-shuffle pivot
+ * twin, and exact percentiles ride one hash shuffle on the group keys.
+ */
+object JoinAggQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // J1: left fact->dim broadcast join (reference 1_AWS/README.md:106).
+    QueryDef("j1_left_broadcast", (s, dir) => {
+      val dim = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      Joins.leftBroadcast(Tables.customer(s, dir), dim, Seq("c_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+    }, Some("SELECT c_custkey, c_name, n_name FROM customer " +
+      "LEFT JOIN nation ON c_nationkey = n_nationkey")),
+
+    // J2: inner equi-join chain through two dims (reference 5_dbt/READ.md:505-507).
+    QueryDef("j2_inner_broadcast", (s, dir) => {
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = Tables.region(s, dir)
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+      Joins.innerBroadcast(
+        Joins.innerBroadcast(Tables.supplier(s, dir), nat, Seq("s_nationkey")),
+        reg, Seq("n_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    }, Some("""SELECT s_suppkey, s_name, n_name, r_name FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey""")),
+
+    // J3: full outer join of two metric aggregates (reference 5_dbt/READ.md:465-470).
+    QueryDef("j3_full_outer", (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val open = orders.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_open"))
+      val closed = orders.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_closed"))
+      Joins.fullOuter(open, closed, Seq("custkey"))
+    }, Some("""WITH open AS (
+        SELECT o_custkey AS custkey, count(*) AS n_open FROM orders
+        WHERE o_orderstatus = 'O' GROUP BY 1),
+      closed AS (
+        SELECT o_custkey AS custkey, count(*) AS n_closed FROM orders
+        WHERE o_orderstatus = 'F' GROUP BY 1)
+      SELECT coalesce(open.custkey, closed.custkey) AS custkey, n_open, n_closed
+      FROM open FULL OUTER JOIN closed ON open.custkey = closed.custkey""")),
+
+    // J4: left join on COALESCE'd keys, materialized before the join
+    // (reference 5_dbt/READ.md:471-477).
+    QueryDef("j4_coalesce_key_join", (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val open = orders.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("open_key")).agg(count(lit(1)).as("n_open"))
+      val closed = orders.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("closed_key")).agg(count(lit(1)).as("n_closed"))
+      val merged = open.join(closed, col("open_key") === col("closed_key"), "full_outer")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      Joins.coalesceKeyLeftJoin(merged, cust,
+        Seq("custkey" -> Seq("open_key", "closed_key")))
+        .select("custkey", "n_open", "n_closed", "c_name")
+    }, Some("""WITH open AS (
+        SELECT o_custkey AS open_key, count(*) AS n_open FROM orders
+        WHERE o_orderstatus = 'O' GROUP BY 1),
+      closed AS (
+        SELECT o_custkey AS closed_key, count(*) AS n_closed FROM orders
+        WHERE o_orderstatus = 'F' GROUP BY 1)
+      SELECT coalesce(open_key, closed_key) AS custkey, n_open, n_closed, c_name
+      FROM open FULL OUTER JOIN closed ON open_key = closed_key
+      LEFT JOIN customer ON coalesce(open_key, closed_key) = c_custkey""")),
+
+    // J5 (faithful): fold of per-priority frames with repeated left joins
+    // + fillna(0) (reference 4_Snowflake/READ.md:87-91).
+    QueryDef("j5_fold_left_joins", (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      def frame(prio: String, outCol: String) =
+        orders.filter(col("o_orderpriority") === prio)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(round(avg(col("o_totalprice")), 4).as(outCol))
+      val base = frame("1-URGENT", "avg_urgent")
+      Joins.foldLeftJoins(base,
+        Seq(frame("2-HIGH", "avg_high"), frame("3-MEDIUM", "avg_medium")),
+        Seq("custkey")).na.fill(0d)
+    }, Some("""WITH f1 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice), 4) AS avg_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      f2 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice), 4) AS avg_high
+        FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1),
+      f3 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice), 4) AS avg_medium
+        FROM orders WHERE o_orderpriority = '3-MEDIUM' GROUP BY 1)
+      SELECT f1.custkey, f1.avg_urgent,
+        coalesce(f2.avg_high, 0) AS avg_high, coalesce(f3.avg_medium, 0) AS avg_medium
+      FROM f1 LEFT JOIN f2 ON f1.custkey = f2.custkey
+              LEFT JOIN f3 ON f1.custkey = f3.custkey""")),
+
+    // J5 (scalable twin): one groupBy+pivot instead of N joins — one
+    // shuffle, keeps every custkey (NULL where a priority is absent).
+    QueryDef("j5_pivot", (s, dir) =>
+      Joins.pivotInsteadOfJoins(
+        Tables.orders(s, dir), "o_custkey", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM"),
+        round(avg(col("o_totalprice")), 4))
+        .withColumnRenamed("o_custkey", "custkey")
+        .withColumnRenamed("1-URGENT", "avg_urgent")
+        .withColumnRenamed("2-HIGH", "avg_high")
+        .withColumnRenamed("3-MEDIUM", "avg_medium"),
+      Some("""SELECT o_custkey AS custkey,
+        round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS avg_urgent,
+        round(avg(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS avg_high,
+        round(avg(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS avg_medium
+        FROM orders GROUP BY 1""")),
+
+    // J6: semi-join against a top-k key set (reference 3_BigQuery/READ.md:109-110).
+    QueryDef("j6_semi_join", (s, dir) => {
+      val top = Tables.orders(s, dir)
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(10)
+        .select(col("o_orderkey").as("l_orderkey"))
+      Joins.semiJoin(Tables.lineitem(s, dir), top, Seq("l_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)""")),
+
+    // J7: cross join vs a 1-row global-stats frame (reference 5_dbt/READ.md:842-860).
+    QueryDef("j7_cross_stats", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val stats = li.agg(avg(col("l_quantity")).as("mu"), stddev(col("l_quantity")).as("sd"))
+      Joins.crossStats(li, stats)
+        .filter(abs(col("l_quantity") - col("mu")) > lit(1.5) * col("sd"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      CROSS JOIN (SELECT avg(l_quantity) AS mu, stddev(l_quantity) AS sd FROM lineitem)
+      WHERE abs(l_quantity - mu) > 1.5 * sd""")),
+
+    // A1: group-by exact multi-percentile in one pass
+    // (reference 1_AWS/README.md:95-99; np.quantile linear == quantile_cont).
+    QueryDef("a1_group_percentiles", (s, dir) =>
+      Aggregates.groupPercentiles(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_quantity",
+        Map("tt50" -> 0.5, "tt85" -> 0.85, "tt95" -> 0.95))
+        .select(col("l_returnflag"), round(col("tt50"), 6).as("tt50"),
+          round(col("tt85"), 6).as("tt85"), round(col("tt95"), 6).as("tt95")),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS tt50,
+        round(quantile_cont(l_quantity, 0.85), 6) AS tt85,
+        round(quantile_cont(l_quantity, 0.95), 6) AS tt95
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // A2: group-by mean (reference 3_BigQuery/READ.md:109).
+    QueryDef("a2_group_mean", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(avg(col("l_extendedprice")), 4).as("avg_price")),
+      Some("SELECT l_returnflag, round(avg(l_extendedprice), 4) AS avg_price " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // A3: boolean-mean exceedance rate (reference 3_BigQuery/READ.md:119-122).
+    QueryDef("a3_exceedance_rate", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(Aggregates.exceedanceRate(col("l_quantity"), 25d), 6)
+          .as("exceed_rate")),
+      Some("""SELECT l_returnflag,
+        round(avg(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END), 6) AS exceed_rate
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // A4: multi-stat hash agg (reference 5_dbt/READ.md:398-413).
+    QueryDef("a4_multistat", (s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderpriority")
+        .agg(round(avg(col("o_totalprice")), 4).as("avg_value"),
+          min(col("o_totalprice")).as("min_value"),
+          max(col("o_totalprice")).as("max_value"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_value")),
+      Some("""SELECT o_orderpriority, round(avg(o_totalprice), 4) AS avg_value,
+        min(o_totalprice) AS min_value, max(o_totalprice) AS max_value,
+        count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_value
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // A5: COUNT(DISTINCT DATE(...)) (reference 5_dbt/READ.md:502).
+    QueryDef("a5_count_distinct_date", (s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderstatus")
+        .agg(countDistinct(to_date(col("o_orderdate"))).as("active_days")),
+      Some("SELECT o_orderstatus, count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days " +
+        "FROM orders GROUP BY o_orderstatus")),
+
+    // A6: sample stddev (reference 5_dbt/READ.md:844).
+    QueryDef("a6_stddev", (s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(round(stddev(col("value")), 6).as("sd_value")),
+      Some("SELECT event_type, round(stddev(value), 6) AS sd_value " +
+        "FROM events GROUP BY event_type")),
+
+    // A7: wide multi-column group agg (reference 5_dbt/READ.md:488-511).
+    QueryDef("a7_wide_group_agg", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag", "l_linestatus")
+        .agg(round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, l_linestatus, round(avg(l_quantity), 6) AS avg_qty,
+        round(avg(l_extendedprice), 4) AS avg_price, round(avg(l_discount), 6) AS avg_disc,
+        count(DISTINCT l_orderkey) AS n_orders, round(sum(l_quantity), 2) AS sum_qty,
+        count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // A8: re-aggregation — daily counts rolled up to day-of-week means
+    // (reference 5_dbt/READ.md:695-716).
+    QueryDef("a8_reagg_daily_weekly", (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("daily_n"))
+      daily.groupBy(dayofweek(col("d")).cast("long").as("dow"))
+        .agg(round(avg(col("daily_n")), 6).as("avg_daily_n"))
+    }, Some("""WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS daily_n FROM orders GROUP BY 1)
+      SELECT dayofweek(d) + 1 AS dow, round(avg(daily_n), 6) AS avg_daily_n
+      FROM daily GROUP BY 1""")),
+
+    // A9: global 1-row aggregate (reference 5_dbt/READ.md:842-850).
+    QueryDef("a9_global_agg", (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        round(avg(col("l_quantity")), 6).as("mu"),
+        round(stddev(col("l_quantity")), 6).as("sd"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("revenue")),
+      Some("""SELECT round(avg(l_quantity), 6) AS mu, round(stddev(l_quantity), 6) AS sd,
+        min(l_quantity) AS min_q, max(l_quantity) AS max_q, count(*) AS n,
+        round(sum(l_extendedprice), 2) AS revenue FROM lineitem""")),
+
+    // A10: HAVING count threshold (reference 5_dbt/READ.md:836-837).
+    QueryDef("a10_having", (s, dir) =>
+      Aggregates.countHaving(Tables.lineitem(s, dir), Seq("l_partkey"), 40L),
+      Some("SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey " +
+        "HAVING count(*) > 40"))
+  )
+}

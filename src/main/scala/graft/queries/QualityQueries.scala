@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.expr.QualityExpr
+import graft.quality.Checks
+
+/**
+ * The dbt-test-equivalent data-quality family (SURVEY §5.2) wired to the
+ * fixture tables as oracle-checkable queries, mirroring the reference's
+ * quality gate (`run_data_quality_checks`, reference 5_dbt/READ.md:53-56)
+ * and custom SQL tests (5_dbt/READ.md:826-879).
+ *
+ * Each check returns the VIOLATING rows (dbt's fail-if-rows-returned
+ * contract); thresholded variants return a 1-row count so the oracle can
+ * assert the exact violation tally.
+ */
+object QualityQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // not_null over a sanitized column: violations = rows nulled by the
+    // range check (reference 5_dbt/READ.md:300-305,826-838).
+    QueryDef("dq_not_null", (s, dir) => {
+      val cleaned = Tables.events(s, dir)
+        .select(col("event_id"), QualityExpr.sanitizeRange(col("value"), 0, 100)
+          .as("value_clean"))
+      Checks.notNull(cleaned, Seq("value_clean")).select("event_id")
+    }, Some("""SELECT event_id FROM (
+      SELECT event_id, CASE WHEN value < 0 OR value > 100 THEN NULL ELSE value END
+        AS value_clean FROM events) WHERE value_clean IS NULL""")),
+
+    // unique: keys with more than one row (reference 5_dbt/READ.md:298-299).
+    QueryDef("dq_unique", (s, dir) =>
+      Checks.unique(Tables.lineitem(s, dir), Seq("l_orderkey")),
+      Some("SELECT l_orderkey, count(*) AS n_rows FROM lineitem " +
+        "GROUP BY l_orderkey HAVING count(*) > 1")),
+
+    // relationships: child keys with no parent in a restricted parent set
+    // (reference 5_dbt/READ.md:306-311).
+    QueryDef("dq_relationships", (s, dir) => {
+      val goodCustomers = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      Checks.relationships(Tables.orders(s, dir), "o_custkey",
+        goodCustomers, "c_custkey")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orphans"))
+    }, Some("""SELECT o_custkey, count(*) AS n_orphans FROM orders
+      WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      GROUP BY o_custkey""")),
+
+    // accepted range: out-of-band readings (reference 5_dbt/READ.md:312-381).
+    QueryDef("dq_accepted_range", (s, dir) =>
+      Checks.acceptedRange(Tables.events(s, dir), "value", 0d, 95d)
+        .select("event_id", "value"),
+      Some("SELECT event_id, value FROM events " +
+        "WHERE value IS NOT NULL AND (value < 0 OR value > 95)")),
+
+    // accepted values: enum violations (empty result is itself the assertion).
+    QueryDef("dq_accepted_values", (s, dir) =>
+      Checks.acceptedValues(Tables.events(s, dir), "event_type",
+        Seq("click", "view", "purchase"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_bad")),
+      Some("""SELECT event_type, count(*) AS n_bad FROM events
+      WHERE event_type IS NOT NULL
+        AND event_type NOT IN ('click', 'view', 'purchase')
+      GROUP BY event_type""")),
+
+    // 3-sigma outlier test, thresholded count (reference 5_dbt/READ.md:841-864).
+    QueryDef("dq_three_sigma", (s, dir) => {
+      import s.implicits._
+      val result = Checks.run("three_sigma",
+        Checks.threeSigmaOutliers(Tables.events(s, dir), "value"))
+      Seq(result.violations).toDF("violations")
+    },
+      Some("""SELECT count(*) AS violations FROM events
+      CROSS JOIN (SELECT avg(value) AS mu, stddev(value) AS sd FROM events)
+      WHERE abs(value - mu) > 3 * sd""")),
+
+    // interval consistency: end < start (reference 5_dbt/READ.md:866-879).
+    // Intervals derived deterministically: end = start + (key % 5 - 1) days.
+    QueryDef("dq_end_before_start", (s, dir) => {
+      val intervals = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("start_d"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 5 - 1).cast("int")).as("end_d"))
+      Checks.endBeforeStart(intervals, "start_d", "end_d")
+    }, Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
+        CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 - 1 AS INTEGER) AS end_d
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 - 1 AS INTEGER)
+        < CAST(o_orderdate AS DATE)"""))
+  )
+}

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Sources, Sinks, Tables}
+import graft.expr.{MetricExpr, QualityExpr, TimeExpr}
+
+/**
+ * SURVEY §2.1 sources/sinks (S1-S8), §2.2 projections/filters (P1-P10)
+ * and §2.8 scalar functions (F1-F9), each as an oracle-checkable query
+ * over the driver fixture tables.
+ *
+ * Source/sink entries round-trip through a temp directory so the scan and
+ * writer code paths really execute; the oracle then only has to assert
+ * the round-tripped relation equals the original table.
+ */
+object RelationalQueries {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // S1: explicit-schema CSV scan (reference 1_AWS/README.md:51-62).
+    QueryDef("s1_csv_scan", (s, dir) => {
+      val region = Tables.region(s, dir)
+      val out = tmpDir("graft_s1")
+      region.write.mode("overwrite").option("header", "true").csv(out)
+      Sources.csv(s, region.schema, Seq(out))
+    }, Some("SELECT r_regionkey, r_name FROM region")),
+
+    // S2: skip-missing-years CSV scan (reference 2_Azure/READ.md:50-56).
+    QueryDef("s2_csv_skip_missing", (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val out = tmpDir("graft_s2")
+      nation.write.mode("overwrite").option("header", "true").csv(s"$out/y2024")
+      Sources.csvExisting(s, nation.schema,
+        Seq(s"$out/y2024/*.csv", s"$out/y2025/*.csv")) // y2025 missing -> skipped
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    // S3: named table source (dbt {{ source(...) }}, reference 5_dbt/READ.md:159).
+    QueryDef("s3_table_source", (s, dir) =>
+      Tables.load(s, dir, "part")
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt")),
+      Some("SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand")),
+
+    // S4: append sink round-trip (reference 1_AWS/README.md:133-134).
+    QueryDef("s4_sink_append", (s, dir) => {
+      val out = tmpDir("graft_s4") + "/supplier"
+      Sinks.append(Tables.supplier(s, dir), out)
+      s.read.parquet(out)
+    }, Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
+
+    // S5: overwrite sink — second write replaces the first
+    // (reference 2_Azure/READ.md:107 if_exists='replace').
+    QueryDef("s5_sink_overwrite", (s, dir) => {
+      val out = tmpDir("graft_s5") + "/part"
+      Sinks.overwrite(Tables.part(s, dir).limit(10), out) // stale content
+      Sinks.overwrite(Tables.part(s, dir), out)           // replaced in full
+      s.read.parquet(out)
+    }, Some("SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part")),
+
+    // S8: partitioned materialization (dbt partition_by, reference 5_dbt/READ.md:389-394).
+    QueryDef("s8_sink_partitioned", (s, dir) => {
+      val out = tmpDir("graft_s8") + "/orders"
+      Sinks.overwrite(Tables.orders(s, dir), out, partitionCols = Seq("o_orderstatus"))
+      s.read.parquet(out).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    }, Some("SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus")),
+
+    // P1: projection + rename (reference 5_dbt/READ.md:150-159).
+    QueryDef("p1_project_rename", (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_extendedprice").as("price")),
+      Some("SELECT l_orderkey AS order_key, CAST(l_linenumber AS BIGINT) AS line_no, " +
+        "l_extendedprice AS price FROM lineitem")),
+
+    // P2: derived scalar ratio columns (reference 1_AWS/README.md:102-103).
+    // The +1e-9 nudge before round() keeps exact round-half values (e.g.
+    // x.xxxxx50) off the boundary where Spark (decimal HALF_UP) and DuckDB
+    // (scaled-binary rint) disagree; applied identically on both sides.
+    QueryDef("p2_derived_ratio", (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(QualityExpr.safeDiv(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 6)
+          .as("unit_price"),
+        round(col("l_extendedprice") * (lit(1d) - col("l_discount")) + lit(1e-9), 6)
+          .as("discounted")),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        round(l_extendedprice / nullif(l_quantity, 0) + 1e-9, 6) AS unit_price,
+        round(l_extendedprice * (1 - l_discount) + 1e-9, 6) AS discounted FROM lineitem""")),
+
+    // P3: equality filter (reference 1_AWS/README.md:109).
+    QueryDef("p3_filter_eq", (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
+        "WHERE l_returnflag = 'R'")),
+
+    // P4: compound boolean mask with negation (reference 3_BigQuery/READ.md:66-76).
+    QueryDef("p4_filter_compound", (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter((col("l_quantity") > 10 && col("l_quantity") < 40) &&
+          !(col("l_discount") < 0.02 || col("l_discount") > 0.08))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        WHERE (l_quantity > 10 AND l_quantity < 40)
+          AND NOT (l_discount < 0.02 OR l_discount > 0.08)""")),
+
+    // P5: timestamp BETWEEN (reference 5_dbt/READ.md:161).
+    QueryDef("p5_filter_between", (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31 23:59:59"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+          AND TIMESTAMP '1996-12-31 23:59:59'""")),
+
+    // P6: sanitize then NULL-drop (reference 1_AWS/README.md:92, 5_dbt/READ.md:409-410).
+    QueryDef("p6_null_drop", (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("qty_clean", QualityExpr.sanitizeRange(col("l_quantity"), 5, 45))
+        .na.drop(Seq("qty_clean"))
+        .select("l_orderkey", "l_linenumber", "qty_clean"),
+      Some("""SELECT l_orderkey, l_linenumber, qty_clean FROM (
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN NULL ELSE l_quantity END AS qty_clean
+        FROM lineitem) WHERE qty_clean IS NOT NULL""")),
+
+    // P7: CASE bucketing — period classifier + time buckets + day names
+    // (reference 1_AWS/README.md:79-91, 5_dbt/READ.md:672-680,810-822).
+    QueryDef("p7_case_bucket", (s, dir) =>
+      Tables.events(s, dir).select(
+        TimeExpr.period(col("ts")).as("period"),
+        TimeExpr.timeBucket(col("ts")).as("bucket"),
+        TimeExpr.dayName(col("ts")).as("day_name"))
+        .groupBy("period", "bucket", "day_name").agg(count(lit(1)).as("n")),
+      Some("""SELECT
+        CASE WHEN isodow(ts) BETWEEN 2 AND 6 AND hour(ts) >= 6 AND hour(ts) < 10 THEN 'amp'
+             WHEN isodow(ts) BETWEEN 2 AND 6 AND hour(ts) >= 10 AND hour(ts) < 16 THEN 'mid'
+             WHEN isodow(ts) BETWEEN 2 AND 6 AND hour(ts) >= 16 AND hour(ts) < 20 THEN 'pmp'
+             WHEN hour(ts) >= 6 AND hour(ts) < 20 THEN 'we' END AS period,
+        CASE WHEN hour(ts) BETWEEN 6 AND 9 THEN 'Morning Rush (6-9am)'
+             WHEN hour(ts) BETWEEN 15 AND 18 THEN 'Evening Rush (3-6pm)'
+             WHEN hour(ts) BETWEEN 11 AND 13 THEN 'Midday (11am-1pm)'
+             WHEN hour(ts) BETWEEN 19 AND 22 THEN 'Evening (7-10pm)'
+             WHEN hour(ts) BETWEEN 22 AND 24 OR hour(ts) BETWEEN 0 AND 5
+               THEN 'Overnight (10pm-5am)'
+             ELSE 'Other Daytime' END AS bucket,
+        CASE dayofweek(ts) WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+             WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+             ELSE 'Saturday' END AS day_name,
+        count(*) AS n
+        FROM events GROUP BY 1, 2, 3""")),
+
+    // P8: range->NULL sanitization (reference 5_dbt/READ.md:170-179).
+    QueryDef("p8_sanitize_range", (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        QualityExpr.sanitizeRange(col("value"), 0, 100).as("value_clean")),
+      Some("""SELECT event_id,
+        CASE WHEN value < 0 OR value > 100 THEN NULL ELSE value END AS value_clean
+        FROM events""")),
+
+    // P9: fillna constant after sanitize (reference 4_Snowflake/READ.md:91).
+    QueryDef("p9_fillna", (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        QualityExpr.fillNull(QualityExpr.sanitizeRange(col("value"), 0, 100), 0d)
+          .as("value_filled")),
+      Some("""SELECT event_id,
+        coalesce(CASE WHEN value < 0 OR value > 100 THEN NULL ELSE value END, 0) AS value_filled
+        FROM events""")),
+
+    // P10: metadata columns — fixed batch id + load timestamp
+    // (reference 5_dbt/READ.md:183-184; literals so the oracle agrees).
+    QueryDef("p10_metadata_cols", (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        lit("batch-0042").as("batch_id"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("loaded_at")),
+      Some("""SELECT o_orderkey, 'batch-0042' AS batch_id,
+        TIMESTAMP '2026-01-01 00:00:00' AS loaded_at FROM orders""")),
+
+    // F1: timestamp parse round-trip (reference 1_AWS/README.md:75).
+    QueryDef("f1_ts_parse", (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        TimeExpr.parseTs(col("ts").cast("string")).as("ts_parsed")),
+      Some("SELECT event_id, CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS ts_parsed FROM events")),
+
+    // F2: datetime part extraction under all three weekday conventions
+    // (reference 1_AWS/README.md:76-77, 5_dbt/READ.md:671).
+    QueryDef("f2_datetime_extract", (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        hour(col("ts")).cast("long").as("h"),
+        TimeExpr.wdayPandas(col("ts")).cast("long").as("wday_pandas"),
+        TimeExpr.dowSql(col("ts")).cast("long").as("dow_sql"),
+        year(col("ts")).cast("long").as("yr"),
+        month(col("ts")).cast("long").as("mo")),
+      Some("""SELECT event_id, hour(ts) AS h, isodow(ts) AS wday_pandas,
+        dayofweek(ts) + 1 AS dow_sql, year(ts) AS yr, month(ts) AS mo FROM events""")),
+
+    // F3: date truncation (reference 5_dbt/READ.md:168,446).
+    QueryDef("f3_date_trunc", (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
+          to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT date_trunc('hour', ts) AS hour_ts, CAST(ts AS DATE) AS d,
+        count(*) AS n FROM events GROUP BY 1, 2""")),
+
+    // F4: date arithmetic from a fixed anchor (reference 5_dbt/READ.md:561,616,689;
+    // current_date is replaced by a literal anchor so both engines agree).
+    QueryDef("f4_date_arith", (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+        date_sub(to_date(col("o_orderdate")), 7).as("minus_7d"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).cast("long")
+          .as("age_days")),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+        datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days
+        FROM orders""")),
+
+    // F5: string case / LIKE match (reference 5_dbt/READ.md:252-257;
+    // INITCAP is exercised in unit tests — DuckDB 1.0 lacks the function).
+    QueryDef("f5_string_case", (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        lower(col("p_type")).as("type_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        lower(col("p_name")).like("%green%").as("is_green")),
+      Some("""SELECT p_partkey, lower(p_type) AS type_lower, upper(p_brand) AS brand_upper,
+        lower(p_name) LIKE '%green%' AS is_green FROM part""")),
+
+    // F6: formatted period label (reference 1_AWS/README.md:130-131).
+    QueryDef("f6_format_label", (s, dir) =>
+      Tables.orders(s, dir).select(
+        TimeExpr.periodLabel(year(col("o_orderdate")), month(col("o_orderdate")))
+          .as("analysis_period")).distinct(),
+      Some("SELECT DISTINCT printf('%d-%02d', year(o_orderdate), month(o_orderdate)) " +
+        "AS analysis_period FROM orders")),
+
+    // F7: round/least/nullif/coalesce guards (reference 5_dbt/READ.md:577-578,800-804).
+    QueryDef("f7_guards", (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r"),
+        least(col("l_quantity"), lit(25d)).as("qty_capped"),
+        round(QualityExpr.safeDiv(col("l_extendedprice"), col("l_discount")), 4)
+          .as("price_per_disc"),
+        coalesce(QualityExpr.safeDiv(lit(1d), col("l_tax")), lit(-1d)).as("inv_tax")),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        round(l_extendedprice, 1) AS price_r,
+        least(l_quantity, 25.0) AS qty_capped,
+        round(l_extendedprice / nullif(l_discount, 0), 4) AS price_per_disc,
+        coalesce(1.0 / nullif(l_tax, 0), -1.0) AS inv_tax FROM lineitem""")),
+
+    // F8: congestion-index macro over deterministic traffic-shaped columns
+    // (reference 5_dbt/READ.md:786-807).
+    QueryDef("f8_congestion_index", (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        round(MetricExpr.congestionIndex(
+          volume = (col("event_id") % 500).cast("double") * 10d,
+          speed = col("value"),
+          speedLimit = lit(60d),
+          lanes = (col("user_id") % 4 + 1).cast("double")) + lit(1e-9), 6)
+          .as("congestion_index")),
+      // `+ 0` after round(): DuckDB's round yields -0.0 for tiny negatives
+      // where Spark's BigDecimal path yields +0.0; adding zero normalizes.
+      Some("""SELECT event_id, round(
+        CASE WHEN value IS NULL OR CAST(event_id % 500 AS DOUBLE) * 10 IS NULL THEN NULL
+             WHEN value <= 0 THEN 1.0
+             ELSE LEAST((1.0 - value / nullif(60.0, 0)) *
+                        (CAST(event_id % 500 AS DOUBLE) * 10 /
+                         nullif(2000.0 * (user_id % 4 + 1), 1)), 1.0) END + 1e-9, 6) + 0
+        AS congestion_index FROM events""")),
+
+    // F9: comparison -> boolean column (reference 3_BigQuery/READ.md:119).
+    QueryDef("f9_comparison_bool", (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("l_quantity") > 25).as("high_qty")),
+      Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+        "l_quantity > 25 AS high_qty FROM lineitem"))
+  )
+}

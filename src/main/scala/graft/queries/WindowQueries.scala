@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Windows
+
+/**
+ * SURVEY §2.5 windows (W1-W7), §2.6 sorts/top-k (T1-T5) and §2.7 set ops
+ * (U1-U2) as oracle-checkable queries.
+ *
+ * Every top-k carries a unique tiebreak key in BOTH engines' orderings
+ * (SURVEY §7.4.3); rank-based QUALIFY entries deliberately have NO
+ * tiebreak — equal ranks are kept on both sides, which is the semantics
+ * difference T4 exists to pin down.
+ */
+object WindowQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // W1: global RANK over an aggregated (small) frame (reference 5_dbt/READ.md:581).
+    QueryDef("w1_rank_global", (s, dir) => {
+      val bySeg = Tables.customer(s, dir).groupBy("c_mktsegment")
+        .agg(round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      Windows.rankGlobal(bySeg, "bal_rank", desc("avg_bal"))
+        .withColumn("bal_rank", col("bal_rank").cast("long"))
+    }, Some("""SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal,
+      rank() OVER (ORDER BY round(avg(c_acctbal), 4) DESC) AS bal_rank
+      FROM customer GROUP BY c_mktsegment""")),
+
+    // W2: partitioned RANK (reference 5_dbt/READ.md:721).
+    QueryDef("w2_rank_partitioned", (s, dir) =>
+      Windows.rankBy(Tables.customer(s, dir), Seq("c_mktsegment"), "bal_rank",
+        desc("c_acctbal"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("bal_rank").cast("long").as("bal_rank")),
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+        rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank
+        FROM customer""")),
+
+    // W3: PERCENT_RANK (reference 5_dbt/READ.md:630).
+    QueryDef("w3_percent_rank", (s, dir) =>
+      Windows.percentRank(Tables.events(s, dir), Seq("event_type"), "pr",
+        col("value"))
+        .select(col("event_id"), col("event_type"),
+          round(col("pr"), 6).as("pr")),
+      Some("""SELECT event_id, event_type,
+        round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pr
+        FROM events""")),
+
+    // W4: PERCENTILE_CONT window == group-key percentile aggregate
+    // (reference 5_dbt/READ.md:403).
+    QueryDef("w4_median_in_group", (s, dir) =>
+      Windows.medianInGroup(Tables.events(s, dir), Seq("event_type"), "value",
+        extraAggs = Seq(round(avg(col("value")), 6).as("avg_value"),
+          count(lit(1)).as("n")))
+        .withColumn("median_value", round(col("median_value"), 6)),
+      Some("""SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
+        round(avg(value), 6) AS avg_value, count(*) AS n
+        FROM events GROUP BY event_type""")),
+
+    // W5/T4: QUALIFY rank <= k, tie-keeping (reference 5_dbt/READ.md:587-588).
+    QueryDef("w5_qualify_topk", (s, dir) =>
+      Windows.qualifyTopK(Tables.part(s, dir), Seq("p_brand"), 3,
+        desc("p_retailprice"))
+        .select("p_partkey", "p_brand", "p_retailprice"),
+      Some("""SELECT p_partkey, p_brand, p_retailprice FROM (
+        SELECT p_partkey, p_brand, p_retailprice,
+          rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rk
+        FROM part) WHERE rk <= 3""")),
+
+    // W6: per-group lag diff, first row -> 0 (reference 3_BigQuery/READ.md:113-114).
+    QueryDef("w6_lag_diff", (s, dir) => {
+      val yearly = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).cast("double").as("n_orders"))
+      Windows.lagDiff(yearly, Seq("custkey"), "yr", "n_orders", "yoy_diff")
+    }, Some("""WITH yearly AS (
+        SELECT o_custkey AS custkey, year(o_orderdate) AS yr,
+          CAST(count(*) AS DOUBLE) AS n_orders
+        FROM orders GROUP BY 1, 2)
+      SELECT custkey, yr, n_orders,
+        coalesce(n_orders - lag(n_orders) OVER (PARTITION BY custkey ORDER BY yr), 0)
+          AS yoy_diff
+      FROM yearly""")),
+
+    // W7: pct_change over a year-ordered series (reference 4_Snowflake/READ.md:115-118).
+    QueryDef("w7_pct_change", (s, dir) => {
+      val yearly = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(round(avg(col("o_totalprice")), 4).as("avg_price"))
+      Windows.pctChange(yearly, Nil, "yr", "avg_price", "pct_change")
+        .withColumn("pct_change", round(col("pct_change"), 6))
+    }, Some("""WITH yearly AS (
+        SELECT year(o_orderdate) AS yr, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY 1)
+      SELECT yr, avg_price,
+        round(coalesce((avg_price - lag(avg_price) OVER (ORDER BY yr)) /
+          lag(avg_price) OVER (ORDER BY yr), 0), 6) AS pct_change
+      FROM yearly""")),
+
+    // T1: sort desc + limit 10, unique tiebreak (reference 1_AWS/README.md:112-113).
+    QueryDef("t1_topk", (s, dir) =>
+      Windows.topK(Tables.orders(s, dir), 10, desc("o_totalprice"), col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice"),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // T2: nlargest (reference 2_Azure/READ.md:82).
+    QueryDef("t2_nlargest", (s, dir) =>
+      Windows.topK(Tables.part(s, dir), 10, desc("p_retailprice"), col("p_partkey"))
+        .select("p_partkey", "p_retailprice"),
+      Some("SELECT p_partkey, p_retailprice FROM part " +
+        "ORDER BY p_retailprice DESC, p_partkey LIMIT 10")),
+
+    // T3: top-k on a grouped mean (reference 3_BigQuery/READ.md:109).
+    QueryDef("t3_topk_grouped_mean", (s, dir) => {
+      val avgQty = Tables.lineitem(s, dir).groupBy("l_partkey")
+        .agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+      Windows.topK(avgQty, 10, desc("avg_qty"), col("l_partkey"))
+    }, Some("""SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty FROM lineitem
+      GROUP BY l_partkey ORDER BY avg_qty DESC, l_partkey LIMIT 10""")),
+
+    // T4: RANK+QUALIFY on an integer column with real ties — the
+    // tie-KEEPING semantics vs T1's exactly-k (reference 5_dbt/READ.md:581,587-588).
+    QueryDef("t4_rank_ties", (s, dir) =>
+      Windows.qualifyTopK(Tables.part(s, dir), Seq("p_brand"), 2, desc("p_size"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size")),
+      Some("""SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size FROM (
+        SELECT p_partkey, p_brand, p_size,
+          rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rk
+        FROM part) WHERE rk <= 2""")),
+
+    // T5: presentation ORDER BY before write (reference 5_dbt/READ.md:589-590).
+    QueryDef("t5_order_by", (s, dir) =>
+      Tables.customer(s, dir).orderBy(desc("c_acctbal"), col("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal"),
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "ORDER BY c_acctbal DESC, c_custkey")),
+
+    // U1: union-all of homogeneous yearly frames (reference 3_BigQuery/READ.md:89,95).
+    QueryDef("u1_union_all", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def slice(yr: Int) = li.filter(year(col("l_shipdate")) === yr)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          lit(yr.toLong).as("yr"))
+      slice(1996).unionByName(slice(1997))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity, 1996 AS yr FROM lineitem
+        WHERE year(l_shipdate) = 1996
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_quantity, 1997 AS yr FROM lineitem
+        WHERE year(l_shipdate) = 1997""")),
+
+    // U2: per-year one-row summaries — the reference's row-dict
+    // accumulation (4_Snowflake/READ.md:100-103) restructured as a single
+    // groupBy over the year column (SURVEY §2.7 U2: one shuffle, no loop).
+    QueryDef("u2_yearly_summary", (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(round(avg(col("o_totalprice")), 4).as("avg_price"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue")),
+      Some("""SELECT year(o_orderdate) AS yr, round(avg(o_totalprice), 4) AS avg_price,
+        count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1"""))
+  )
+}
