@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Windows
+
+/**
+ * Similarity search over embedding columns (`array<float>`):
+ * brute-force cosine top-k as the exact baseline, plus a bucketed
+ * (sparse-random-projection sign LSH) variant as the scale path.
+ *
+ * Scale design:
+ *  - The probe set is always the SMALL side and is broadcast — the big
+ *    vector table never shuffles for brute force; cost is one pass of
+ *    O(|vectors| × |probes| × dim) codegen'd arithmetic + a per-probe
+ *    top-k (rank window partitioned by probe, which shuffles only
+ *    (probe, id, score) triples, never the vectors).
+ *  - The LSH variant buckets both sides by a sign signature; candidate
+ *    generation is a hash join on bucket id, so per-probe work drops from
+ *    |vectors| to |bucket|. Bits are tunable: recall/cost knob.
+ *  - Dot products ride `zip_with` + `aggregate` (whole-stage codegen) in
+ *    double precision — no UDF, no JVM boxing per element.
+ */
+object Similarity {
+
+  /** Cast a float vector to double for numerically stable scoring. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential dot product (left-to-right sum, reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; NULL when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0d))
+
+  /**
+   * Brute-force exact top-k: broadcast the probes, score every
+   * (vector, probe) pair, keep k per probe by (score desc, id) — rank
+   * window over scores only. Ties beyond k are cut deterministically by
+   * the id tiebreak.
+   */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                     k: Int, scoreDigits: Int = 6): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(probes))
+      .withColumn("score",
+        round(cosine(asDouble(col(vecCol)), asDouble(col(probeVecCol))) + lit(1e-9),
+          scoreDigits))
+      .select(col(probeIdCol), col(idCol), col("score"))
+    scored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
+   * Sparse-random-projection sign LSH bucket id: bit j is the sign of
+   * v · (e_j − e_{j+32}) = v[j] > v[j+32] — a fixed sparse hyperplane
+   * family that is expressible in any engine (no hash functions), cheap
+   * (2 reads per bit), and deterministic.
+   */
+  def bucketId(vec: Column, bits: Int = 4): Column =
+    (0 until bits).map { j =>
+      when(element_at(vec, j + 1) > element_at(vec, j + 33), lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /**
+   * ANN top-k via LSH buckets: candidates are same-bucket vectors only.
+   * Trades recall for a |bucket|/|vectors| cost reduction; raise `bits`
+   * to shrink buckets, lower it (or multiprobe) to raise recall.
+   */
+  def annTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              probes: DataFrame, probeIdCol: String, probeVecCol: String,
+              k: Int, bits: Int = 4, scoreDigits: Int = 6): DataFrame = {
+    val vb = vectors.withColumn("__bucket", bucketId(col(vecCol), bits))
+    val pb = probes.withColumn("__bucket", bucketId(col(probeVecCol), bits))
+    val scored = vb.join(broadcast(pb), Seq("__bucket"))
+      .withColumn("score",
+        round(cosine(asDouble(col(vecCol)), asDouble(col(probeVecCol))) + lit(1e-9),
+          scoreDigits))
+      .select(col(probeIdCol), col(idCol), col("score"))
+    scored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
+   * IVF-style coarse assignment: per-label centroids (posexplode →
+   * groupBy(label, pos) → avg → re-assemble), then each vector is
+   * assigned to its nearest centroid by cosine. The centroid table is
+   * tiny and broadcast; the vector side never shuffles.
+   */
+  def centroids(vectors: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(labelCol), posexplode(asDouble(col(vecCol))).as(Seq("__pos", "__v")))
+      .groupBy(col(labelCol), col("__pos")).agg(avg(col("__v")).as("__avg"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__avg")))).as("__pairs"))
+      .select(col(labelCol).as("centroid_label"),
+        transform(col("__pairs"), p => p.getField("__avg")).as("centroid"))
+
+  def assignNearestCentroid(vectors: DataFrame, idCol: String, vecCol: String,
+                            cents: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cents))
+      .withColumn("score",
+        round(cosine(asDouble(col(vecCol)), col("centroid")) + lit(1e-9), 6))
+    scored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(desc("score"), col("centroid_label"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("centroid_label").as("assigned_label"), col("score"))
+  }
+}

@@ -23,13 +23,14 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
-   * BPE-ish token count: counts word pieces and standalone
-   * punctuation/digit runs the way a byte-pair tokenizer's pre-tokenizer
-   * splits, approximating LLM token cost without a vocab file.
+   * BPE-ish token count: alphanumeric runs plus each standalone
+   * non-space symbol, the way a byte-pair tokenizer's pre-tokenizer
+   * splits — approximates LLM token cost without a vocab file. Written
+   * as an extraction (not a lookaround split) so RE2-based engines can
+   * express the identical count.
    */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {
@@ -65,7 +66,7 @@ object TextOps {
     val stopScore = least(stopwordRatio(text) * 5d, lit(1d)) * 0.3
     val punctOk   = when(punctRatio(text) < 0.2, 0.15).otherwise(0d)
     val tokLenOk  = when(meanTokenLen(text).between(2d, 12d), 0.15).otherwise(0d)
-    round(lenScore + stopScore + punctOk + tokLenOk, 4)
+    lenScore + stopScore + punctOk + tokLenOk
   }
 
   private val LangMarkers: Map[String, Seq[String]] = Map(

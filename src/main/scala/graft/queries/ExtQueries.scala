@@ -1,10 +1,258 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
 /**
- * LLM-training-data extension operators (dedup, similarity search, text
- * analysis) as oracle-checkable queries — populated incrementally; see
- * graft.ext.
+ * LLM-training-data extension operators (BASELINE north star): text
+ * analysis, exact + near dedup, similarity search, multimodal plumbing —
+ * each as an oracle-checkable query over `documents` / `embeddings`.
+ *
+ * Oracle strategy for hash-based operators (minhash/fingerprints use
+ * xxhash64, which DuckDB cannot reproduce): the registered OUTPUT is
+ * hash-independent — survivor groups, Jaccard-verified pairs — which the
+ * oracle recomputes directly from the raw strings. A hash collision would
+ * break the equivalence; at 64 bits over ≤1e3 docs the collision odds are
+ * ~1e-13 and the fixtures are deterministic, so a local pass is a
+ * permanent pass.
+ *
+ * Synthetic duplicates are derived in-query from the fixtures
+ * (deterministic arithmetic on doc_id; uppercase/append-tail variants)
+ * because the fixture corpus itself contains no duplicates.
  */
 object ExtQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Shared DuckDB fragment: whitespace tokens of lowercased text. */
+  private val DuckToks =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
+  private val DuckToksRaw =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- Text analysis ------------------------------------------------
+
+    QueryDef("ext_text_token_stats", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        round(TextOps.punctRatio(col("text")) + lit(1e-9), 6).as("punct_ratio"),
+        round(TextOps.meanTokenLen(col("text")) + lit(1e-9), 6).as("mean_token_len")),
+      Some(s"""SELECT doc_id, n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+        round(CASE WHEN len(text) = 0 THEN 0 ELSE
+          CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+            / len(text) END + 1e-9, 6) AS punct_ratio,
+        round(CASE WHEN n_tokens = 0 THEN 0 ELSE
+          CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n_tokens
+          END + 1e-9, 6) AS mean_token_len
+        FROM (SELECT doc_id, text, $DuckToksRaw AS toks, len($DuckToksRaw) AS n_tokens
+              FROM documents)""")),
+
+    QueryDef("ext_text_quality", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextOps.stopwordRatio(col("text")) + lit(1e-9), 6).as("stopword_ratio"),
+        round(TextOps.qualityScore(col("text")) + lit(1e-9), 4).as("quality_score")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, text, $DuckToksRaw AS toks FROM documents),
+        m AS (SELECT doc_id, text,
+          CASE WHEN len(toks) = 0 THEN 0 ELSE
+            CAST(len(list_filter(toks, t -> lower(t) IN ('the','a','an','and','or',
+              'of','to','in','is','it','that','for','on','with','as','at','by')))
+              AS DOUBLE) / len(toks) END AS stop_ratio,
+          CASE WHEN len(text) = 0 THEN 0 ELSE
+            CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              / len(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0 ELSE
+            CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+            END AS mean_tok_len
+          FROM t)
+        SELECT doc_id, round(stop_ratio + 1e-9, 6) AS stopword_ratio,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+              + least(stop_ratio * 5, 1.0) * 0.3
+              + (CASE WHEN punct_ratio < 0.2 THEN 0.15 ELSE 0 END)
+              + (CASE WHEN mean_tok_len BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END)
+              + 1e-9, 4) AS quality_score
+        FROM m""")),
+
+    QueryDef("ext_text_lang_id", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+        s AS (SELECT doc_id,
+          len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit','für','nicht'))) AS h_de,
+          len(list_filter(toks, t -> t IN ('the','and','of','is','to','in','that','with'))) AS h_en,
+          len(list_filter(toks, t -> t IN ('el','la','los','y','es','en','para','que'))) AS h_es,
+          len(list_filter(toks, t -> t IN ('le','la','les','et','est','dans','pour','que'))) AS h_fr,
+          len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS lang_pred
+        FROM (SELECT doc_id, greatest(
+            printf('%04d|%s', h_de, 'de'), printf('%04d|%s', h_en, 'en'),
+            printf('%04d|%s', h_es, 'es'), printf('%04d|%s', h_fr, 'fr'),
+            printf('%04d|%s', h_zh, 'zh')) AS best FROM s)""")),
+
+    // ---- Deduplication ------------------------------------------------
+
+    // Exact dedup: ASCII-case/whitespace variants of even en-docs must
+    // collapse onto their originals (survivor = min doc_id, copy count 2).
+    QueryDef("ext_dedup_exact", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val variants = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          upper(concat(col("text"), lit("  "))).as("text"), col("lang"))
+      Dedup.exactGroups(docs.unionByName(variants).select("doc_id", "text"),
+        "text", "doc_id")
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, upper(text || '  ') FROM documents
+        WHERE lang = 'en' AND doc_id % 2 = 0)
+      SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+      FROM (SELECT doc_id,
+              array_to_string($DuckToks, ' ') AS norm
+            FROM all_docs)
+      GROUP BY norm""")),
+
+    // Near-dup: MinHash(64) + 16-band LSH candidates, exact-Jaccard
+    // verified at >= 0.5. The oracle recomputes the thresholded pairs by
+    // brute force over string shingles — the LSH path must find exactly
+    // the pairs that actually exceed the threshold.
+    QueryDef("ext_dedup_near_minhash", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      // bands=32 (r=2): the LSH S-curve midpoint drops to ~0.18, so pairs
+      // at the 0.5 threshold are caught with recall ~1 — required for the
+      // oracle's brute-force ground truth to match exactly.
+      Dedup.nearDupPairs(docs.unionByName(dups), "doc_id", "text", threshold = 0.5,
+        numHashes = 64, bands = 32)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 0),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM pairs WHERE j >= 0.5""")),
+
+    // ---- Similarity search --------------------------------------------
+
+    // Brute-force exact cosine top-5 per probe (probe set broadcast).
+    QueryDef("ext_sim_topk_cosine", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 5)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v CROSS JOIN p),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
+
+    // LSH-bucketed ANN top-3: sparse sign-projection bucket (4 bits),
+    // candidates restricted to the probe's bucket — the scale path.
+    QueryDef("ext_sim_ann_bucket", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.annTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, bits = 4)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          (CASE WHEN embedding[1] > embedding[33] THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > embedding[34] THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > embedding[35] THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] > embedding[36] THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v JOIN p ON v.bucket = p.bucket),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
+    // ---- Multimodal plumbing ------------------------------------------
+
+    // Binary payload + typed metadata (decode stubbed; schema/plumbing real).
+    QueryDef("ext_mm_media_meta", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      media.select(col("media_id"), col("media_type"),
+        col("meta.n_bytes").as("n_bytes"))
+    }, Some("""SELECT doc_id AS media_id,
+        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents""")),
+
+    // Batched per-partition feature extraction over ASCII payloads (the
+    // mapPartitions analogue of a batched pandas UDF); stride-fold stub
+    // features are recomputed by the oracle from character codes.
+    QueryDef("ext_mm_features", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir).filter(col("lang") === "en")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        lit("text"))
+      Multimodal.extractFeatures(media, dims = 8)
+        .select(col("media_id"), col("features"))
+    }, Some("""SELECT doc_id AS media_id,
+        [CAST(list_sum(list_transform(range(1, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(2, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(3, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(4, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(5, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(6, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(7, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
+         CAST(list_sum(list_transform(range(8, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE)]
+        AS features
+      FROM (SELECT doc_id,
+              list_transform(regexp_extract_all(text, '.'), c -> unicode(c)) AS codes
+            FROM documents WHERE lang = 'en')""")),
+
+    // SimHash near-dup pairs (hash-valued internals → no SQL oracle;
+    // driver records the weaker rows-only check; ScalaTest asserts the
+    // perturbation invariant).
+    QueryDef("ext_simhash_pairs", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text"))
+      val sh = docs.unionByName(dups)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    }, None)
+  )
 }
