@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.quality.Checks
+
+/** dbt-test-equivalent check library (reference `5_dbt/READ.md:296-381,826-879`). */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("notNull returns exactly the violating rows") {
+    val df = Seq((1, Option("a")), (2, None), (3, Option("c"))).toDF("id", "v")
+    val out = Checks.notNull(df, Seq("v")).select("id").collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(2))
+  }
+
+  test("unique flags keys with >1 row") {
+    val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
+    val out = Checks.unique(df, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 2L, 3 -> 3L))
+  }
+
+  test("relationships ignores NULL child keys (dbt semantics)") {
+    val child = Seq(Option(1), Option(2), None, Option(9)).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val orphans = Checks.relationships(child, "fk", parent, "pk")
+      .collect().map(_.getInt(0))
+    assert(orphans.toSeq == Seq(9), "only the non-NULL missing key is an orphan")
+  }
+
+  test("acceptedRange/acceptedValues ignore NULLs and flag out-of-band") {
+    val df = Seq(Option(-1d), Option(50d), None, Option(200d)).toDF("v")
+    assert(Checks.acceptedRange(df, "v", 0, 120).count() == 2)
+    val ev = Seq(Option("click"), Option("weird"), None).toDF("t")
+    assert(Checks.acceptedValues(ev, "t", Seq("click", "view")).count() == 1)
+  }
+
+  test("threeSigmaOutliers flags the planted outlier only") {
+    val vals = Seq.fill(100)(10d) ++ Seq(10.5, 9.5, 1000d)
+    val df = vals.toDF("v")
+    val out = Checks.threeSigmaOutliers(df, "v").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(1000d))
+  }
+
+  test("endBeforeStart + thresholded runner") {
+    val df = Seq(("2024-01-01", "2024-01-02"), ("2024-01-05", "2024-01-04"))
+      .toDF("s", "e")
+      .select(to_date(col("s")).as("s"), to_date(col("e")).as("e"))
+    val r = Checks.run("interval", Checks.endBeforeStart(df, "s", "e"), threshold = 0)
+    assert(r.violations == 1 && !r.passed)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "THE  QUICK Brown fox JUMPS over the lazy dog near the river bank today"), // case/ws dup of 1
+    (3L, "a completely different document about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup of 1
+    (5L, "unrelated text on minhash signatures banding and jaccard verification steps"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized text") {
+    val out = Dedup.exact(corpus, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactGroups reports survivor and copy count") {
+    val m = Dedup.exactGroups(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 2L && m(3L) == 1L)
+  }
+
+  test("near-dup finds the perturbed pair and no unrelated pairs") {
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "normalized-equal docs must pair")
+    assert(pairs.contains((1L, 4L)), "one-token-changed doc must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L),
+      "unrelated docs must not pair")
+  }
+
+  test("jaccard bounds and identity") {
+    val df = corpus.select(
+      Dedup.jaccard(Dedup.shingleHashes(col("text")), Dedup.shingleHashes(col("text")))
+        .as("self"))
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
+  test("simhash: small edit -> small hamming; unrelated -> large hamming") {
+    val sh = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0, "normalized-equal docs share simhash")
+    assert(ham(sh(1L), sh(4L)) <= 16, "near-dup docs are close in hamming space")
+    assert(ham(sh(1L), sh(3L)) > 16, "unrelated docs are far in hamming space")
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val fps = corpus.select(TextOps.fingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(3))
+  }
+}

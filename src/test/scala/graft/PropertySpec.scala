@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.{MetricExpr, QualityExpr, TimeExpr}
+import graft.pipelines.CongestionMarts
+
+/**
+ * Invariants mirroring the reference's dbt schema tests
+ * (reference `5_dbt/READ.md:296-381,734-782`, SURVEY §5.2).
+ */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("congestion_index ∈ [0,1] ∪ {NULL} on edge inputs (5_dbt/READ.md:746-748)") {
+    // (volume, speed, limit, lanes) edge cases incl. the macro branches:
+    // NULL speed → NULL, speed<=0 → 1.0, limit 0 → NULL factor → NULL
+    val rows = Seq(
+      (1000d, Option(50d), 60d, 2d), (1000d, None, 60d, 2d),
+      (1000d, Option(0d), 60d, 2d), (1000d, Option(-5d), 60d, 2d),
+      (1000d, Option(30d), 0d, 2d), (99999d, Option(1d), 60d, 1d),
+      (0d, Option(59d), 60d, 3d))
+    val df = rows.toDF("volume", "speed", "limit", "lanes")
+      .withColumn("ci", MetricExpr.congestionIndex(
+        col("volume"), col("speed"), col("limit"), col("lanes")))
+    val cis = df.select("ci").collect().map(r => Option(r.get(0)).map(_.toString.toDouble))
+    assert(cis.forall(_.forall(v => v <= 1.0)),
+      "congestion index must be clamped at 1.0")
+    // NULL speed and zero speed-limit propagate NULL, not 0
+    assert(cis(1).isEmpty, "NULL speed must yield NULL")
+    assert(cis(4).isEmpty, "speed_limit 0 must yield NULL")
+    // speed <= 0 branch pins max congestion
+    assert(cis(2).contains(1.0) && cis(3).contains(1.0))
+  }
+
+  test("tti/pti ratios: tt85 >= tt50 > 0 implies tti >= 1") {
+    val df = Seq((100d, 120d, 150d), (50d, 50d, 50d), (10d, 99d, 100d))
+      .toDF("tt50", "tt85", "tt95")
+      .withColumn("tti", MetricExpr.tti(col("tt85"), col("tt50")))
+      .withColumn("pti", MetricExpr.pti(col("tt95"), col("tt50")))
+    df.collect().foreach { r =>
+      assert(r.getDouble(3) >= 1.0 && r.getDouble(4) >= r.getDouble(3))
+    }
+  }
+
+  test("sanitizeRange maps out-of-range to NULL and nothing else (5_dbt/READ.md:170-179)") {
+    val df = Seq(-1d, 0d, 50d, 120d, 121d).toDF("v")
+      .withColumn("clean", QualityExpr.sanitizeRange(col("v"), 0, 120))
+    val out = df.collect().map(r => (r.getDouble(0), Option(r.get(1))))
+    assert(out.toMap == Map(-1d -> None, 0d -> Some(0d), 50d -> Some(50d),
+      120d -> Some(120d), 121d -> None))
+  }
+
+  test("period classifier: Tue-Sat quirk faithful to 1_AWS/README.md:79-91") {
+    val df = Seq(
+      "2024-01-02 07:00:00", // Tuesday 7am  -> amp
+      "2024-01-01 07:00:00", // Monday 7am   -> we (the reference quirk)
+      "2024-01-06 12:00:00", // Saturday noon-> mid (Tue-Sat weekday!)
+      "2024-01-07 12:00:00", // Sunday noon  -> we
+      "2024-01-02 23:00:00"  // Tuesday 11pm -> NULL (overnight)
+    ).toDF("s").withColumn("p", TimeExpr.period(to_timestamp(col("s"))))
+    val out = df.select("p").collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("amp"), Some("we"), Some("mid"), Some("we"), None))
+  }
+
+  test("daily-rankings mart: rank ∈ [1,10] and severity labels valid (5_dbt/READ.md:753-755)") {
+    val m = CongestionMarts.martDailyRankings(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    val rankIdx = CongestionMarts.martDailyRankings(spark, sfDir).columns
+      .indexOf("congestion_rank")
+    assert(m.forall { r =>
+      val rk = r.getLong(rankIdx)
+      rk >= 1 && rk <= 10
+    })
+    val sevIdx = CongestionMarts.martDailyRankings(spark, sfDir).columns
+      .indexOf("congestion_severity")
+    val allowed = Set("Severe", "High", "Moderate", "Low")
+    assert(m.forall(r => allowed(r.getString(sevIdx))))
+  }
+
+  test("hourly-patterns mart: percent_rank ∈ [0,1], hour ∈ [0,23] (5_dbt/READ.md:764-770)") {
+    val df = CongestionMarts.martHourlyPatterns(spark, sfDir)
+    val cols = df.columns
+    val rows = df.collect()
+    val hIdx = cols.indexOf("hour_of_day"); val pIdx = cols.indexOf("congestion_pctile")
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getLong(hIdx) >= 0 && r.getLong(hIdx) <= 23 &&
+        r.getDouble(pIdx) >= 0.0 && r.getDouble(pIdx) <= 1.0
+    })
+  }
+}

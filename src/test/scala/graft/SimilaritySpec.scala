@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0))
+      .toDF("a", "b", "expected")
+      .withColumn("cos",
+        Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))))
+    df.collect().foreach(r => assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 1e-12))
+  }
+
+  test("cosine of zero vector is NULL, not a crash or 0/0") {
+    val df = Seq((Array(0f, 0f), Array(1f, 0f))).toDF("a", "b")
+      .withColumn("cos",
+        Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))))
+    assert(df.collect().head.isNullAt(2))
+  }
+
+  test("brute-force top-k: every probe finds itself first with score 1") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probes = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      probes, "probe_id", "probe_vec", k = 3)
+    val first = top.filter(col("probe_id") === col("vec_id"))
+      .select("probe_id", "score").collect()
+    assert(first.length == probes.count())
+    assert(first.forall(_.getDouble(1) >= 0.999999))
+  }
+
+  test("ANN bucket candidates share the probe's bucket; scores bounded") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probes = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding",
+      probes, "probe_id", "probe_vec", k = 3, bits = 4)
+    val buckets = vecs.withColumn("b", Similarity.bucketId(col("embedding"), 4))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ann.select("probe_id", "vec_id", "score").collect().foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)),
+        "ANN neighbor must come from the probe's bucket")
+      assert(r.getDouble(2) >= -1.0 - 1e-6 && r.getDouble(2) <= 1.0 + 1e-6)
+    }
+  }
+
+  test("centroid assignment covers every vector exactly once") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+    assert(cents.count() == vecs.select("label").distinct().count())
+    val assigned = Similarity.assignNearestCentroid(vecs, "vec_id", "embedding", cents)
+    assert(assigned.count() == vecs.count())
+    assert(assigned.select("vec_id").distinct().count() == vecs.count())
+  }
+}
