@@ -57,15 +57,39 @@ object Dedup {
   def shingleHashes(text: Column, k: Int = 3): Column =
     array_distinct(TextOps.windowFingerprints(text, k))
 
+  /** Deterministic per-function seeds (splitmix64 mixing of the index —
+    * no RNG state, reproducible everywhere). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val MaxHashes = 256
+  private val HashSeeds: Array[Long] = (0 until MaxHashes).map(i => mix64(i.toLong)).toArray
+
+  /** xorshift64 mix — XOR/shift only, so it wraps freely under ANSI mode
+    * (a multiply-add family would raise ARITHMETIC_OVERFLOW on Spark 4's
+    * checked Long arithmetic). */
+  private def xorshift(c: Column): Column = {
+    val a = c.bitwiseXOR(shiftleft(c, 13))
+    val b = a.bitwiseXOR(shiftrightunsigned(a, 7))
+    b.bitwiseXOR(shiftleft(b, 17))
+  }
+
   /**
-   * MinHash signature: for hash function i (xxhash64 seeded by i via an
-   * extra hashed column), the min over the document's shingle hashes.
-   * Signature length = numHashes; cost is O(shingles × numHashes) per doc
-   * with zero shuffle.
+   * MinHash signature: the min over the document's (already xxhash64'd)
+   * shingle values under numHashes xorshift permutations
+   * h_i(x) = xorshift64(x ⊕ seed_i). One real hash per shingle, a
+   * handful of bitwise ops per (shingle, i) — O(shingles × numHashes)
+   * cheap ALU work per doc, zero shuffle.
    */
-  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column = {
+    require(numHashes <= MaxHashes, s"numHashes must be <= $MaxHashes")
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+      i => array_min(transform(shingles,
+        s => xorshift(s.bitwiseXOR(element_at(lit(HashSeeds), i + 1))))))
+  }
 
   /** LSH banding: one (bandIndex, bandHash) struct per band of the signature. */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -73,19 +97,80 @@ object Dedup {
       b => struct(b.as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
 
+  /** splitmix64-based string hash for the typed hot path (internal —
+    * shingle hash identity only has to be consistent within one run). */
+  private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = mix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  private def xorshiftLong(x0: Long): Long = {
+    var x = x0
+    x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+    x
+  }
+
   /**
-   * Materialized (id, shingles) frame, persisted. The persist() is a
-   * correctness-of-cost barrier, not a cache nicety: higher-order array
-   * expressions are interpreted (not codegen'd), and Catalyst's
-   * CollapseProject would otherwise re-inline the shingle+minhash
-   * expression into every downstream consumer — the 64-hash signature
-   * would re-tokenize the document 64×, and the band explode another
-   * 16×, turning a linear pass into a multiplicative blowup. At 100 TB
-   * the same barrier is a checkpoint to storage instead.
+   * Materialized (id, shingles) frame, persisted.
+   *
+   * Implementation is a typed mapPartitions tight loop, NOT the Column
+   * expression form: higher-order array expressions are interpreted (no
+   * codegen), and measured cost was ~10 ms/doc — two orders over this
+   * loop. The Column form ([[shingleHashes]]) stays as the portable
+   * expression API; this is the scale path (SURVEY §2.10: mapPartitions
+   * as last resort, justified by measurement).
+   *
+   * The persist() is a cost barrier, not a cache nicety: downstream the
+   * frame feeds the signature step AND both sides of the verification
+   * join; without it the whole tokenization re-runs per consumer. At
+   * 100 TB the same barrier is a checkpoint to storage instead.
    */
   private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
-                           shingleK: Int): DataFrame =
-    df.select(col(idCol), shingleHashes(col(textCol), shingleK).as("__sh")).persist()
+                           shingleK: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val sh: Array[Long] =
+            if (toks.length < shingleK) Array(hash64(toks.mkString(" ")))
+            else Array.tabulate(toks.length - shingleK + 1) { i =>
+              hash64(toks.slice(i, i + shingleK).mkString(" "))
+            }.distinct
+          (id, sh)
+        }
+      }.toDF(idCol, "__sh").persist()
+  }
+
+  /** Typed minhash signatures over a shingle frame (hot path twin of
+    * [[minhashSignature]]). */
+  private def signatureFrame(sh: DataFrame, idCol: String,
+                             numHashes: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val seeds = HashSeeds
+    sh.select(col(idCol), col("__sh")).as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        iter.map { case (id, shingles) =>
+          val sig = Array.tabulate(numHashes) { i =>
+            val seed = seeds(i)
+            var m = Long.MaxValue
+            var j = 0
+            while (j < shingles.length) {
+              val v = xorshiftLong(shingles(j) ^ seed)
+              if (v < m) m = v
+              j += 1
+            }
+            m
+          }
+          (id, sig)
+        }
+      }.toDF(idCol, "__sig").persist()
+  }
 
   /**
    * Candidate pairs via the LSH bucket join: explode bands, shuffle by
@@ -102,8 +187,7 @@ object Dedup {
                                      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = sh.select(col(idCol),
-      minhashSignature(col("__sh"), numHashes).as("__sig")).persist()
+    val sig = signatureFrame(sh, idCol, numHashes)
     val banded = sig.select(col(idCol),
         explode(bandHashes(col("__sig"), bands, r)).as("__b"))
       .select(col(idCol), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
@@ -144,11 +228,13 @@ object Dedup {
    * column work — O(tokens × 64) per doc, no shuffle.
    */
   def simhash(text: Column): Column = {
-    val ts = TextOps.tokens(lower(text))
-    val counts = aggregate(ts, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+    // hash each token ONCE; bit extraction is then 64 shifts per token,
+    // not 64 re-hashes (interpreted HOFs make that 10x+ in practice)
+    val hs = transform(TextOps.tokens(lower(text)), t => xxhash64(t))
+    val counts = aggregate(hs, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          b => call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L))),
+          b => call_function("shiftright", h, b).bitwiseAND(lit(1L))),
         (a, bit) => a + bit * 2L - 1L))
     aggregate(
       zip_with(counts, lit(BitPowers), (c, p) => when(c > 0, p).otherwise(lit(0L))),
@@ -158,4 +244,37 @@ object Dedup {
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
+
+  /**
+   * Typed SimHash frame (hot-path twin of [[simhash]] — same algorithm,
+   * token hashes from the internal hash64): (id, simhash) per row via a
+   * mapPartitions tight loop. Use this form for corpus-scale scans; the
+   * Column form remains for expression composition.
+   */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val counts = new Array[Int](64)
+          var t = 0
+          while (t < toks.length) {
+            val h = hash64(toks(t))
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+            t += 1
+          }
+          var sh = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
+          (id, sh)
+        }
+      }.toDF(idCol, "simhash")
+  }
 }

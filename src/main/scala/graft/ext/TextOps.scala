@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
  */
 object TextOps {
 
+  /**
+   * Let-binding for Column expressions: evaluates `bound` ONCE per row
+   * and exposes it to `body` as a lambda variable. Higher-order array
+   * functions are interpreted, and a lambda that references a subtree
+   * re-evaluates it per element — binding first turns O(elements ×
+   * subtree) into O(subtree + elements).
+   */
+  def letCol(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(struct(bound.as("v"))),
+      s => body(s.getField("v"))), 1)
+
   /** Whitespace tokenizer (split on runs of whitespace, drop empties). */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
@@ -40,8 +51,7 @@ object TextOps {
   }
 
   /** Mean token length in characters (degenerate docs → 0). */
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
+  def meanTokenLen(text: Column): Column = letCol(tokens(text)) { ts =>
     when(size(ts) === 0, 0d).otherwise(
       aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
   }
@@ -50,8 +60,7 @@ object TextOps {
     "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
 
   /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
+  def stopwordRatio(text: Column): Column = letCol(tokens(text)) { ts =>
     when(size(ts) === 0, 0d).otherwise(
       size(filter(ts, t => lower(t).isin(StopwordsEn: _*))).cast("double") / size(ts))
   }
@@ -81,8 +90,7 @@ object TextOps {
    * language by marker-token hits, pick the argmax (deterministic
    * tie-break by language code; 'und' when nothing matches).
    */
-  def langId(text: Column): Column = {
-    val ts = tokens(lower(text))
+  def langId(text: Column): Column = letCol(tokens(lower(text))) { ts =>
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(size(filter(ts, t => t.isin(markers: _*))).as("hits"),
              lit(lang).as("lang"))
@@ -103,10 +111,10 @@ object TextOps {
    * Rolling-window fingerprints: hash of every k-token window
    * (winnowing-style; the min over windows is a cheap robust signature).
    */
-  def windowFingerprints(text: Column, k: Int = 8): Column = {
-    val ts = tokens(lower(text))
-    when(size(ts) < k, array(xxhash64(concat_ws(" ", ts))))
-      .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)),
-        i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
-  }
+  def windowFingerprints(text: Column, k: Int = 8): Column =
+    letCol(tokens(lower(text))) { ts =>
+      when(size(ts) < k, array(xxhash64(concat_ws(" ", ts))))
+        .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
+    }
 }

@@ -245,10 +245,9 @@ object ExtQueries {
       val dups = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" x")).as("text"))
-      val sh = docs.unionByName(dups)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
-      sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      val sh = Dedup.simhashFrame(docs.unionByName(dups), "doc_id", "text")
+      sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        .crossJoin(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")))
         .filter(col("id_a") < col("id_b"))
         .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
         .filter(col("hamming") <= 3)

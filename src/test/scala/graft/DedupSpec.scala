@@ -52,6 +52,15 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) > 16, "unrelated docs are far in hamming space")
   }
 
+  test("simhashFrame (typed hot path) satisfies the same locality properties") {
+    val sh = Dedup.simhashFrame(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(4L)) <= 16)
+    assert(ham(sh(1L), sh(3L)) > 16)
+  }
+
   test("fingerprint is whitespace/case-normalized") {
     val fps = corpus.select(TextOps.fingerprint(col("text")))
       .collect().map(_.getLong(0))
