@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface (extension — the reference is batch-only,
+ * SURVEY §2.9; its closest analogue is scheduled micro-batch `@monthly`
+ * DAGs, `1_AWS/README.md:43`). The same event-shaped feed the batch
+ * pipelines read is exposed as an unbounded stream: file-source →
+ * event-time windowed aggregates with watermarking → sinks, plus
+ * mapGroupsWithState sessionization for custom state.
+ *
+ * Scale notes:
+ *  - The file source lists + splits like the batch reader; each
+ *    micro-batch is a normal Spark job, so every batch operator here
+ *    (filters, broadcast joins, window aggs) keeps its batch plan shape.
+ *  - Watermarks bound state: windowed aggregates drop state older than
+ *    the watermark; sessionization uses event-time timeouts for the same
+ *    reason. Without them, 100 TB of history = unbounded state store.
+ */
+object EventStream {
+
+  /** Physical schema of the events feed (ts is INT64 nanos in the
+    * fixtures — surfaced as long, rebuilt into a timestamp below). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over an events-shaped parquet directory. */
+  def readEvents(spark: SparkSession, dir: String,
+                 globFilter: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", globFilter)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /**
+   * Event-time windowed counts/means per event type with a watermark
+   * bounding aggregation state (SURVEY §2.9 extension; the streaming
+   * analogue of the hourly batch aggregates, reference
+   * `5_dbt/READ.md:398-413`).
+   */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"))
+
+  /** Session state carried between micro-batches. */
+  final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  final case class SessionOut(userId: Long, nEvents: Long, durationSec: Double,
+                              closed: Boolean)
+  final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double, props: String)
+
+  /**
+   * Per-user sessionization via mapGroupsWithState (custom state that
+   * windowed aggregation can't express): a session closes after
+   * `gapMinutes` of event-time silence, enforced with an event-time
+   * timeout so state is bounded by the watermark.
+   */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark).as[Evt]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evts: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.nEvents, (s.lastTs - s.firstTs) / 1e6, closed = true)
+          } else {
+            val times = evts.map(_.ts.getTime * 1000L).toArray
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, times.min, times.min))
+            val next = SessionState(prev.nEvents + times.length,
+              math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs / 1000L + gapMinutes * 60000L)
+            SessionOut(userId, next.nEvents, (next.lastTs - next.firstTs) / 1e6,
+              closed = false)
+          }
+      }
+  }
+
+  /** Start a parquet sink with checkpointing (the streaming S4). */
+  def writeParquet(df: DataFrame, path: String, checkpoint: String,
+                   mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .start()
+}

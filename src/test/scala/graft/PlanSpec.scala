@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.Registry
+
+/**
+ * Plan-shape regression tests: the physical plans that make these
+ * queries scale must not silently degrade (broadcast → sort-merge,
+ * top-k → full sort, lost parquet pushdown). String-level assertions on
+ * the executed plan are deliberate — they catch regressions from Spark
+ * upgrades and refactors alike.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("j1: dimension joins broadcast (no fact-side shuffle)") {
+    val p = plan("j1_left_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("p3: equality filter reaches the parquet scan") {
+    assert(plan("p3_filter_eq").contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("p1: projection prunes the parquet read schema") {
+    val p = plan("p1_project_rename")
+    // scan must read only the 3 projected columns, not all 16
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("t1: top-k plans TakeOrderedAndProject, never a full global sort") {
+    val p = plan("t1_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("j6: semi-join broadcasts the small key set") {
+    val p = plan("j6_semi_join")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastExchange"))
+  }
+
+  test("a1: group percentiles shuffle exactly once") {
+    val p = plan("a1_group_percentiles")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("sim_topk: probes broadcast; vectors never shuffle before scoring") {
+    val p = plan("ext_sim_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the only hash exchange is the tiny (probe, id, score) rank input
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+  }
+
+  test("pipeline top-10 ends in TakeOrderedAndProject with broadcast dim join") {
+    val p = plan("pl_tti_monthly_top10")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/**
+ * Structured Streaming over the events fixture: the streamed result of a
+ * windowed aggregation must converge to the batch answer once all files
+ * are processed (exactly-once file source semantics).
+ */
+class StreamingSpec extends SparkSpec {
+
+  test("windowed stats stream converges to the batch aggregate") {
+    val stream = EventStream.windowedStats(
+      EventStream.readEvents(spark, sfDir), "1 hour", "2 hours")
+    val q = stream.writeStream
+      .format("memory").queryName("win_stats").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_stats")
+        .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+      val batch = graft.core.Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionization streams per-user state and counts every event once") {
+    val sessions = EventStream.sessionize(
+      EventStream.readEvents(spark, sfDir), gapMinutes = 30)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("sessions").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+      assert(out.count() > 0)
+      // the last open-session update per user carries that user's running
+      // total; with one input file the total equals the batch count
+      val totals = out.filter(!col("closed"))
+        .groupBy("userId").agg(max("nEvents").as("n"))
+      val batch = graft.core.Tables.events(spark, sfDir)
+        .groupBy(col("user_id").as("userId")).agg(count(lit(1)).as("n"))
+      val joined = totals.join(batch, Seq("userId"))
+        .filter(totals("n") =!= batch("n"))
+      assert(joined.isEmpty, "streamed per-user totals must match batch counts")
+    } finally q.stop()
+  }
+}
