@@ -37,6 +37,16 @@ object Similarity {
     dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0d))
 
   /**
+   * Codegen'd one-pass cosine (graft.functions.CosineSimilarity):
+   * bit-identical to [[cosine]] but a single generated loop instead of
+   * three interpreted array walks. Requires registration
+   * ([[graft.functions.GraftFunctions.register]]) — the operators below
+   * do so on demand via the frame's session.
+   */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.CosineName, a, b)
+
+  /**
    * Brute-force exact top-k: broadcast the probes, score every
    * (vector, probe) pair, keep k per probe by (score desc, id) — rank
    * window over scores only. Ties beyond k are cut deterministically by
@@ -45,10 +55,10 @@ object Similarity {
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
                      probes: DataFrame, probeIdCol: String, probeVecCol: String,
                      k: Int, scoreDigits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val scored = vectors.crossJoin(broadcast(probes))
       .withColumn("score",
-        round(cosine(asDouble(col(vecCol)), asDouble(col(probeVecCol))) + lit(1e-9),
-          scoreDigits))
+        round(cosineNative(col(vecCol), col(probeVecCol)) + lit(1e-9), scoreDigits))
       .select(col(probeIdCol), col(idCol), col("score"))
     scored.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -76,12 +86,12 @@ object Similarity {
   def annTopK(vectors: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int, bits: Int = 4, scoreDigits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val vb = vectors.withColumn("__bucket", bucketId(col(vecCol), bits))
     val pb = probes.withColumn("__bucket", bucketId(col(probeVecCol), bits))
     val scored = vb.join(broadcast(pb), Seq("__bucket"))
       .withColumn("score",
-        round(cosine(asDouble(col(vecCol)), asDouble(col(probeVecCol))) + lit(1e-9),
-          scoreDigits))
+        round(cosineNative(col(vecCol), col(probeVecCol)) + lit(1e-9), scoreDigits))
       .select(col(probeIdCol), col(idCol), col("score"))
     scored.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -106,9 +116,10 @@ object Similarity {
 
   def assignNearestCentroid(vectors: DataFrame, idCol: String, vecCol: String,
                             cents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val scored = vectors.crossJoin(broadcast(cents))
       .withColumn("score",
-        round(cosine(asDouble(col(vecCol)), col("centroid")) + lit(1e-9), 6))
+        round(cosineNative(col(vecCol), col("centroid")) + lit(1e-9), 6))
     scored.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(desc("score"), col("centroid_label"))))

@@ -52,6 +52,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native codegen cosine is bit-identical to the portable HOF form") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, sfDir).limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val probe = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_vec"))
+    val both = vecs.crossJoin(probe).select(
+      Similarity.cosine(Similarity.asDouble(col("embedding")),
+        Similarity.asDouble(col("probe_vec"))).as("hof"),
+      Similarity.cosineNative(col("embedding"), col("probe_vec")).as("native"))
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)),
+      "sequential-sum double results must match exactly")
+  }
+
+  test("native cosine handles zero vectors (NULL) and null elements (as 0)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array[java.lang.Float](0f, 0f), Array[java.lang.Float](1f, 0f)),
+      (Array[java.lang.Float](1f, null), Array[java.lang.Float](1f, 1f)))
+      .toDF("a", "b")
+      .withColumn("cos", Similarity.cosineNative(col("a"), col("b")))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(2), "zero norm -> NULL")
+    assert(math.abs(rows(1).getDouble(2) - 1.0 / math.sqrt(2)) < 1e-12,
+      "null element treated as 0")
+  }
+
   test("centroid assignment covers every vector exactly once") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
