@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Materialization policy — SURVEY §2.1 S6/S8.
+ *
+ * dbt declares per-layer materialization (staging → view,
+ * intermediate/marts → table, reference `5_dbt/READ.md:125-133,386-396`)
+ * and the DAG pipelines load into warehouse tables
+ * (`to_sql`/`to_gbq`, reference `1_AWS/README.md:133-134`,
+ * `3_BigQuery/READ.md:106`). Here the same policy is explicit: a view
+ * stays a lazy plan in the session catalog (zero storage, re-optimized
+ * per query); a table persists through the warehouse catalog
+ * (`saveAsTable`), optionally partitioned for downstream pruning.
+ */
+object Materialize {
+
+  sealed trait Policy
+  /** Lazy named plan (dbt `materialized: view`). */
+  case object AsView extends Policy
+  /** Catalog-persisted table (dbt `materialized: table`; the warehouse
+    * sink S6 — swap the format/catalog for BigQuery/Snowflake on a real
+    * deployment). */
+  final case class AsTable(partitionCols: Seq[String] = Nil,
+                           mode: SaveMode = SaveMode.Overwrite) extends Policy
+
+  /** Materialize `df` under `name` per the policy; returns the readable
+    * relation (the view/table as a fresh DataFrame). */
+  def materialize(spark: SparkSession, name: String, df: DataFrame,
+                  policy: Policy): DataFrame = policy match {
+    case AsView =>
+      df.createOrReplaceTempView(name)
+      spark.table(name)
+    case AsTable(parts, mode) =>
+      if (mode == SaveMode.Overwrite) {
+        // a managed-table location can survive from a previous session
+        // whose in-memory catalog is gone; Overwrite must clear both the
+        // catalog entry and any orphaned location
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.conf.warehousePath, name.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val w = df.write.mode(mode)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(name)
+      spark.table(name)
+  }
+}

@@ -149,7 +149,84 @@ object ExtQueries {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM pairs WHERE j >= 0.5""")),
 
+    // N-gram Jaccard scored directly on constructed (orig, perturbed)
+    // pairs — the dedup metric as a first-class similarity measure.
+    QueryDef("ext_jaccard_pairs", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val a = docs.select(col("doc_id").as("id_a"),
+        Dedup.shingleHashes(col("text"), 3).as("__sa"))
+      val b = docs.select((col("doc_id") + 100000).as("id_b"),
+        Dedup.shingleHashes(concat(col("text"), lit(" dup marker tail")), 3).as("__sb"))
+      a.join(b, col("id_b") === col("id_a") + 100000)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("__sa"), col("__sb")) + lit(1e-9), 6).as("jaccard"))
+    }, Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      sa AS (SELECT doc_id AS id_a, list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+             FROM (SELECT doc_id, $DuckToks AS toks FROM base)),
+      sb AS (SELECT doc_id + 100000 AS id_b,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+             FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text || ' dup marker tail')),
+                       '\\s+'), x -> len(x) > 0) AS toks
+                   FROM base))
+      SELECT id_a, id_b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) + 1e-9, 6)
+          AS jaccard
+      FROM sa JOIN sb ON id_b = id_a + 100000""")),
+
+    // Corpus vocabulary: top-50 tokens by frequency (explode -> count ->
+    // top-k; the standard corpus-stats shape).
+    QueryDef("ext_vocab_topk", (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token")).limit(50),
+      Some(s"""SELECT token, count(*) AS n
+        FROM (SELECT unnest($DuckToks) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
     // ---- Similarity search --------------------------------------------
+
+    // Embedding-cosine near-dup: perturbed copies must pair with their
+    // originals through the LSH bucket (the bucket criterion is part of
+    // the operator's semantics — the oracle replicates it).
+    QueryDef("ext_embed_neardup", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val dups = vecs.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + lit(0.01)),
+            slice(col("e"), 2, 63)).as("e"))
+      val all = vecs.unionByName(dups)
+        .withColumn("bucket", Similarity.bucketId(col("e"), 4))
+      graft.functions.GraftFunctions.register(s)
+      val a = all.select(col("bucket"), col("vec_id").as("id_a"), col("e").as("ea"))
+      val b = all.select(col("bucket"), col("vec_id").as("id_b"), col("e").as("eb"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("score",
+          round(Similarity.cosineNative(col("ea"), col("eb")) + lit(1e-9), 6))
+        .filter(col("score") >= 0.99)
+        .select("id_a", "id_b", "score")
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      dups AS (SELECT vec_id + 10000 AS vec_id,
+          list_prepend(e[1] + 0.01, e[2:64]) AS e FROM v WHERE vec_id % 10 = 0),
+      allv AS (SELECT vec_id, e,
+          (CASE WHEN e[1] > e[33] THEN 1 ELSE 0 END)
+          + (CASE WHEN e[2] > e[34] THEN 2 ELSE 0 END)
+          + (CASE WHEN e[3] > e[35] THEN 4 ELSE 0 END)
+          + (CASE WHEN e[4] > e[36] THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, e FROM v UNION ALL SELECT vec_id, e FROM dups)),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_inner_product(a.e, b.e) /
+            nullif(sqrt(list_inner_product(a.e, a.e))
+                 * sqrt(list_inner_product(b.e, b.e)), 0) + 1e-9, 6) AS score
+        FROM allv a JOIN allv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, score FROM pairs WHERE score >= 0.99""")),
 
     // Brute-force exact cosine top-5 per probe (probe set broadcast).
     QueryDef("ext_sim_topk_cosine", (s, dir) => {

@@ -60,6 +60,30 @@ object RelationalQueries {
       s.read.parquet(out)
     }, Some("SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part")),
 
+    // S6: warehouse-table sink through the session catalog (to_sql/to_gbq
+    // analogue, reference 1_AWS/README.md:133-134; saveAsTable is the
+    // format-agnostic warehouse write).
+    QueryDef("s6_warehouse_table", (s, dir) => {
+      graft.core.Materialize.materialize(s, "graft_s6_supplier",
+        Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_acctbal"),
+        graft.core.Materialize.AsTable())
+    }, Some("SELECT s_suppkey, s_name, s_acctbal FROM supplier")),
+
+    // S8b: the dbt view-vs-table policy registry: staging as a lazy view,
+    // mart as a catalog table reading through it (reference 5_dbt/READ.md:125-133).
+    QueryDef("s8b_materialize_policy", (s, dir) => {
+      import graft.core.Materialize._
+      val stg = materialize(s, "graft_stg_orders",
+        Tables.orders(s, dir).filter(col("o_orderstatus") =!= "P")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        AsView)
+      materialize(s, "graft_mart_order_stats",
+        stg.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue")),
+        AsTable())
+    }, Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus""")),
+
     // S8: partitioned materialization (dbt partition_by, reference 5_dbt/READ.md:389-394).
     QueryDef("s8_sink_partitioned", (s, dir) => {
       val out = tmpDir("graft_s8") + "/orders"
