@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory with the engine's recommended configuration: AQE on
+ * (runtime re-plan, skew-join splitting, partition coalescing), shuffle
+ * parallelism sized to the cores actually available (not the 200
+ * default), UTC semantics for oracle-stable timestamps, and the graft
+ * function set registered.
+ *
+ * On a real cluster the same settings apply — only `master` and the
+ * shuffle-partition count (≈ 2-3× total executor cores) change.
+ */
+object GraftSession {
+
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString))
+
+  def configure(builder: SparkSession.Builder): SparkSession = {
+    val spark = builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation operators for the 100 TB path.
+ *
+ * A hash aggregation over a heavily-skewed key routes one key's entire
+ * volume through one reducer. Salting splits each key into `salts`
+ * sub-keys for a first partial aggregation, then combines partials in a
+ * second (tiny) aggregation — the classic two-phase shape. The result is
+ * EXACTLY the plain groupBy result (the registered query's oracle is the
+ * unsalted SQL), only the shuffle distribution changes.
+ *
+ * For skewed JOINS prefer AQE's runtime skew-join splitting
+ * (`spark.sql.adaptive.skewJoin.enabled`, on by default here) before
+ * reaching for manual key replication.
+ */
+object Skew {
+
+  /** Deterministic salt in [0, salts) — hash of the whole row's key cols
+    * plus a spread column would do; xxhash of the key keeps partials
+    * co-located per (key, salt). */
+  private def salt(spreadCol: Column, salts: Int): Column =
+    pmod(xxhash64(spreadCol), lit(salts))
+
+  /**
+   * Two-phase salted sum/count: phase 1 aggregates per (keys, salt),
+   * phase 2 combines partials per keys. `spreadCol` should be a
+   * high-cardinality column (e.g. the fact's primary key) so each salt
+   * bucket gets an even share of a hot key's rows.
+   */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     spreadCol: String, salts: Int = 16): DataFrame = {
+    val partial = df
+      .withColumn("__salt", salt(col(spreadCol), salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n_rows"))
+  }
+
+  /** Salted average via the sum/count decomposition (avg of partial avgs
+    * would be WRONG — combine the additive pieces, then divide). */
+  def saltedAvg(df: DataFrame, keys: Seq[String], valueCol: String,
+                spreadCol: String, salts: Int = 16): DataFrame =
+    saltedSumCount(df, keys, valueCol, spreadCol, salts)
+      .withColumn(s"avg_$valueCol",
+        col(s"sum_$valueCol") / col("n_rows"))
+      .drop(s"sum_$valueCol")
+}

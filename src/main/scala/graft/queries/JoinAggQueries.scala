@@ -242,6 +242,30 @@ object JoinAggQueries {
     QueryDef("a10_having", (s, dir) =>
       Aggregates.countHaving(Tables.lineitem(s, dir), Seq("l_partkey"), 40L),
       Some("SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey " +
-        "HAVING count(*) > 40"))
+        "HAVING count(*) > 40")),
+
+    // Skew path: two-phase SALTED aggregation must equal the plain
+    // GROUP BY — the oracle IS the unsalted SQL. At 100 TB this is how a
+    // hot key stops serializing one reducer; here it proves exactness.
+    QueryDef("a11_salted_agg", (s, dir) =>
+      graft.ops.Skew.saltedSumCount(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_quantity", spreadCol = "l_orderkey", salts = 16)
+        .withColumn("sum_l_quantity", round(col("sum_l_quantity"), 2)),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity,
+        count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""")),
+
+    // 100 TB escape hatches (SURVEY §2.4 A1/A5 notes): sketch-based
+    // percentile and distinct-count. Algorithms differ per engine, so no
+    // SQL oracle — the driver records the weaker rows-only check, and
+    // AggregatesSpec bounds the error against the exact answers.
+    QueryDef("a12_approx_percentile", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(Aggregates.approxPct(col("l_quantity"), 0.5).as("p50_approx"),
+          Aggregates.approxPct(col("l_quantity"), 0.95).as("p95_approx")),
+      None),
+    QueryDef("a13_approx_count_distinct", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("nd_approx")),
+      None)
   )
 }

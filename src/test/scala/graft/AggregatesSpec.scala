@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Aggregates, Skew}
+
+/** Exactness of the salted two-phase path and error bounds for the
+  * sketch-based 100 TB escape hatches. */
+class AggregatesSpec extends SparkSpec {
+
+  test("salted aggregation is exactly the plain groupBy") {
+    val li = Tables.lineitem(spark, sfDir)
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), "l_quantity",
+        "l_orderkey", salts = 8)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1) * 100).round, r.getLong(2)))
+      .toMap
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1) * 100).round, r.getLong(2)))
+      .toMap
+    assert(salted == plain)
+  }
+
+  test("saltedAvg equals plain avg (sum/count decomposition, not avg-of-avgs)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val salted = Skew.saltedAvg(li, Seq("l_linestatus"), "l_extendedprice",
+        "l_orderkey", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val plain = li.groupBy("l_linestatus").agg(avg("l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    plain.foreach { case (k, v) => assert(math.abs(salted(k) - v) < 1e-6) }
+  }
+
+  test("approx percentile within 5% of exact at fixture scale") {
+    val li = Tables.lineitem(spark, sfDir)
+    val both = li.groupBy("l_returnflag").agg(
+      Aggregates.pct(col("l_quantity"), 0.5).as("exact"),
+      Aggregates.approxPct(col("l_quantity"), 0.5).as("approx"))
+    both.collect().foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(e - a) <= math.max(1.0, 0.05 * e))
+    }
+  }
+
+  test("approx count distinct within 5% of exact") {
+    val li = Tables.lineitem(spark, sfDir)
+    val both = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx"))
+    both.collect().foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(e - a) <= math.max(2.0, 0.05 * e))
+    }
+  }
+}
