@@ -25,6 +25,32 @@ object Materialize {
   final case class AsTable(partitionCols: Seq[String] = Nil,
                            mode: SaveMode = SaveMode.Overwrite) extends Policy
 
+  /**
+   * Bucketed catalog table: co-locates rows by hash(bucketCols) at WRITE
+   * time so equi-joins and aggregations on those keys plan with NO
+   * exchange — the shuffle is paid once at ingest instead of per query.
+   * The 100 TB pattern for repeatedly-joined fact tables.
+   */
+  def bucketTable(spark: SparkSession, name: String, df: DataFrame,
+                  buckets: Int, bucketCols: Seq[String]): DataFrame = {
+    dropWithLocation(spark, name)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
+  private def dropWithLocation(spark: SparkSession, name: String): Unit = {
+    // a managed-table location can survive from a previous session whose
+    // in-memory catalog is gone; clear both halves
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Materialize `df` under `name` per the policy; returns the readable
     * relation (the view/table as a fresh DataFrame). */
   def materialize(spark: SparkSession, name: String, df: DataFrame,
@@ -33,16 +59,7 @@ object Materialize {
       df.createOrReplaceTempView(name)
       spark.table(name)
     case AsTable(parts, mode) =>
-      if (mode == SaveMode.Overwrite) {
-        // a managed-table location can survive from a previous session
-        // whose in-memory catalog is gone; Overwrite must clear both the
-        // catalog entry and any orphaned location
-        spark.sql(s"DROP TABLE IF EXISTS `$name`")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.conf.warehousePath, name.toLowerCase)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      if (mode == SaveMode.Overwrite) dropWithLocation(spark, name)
       val w = df.write.mode(mode)
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(name)
       spark.table(name)

@@ -142,6 +142,28 @@ object JoinAggQueries {
       CROSS JOIN (SELECT avg(l_quantity) AS mu, stddev(l_quantity) AS sd FROM lineitem)
       WHERE abs(l_quantity - mu) > 1.5 * sd""")),
 
+    // J8 (scale path): bucketed co-located join — both sides written
+    // bucketed by the join key, so the sort-merge join plans with NO
+    // exchange on either side (PlanSpec pins this). The merge hint stops
+    // the small side from broadcasting, which would hide the point.
+    QueryDef("j8_bucketed_join", (s, dir) => {
+      import graft.core.Materialize
+      val o = Materialize.bucketTable(s, "graft_b_orders",
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        buckets = 8, bucketCols = Seq("o_custkey"))
+      val c = Materialize.bucketTable(s, "graft_b_customer",
+        Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        buckets = 8, bucketCols = Seq("o_custkey"))
+      o.join(c.hint("merge"), Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    }, Some("""SELECT c_mktsegment, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""")),
+
     // A1: group-by exact multi-percentile in one pass
     // (reference 1_AWS/README.md:95-99; np.quantile linear == quantile_cont).
     QueryDef("a1_group_percentiles", (s, dir) =>

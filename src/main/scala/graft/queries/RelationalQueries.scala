@@ -305,6 +305,17 @@ object RelationalQueries {
                          nullif(2000.0 * (user_id % 4 + 1), 1)), 1.0) END + 1e-9, 6) + 0
         AS congestion_index FROM events""")),
 
+    // F10 (extension): JSON property extraction from the events props
+    // column — the reference uses JSON only as XCom transport (SURVEY
+    // §2.8), but an events feed with a JSON payload column is a core
+    // engine capability.
+    QueryDef("f10_json_extract", (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events")),
+
     // F9: comparison -> boolean column (reference 3_BigQuery/READ.md:119).
     QueryDef("f9_comparison_bool", (s, dir) =>
       Tables.lineitem(s, dir).select(

@@ -97,6 +97,18 @@ object EventStream {
       }
   }
 
+  /**
+   * Streaming deduplication: exactly-once per key within the watermark
+   * horizon (`dropDuplicates` + watermark keeps state bounded). This is
+   * the streaming twin of [[graft.ext.Dedup.exact]] — an LLM-ingest feed
+   * dedups on content fingerprint as documents arrive instead of in a
+   * batch sweep.
+   */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Start a parquet sink with checkpointing (the streaming S4). */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    mode: OutputMode = OutputMode.Append()): StreamingQuery =

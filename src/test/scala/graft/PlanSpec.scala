@@ -55,6 +55,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
   }
 
+  test("j8: bucketed co-located join plans with NO exchange on either side") {
+    val p = plan("j8_bucketed_join")
+    // the sort-merge join over bucketed scans must not shuffle its inputs;
+    // the only allowed exchange is the post-join aggregation's
+    val smjIdx = p.indexOf("SortMergeJoin")
+    assert(smjIdx >= 0, "bucketed join must be a sort-merge join")
+    assert(!p.substring(smjIdx).contains("Exchange hashpartitioning"),
+      "no exchange below the bucketed join")
+    assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+  }
+
   test("pipeline top-10 ends in TakeOrderedAndProject with broadcast dim join") {
     val p = plan("pl_tti_monthly_top10")
     assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))

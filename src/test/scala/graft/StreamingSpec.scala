@@ -28,6 +28,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each key once within the watermark horizon") {
+    val deduped = EventStream.dedupStream(
+      EventStream.readEvents(spark, sfDir), Seq("user_id"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream")
+      val batch = graft.core.Tables.events(spark, sfDir)
+        .dropDuplicates("user_id", "ts")
+      assert(out.count() == batch.count())
+    } finally q.stop()
+  }
+
   test("sessionization streams per-user state and counts every event once") {
     val sessions = EventStream.sessionize(
       EventStream.readEvents(spark, sfDir), gapMinutes = 30)
