@@ -131,6 +131,21 @@ object WindowQueries {
           rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rk
         FROM part) WHERE rk <= 2""")),
 
+    // T6 (scale path): per-key top-k via the map-side-combining
+    // aggregator — only per-partition winners shuffle, vs the window
+    // form that shuffles every row. Exactly-k row_number semantics; the
+    // oracle is the equivalent ROW_NUMBER query.
+    QueryDef("t6_topk_aggregated", (s, dir) =>
+      graft.functions.TopKAggregator.topKPerKey(
+        Tables.part(s, dir), Seq("p_brand"),
+        scoreCol = col("p_retailprice"), idCol = col("p_partkey"), k = 3,
+        scoreName = "p_retailprice", idName = "p_partkey"),
+      Some("""SELECT p_brand, p_retailprice, p_partkey FROM (
+        SELECT p_brand, p_retailprice, CAST(p_partkey AS BIGINT) AS p_partkey,
+          row_number() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) WHERE rn <= 3""")),
+
     // T5: presentation ORDER BY before write (reference 5_dbt/READ.md:589-590).
     QueryDef("t5_order_by", (s, dir) =>
       Tables.customer(s, dir).orderBy(desc("c_acctbal"), col("c_custkey"))

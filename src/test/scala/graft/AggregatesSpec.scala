@@ -31,6 +31,21 @@ class AggregatesSpec extends SparkSpec {
     plain.foreach { case (k, v) => assert(math.abs(salted(k) - v) < 1e-6) }
   }
 
+  test("aggregator top-k equals the row_number window result") {
+    val part = Tables.part(spark, sfDir)
+    val viaAgg = graft.functions.TopKAggregator.topKPerKey(
+        part, Seq("p_brand"), col("p_retailprice"), col("p_partkey"), k = 3)
+      .select("p_brand", "score", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))
+    val viaWindow = part
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("p_brand"), col("p_retailprice"), col("p_partkey").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("approx percentile within 5% of exact at fixture scale") {
     val li = Tables.lineitem(spark, sfDir)
     val both = li.groupBy("l_returnflag").agg(

@@ -66,6 +66,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
   }
 
+  test("t6: aggregator top-k combines map-side (partial before the exchange)") {
+    val p = plan("t6_topk_aggregated")
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // plan prints top-down: final agg, then exchange, then PARTIAL agg —
+    // the partial (map-side) aggregate must sit below the shuffle
+    val partialIdx = p.indexOf("partial_topk")
+    assert(partialIdx > exchange, "partial top-k must run before the shuffle")
+  }
+
   test("pipeline top-10 ends in TakeOrderedAndProject with broadcast dim join") {
     val p = plan("pl_tti_monthly_top10")
     assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))
