@@ -27,7 +27,8 @@ final case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ JoinAggQueries.defs ++ WindowQueries.defs ++
-      QualityQueries.defs ++ ExtQueries.defs ++ PipelineQueries.defs
+      QualityQueries.defs ++ ExtQueries.defs ++ PipelineQueries.defs ++
+      StreamingQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/**
+ * Structured Streaming entries in the correctness table: the stream is
+ * driven to completion (processAllAvailable over the fixture files) and
+ * its materialized result must hash-match the BATCH oracle — the
+ * exactly-once file-source guarantee, checked by DuckDB.
+ */
+object StreamingQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Watermarked event-time windowed aggregation, streamed to a memory
+    // sink until the source is drained; tumbling 1h windows align to the
+    // hour so the batch oracle is a date_trunc GROUP BY.
+    QueryDef("st_windowed_stats", (s, dir) => {
+      val q = EventStream.windowedStats(EventStream.readEvents(s, dir),
+          "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("graft_st_windowed").outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_st_windowed").select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        round(col("avg_value") + lit(1e-9), 6).as("avg_value"),
+        col("max_value"))
+    }, Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+        count(*) AS n_events, round(avg(value) + 1e-9, 6) AS avg_value,
+        max(value) AS max_value
+      FROM events GROUP BY 1, 2""")),
+
+    // Streaming dedup drained to completion == batch dropDuplicates.
+    QueryDef("st_dedup_stream", (s, dir) => {
+      val q = EventStream.dedupStream(EventStream.readEvents(s, dir),
+          Seq("user_id"))
+        .writeStream.format("memory")
+        .queryName("graft_st_dedup").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_st_dedup")
+        .groupBy("user_id").agg(count(lit(1)).as("n_kept"))
+    }, Some("""SELECT user_id, count(*) AS n_kept FROM (
+        SELECT DISTINCT user_id, ts FROM events) GROUP BY user_id"""))
+  )
+}
