@@ -164,6 +164,30 @@ object JoinAggQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment""")),
 
+    // J9 (extension): AS-OF join — most recent prior incident per event,
+    // per location. Spark lacks the operator; ops/AsOf expresses it as
+    // union -> one window pass (one shuffle, no range cross-product).
+    // DuckDB has native ASOF LEFT JOIN, which is the oracle.
+    QueryDef("j9_asof_join", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id"), (col("user_id") % 20).as("loc"), col("ts"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .groupBy((col("user_id") % 20).as("loc"), col("ts").as("inc_ts"))
+        .agg(max(col("event_id")).as("incident_id"))
+      graft.ops.AsOf.asofJoin(probes, incidents, Seq("loc"),
+        "ts", "inc_ts", Seq("incident_id"))
+        .select("event_id", "loc", "incident_id")
+    }, Some("""WITH left_t AS (
+        SELECT event_id, user_id % 20 AS loc, ts FROM events
+        WHERE event_type <> 'error'),
+      right_t AS (
+        SELECT user_id % 20 AS loc, ts AS inc_ts, max(event_id) AS incident_id
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      SELECT l.event_id, l.loc, r.incident_id
+      FROM left_t l ASOF LEFT JOIN right_t r
+        ON l.loc = r.loc AND l.ts >= r.inc_ts""")),
+
     // A1: group-by exact multi-percentile in one pass
     // (reference 1_AWS/README.md:95-99; np.quantile linear == quantile_cont).
     QueryDef("a1_group_percentiles", (s, dir) =>

@@ -33,6 +33,22 @@ object StreamingQueries {
         max(value) AS max_value
       FROM events GROUP BY 1, 2""")),
 
+    // Stream-static join: the unbounded stream enriches against a
+    // broadcast dimension (per-micro-batch hash join — the streaming J1).
+    QueryDef("st_stream_static_join", (s, dir) => {
+      val dim = graft.core.Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      val q = EventStream.readEvents(s, dir)
+        .withColumn("n_nationkey", col("user_id") % 25)
+        .join(broadcast(dim), Seq("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory")
+        .queryName("graft_st_dim_join").outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_st_dim_join")
+    }, Some("""SELECT n_name, count(*) AS n_events FROM events
+      JOIN nation ON user_id % 25 = n_nationkey GROUP BY n_name""")),
+
     // Streaming dedup drained to completion == batch dropDuplicates.
     QueryDef("st_dedup_stream", (s, dir) => {
       val q = EventStream.dedupStream(EventStream.readEvents(s, dir),
