@@ -188,6 +188,23 @@ object JoinAggQueries {
       FROM left_t l ASOF LEFT JOIN right_t r
         ON l.loc = r.loc AND l.ts >= r.inc_ts""")),
 
+    // J10 (extension): range join via range bucketing — interval
+    // containment as an equi-join on bucket id + residual filter, never
+    // a nested loop over all pairs. Oracle is the plain BETWEEN join.
+    QueryDef("j10_range_join", (s, dir) => {
+      val readings = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val bands = Tables.nation(s, dir).select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 18).cast("double").as("lo"),
+        (col("n_nationkey") * 18 + 25).cast("double").as("hi"))
+      graft.ops.RangeJoin.bucketedRangeJoin(readings, "value", bands,
+          "lo", "hi", bucketWidth = 25d)
+        .groupBy("band_id").agg(count(lit(1)).as("n_readings"))
+    }, Some("""SELECT n_nationkey AS band_id, count(*) AS n_readings
+      FROM events JOIN nation
+        ON value BETWEEN n_nationkey * 18 AND n_nationkey * 18 + 25
+      GROUP BY 1""")),
+
     // A1: group-by exact multi-percentile in one pass
     // (reference 1_AWS/README.md:95-99; np.quantile linear == quantile_cont).
     QueryDef("a1_group_percentiles", (s, dir) =>

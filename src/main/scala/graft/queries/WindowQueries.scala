@@ -153,6 +153,50 @@ object WindowQueries {
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer " +
         "ORDER BY c_acctbal DESC, c_custkey")),
 
+    // W8 (extension): rolling mean over an explicit frame spec — the
+    // reference uses only default frames (SURVEY §2.5 note); rolling
+    // windows are table stakes for a general engine.
+    QueryDef("w8_rolling_avg", (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+        .rowsBetween(-6, 0)
+      daily.withColumn("rolling_7d_avg", round(avg(col("n")).over(w) + lit(1e-9), 6))
+    }, Some("""WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS n
+        FROM orders GROUP BY 1)
+      SELECT d, n, round(avg(n) OVER (ORDER BY d
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 6) AS rolling_7d_avg
+      FROM daily""")),
+
+    // W9 (extension): NTILE quartiles within a partition.
+    QueryDef("w9_ntile", (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))).cast("long")
+          .as("bal_quartile")),
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+        ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+          AS bal_quartile FROM customer""")),
+
+    // W10 (extension): LEAD — gap to the user's next event.
+    QueryDef("w10_lead_gap", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        (lead(col("ts"), 1).over(w).cast("double") - col("ts").cast("double"))
+          .as("gap_sec"))
+        .withColumn("gap_sec", round(col("gap_sec") + lit(1e-9), 6))
+    }, Some("""SELECT event_id, user_id,
+        round(date_diff('microsecond', ts,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0
+          + 1e-9, 6) AS gap_sec
+      FROM events""")),
+
     // U1: union-all of homogeneous yearly frames (reference 3_BigQuery/READ.md:89,95).
     QueryDef("u1_union_all", (s, dir) => {
       val li = Tables.lineitem(s, dir)
