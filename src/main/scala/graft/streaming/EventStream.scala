@@ -98,6 +98,39 @@ object EventStream {
   }
 
   /**
+   * Closed-session emitter via flatMapGroupsWithState: emits a session
+   * record ONLY when the gap timeout fires (zero or more outputs per
+   * invocation — the shape mapGroupsWithState can't express). Append
+   * output mode; state bounded by the event-time timeout.
+   */
+  def sessionizeClosed(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark).as[Evt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evts: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, s.nEvents, (s.lastTs - s.firstTs) / 1e6, closed = true))
+          } else {
+            val times = evts.map(_.ts.getTime * 1000L).toArray
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, times.min, times.min))
+            val next = SessionState(prev.nEvents + times.length,
+              math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs / 1000L + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /**
    * Streaming deduplication: exactly-once per key within the watermark
    * horizon (`dropDuplicates` + watermark keeps state bounded). This is
    * the streaming twin of [[graft.ext.Dedup.exact]] — an LLM-ingest feed

@@ -77,6 +77,19 @@ class PlanSpec extends SparkSpec {
     assert(partialIdx > exchange, "partial top-k must run before the shuffle")
   }
 
+  test("j10: range join plans as an equi-join on bucket, not a nested loop") {
+    val p = plan("j10_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucketed range join must not degenerate to a nested loop")
+  }
+
+  test("j9: as-of join is one window pass over the union (single key shuffle)") {
+    val p = plan("j9_asof_join")
+    assert(p.contains("Window") && p.contains("Union"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not plan any join operator at all")
+  }
+
   test("pipeline top-10 ends in TakeOrderedAndProject with broadcast dim join") {
     val p = plan("pl_tti_monthly_top10")
     assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))

@@ -42,6 +42,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits only closed sessions, in append mode") {
+    val sessions = EventStream.sessionizeClosed(
+      EventStream.readEvents(spark, sfDir), gapMinutes = 30)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("closed_sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("closed_sessions").collect()
+      // single-file source: the watermark never advances past the final
+      // batch, so open sessions stay open — every EMITTED row is closed
+      assert(out.forall(_.getBoolean(3)), "append mode must emit closed sessions only")
+    } finally q.stop()
+  }
+
   test("sessionization streams per-user state and counts every event once") {
     val sessions = EventStream.sessionize(
       EventStream.readEvents(spark, sfDir), gapMinutes = 30)
