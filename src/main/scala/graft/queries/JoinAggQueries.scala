@@ -317,6 +317,25 @@ object JoinAggQueries {
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity,
         count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""")),
 
+    // A14 (extension): ROLLUP hierarchy totals — subtotal + grand-total
+    // rows with NULL group markers, matching warehouse semantics.
+    QueryDef("a14_rollup", (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // A15 (extension): deterministic grouped collection — sorted list
+    // aggregation (collect_list order is nondeterministic; array_sort
+    // pins it, and the oracle's list_sort agrees).
+    QueryDef("a15_collect_sorted", (s, dir) =>
+      Tables.nation(s, dir).groupBy("n_regionkey")
+        .agg(array_sort(collect_list(col("n_name"))).as("nations")),
+      Some("SELECT n_regionkey, list_sort(list(n_name)) AS nations " +
+        "FROM nation GROUP BY n_regionkey")),
+
     // 100 TB escape hatches (SURVEY §2.4 A1/A5 notes): sketch-based
     // percentile and distinct-count. Algorithms differ per engine, so no
     // SQL oracle — the driver records the weaker rows-only check, and

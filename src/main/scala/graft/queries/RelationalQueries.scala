@@ -305,6 +305,16 @@ object RelationalQueries {
                          nullif(2000.0 * (user_id % 4 + 1), 1)), 1.0) END + 1e-9, 6) + 0
         AS congestion_index FROM events""")),
 
+    // F11 (extension): regex capture-group extraction (RE2-compatible
+    // pattern so the oracle can mirror it).
+    QueryDef("f11_regexp_extract", (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_caps")),
+      Some("""SELECT p_partkey, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        regexp_extract(p_type, '([A-Z]+)$', 1) AS last_caps FROM part""")),
+
     // F10 (extension): JSON property extraction from the events props
     // column — the reference uses JSON only as XCom transport (SURVEY
     // §2.8), but an events feed with a JSON payload column is a core

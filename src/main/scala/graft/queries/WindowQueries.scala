@@ -210,6 +210,24 @@ object WindowQueries {
       SELECT l_orderkey, l_linenumber, l_quantity, 1997 AS yr FROM lineitem
         WHERE year(l_shipdate) = 1997""")),
 
+    // U3/U4 (extension): INTERSECT / EXCEPT distinct set semantics —
+    // absent from the reference (SURVEY §2.7) but core engine surface.
+    QueryDef("u3_intersect", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(year(col("l_shipdate")) === 1996).select("l_orderkey")
+        .intersect(li.filter(year(col("l_shipdate")) === 1997).select("l_orderkey"))
+    }, Some("""SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1996
+      INTERSECT
+      SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1997""")),
+
+    QueryDef("u4_except", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(year(col("l_shipdate")) === 1996).select("l_orderkey")
+        .except(li.filter(year(col("l_shipdate")) === 1997).select("l_orderkey"))
+    }, Some("""SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1996
+      EXCEPT
+      SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1997""")),
+
     // U2: per-year one-row summaries — the reference's row-dict
     // accumulation (4_Snowflake/READ.md:100-103) restructured as a single
     // groupBy over the year column (SURVEY §2.7 U2: one shuffle, no loop).
