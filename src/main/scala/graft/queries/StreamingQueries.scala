@@ -49,6 +49,25 @@ object StreamingQueries {
     }, Some("""SELECT n_name, count(*) AS n_events FROM events
       JOIN nation ON user_id % 25 = n_nationkey GROUP BY n_name""")),
 
+    // Stream-stream interval join (click -> purchase attribution within
+    // 30 min, per user), drained to completion == the batch self-join.
+    QueryDef("st_stream_stream_join", (s, dir) => {
+      val ev = EventStream.readEvents(s, dir)
+      val q = EventStream.clickToPurchase(
+          ev.filter(col("event_type") === "click"),
+          EventStream.readEvents(s, dir).filter(col("event_type") === "purchase"),
+          windowMinutes = 30)
+        .writeStream.format("memory")
+        .queryName("graft_st_attrib").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_st_attrib")
+    }, Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        c.user_id AS user_id
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")),
+
     // Streaming dedup drained to completion == batch dropDuplicates.
     QueryDef("st_dedup_stream", (s, dir) => {
       val q = EventStream.dedupStream(EventStream.readEvents(s, dir),

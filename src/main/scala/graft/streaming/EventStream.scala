@@ -142,6 +142,29 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /**
+   * Watermarked stream-stream interval join: each click pairs with the
+   * same user's purchases within `windowMinutes` after it. Watermarks on
+   * BOTH sides + the time-interval condition bound the join state — the
+   * engine can discard buffered rows once the watermark passes the
+   * interval, which is what makes an unbounded×unbounded join feasible.
+   */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      windowMinutes: Int = 30,
+                      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          purchase_ts >= click_ts AND
+          purchase_ts <= click_ts + interval $windowMinutes minutes"""))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
   /** Start a parquet sink with checkpointing (the streaming S4). */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    mode: OutputMode = OutputMode.Append()): StreamingQuery =
