@@ -21,6 +21,9 @@ object Bench {
                catch { case e: Throwable =>
                  errors ::= s"$name: ${e.getClass.getSimpleName}"; false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // release per-query persist() barriers so cached partitions from one
+      // query never skew memory pressure (or timings) of the next
+      spark.catalog.clearCache()
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, ok) =>

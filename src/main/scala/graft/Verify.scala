@@ -22,6 +22,9 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
+      // release per-query persist() barriers (dedup shingle/signature
+      // frames etc.) so caches don't accumulate across the whole suite
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,6 +24,23 @@ object Materialize {
     * deployment). */
   final case class AsTable(partitionCols: Seq[String] = Nil,
                            mode: SaveMode = SaveMode.Overwrite) extends Policy
+  /**
+   * dbt `materialized: incremental` (reference `5_dbt/READ.md:386-396`) —
+   * the policy that makes 100 TB marts viable: each run folds ONLY the new
+   * batch into the existing table instead of rebuilding it.
+   *
+   * Two public dbt strategies, chosen by the fields:
+   *  - `uniqueKey` non-empty → delete+insert merge: existing rows whose
+   *    key appears in the increment are replaced, others kept. First run
+   *    (no table yet) is a plain full build.
+   *  - `uniqueKey` empty + `partitionCols` non-empty → insert_overwrite:
+   *    dynamic partition overwrite replaces exactly the partitions the
+   *    increment touches — no key join at all, the at-scale shape when
+   *    batches align with partitions (e.g. daily loads into a day-
+   *    partitioned mart).
+   */
+  final case class AsIncremental(uniqueKey: Seq[String] = Nil,
+                                 partitionCols: Seq[String] = Nil) extends Policy
 
   /**
    * Bucketed catalog table: co-locates rows by hash(bucketCols) at WRITE
@@ -41,9 +58,9 @@ object Materialize {
     spark.table(name)
   }
 
-  private def dropWithLocation(spark: SparkSession, name: String): Unit = {
-    // a managed-table location can survive from a previous session whose
-    // in-memory catalog is gone; clear both halves
+  /** Drop a managed table AND its warehouse location (a location can
+    * survive from a previous session whose in-memory catalog is gone). */
+  def dropWithLocation(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.conf.warehousePath, name.toLowerCase)
@@ -63,5 +80,39 @@ object Materialize {
       val w = df.write.mode(mode)
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(name)
       spark.table(name)
+
+    case AsIncremental(keys, parts) =>
+      if (!spark.catalog.tableExists(name)) {
+        // first run: plain full build (dbt's is_incremental() == false)
+        materialize(spark, name, df, AsTable(parts))
+      } else if (keys.isEmpty && parts.nonEmpty) {
+        // insert_overwrite: replace only the partitions in the increment.
+        // Dynamic mode keeps untouched partitions; insertInto is
+        // position-based, so project into the table's column order.
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          df.select(spark.table(name).columns.map(org.apache.spark.sql.functions.col): _*)
+            .write.mode(SaveMode.Overwrite).insertInto(name)
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        spark.table(name)
+      } else {
+        require(keys.nonEmpty, "AsIncremental needs uniqueKey or partitionCols")
+        // delete+insert merge: keep existing rows whose key is absent from
+        // the increment, then append the increment. The merged result is
+        // STAGED to a scratch location before the table is overwritten —
+        // a cache barrier is not enough here because DROP TABLE uncaches
+        // every plan that references the table, which would force the
+        // rewrite to recompute from the files it just deleted. On a
+        // transactional table format (Iceberg/Delta) MERGE INTO replaces
+        // this stage-and-swap.
+        val merged = spark.table(name).join(df, keys, "left_anti").unionByName(df)
+        val stage = java.nio.file.Files.createTempDirectory("graft_inc_stage").toString
+        merged.write.mode(SaveMode.Overwrite).parquet(stage)
+        materialize(spark, name, spark.read.parquet(stage), AsTable(parts))
+      }
   }
 }

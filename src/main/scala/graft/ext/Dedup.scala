@@ -246,6 +246,57 @@ object Dedup {
     call_function("bit_count", a.bitwiseXOR(b))
 
   /**
+   * Banded SimHash LSH candidates — the equi-join replacement for the
+   * all-pairs comparison. The 64-bit hash splits into `bands` equal
+   * chunks; by pigeonhole, hamming(a,b) <= bands-1 implies at least one
+   * chunk is bit-identical, so joining on (band, chunk) has FULL recall
+   * for distances up to bands-1 (default 4×16-bit bands → hamming <= 3)
+   * while touching only same-bucket pairs. Same shuffle shape as the
+   * MinHash banding: explode to (band, chunk), shuffle once on that key,
+   * pair within buckets — sum(|bucket|²) cost, never n².
+   */
+  def simhashCandidates(sh: DataFrame, idCol: String,
+                        simhashCol: String = "simhash",
+                        bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = sh.select(col(idCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            call_function("shiftright", col(simhashCol), b * lit(width))
+              .bitwiseAND(lit(mask)).as("chunk")))).as("__b"))
+      .select(col(idCol), col("__b.band").as("__band"),
+        col("__b.chunk").as("__chunk"))
+    banded.select(col("__band"), col("__chunk"), col(idCol).as("id_a"))
+      .join(banded.select(col("__band"), col("__chunk"), col(idCol).as("id_b")),
+        Seq("__band", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /**
+   * SimHash near-dup pairs: banded candidates verified by exact Hamming
+   * distance. `maxHamming` must stay below `bands` or banding loses
+   * recall (pigeonhole bound). Output: (id_a, id_b, hamming).
+   */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs bands > maxHamming for full recall")
+    // persist: feeds the banded self-join AND both verification joins —
+    // without the barrier the simhash scan recomputes 4x (ownership: see
+    // the caching note on shingleFrame; callers release via clearCache)
+    val sh = simhashFrame(df, idCol, textCol).persist()
+    simhashCandidates(sh, idCol, "simhash", bands)
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
    * Typed SimHash frame (hot-path twin of [[simhash]] — same algorithm,
    * token hashes from the internal hash64): (id, simhash) per row via a
    * mapPartitions tight loop. Use this form for corpus-scale scans; the

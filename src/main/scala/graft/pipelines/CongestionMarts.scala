@@ -51,8 +51,13 @@ object CongestionMarts {
    * broadcast-joined location attrs (J2), congestion index macro (F8).
    */
   def intCongestionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    // avg_speed is rounded HERE, not just at the output edge: downstream
+    // marts re-average it (and congestion_index derives from it), so an
+    // unrounded double lets summation-order ulps flip the final rounded
+    // digit across environments. 6-digit-stable intermediates keep every
+    // consumer's hash engine-independent (oracle speed_m CTE mirrors this).
     val speed = stgSpeed(spark, dir).groupBy("location_id", "recorded_hour")
-      .agg(avg(col("speed")).as("avg_speed"),
+      .agg(round(avg(col("speed")) + lit(1e-9), 6).as("avg_speed"),
         min(col("speed")).as("min_speed"),
         max(col("speed")).as("max_speed"),
         percentile(col("speed"), lit(0.5)).as("median_speed"),
@@ -157,7 +162,8 @@ object CongestionMarts {
       .agg(round(avg(col("avg_speed")) + lit(1e-9), 6).as("mean_speed"),
         round(avg(col("congestion_index")) + lit(1e-9), 6).as("mean_congestion"),
         countDistinct(to_date(col("recorded_hour"))).as("active_days"),
-        sum(col("total_volume")).as("total_volume"),
+        // integral-valued double sum → BIGINT so the hash is fp-free
+        sum(col("total_volume")).cast("long").as("total_volume"),
         sum(col("n_incidents")).as("total_incidents"),
         count(lit(1)).as("n_hours"))
 }

@@ -292,6 +292,10 @@ object ExtQueries {
     // Batched per-partition feature extraction over ASCII payloads (the
     // mapPartitions analogue of a batched pandas UDF); stride-fold stub
     // features are recomputed by the oracle from character codes.
+    // Output is exploded to one (media_id, dim_idx, value) row per feature
+    // dimension: array-typed result columns are unrepresentable in the
+    // harness comparator, and the stub features are integral byte sums, so
+    // BIGINT rows make the compare fp-free.
     QueryDef("ext_mm_features", (s, dir) => {
       val media = Multimodal.toMediaFrame(
         Tables.documents(s, dir).filter(col("lang") === "en")
@@ -299,36 +303,39 @@ object ExtQueries {
         "doc_id", "payload",
         lit("text"))
       Multimodal.extractFeatures(media, dims = 8)
-        .select(col("media_id"), col("features"))
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("dim_idx", "value")))
+        .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"),
+          col("value").cast("long").as("value"))
     }, Some("""SELECT doc_id AS media_id,
-        [CAST(list_sum(list_transform(range(1, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
-         CAST(list_sum(list_transform(range(2, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
-         CAST(list_sum(list_transform(range(3, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
-         CAST(list_sum(list_transform(range(4, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
-         CAST(list_sum(list_transform(range(5, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
-         CAST(list_sum(list_transform(range(6, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
-         CAST(list_sum(list_transform(range(7, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE),
-         CAST(list_sum(list_transform(range(8, len(codes) + 1, 8), i -> codes[i])) AS DOUBLE)]
+        CAST(generate_subscripts(features, 1) - 1 AS BIGINT) AS dim_idx,
+        CAST(unnest(features) AS BIGINT) AS value
+      FROM (SELECT doc_id,
+        [list_sum(list_transform(range(1, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(2, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(3, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(4, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(5, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(6, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(7, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(8, len(codes) + 1, 8), i -> codes[i]))]
         AS features
       FROM (SELECT doc_id,
               list_transform(regexp_extract_all(text, '.'), c -> unicode(c)) AS codes
-            FROM documents WHERE lang = 'en')""")),
+            FROM documents WHERE lang = 'en'))""")),
 
-    // SimHash near-dup pairs (hash-valued internals → no SQL oracle;
-    // driver records the weaker rows-only check; ScalaTest asserts the
-    // perturbation invariant).
+    // SimHash near-dup pairs via banded LSH (4×16-bit chunks; pigeonhole
+    // gives full recall at hamming <= 3 with an equi-join — never the
+    // all-pairs crossJoin). Hash-valued internals → no SQL oracle; the
+    // driver records the weaker rows-only check; DedupSpec asserts the
+    // banded plan returns exactly the brute-force pair set.
     QueryDef("ext_simhash_pairs", (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" x")).as("text"))
-      val sh = Dedup.simhashFrame(docs.unionByName(dups), "doc_id", "text")
-      sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-        .crossJoin(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
-        .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+      Dedup.simhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
+        maxHamming = 3, bands = 4)
     }, None)
   )
 }

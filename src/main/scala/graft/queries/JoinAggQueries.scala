@@ -329,11 +329,13 @@ object JoinAggQueries {
 
     // A15 (extension): deterministic grouped collection — sorted list
     // aggregation (collect_list order is nondeterministic; array_sort
-    // pins it, and the oracle's list_sort agrees).
+    // pins it, and the oracle's list_sort agrees). Output is the joined
+    // string form: array-typed result columns are unrepresentable in the
+    // harness comparator, and '|'-joined scalars carry identical info.
     QueryDef("a15_collect_sorted", (s, dir) =>
       Tables.nation(s, dir).groupBy("n_regionkey")
-        .agg(array_sort(collect_list(col("n_name"))).as("nations")),
-      Some("SELECT n_regionkey, list_sort(list(n_name)) AS nations " +
+        .agg(array_join(array_sort(collect_list(col("n_name"))), "|").as("nations")),
+      Some("SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS nations " +
         "FROM nation GROUP BY n_regionkey")),
 
     // 100 TB escape hatches (SURVEY §2.4 A1/A5 notes): sketch-based

@@ -56,7 +56,8 @@ object PipelineQueries {
                n_nationkey % 3 = 0 AS is_highway
         FROM nation WHERE n_nationkey < 20),
       speed_m AS (
-        SELECT location_id, recorded_hour, avg(speed) AS avg_speed, min(speed) AS min_speed,
+        SELECT location_id, recorded_hour,
+               round(avg(speed) + 1e-9, 6) + 0 AS avg_speed, min(speed) AS min_speed,
                max(speed) AS max_speed, quantile_cont(speed, 0.5) AS median_speed,
                count(*) AS n_speed_readings
         FROM stg_speed GROUP BY 1, 2),
@@ -266,7 +267,7 @@ object PipelineQueries {
           round(avg(avg_speed) + 1e-9, 6) AS mean_speed,
           round(avg(congestion_index) + 1e-9, 6) AS mean_congestion,
           count(DISTINCT CAST(recorded_hour AS DATE)) AS active_days,
-          sum(total_volume) AS total_volume,
+          CAST(sum(total_volume) AS BIGINT) AS total_volume,
           sum(n_incidents) AS total_incidents,
           count(*) AS n_hours
         FROM intm GROUP BY 1, 2, 3, 4, 5, 6"""))

@@ -19,6 +19,18 @@ object RelationalQueries {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Oracle twin of CongestionMarts.stgVolume (same CTE as the pipeline
+    * oracles' IntChain — repeated here so the S9 oracles stay standalone). */
+  private val StgVolumeSql =
+    """stg_volume AS (
+        SELECT location_id, date_trunc('hour', recorded_time) AS recorded_hour,
+               vehicle_count
+        FROM (SELECT user_id % 20 AS location_id, ts AS recorded_time,
+                CASE WHEN event_id % 300 < 0 OR event_id % 300 > 10000 THEN NULL
+                     ELSE CAST(event_id % 300 AS DOUBLE) END AS vehicle_count
+              FROM events)
+        WHERE vehicle_count IS NOT NULL)"""
+
   def defs: Seq[QueryDef] = Seq(
 
     // S1: explicit-schema CSV scan (reference 1_AWS/README.md:51-62).
@@ -90,6 +102,52 @@ object RelationalQueries {
       Sinks.overwrite(Tables.orders(s, dir), out, partitionCols = Seq("o_orderstatus"))
       s.read.parquet(out).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
     }, Some("SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus")),
+
+    // S9: incremental merge materialization (dbt `materialized:
+    // incremental` + unique_key, reference 5_dbt/READ.md:386-396). Two
+    // loads over a split fixture with an overlapping key range — the
+    // delete+insert merge must equal the one-shot build the oracle runs.
+    QueryDef("s9_incremental_merge", (s, dir) => {
+      import graft.core.Materialize._
+      def daily(f: DataFrame): DataFrame = f
+        .groupBy(col("location_id"), to_date(col("recorded_hour")).as("day"))
+        .agg(sum(col("vehicle_count")).cast("long").as("daily_volume"))
+      val stg = graft.pipelines.CongestionMarts.stgVolume(s, dir)
+      val name = "graft_inc_daily_volume"
+      dropWithLocation(s, name)
+      materialize(s, name,
+        daily(stg.filter(col("recorded_hour") < lit("2024-01-20"))),
+        AsIncremental(uniqueKey = Seq("location_id", "day")))
+      materialize(s, name,
+        daily(stg.filter(col("recorded_hour") >= lit("2024-01-15"))),
+        AsIncremental(uniqueKey = Seq("location_id", "day")))
+    }, Some(s"""WITH $StgVolumeSql
+      SELECT location_id, CAST(recorded_hour AS DATE) AS day,
+             CAST(sum(vehicle_count) AS BIGINT) AS daily_volume
+      FROM stg_volume GROUP BY 1, 2""")),
+
+    // S9b: incremental insert_overwrite (dbt partition-replacement
+    // strategy): the second load replaces exactly the day-partitions it
+    // touches via dynamic partition overwrite — no key join, the shape
+    // batch loads take when they align with the partition grain.
+    QueryDef("s9b_incremental_partition", (s, dir) => {
+      import graft.core.Materialize._
+      def daily(f: DataFrame): DataFrame = f
+        .groupBy(col("location_id"), to_date(col("recorded_hour")).as("day"))
+        .agg(sum(col("vehicle_count")).cast("long").as("daily_volume"))
+      val stg = graft.pipelines.CongestionMarts.stgVolume(s, dir)
+      val name = "graft_inc_part_volume"
+      dropWithLocation(s, name)
+      materialize(s, name,
+        daily(stg.filter(col("recorded_hour") < lit("2024-01-20"))),
+        AsIncremental(partitionCols = Seq("day")))
+      materialize(s, name,
+        daily(stg.filter(col("recorded_hour") >= lit("2024-01-15"))),
+        AsIncremental(partitionCols = Seq("day")))
+    }, Some(s"""WITH $StgVolumeSql
+      SELECT location_id, CAST(recorded_hour AS DATE) AS day,
+             CAST(sum(vehicle_count) AS BIGINT) AS daily_volume
+      FROM stg_volume GROUP BY 1, 2""")),
 
     // P1: projection + rename (reference 5_dbt/READ.md:150-159).
     QueryDef("p1_project_rename", (s, dir) =>

@@ -61,6 +61,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) > 16)
   }
 
+  test("banded simhash candidates recover exactly the brute-force pair set") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" x")).as("text"))
+    val corpus600 = docs.unionByName(dups)
+    val banded = Dedup.simhashNearDupPairs(corpus600, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth (test-only — the quadratic form the banding replaces)
+    val sh = Dedup.simhashFrame(corpus600, "doc_id", "text")
+    val brute = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Dedup.hamming(col("sh_a"), col("sh_b")) <= 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, "pigeonhole banding must have full recall at hamming <= bands-1")
+    assert(banded.nonEmpty, "fixture construction must yield near-dup pairs")
+  }
+
   test("fingerprint is whitespace/case-normalized") {
     val fps = corpus.select(TextOps.fingerprint(col("text")))
       .collect().map(_.getLong(0))

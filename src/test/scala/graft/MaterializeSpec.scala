@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Materialize
+import graft.core.Materialize._
+
+/**
+ * Incremental-materialization semantics (the dbt `incremental` policy):
+ * merge-by-key must upsert (replace matched keys, keep the rest), and
+ * insert_overwrite must replace exactly the touched partitions.
+ */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental merge upserts by unique key and keeps unmatched rows") {
+    val name = "graft_test_inc_merge"
+    Materialize.dropWithLocation(spark, name)
+    val load1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "grp", "v")
+    materialize(spark, name, load1, AsIncremental(uniqueKey = Seq("id")))
+    // key 2 corrected, key 4 new; keys 1 and 3 untouched
+    val load2 = Seq((2L, "b", 99L), (4L, "d", 40L)).toDF("id", "grp", "v")
+    val out = materialize(spark, name, load2, AsIncremental(uniqueKey = Seq("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 99L, 3L -> 30L, 4L -> 40L))
+    Materialize.dropWithLocation(spark, name)
+  }
+
+  test("incremental insert_overwrite replaces only the touched partitions") {
+    val name = "graft_test_inc_part"
+    Materialize.dropWithLocation(spark, name)
+    val load1 = Seq((1L, 10L, "d1"), (2L, 20L, "d1"), (3L, 30L, "d2"))
+      .toDF("id", "v", "day")
+    materialize(spark, name, load1, AsIncremental(partitionCols = Seq("day")))
+    // d2 fully replaced (row 3 dropped, 5 added); d1 untouched
+    val load2 = Seq((5L, 50L, "d2"), (6L, 60L, "d3")).toDF("id", "v", "day")
+    val out = materialize(spark, name, load2,
+        AsIncremental(partitionCols = Seq("day")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 10L, "d1"), (2L, 20L, "d1"), (5L, 50L, "d2"), (6L, 60L, "d3")))
+    Materialize.dropWithLocation(spark, name)
+  }
+
+  test("incremental first run is a plain full build") {
+    val name = "graft_test_inc_first"
+    Materialize.dropWithLocation(spark, name)
+    val load = Seq((1L, 1L), (2L, 2L)).toDF("id", "v")
+    val out = materialize(spark, name, load, AsIncremental(uniqueKey = Seq("id")))
+    assert(out.count() == 2)
+    Materialize.dropWithLocation(spark, name)
+  }
+}

@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
       "as-of must not plan any join operator at all")
   }
 
+  test("simhash pairs plan is a banded equi-join, never an all-pairs product") {
+    val p = plan("ext_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banded simhash must not degenerate to an all-pairs comparison")
+  }
+
   test("pipeline top-10 ends in TakeOrderedAndProject with broadcast dim join") {
     val p = plan("pl_tti_monthly_top10")
     assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))
