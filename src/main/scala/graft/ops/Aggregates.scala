@@ -41,6 +41,26 @@ object Aggregates {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * A1 at scale, still EXACT: pooled multi-percentile via a
+   * (key, value) → count pre-aggregation, then `percentile(value, q,
+   * frequency)` over the DISTINCT values. Bit-identical to
+   * [[groupPercentiles]] — Spark's percentile buffers a value→count map
+   * either way and runs the same interpolation — but the pre-count is a
+   * hash aggregate WITH map-side partials, so the final per-group reducer
+   * state is bounded by the number of distinct values, not the row count.
+   * The right form when group cardinality is low and groups grow with the
+   * data (e.g. per-DAY pooled percentiles over an ever-bigger feed).
+   */
+  def groupPercentilesPooled(df: DataFrame, keys: Seq[String], valueCol: String,
+                             qs: Map[String, Double]): DataFrame = {
+    val counted = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__freq"))
+    val aggs = qs.toSeq.map { case (name, q) =>
+      percentile(col(valueCol), lit(q), col("__freq")).as(name) }
+    counted.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** A3: boolean-mean exceedance rate (reference `3_BigQuery/READ.md:119-122`). */
   def exceedanceRate(c: Column, threshold: Double): Column =
     avg((c > threshold).cast("double"))

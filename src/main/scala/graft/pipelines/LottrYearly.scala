@@ -41,11 +41,17 @@ object LottrYearly {
   /**
    * Daily reliability summary over the trend axis: pooled p80/p50 of all
    * 'amp' readings per day → day-over-day pct_change (first row → 0).
+   *
+   * Day-grain groups grow linearly with the feed, so the percentiles run
+   * through [[Aggregates.groupPercentilesPooled]]: a map-side-combined
+   * (day, value)→count pre-aggregation bounds the one-reducer-per-day
+   * state by DISTINCT travel times, not readings — exact result, same
+   * oracle ([[Aggregates.approxPct]] remains the sketch escape hatch).
    */
   def dailySummary(spark: SparkSession, dir: String, yr: Int = 2024): DataFrame = {
     val amp = periodized(spark, dir, yr).filter(col("period") === "amp")
       .withColumn("day", to_date(col("measurement_tstamp")))
-    val daily = Aggregates.groupPercentiles(amp, Seq("day"),
+    val daily = Aggregates.groupPercentilesPooled(amp, Seq("day"),
       "travel_time_seconds", Map("tt80" -> 0.8, "tt50" -> 0.5))
       .withColumn("lottr_amp",
         round(MetricExpr.lottr(col("tt80"), col("tt50")) + lit(1e-9), 6))

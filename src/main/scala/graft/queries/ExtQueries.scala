@@ -272,6 +272,43 @@ object ExtQueries {
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
 
+    // Multi-table multiprobe ANN (the production recall setting: bits=4,
+    // 8 tables, hamming-1 multiprobe — measured recall 0.99 on the
+    // fixture). Oracle recomputes every per-table bucket and joins on
+    // "some table collides within hamming 1", which is exactly the
+    // multiprobe candidate set.
+    QueryDef("ext_sim_ann_multitable", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.annTopKMultiTable(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, bits = 4, tables = 8,
+        multiprobeHamming = 1)
+    }, Some {
+      def bucketSql(t: Int): String = (0 until 4).map { j =>
+        val a = (5 * t + j) % 32
+        val b = 32 + ((3 * t + j) % 32)
+        s"(CASE WHEN embedding[${a + 1}] > embedding[${b + 1}] THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val buckets = (0 until 8).map(t => s"${bucketSql(t)} AS b$t").mkString(", ")
+      val collide = (0 until 8).map(t => s"bit_count(xor(v.b$t, p.b$t)) <= 1")
+        .mkString(" OR ")
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, $buckets
+          FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, e AS pe,
+            ${(0 until 8).map(t => s"b$t").mkString(", ")}
+          FROM v WHERE vec_id % 100 = 0),
+        scored AS (SELECT p.probe_id, v.vec_id,
+            round(list_inner_product(v.e, p.pe) /
+              nullif(sqrt(list_inner_product(v.e, v.e))
+                   * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+          FROM v JOIN p ON ($collide)),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY score DESC, vec_id) AS rn FROM scored)
+        SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3"""
+    }),
+
     // ---- Multimodal plumbing ------------------------------------------
 
     // Binary payload + typed metadata (decode stubbed; schema/plumbing real).

@@ -11,12 +11,26 @@ import graft.streaming.EventStream
  */
 object StreamingQueries {
 
+  /**
+   * Run a streaming drain with a smaller state-store shard count: each
+   * shuffle partition is a state store instance with per-batch delta-file
+   * I/O, so 32 shards of overhead dominate a fixture-sized drain. 8 is
+   * plenty for the harness; a production feed sizes this to key
+   * cardinality × executor count like any other shuffle.
+   */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+                                     n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Watermarked event-time windowed aggregation, streamed to a memory
     // sink until the source is drained; tumbling 1h windows align to the
     // hour so the batch oracle is a date_trunc GROUP BY.
-    QueryDef("st_windowed_stats", (s, dir) => {
+    QueryDef("st_windowed_stats", (s, dir) => withStatePartitions(s, 8) {
       val q = EventStream.windowedStats(EventStream.readEvents(s, dir),
           "1 hour", "2 hours")
         .writeStream.format("memory")
@@ -35,7 +49,7 @@ object StreamingQueries {
 
     // Stream-static join: the unbounded stream enriches against a
     // broadcast dimension (per-micro-batch hash join — the streaming J1).
-    QueryDef("st_stream_static_join", (s, dir) => {
+    QueryDef("st_stream_static_join", (s, dir) => withStatePartitions(s, 8) {
       val dim = graft.core.Tables.nation(s, dir)
         .select(col("n_nationkey"), col("n_name"))
       val q = EventStream.readEvents(s, dir)
@@ -51,7 +65,7 @@ object StreamingQueries {
 
     // Stream-stream interval join (click -> purchase attribution within
     // 30 min, per user), drained to completion == the batch self-join.
-    QueryDef("st_stream_stream_join", (s, dir) => {
+    QueryDef("st_stream_stream_join", (s, dir) => withStatePartitions(s, 8) {
       val ev = EventStream.readEvents(s, dir)
       val q = EventStream.clickToPurchase(
           ev.filter(col("event_type") === "click"),
@@ -69,7 +83,7 @@ object StreamingQueries {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")),
 
     // Streaming dedup drained to completion == batch dropDuplicates.
-    QueryDef("st_dedup_stream", (s, dir) => {
+    QueryDef("st_dedup_stream", (s, dir) => withStatePartitions(s, 8) {
       val q = EventStream.dedupStream(EventStream.readEvents(s, dir),
           Seq("user_id"))
         .writeStream.format("memory")
@@ -78,6 +92,19 @@ object StreamingQueries {
       s.table("graft_st_dedup")
         .groupBy("user_id").agg(count(lit(1)).as("n_kept"))
     }, Some("""SELECT user_id, count(*) AS n_kept FROM (
-        SELECT DISTINCT user_id, ts FROM events) GROUP BY user_id"""))
+        SELECT DISTINCT user_id, ts FROM events) GROUP BY user_id""")),
+
+    // TRUE per-key streaming dedup (dropDuplicatesWithinWatermark): the
+    // survivor row is arrival-order-dependent, so the registered output is
+    // the survivor-independent KEY SET, which the batch oracle recomputes
+    // as a plain DISTINCT.
+    QueryDef("st_dedup_bykey", (s, dir) => withStatePartitions(s, 8) {
+      val q = EventStream.dedupStreamByKey(EventStream.readEvents(s, dir),
+          Seq("user_id"))
+        .writeStream.format("memory")
+        .queryName("graft_st_dedup_bykey").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_st_dedup_bykey").select("user_id").distinct()
+    }, Some("SELECT DISTINCT user_id FROM events"))
   )
 }

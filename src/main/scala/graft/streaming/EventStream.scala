@@ -30,15 +30,21 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over an events-shaped parquet directory. */
+  /** File-source stream over an events-shaped parquet directory.
+    * `maxFilesPerTrigger <= 0` (default) puts every available file in one
+    * micro-batch — the bulk-drain shape; a positive value throttles to
+    * that many files per trigger (the live-feed shape, and what tests use
+    * to force multi-batch execution). */
   def readEvents(spark: SparkSession, dir: String,
-                 globFilter: String = "events.parquet"): DataFrame = {
+                 globFilter: String = "events.parquet",
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val r = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", globFilter)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -131,16 +137,30 @@ object EventStream {
   }
 
   /**
-   * Streaming deduplication: exactly-once per key within the watermark
-   * horizon (`dropDuplicates` + watermark keeps state bounded). This is
-   * the streaming twin of [[graft.ext.Dedup.exact]] — an LLM-ingest feed
-   * dedups on content fingerprint as documents arrive instead of in a
-   * batch sweep.
+   * Streaming deduplication at (key, event-time) grain: two rows with the
+   * same key at DIFFERENT timestamps both survive — the retransmission /
+   * at-least-once-delivery filter, not a per-key dedup (for that, see
+   * [[dedupStreamByKey]]). The watermark bounds dropDuplicates state.
    */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
+
+  /**
+   * TRUE per-key streaming dedup: first arrival per key survives, later
+   * rows with the same key are dropped regardless of timestamp, with
+   * state expiring once the watermark passes a key's event time
+   * (`dropDuplicatesWithinWatermark`). This is the streaming twin of
+   * [[graft.ext.Dedup.exact]] — an LLM-ingest feed dedups on content
+   * fingerprint as documents arrive instead of in a batch sweep. Which
+   * row survives depends on arrival order; downstream consumers that need
+   * determinism should project survivor-independent columns (the key set).
+   */
+  def dedupStreamByKey(events: DataFrame, keyCols: Seq[String],
+                       watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /**
    * Watermarked stream-stream interval join: each click pairs with the

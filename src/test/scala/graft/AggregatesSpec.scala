@@ -46,6 +46,18 @@ class AggregatesSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("pooled (frequency-weighted) percentiles are bit-identical to direct") {
+    val li = Tables.lineitem(spark, sfDir)
+    val qs = Map("p50" -> 0.5, "p80" -> 0.8, "p95" -> 0.95)
+    val direct = Aggregates.groupPercentiles(li, Seq("l_returnflag"), "l_quantity", qs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val pooled = Aggregates.groupPercentilesPooled(li, Seq("l_returnflag"), "l_quantity", qs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(pooled == direct, "weighted interpolation over distinct values must equal pooled")
+  }
+
   test("approx percentile within 5% of exact at fixture scale") {
     val li = Tables.lineitem(spark, sfDir)
     val both = li.groupBy("l_returnflag").agg(

@@ -79,6 +79,49 @@ class SimilaritySpec extends SparkSpec {
       "null element treated as 0")
   }
 
+  test("ANN recall vs brute force across bits; hamming-1 multiprobe recovers it") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probes = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 10)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (for (bits <- Seq(2, 4, 6, 8); mp <- Seq(0, 1)) yield {
+      val ann = Similarity.annTopK(vecs, "vec_id", "embedding",
+          probes, "probe_id", "probe_vec", k = 10, bits = bits,
+          multiprobeHamming = mp)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = (ann intersect truth).size.toDouble / truth.size
+      info(f"bits=$bits multiprobe=$mp recall=$rec%.3f")
+      ((bits, mp), rec)
+    }).toMap
+    // multiprobe can only add candidate buckets — recall must not drop
+    for (bits <- Seq(2, 4, 6, 8))
+      assert(recall((bits, 1)) >= recall((bits, 0)),
+        s"multiprobe must not lose recall at bits=$bits")
+    // more bits = smaller buckets = lower single-probe recall (weak monotone)
+    assert(recall((8, 0)) <= recall((2, 0)) + 1e-9)
+
+    // multi-table recall: tables is the knob that raises recall WITHOUT
+    // growing bucket size; the documented production setting must clear 0.9
+    val mt = (for (tables <- Seq(2, 4, 8)) yield {
+      val ann = Similarity.annTopKMultiTable(vecs, "vec_id", "embedding",
+          probes, "probe_id", "probe_vec", k = 10, bits = 4, tables = tables,
+          multiprobeHamming = 1)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = (ann intersect truth).size.toDouble / truth.size
+      info(f"bits=4 tables=$tables multiprobe=1 recall=$rec%.3f")
+      tables -> rec
+    }).toMap
+    assert(mt(2) <= mt(4) + 1e-9 && mt(4) <= mt(8) + 1e-9,
+      "recall must not drop as tables are added")
+    assert(mt(8) >= 0.9,
+      "documented setting (bits=4, 8 tables, multiprobe) must reach 0.9 recall")
+  }
+
   test("centroid assignment covers every vector exactly once") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))

@@ -28,7 +28,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming dedup emits each key once within the watermark horizon") {
+  test("streaming dedup emits each (key, event-time) pair once") {
     val deduped = EventStream.dedupStream(
       EventStream.readEvents(spark, sfDir), Seq("user_id"))
     val q = deduped.writeStream
@@ -39,6 +39,21 @@ class StreamingSpec extends SparkSpec {
       val batch = graft.core.Tables.events(spark, sfDir)
         .dropDuplicates("user_id", "ts")
       assert(out.count() == batch.count())
+    } finally q.stop()
+  }
+
+  test("per-key streaming dedup emits exactly one row per key") {
+    val deduped = EventStream.dedupStreamByKey(
+      EventStream.readEvents(spark, sfDir), Seq("user_id"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_bykey").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_bykey")
+      val distinctKeys = graft.core.Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      assert(out.count() == distinctKeys, "one survivor per key")
+      assert(out.select("user_id").distinct().count() == distinctKeys)
     } finally q.stop()
   }
 
