@@ -67,6 +67,36 @@ object Similarity {
   }
 
   /**
+   * Fused whole-operator twin of [[bruteForceTopK]]
+   * ([[graft.plans.CosineTopKExec]]): one pass over the vectors with a
+   * bounded per-probe buffer per partition, then a kilobyte-sized merge —
+   * no Exchange, no Window, identical output. The operator the 100 TB ANN
+   * path actually wants: data volume moved is O(partitions × probes × k),
+   * independent of table size.
+   */
+  def bruteForceTopKFused(vectors: DataFrame, idCol: String, vecCol: String,
+                          probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                          k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val spark = vectors.sparkSession
+    graft.plans.GraftStrategy.install(spark)
+    // probes are broadcast-small by contract — same collect the planner
+    // itself would do to build a broadcast relation
+    val pr = probes.select(col(probeIdCol).cast("long"),
+        transform(col(probeVecCol), x => x.cast("double"))).collect()
+    val ids = pr.map(_.getLong(0))
+    val vecs = pr.map(_.getSeq[Double](1).toArray)
+    val child = vectors.select(col(idCol).cast("long"), col(vecCol))
+    val out = Seq(
+      AttributeReference("probe_id", LongType, nullable = false)(),
+      AttributeReference("vec_id", LongType, nullable = false)(),
+      AttributeReference("score", DoubleType, nullable = false)())
+    org.apache.spark.sql.graft.GraftPlanBridge.ofRows(spark,
+      graft.plans.CosineTopK(k, ids, vecs, out, child.queryExecution.analyzed))
+  }
+
+  /**
    * Sparse-random-projection sign LSH bucket id: bit j is the sign of
    * v · (e_j − e_{j+32}) = v[j] > v[j+32] — a fixed sparse hyperplane
    * family that is expressible in any engine (no hash functions), cheap

@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types._
+
+/**
+ * Whole-operator top-k cosine scoring — SURVEY §2.10 escalation path (c):
+ * a custom logical node + [[GraftStrategy]] + [[CosineTopKExec]] physical
+ * operator, the step past the codegen'd
+ * [[graft.functions.CosineSimilarity]] expression.
+ *
+ * The declarative form ([[graft.ext.Similarity.bruteForceTopK]]) plans
+ *   scan → score every (vector, probe) → Exchange on probe → Window
+ *   row_number → filter rn <= k
+ * which shuffles |vectors| × |probes| scored triples. This operator fuses
+ * score + select into ONE pass: each partition keeps a bounded
+ * (score desc, id asc) buffer of size k per probe, then the
+ * partitions × probes × k survivors — kilobytes, independent of table
+ * size — merge in a single narrow task. No exchange, no window, nothing
+ * row-count-shaped ever moves.
+ *
+ * Semantics match bruteForceTopK exactly: sequential-sum double cosine
+ * (the [[graft.functions.CosineSimilarity]] arithmetic), HALF_UP 6-digit
+ * rounding WITH the +1e-9 nudge before ranking, (score desc, id asc)
+ * total order, exactly k rows per probe. Zero-norm vectors score NULL
+ * there and are skipped here.
+ */
+case class CosineTopK(k: Int, probeIds: Array[Long],
+                      probeVecs: Array[Array[Double]],
+                      output: Seq[Attribute],
+                      child: LogicalPlan) extends UnaryNode {
+  // the output attributes are minted by this operator, not inherited from
+  // the child — declare them produced or the analyzer flags them missing
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override protected def withNewChildInternal(newChild: LogicalPlan): CosineTopK =
+    copy(child = newChild)
+}
+
+/** Bounded top-k buffer over (score desc, id asc): sorted insertion into
+  * flat arrays — k is small, so binary search + memmove beats a heap's
+  * constant factor and emits already in output order. */
+private[graft] final class TopKBuffer(k: Int) {
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def offer(score: Double, id: Long): Unit = {
+    if (n == k && !better(score, id, scores(n - 1), ids(n - 1))) return
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (better(score, id, scores(m), ids(m))) hi = m else lo = m + 1
+    }
+    val last = if (n < k) n else k - 1
+    var i = last
+    while (i > lo) { scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1 }
+    scores(lo) = score; ids(lo) = id
+    if (n < k) n += 1
+  }
+
+  def foreach(f: (Double, Long) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(scores(i), ids(i)); i += 1 }
+  }
+}
+
+object CosineTopKExec {
+  /** Sequential-sum cosine, identical arithmetic to the codegen'd
+    * CosineSimilarity expression; NaN marks the zero-norm (NULL) case. */
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
+
+  /** Spark-identical round(x + 1e-9, 6): shortest-decimal HALF_UP. */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
+case class CosineTopKExec(k: Int, probeIds: Array[Long],
+                          probeVecs: Array[Array[Double]],
+                          output: Seq[Attribute],
+                          child: SparkPlan) extends UnaryExecNode {
+  import CosineTopKExec._
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val elemIsFloat =
+      child.output(1).dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val pIds = probeIds; val pVecs = probeVecs; val kk = k
+    // pass 1 (map-side, the only pass over the data): bounded buffers
+    val partials: RDD[(Int, Double, Long)] = child.execute().mapPartitions { iter =>
+      val bufs = Array.fill(pVecs.length)(new TopKBuffer(kk))
+      iter.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val id = row.getLong(0)
+          val ad = row.getArray(1)
+          val v = new Array[Double](ad.numElements())
+          var i = 0
+          while (i < v.length) {
+            v(i) = if (ad.isNullAt(i)) 0.0
+                   else if (elemIsFloat) ad.getFloat(i).toDouble
+                   else ad.getDouble(i)
+            i += 1
+          }
+          var p = 0
+          while (p < pVecs.length) {
+            val s = cosine(v, pVecs(p))
+            if (!s.isNaN) bufs(p).offer(round6(s), id)
+            p += 1
+          }
+        }
+      }
+      val out = Array.newBuilder[(Int, Double, Long)]
+      var p = 0
+      while (p < bufs.length) {
+        val pp = p
+        bufs(pp).foreach((s, id) => out += ((pp, s, id)))
+        p += 1
+      }
+      out.result().iterator
+    }
+    // pass 2: merge partitions × probes × k survivors in one narrow task
+    partials.coalesce(1).mapPartitions { iter =>
+      val bufs = Array.fill(pVecs.length)(new TopKBuffer(kk))
+      iter.foreach { case (p, s, id) => bufs(p).offer(s, id) }
+      val proj = UnsafeProjection.create(Array[DataType](LongType, LongType, DoubleType))
+      val row = new GenericInternalRow(3)
+      val res = Array.newBuilder[InternalRow]
+      var p = 0
+      while (p < bufs.length) {
+        bufs(p).foreach { (s, id) =>
+          row.update(0, pIds(p)); row.update(1, id); row.update(2, s)
+          res += proj(row).copy()
+        }
+        p += 1
+      }
+      res.result().iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): CosineTopKExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to the physical operator;
+  * installed per-session through the public `experimental.extraStrategies`
+  * hook (the `SparkSessionExtensions.injectPlannerStrategy` twin). */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: CosineTopK =>
+      CosineTopKExec(n.k, n.probeIds, n.probeVecs, n.output, planLater(n.child)) :: Nil
+    case _ => Nil
+  }
+
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(this))
+      exp.extraStrategies = exp.extraStrategies :+ this
+  }
+}

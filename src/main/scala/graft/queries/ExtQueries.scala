@@ -247,6 +247,28 @@ object ExtQueries {
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
 
+    // Fused whole-operator top-k (custom CosineTopKExec physical node):
+    // same answer as ext_sim_topk_cosine — the SAME oracle SQL — but the
+    // plan is one pass + bounded buffers, no Exchange/Window (PlanSpec
+    // pins the shape).
+    QueryDef("ext_sim_topk_fused", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.bruteForceTopKFused(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 5)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v CROSS JOIN p),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
+
     // LSH-bucketed ANN top-3: sparse sign-projection bucket (4 bits),
     // candidates restricted to the probe's bucket — the scale path.
     QueryDef("ext_sim_ann_bucket", (s, dir) => {

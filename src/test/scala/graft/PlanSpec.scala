@@ -90,6 +90,14 @@ class PlanSpec extends SparkSpec {
       "as-of must not plan any join operator at all")
   }
 
+  test("fused top-k plans the custom operator: no exchange, no window") {
+    val p = plan("ext_sim_topk_fused")
+    // SparkPlan nodeName strips the Exec suffix in plan strings
+    assert(p.contains("CosineTopK"), "custom strategy must plan the fused node")
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      "fused top-k must not shuffle scored rows or run a rank window")
+  }
+
   test("simhash pairs plan is a banded equi-join, never an all-pairs product") {
     val p = plan("ext_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -79,6 +79,23 @@ class SimilaritySpec extends SparkSpec {
       "null element treated as 0")
   }
 
+  test("fused CosineTopKExec is bit-identical to the declarative brute force") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probes = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val declarative = rows(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      probes, "probe_id", "probe_vec", k = 5))
+    val fused = rows(Similarity.bruteForceTopKFused(vecs, "vec_id", "embedding",
+      probes, "probe_id", "probe_vec", k = 5))
+    assert(fused == declarative)
+    // partitioning must not change the answer (partial buffers merge exactly)
+    val fused7 = rows(Similarity.bruteForceTopKFused(vecs.repartition(7), "vec_id",
+      "embedding", probes, "probe_id", "probe_vec", k = 5))
+    assert(fused7 == declarative)
+  }
+
   test("ANN recall vs brute force across bits; hamming-1 multiprobe recovers it") {
     val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val probes = vecs.filter(col("vec_id") % 25 === 0)
