@@ -61,4 +61,10 @@ object Joins {
   /** J7: cross join against a 1-row global-stats frame (reference `5_dbt/READ.md:842-860`). */
   def crossStats(fact: DataFrame, stats: DataFrame): DataFrame =
     fact.crossJoin(broadcast(stats))
+
+  /** J11 (extension): anti-join — rows with NO match in the key set, the
+    * complement of [[semiJoin]]; broadcast keeps it a hash LeftAnti with
+    * no fact-side shuffle. */
+  def antiJoin(fact: DataFrame, keySet: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(keySet), keys, "left_anti")
 }

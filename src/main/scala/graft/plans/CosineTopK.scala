@@ -37,6 +37,11 @@ case class CosineTopK(k: Int, probeIds: Array[Long],
   // the child — declare them produced or the analyzer flags them missing
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  // no expression here references the child's columns, so without this the
+  // optimizer's ColumnPruning inserts an empty Project below (e.g. under a
+  // count(*)) and execution loses the (id, vec) columns it scans positionally
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): CosineTopK =
     copy(child = newChild)
 }

@@ -189,6 +189,68 @@ object ExtQueries {
         FROM (SELECT unnest($DuckToks) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
 
+    // TF-IDF top-3 terms per document (tf = term count / doc length,
+    // idf = ln(N/df)): the classic relevance weighting a training-data
+    // pipeline uses for keyword extraction / corpus diagnostics. Shuffles:
+    // one on (doc, term), one on term for df, one broadcast-able 1-row N.
+    QueryDef("ext_tfidf_topk", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+        .withColumn("toklen", sum(col("tc")).over(Window.partitionBy("doc_id")))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(
+          (col("tc").cast("double") / col("toklen")) *
+            log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 6))
+      scored.withColumn("__rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))))
+        .filter(col("__rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      tl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS toklen FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, term,
+          round((CAST(tc AS DOUBLE) / toklen) *
+            ln(CAST(n_docs AS DOUBLE) / df) + 1e-9, 6) AS tfidf
+        FROM tl JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, term) AS rn FROM scored)
+      SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3""")),
+
+    // Funnel conversion: users whose first click converts to a purchase
+    // within 1 hour — event-sequence analytics over the same feed the
+    // streaming attribution join consumes. One row out.
+    QueryDef("ext_funnel", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val converted = firstClick
+        .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+        .filter(col("ts") >= col("first_click") &&
+          col("ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
+        .select("user_id").distinct()
+      firstClick.agg(count(lit(1)).as("n_clicked"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+        .withColumn("conversion_rate", round(
+          col("n_converted").cast("double") / col("n_clicked") + lit(1e-9), 6))
+    }, Some("""WITH fc AS (SELECT user_id, min(ts) AS first_click
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+      conv AS (SELECT DISTINCT fc.user_id FROM fc JOIN events e
+          ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+          AND e.ts >= fc.first_click
+          AND e.ts <= fc.first_click + INTERVAL 1 HOUR)
+      SELECT (SELECT count(*) FROM fc) AS n_clicked,
+        (SELECT count(*) FROM conv) AS n_converted,
+        round(CAST((SELECT count(*) FROM conv) AS DOUBLE) /
+          (SELECT count(*) FROM fc) + 1e-9, 6) AS conversion_rate""")),
+
     // ---- Similarity search --------------------------------------------
 
     // Embedding-cosine near-dup: perturbed copies must pair with their

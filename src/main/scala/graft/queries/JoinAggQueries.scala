@@ -338,6 +338,40 @@ object JoinAggQueries {
       Some("SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS nations " +
         "FROM nation GROUP BY n_regionkey")),
 
+    // J11 (extension): anti-join — customers who never placed an order
+    // (broadcast LeftAnti; the complement of the J6 semi-join).
+    QueryDef("j11_anti_join", (s, dir) =>
+      graft.ops.Joins.antiJoin(
+        Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
+        Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // A16 (extension): discrete percentile — the value actually present
+    // in the data (percentile_disc), vs the interpolated A1 family.
+    QueryDef("a16_percentile_disc", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p50_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p90_disc")),
+      Some("""SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50_disc,
+        quantile_disc(l_quantity, 0.9) AS p90_disc
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // A17 (extension): CUBE with grouping_id — all 4 grouping combinations
+    // plus the bitmask that tells marts which subtotal a row is.
+    QueryDef("a17_cube", (s, dir) =>
+      Tables.orders(s, dir).cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // 100 TB escape hatches (SURVEY §2.4 A1/A5 notes): sketch-based
     // percentile and distinct-count. Algorithms differ per engine, so no
     // SQL oracle — the driver records the weaker rows-only check, and

@@ -212,6 +212,52 @@ object WindowQueries {
 
     // U3/U4 (extension): INTERSECT / EXCEPT distinct set semantics —
     // absent from the reference (SURVEY §2.7) but core engine surface.
+    // W11 (extension): gap-based sessionization in BATCH (the batch twin
+    // of streaming mapGroupsWithState): a session starts when the
+    // per-user event gap exceeds 30 min; session index = running count of
+    // starts. One shuffle on user_id; both window passes share it.
+    QueryDef("w11_sessionize_batch", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir).select("user_id", "event_id", "ts")
+      val flagged = ev.withColumn("gap_start",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800L,
+          1L).otherwise(0L))
+      flagged
+        .withColumn("session_idx", sum(col("gap_start")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+            .as("duration_sec"))
+    }, Some("""WITH flagged AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+               ELSE 0 END AS gap_start
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT *, sum(gap_start) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, count(*) AS n_events,
+        CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+      FROM sess GROUP BY 1, 2""")),
+
+    // U5 (extension): unpivot/melt — the wide-to-long inverse of j5_pivot
+    // (metrics become (metric, value) rows; common type double).
+    QueryDef("u5_unpivot", (s, dir) => {
+      val wide = Tables.orders(s, dir).groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      wide.unpivot(Array(col("o_orderstatus")),
+        Array(col("n"), col("revenue")), "metric", "value")
+    }, Some("""WITH wide AS (SELECT o_orderstatus,
+          CAST(count(*) AS DOUBLE) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1)
+      SELECT o_orderstatus, 'n' AS metric, n AS value FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'revenue' AS metric, revenue AS value FROM wide""")),
+
     QueryDef("u3_intersect", (s, dir) => {
       val li = Tables.lineitem(s, dir)
       li.filter(year(col("l_shipdate")) === 1996).select("l_orderkey")
