@@ -70,6 +70,19 @@ object Checks {
   def endBeforeStart(df: DataFrame, startCol: String, endCol: String): DataFrame =
     df.filter(col(endCol) < col(startCol))
 
+  /**
+   * dbt source-freshness test: per key, the newest row's age relative to
+   * `asOf`; keys staler than `maxLagSec` are violations. `asOf` is an
+   * explicit column (a pinned literal in tests) rather than now() so the
+   * check is reproducible. One hash aggregate — no sort, no window.
+   */
+  def freshness(df: DataFrame, tsCol: String, keys: Seq[String],
+                asOf: Column, maxLagSec: Long): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(max(col(tsCol)).as("latest"))
+      .withColumn("lag_sec", asOf.cast("long") - col("latest").cast("long"))
+      .filter(col("lag_sec") > maxLagSec)
+
   /** Thresholded runner (dbt `HAVING COUNT(*) > {{var}}`, reference `5_dbt/READ.md:836-837`). */
   def run(name: String, violations: DataFrame, threshold: Long = 0): CheckResult =
     CheckResult(name, violations.count(), threshold)

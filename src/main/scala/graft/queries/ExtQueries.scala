@@ -96,6 +96,58 @@ object ExtQueries {
             printf('%04d|%s', h_es, 'es'), printf('%04d|%s', h_fr, 'fr'),
             printf('%04d|%s', h_zh, 'zh')) AS best FROM s)""")),
 
+    // End-to-end curation pipeline (the C4-style gate a training corpus
+    // runs before tokenization): predicted-language gate → quality floor
+    // → exact dedup, in that order so the cheap codegen'd filters prune
+    // before the dedup shuffle. Output: surviving doc_ids + score. The
+    // filter compares the ROUNDED score on both sides so the gate can
+    // never straddle an fp boundary between engines.
+    QueryDef("ext_curation_pipeline", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val variants = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          upper(concat(col("text"), lit("  "))).as("text"), col("lang"))
+      val gated = docs.unionByName(variants)
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .withColumn("quality_score",
+          round(TextOps.qualityScore(col("text")) + lit(1e-9), 4))
+        .filter(col("lang_pred") === "en" && col("quality_score") >= 0.6)
+      Dedup.exact(gated, "text", "doc_id").select("doc_id", "quality_score")
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, upper(text || '  ') FROM documents
+        WHERE lang = 'en' AND doc_id % 2 = 0),
+      t AS (SELECT doc_id, text, $DuckToks AS ltoks, $DuckToksRaw AS rtoks
+        FROM all_docs),
+      lang AS (SELECT doc_id,
+          CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS lang_pred
+        FROM (SELECT doc_id, greatest(
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','mit','für','nicht'))), 'de'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('the','and','of','is','to','in','that','with'))), 'en'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('el','la','los','y','es','en','para','que'))), 'es'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','dans','pour','que'))), 'fr'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('的','是','在','了','和','有','我','不'))), 'zh')) AS best
+          FROM t)),
+      q AS (SELECT doc_id,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+            + least((CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(len(list_filter(rtoks, x -> lower(x) IN ('the','a','an','and','or',
+                  'of','to','in','is','it','that','for','on','with','as','at','by')))
+                  AS DOUBLE) / len(rtoks) END) * 5, 1.0) * 0.3
+            + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0 ELSE
+                CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                  / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
+                BETWEEN 3 AND 10 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
+        FROM t),
+      gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm, quality_score
+        FROM t JOIN lang USING (doc_id) JOIN q USING (doc_id)
+        WHERE lang_pred = 'en' AND quality_score >= 0.6),
+      surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm)
+      SELECT doc_id, quality_score FROM surv JOIN gated USING (doc_id)""")),
+
     // ---- Deduplication ------------------------------------------------
 
     // Exact dedup: ASCII-case/whitespace variants of even en-docs must

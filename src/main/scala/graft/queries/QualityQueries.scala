@@ -89,6 +89,18 @@ object QualityQueries {
         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 - 1 AS INTEGER) AS end_d
       FROM orders
       WHERE CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 - 1 AS INTEGER)
-        < CAST(o_orderdate AS DATE)"""))
+        < CAST(o_orderdate AS DATE)""")),
+
+    // source freshness (dbt's loaded_at_field test): users whose newest
+    // event is staler than 12h against a pinned as-of instant — a pinned
+    // literal, not now(), so the check is reproducible on both engines.
+    QueryDef("dq_freshness", (s, dir) =>
+      Checks.freshness(Tables.events(s, dir), "ts", Seq("user_id"),
+        to_timestamp(lit("2024-02-01 00:00:00")), maxLagSec = 12 * 3600),
+      Some("""SELECT user_id, max(ts) AS latest,
+        CAST(date_diff('second', max(ts), TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)
+          AS lag_sec
+        FROM events GROUP BY user_id
+        HAVING date_diff('second', max(ts), TIMESTAMP '2024-02-01 00:00:00') > 43200"""))
   )
 }

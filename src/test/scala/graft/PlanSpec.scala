@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
       "as-of must not plan any join operator at all")
   }
 
+  test("w11: both sessionization windows share ONE shuffle and sort") {
+    val p = plan("w11_sessionize_batch")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "gap-flag and running-sum windows must reuse the user_id partitioning")
+  }
+
   test("fused top-k plans the custom operator: no exchange, no window") {
     val p = plan("ext_sim_topk_fused")
     // SparkPlan nodeName strips the Exec suffix in plan strings
