@@ -462,6 +462,30 @@ object ExtQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents""")),
 
+    // Frame sampling: every-4th 64-byte block of the payload stands in
+    // for every-4th video frame (decode stubbed; the explode-to-frames
+    // operator shape is the point). Hex frames are recomputed by the
+    // oracle byte-for-byte.
+    QueryDef("ext_mm_frames", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      Multimodal.sampleFrames(media, blockBytes = 64, everyNth = 4)
+        .select(col("media_id"), col("media_type"),
+          col("frame_idx").cast("long").as("frame_idx"), col("frame_hex"))
+    }, Some("""WITH h AS (SELECT doc_id,
+          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+          hex(encode(text)) AS hx FROM documents),
+      idx AS (SELECT doc_id, media_type, hx,
+          unnest(range(CAST(ceil(len(hx) / 128.0) AS BIGINT))) AS i FROM h)
+      SELECT doc_id AS media_id, media_type, i AS frame_idx,
+        substr(hx, CAST(i * 128 + 1 AS INT), 128) AS frame_hex
+      FROM idx WHERE i % 4 = 0
+        AND len(substr(hx, CAST(i * 128 + 1 AS INT), 128)) > 0""")),
+
     // Batched per-partition feature extraction over ASCII payloads (the
     // mapPartitions analogue of a batched pandas UDF); stride-fold stub
     // features are recomputed by the oracle from character codes.

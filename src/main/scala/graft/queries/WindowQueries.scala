@@ -243,6 +243,29 @@ object WindowQueries {
         CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
       FROM sess GROUP BY 1, 2""")),
 
+    // W12 (extension): the BUILT-IN session_window — same gap semantics
+    // as w11 expressed declaratively (merge while next start < prev end;
+    // an exact 30-min gap starts a new session, hence >= in the oracle).
+    QueryDef("w12_session_window", (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events")),
+      Some("""WITH flagged AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1
+               ELSE 0 END AS gap_start
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT *, sum(gap_start) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      FROM sess GROUP BY user_id, session_idx""")),
+
     // U5 (extension): unpivot/melt — the wide-to-long inverse of j5_pivot
     // (metrics become (metric, value) rows; common type double).
     QueryDef("u5_unpivot", (s, dir) => {
