@@ -140,7 +140,7 @@ object ExtQueries {
                   / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
             + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
                 CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
-                BETWEEN 3 AND 10 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
+                BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
         FROM t),
       gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm, quality_score
         FROM t JOIN lang USING (doc_id) JOIN q USING (doc_id)
