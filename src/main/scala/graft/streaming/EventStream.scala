@@ -185,6 +185,24 @@ object EventStream {
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 
+  /**
+   * Streaming session-window aggregation (the built-in `session_window`
+   * under a watermark — the declarative twin of [[sessionize]]). Append
+   * mode emits a session only once the watermark passes its END, so the
+   * tail sessions of a drained fixture emit only after a later event
+   * advances the watermark — tests append a sentinel event for exactly
+   * that reason; a live feed advances naturally.
+   */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Start a parquet sink with checkpointing (the streaming S4). */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    mode: OutputMode = OutputMode.Append()): StreamingQuery =

@@ -32,6 +32,24 @@ class PropertySpec extends SparkSpec {
     assert(cis(2).contains(1.0) && cis(3).contains(1.0))
   }
 
+  test("TopKBuffer equals sort-then-take for random inputs, any k") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(40)
+      // duplicate scores on purpose: the id tiebreak must decide; ids
+      // distinct to mirror the exec's contract (one offer per vector)
+      val xs = Seq.fill(n)((rnd.nextInt(5).toDouble / 4d, rnd.nextInt(1000).toLong))
+        .distinctBy(_._2)
+      val buf = new graft.plans.TopKBuffer(k)
+      xs.foreach { case (s, id) => buf.offer(s, id) }
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      buf.foreach((s, id) => got += ((s, id)))
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got.toList == want.toList, s"trial $trial k=$k")
+    }
+  }
+
   test("tti/pti ratios: tt85 >= tt50 > 0 implies tti >= 1") {
     val df = Seq((100d, 120d, 150d), (50d, 50d, 50d), (10d, 99d, 100d))
       .toDF("tt50", "tt85", "tt95")

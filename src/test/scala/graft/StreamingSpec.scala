@@ -57,6 +57,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window converges to the batch sessions once flushed") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/a_events.parquet"))
+    val stream = EventStream.sessionWindowStats(
+      EventStream.readEvents(spark, dir, globFilter = "*.parquet"))
+    val q = stream.writeStream
+      .format("memory").queryName("st_sess").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode withholds sessions until the watermark passes their
+      // end — a far-future sentinel event flushes every real session
+      val maxNanos = graft.core.Tables.events(spark, sfDir)
+        .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
+      import spark.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
+      Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/z_sentinel.parquet"))
+      q.processAllAvailable()
+      val streamed = spark.table("st_sess").filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "n_events")
+      val batch = graft.core.Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits only closed sessions, in append mode") {
     val sessions = EventStream.sessionizeClosed(
       EventStream.readEvents(spark, sfDir), gapMinutes = 30)
