@@ -248,10 +248,14 @@ object ExtQueries {
     QueryDef("ext_tfidf_topk", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
+      // persist barrier: tf feeds BOTH the scoring chain and the df
+      // branch — without it the tokenize+count subtree runs twice
+      // (released by the harness's per-query clearCache)
       val tf = docs.select(col("doc_id"),
           explode(TextOps.tokens(lower(col("text")))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
         .withColumn("toklen", sum(col("tc")).over(Window.partitionBy("doc_id")))
+        .persist()
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, Seq("term"))
