@@ -96,6 +96,42 @@ object Multimodal {
   }
 
   /**
+   * Resize stub: an every-Nth-byte downsample stands in for an image
+   * resize (no codecs in this environment — a production deployment
+   * swaps the loop body for a decoder+scaler). Same batched
+   * mapPartitions shape as [[extractFeatures]]: per-partition setup once,
+   * tight loop, payload AND metadata rewritten together so downstream
+   * byte-based partition sizing stays correct.
+   */
+  def resizeStub(media: DataFrame, factor: Int = 4): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      iter.map { internal =>
+        val id = internal.getLong(idIdx)
+        val mtype = internal.getUTF8String(typeIdx).toString
+        val payload = if (internal.isNullAt(payloadIdx)) null
+                      else internal.getBinary(payloadIdx)
+        val out: Array[Byte] =
+          if (payload == null) null
+          else {
+            val n = (payload.length + factor - 1) / factor
+            val b = new Array[Byte](n)
+            var i = 0
+            while (i < n) { b(i) = payload(i * factor); i += 1 }
+            b
+          }
+        Row(id, mtype, out,
+          Row(if (out == null) null else out.length.toLong, null, null, null))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /**
    * Frame sampling stub: every Nth byte-block of the payload stands in
    * for every Nth video frame. Real decoder replaces the slicing; the
    * operator shape (explode to one row per sampled frame) is the point.

@@ -466,6 +466,26 @@ object ExtQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents""")),
 
+    // Resize stub: every-4th-byte downsample; payload and metadata are
+    // rewritten together. Oracle checks the byte accounting (content is
+    // hex-round-tripped so the driver can hash it as a scalar).
+    QueryDef("ext_mm_resize", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      Multimodal.resizeStub(media, factor = 4)
+        .select(col("media_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"), hex(col("payload")).as("payload_hex"))
+    }, Some("""SELECT doc_id AS media_id,
+        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_bytes,
+        regexp_replace(hex(encode(text)), '(..)(..)?(..)?(..)?', '\1', 'g')
+          AS payload_hex
+      FROM documents""")),
+
     // Frame sampling: every-4th 64-byte block of the payload stands in
     // for every-4th video frame (decode stubbed; the explode-to-frames
     // operator shape is the point). Hex frames are recomputed by the

@@ -40,6 +40,20 @@ class MultimodalSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("resize stub keeps every Nth byte and rewrites the byte metadata") {
+    val doc = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+      .select("doc_id", "text").first()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val expected = Iterator.from(0, 4).takeWhile(_ < bytes.length)
+      .map(bytes(_)).toSeq
+    val row = Multimodal.resizeStub(media, factor = 4)
+      .filter(col("media_id") === doc.getLong(0))
+      .select(col("payload"), col("meta.n_bytes")).collect().head
+    val out = row.getAs[Array[Byte]](0).toSeq
+    assert(out == expected, "payload must be the byte-stride downsample")
+    assert(row.getLong(1) == expected.length, "metadata must track the new size")
+  }
+
   test("frame sampling explodes every Nth block") {
     val frames = Multimodal.sampleFrames(media.limit(5), blockBytes = 16, everyNth = 2)
     val idx = frames.select("frame_idx").collect().map(_.getInt(0))
