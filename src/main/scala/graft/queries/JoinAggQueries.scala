@@ -372,6 +372,18 @@ object JoinAggQueries {
         count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // A18 (extension): argmin/argmax — the value of one column at
+    // another's extremum (min_by/max_by == DuckDB arg_min/arg_max);
+    // keyed on unique event_id so the answer is deterministic.
+    QueryDef("a18_argminmax", (s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(min_by(col("event_type"), col("event_id")).as("first_type"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          count(lit(1)).as("n")),
+      Some("""SELECT user_id, arg_min(event_type, event_id) AS first_type,
+        arg_max(event_type, event_id) AS last_type, count(*) AS n
+        FROM events GROUP BY user_id""")),
+
     // 100 TB escape hatches (SURVEY §2.4 A1/A5 notes): sketch-based
     // percentile and distinct-count. Algorithms differ per engine, so no
     // SQL oracle — the driver records the weaker rows-only check, and

@@ -149,6 +149,21 @@ object RelationalQueries {
              CAST(sum(vehicle_count) AS BIGINT) AS daily_volume
       FROM stg_volume GROUP BY 1, 2""")),
 
+    // F12 (extension): null-safe equality (<=> / IS NOT DISTINCT FROM) —
+    // two independently-sanitized nullable columns compared without the
+    // three-valued-logic trap (NULL <=> NULL is true, not NULL).
+    QueryDef("f12_null_safe_eq", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = QualityExpr.sanitizeRange(col("value"), 0, 50)
+      val b = QualityExpr.sanitizeRange(col("value"), 25, 100)
+      ev.select(col("event_id"), (a <=> b).as("same_band"))
+    }, Some("""SELECT event_id,
+        (CASE WHEN value < 0 OR value > 50 THEN NULL ELSE value END)
+          IS NOT DISTINCT FROM
+        (CASE WHEN value < 25 OR value > 100 THEN NULL ELSE value END)
+          AS same_band
+      FROM events""")),
+
     // P1: projection + rename (reference 5_dbt/READ.md:150-159).
     QueryDef("p1_project_rename", (s, dir) =>
       Tables.lineitem(s, dir).select(

@@ -243,6 +243,22 @@ object WindowQueries {
         CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
       FROM sess GROUP BY 1, 2""")),
 
+    // W13 (extension): first_value/last_value over the full partition
+    // frame (explicit unbounded-following — last_value's default frame
+    // ends at the current row, the classic trap both engines share).
+    QueryDef("w13_first_last_value", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+    }, Some("""SELECT user_id, event_id,
+        first_value(event_type) OVER w AS first_type,
+        last_value(event_type) OVER w AS last_type
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
     // W12 (extension): the BUILT-IN session_window — same gap semantics
     // as w11 expressed declaratively (merge while next start < prev end;
     // an exact 30-min gap starts a new session, hence >= in the oracle).
