@@ -198,6 +198,29 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /**
+   * Cross-corpus n-gram contamination: documents in `corpus` sharing at
+   * least one k-token shingle with any document in `benchmark` — the
+   * standard decontamination sweep run before training on scraped data
+   * (13-gram overlap is the published convention). Both sides explode to
+   * hashed shingles; the join is a hash equi-join on the 64-bit shingle
+   * value, so cost is shuffle(shingles) — never |corpus| × |benchmark|.
+   * The benchmark side is usually tiny: broadcast it.
+   * Output: (doc_id, n_hits, n_bench_docs) per contaminated corpus doc.
+   */
+  def contaminationHits(corpus: DataFrame, corpusId: String, corpusText: String,
+                        benchmark: DataFrame, benchId: String, benchText: String,
+                        shingleK: Int = 13): DataFrame = {
+    val c = shingleFrame(corpus, corpusId, corpusText, shingleK)
+      .select(col(corpusId), explode(col("__sh")).as("__s"))
+    val b = shingleFrame(benchmark, benchId, benchText, shingleK)
+      .select(col(benchId).as("__bid"), explode(col("__sh")).as("__s"))
+    c.join(broadcast(b), Seq("__s"))
+      .groupBy(col(corpusId))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("__bid")).as("n_bench_docs"))
+  }
+
   /** Exact Jaccard over two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -307,6 +307,32 @@ object ExtQueries {
         round(CAST((SELECT count(*) FROM conv) AS DOUBLE) /
           (SELECT count(*) FROM fc) + 1e-9, 6) AS conversion_rate""")),
 
+    // Benchmark decontamination: corpus docs sharing any 13-token shingle
+    // with the benchmark set (the published n-gram-overlap convention).
+    // Spark joins 64-bit shingle hashes; the oracle joins the shingle
+    // STRINGS — equal iff no 64-bit collision, which the compare verifies.
+    QueryDef("ext_decontaminate", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("bench_id"), col("text"))
+      Dedup.contaminationHits(docs, "doc_id", "text",
+        bench, "bench_id", "text", shingleK = 13)
+    }, Some(s"""WITH ctoks AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+      bench AS (SELECT doc_id + 500000 AS bid, $DuckToks AS toks
+        FROM documents WHERE doc_id % 10 = 0),
+      csh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id,
+          unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks) - 11),
+              i -> array_to_string(toks[i:i+12], ' ')) END) AS sh
+        FROM ctoks)),
+      bsh AS (SELECT DISTINCT bid, sh FROM (SELECT bid,
+          unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks) - 11),
+              i -> array_to_string(toks[i:i+12], ' ')) END) AS sh
+        FROM bench))
+      SELECT doc_id, count(*) AS n_hits, count(DISTINCT bid) AS n_bench_docs
+      FROM csh JOIN bsh USING (sh) GROUP BY doc_id""")),
+
     // ---- Similarity search --------------------------------------------
 
     // Embedding-cosine near-dup: perturbed copies must pair with their
