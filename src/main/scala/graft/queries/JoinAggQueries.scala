@@ -87,16 +87,16 @@ object JoinAggQueries {
       def frame(prio: String, outCol: String) =
         orders.filter(col("o_orderpriority") === prio)
           .groupBy(col("o_custkey").as("custkey"))
-          .agg(round(avg(col("o_totalprice")), 4).as(outCol))
+          .agg(round(avg(col("o_totalprice")) + lit(1e-9), 4).as(outCol))
       val base = frame("1-URGENT", "avg_urgent")
       Joins.foldLeftJoins(base,
         Seq(frame("2-HIGH", "avg_high"), frame("3-MEDIUM", "avg_medium")),
         Seq("custkey")).na.fill(0d)
-    }, Some("""WITH f1 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice), 4) AS avg_urgent
+    }, Some("""WITH f1 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice) + 1e-9, 4) AS avg_urgent
         FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
-      f2 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice), 4) AS avg_high
+      f2 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice) + 1e-9, 4) AS avg_high
         FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1),
-      f3 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice), 4) AS avg_medium
+      f3 AS (SELECT o_custkey AS custkey, round(avg(o_totalprice) + 1e-9, 4) AS avg_medium
         FROM orders WHERE o_orderpriority = '3-MEDIUM' GROUP BY 1)
       SELECT f1.custkey, f1.avg_urgent,
         coalesce(f2.avg_high, 0) AS avg_high, coalesce(f3.avg_medium, 0) AS avg_medium
@@ -109,15 +109,15 @@ object JoinAggQueries {
       Joins.pivotInsteadOfJoins(
         Tables.orders(s, dir), "o_custkey", "o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM"),
-        round(avg(col("o_totalprice")), 4))
+        round(avg(col("o_totalprice")) + lit(1e-9), 4))
         .withColumnRenamed("o_custkey", "custkey")
         .withColumnRenamed("1-URGENT", "avg_urgent")
         .withColumnRenamed("2-HIGH", "avg_high")
         .withColumnRenamed("3-MEDIUM", "avg_medium"),
       Some("""SELECT o_custkey AS custkey,
-        round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS avg_urgent,
-        round(avg(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS avg_high,
-        round(avg(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS avg_medium
+        round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) + 1e-9, 4) AS avg_urgent,
+        round(avg(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) + 1e-9, 4) AS avg_high,
+        round(avg(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) + 1e-9, 4) AS avg_medium
         FROM orders GROUP BY 1""")),
 
     // J6: semi-join against a top-k key set (reference 3_BigQuery/READ.md:109-110).

@@ -262,6 +262,10 @@ object WindowQueries {
     // W12 (extension): the BUILT-IN session_window — same gap semantics
     // as w11 expressed declaratively (merge while next start < prev end;
     // an exact 30-min gap starts a new session, hence >= in the oracle).
+    // The oracle compares the REAL time difference (interval), not
+    // date_diff('second') boundary counts — session_window decides on
+    // exact timestamps, and a 1799.3s gap straddling a second boundary
+    // counts 1800 boundaries while being under the 30-min gap.
     QueryDef("w12_session_window", (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -272,7 +276,7 @@ object WindowQueries {
           col("n_events")),
       Some("""WITH flagged AS (SELECT user_id, event_id, ts,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
                ELSE 0 END AS gap_start
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (SELECT *, sum(gap_start) OVER (PARTITION BY user_id
