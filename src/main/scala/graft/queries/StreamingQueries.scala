@@ -94,6 +94,48 @@ object StreamingQueries {
     }, Some("""SELECT user_id, count(*) AS n_kept FROM (
         SELECT DISTINCT user_id, ts FROM events) GROUP BY user_id""")),
 
+    // Streaming session_window drained to completion: append mode emits a
+    // session only once the watermark passes its END, so the drain stages
+    // the fixture into a scratch dir and appends a far-future sentinel
+    // event to flush the tail sessions (a live feed advances naturally).
+    // Oracle = the batch session_window chain (w12), real users only.
+    QueryDef("st_session_window", (s, dir) => withStatePartitions(s, 8) {
+      val stage = java.nio.file.Files.createTempDirectory("graft_st_sw").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/a_events.parquet"))
+      val q = graft.streaming.EventStream.sessionWindowStats(
+          graft.streaming.EventStream.readEvents(s, stage, globFilter = "*.parquet"))
+        .writeStream.format("memory")
+        .queryName("graft_st_session").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val maxNanos = graft.core.Tables.events(s, dir)
+          .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
+        import s.implicits._
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sw_sent").toString
+        Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+        val part = new java.io.File(sentinelDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$stage/z_sentinel.parquet"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_st_session").filter(col("user_id") >= 0)
+    }, Some("""WITH flagged AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+               ELSE 0 END AS gap_start
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT *, sum(gap_start) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      FROM sess GROUP BY user_id, session_idx""")),
+
     // TRUE per-key streaming dedup (dropDuplicatesWithinWatermark): the
     // survivor row is arrival-order-dependent, so the registered output is
     // the survivor-independent KEY SET, which the batch oracle recomputes
