@@ -42,6 +42,18 @@ class ChecksSpec extends SparkSpec {
     assert(out.toSeq == Seq(1000d))
   }
 
+  test("freshness flags only keys staler than the allowed lag") {
+    val df = Seq(
+      ("a", "2024-01-31 23:00:00"), ("a", "2024-01-31 10:00:00"),
+      ("b", "2024-01-30 00:00:00"))
+      .toDF("k", "ts").select(col("k"), to_timestamp(col("ts")).as("ts"))
+    val out = Checks.freshness(df, "ts", Seq("k"),
+        to_timestamp(lit("2024-02-01 00:00:00")), maxLagSec = 6 * 3600)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // a's newest row is 1h old (fresh); b is 2 days old (stale)
+    assert(out.keySet == Set("b") && out("b") == 2 * 86400L)
+  }
+
   test("endBeforeStart + thresholded runner") {
     val df = Seq(("2024-01-01", "2024-01-02"), ("2024-01-05", "2024-01-04"))
       .toDF("s", "e")

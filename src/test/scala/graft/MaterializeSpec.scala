@@ -41,6 +41,17 @@ class MaterializeSpec extends SparkSpec {
     Materialize.dropWithLocation(spark, name)
   }
 
+  test("incremental without key or partitions is rejected") {
+    val name = "graft_test_inc_bad"
+    Materialize.dropWithLocation(spark, name)
+    val load = Seq((1L, 1L)).toDF("id", "v")
+    materialize(spark, name, load, AsIncremental())   // first run: full build, fine
+    intercept[IllegalArgumentException] {
+      materialize(spark, name, load, AsIncremental()) // second run has no strategy
+    }
+    Materialize.dropWithLocation(spark, name)
+  }
+
   test("incremental first run is a plain full build") {
     val name = "graft_test_inc_first"
     Materialize.dropWithLocation(spark, name)
