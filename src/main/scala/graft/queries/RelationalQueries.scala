@@ -149,6 +149,20 @@ object RelationalQueries {
              CAST(sum(vehicle_count) AS BIGINT) AS daily_volume
       FROM stg_volume GROUP BY 1, 2""")),
 
+    // F13 (extension): string shaping — pad/translate/repeat, the report
+    // formatting family (identical builtins in both engines).
+    QueryDef("f13_string_shape", (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        rpad(col("p_name"), 30, ".").as("name_padded"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        concat(repeat(lit("-"), 3), col("p_brand")).as("brand_tag")),
+      Some("""SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_padded,
+        rpad(p_name, 30, '.') AS name_padded,
+        translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+        repeat('-', 3) || p_brand AS brand_tag
+      FROM part""")),
+
     // F12 (extension): null-safe equality (<=> / IS NOT DISTINCT FROM) —
     // two independently-sanitized nullable columns compared without the
     // three-valued-logic trap (NULL <=> NULL is true, not NULL).

@@ -243,6 +243,19 @@ object WindowQueries {
         CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
       FROM sess GROUP BY 1, 2""")),
 
+    // W14 (extension): CUME_DIST — fraction of partition rows at or below
+    // the current order key (identical definition in both engines).
+    QueryDef("w14_cume_dist", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+        round(cume_dist().over(
+            Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey")))
+          + lit(1e-9), 6).as("bal_cume"))
+    }, Some("""SELECT c_custkey, c_nationkey,
+        round(cume_dist() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal, c_custkey) + 1e-9, 6) AS bal_cume
+      FROM customer""")),
+
     // W13 (extension): first_value/last_value over the full partition
     // frame (explicit unbounded-following — last_value's default frame
     // ends at the current row, the classic trap both engines share).
