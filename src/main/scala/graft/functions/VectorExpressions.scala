@@ -114,11 +114,15 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
-  * function set at session build time (SURVEY §2.10 escalation path c). */
+  * full graft Catalyst set at session build time (SURVEY §2.10 path c):
+  * the codegen'd function AND the fused top-k planner strategy — the
+  * config-only twin of `GraftFunctions.register` + `GraftStrategy.install`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }
