@@ -100,6 +100,24 @@ object TextOps {
   }
 
   /**
+   * Repeated n-gram fraction (a Gopher-style repetition signal):
+   * 1 − distinct(n-grams)/total(n-grams). High values mark the looping,
+   * boilerplate-heavy text a training corpus filters out. 0 for docs
+   * shorter than n tokens.
+   */
+  def repetitionRatio(text: Column, n: Int = 2): Column =
+    letCol(tokens(lower(text))) { ts =>
+      // guard first: Spark's sequence(1, stop) DESCENDS when stop < 1
+      // instead of producing an empty array
+      when(size(ts) < n, 0d).otherwise(
+        letCol(transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))) {
+          grams =>
+            lit(1d) - size(array_distinct(grams)).cast("double") / size(grams)
+        })
+    }
+
+  /**
    * 64-bit document fingerprint: xxhash64 over the
    * whitespace-normalized, lowercased text — equal fingerprints ==
    * equal normalized content (modulo 64-bit collisions).

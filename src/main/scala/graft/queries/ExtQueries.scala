@@ -148,6 +148,36 @@ object ExtQueries {
       surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm)
       SELECT doc_id, quality_score FROM surv JOIN gated USING (doc_id)""")),
 
+    // Repetition signal: repeated 2-gram / 3-gram fraction per document
+    // (a Gopher-style filter for looping or boilerplate text). Synthetic
+    // high-repetition docs are derived in-query so the signal separates.
+    QueryDef("ext_text_repetition", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val loops = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      docs.unionByName(loops).select(col("doc_id"),
+        round(TextOps.repetitionRatio(col("text"), 2) + lit(1e-9), 6).as("rep2"),
+        round(TextOps.repetitionRatio(col("text"), 3) + lit(1e-9), 6).as("rep3"))
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text || ' ' || text FROM documents
+        WHERE doc_id % 50 = 0),
+      t AS (SELECT doc_id, $DuckToks AS toks FROM all_docs),
+      g AS (SELECT doc_id,
+          CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1]) END AS g2,
+          CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS g3
+        FROM t)
+      SELECT doc_id,
+        round(CASE WHEN len(g2) = 0 THEN 0 ELSE
+          1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END + 1e-9, 6) AS rep2,
+        round(CASE WHEN len(g3) = 0 THEN 0 ELSE
+          1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END + 1e-9, 6) AS rep3
+      FROM g""")),
+
     // ---- Deduplication ------------------------------------------------
 
     // Exact dedup: ASCII-case/whitespace variants of even en-docs must

@@ -32,6 +32,18 @@ class PropertySpec extends SparkSpec {
     assert(cis(2).contains(1.0) && cis(3).contains(1.0))
   }
 
+  test("repetitionRatio: 0 for short/unique docs, high for looped text") {
+    val df = Seq(
+      (1L, "one"),                               // shorter than n -> 0
+      (2L, "all words here are unique tokens"),  // no repeats -> 0
+      (3L, "ha ha ha ha ha ha ha ha"))           // one distinct 2-gram
+      .toDF("id", "text")
+      .select(col("id"), graft.ext.TextOps.repetitionRatio(col("text"), 2).as("r"))
+    val r = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.0)
+    assert(r(3L) > 0.8, "looped text must score near 1")
+  }
+
   test("TopKBuffer equals sort-then-take for random inputs, any k") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 50) {
