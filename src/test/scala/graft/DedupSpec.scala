@@ -81,6 +81,39 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty, "fixture construction must yield near-dup pairs")
   }
 
+  test("connectedComponents resolves chains, stars, and singleton edges") {
+    // components: {1,2,3,4} (a path — forces multiple contraction rounds),
+    // {10,11,12} (a star), {20,21} (one edge)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles duplicate/reversed edges and empty input") {
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 1L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L))
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.count() == 0)
+  }
+
+  test("nearDupClusters partitions the corpus; canonical = component min") {
+    val out = Dedup.nearDupClusters(corpus, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val comp = out.map(t => t._1 -> t._2).toMap
+    assert(comp.keySet == Set(1L, 2L, 3L, 4L, 5L), "every doc gets a component")
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(4L) == 1L,
+      "near-dup chain 1~2, 1~4 collapses to one component rooted at 1")
+    assert(comp(3L) == 3L && comp(5L) == 5L, "unrelated docs stay singletons")
+    assert(out.forall { case (id, c, canon) => canon == (id == c) })
+  }
+
   test("fingerprint is whitespace/case-normalized") {
     val fps = corpus.select(TextOps.fingerprint(col("text")))
       .collect().map(_.getLong(0))
