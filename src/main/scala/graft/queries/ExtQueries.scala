@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * LLM-training-data extension operators (BASELINE north star): text
@@ -398,6 +398,82 @@ object ExtQueries {
         FROM bench))
       SELECT doc_id, count(*) AS n_hits, count(DISTINCT bid) AS n_bench_docs
       FROM csh JOIN bsh USING (sh) GROUP BY doc_id""")),
+
+    // ---- Corpus management (splits, sampling, packing, PII) -----------
+
+    // Deterministic train/val/test split: the md5-cell range split every
+    // training pipeline needs — a pure projection (no shuffle, no RNG),
+    // identical assignment in any engine, stable under appends.
+    QueryDef("ext_split_hashmod", (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Corpus.hashCell(col("doc_id")).as("cell"),
+        Corpus.hashSplit(col("doc_id")).as("split")),
+      Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS cell,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents""")),
+
+    // Stratified 20% sample per language: exact per-stratum quotas via a
+    // count window + deterministic (md5, id) ordering — one shuffle on the
+    // stratum key, no driver loop, reproducible.
+    QueryDef("ext_stratified_sample", (s, dir) =>
+      Corpus.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", frac = 0.2),
+      Some("""WITH t AS (SELECT doc_id, lang,
+          count(*) OVER (PARTITION BY lang) AS n,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.2)""")),
+
+    // Sequence packing: greedy running-token-count binning into 512-token
+    // context windows, packed WITHIN each language partition (global
+    // concatenation order would serialize the corpus through one task).
+    QueryDef("ext_pack_sequences", (s, dir) =>
+      Corpus.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", binSize = 512),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(len($DuckToksRaw) AS BIGINT) AS n_tokens FROM documents),
+        p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS prev FROM t)
+      SELECT doc_id, lang, n_tokens,
+        CAST(floor(prev / 512.0) AS BIGINT) AS bin,
+        CAST(prev % 512 AS BIGINT) AS bin_offset
+      FROM p""")),
+
+    // PII scrubbing: redact emails and phone-shaped tokens (RE2-safe
+    // patterns), with per-doc redaction counts for density gating.
+    // Deterministic PII is injected on a doc_id stride so the redaction
+    // path actually fires.
+    QueryDef("ext_pii_scrub", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val withPii = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-0142.")))
+          .otherwise(col("text")))
+      withPii.select(col("doc_id"),
+        Corpus.emailCount(col("text")).cast("long").as("n_emails"),
+        Corpus.phoneCount(col("text")).cast("long").as("n_phones"),
+        Corpus.scrubPii(col("text")).as("scrubbed"))
+    }, Some("""WITH t AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@example.com or call 555-0142.'
+          ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+      FROM t""")),
 
     // ---- Similarity search --------------------------------------------
 

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic and roughly 90/5/5") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val counts = ids.select(Corpus.hashSplit(col("id")).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1700 && counts("train") < 1890)
+    assert(counts("val") > 50 && counts("val") < 160)
+    assert(counts("test") > 50 && counts("test") < 160)
+    // stable across evaluations (pure projection, no RNG)
+    val a = ids.select(col("id"), Corpus.hashSplit(col("id")).as("s")).collect().toSeq
+    val b = ids.select(col("id"), Corpus.hashSplit(col("id")).as("s")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("stratifiedSample takes exactly ceil(frac*n) rows per stratum") {
+    val df = (1 to 97).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val out = Corpus.stratifiedSample(df, "stratum", "id", 0.2)
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == math.ceil(32 * 0.2).toLong)   // 32 multiples of 3
+    assert(out("b") == math.ceil(65 * 0.2).toLong)
+  }
+
+  test("packSequences bins by running size within each partition") {
+    val df = Seq((1L, "x", 300L), (2L, "x", 300L), (3L, "x", 300L),
+      (4L, "y", 600L), (5L, "y", 100L))
+      .toDF("id", "part", "sz")
+    val out = Corpus.packSequences(df, "part", "id", "sz", 512)
+      .select("id", "bin", "bin_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 300L)))
+    assert(out(3L) == ((1L, 88L)))    // prev=600 -> bin 1, offset 88
+    assert(out(4L) == ((0L, 0L)))     // partition y restarts
+    assert(out(5L) == ((1L, 88L)))    // prev=600 in y
+  }
+
+  test("scrubPii redacts emails and phone-shaped tokens, counts match") {
+    val df = Seq((1L, "write to a.user+tag@mail.example.org or 555-0199 now"),
+      (2L, "no pii here at all")).toDF("id", "text")
+    val out = df.select(col("id"), Corpus.scrubPii(col("text")).as("s"),
+        Corpus.emailCount(col("text")).as("ne"),
+        Corpus.phoneCount(col("text")).as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L)._1 == "write to <EMAIL> or <PHONE> now")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(2L) == (("no pii here at all", 0, 0)))
+  }
+}
