@@ -384,6 +384,22 @@ object JoinAggQueries {
         arg_max(event_type, event_id) AS last_type, count(*) AS n
         FROM events GROUP BY user_id""")),
 
+    // A19 (extension): GROUPING SETS — the explicit subtotal list CUBE and
+    // ROLLUP are special cases of (status totals, priority totals, grand
+    // total; never the full cross combination).
+    QueryDef("a19_grouping_sets", (s, dir) =>
+      Tables.orders(s, dir).groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
     // 100 TB escape hatches (SURVEY §2.4 A1/A5 notes): sketch-based
     // percentile and distinct-count. Algorithms differ per engine, so no
     // SQL oracle — the driver records the weaker rows-only check, and

@@ -163,6 +163,44 @@ object RelationalQueries {
         repeat('-', 3) || p_brand AS brand_tag
       FROM part""")),
 
+    // P11 (extension): posexplode — one row per array element WITH its
+    // ordinal, the lateral-view shape every tokenizing pipeline uses.
+    QueryDef("p11_posexplode", (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("word")),
+      Some("""SELECT p_partkey,
+        CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos, unnest(w) AS word
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)""")),
+
+    // F14 (extension): map functions — str_to_map over a kv-pair string,
+    // keyed lookup (missing key → NULL) and cardinality; the config-blob
+    // parsing shape.
+    QueryDef("f14_map_funcs", (s, dir) => {
+      def kv = when(col("p_partkey") % 2 === 0,
+        concat(lit("brand="), col("p_brand"), lit(",size="),
+          col("p_size").cast("string"), lit(",grade=a")))
+        .otherwise(concat(lit("brand="), col("p_brand"), lit(",size="),
+          col("p_size").cast("string")))
+      def m = str_to_map(kv, lit(","), lit("="))
+      Tables.part(s, dir).select(col("p_partkey"),
+        element_at(m, "brand").as("brand_val"),
+        element_at(m, "size").as("size_val"),
+        element_at(m, "grade").as("grade_val"),
+        size(m).cast("long").as("n_keys"))
+    }, Some("""WITH t AS (SELECT p_partkey,
+          CASE WHEN p_partkey % 2 = 0
+            THEN 'brand=' || p_brand || ',size=' || CAST(p_size AS VARCHAR) || ',grade=a'
+            ELSE 'brand=' || p_brand || ',size=' || CAST(p_size AS VARCHAR)
+          END AS kv FROM part)
+      SELECT p_partkey,
+        nullif(regexp_extract(kv, 'brand=([^,]*)', 1), '') AS brand_val,
+        nullif(regexp_extract(kv, 'size=([^,]*)', 1), '') AS size_val,
+        nullif(regexp_extract(kv, 'grade=([^,]*)', 1), '') AS grade_val,
+        CAST(len(string_split(kv, ',')) AS BIGINT) AS n_keys
+      FROM t""")),
+
     // F12 (extension): null-safe equality (<=> / IS NOT DISTINCT FROM) —
     // two independently-sanitized nullable columns compared without the
     // three-valued-logic trap (NULL <=> NULL is true, not NULL).
