@@ -225,6 +225,51 @@ object Similarity {
       .select(col(labelCol).as("centroid_label"),
         transform(col("__pairs"), p => p.getField("__avg")).as("centroid"))
 
+  /**
+   * IVF (inverted-file) ANN search — the coarse-quantizer scale path:
+   * vectors are assigned once to their nearest of `nlist` centroid cells
+   * (a hash-partition-initialized one-pass average — deterministic, no
+   * iterative k-means, engine-portable); a probe then scores ONLY the
+   * vectors in its `nprobe` nearest cells. Per-probe cost drops from
+   * |vectors| to ~|vectors| × nprobe / nlist; `nprobe` is the recall/cost
+   * knob (nprobe = nlist degrades gracefully to brute force).
+   *
+   * Scale shape: the centroid table (nlist × dim doubles) broadcasts to
+   * both assignments; the probe-cell table broadcasts to the candidate
+   * join, so the vector side never shuffles — candidates flow map-side
+   * into the per-probe top-k window, which moves only (probe, id, score).
+   * Centroid components are fp-stabilized (round 6) so cell assignment is
+   * reproducible across engines.
+   */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              probes: DataFrame, probeIdCol: String, probeVecCol: String,
+              k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val cents = centroids(
+        vectors.withColumn("__lbl", col(idCol) % nlist), "__lbl", vecCol)
+      .select(col("centroid_label"),
+        transform(col("centroid"), x => round(x + lit(1e-9), 6)).as("centroid"))
+    val vass = assignNearestCentroid(vectors, idCol, vecCol, cents)
+      .select(col(idCol), col("assigned_label").as("__cell"))
+    val vcell = vectors.join(vass, Seq(idCol))
+    val pscored = probes.crossJoin(broadcast(cents))
+      .withColumn("__s",
+        round(cosineNative(col(probeVecCol), col("centroid")) + lit(1e-9), 6))
+    val pcells = pscored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(desc("__s"), col("centroid_label"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col(probeIdCol), col(probeVecCol), col("centroid_label").as("__cell"))
+    val scored = vcell.join(broadcast(pcells), Seq("__cell"))
+      .withColumn("score",
+        round(cosineNative(col(vecCol), col(probeVecCol)) + lit(1e-9), 6))
+      .select(col(probeIdCol), col(idCol), col("score"))
+    scored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   def assignNearestCentroid(vectors: DataFrame, idCol: String, vecCol: String,
                             cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)

@@ -617,6 +617,53 @@ object ExtQueries {
         SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3"""
     }),
 
+    // IVF coarse-quantizer ANN: one-pass centroids (hash-partition init,
+    // fp-stabilized), vectors assigned to their nearest cell, probes
+    // scored against their nprobe=2 of nlist=8 nearest cells only. The
+    // oracle replicates the full IVF candidate semantics — centroid
+    // averages, cell assignment, probe cells, and final top-k.
+    QueryDef("ext_sim_ivf", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, nlist = 8, nprobe = 2)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      dimvals AS (SELECT vec_id % 8 AS lbl, generate_subscripts(e, 1) AS dim,
+          unnest(e) AS val FROM v),
+      cent AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
+        FROM dimvals GROUP BY 1, 2),
+      centv AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM cent GROUP BY lbl),
+      vscore AS (SELECT v.vec_id, c.lbl,
+          round(list_inner_product(v.e, c.cv) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM v CROSS JOIN centv c),
+      vass AS (SELECT vec_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY s DESC, lbl) AS rn FROM vscore)
+        WHERE rn = 1),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      pscore AS (SELECT p.probe_id, c.lbl,
+          round(list_inner_product(p.pe, c.cv) /
+            nullif(sqrt(list_inner_product(p.pe, p.pe))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM p CROSS JOIN centv c),
+      pcells AS (SELECT probe_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY probe_id ORDER BY s DESC, lbl) AS rn FROM pscore)
+        WHERE rn <= 2),
+      cand AS (SELECT pc.probe_id, va.vec_id
+        FROM pcells pc JOIN vass va ON va.lbl = pc.lbl),
+      scored AS (SELECT c.probe_id, c.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM cand c JOIN v ON v.vec_id = c.vec_id
+        JOIN p ON p.probe_id = c.probe_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
     // ---- Multimodal plumbing ------------------------------------------
 
     // Binary payload + typed metadata (decode stubbed; schema/plumbing real).

@@ -139,6 +139,34 @@ class SimilaritySpec extends SparkSpec {
       "documented setting (bits=4, 8 tables, multiprobe) must reach 0.9 recall")
   }
 
+  test("IVF: nprobe=nlist degrades to brute force; nprobe=2 keeps self-hit") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probes = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3)
+      .select("probe_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full probing scans every cell — must equal the exact answer
+    val full = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, nlist = 8, nprobe = 8)
+      .select("probe_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == truth, "nprobe = nlist must reproduce brute force exactly")
+    // narrow probing: every probe's own vector lives in the probe's best
+    // cell by construction, so the self-hit (score 1) must survive
+    val narrow = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, nlist = 8, nprobe = 2)
+    val self = narrow.filter(col("probe_id") === col("vec_id")).collect()
+    assert(self.length == probes.count(), "self-hit must survive IVF pruning")
+    val rec = (narrow.select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map((p: (Long, Long)) => p)
+      intersect truth.map(t => (t._1, t._2))).size.toDouble / truth.size
+    info(f"ivf nlist=8 nprobe=2 recall=$rec%.3f")
+    assert(rec >= 0.5, "nprobe=2/8 should keep at least half the true top-k")
+  }
+
   test("centroid assignment covers every vector exactly once") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
