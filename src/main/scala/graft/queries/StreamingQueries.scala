@@ -140,6 +140,26 @@ object StreamingQueries {
     // survivor row is arrival-order-dependent, so the registered output is
     // the survivor-independent KEY SET, which the batch oracle recomputes
     // as a plain DISTINCT.
+    // Streaming upsert into a warehouse table: the fixture is staged into
+    // 4 files and drained one file per micro-batch, so the per-user stats
+    // table is genuinely merged 4 times (combine: sum counts / max ts —
+    // commutative, so batch order cannot matter). Drained-to-completion
+    // table == the one-shot batch aggregate.
+    QueryDef("st_incremental_upsert", (s, dir) => withStatePartitions(s, 8) {
+      val table = "graft_stream_user_stats"
+      graft.core.Materialize.dropWithLocation(s, table)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stage = java.nio.file.Files.createTempDirectory("graft_st_ups").toString
+      s.read.schema(EventStream.rawSchema).parquet(s"$dir/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(stage)
+      val q = EventStream.upsertUserStats(
+        EventStream.readEvents(s, stage, globFilter = "*.parquet",
+          maxFilesPerTrigger = 1), table)
+      try q.processAllAvailable() finally q.stop()
+      s.table(table)
+    }, Some("""SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+      FROM events GROUP BY user_id""")),
+
     QueryDef("st_dedup_bykey", (s, dir) => withStatePartitions(s, 8) {
       val q = EventStream.dedupStreamByKey(EventStream.readEvents(s, dir),
           Seq("user_id"))

@@ -203,6 +203,40 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /**
+   * Streaming upsert into a warehouse table (foreachBatch → incremental
+   * merge): each micro-batch aggregates per user, COMBINES with the
+   * table's current row (sum counts, max timestamps — the fold must be
+   * commutative across batches because micro-batch order is not a
+   * contract), and merges by key through
+   * [[graft.core.Materialize.AsIncremental]] — the streaming twin of the
+   * dbt incremental mart. On a transactional table format the
+   * combine+merge collapses into one MERGE INTO; the per-batch shape is
+   * identical.
+   */
+  def upsertUserStats(events: DataFrame, table: String): StreamingQuery = {
+    val spark = events.sparkSession
+    val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, _) =>
+      val bagg = batch.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      val merged =
+        if (!spark.catalog.tableExists(table)) bagg
+        else {
+          val prev = spark.table(table).select(col("user_id"),
+            col("n_events").as("__pn"), col("last_ts").as("__pt"))
+          bagg.join(prev, Seq("user_id"), "left")
+            .select(col("user_id"),
+              (col("n_events") + coalesce(col("__pn"), lit(0L))).as("n_events"),
+              greatest(col("last_ts"), coalesce(col("__pt"), col("last_ts")))
+                .as("last_ts"))
+        }
+      graft.core.Materialize.materialize(spark, table, merged,
+        graft.core.Materialize.AsIncremental(uniqueKey = Seq("user_id")))
+      ()
+    }
+    events.writeStream.foreachBatch(step).start()
+  }
+
   /** Start a parquet sink with checkpointing (the streaming S4). */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    mode: OutputMode = OutputMode.Append()): StreamingQuery =
