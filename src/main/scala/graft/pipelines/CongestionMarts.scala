@@ -155,12 +155,23 @@ object CongestionMarts {
    * per-location stat block (A7) incl. COUNT(DISTINCT day) (A5) over the
    * joined location attributes.
    */
+  /** Order-independent mean of an already-6-digit-rounded double: scale
+    * to an exact BIGINT (×1e6), sum integers (associative — no
+    * summation-order ulps), divide once. `avg(double)` over hundreds of
+    * rows can land the 6th rounded digit on either side of a boundary
+    * depending on partition/accumulation order — the one fp hazard the
+    * per-hour rounding upstream cannot absorb, and the cause of two
+    * rounds of environment-sensitive hash flips on this mart. */
+  private def stableMean6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(round(c * lit(1e6)).cast("long")).cast("double") /
+      (count(c).cast("double") * lit(1e6)) + lit(1e-9), 6)
+
   def locationStats(spark: SparkSession, dir: String): DataFrame =
     intCongestionMetrics(spark, dir)
       .groupBy("location_id", "road_name", "road_type", "lanes", "speed_limit",
         "is_highway")
-      .agg(round(avg(col("avg_speed")) + lit(1e-9), 6).as("mean_speed"),
-        round(avg(col("congestion_index")) + lit(1e-9), 6).as("mean_congestion"),
+      .agg(stableMean6(col("avg_speed")).as("mean_speed"),
+        stableMean6(col("congestion_index")).as("mean_congestion"),
         countDistinct(to_date(col("recorded_hour"))).as("active_days"),
         // integral-valued double sum → BIGINT so the hash is fp-free
         sum(col("total_volume")).cast("long").as("total_volume"),

@@ -264,8 +264,10 @@ object PipelineQueries {
     QueryDef("pl_mart_location_stats", (s, dir) => CongestionMarts.locationStats(s, dir),
       Some(s"""WITH $IntChain
         SELECT location_id, road_name, road_type, lanes, speed_limit, is_highway,
-          round(avg(avg_speed) + 1e-9, 6) AS mean_speed,
-          round(avg(congestion_index) + 1e-9, 6) AS mean_congestion,
+          round(sum(CAST(round(avg_speed * 1000000) AS BIGINT))
+            / (count(avg_speed) * 1000000.0) + 1e-9, 6) AS mean_speed,
+          round(sum(CAST(round(congestion_index * 1000000) AS BIGINT))
+            / (count(congestion_index) * 1000000.0) + 1e-9, 6) AS mean_congestion,
           count(DISTINCT CAST(recorded_hour AS DATE)) AS active_days,
           CAST(sum(total_volume) AS BIGINT) AS total_volume,
           sum(n_incidents) AS total_incidents,

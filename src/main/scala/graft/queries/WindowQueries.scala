@@ -216,6 +216,14 @@ object WindowQueries {
     // of streaming mapGroupsWithState): a session starts when the
     // per-user event gap exceeds 30 min; session index = running count of
     // starts. One shuffle on user_id; both window passes share it.
+    // Gap/duration arithmetic is integer floor-seconds on BOTH sides:
+    // Spark `cast(ts as long)` == DuckDB `epoch_us(ts) // 1000000`. The
+    // oracle deliberately avoids date_diff('second', ...) — its
+    // boundary-crossing semantics on sub-second (ns-precision parquet)
+    // timestamps vary by engine version, while epoch µs floor-division
+    // is single-semantics everywhere (same class of divergence the w12
+    // oracle dodges with real INTERVAL compares). Window order is pinned
+    // to µs (epoch_us) so an ns-reading oracle sorts like Spark.
     QueryDef("w11_sessionize_batch", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -231,16 +239,18 @@ object WindowQueries {
         .agg(count(lit(1)).as("n_events"),
           (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
             .as("duration_sec"))
-    }, Some("""WITH flagged AS (SELECT user_id, event_id, ts,
+    }, Some("""WITH flagged AS (SELECT user_id, event_id,
+          epoch_us(ts) AS ts_us,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                 OR (epoch_us(ts) // 1000000)
+                    - (epoch_us(lag(ts) OVER w) // 1000000) > 1800 THEN 1
                ELSE 0 END AS gap_start
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
       sess AS (SELECT *, sum(gap_start) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+          ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
         FROM flagged)
       SELECT user_id, session_idx, count(*) AS n_events,
-        CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+        CAST(max(ts_us // 1000000) - min(ts_us // 1000000) AS BIGINT) AS duration_sec
       FROM sess GROUP BY 1, 2""")),
 
     // W14 (extension): CUME_DIST — fraction of partition rows at or below
