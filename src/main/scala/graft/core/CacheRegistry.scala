@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.Dataset
+
+/**
+ * Tracked persist() for library operators that need a cost barrier
+ * (e.g. [[graft.ext.Dedup]] shingle/signature/simhash frames feed several
+ * downstream joins — without a barrier the expensive scan recomputes per
+ * consumer).
+ *
+ * A bare `persist()` inside a library function leaks: the caller gets the
+ * cached frame but no release handle, so long-lived sessions composing
+ * these operators accrete cached partitions. Operators persist through
+ * [[persistTracked]] instead, and callers release everything graft cached
+ * with one [[releaseAll]] once results are materialized (the Verify/Bench
+ * harnesses use the broader `spark.catalog.clearCache()` since they own
+ * the whole session).
+ */
+object CacheRegistry {
+
+  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist `ds` and register it for a later [[releaseAll]]. */
+  def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    frames.add(ds)
+    ds
+  }
+
+  /** Unpersist every frame persisted through [[persistTracked]]. */
+  def releaseAll(): Unit = {
+    var d = frames.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = frames.poll()
+    }
+  }
+
+  /** Number of currently-tracked cached frames (for tests/diagnostics). */
+  def trackedCount: Int = frames.size()
+}

@@ -58,6 +58,17 @@ object Materialize {
     spark.table(name)
   }
 
+  /** Best-effort recursive delete of a local scratch directory. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
+  }
+
   /** Drop a managed table AND its warehouse location (a location can
     * survive from a previous session whose in-memory catalog is gone). */
   def dropWithLocation(spark: SparkSession, name: String): Unit = {
@@ -106,13 +117,17 @@ object Materialize {
         // STAGED to a scratch location before the table is overwritten —
         // a cache barrier is not enough here because DROP TABLE uncaches
         // every plan that references the table, which would force the
-        // rewrite to recompute from the files it just deleted. On a
-        // transactional table format (Iceberg/Delta) MERGE INTO replaces
-        // this stage-and-swap.
+        // rewrite to recompute from the files it just deleted. NOTE: this
+        // merge path is therefore a FULL REWRITE of the table per run —
+        // only the insert_overwrite branch above is truly incremental on
+        // parquet. On a transactional table format (Iceberg/Delta) a
+        // MERGE INTO replaces both the stage-and-swap and the rewrite.
         val merged = spark.table(name).join(df, keys, "left_anti").unionByName(df)
-        val stage = java.nio.file.Files.createTempDirectory("graft_inc_stage").toString
-        merged.write.mode(SaveMode.Overwrite).parquet(stage)
-        materialize(spark, name, spark.read.parquet(stage), AsTable(parts))
+        val stagePath = java.nio.file.Files.createTempDirectory("graft_inc_stage")
+        try {
+          merged.write.mode(SaveMode.Overwrite).parquet(stagePath.toString)
+          materialize(spark, name, spark.read.parquet(stagePath.toString), AsTable(parts))
+        } finally deleteRecursively(stagePath)
       }
   }
 }

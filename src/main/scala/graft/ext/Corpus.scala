@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
  *  - [[stratifiedSample]] shuffles once on the stratum key; per-stratum
  *    quota is computed inline by a count window, so no driver round-trip
  *    per stratum.
- *  - [[packSequences]] packs WITHIN a partition key (a global
- *    concatenation order would serialize the corpus through one task —
- *    the anti-scale shape); each partition's running token sum is one
- *    window pass.
+ *  - [[packSequences]] / [[packSequencesStrided]] pack WITHIN a partition
+ *    key (a global concatenation order would serialize the corpus through
+ *    one task — the anti-scale shape); each partition key costs one
+ *    sorted pass.
  *  - [[scrubPii]] is codegen'd regexp_replace — streams through the scan.
  */
 object Corpus {
@@ -62,14 +62,58 @@ object Corpus {
   }
 
   /**
-   * Greedy sequence packing by running token count: documents are laid
-   * out in (partition, order) sequence; a document starting at running
-   * offset p goes to context-window bin floor(p / binSize) at offset
-   * p mod binSize. One window pass per partition key; bins are stable
-   * under append because the order column is explicit.
+   * TRUE greedy (next-fit) sequence packing: documents are visited in
+   * (partition, order) sequence; a document that does not fit in the
+   * current bin starts a new one, so `bin_offset + size <= binSize` is an
+   * invariant for every document with `size <= binSize` (an oversize
+   * document gets its own bin at offset 0 and must be pre-split).
+   *
+   * The fill recurrence is sequential per partition key — exactly the
+   * dependency a window sum cannot express — so this runs as a
+   * mapPartitions pass over rows sorted by (partCol, orderCol), the same
+   * single-pass-per-key cost shape as a window. Placement is stable under
+   * append: later-ordered documents never move earlier ones.
    */
   def packSequences(df: DataFrame, partCol: String, orderCol: String,
                     sizeCol: String, binSize: Int): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val outSchema = df.schema
+      .add("bin", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("bin_offset", org.apache.spark.sql.types.LongType, nullable = false)
+    val kIdx = df.schema.fieldIndex(partCol)
+    val sIdx = df.schema.fieldIndex(sizeCol)
+    df.repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(orderCol))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var started = false
+        var bin = 0L
+        var fill = 0L
+        rows.map { r =>
+          val k = r.get(kIdx)
+          if (!started || !java.util.Objects.equals(k, curKey)) {
+            curKey = k; started = true; bin = 0L; fill = 0L
+          }
+          val s = r.getAs[Number](sIdx).longValue
+          if (fill > 0L && fill + s > binSize) { bin += 1L; fill = 0L }
+          val offset = fill
+          fill += s
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin :+ offset)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
+   * Strided layout packing (the split-on-boundary convention): a document
+   * starting at running offset p is assigned bin floor(p / binSize) at
+   * offset p mod binSize. A document may STRADDLE a bin boundary —
+   * downstream must split/truncate it at the boundary (the layout wastes
+   * zero tokens, the usual trade for causal-LM packing with document
+   * splitting). Use [[packSequences]] when bin capacity must be an
+   * invariant instead. Pure window pass — no sequential state.
+   */
+  def packSequencesStrided(df: DataFrame, partCol: String, orderCol: String,
+                           sizeCol: String, binSize: Int): DataFrame = {
     val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__prev", coalesce(sum(col(sizeCol)).over(w), lit(0L)))

@@ -143,7 +143,7 @@ object Dedup {
             }.distinct
           (id, sh)
         }
-      }.toDF(idCol, "__sh").persist()
+      }.toDF(idCol, "__sh").transform(graft.core.CacheRegistry.persistTracked)
   }
 
   /** Typed minhash signatures over a shingle frame (hot path twin of
@@ -169,7 +169,7 @@ object Dedup {
           }
           (id, sig)
         }
-      }.toDF(idCol, "__sig").persist()
+      }.toDF(idCol, "__sig").transform(graft.core.CacheRegistry.persistTracked)
   }
 
   /**
@@ -310,7 +310,7 @@ object Dedup {
     // persist: feeds the banded self-join AND both verification joins —
     // without the barrier the simhash scan recomputes 4x (ownership: see
     // the caching note on shingleFrame; callers release via clearCache)
-    val sh = simhashFrame(df, idCol, textCol).persist()
+    val sh = graft.core.CacheRegistry.persistTracked(simhashFrame(df, idCol, textCol))
     simhashCandidates(sh, idCol, "simhash", bands)
       .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))

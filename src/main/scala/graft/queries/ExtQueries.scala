@@ -321,7 +321,7 @@ object ExtQueries {
           explode(TextOps.tokens(lower(col("text")))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
         .withColumn("toklen", sum(col("tc")).over(Window.partitionBy("doc_id")))
-        .persist()
+        .transform(graft.core.CacheRegistry.persistTracked)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, Seq("term"))
@@ -428,11 +428,13 @@ object ExtQueries {
         FROM documents)
       SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.2)""")),
 
-    // Sequence packing: greedy running-token-count binning into 512-token
-    // context windows, packed WITHIN each language partition (global
-    // concatenation order would serialize the corpus through one task).
+    // Sequence packing, strided layout: running-token-count binning into
+    // 512-token context windows, packed WITHIN each language partition
+    // (global concatenation order would serialize the corpus through one
+    // task). Documents may straddle a bin boundary — downstream splits
+    // them (see ext_pack_greedy for the capacity-invariant variant).
     QueryDef("ext_pack_sequences", (s, dir) =>
-      Corpus.packSequences(
+      Corpus.packSequencesStrided(
         Tables.documents(s, dir).select(col("doc_id"), col("lang"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
         "lang", "doc_id", "n_tokens", binSize = 512),
@@ -445,6 +447,35 @@ object ExtQueries {
         CAST(floor(prev / 512.0) AS BIGINT) AS bin,
         CAST(prev % 512 AS BIGINT) AS bin_offset
       FROM p""")),
+
+    // Sequence packing, TRUE next-fit: a doc that doesn't fit starts a
+    // new bin, so bin_offset + n_tokens <= 512 is an invariant (oversize
+    // docs excluded by construction here: docs are capped at 512 via
+    // least()). The sequential fill recurrence has no window-sum form —
+    // the oracle walks each language partition with a recursive CTE.
+    QueryDef("ext_pack_greedy", (s, dir) =>
+      Corpus.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          least(TextOps.tokenCount(col("text")).cast("long"), lit(512L))
+            .as("n_tokens")),
+        "lang", "doc_id", "n_tokens", binSize = 512),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, lang,
+          least(CAST(len($DuckToksRaw) AS BIGINT), 512) AS n_tokens,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+      pack AS (
+        SELECT doc_id, lang, n_tokens, rn,
+          CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+          n_tokens AS fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
+          CASE WHEN p.fill + t.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+          CASE WHEN p.fill + t.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+          CASE WHEN p.fill + t.n_tokens > 512 THEN t.n_tokens
+               ELSE p.fill + t.n_tokens END
+        FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+      SELECT doc_id, lang, n_tokens, bin, bin_offset FROM pack""")),
 
     // PII scrubbing: redact emails and phone-shaped tokens (RE2-safe
     // patterns), with per-doc redaction counts for density gating.

@@ -30,11 +30,11 @@ class CorpusSpec extends SparkSpec {
     assert(out("b") == math.ceil(65 * 0.2).toLong)
   }
 
-  test("packSequences bins by running size within each partition") {
+  test("packSequencesStrided bins by running size within each partition") {
     val df = Seq((1L, "x", 300L), (2L, "x", 300L), (3L, "x", 300L),
       (4L, "y", 600L), (5L, "y", 100L))
       .toDF("id", "part", "sz")
-    val out = Corpus.packSequences(df, "part", "id", "sz", 512)
+    val out = Corpus.packSequencesStrided(df, "part", "id", "sz", 512)
       .select("id", "bin", "bin_offset")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out(1L) == ((0L, 0L)))
@@ -42,6 +42,26 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((1L, 88L)))    // prev=600 -> bin 1, offset 88
     assert(out(4L) == ((0L, 0L)))     // partition y restarts
     assert(out(5L) == ((1L, 88L)))    // prev=600 in y
+  }
+
+  test("packSequences (next-fit) never straddles a bin boundary") {
+    val df = Seq((1L, "x", 300L), (2L, "x", 300L), (3L, "x", 300L),
+      (4L, "x", 212L), (5L, "y", 600L), (6L, "y", 100L))
+      .toDF("id", "part", "sz")
+    val out = Corpus.packSequences(df, "part", "id", "sz", 512)
+      .select("id", "sz", "bin", "bin_offset")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(1)))).toMap
+    assert(out(1L) == ((0L, 0L, 300L)))
+    assert(out(2L) == ((1L, 0L, 300L)))   // 300+300 > 512: new bin
+    assert(out(3L) == ((2L, 0L, 300L)))
+    assert(out(4L) == ((2L, 300L, 212L))) // 300+212 == 512: fits exactly
+    assert(out(5L) == ((0L, 0L, 600L)))   // oversize doc: own bin
+    assert(out(6L) == ((1L, 0L, 100L)))   // can't share with oversize doc
+    // capacity invariant for non-oversize docs
+    out.values.filter(_._3 <= 512L).foreach { case (_, off, sz) =>
+      assert(off + sz <= 512L)
+    }
   }
 
   test("scrubPii redacts emails and phone-shaped tokens, counts match") {
