@@ -81,19 +81,18 @@ object Similarity {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val spark = vectors.sparkSession
     graft.plans.GraftStrategy.install(spark)
-    // probes are broadcast-small by contract — same collect the planner
-    // itself would do to build a broadcast relation
-    val pr = probes.select(col(probeIdCol).cast("long"),
-        transform(col(probeVecCol), x => x.cast("double"))).collect()
-    val ids = pr.map(_.getLong(0))
-    val vecs = pr.map(_.getSeq[Double](1).toArray)
+    // probes stay a logical sub-plan; the physical operator collects them
+    // at execution exactly like a broadcast build side
+    val probeChild = probes.select(col(probeIdCol).cast("long"),
+      transform(col(probeVecCol), x => x.cast("double")))
     val child = vectors.select(col(idCol).cast("long"), col(vecCol))
     val out = Seq(
       AttributeReference("probe_id", LongType, nullable = false)(),
       AttributeReference("vec_id", LongType, nullable = false)(),
       AttributeReference("score", DoubleType, nullable = false)())
     org.apache.spark.sql.graft.GraftPlanBridge.ofRows(spark,
-      graft.plans.CosineTopK(k, ids, vecs, out, child.queryExecution.analyzed))
+      graft.plans.CosineTopK(k, out, child.queryExecution.analyzed,
+        probeChild.queryExecution.analyzed))
   }
 
   /**

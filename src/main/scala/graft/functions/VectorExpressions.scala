@@ -115,8 +115,11 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
   * full graft Catalyst set at session build time (SURVEY §2.10 path c):
-  * the codegen'd function AND the fused top-k planner strategy — the
-  * config-only twin of `GraftFunctions.register` + `GraftStrategy.install`. */
+  * the codegen'd function, the fused top-k planner strategy, AND the
+  * [[graft.plans.FuseCosineTopK]] optimizer rule that rewrites the
+  * declarative rank-filtered cosine pattern into the fused operator —
+  * the config-only superset of `GraftFunctions.register` +
+  * `GraftStrategy.install`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -124,5 +127,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosineTopK)
   }
 }

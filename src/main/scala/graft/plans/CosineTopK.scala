@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types._
 
 /**
@@ -23,27 +23,32 @@ import org.apache.spark.sql.types._
  * size — merge in a single narrow task. No exchange, no window, nothing
  * row-count-shaped ever moves.
  *
+ * Binary node: `left` is the vectors relation projected to (id LONG,
+ * vec ARRAY<numeric>), `right` the probes projected to (probe_id LONG,
+ * probe_vec ARRAY<numeric>). The probe side is collected at execution —
+ * the same driver materialization a broadcast build side pays — so the
+ * node composes with any probe sub-plan and is reachable by the
+ * [[FuseCosineTopK]] optimizer rule, not just the programmatic API.
+ *
  * Semantics match bruteForceTopK exactly: sequential-sum double cosine
  * (the [[graft.functions.CosineSimilarity]] arithmetic), HALF_UP 6-digit
  * rounding WITH the +1e-9 nudge before ranking, (score desc, id asc)
  * total order, exactly k rows per probe. Zero-norm vectors score NULL
  * there and are skipped here.
  */
-case class CosineTopK(k: Int, probeIds: Array[Long],
-                      probeVecs: Array[Array[Double]],
-                      output: Seq[Attribute],
-                      child: LogicalPlan) extends UnaryNode {
-  // the output attributes are minted by this operator, not inherited from
-  // the child — declare them produced or the analyzer flags them missing
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
-  // no expression here references the child's columns, so without this the
-  // optimizer's ColumnPruning inserts an empty Project below (e.g. under a
-  // count(*)) and execution loses the (id, vec) columns it scans positionally
-  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    child.outputSet
-  override protected def withNewChildInternal(newChild: LogicalPlan): CosineTopK =
-    copy(child = newChild)
+case class CosineTopK(k: Int, output: Seq[Attribute],
+                      left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  // the output attributes are minted by this operator (or adopted from the
+  // matched pattern by FuseCosineTopK), not computed from child columns —
+  // declare them produced or the analyzer flags them missing
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  // no expression here references the children's columns, so without this
+  // the optimizer's ColumnPruning inserts an empty Project below (e.g.
+  // under a count(*)) and execution loses the columns it reads positionally
+  override def references: AttributeSet = left.outputSet ++ right.outputSet
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): CosineTopK =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Bounded top-k buffer over (score desc, id asc): sorted insertion into
@@ -97,38 +102,58 @@ object CosineTopKExec {
   def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x + 1e-9)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Copy row's array column 1 (numeric elements) into a double array;
+    * NULL elements contribute 0.0, matching CosineSimilarity. */
+  private[plans] def vecOf(row: InternalRow, elemIsFloat: Boolean): Array[Double] = {
+    val ad = row.getArray(1)
+    val v = new Array[Double](ad.numElements())
+    var i = 0
+    while (i < v.length) {
+      v(i) = if (ad.isNullAt(i)) 0.0
+             else if (elemIsFloat) ad.getFloat(i).toDouble
+             else ad.getDouble(i)
+      i += 1
+    }
+    v
+  }
 }
 
-case class CosineTopKExec(k: Int, probeIds: Array[Long],
-                          probeVecs: Array[Array[Double]],
-                          output: Seq[Attribute],
-                          child: SparkPlan) extends UnaryExecNode {
+case class CosineTopKExec(k: Int, output: Seq[Attribute],
+                          left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
   import CosineTopKExec._
 
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override def producedAttributes: AttributeSet = AttributeSet(output)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val elemIsFloat =
-      child.output(1).dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val pIds = probeIds; val pVecs = probeVecs; val kk = k
+    val leftIsFloat =
+      left.output(1).dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val rightIsFloat =
+      right.output(1).dataType.asInstanceOf[ArrayType].elementType == FloatType
+    // the probe side is driver-collected exactly like a broadcast build
+    // side — small by contract (it parameterizes the scoring pass)
+    val probeRows = right.executeCollect()
+    val pIds = new Array[Long](probeRows.length)
+    val pVecs = new Array[Array[Double]](probeRows.length)
+    var pi = 0
+    probeRows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        pIds(pi) = r.getLong(0)
+        pVecs(pi) = vecOf(r, rightIsFloat)
+        pi += 1
+      }
+    }
+    val nProbes = pi
+    val kk = k
     // pass 1 (map-side, the only pass over the data): bounded buffers
-    val partials: RDD[(Int, Double, Long)] = child.execute().mapPartitions { iter =>
-      val bufs = Array.fill(pVecs.length)(new TopKBuffer(kk))
+    val partials: RDD[(Int, Double, Long)] = left.execute().mapPartitions { iter =>
+      val bufs = Array.fill(nProbes)(new TopKBuffer(kk))
       iter.foreach { row =>
         if (!row.isNullAt(0) && !row.isNullAt(1)) {
           val id = row.getLong(0)
-          val ad = row.getArray(1)
-          val v = new Array[Double](ad.numElements())
-          var i = 0
-          while (i < v.length) {
-            v(i) = if (ad.isNullAt(i)) 0.0
-                   else if (elemIsFloat) ad.getFloat(i).toDouble
-                   else ad.getDouble(i)
-            i += 1
-          }
+          val v = vecOf(row, leftIsFloat)
           var p = 0
-          while (p < pVecs.length) {
+          while (p < nProbes) {
             val s = cosine(v, pVecs(p))
             if (!s.isNaN) bufs(p).offer(round6(s), id)
             p += 1
@@ -146,7 +171,7 @@ case class CosineTopKExec(k: Int, probeIds: Array[Long],
     }
     // pass 2: merge partitions × probes × k survivors in one narrow task
     partials.coalesce(1).mapPartitions { iter =>
-      val bufs = Array.fill(pVecs.length)(new TopKBuffer(kk))
+      val bufs = Array.fill(nProbes)(new TopKBuffer(kk))
       iter.foreach { case (p, s, id) => bufs(p).offer(s, id) }
       val proj = UnsafeProjection.create(Array[DataType](LongType, LongType, DoubleType))
       val row = new GenericInternalRow(3)
@@ -163,17 +188,19 @@ case class CosineTopKExec(k: Int, probeIds: Array[Long],
     }
   }
 
-  override protected def withNewChildInternal(newChild: SparkPlan): CosineTopKExec =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): CosineTopKExec =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Planner strategy mapping the logical node to the physical operator;
   * installed per-session through the public `experimental.extraStrategies`
-  * hook (the `SparkSessionExtensions.injectPlannerStrategy` twin). */
+  * hook or via `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (`SparkSessionExtensions.injectPlannerStrategy`). */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: CosineTopK =>
-      CosineTopKExec(n.k, n.probeIds, n.probeVecs, n.output, planLater(n.child)) :: Nil
+      CosineTopKExec(n.k, n.output, planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 
