@@ -55,4 +55,16 @@ object Sources {
   /** S3: parquet table source (the fixture tables' native format). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSON-lines scan with explicit schema — the landing-zone format for
+    * event feeds and API dumps. Schema is mandatory for the same
+    * determinism reason as [[csv]] (JSON inference samples the data and
+    * widens types per run). */
+  def jsonLines(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(paths: _*)
+
+  /** ORC scan — the other columnar warehouse format; same pushdown and
+    * pruning properties as parquet under Spark's vectorized reader. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -281,4 +281,46 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("centroid_label").as("assigned_label"), col("score"))
   }
+
+  /**
+   * Symmetric int8 scalar quantization (the storage-compression step of a
+   * vector index): per-vector scale = max|x| / 127, q = round(x / scale)
+   * ∈ [-127, 127]. Emitted exploded as (id, dim, q) — the layout a
+   * columnar quantized index ingests, and one that needs no shuffle at
+   * all (pure projection + generator). The +1e-9 nudge keeps the
+   * round-half side deterministic across engines. Zero vectors quantize
+   * to all zeros.
+   */
+  def int8Quantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(idCol),
+        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+          .as("scale"),
+        col(vecCol))
+      .select(col(idCol), col("scale"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        when(col("scale") === 0, lit(0L))
+          .otherwise(round(col("x").cast("double") / col("scale") + lit(1e-9))
+            .cast("long")).as("q"))
+
+  /**
+   * Dimension-wise mean pooling per key (class centroids, cluster means,
+   * label prototypes): explode to (key, dim, x) and aggregate — one
+   * shuffle on (key, dim), reducer state O(1) per group regardless of
+   * group size. The mean is computed over 1e-6-FIXED-POINT values (exact
+   * integer sum, one division) so the result is independent of summation
+   * order — the property that keeps distributed results reproducible and
+   * engine-comparable; the quantization error (≤ 5e-7 per element) is far
+   * below float input precision.
+   */
+  def meanPoolByKey(vectors: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(keyCol).cast("long").as("pool_key"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("pool_key"), col("dim").cast("long").as("dim"))
+      .agg(round(
+        sum(round(col("x").cast("double") * lit(1e6)).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * lit(1e6)) + lit(1e-9), 6)
+        .as("mean_val"))
 }

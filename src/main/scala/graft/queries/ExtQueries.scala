@@ -586,6 +586,40 @@ object ExtQueries {
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
 
+    // Int8 scalar quantization of embeddings (index compression):
+    // per-vector symmetric scale, exploded (id, dim, q) layout. Pure
+    // projection + generator — zero shuffle.
+    QueryDef("ext_embed_quantize", (s, dir) =>
+      Similarity.int8Quantize(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding"),
+      Some("""WITH t AS (SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+            AS scale,
+          embedding FROM embeddings),
+        u AS (SELECT vec_id, scale,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS x FROM t)
+      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        CAST(CASE WHEN scale = 0 THEN 0
+                  ELSE round(CAST(x AS DOUBLE) / scale + 1e-9) END AS BIGINT) AS q
+      FROM u""")),
+
+    // Dimension-wise mean pooling per label (class prototypes): one
+    // shuffle on (label, dim); fixed-point sum makes the mean independent
+    // of summation order (reproducible across partitionings and engines).
+    QueryDef("ext_embed_meanpool", (s, dir) =>
+      Similarity.meanPoolByKey(
+        Tables.embeddings(s, dir).select(col("label"), col("embedding")),
+        "label", "embedding"),
+      Some("""WITH u AS (SELECT label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS x FROM embeddings)
+      SELECT CAST(label AS BIGINT) AS pool_key, CAST(dim AS BIGINT) AS dim,
+        round(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+          / (count(*) * 1000000.0) + 1e-9, 6) AS mean_val
+      FROM u GROUP BY 1, 2""")),
+
     // LSH-bucketed ANN top-3: sparse sign-projection bucket (4 bits),
     // candidates restricted to the probe's bucket — the scale path.
     QueryDef("ext_sim_ann_bucket", (s, dir) => {

@@ -103,6 +103,33 @@ object RelationalQueries {
       s.read.parquet(out).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
     }, Some("SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus")),
 
+    // S10: JSON-lines round-trip — the landing-zone format for event
+    // feeds. Written from the fixture, read back with the explicit
+    // schema; the oracle asserts the round-trip is lossless.
+    QueryDef("s10_json_roundtrip", (s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val out = tmpDir("graft_s10") + "/customer"
+      cust.write.mode("overwrite").json(out)
+      Sources.jsonLines(s, cust.schema, Seq(out))
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+    }, Some("""SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+      FROM customer""")),
+
+    // S11: ORC round-trip — the other columnar warehouse format; same
+    // vectorized reader + pushdown properties as parquet.
+    QueryDef("s11_orc_roundtrip", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      val out = tmpDir("graft_s11") + "/lineitem"
+      li.write.mode("overwrite").orc(out)
+      Sources.orc(s, out).filter(year(col("l_shipdate")) === 1996)
+        .groupBy(month(col("l_shipdate")).cast("long").as("mth"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    }, Some("""SELECT CAST(month(l_shipdate) AS BIGINT) AS mth, count(*) AS n,
+        round(sum(l_quantity), 2) AS qty
+      FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1""")),
+
     // S9: incremental merge materialization (dbt `materialized:
     // incremental` + unique_key, reference 5_dbt/READ.md:386-396). Two
     // loads over a split fixture with an overlapping key range — the

@@ -176,4 +176,41 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.count() == vecs.count())
     assert(assigned.select("vec_id").distinct().count() == vecs.count())
   }
+
+  test("int8 quantization: q bounded, scale hit, reconstruction error < scale/2") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val q = Similarity.int8Quantize(vecs, "vec_id", "embedding")
+    val n = vecs.count()
+    assert(q.count() == n * 64, "one row per (vector, dim)")
+    assert(q.filter(abs(col("q")) > 127).count() == 0)
+    // every non-zero vector has at least one |q| == 127 (the max element)
+    assert(q.groupBy("vec_id").agg(max(abs(col("q"))).as("m"))
+      .filter(col("m") =!= 127).count() == 0)
+    // dequantized values stay within half a quantization step of the input
+    val scales = vecs.select(col("vec_id"),
+      (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+        .as("scale"),
+      posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"), col("scale"))
+    val joined = q.join(scales, Seq("vec_id", "dim"))
+      .withColumn("err", abs(col("q") * col("scale") - col("x")))
+    assert(joined.filter(col("err") > col("scale") * 0.5000001).count() == 0)
+  }
+
+  test("mean pooling: per-(label, dim) mean within fixed-point tolerance of true mean") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("label"), col("embedding"))
+    val pooled = Similarity.meanPoolByKey(vecs, "label", "embedding")
+    val nLabels = vecs.select("label").distinct().count()
+    assert(pooled.count() == nLabels * 64)
+    val direct = vecs
+      .select(col("label").cast("long").as("pool_key"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("pool_key"), col("dim").cast("long").as("dim"))
+      .agg(avg(col("x").cast("double")).as("true_mean"))
+    val drift = pooled.join(direct, Seq("pool_key", "dim"))
+      .withColumn("d", abs(col("mean_val") - col("true_mean")))
+    // fixed-point quantization (5e-7) + final 6-digit rounding (5e-7)
+    assert(drift.filter(col("d") > 1.1e-6).count() == 0)
+  }
 }
