@@ -384,6 +384,23 @@ object JoinAggQueries {
         arg_max(event_type, event_id) AS last_type, count(*) AS n
         FROM events GROUP BY user_id""")),
 
+    // A20 (extension): correlation / covariance — the single-pass
+    // co-moment family. 5-digit rounding (not the usual 6): both engines
+    // accumulate co-moments in their own partition order, leaving
+    // low-order fp noise the last digit must absorb.
+    QueryDef("a20_corr_covar", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 5)
+            .as("q_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")) + lit(1e-9), 5)
+            .as("q_disc_covar"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice) + 1e-9, 5) + 0 AS q_price_corr,
+        round(covar_samp(l_quantity, l_discount) + 1e-9, 5) + 0 AS q_disc_covar,
+        count(*) AS n
+        FROM lineitem GROUP BY 1""")),
+
     // A19 (extension): GROUPING SETS — the explicit subtotal list CUBE and
     // ROLLUP are special cases of (status totals, priority totals, grand
     // total; never the full cross combination).

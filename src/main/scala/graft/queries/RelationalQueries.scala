@@ -190,6 +190,51 @@ object RelationalQueries {
         repeat('-', 3) || p_brand AS brand_tag
       FROM part""")),
 
+    // F17 (extension): boolean aggregates — bool_and/bool_or/count_if,
+    // the predicate-summary family (identical builtins in both engines).
+    QueryDef("f17_bool_aggs", (s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderpriority")
+        .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "F").as("any_finished")),
+      Some("""SELECT o_orderpriority,
+        count_if(o_totalprice > 200000) AS n_big,
+        bool_and(o_totalprice > 1000) AS all_over_1k,
+        bool_or(o_orderstatus = 'F') AS any_finished
+      FROM orders GROUP BY 1""")),
+
+    // F15 (extension): Levenshtein edit distance — the fuzzy-match
+    // primitive behind entity resolution and near-dup triage.
+    QueryDef("f15_levenshtein", (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#35")).cast("long").as("brand_dist"),
+        levenshtein(lower(col("p_type")), lit("standard polished tin"))
+          .cast("long").as("type_dist")),
+      Some("""SELECT p_partkey,
+        CAST(levenshtein(p_brand, 'Brand#35') AS BIGINT) AS brand_dist,
+        CAST(levenshtein(lower(p_type), 'standard polished tin') AS BIGINT) AS type_dist
+      FROM part""")),
+
+    // F16 (extension): date spine — generate a contiguous day dimension
+    // (dbt date_spine) and left-join facts onto it so gap days surface as
+    // zeros instead of silently missing rows.
+    QueryDef("f16_date_spine", (s, dir) => {
+      val spine = s.range(1).select(explode(sequence(
+          to_date(lit("1996-01-01")), to_date(lit("1996-03-31")),
+          expr("interval 1 day"))).as("day"))
+      val daily = Tables.orders(s, dir)
+        .filter(col("o_orderdate").between("1996-01-01", "1996-03-31"))
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left").na.fill(0L, Seq("n_orders"))
+    }, Some("""WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+          INTERVAL 1 DAY)) AS DATE) AS day),
+      daily AS (SELECT o_orderdate AS day, count(*) AS n_orders FROM orders
+        WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-03-31' GROUP BY 1)
+      SELECT spine.day, coalesce(daily.n_orders, 0) AS n_orders
+      FROM spine LEFT JOIN daily USING (day)""")),
+
     // P11 (extension): posexplode — one row per array element WITH its
     // ordinal, the lateral-view shape every tokenizing pipeline uses.
     QueryDef("p11_posexplode", (s, dir) =>

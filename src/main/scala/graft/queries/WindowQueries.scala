@@ -253,6 +253,41 @@ object WindowQueries {
         CAST(max(ts_us // 1000000) - min(ts_us // 1000000) AS BIGINT) AS duration_sec
       FROM sess GROUP BY 1, 2""")),
 
+    // W15 (extension): NTH_VALUE over the full partition frame — frame
+    // explicit on both sides because the default frame stops at the
+    // current row (the same trap as last_value, W13).
+    QueryDef("w15_nth_value", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+        nth_value(col("c_name"), 2).over(w).as("second_richest"))
+    }, Some("""SELECT c_custkey, c_nationkey,
+        nth_value(c_name, 2) OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS second_richest
+      FROM customer""")),
+
+    // W16 (extension): RANGE frame over a numeric order key — peers are
+    // VALUE-based (all rows within 500 cents), so the frame is
+    // tie-insensitive by construction; the summed measure is integer
+    // cents so the window sum is exact in any accumulation order.
+    QueryDef("w16_range_frame", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val w = Window.partitionBy("c_nationkey").orderBy(col("bal_cents"))
+        .rangeBetween(-50000L, 0L)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+        .withColumn("nearby_sum_cents", sum(col("bal_cents")).over(w))
+    }, Some("""SELECT c_custkey, c_nationkey, bal_cents,
+        sum(bal_cents) OVER (PARTITION BY c_nationkey ORDER BY bal_cents
+          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS nearby_sum_cents
+      FROM (SELECT c_custkey, c_nationkey,
+          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer)""")),
+
     // W14 (extension): CUME_DIST — fraction of partition rows at or below
     // the current order key (identical definition in both engines).
     QueryDef("w14_cume_dist", (s, dir) => {
