@@ -82,6 +82,49 @@ object StreamingQueries {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")),
 
+    // LEFT OUTER stream-stream interval join: clicks with no purchase in
+    // the window emit NULL-extended rows — but only after the watermark
+    // passes click_ts + window, so the drain stages the fixture and
+    // appends far-future sentinels to BOTH event types (the outer join's
+    // global watermark is the minimum across its inputs). Oracle = the
+    // batch LEFT JOIN with the same interval condition.
+    QueryDef("st_stream_outer_join", (s, dir) => withStatePartitions(s, 8) {
+      val stage = java.nio.file.Files.createTempDirectory("graft_st_oj").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/a_events.parquet"))
+      def side(tpe: String) = EventStream
+        .readEvents(s, stage, globFilter = "*.parquet")
+        .filter(col("event_type") === tpe)
+      val q = EventStream.clickToPurchaseOuter(side("click"), side("purchase"),
+          windowMinutes = 30)
+        .writeStream.format("memory")
+        .queryName("graft_st_outer").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val maxNanos = graft.core.Tables.events(s, dir)
+          .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
+        import s.implicits._
+        val sentinelDir =
+          java.nio.file.Files.createTempDirectory("graft_oj_sent").toString
+        Seq(("click", -1L), ("purchase", -2L)).map { case (tpe, id) =>
+          (id, maxNanos + 86400L * 1000000000L, -1L, tpe, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+        val part = new java.io.File(sentinelDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$stage/z_sentinel.parquet"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_st_outer").filter(col("user_id") >= 0)
+    }, Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        c.user_id AS user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")),
+
     // Streaming dedup drained to completion == batch dropDuplicates.
     QueryDef("st_dedup_stream", (s, dir) => withStatePartitions(s, 8) {
       val q = EventStream.dedupStream(EventStream.readEvents(s, dir),

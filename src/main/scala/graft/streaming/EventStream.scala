@@ -186,6 +186,33 @@ object EventStream {
   }
 
   /**
+   * LEFT OUTER watermarked stream-stream interval join: like
+   * [[clickToPurchase]], but clicks with no purchase inside the window
+   * emit a NULL-extended row — the attribution-with-abandonment shape.
+   * The null row for a click can only be emitted once the watermark
+   * passes `click_ts + window` (before that a matching purchase could
+   * still arrive), so unmatched results trail the stream by watermark +
+   * window; a drained fixture needs a watermark-advancing sentinel on
+   * BOTH input streams (the global watermark is the minimum across them).
+   */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+                           windowMinutes: Int = 30,
+                           watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          purchase_ts >= click_ts AND
+          purchase_ts <= click_ts + interval $windowMinutes minutes"""),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
+  /**
    * Streaming session-window aggregation (the built-in `session_window`
    * under a watermark — the declarative twin of [[sessionize]]). Append
    * mode emits a session only once the watermark passes its END, so the
