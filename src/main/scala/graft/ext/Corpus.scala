@@ -122,6 +122,26 @@ object Corpus {
       .drop("__prev")
   }
 
+  /**
+   * Deterministic weighted sampling without replacement (Efraimidis–
+   * Spirakis A-ES): each row draws u from its md5 cell (256-level
+   * deterministic uniform) and ranks by ln(u)/w — the monotone transform
+   * of u^(1/w), so higher-weight rows win proportionally more often. The
+   * top-k plans as TakeOrderedAndProject (bounded per-partition heaps, no
+   * global sort) and the same id always draws the same u: reruns, engine
+   * ports, and cluster resizes select the same sample. The sort key is
+   * not emitted — selection is key-gap-robust, the key's last ulp is not.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val cell = conv(hashCell(col(idCol)), 16, 10).cast("double")
+    val u = (cell + 1.0) / 257.0
+    df.withColumn("__skey", log(u) / col(weightCol).cast("double"))
+      .orderBy(desc("__skey"), col(idCol))
+      .limit(k)
+      .drop("__skey")
+  }
+
   /** RE2-safe patterns (portable across Java regex and RE2 oracles). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\d{3}-\\d{4}"

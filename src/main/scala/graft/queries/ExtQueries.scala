@@ -477,6 +477,22 @@ object ExtQueries {
         FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
       SELECT doc_id, lang, n_tokens, bin, bin_offset FROM pack""")),
 
+    // Deterministic weighted sampling (A-ES): 20 docs drawn with
+    // probability proportional to length via hash-derived uniforms —
+    // reproducible across engines, reruns, and cluster sizes.
+    QueryDef("ext_weighted_sample", (s, dir) =>
+      Corpus.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", k = 20),
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents),
+        u AS (SELECT doc_id, lang, n_chars,
+          ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 + 1.0) / 257.0 AS uu
+          FROM t)
+      SELECT doc_id, lang, n_chars FROM u
+      ORDER BY ln(uu) / n_chars DESC, doc_id LIMIT 20""")),
+
     // PII scrubbing: redact emails and phone-shaped tokens (RE2-safe
     // patterns), with per-doc redaction counts for density gating.
     // Deterministic PII is injected on a doc_id stride so the redaction

@@ -348,6 +348,20 @@ object JoinAggQueries {
       Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
+    // J12 (extension): shuffle-hash join by hint — when both sides are
+    // too big to broadcast but one fits in memory per partition, SHJ
+    // skips the sort both SortMergeJoin sides would pay. PlanSpec pins
+    // the physical operator; the oracle only cares about the rows.
+    QueryDef("j12_shuffle_hash_join", (s, dir) => {
+      val qty = Tables.lineitem(s, dir).groupBy("l_orderkey")
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+        .join(qty.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("qty"))
+    }, Some("""SELECT o_orderkey, o_orderstatus, qty
+      FROM orders JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey""")),
+
     // A16 (extension): discrete percentile — the value actually present
     // in the data (percentile_disc), vs the interpolated A1 family.
     QueryDef("a16_percentile_disc", (s, dir) =>

@@ -96,6 +96,18 @@ class PlanSpec extends SparkSpec {
       "gap-flag and running-sum windows must reuse the user_id partitioning")
   }
 
+  test("j12: shuffle_hash hint plans ShuffledHashJoin, not SortMergeJoin") {
+    val p = plan("j12_shuffle_hash_join")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ext_weighted_sample: top-k sample plans TakeOrderedAndProject") {
+    val p = plan("ext_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
   test("fused top-k plans the custom operator: no exchange, no window") {
     val p = plan("ext_sim_topk_fused")
     // SparkPlan nodeName strips the Exec suffix in plan strings
