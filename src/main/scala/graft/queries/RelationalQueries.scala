@@ -235,6 +235,22 @@ object RelationalQueries {
       SELECT spine.day, coalesce(daily.n_orders, 0) AS n_orders
       FROM spine LEFT JOIN daily USING (day)""")),
 
+    // F18 (extension): schema'd JSON parsing — from_json into a typed
+    // struct (vs F10's path-at-a-time get_json_object): one parse per
+    // row no matter how many fields are read, and malformed documents
+    // surface as NULL structs instead of silent per-path NULLs.
+    QueryDef("f18_from_json", (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("p"))
+        .select(col("event_id"), col("p.k").as("k"),
+          col("p").isNotNull.as("parsed")),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        json_valid(props) AS parsed
+      FROM events""")),
+
     // P11 (extension): posexplode — one row per array element WITH its
     // ordinal, the lateral-view shape every tokenizing pipeline uses.
     QueryDef("p11_posexplode", (s, dir) =>

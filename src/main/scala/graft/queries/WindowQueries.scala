@@ -288,6 +288,52 @@ object WindowQueries {
       FROM (SELECT c_custkey, c_nationkey,
           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer)""")),
 
+    // W17 (extension): LOCF gap-fill — resample a sparse per-location
+    // daily series onto a contiguous day spine and carry the last
+    // observation forward (the sensor-feed repair idiom: date spine ×
+    // dimension cross, left join, last_value IGNORE NULLS). Gaps are
+    // carved deterministically so both engines fill the same holes; days
+    // before a location's first observation stay NULL by design.
+    QueryDef("w17_locf_gapfill", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.pipelines.CongestionMarts.stgVolume(s, dir)
+        .groupBy(col("location_id"), to_date(col("recorded_hour")).as("day"))
+        .agg(sum(col("vehicle_count")).cast("long").as("volume"))
+        .filter(dayofmonth(col("day")) % (col("location_id") + 2) =!= 0)
+      val spine = s.range(1).select(explode(sequence(
+          to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+          expr("interval 1 day"))).as("day"))
+        .crossJoin(daily.select("location_id").distinct())
+      spine.join(daily, Seq("location_id", "day"), "left")
+        .withColumn("volume_filled",
+          last(col("volume"), ignoreNulls = true).over(
+            Window.partitionBy("location_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("location_id"), col("day"), col("volume_filled"))
+    }, Some("""WITH stg_volume AS (
+        SELECT location_id, date_trunc('hour', recorded_time) AS recorded_hour,
+               vehicle_count
+        FROM (SELECT user_id % 20 AS location_id, ts AS recorded_time,
+                CASE WHEN event_id % 300 < 0 OR event_id % 300 > 10000 THEN NULL
+                     ELSE CAST(event_id % 300 AS DOUBLE) END AS vehicle_count
+              FROM events)
+        WHERE vehicle_count IS NOT NULL),
+      daily AS (SELECT location_id, CAST(recorded_hour AS DATE) AS day,
+          CAST(sum(vehicle_count) AS BIGINT) AS volume
+        FROM stg_volume GROUP BY 1, 2),
+      gapped AS (SELECT * FROM daily
+        WHERE day(day) % (location_id + 2) <> 0),
+      spine AS (SELECT locs.location_id, d.day
+        FROM (SELECT DISTINCT location_id FROM gapped) locs
+        CROSS JOIN (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+          DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) d)
+      SELECT spine.location_id, spine.day,
+        last_value(gapped.volume IGNORE NULLS) OVER (
+          PARTITION BY spine.location_id ORDER BY spine.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume_filled
+      FROM spine LEFT JOIN gapped
+        ON spine.location_id = gapped.location_id AND spine.day = gapped.day""")),
+
     // W14 (extension): CUME_DIST — fraction of partition rows at or below
     // the current order key (identical definition in both engines).
     QueryDef("w14_cume_dist", (s, dir) => {
