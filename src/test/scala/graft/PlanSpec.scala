@@ -96,6 +96,17 @@ class PlanSpec extends SparkSpec {
       "gap-flag and running-sum windows must reuse the user_id partitioning")
   }
 
+  test("AQE coalesces post-shuffle partitions after execution") {
+    // the runtime re-plan the 100 TB path leans on: partition count is
+    // decided from actual map output sizes, not the static shuffle config
+    val df = Registry.queries("a2_group_mean")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"AQE must finalize: ${p.take(200)}")
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"tiny shuffle must coalesce: ${p.take(600)}")
+  }
+
   test("j12: shuffle_hash hint plans ShuffledHashJoin, not SortMergeJoin") {
     val p = plan("j12_shuffle_hash_join")
     assert(p.contains("ShuffledHashJoin"))
