@@ -148,6 +148,86 @@ object ExtQueries {
       surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm)
       SELECT doc_id, quality_score FROM surv JOIN gated USING (doc_id)""")),
 
+    // The FULL curation chain in one query — the end-to-end path a
+    // training corpus takes: quality floor → exact dedup (normalized
+    // fingerprint, min-id survivor) → MinHash-LSH near-dup clustering
+    // with canonical (min-id) survivors → deterministic hash split +
+    // token count. Synthetic exact copies (+200000) and near-dup tails
+    // (+100000) are injected so every dedup stage provably fires. Stage
+    // order is the 100 TB order: cheap codegen'd filters prune before
+    // the dedup shuffles, exact dedup shrinks the near-dup input.
+    QueryDef("ext_curation_full", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val exactDups = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      val gated = docs.unionByName(exactDups).unionByName(nearDups)
+        .withColumn("quality_score",
+          round(TextOps.qualityScore(col("text")) + lit(1e-9), 4))
+        .filter(col("quality_score") >= 0.6)
+      val exactSurv = Dedup.exact(gated, "text", "doc_id")
+      val canon = exactSurv.join(
+        Dedup.nearDupClusters(exactSurv.select("doc_id", "text"), "doc_id", "text",
+            threshold = 0.5, numHashes = 64, bands = 32)
+          .filter(col("is_canonical")).select("doc_id"),
+        Seq("doc_id"))
+      canon.select(col("doc_id"),
+        Corpus.hashSplit(col("doc_id")).as("split"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("quality_score"))
+    }, Some(s"""WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 0),
+      t AS (SELECT doc_id, text, $DuckToks AS ltoks, $DuckToksRaw AS rtoks
+        FROM all_docs),
+      q AS (SELECT doc_id,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+            + least((CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(len(list_filter(rtoks, x -> lower(x) IN ('the','a','an','and','or',
+                  'of','to','in','is','it','that','for','on','with','as','at','by')))
+                  AS DOUBLE) / len(rtoks) END) * 5, 1.0) * 0.3
+            + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0 ELSE
+                CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                  / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
+                BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
+        FROM t),
+      gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm,
+          CAST(len(rtoks) AS BIGINT) AS n_tokens, ltoks, quality_score
+        FROM t JOIN q USING (doc_id) WHERE quality_score >= 0.6),
+      surv AS (SELECT g.* FROM gated g
+        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm) m
+          USING (doc_id)),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ltoks) - 1),
+               i -> array_to_string(ltoks[i:i+2], ' '))) AS shingles
+             FROM surv),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+      canon AS (SELECT id AS doc_id FROM walk GROUP BY id
+        HAVING id = min(reach))
+      SELECT s.doc_id,
+        CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+             WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+             ELSE 'test' END AS split,
+        s.n_tokens, s.quality_score
+      FROM surv s JOIN canon USING (doc_id)""")),
+
     // Repetition signal: repeated 2-gram / 3-gram fraction per document
     // (a Gopher-style filter for looping or boilerplate text). Synthetic
     // high-repetition docs are derived in-query so the signal separates.
