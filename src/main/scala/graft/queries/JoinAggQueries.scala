@@ -415,6 +415,25 @@ object JoinAggQueries {
         count(*) AS n
         FROM lineitem GROUP BY 1""")),
 
+    // A21 (extension): linear-regression aggregates — slope/intercept/r²
+    // of price on quantity per flag (the co-moment family again: 5-digit
+    // rounding absorbs accumulation-order noise, same as A20).
+    QueryDef("a21_regr_slope", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 5)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 5)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 5)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n")),
+      Some("""SELECT l_returnflag,
+        round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 5) + 0 AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 5) + 0 AS intercept,
+        round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 5) + 0 AS r2,
+        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1""")),
+
     // A19 (extension): GROUPING SETS — the explicit subtotal list CUBE and
     // ROLLUP are special cases of (status totals, priority totals, grand
     // total; never the full cross combination).

@@ -251,6 +251,23 @@ object RelationalQueries {
         json_valid(props) AS parsed
       FROM events""")),
 
+    // F19 (extension): ANSI-safe arithmetic — Spark 4 runs ANSI mode ON
+    // (overflow/bad-cast/div-by-zero THROW), so try_divide/try_cast are
+    // the documented NULL-on-error escape hatch; the oracle mirrors with
+    // nullif guards and TRY_CAST.
+    QueryDef("f19_try_arith", (s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        round(try_divide(col("l_extendedprice"), col("l_discount")) + lit(1e-9), 4)
+          .as("price_per_disc"),
+        expr("""try_cast(CASE WHEN l_linenumber % 2 = 0
+                 THEN CAST(l_linenumber AS STRING) ELSE l_returnflag END AS BIGINT)""")
+          .as("maybe_num")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice / nullif(l_discount, 0) + 1e-9, 4) AS price_per_disc,
+        TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_linenumber AS VARCHAR)
+                      ELSE l_returnflag END AS BIGINT) AS maybe_num
+      FROM lineitem""")),
+
     // P11 (extension): posexplode — one row per array element WITH its
     // ordinal, the lateral-view shape every tokenizing pipeline uses.
     QueryDef("p11_posexplode", (s, dir) =>
