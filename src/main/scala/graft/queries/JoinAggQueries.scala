@@ -416,20 +416,21 @@ object JoinAggQueries {
         FROM lineitem GROUP BY 1""")),
 
     // A21 (extension): linear-regression aggregates — slope/intercept/r²
-    // of price on quantity per flag (the co-moment family again: 5-digit
-    // rounding absorbs accumulation-order noise, same as A20).
+    // of price on quantity per flag (the co-moment family again; slope/
+    // intercept are ~1e4-magnitude so they round at 4 digits — a wider
+    // noise margin than A20's unit-scale correlations need).
     QueryDef("a21_regr_slope", (s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag")
-        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 5)
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 4)
             .as("slope"),
-          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 5)
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 4)
             .as("intercept"),
           round(regr_r2(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 5)
             .as("r2"),
           regr_count(col("l_extendedprice"), col("l_quantity")).as("n")),
       Some("""SELECT l_returnflag,
-        round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 5) + 0 AS slope,
-        round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 5) + 0 AS intercept,
+        round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) + 0 AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) + 0 AS intercept,
         round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 5) + 0 AS r2,
         CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         FROM lineitem GROUP BY 1""")),

@@ -75,4 +75,47 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L)._2 == 1 && out(1L)._3 == 1)
     assert(out(2L) == (("no pii here at all", 0, 0)))
   }
+
+  test("packSequences properties over random corpora: capacity, order, stability") {
+    import org.scalacheck.Gen
+    val sizesGen = Gen.listOfN(120,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(1L, 700L)))
+    val rows = sizesGen.sample.get.zipWithIndex.map { case ((p, sz), i) =>
+      (i.toLong, p, sz)
+    }
+    val df = rows.toDF("id", "part", "sz")
+    val out = Corpus.packSequences(df, "part", "id", "sz", 512)
+      .select("id", "part", "sz", "bin", "bin_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == rows.length)
+    // capacity invariant for docs that fit; oversize docs sit alone at 0
+    out.foreach { case (_, _, sz, _, off) =>
+      if (sz <= 512L) assert(off + sz <= 512L) else assert(off == 0L)
+    }
+    // within a partition, bins are a non-decreasing function of the order
+    // column, offsets strictly increase inside a bin, and no two docs in
+    // a bin overlap
+    out.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._1)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (_, _, sz1, b1, o1) = pair(0)
+        val (_, _, _, b2, o2) = pair(1)
+        assert(b2 >= b1)
+        if (b2 == b1) assert(o2 >= o1 + sz1, "docs in a bin must not overlap")
+        else assert(o2 == 0L, "a new bin starts at offset 0")
+      }
+    }
+    // stability under append: packing a prefix yields identical placements
+    val prefix = rows.sortBy(_._1).take(60)
+    val prefixOut = Corpus.packSequences(prefix.toDF("id", "part", "sz"),
+        "part", "id", "sz", 512)
+      .select("id", "bin", "bin_offset").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fullOut = out.map(t => t._1 -> ((t._4, t._5))).toMap
+    prefixOut.foreach { case (id, placement) =>
+      assert(fullOut(id) == placement,
+        s"appending later docs must not move doc $id")
+    }
+  }
 }
