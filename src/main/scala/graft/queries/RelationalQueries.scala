@@ -130,6 +130,42 @@ object RelationalQueries {
         round(sum(l_quantity), 2) AS qty
       FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1""")),
 
+    // S12: malformed-input handling — PERMISSIVE CSV parse routes bad
+    // rows to _corrupt_record instead of failing the scan (the
+    // quarantine-don't-crash contract a 100 TB ingest needs: one bad line
+    // in a billion must not kill the job). The fixture is crafted
+    // in-query; the oracle is the expected parse outcome as literals.
+    QueryDef("s12_csv_corrupt", (s, dir) => {
+      val out = tmpDir("graft_s12")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/rows.csv"),
+        java.util.Arrays.asList(
+          "id,name,score",
+          "1,alpha,10.5",
+          "2,beta,not_a_number",   // bad double
+          "3,gamma,7.25",
+          "oops,delta,1.0",        // bad long
+          "5,epsilon,2.5"))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("score", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(s"$out/rows.csv")
+        .select(col("id"), col("name"), col("score"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"))
+    }, Some("""SELECT CAST(id AS BIGINT) AS id, name,
+        CAST(score AS DOUBLE) AS score, is_corrupt
+      FROM (VALUES
+        (1, 'alpha', 10.5, false),
+        (2, 'beta', NULL, true),      -- bad field nulled, rest kept
+        (3, 'gamma', 7.25, false),
+        (NULL, 'delta', 1.0, true),
+        (5, 'epsilon', 2.5, false))
+      t(id, name, score, is_corrupt)""")),
+
     // S9: incremental merge materialization (dbt `materialized:
     // incremental` + unique_key, reference 5_dbt/READ.md:386-396). Two
     // loads over a split fixture with an overlapping key range — the

@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
       "gap-flag and running-sum windows must reuse the user_id partitioning")
   }
 
+  test("curation chain never plans an all-pairs product") {
+    // exact dedup + LSH near-dup + verify joins must all be equi-joins;
+    // a CartesianProduct/BroadcastNestedLoopJoin anywhere is the O(n²)
+    // scale-killer the banded design exists to avoid
+    val p = plan("ext_curation_full")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("AQE coalesces post-shuffle partitions after execution") {
     // the runtime re-plan the 100 TB path leans on: partition count is
     // decided from actual map output sizes, not the static shuffle config
