@@ -28,7 +28,7 @@ object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ JoinAggQueries.defs ++ WindowQueries.defs ++
       QualityQueries.defs ++ ExtQueries.defs ++ PipelineQueries.defs ++
-      StreamingQueries.defs
+      StreamingQueries.defs ++ TpchQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
