@@ -130,6 +130,28 @@ object RelationalQueries {
         round(sum(l_quantity), 2) AS qty
       FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1""")),
 
+    // S13: the spark.sql TEXT interface — the same engine through the SQL
+    // parser instead of the DataFrame builder (registered temp views over
+    // the table registry; identical Catalyst plan either way). The SQL is
+    // deliberately multi-feature: join, window rank with tiebreak,
+    // subquery filter.
+    QueryDef("s13_sql_text_api", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, c_custkey, bal, bal_rank FROM (
+          SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal,
+            rank() OVER (PARTITION BY n.n_name
+              ORDER BY round(c.c_acctbal, 2) DESC, c.c_custkey) AS bal_rank
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        WHERE bal_rank <= 3""")
+        .withColumn("bal_rank", col("bal_rank").cast("long"))
+    }, Some("""SELECT n_name, c_custkey, bal, bal_rank FROM (
+        SELECT n_name, c_custkey, round(c_acctbal, 2) AS bal,
+          rank() OVER (PARTITION BY n_name
+            ORDER BY round(c_acctbal, 2) DESC, c_custkey) AS bal_rank
+        FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+      WHERE bal_rank <= 3""")),
+
     // S12: malformed-input handling — PERMISSIVE CSV parse routes bad
     // rows to _corrupt_record instead of failing the scan (the
     // quarantine-don't-crash contract a 100 TB ingest needs: one bad line
