@@ -163,10 +163,15 @@ object ExtQueries {
       val nearDups = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" dup marker tail")).as("text"))
-      val gated = docs.unionByName(exactDups).unionByName(nearDups)
-        .withColumn("quality_score",
-          round(TextOps.qualityScore(col("text")) + lit(1e-9), 4))
-        .filter(col("quality_score") >= 0.6)
+      // persist barrier: quality_score is interpreted-HOF-heavy and the
+      // gated frame feeds the exact-dedup window, the near-dup chain, AND
+      // the output projection — without the barrier CollapseProject
+      // re-inlines the score computation into every consumer
+      val gated = graft.core.CacheRegistry.persistTracked(
+        docs.unionByName(exactDups).unionByName(nearDups)
+          .withColumn("quality_score",
+            round(TextOps.qualityScore(col("text")) + lit(1e-9), 4))
+          .filter(col("quality_score") >= 0.6))
       val exactSurv = Dedup.exact(gated, "text", "doc_id")
       val canon = exactSurv.join(
         Dedup.nearDupClusters(exactSurv.select("doc_id", "text"), "doc_id", "text",
