@@ -110,6 +110,60 @@ object TpchQueries {
         AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
       GROUP BY n_name""")),
 
+    // Q10: returned-item reporting — the top-20 revenue-loss customers
+    // (adapted: fixture customer has no address/phone/comment columns).
+    QueryDef("tpch_q10", (s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-10-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }, Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // Q14: promotion effect — conditional-sum ratio over a broadcast
+    // part join.
+    QueryDef("tpch_q14", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01") &&
+          col("l_shipdate") < lit("1996-10-01"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val part = Tables.part(s, dir).select("p_partkey", "p_type")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          + lit(1e-9), 4).as("promo_revenue_pct"))
+    }, Some("""SELECT round(100.0 *
+        sum(CASE WHEN p_type LIKE 'PROMO%'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""")),
+
     // Q6: forecasting revenue change — the pure pushdown-filter aggregate.
     QueryDef("tpch_q6", (s, dir) =>
       Tables.lineitem(s, dir)
