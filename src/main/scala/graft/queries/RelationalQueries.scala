@@ -152,6 +152,38 @@ object RelationalQueries {
         FROM customer JOIN nation ON c_nationkey = n_nationkey) t
       WHERE bal_rank <= 3""")),
 
+    // S14: small-file compaction — 48 fragment files rewritten into a
+    // handful sized from actual bytes; content must be byte-identical
+    // (the oracle reads the original table). The operational failure
+    // mode OPTIMIZE jobs exist for: per-file open/footer cost dominating
+    // scans after months of incremental appends.
+    QueryDef("s14_compact", (s, dir) => {
+      val out = tmpDir("graft_s14") + "/supplier"
+      Tables.supplier(s, dir).repartition(48)
+        .write.mode("overwrite").parquet(out)   // fragmented ingest
+      graft.core.Materialize.compact(s, out, targetFileMB = 128,
+        sortCol = Some("s_suppkey"))
+      s.read.parquet(out)
+    }, Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
+
+    // S15: schema evolution on read — a v2 writer added a column;
+    // mergeSchema reconciles and v1 rows surface NULL for it (the
+    // long-lived-table contract: old files never block new columns).
+    QueryDef("s15_schema_merge", (s, dir) => {
+      val out = tmpDir("graft_s15") + "/nation"
+      val nation = Tables.nation(s, dir)
+      nation.filter(col("n_regionkey") < 2)
+        .select("n_nationkey", "n_name")
+        .write.mode("append").parquet(out)
+      nation.filter(col("n_regionkey") >= 2)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").as("added_region"))
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+    }, Some("""SELECT n_nationkey, n_name,
+        CASE WHEN n_regionkey >= 2 THEN n_regionkey END AS added_region
+      FROM nation""")),
+
     // S12: malformed-input handling — PERMISSIVE CSV parse routes bad
     // rows to _corrupt_record instead of failing the scan (the
     // quarantine-don't-crash contract a 100 TB ingest needs: one bad line

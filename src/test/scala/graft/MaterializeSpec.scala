@@ -60,4 +60,24 @@ class MaterializeSpec extends SparkSpec {
     assert(out.count() == 2)
     Materialize.dropWithLocation(spark, name)
   }
+
+  test("compact shrinks a fragmented table without changing its rows") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString + "/t"
+    val src = graft.core.Tables.lineitem(spark, sfDir)
+    src.repartition(24).write.mode("overwrite").parquet(out)
+    def parquetFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val nBefore = parquetFiles
+    assert(nBefore == 24)
+    val before = spark.read.parquet(out)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val nAfter = Materialize.compact(spark, out, targetFileMB = 128,
+      sortCol = Some("l_orderkey"))
+    assert(nAfter < nBefore, s"compaction must shrink the file count, got $nAfter")
+    assert(parquetFiles == nAfter)
+    val after = spark.read.parquet(out)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(after.sameElements(before), "compaction must not change content")
+  }
 }
