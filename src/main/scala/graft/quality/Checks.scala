@@ -40,6 +40,33 @@ object Checks {
    * job), and a left_anti join would otherwise report every NULL as an
    * orphan.
    */
+  /**
+   * Column-level profile (the dbt-docs / expectation-suite bootstrap):
+   * one row per column with null count, exact distinct count, and
+   * lexicographic min/max (values stringified so heterogeneous columns
+   * share a schema). ONE pass over the data — the per-column aggregates
+   * ride a single wide agg, then unpivot driver-side expression-wise; no
+   * per-column scans, no collect.
+   */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c).cast("string")).as(s"__mn_$c"),
+        max(col(c).cast("string")).as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"),
+        col(s"__mx_$c").as("max_str"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
   def relationships(child: DataFrame, childKey: String,
                     parent: DataFrame, parentKey: String): DataFrame =
     child.filter(col(childKey).isNotNull).join(

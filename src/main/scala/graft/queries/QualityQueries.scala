@@ -101,6 +101,33 @@ object QualityQueries {
         CAST(date_diff('second', max(ts), TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)
           AS lag_sec
         FROM events GROUP BY user_id
-        HAVING date_diff('second', max(ts), TIMESTAMP '2024-02-01 00:00:00') > 43200"""))
+        HAVING date_diff('second', max(ts), TIMESTAMP '2024-02-01 00:00:00') > 43200""")),
+
+    // column-level profile (dbt-docs / expectation-suite bootstrap): one
+    // distributed pass produces null counts, exact distinct counts, and
+    // stringified min/max per column. Oracle = one UNION ALL arm per
+    // column over the same aggregates.
+    QueryDef("dq_profile", (s, dir) =>
+      Checks.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority")),
+      Some("""SELECT 'o_orderkey' AS "column",
+          CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+          min(CAST(o_orderkey AS VARCHAR)) AS min_str,
+          max(CAST(o_orderkey AS VARCHAR)) AS max_str
+        FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+          CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+          min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+          CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+          min(o_orderpriority), max(o_orderpriority)
+        FROM orders"""))
   )
 }

@@ -96,6 +96,21 @@ class PlanSpec extends SparkSpec {
       "gap-flag and running-sum windows must reuse the user_id partitioning")
   }
 
+  test("partitioned sink: reads with a partition filter prune at planning") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    graft.core.Sinks.overwrite(
+      graft.queries.Registry.queries("s3_table_source")(spark, sfDir)
+        .sparkSession.read.parquet(s"$sfDir/orders.parquet"),
+      out, partitionCols = Seq("o_orderstatus"))
+    val df = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition filter must prune directories, not scan rows: ${p.take(400)}")
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      "the status filter must be a partition filter, not a data filter")
+  }
+
   test("curation chain never plans an all-pairs product") {
     // exact dedup + LSH near-dup + verify joins must all be equi-joins;
     // a CartesianProduct/BroadcastNestedLoopJoin anywhere is the O(n²)
