@@ -177,6 +177,261 @@ object TpchQueries {
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
           AND l_discount BETWEEN 0.03 AND 0.05
-          AND l_quantity < 24"""))
+          AND l_quantity < 24""")),
+
+    // Q2: minimum-cost supplier (adapted: the fixture has no partsupp, so
+    // the part↔supplier relation and its "cost" come from lineitem — cost =
+    // rounded avg unit price per (part, supplier)). The shape is the point:
+    // a correlated scalar-min subquery decorrelated into groupBy-min +
+    // equality join back, with the fp-equality made safe by rounding the
+    // comparison key identically on both sides before the min.
+    QueryDef("tpch_q2", (s, dir) => {
+      val cost = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(round(avg(col("l_extendedprice") / col("l_quantity")) + lit(1e-9), 4)
+          .as("cost"))
+      val minCost = cost.groupBy(col("pk").as("mpk"))
+        .agg(min(col("cost")).as("min_cost"))
+      val parts = Tables.part(s, dir).filter(col("p_size") === 15)
+        .select("p_partkey", "p_name")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      cost
+        .join(minCost, col("pk") === col("mpk") && col("cost") === col("min_cost"))
+        .join(broadcast(parts), col("pk") === col("p_partkey"))
+        .join(broadcast(supp), col("sk") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("cost"))
+    }, Some("""WITH pc AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               round(avg(l_extendedprice / l_quantity) + 1e-9, 4) AS cost
+        FROM lineitem GROUP BY 1, 2),
+      m AS (SELECT pk AS mpk, min(cost) AS min_cost FROM pc GROUP BY 1)
+      SELECT p_partkey, p_name, s_name, cost
+      FROM pc
+      JOIN m ON pk = mpk AND cost = min_cost
+      JOIN part ON pk = p_partkey
+      JOIN supplier ON sk = s_suppkey
+      WHERE p_size = 15""")),
+
+    // Q4: order-priority checking (adapted: no l_commitdate/l_receiptdate
+    // in the fixture, so the EXISTS predicate is "some line was returned").
+    // The shape — EXISTS decorrelated to a LEFT SEMI join, then a grouped
+    // count — is the standard Q4 plan.
+    QueryDef("tpch_q4", (s, dir) => {
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .select("o_orderkey", "o_orderpriority")
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      ords.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }, Some("""SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority""")),
+
+    // Q12: shipping-mode priority counts (adapted: no l_shipmode — grouped
+    // by l_returnflag instead). The shape is the conditional-sum pivot over
+    // a fact→fact join with a pushdown date filter.
+    QueryDef("tpch_q12", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .select("l_orderkey", "l_returnflag")
+      val ords = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+    }, Some("""SELECT l_returnflag,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+          AS high_line_count,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+          AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_returnflag""")),
+
+    // Q13: customer order-count distribution — the LEFT OUTER join with a
+    // predicate ON the join (not a post-filter: unmatched customers keep
+    // their row), COUNT(col) null semantics, then a re-aggregation.
+    QueryDef("tpch_q13", (s, dir) => {
+      val cust = Tables.customer(s, dir).select("c_custkey")
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }, Some("""SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+      GROUP BY c_count""")),
+
+    // Q15: top supplier by quarterly revenue — the "view + scalar max +
+    // equality join back" shape, with the fp equality made safe by rounding
+    // the revenue before the max on both sides.
+    QueryDef("tpch_q15", (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+        .join(broadcast(supp), col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }, Some("""WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM revenue, (SELECT max(total_revenue) AS max_revenue FROM revenue) m
+      JOIN supplier ON supplier_no = s_suppkey
+      WHERE total_revenue = max_revenue""")),
+
+    // Q16: part/supplier relation counting (adapted: the part↔supplier
+    // relation comes from lineitem instead of the missing partsupp, and the
+    // "complaints" supplier exclusion is stood in by negative account
+    // balance). Shape: anti-join exclusion + COUNT(DISTINCT) per group.
+    QueryDef("tpch_q16", (s, dir) => {
+      val rel = Tables.lineitem(s, dir).select(
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val badSupp = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").isin("MEDIUM") &&
+          col("p_size").isin(1, 9, 15, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      rel.join(broadcast(badSupp), col("sk") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("pk") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("sk")).as("supplier_cnt"))
+    }, Some("""SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        AND p_size IN (1, 9, 15, 25, 36, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size""")),
+
+    // Q17: small-quantity-order revenue — the correlated per-part average
+    // decorrelated into a grouped aggregate broadcast back onto the fact
+    // (avg of exact integer quantities, so the 0.2× threshold is
+    // bit-identical in both engines).
+    QueryDef("tpch_q17", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val partAvg = li.groupBy(col("l_partkey").as("pk"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
+      val brand = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(partAvg), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }, Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = lineitem.l_partkey)""")),
+
+    // Q18: large-volume customers — the HAVING-threshold semi-join feeding
+    // a 3-way join and a tiebroken top-100.
+    QueryDef("tpch_q18", (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val bigOrders = li.groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(col("l_quantity")).as("tq"))
+        .filter(col("tq") > 300).select("bk")
+      val ords = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+      li.join(bigOrders, col("l_orderkey") === col("bk"), "left_semi")
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }, Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        round(o_totalprice, 2) AS o_totalprice,
+        round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // Q19: discounted revenue over an OR-of-ANDs predicate (adapted: the
+    // p_container/l_shipmode legs become p_size/l_quantity ranges). The
+    // point is the disjunctive join predicate: Catalyst extracts the common
+    // p_partkey = l_partkey equi-condition and pushes the residual
+    // disjunction as a post-join filter, never a nested-loop join.
+    QueryDef("tpch_q19", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }, Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // Q22: global sales opportunity (adapted: every fixture customer has
+    // orders, so the NOT EXISTS leg excludes customers with urgent orders;
+    // the country-code grouping becomes c_mktsegment). Shape: scalar-avg
+    // subquery broadcast as a 1-row cross join + anti join + grouped agg.
+    QueryDef("tpch_q22", (s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }, Some("""SELECT c_mktsegment, count(*) AS numcust,
+        round(sum(c_acctbal), 2) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment"""))
   )
 }
