@@ -463,6 +463,37 @@ object JoinAggQueries {
     QueryDef("a13_approx_count_distinct", (s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("nd_approx")),
-      None)
+      None),
+
+    // A22 (extension): deterministic MODE. Spark's mode(col, true) returns
+    // the LOWEST value among tied max-frequency values; DuckDB's mode is
+    // first-encountered (order-dependent), so the oracle spells out the
+    // same contract as count + rank + min — which is also the portable
+    // form for engines without a deterministic mode.
+    QueryDef("a22_mode", (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_linestatus")
+        .agg(mode(col("l_returnflag"), deterministic = true).as("mode_flag"),
+          count(lit(1)).as("n")),
+      Some("""WITH c AS (
+          SELECT l_linestatus, l_returnflag, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT l_linestatus, l_returnflag, cnt,
+                rank() OVER (PARTITION BY l_linestatus ORDER BY cnt DESC) AS rk
+              FROM c)
+        SELECT l_linestatus, min(l_returnflag) AS mode_flag,
+               (SELECT count(*) FROM lineitem li
+                WHERE li.l_linestatus = r.l_linestatus) AS n
+        FROM r WHERE rk = 1 GROUP BY 1, 3""")),
+
+    // A23 (extension): MEDIAN builtin — sugar for the exact linear-
+    // interpolated percentile(0.5), so DuckDB's median (== quantile_cont
+    // 0.5 for numerics) matches bit-for-bit under the usual rounding.
+    QueryDef("a23_median", (s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderstatus")
+        .agg(round(median(col("o_totalprice")) + lit(1e-9), 4).as("median_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus,
+        round(median(o_totalprice) + 1e-9, 4) AS median_price, count(*) AS n
+        FROM orders GROUP BY 1"""))
   )
 }
