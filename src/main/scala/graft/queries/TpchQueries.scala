@@ -432,6 +432,237 @@ object TpchQueries {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT')
-      GROUP BY c_mktsegment"""))
+      GROUP BY c_mktsegment""")),
+
+    // Q7: volume shipping between two nations — the double-nation-dim join
+    // (supplier nation × customer nation) with the bilateral OR filter and
+    // a year rollup. Both nation copies broadcast; the fact→fact
+    // lineitem⋈orders join carries the only shuffle.
+    QueryDef("tpch_q7", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+      val ords = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }, Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        year(l_shipdate) AS l_year,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY 1, 2, 3""")),
+
+    // Q8: national market share — conditional-sum share of one supplier
+    // nation inside a region/type-filtered order volume, per order year.
+    QueryDef("tpch_q8", (s, dir) => {
+      val part = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+          "l_discount")
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val natC = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val reg = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val natS = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+            sum(vol) + lit(1e-9), 6).as("mkt_share"))
+    }, Some("""SELECT year(o_orderdate) AS o_year,
+        round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+              sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+      GROUP BY 1""")),
+
+    // Q9: product-type profit by nation and year (adapted: the fixture has
+    // no partsupp, so supply cost is stood in by a fixed 10% of
+    // p_retailprice per unit — the join/agg shape, a 4-way star with the
+    // part filter pushed into a broadcast, is unchanged).
+    QueryDef("tpch_q9", (s, dir) => {
+      val part = Tables.part(s, dir)
+        .filter(col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+      val ords = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      // profit is an exact 4-decimal quantity (2dp×2dp − 2dp×int), but its
+      // subtraction cancels enough that a float sum can land a half-cent off
+      // between engines at sf0.1 — so sum exact integer ten-thousandths
+      // (|sum| ≪ 2^53) and rescale once at the end.
+      val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(round(profit * lit(10000))) / lit(10000) + lit(1e-9), 2)
+          .as("sum_profit"))
+    }, Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        round(sum(round((l_extendedprice * (1 - l_discount)
+                  - 0.1 * p_retailprice * l_quantity) * 10000)) / 10000
+              + 1e-9, 2) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY 1, 2""")),
+
+    // Q11: important stock identification (adapted: no partsupp — "value"
+    // per part is lineitem revenue from suppliers of a nation group). The
+    // shape is the point: a grouped aggregate filtered against a scalar
+    // fraction of its own total, decorrelated into a 1-row broadcast cross
+    // join. Both the per-part value and the threshold are rounded to cents
+    // before the compare so the strict > is engine-stable.
+    QueryDef("tpch_q11", (s, dir) => {
+      val supp = Tables.supplier(s, dir)
+        .filter(col("s_nationkey").isin(5, 6, 7)).select("s_suppkey")
+      val v = Tables.lineitem(s, dir)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(round(sum(col("l_extendedprice")), 2).as("part_value"))
+      val thr = v.agg(round(sum(col("part_value")) * lit(0.0012), 2).as("threshold"))
+      v.crossJoin(broadcast(thr))
+        .filter(col("part_value") > col("threshold"))
+        .select("l_partkey", "part_value")
+    }, Some("""WITH v AS (
+        SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey IN (5, 6, 7))
+        GROUP BY 1)
+      SELECT l_partkey, part_value FROM v
+      WHERE part_value > (SELECT round(sum(part_value) * 0.0012, 2) FROM v)""")),
+
+    // Q20: potential part promotion (adapted: no partsupp availability —
+    // a supplier qualifies when its 1996 shipped quantity of some red part
+    // exceeds twice the part's per-supplier average, i.e. qty*cnt >
+    // 2*total in exact integer-valued-double arithmetic so the strict
+    // comparison can never flip between engines). Shape: nested correlated
+    // INs decorrelated into two grouped aggregates and a semi-join chain.
+    QueryDef("tpch_q20", (s, dir) => {
+      val red = Tables.part(s, dir).filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val q96 = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+      val perPart = q96.groupBy(col("l_partkey").as("pk2"))
+        .agg(sum(col("qty")).as("total_qty"), count(lit(1)).as("n_supp"))
+      val good = q96
+        .join(broadcast(perPart), col("l_partkey") === col("pk2"))
+        .filter(col("qty") * col("n_supp") > lit(2) * col("total_qty"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, dir).filter(col("s_nationkey").isin(4, 5))
+        .join(good, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }, Some("""WITH q AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY 1, 2),
+      p AS (SELECT l_partkey AS pk2, sum(qty) AS total_qty, count(*) AS n_supp
+            FROM q GROUP BY 1)
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_nationkey IN (4, 5)
+        AND s_suppkey IN (SELECT l_suppkey FROM q JOIN p ON l_partkey = pk2
+                          WHERE qty * n_supp > 2 * total_qty)""")),
+
+    // Q21: suppliers who kept orders waiting (adapted: no l_receiptdate/
+    // l_commitdate — "late" is stood in by l_returnflag = 'R', as in Q4).
+    // The shape is the classic double self-join: EXISTS (another supplier
+    // on the order) decorrelated to a left-semi with a non-equi residual,
+    // NOT EXISTS (another late supplier) to a left-anti.
+    QueryDef("tpch_q21", (s, dir) => {
+      val fOrders = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+        .join(fOrders, col("o1") === col("o_orderkey"), "left_semi")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
+        .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
+        .join(broadcast(supp), col("s1") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    }, Some("""SELECT s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN supplier ON l1.l_suppkey = s_suppkey
+      JOIN orders ON l1.l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
   )
 }
