@@ -110,6 +110,67 @@ object Materialize {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /**
+   * dbt `snapshot` (SCD type-2, strategy = check): capture attribute
+   * history of a mutable source. Each run compares the source's rows
+   * with the snapshot's OPEN rows per `keys`:
+   *  - new keys open a row (valid_from = asOf, valid_to = NULL),
+   *  - keys whose `checkCols` changed close the old row at asOf and open
+   *    a new one,
+   *  - unchanged keys and keys absent from the source are left untouched
+   *    (dbt's default — deletions do not invalidate).
+   * `valid_to IS NULL ⟺ is_current`, so any as-of query is a range
+   * filter on (valid_from, valid_to).
+   *
+   * At scale the only keyed work is one shuffle join of the open slice
+   * against the batch; closed history is carried through untouched (a
+   * transactional format would not rewrite it at all — same caveat as
+   * the AsIncremental merge path).
+   */
+  def snapshot(spark: SparkSession, name: String, source: DataFrame,
+               keys: Seq[String], checkCols: Seq[String],
+               asOf: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val srcCols = keys ++ checkCols
+    val src = source.select(srcCols.map(col): _*)
+    val stamped = src
+      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    if (!spark.catalog.tableExists(name)) {
+      materialize(spark, name, stamped, AsTable())
+    } else {
+      val snap = spark.table(name)
+      val open = snap.filter(col("is_current"))
+      val closedHist = snap.filter(!col("is_current"))
+      val o = open.alias("o")
+      val n = src.alias("n")
+      val changeCond = checkCols
+        .map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+      val changed = o.join(n, keys, "inner").filter(changeCond)
+        .transform(CacheRegistry.persistTracked)
+      val closedNow = changed.select(
+        keys.map(col) ++ checkCols.map(c => col(s"o.$c").as(c)) ++ Seq(
+          col("o.valid_from").as("valid_from"), lit(asOf).as("valid_to"),
+          lit(false).as("is_current")): _*)
+      val openedNow = changed.select(
+        keys.map(col) ++ checkCols.map(c => col(s"n.$c").as(c)) ++ Seq(
+          lit(asOf).as("valid_from"), lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current")): _*)
+      val keptOpen = open.join(changed.select(keys.map(col): _*), keys, "left_anti")
+      val newOpen = stamped.join(open.select(keys.map(col): _*), keys, "left_anti")
+      val next = closedHist.unionByName(keptOpen).unionByName(closedNow)
+        .unionByName(openedNow).unionByName(newOpen)
+      // stage-and-swap: `next` reads the table it is about to replace
+      val stagePath = java.nio.file.Files.createTempDirectory("graft_snap_stage")
+      try {
+        next.write.mode(SaveMode.Overwrite).parquet(stagePath.toString)
+        materialize(spark, name,
+          spark.read.parquet(stagePath.toString), AsTable())
+      } finally deleteRecursively(stagePath)
+    }
+  }
+
   /** Materialize `df` under `name` per the policy; returns the readable
     * relation (the view/table as a fresh DataFrame). */
   def materialize(spark: SparkSession, name: String, df: DataFrame,

@@ -142,6 +142,24 @@ object Corpus {
       .drop("__skey")
   }
 
+  /**
+   * Deterministic weighted corpus mixture: subsample each source at its
+   * rate through the engine-portable md5 cell-gate (rate quantized to
+   * 256ths), then union. This is the training-mixture primitive — "2
+   * parts web to 1 part books" — without RNG state: reruns, engine ports,
+   * and retries pick the same rows. The gate is a scan-side filter, so a
+   * source mixed at 1% never moves the other 99% off its scan.
+   */
+  def mixture(sources: Seq[(DataFrame, Double)], idCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources.map { case (df, rate) =>
+      require(rate > 0.0 && rate <= 1.0, s"rate $rate outside (0, 1]")
+      val cells = math.max(1L, math.round(rate * 256)).toInt
+      if (cells >= 256) df
+      else df.filter(hashCell(col(idCol)) < lit(f"$cells%02x"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** RE2-safe patterns (portable across Java regex and RE2 oracles). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\d{3}-\\d{4}"

@@ -67,4 +67,32 @@ object Joins {
     * no fact-side shuffle. */
   def antiJoin(fact: DataFrame, keySet: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(keySet), keys, "left_anti")
+
+  /**
+   * J13 (extension): Bloom-prefiltered join — the explicit form of
+   * Spark's runtime (row-level) filter. The dim side's join keys fold
+   * into a driver-built Bloom filter that is broadcast as a scan-side
+   * predicate on the fact, and the exact join runs on the survivors. For
+   * a selective dim this drops the fact's shuffle volume by the dim's
+   * selectivity (a 1% dim ≈ 99% less shuffled data) — the pattern that
+   * matters when the fact side is 100 TB and the join key is not the
+   * partition key (where dynamic partition pruning can't help). False
+   * positives are culled by the exact join; false negatives are
+   * impossible, so the result is identical to the plain join.
+   *
+   * The predicate is a broadcast-closure UDF by necessity (the sketch is
+   * opaque to codegen); it gates rows BEFORE the exchange, so the
+   * interpreted call is paid on the scan, not the shuffle.
+   */
+  def bloomPrefilteredInner(fact: DataFrame, dim: DataFrame,
+                            factKey: String, dimKey: String,
+                            expectedDimKeys: Long = 1000000L,
+                            fpp: Double = 0.01): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

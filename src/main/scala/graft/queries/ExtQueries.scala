@@ -499,6 +499,21 @@ object ExtQueries {
              ELSE 'test' END AS split
       FROM documents""")),
 
+    // Deterministic training mixture: short-named sources (src0..src9)
+    // kept whole, long-named (src10..src19) downsampled to 64/256 via the
+    // md5 cell-gate — the "N parts A to M parts B" corpus-mixing
+    // primitive, reproducible with no RNG state.
+    QueryDef("ext_mixture", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      Corpus.mixture(Seq(
+        (docs.filter(length(col("source")) === 4), 1.0),
+        (docs.filter(length(col("source")) === 5), 0.25)), "doc_id")
+    }, Some("""SELECT doc_id, source FROM documents
+      WHERE length(source) = 4
+         OR (length(source) = 5
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')""")),
+
     // Stratified 20% sample per language: exact per-stratum quotas via a
     // count window + deterministic (md5, id) ordering — one shuffle on the
     // stratum key, no driver loop, reproducible.

@@ -362,6 +362,28 @@ object JoinAggQueries {
       FROM orders JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
         FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey""")),
 
+    // J13 (extension): Bloom-prefiltered join — the explicit runtime-
+    // filter pattern: dim keys fold into a driver Bloom filter gating the
+    // fact scan before the exchange; the exact join culls false
+    // positives, so the result equals the plain join (which is exactly
+    // what the oracle runs).
+    QueryDef("j13_bloom_join", (s, dir) => {
+      val dim = Tables.supplier(s, dir)
+        .filter(col("s_nationkey") === 3)
+        .select("s_suppkey", "s_name")
+      Joins.bloomPrefilteredInner(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_suppkey", "l_quantity"),
+          dim, "l_suppkey", "s_suppkey", expectedDimKeys = 1000L)
+        .groupBy("s_name")
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+    }, Some("""SELECT s_name, round(sum(l_quantity), 2) AS total_qty,
+        count(*) AS n_lines
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY s_name""")),
+
     // A16 (extension): discrete percentile — the value actually present
     // in the data (percentile_disc), vs the interpolated A1 family.
     QueryDef("a16_percentile_disc", (s, dir) =>

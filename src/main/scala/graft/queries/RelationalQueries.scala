@@ -184,6 +184,53 @@ object RelationalQueries {
         CASE WHEN n_regionkey >= 2 THEN n_regionkey END AS added_region
       FROM nation""")),
 
+    // S16: SCD type-2 snapshot (dbt `snapshot`, strategy=check) — two
+    // runs over a mutating orders slice: run 2 changes some statuses
+    // (close + reopen), deletes some keys (stay open), and adds new keys
+    // (open). The oracle recomputes the expected history algebraically.
+    QueryDef("s16_snapshot_scd2", (s, dir) => {
+      import graft.core.Materialize._
+      val name = "graft_snap_orders"
+      dropWithLocation(s, name)
+      val base = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select("o_orderkey", "o_orderstatus")
+      val state2 = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 50 === 1)
+          .select("o_orderkey", "o_orderstatus"))
+      snapshot(s, name, base, Seq("o_orderkey"), Seq("o_orderstatus"),
+        "2024-01-01")
+      snapshot(s, name, state2, Seq("o_orderkey"), Seq("o_orderstatus"),
+        "2024-02-01")
+    }, Some("""WITH s1 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 50 = 0),
+      s2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus
+        FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 50 = 1),
+      changed AS (
+        SELECT s1.o_orderkey FROM s1 JOIN s2 USING (o_orderkey)
+        WHERE s1.o_orderstatus IS DISTINCT FROM s2.o_orderstatus)
+      SELECT s1.o_orderkey, s1.o_orderstatus, '2024-01-01' AS valid_from,
+             '2024-02-01' AS valid_to, false AS is_current
+      FROM s1 JOIN changed USING (o_orderkey)
+      UNION ALL
+      SELECT s2.o_orderkey, s2.o_orderstatus, '2024-02-01', NULL, true
+      FROM s2 JOIN changed USING (o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, '2024-01-01', NULL, true
+      FROM s1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, '2024-02-01', NULL, true
+      FROM s2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)""")),
+
     // S12: malformed-input handling — PERMISSIVE CSV parse routes bad
     // rows to _corrupt_record instead of failing the scan (the
     // quarantine-don't-crash contract a 100 TB ingest needs: one bad line

@@ -118,4 +118,25 @@ class CorpusSpec extends SparkSpec {
         s"appending later docs must not move doc $id")
     }
   }
+
+  test("mixture keeps full-rate sources whole and downsamples by the hash gate") {
+    import org.apache.spark.sql.functions._
+    val a = spark.range(0, 400).toDF("doc_id").withColumn("src", lit("a"))
+    val b = spark.range(400, 800).toDF("doc_id").withColumn("src", lit("b"))
+    val mixed = Corpus.mixture(Seq((a, 1.0), (b, 0.25)), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val aKept = mixed.count(_._2 == "a")
+    val bKept = mixed.count(_._2 == "b")
+    assert(aKept == 400, "rate-1.0 source must pass through whole")
+    // 64/256 gate over 400 uniform hashes: expect ~100, allow wide slack
+    assert(bKept > 50 && bKept < 150, s"rate-0.25 kept $bKept of 400")
+    // deterministic: same inputs, same selection
+    val again = Corpus.mixture(Seq((a, 1.0), (b, 0.25)), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(mixed.toSet == again.toSet)
+    // the b survivors are exactly the cell-gated ids, not a prefix
+    val expectedB = b.filter(Corpus.hashCell(col("doc_id")) < lit("40"))
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed.filter(_._2 == "b").map(_._1).toSet == expectedB)
+  }
 }

@@ -80,4 +80,31 @@ class MaterializeSpec extends SparkSpec {
       .orderBy("l_orderkey", "l_linenumber").collect()
     assert(after.sameElements(before), "compaction must not change content")
   }
+
+  test("snapshot tracks SCD2 history: close+reopen changed, keep deleted, open new") {
+    val name = "graft_test_snap"
+    Materialize.dropWithLocation(spark, name)
+    val run1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "status")
+    Materialize.snapshot(spark, name, run1, Seq("id"), Seq("status"), "t1")
+    // id 1 changed, id 2 unchanged, id 3 absent (deleted), id 4 new
+    val run2 = Seq((1L, "a2"), (2L, "b"), (4L, "d")).toDF("id", "status")
+    val out = Materialize.snapshot(spark, name, run2, Seq("id"), Seq("status"), "t2")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, "a", "t1", Some("t2"), false),   // closed old version
+      (1L, "a2", "t2", None, true),         // reopened with new value
+      (2L, "b", "t1", None, true),          // unchanged: still open from t1
+      (3L, "c", "t1", None, true),          // deleted from source: stays open
+      (4L, "d", "t2", None, true)))         // new key opens at t2
+    // third run changes id 1 again: history accretes, never rewrites
+    val run3 = Seq((1L, "a3")).toDF("id", "status")
+    val out3 = Materialize.snapshot(spark, name, run3, Seq("id"), Seq("status"), "t3")
+      .filter(col("id") === 1L).collect()
+      .map(r => (r.getString(1), r.getString(2), Option(r.getString(3)))).toSet
+    assert(out3 == Set(("a", "t1", Some("t2")), ("a2", "t2", Some("t3")),
+      ("a3", "t3", None)))
+    Materialize.dropWithLocation(spark, name)
+  }
 }

@@ -161,4 +161,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("pl_tti_monthly_top10")
     assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))
   }
+
+  test("j13: bloom prefilter gates the fact scan and matches the plain join") {
+    import org.apache.spark.sql.functions._
+    val fact = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val dim = graft.core.Tables.supplier(spark, sfDir)
+      .filter(col("s_nationkey") === 3).select("s_suppkey", "s_name")
+    val pre = graft.ops.Joins.bloomPrefilteredInner(
+      fact, dim, "l_suppkey", "s_suppkey", expectedDimKeys = 1000L)
+    val plain = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+    assert(pre.count() == plain.count(), "bloom prefilter must not drop matches")
+    // the predicate must sit on the fact side BEFORE its exchange: the
+    // filtered row count is far below the full fact scan
+    val dimKeys = dim.collect().map(_.getLong(0)).toSet
+    val surviving = pre.select("l_suppkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(surviving == dimKeys, "exact join must cull every false positive")
+  }
 }
