@@ -135,4 +135,55 @@ object TextOps {
         .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)),
           i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
     }
+
+  import org.apache.spark.sql.DataFrame
+
+  /**
+   * Per-document token Shannon entropy (nats): H = ln n − (Σ c·ln c)/n
+   * over within-doc token counts — the low-entropy tail is boilerplate /
+   * keyword-stuffed text that length and stopword ratios miss. Frame
+   * form (not a Column): the count needs a (doc, token) aggregation, so
+   * the natural scale shape is explode → two codegen'd hash aggregates,
+   * never an O(tokens²) per-row array walk. Output: (idCol, n_tokens,
+   * entropy), entropy rounded to 6 digits.
+   */
+  def tokenEntropyFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__s"))
+      .select(col(idCol), col("__n").as("n_tokens"),
+        round(log(col("__n").cast("double")) - col("__s") / col("__n")
+          + lit(1e-9), 6).as("entropy"))
+
+  /**
+   * Corpus-bigram language-model score — the deterministic stand-in for
+   * the KenLM-perplexity quality gate (CCNet-style): per document, the
+   * mean log conditional probability ln(c(w1,w2)/c(w1·)) of its bigrams
+   * under the corpus's own bigram counts. Rare/garbled transitions score
+   * low. Positions come from posexplode + a lead window (one shuffle on
+   * the doc key); the two count joins are plain hash joins keyed by
+   * token — at corpus scale the model tables are far smaller than the
+   * bigram stream and broadcast when they fit, but correctness never
+   * depends on it. Docs with < 2 tokens have no bigrams and are absent.
+   * Output: (idCol, n_bigrams, lm_score), score rounded to 6 digits.
+   */
+  def lmScoreFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "w1")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = toks.withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val cu = bigrams.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    bigrams.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__c2").cast("double") / col("__c1")))
+          + lit(1e-9), 6).as("lm_score"))
+  }
 }

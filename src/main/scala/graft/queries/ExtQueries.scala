@@ -33,6 +33,33 @@ object ExtQueries {
 
     // ---- Text analysis ------------------------------------------------
 
+    // Token Shannon entropy — the low-entropy tail is boilerplate /
+    // keyword-stuffed text that length and stopword gates miss. Shape:
+    // explode → two hash aggregates (H = ln n − Σc·ln c / n).
+    QueryDef("ext_token_entropy", (s, dir) =>
+      TextOps.tokenEntropyFrame(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 6) AS entropy
+        FROM c GROUP BY doc_id""")),
+
+    // Corpus-bigram LM score — deterministic stand-in for the KenLM
+    // perplexity gate: mean ln P(w2|w1) under the corpus's own bigram
+    // counts; rare/garbled transitions score low.
+    QueryDef("ext_lm_score", (s, dir) =>
+      TextOps.lmScoreFrame(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
+        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(avg(ln(CAST(c2 AS DOUBLE) / c1)) + 1e-9, 6) AS lm_score
+        FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        GROUP BY doc_id""")),
+
     QueryDef("ext_text_token_stats", (s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),

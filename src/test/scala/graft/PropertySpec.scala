@@ -44,6 +44,34 @@ class PropertySpec extends SparkSpec {
     assert(r(3L) > 0.8, "looped text must score near 1")
   }
 
+  test("tokenEntropy: 0 for constant docs, ln(n) for all-distinct docs") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),       // one symbol -> H = 0
+      (2L, "a b c d e f g h"),           // 8 distinct -> H = ln 8
+      (3L, "x x y y"))                   // two equal halves -> H = ln 2
+      .toDF("id", "text")
+    val h = graft.ext.TextOps.tokenEntropyFrame(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h(1L) == 0.0)
+    assert(math.abs(h(2L) - math.log(8)) < 1e-5)
+    assert(math.abs(h(3L) - math.log(2)) < 1e-5)
+  }
+
+  test("lmScore: repeated transitions score higher than one-off transitions") {
+    val df = Seq(
+      (1L, "a b a b a b a b"),   // a->b and b->a dominate the corpus
+      (2L, "a q"),               // a->q is a one-off given a's many exits
+      (3L, "a b a b"))
+      .toDF("id", "text")
+    val s = graft.ext.TextOps.lmScoreFrame(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(2L), "frequent bigrams must outscore rare ones")
+    // doc with < 2 tokens has no bigrams and must be absent
+    val single = graft.ext.TextOps.lmScoreFrame(
+      Seq((9L, "solo")).toDF("id", "text"), "id", "text").count()
+    assert(single == 0L)
+  }
+
   test("TopKBuffer equals sort-then-take for random inputs, any k") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 50) {
