@@ -96,6 +96,35 @@ object Similarity {
   }
 
   /**
+   * Exact k-nearest-neighbor graph: every vector's k closest OTHER
+   * vectors by cosine — the building block for embedding-space
+   * clustering, semantic dedup sweeps, and diversity sampling. Exact
+   * form scores all pairs (self excluded) with the codegen'd cosine and
+   * keeps k per source by (score desc, id).
+   *
+   * Scale note: all-pairs is O(n²) and the probe broadcast is the whole
+   * table — correct only up to ~10⁵ vectors per side. The corpus-scale
+   * path is candidate generation via the sign-LSH bucket families
+   * ([[annTopKMultiTable]]) or IVF cells ([[ivfAssign]]), then this
+   * exact scoring WITHIN each candidate block; the graph loses only
+   * cross-bucket edges the bands were sized to make improbable.
+   */
+  def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, scoreDigits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val probes = vectors.select(col(idCol).as("src_id"), col(vecCol).as("__pv"))
+    val scored = vectors.crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("src_id"))
+      .withColumn("score",
+        round(cosineNative(col(vecCol), col("__pv")) + lit(1e-9), scoreDigits))
+      .select(col("src_id"), col(idCol).as("dst_id"), col("score"))
+    scored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_id")).orderBy(desc("score"), col("dst_id"))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
    * Sparse-random-projection sign LSH bucket id: bit j is the sign of
    * v · (e_j − e_{j+32}) = v[j] > v[j+32] — a fixed sparse hyperplane
    * family that is expressible in any engine (no hash functions), cheap

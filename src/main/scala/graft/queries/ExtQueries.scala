@@ -707,6 +707,24 @@ object ExtQueries {
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
 
+    // Exact kNN graph over the embedding table (k=3, self excluded) —
+    // the clustering/semantic-dedup building block; at corpus scale the
+    // same scoring runs within LSH/IVF candidate blocks.
+    QueryDef("ext_knn_graph", (s, dir) =>
+      Similarity.knnGraph(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3),
+      Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+            round(list_inner_product(b.e, a.e) /
+              nullif(sqrt(list_inner_product(b.e, b.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+          FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY score DESC, dst_id) AS rn FROM scored)
+        SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3""")),
+
     // Fused whole-operator top-k (custom CosineTopKExec physical node):
     // same answer as ext_sim_topk_cosine — the SAME oracle SQL — but the
     // plan is one pass + bounded buffers, no Exchange/Window (PlanSpec

@@ -179,6 +179,51 @@ object StreamingQueries {
         max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
       FROM sess GROUP BY user_id, session_idx""")),
 
+    // Custom-state sessionization (flatMapGroupsWithState, append mode):
+    // within-batch gaps close sessions inline, the open tails close when
+    // the sentinel advances the watermark past their event-time timeout.
+    // Drained-to-completion output == the batch gap sessionizer, which is
+    // exactly what the oracle computes (exact integer-µs gap math on both
+    // sides).
+    QueryDef("st_custom_state", (s, dir) => withStatePartitions(s, 8) {
+      val stage = java.nio.file.Files.createTempDirectory("graft_st_fmgs").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/a_events.parquet"))
+      val q = EventStream.sessionizeClosed(
+          EventStream.readEvents(s, stage, globFilter = "*.parquet")).toDF()
+        .writeStream.format("memory")
+        .queryName("graft_st_fmgs").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val maxNanos = graft.core.Tables.events(s, dir)
+          .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
+        import s.implicits._
+        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_fmgs_sent").toString
+        Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+        val part = new java.io.File(sentinelDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$stage/z_sentinel.parquet"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_st_fmgs").filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          round(col("durationSec") + lit(1e-9), 6).as("duration_sec"))
+    }, Some("""WITH flagged AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+               THEN 1 ELSE 0 END AS gap_start
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT *, sum(gap_start) OVER (PARTITION BY user_id
+          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+      SELECT user_id, count(*) AS n_events,
+        round((max(us) - min(us)) / 1000000.0 + 1e-9, 6) AS duration_sec
+      FROM sess GROUP BY user_id, session_idx""")),
+
     // TRUE per-key streaming dedup (dropDuplicatesWithinWatermark): the
     // survivor row is arrival-order-dependent, so the registered output is
     // the survivor-independent KEY SET, which the batch oracle recomputes

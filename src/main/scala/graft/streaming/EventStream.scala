@@ -103,16 +103,34 @@ object EventStream {
       }
   }
 
+  /** Exact event-time microseconds of a Timestamp (getTime alone is
+    * millisecond-truncated; the fixture has real µs components and the
+    * batch oracle compares at µs grain). */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /**
    * Closed-session emitter via flatMapGroupsWithState: emits a session
-   * record ONLY when the gap timeout fires (zero or more outputs per
-   * invocation — the shape mapGroupsWithState can't express). Append
-   * output mode; state bounded by the event-time timeout.
+   * record ONLY when it closes — either a gap WITHIN the batch's sorted
+   * event times (a batch can carry many sessions of one user) or the
+   * event-time gap timeout firing for the open tail (zero or more
+   * outputs per invocation — the shape mapGroupsWithState can't
+   * express). Append output mode; state is one open session per key,
+   * bounded by the event-time timeout.
+   *
+   * Gap math is exact integer µs, and a session closes when the next
+   * event is >= gap away — the same contract as the batch gap-flag
+   * sessionizer, so a drained stream equals the batch answer. Events are
+   * assumed in order per user ACROSS batches (within a batch they are
+   * sorted here); a late in-watermark event older than the open
+   * session's last timestamp extends that session rather than
+   * re-splitting history.
    */
   def sessionizeClosed(events: DataFrame, gapMinutes: Int = 30,
                        watermark: String = "2 hours"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
     events.withWatermark("ts", watermark).as[Evt]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -124,14 +142,25 @@ object EventStream {
             Iterator.single(
               SessionOut(userId, s.nEvents, (s.lastTs - s.firstTs) / 1e6, closed = true))
           } else {
-            val times = evts.map(_.ts.getTime * 1000L).toArray
-            val prev = state.getOption.getOrElse(
-              SessionState(0L, times.min, times.min))
-            val next = SessionState(prev.nEvents + times.length,
-              math.min(prev.firstTs, times.min), math.max(prev.lastTs, times.max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs / 1000L + gapMinutes * 60000L)
-            Iterator.empty
+            val times = evts.map(e => microsOf(e.ts)).toArray
+            java.util.Arrays.sort(times)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.orNull
+            var i = 0
+            while (i < times.length) {
+              val t = times(i)
+              if (cur == null) cur = SessionState(1L, t, t)
+              else if (t - cur.lastTs >= gapUs) {
+                closed += SessionOut(userId, cur.nEvents,
+                  (cur.lastTs - cur.firstTs) / 1e6, closed = true)
+                cur = SessionState(1L, t, t)
+              } else cur = SessionState(cur.nEvents + 1,
+                math.min(cur.firstTs, t), math.max(cur.lastTs, t))
+              i += 1
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastTs / 1000L + gapMinutes * 60000L)
+            closed.iterator
           }
       }
   }
