@@ -487,6 +487,26 @@ object JoinAggQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("nd_approx")),
       None),
 
+    // A24 (extension): equi-width histogram per group over the global
+    // [min, max] — the profiling/binning aggregate. All arithmetic is
+    // exact integer cents with floor division (`div` / `//`), so bucket
+    // assignment can never flip between engines; the 1-row min/max
+    // frame broadcasts into the scan.
+    QueryDef("a24_histogram", (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val mm = li.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("bucket", expr("(cents - minc) * 8 div (maxc - minc + 1)"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"))
+    }, Some("""WITH c AS (SELECT l_returnflag,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+      m AS (SELECT min(cents) AS minc, max(cents) AS maxc FROM c)
+      SELECT l_returnflag, (cents - minc) * 8 // (maxc - minc + 1) AS bucket,
+             count(*) AS n
+      FROM c, m GROUP BY 1, 2""")),
+
     // A22 (extension): deterministic MODE. Spark's mode(col, true) returns
     // the LOWEST value among tied max-frequency values; DuckDB's mode is
     // first-encountered (order-dependent), so the oracle spells out the

@@ -231,6 +231,21 @@ object RelationalQueries {
       SELECT o_orderkey, o_orderstatus, '2024-02-01', NULL, true
       FROM s2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)""")),
 
+    // S17: Z-order (Morton) clustering value — exact long bit
+    // interleaving, computable identically in any engine; the layout key
+    // `core/Layout.zorderCompact` sorts files by so parquet min/max
+    // stats prune BOTH predicate dimensions.
+    QueryDef("s17_zorder_value", (s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        graft.core.Layout.zValue(col("l_partkey").bitwiseAND(lit(255L)),
+          col("l_suppkey").bitwiseAND(lit(255L)), bits = 8).as("zval")),
+      Some("""SELECT l_orderkey, l_linenumber,
+          CAST(list_sum(list_transform(range(0, 8),
+            i -> ((l_partkey & 255) >> i & 1) * (1 << (2 * i))
+               + ((l_suppkey & 255) >> i & 1) * (1 << (2 * i + 1))))
+            AS BIGINT) AS zval
+        FROM lineitem""")),
+
     // S12: malformed-input handling — PERMISSIVE CSV parse routes bad
     // rows to _corrupt_record instead of failing the scan (the
     // quarantine-don't-crash contract a 100 TB ingest needs: one bad line

@@ -81,6 +81,31 @@ class MaterializeSpec extends SparkSpec {
     assert(after.sameElements(before), "compaction must not change content")
   }
 
+  test("zValue interleaves bits exactly and zorderCompact preserves content") {
+    import graft.core.Layout
+    // reference interleave in plain Scala
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L),
+      (37L, 201L))
+    val got = pairs.toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), bits = 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (a, b) => ref(a, b, 8) })
+    // locality: equal high bits of both dims => same z prefix
+    assert(ref(0xF0L, 0xF0L, 8) >> 8 == ref(0xF3L, 0xF1L, 8) >> 8)
+    // compact roundtrip keeps rows
+    val out = java.nio.file.Files.createTempDirectory("graft_z_spec").toString + "/t"
+    val src = graft.core.Tables.supplier(spark, sfDir)
+    src.write.mode("overwrite").parquet(out)
+    Layout.zorderCompact(spark, out, "s_suppkey", "s_nationkey", bits = 8,
+      nFiles = 4)
+    val after = spark.read.parquet(out)
+    assert(after.count() == src.count())
+    assert(after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty)
+  }
+
   test("snapshot tracks SCD2 history: close+reopen changed, keep deleted, open new") {
     val name = "graft_test_snap"
     Materialize.dropWithLocation(spark, name)

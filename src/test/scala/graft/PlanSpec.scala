@@ -162,6 +162,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))
   }
 
+  test("tpch q7/q9: dimension sides broadcast; no cartesian anywhere") {
+    for (q <- Seq("tpch_q7", "tpch_q9")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast its dims")
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian")
+    }
+  }
+
+  test("tpch q21: double self-join plans semi+anti hash joins, no cartesian") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("j13: bloom prefilter gates the fact scan and matches the plain join") {
     import org.apache.spark.sql.functions._
     val fact = graft.core.Tables.lineitem(spark, sfDir)
