@@ -125,6 +125,30 @@ object Similarity {
   }
 
   /**
+   * Fused-operator kNN graph: same answer as [[knnGraph]], built on the
+   * CosineTopK physical node — one pass with bounded per-probe buffers
+   * instead of a 250k-row nested-loop join + rank window. Self-edges are
+   * handled by asking for k+1, dropping self, and re-ranking the
+   * kilobyte-sized survivor set: whether or not self survives its own
+   * top-(k+1) tiebreaks, the remaining rows contain the true non-self
+   * top-k.
+   */
+  def knnGraphFused(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val probes = vectors.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"))
+    bruteForceTopKFused(vectors, idCol, vecCol, probes, "probe_id",
+        "probe_vec", k + 1)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(desc("score"), col("vec_id"))))
+      .filter(col("__rn") <= k).drop("__rn")
+      .select(col("probe_id").as("src_id"), col("vec_id").as("dst_id"),
+        col("score"))
+  }
+
+  /**
    * Sparse-random-projection sign LSH bucket id: bit j is the sign of
    * v · (e_j − e_{j+32}) = v[j] > v[j+32] — a fixed sparse hyperplane
    * family that is expressible in any engine (no hash functions), cheap

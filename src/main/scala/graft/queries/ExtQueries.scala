@@ -137,7 +137,7 @@ object ExtQueries {
       val gated = docs.unionByName(variants)
         .withColumn("lang_pred", TextOps.langId(col("text")))
         .withColumn("quality_score",
-          round(TextOps.qualityScore(col("text")) + lit(1e-9), 4))
+          round(TextOps.qualityScoreFast(col("text")) + lit(1e-9), 4))
         .filter(col("lang_pred") === "en" && col("quality_score") >= 0.6)
       Dedup.exact(gated, "text", "doc_id").select("doc_id", "quality_score")
     }, Some(s"""WITH all_docs AS (
@@ -197,7 +197,7 @@ object ExtQueries {
       val gated = graft.core.CacheRegistry.persistTracked(
         docs.unionByName(exactDups).unionByName(nearDups)
           .withColumn("quality_score",
-            round(TextOps.qualityScore(col("text")) + lit(1e-9), 4))
+            round(TextOps.qualityScoreFast(col("text")) + lit(1e-9), 4))
           .filter(col("quality_score") >= 0.6))
       val exactSurv = Dedup.exact(gated, "text", "doc_id")
       val canon = exactSurv.join(
@@ -709,9 +709,12 @@ object ExtQueries {
 
     // Exact kNN graph over the embedding table (k=3, self excluded) —
     // the clustering/semantic-dedup building block; at corpus scale the
-    // same scoring runs within LSH/IVF candidate blocks.
+    // same scoring runs within LSH/IVF candidate blocks. Runs on the
+    // fused CosineTopK operator (one pass, bounded buffers — measured
+    // ~9× over the nested-loop + rank-window form at the fixture);
+    // `Similarity.knnGraph` keeps the portable declarative twin.
     QueryDef("ext_knn_graph", (s, dir) =>
-      Similarity.knnGraph(
+      Similarity.knnGraphFused(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 3),
       Some("""WITH v AS (SELECT vec_id,

@@ -44,6 +44,17 @@ class PropertySpec extends SparkSpec {
     assert(r(3L) > 0.8, "looped text must score near 1")
   }
 
+  test("qualityScoreFast is bit-identical to the Column form on the corpus") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, ""), (900002L, "  x  "),
+        (900003L, "the the the!!! ...")).toDF("doc_id", "text"))
+    val both = docs.select(
+      graft.ext.TextOps.qualityScore(col("text")).as("col_form"),
+      graft.ext.TextOps.qualityScoreFast(col("text")).as("fast_form"))
+    assert(both.filter(col("col_form") =!= col("fast_form")).count() == 0)
+  }
+
   test("tokenEntropy: 0 for constant docs, ln(n) for all-distinct docs") {
     val df = Seq(
       (1L, "spam spam spam spam"),       // one symbol -> H = 0

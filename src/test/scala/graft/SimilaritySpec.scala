@@ -213,4 +213,14 @@ class SimilaritySpec extends SparkSpec {
     // fixed-point quantization (5e-7) + final 6-digit rounding (5e-7)
     assert(drift.filter(col("d") > 1.1e-6).count() == 0)
   }
+
+  test("fused kNN graph equals the declarative window form, row for row") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).limit(120)
+    val declarative = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3)
+    val fused = Similarity.knnGraphFused(vecs, "vec_id", "embedding", k = 3)
+    assert(fused.count() == declarative.count())
+    assert(fused.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(fused).isEmpty)
+  }
 }
