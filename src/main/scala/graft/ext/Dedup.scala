@@ -340,9 +340,59 @@ object Dedup {
    *
    * Returns (id, component) for every node incident to an edge; isolated
    * nodes are absent (callers coalesce to their own id).
+   *
+   * Size-aware escape hatch: the near-dup edge set is orders of
+   * magnitude smaller than the corpus (it holds only LSH-verified
+   * pairs), and below `driverThreshold` edges the iterative rounds'
+   * job-scheduling overhead dominates their work (~1.3 s/round measured
+   * at the fixture vs ~0.1 s total for a collect + union-find). So small
+   * graphs run path-compressed union-find on the driver — identical
+   * output (component = min id) — and only genuinely large graphs pay
+   * the distributed loop. Pass `driverThreshold = 0` to force the
+   * distributed path (the specs do, to keep it covered).
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    if (driverThreshold > 0) {
+      val e0 = edges.select(
+          least(col(aCol), col(bCol)).cast("long").as("u"),
+          greatest(col(aCol), col(bCol)).cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = e0.count()
+      if (n <= driverThreshold) {
+        val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
+        }
+        pairs.foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { // union by MIN root so component id = min node id
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val out = nodes.map(id => (id, find(id)))
+        import spark.implicits._
+        return out.toSeq.toDF("id", "component")
+      }
+    }
+    connectedComponentsDistributed(edges, aCol, bCol, maxIter)
+  }
+
+  /** The distributed large-star/small-star loop (see
+    * [[connectedComponents]] for the algorithm and checkpointing notes). */
+  def connectedComponentsDistributed(edges: DataFrame, aCol: String, bCol: String,
+                                     maxIter: Int = 25): DataFrame = {
     var e = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))

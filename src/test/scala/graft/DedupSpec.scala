@@ -102,6 +102,22 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("distributed large-star/small-star equals driver union-find") {
+    // deterministic pseudo-random graph: 120 nodes, 90 edges from a
+    // multiplicative hash — mixes chains, merges, and singletons
+    val edges = (0 until 90).map { i =>
+      val u = (i * 2654435761L) % 120
+      val v = (u + 1 + (i * 40503L) % 7) % 120
+      (u, v)
+    }.toDF("a", "b")
+    val driver = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponentsDistributed(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist,
+      "both component paths must produce identical (id, min-id) maps")
+  }
+
   test("nearDupClusters partitions the corpus; canonical = component min") {
     val out = Dedup.nearDupClusters(corpus, "doc_id", "text",
         threshold = 0.5, numHashes = 64, bands = 32)
