@@ -93,6 +93,28 @@ object Checks {
       .drop("__mu", "__sd")
   }
 
+  /**
+   * Robust (MAD) outlier test: rows whose |x − median| exceeds
+   * `k` × MAD within their group, where MAD = median(|x − median|).
+   * Unlike 3-sigma this doesn't let the outliers inflate their own
+   * threshold — the standard robust twin for skewed metrics. Two exact
+   * percentile passes by construction; both group frames are
+   * dimension-cardinality and broadcast, so the fact side shuffles only
+   * for the two aggregations.
+   */
+  def madOutliers(df: DataFrame, c: String, groupCols: Seq[String],
+                  k: Double = 3.5): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($c, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(col(c) - col("__med")))
+    val mad = dev.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__absdev, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), groupCols)
+      .filter(col("__absdev") > lit(k) * col("__mad"))
+      .drop("__med", "__absdev", "__mad")
+  }
+
   /** Interval-consistency test: end before start (reference `5_dbt/READ.md:866-879`). */
   def endBeforeStart(df: DataFrame, startCol: String, endCol: String): DataFrame =
     df.filter(col(endCol) < col(startCol))

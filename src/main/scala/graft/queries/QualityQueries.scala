@@ -76,6 +76,24 @@ object QualityQueries {
       CROSS JOIN (SELECT avg(value) AS mu, stddev(value) AS sd FROM events)
       WHERE abs(value - mu) > 3 * sd""")),
 
+    // Robust MAD outliers per event type — the skew-immune twin of
+    // dq_three_sigma (exact medians are engine-identical, so the
+    // selected row set is too).
+    QueryDef("dq_mad_outliers", (s, dir) =>
+      Checks.madOutliers(
+          Tables.events(s, dir).select("event_id", "event_type", "value"),
+          "value", Seq("event_type"), k = 3.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") + lit(1e-9), 6).as("value")),
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+          FROM events GROUP BY 1),
+        dev AS (SELECT event_id, e.event_type, value, abs(value - m) AS d
+          FROM events e JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(d, 0.5) AS md
+          FROM dev GROUP BY 1)
+        SELECT event_id, dev.event_type, round(value + 1e-9, 6) AS value
+        FROM dev JOIN mad USING (event_type) WHERE d > 3.5 * md""")),
+
     // interval consistency: end < start (reference 5_dbt/READ.md:866-879).
     // Intervals derived deterministically: end = start + (key % 5 - 1) days.
     QueryDef("dq_end_before_start", (s, dir) => {

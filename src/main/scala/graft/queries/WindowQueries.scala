@@ -390,6 +390,18 @@ object WindowQueries {
         max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
       FROM sess GROUP BY user_id, session_idx""")),
 
+    // U6 (extension): UNION DISTINCT — set-semantics union (vs U1's
+    // union-all): one shuffle dedup over the concatenated branches.
+    QueryDef("u6_union_distinct", (s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val finished = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select("o_custkey")
+      urgent.union(finished).distinct()
+    }, Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
     // U5 (extension): unpivot/melt — the wide-to-long inverse of j5_pivot
     // (metrics become (metric, value) rows; common type double).
     QueryDef("u5_unpivot", (s, dir) => {

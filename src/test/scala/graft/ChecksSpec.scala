@@ -61,4 +61,14 @@ class ChecksSpec extends SparkSpec {
     val r = Checks.run("interval", Checks.endBeforeStart(df, "s", "e"), threshold = 0)
     assert(r.violations == 1 && !r.passed)
   }
+
+  test("madOutliers: threshold immune to the outliers themselves") {
+    // 99 values near 10 plus one enormous spike: 3-sigma lets the spike
+    // inflate its own sd; MAD must still flag it (and only it)
+    val rows = ((1 to 99).map(i => (i.toLong, "g", 10.0 + (i % 3))) :+
+      (100L, "g", 1e6)).toDF("id", "grp", "v")
+    val out = Checks.madOutliers(rows, "v", Seq("grp"), k = 3.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(100L), s"expected only the spike, got $out")
+  }
 }
