@@ -244,7 +244,7 @@ object StreamingQueries {
         EventStream.readEvents(s, stage, globFilter = "*.parquet",
           maxFilesPerTrigger = 1), table)
       try q.processAllAvailable() finally q.stop()
-      s.table(table)
+      s.table(table).drop("__last_batch")
     }, Some("""SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
       FROM events GROUP BY user_id""")),
 

@@ -270,27 +270,43 @@ object EventStream {
    * combine+merge collapses into one MERGE INTO; the per-batch shape is
    * identical.
    */
-  def upsertUserStats(events: DataFrame, table: String): StreamingQuery = {
+  def upsertUserStats(events: DataFrame, table: String,
+                      checkpoint: Option[String] = None): StreamingQuery = {
     val spark = events.sparkSession
-    val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, _) =>
-      val bagg = batch.groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
-      val merged =
-        if (!spark.catalog.tableExists(table)) bagg
-        else {
-          val prev = spark.table(table).select(col("user_id"),
-            col("n_events").as("__pn"), col("last_ts").as("__pt"))
-          bagg.join(prev, Seq("user_id"), "left")
-            .select(col("user_id"),
-              (col("n_events") + coalesce(col("__pn"), lit(0L))).as("n_events"),
-              greatest(col("last_ts"), coalesce(col("__pt"), col("last_ts")))
-                .as("last_ts"))
-        }
-      graft.core.Materialize.materialize(spark, table, merged,
-        graft.core.Materialize.AsIncremental(uniqueKey = Seq("user_id")))
+    val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, batchId) =>
+      // foreachBatch is at-least-once: a batch can REPLAY after a crash,
+      // and this fold is not idempotent — so every row carries the id of
+      // the last batch folded in, and an already-applied id skips. With
+      // the checkpointed offsets this makes the upsert effectively
+      // exactly-once (the same guard a MERGE-by-batch-id gives on a
+      // transactional format).
+      val lastApplied =
+        if (!spark.catalog.tableExists(table)) -1L
+        else spark.table(table)
+          .agg(coalesce(max(col("__last_batch")), lit(-1L))).head().getLong(0)
+      if (batchId > lastApplied) {
+        val bagg = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+        val merged =
+          if (!spark.catalog.tableExists(table)) bagg
+          else {
+            val prev = spark.table(table).select(col("user_id"),
+              col("n_events").as("__pn"), col("last_ts").as("__pt"))
+            bagg.join(prev, Seq("user_id"), "left")
+              .select(col("user_id"),
+                (col("n_events") + coalesce(col("__pn"), lit(0L))).as("n_events"),
+                greatest(col("last_ts"), coalesce(col("__pt"), col("last_ts")))
+                  .as("last_ts"))
+          }
+        graft.core.Materialize.materialize(spark, table,
+          merged.withColumn("__last_batch", lit(batchId)),
+          graft.core.Materialize.AsIncremental(uniqueKey = Seq("user_id")))
+      }
       ()
     }
-    events.writeStream.foreachBatch(step).start()
+    val w = events.writeStream
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      .foreachBatch(step).start()
   }
 
   /** Start a parquet sink with checkpointing (the streaming S4). */

@@ -95,6 +95,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamMetrics records input rows and bounded state for a windowed drain") {
+    val m = graft.streaming.StreamMetrics.install(spark)
+    try {
+      val q = EventStream.windowedStats(
+          EventStream.readEvents(spark, sfDir), "1 hour", "2 hours")
+        .writeStream.format("memory").queryName("sm_probe")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are delivered asynchronously after the batch
+      var recs = Seq.empty[graft.streaming.StreamMetrics.BatchRecord]
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (recs.map(_.inputRows).sum == 0 && System.nanoTime < deadline) {
+        Thread.sleep(200); recs = recs ++ m.drain()
+      }
+      val total = recs.map(_.inputRows).sum
+      val fixtureRows = graft.core.Tables.events(spark, sfDir).count()
+      assert(total == fixtureRows,
+        s"progress must account for every input row ($total vs $fixtureRows)")
+      assert(recs.exists(_.stateRows > 0),
+        "a windowed aggregation must report state-store rows")
+    } finally m.uninstall()
+  }
+
+  test("checkpointed upsert resumes across a restart without loss or double-count") {
+    val table = "graft_test_resume_upsert"
+    graft.core.Materialize.dropWithLocation(spark, table)
+    val stage = java.nio.file.Files.createTempDirectory("graft_resume_stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ckpt").toString
+    val src = spark.read.schema(EventStream.rawSchema)
+      .parquet(s"$sfDir/events.parquet")
+    // first half of the feed arrives, is drained, and the query STOPS
+    src.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(stage)
+    val q1 = EventStream.upsertUserStats(
+      EventStream.readEvents(spark, stage, globFilter = "*.parquet"),
+      table, checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    // second half lands; a NEW query restarts from the same checkpoint —
+    // already-applied files must not fold in twice
+    src.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(stage)
+    val q2 = EventStream.upsertUserStats(
+      EventStream.readEvents(spark, stage, globFilter = "*.parquet"),
+      table, checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.table(table).drop("__last_batch")
+    val batch = graft.core.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "restarted upsert must equal the one-shot batch aggregate")
+    graft.core.Materialize.dropWithLocation(spark, table)
+  }
+
   test("flatMapGroupsWithState emits only closed sessions, in append mode") {
     val sessions = EventStream.sessionizeClosed(
       EventStream.readEvents(spark, sfDir), gapMinutes = 30)
