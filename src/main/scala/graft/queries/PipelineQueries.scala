@@ -270,7 +270,7 @@ object PipelineQueries {
             / (count(congestion_index) * 1000000.0) + 1e-9, 6) AS mean_congestion,
           count(DISTINCT CAST(recorded_hour AS DATE)) AS active_days,
           CAST(sum(total_volume) AS BIGINT) AS total_volume,
-          sum(n_incidents) AS total_incidents,
+          CAST(sum(n_incidents) AS BIGINT) AS total_incidents,
           count(*) AS n_hours
         FROM intm GROUP BY 1, 2, 3, 4, 5, 6"""))
   )

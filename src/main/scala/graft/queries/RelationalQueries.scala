@@ -350,7 +350,7 @@ object RelationalQueries {
           bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
           bool_or(col("o_orderstatus") === "F").as("any_finished")),
       Some("""SELECT o_orderpriority,
-        count_if(o_totalprice > 200000) AS n_big,
+        CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
         bool_and(o_totalprice > 1000) AS all_over_1k,
         bool_or(o_orderstatus = 'F') AS any_finished
       FROM orders GROUP BY 1""")),

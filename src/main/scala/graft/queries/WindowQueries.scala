@@ -224,6 +224,11 @@ object WindowQueries {
     // is single-semantics everywhere (same class of divergence the w12
     // oracle dodges with real INTERVAL compares). Window order is pinned
     // to µs (epoch_us) so an ns-reading oracle sorts like Spark.
+    // session_idx is CAST to BIGINT in the oracle: DuckDB's windowed
+    // sum(INTEGER) returns HUGEINT, which pandas-based comparators
+    // convert to float64 ("3.000000" vs Spark's int64 "3" → hash
+    // mismatch even with identical values). Every oracle integer sum
+    // must be wrapped this way; tools/dtype_parity.py enforces it.
     QueryDef("w11_sessionize_batch", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -246,8 +251,8 @@ object WindowQueries {
                     - (epoch_us(lag(ts) OVER w) // 1000000) > 1800 THEN 1
                ELSE 0 END AS gap_start
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-      sess AS (SELECT *, sum(gap_start) OVER (PARTITION BY user_id
-          ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      sess AS (SELECT *, CAST(sum(gap_start) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM flagged)
       SELECT user_id, session_idx, count(*) AS n_events,
         CAST(max(ts_us // 1000000) - min(ts_us // 1000000) AS BIGINT) AS duration_sec
@@ -283,8 +288,9 @@ object WindowQueries {
         .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
         .withColumn("nearby_sum_cents", sum(col("bal_cents")).over(w))
     }, Some("""SELECT c_custkey, c_nationkey, bal_cents,
-        sum(bal_cents) OVER (PARTITION BY c_nationkey ORDER BY bal_cents
-          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS nearby_sum_cents
+        CAST(sum(bal_cents) OVER (PARTITION BY c_nationkey ORDER BY bal_cents
+          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS nearby_sum_cents
       FROM (SELECT c_custkey, c_nationkey,
           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer)""")),
 
