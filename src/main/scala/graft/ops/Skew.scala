@@ -50,4 +50,30 @@ object Skew {
       .withColumn(s"avg_$valueCol",
         col(s"sum_$valueCol") / col("n_rows"))
       .drop(s"sum_$valueCol")
+
+  /**
+   * Manually salted equi-join for a skewed FACT key: the fact side gets a
+   * deterministic salt from a high-cardinality spread column, the dim
+   * side is replicated once per salt (explode of a `salts`-element
+   * array), and the join runs on (key, salt) — a hot fact key's rows now
+   * land on `salts` reducers instead of one. Result is EXACTLY the plain
+   * `fact JOIN dim ON key` (replication × salting never duplicates or
+   * drops a match: each fact row meets each dim row for its key exactly
+   * once, at the fact row's own salt).
+   *
+   * Cost model: the dim side shuffles `salts ×` its size — use only when
+   * dim ≪ fact but is too big to broadcast outright (a broadcastable dim
+   * never needs salting; an SMJ with AQE skew splitting handles moderate
+   * skew without the dim blow-up — this is for the pathological key whose
+   * single partition exceeds what AQE splitting can rebalance, e.g. the
+   * null-surrogate or "unknown" member of a dimension).
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 spreadCol: String, salts: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(col(spreadCol), salts))
+    val saltedDim = dim
+      .withColumn("__salt", explode(lit((0 until salts).toArray)))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

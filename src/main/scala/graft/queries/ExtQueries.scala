@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Chunking, Corpus, Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * LLM-training-data extension operators (BASELINE north star): text
@@ -1001,6 +1001,28 @@ object ExtQueries {
           concat(col("text"), lit(" x")).as("text"))
       Dedup.simhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
         maxHamming = 3, bands = 4)
+    }, None),
+
+    // Content-defined chunking: rolling-hash boundaries + per-chunk
+    // fingerprints (Chunking scaladoc: why CDC survives insertions where
+    // fixed-size chunking does not). Rolling-hash internals are not
+    // SQL-expressible → rows-only driver check; ChunkingSpec asserts the
+    // shift-invariance, determinism, and size-bound contracts.
+    QueryDef("ext_cdc_chunks", (s, dir) =>
+      Chunking.chunks(Tables.documents(s, dir), "doc_id", "text"),
+      None),
+
+    // CDC payoff query: shared-chunk report across a corpus where half
+    // the docs get a copy with an edited HEAD — fixed-size chunking
+    // would share nothing (every boundary shifts); CDC shares the whole
+    // tail. Exact-dedup semantics on the 64-bit chunk fp (one shuffle).
+    QueryDef("ext_cdc_shared", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val edited = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("EDITED PREFIX >> "), col("text")).as("text"))
+      Chunking.sharedChunks(
+        Chunking.chunks(docs.unionByName(edited), "doc_id", "text"), "doc_id")
     }, None)
   )
 }

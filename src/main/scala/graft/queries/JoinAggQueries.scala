@@ -536,6 +536,75 @@ object JoinAggQueries {
           count(lit(1)).as("n")),
       Some("""SELECT o_orderstatus,
         round(median(o_totalprice) + 1e-9, 4) AS median_price, count(*) AS n
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    // A25 (extension): exact heavy hitters via per-partition Misra-Gries
+    // candidates + a broadcast-verified exact count (HeavyHitters scaladoc
+    // has the pigeonhole argument). The key is deliberately skewed (70% of
+    // rows land on two hot keys, the rest are near-unique) so the query
+    // demonstrates what the operator is FOR; output == the plain
+    // GROUP BY/HAVING oracle under any partitioning.
+    QueryDef("a25_heavy_hitters", (s, dir) => {
+      val keyed = Tables.events(s, dir).select(
+        when(col("event_id") % 10 < 7,
+          concat(lit("hot_"), (col("user_id") % 2).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .as("k"))
+      graft.ops.HeavyHitters.exact(keyed, "k", 10)
+    }, Some("""WITH keyed AS (SELECT
+          CASE WHEN event_id % 10 < 7
+               THEN 'hot_' || CAST(user_id % 2 AS VARCHAR)
+               ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS k
+        FROM events)
+      SELECT k, count(*) AS n FROM keyed GROUP BY 1
+      HAVING count(*) > (SELECT count(*) FROM keyed) // 10""")),
+
+    // A26 (extension): mergeable HLL sketches — the re-aggregation story
+    // for COUNT(DISTINCT) at 100 TB: sketch per shard (here: per ship
+    // year), then UNION the binary sketches to coarser grains without
+    // touching the raw data again. Exact distinct cannot re-aggregate
+    // (distinct sets don't add); sketches do. Engine-specific binary —
+    // no SQL oracle; AggregatesSpec bounds the estimate against exact.
+    QueryDef("a26_hll_mergeable", (s, dir) => {
+      val perYear = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      perYear.groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("nd_estimate"))
+    }, None),
+
+    // J14 (extension): LATERAL correlated subquery — top-2 customers per
+    // nation through the SQL text interface (the per-row dependent join
+    // Spark plans as a DomainJoin / rewritten window). Same ANSI text
+    // runs in DuckDB.
+    QueryDef("j14_lateral_topn", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n_name, c_name, c_acctbal
+        FROM nation,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2)""")
+    }, Some("""SELECT n_name, c_name, c_acctbal
+      FROM nation,
+      LATERAL (SELECT c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2)""")),
+
+    // J15 (extension): manually salted skewed join — the fact key is
+    // spread over 8 salts, the dim replicated 8×, the join runs on
+    // (key, salt); one hot key's rows land on 8 reducers instead of 1.
+    // Result == the plain equi-join (the oracle), only the shuffle
+    // distribution changes. For moderate skew AQE's runtime splitting
+    // does this without dim replication (Skew scaladoc).
+    QueryDef("j15_salted_join", (s, dir) => {
+      val fact = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_totalprice"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      graft.ops.Skew.saltedJoin(fact, dim, "c_custkey", "o_orderkey", 8)
+        .select("o_orderkey", "c_custkey", "c_name", "c_nationkey")
+    }, Some("""SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_nationkey
+      FROM orders JOIN customer ON o_custkey = c_custkey"""))
   )
 }

@@ -714,6 +714,23 @@ object RelationalQueries {
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         (col("l_quantity") > 25).as("high_qty")),
       Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
-        "l_quantity > 25 AS high_qty FROM lineitem"))
+        "l_quantity > 25 AS high_qty FROM lineitem")),
+
+    // F20 (extension): VARIANT semi-structured column — parse once into
+    // Spark 4's binary VARIANT (the shredded open-format type; at scale
+    // the parse cost is paid at ingest and paths read like columns), then
+    // typed path extraction. Compared output is scalar (VARIANT itself is
+    // engine-binary); the oracle reads the same paths with DuckDB JSON.
+    QueryDef("f20_variant_extract", (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'bigint') IS NULL")
+            .as("missing_absent")),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        json_extract_string(props, '$.missing') IS NULL AS missing_absent
+      FROM events"""))
   )
 }

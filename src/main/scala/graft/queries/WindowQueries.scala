@@ -340,6 +340,94 @@ object WindowQueries {
       FROM spine LEFT JOIN gapped
         ON spine.location_id = gapped.location_id AND spine.day = gapped.day""")),
 
+    // W18 (extension): linear-interpolation gap-fill — the numeric twin
+    // of W17's LOCF: missing days get the value interpolated between the
+    // surrounding observations (sensor repair / resampling idiom). Days
+    // outside the observed range stay NULL. Four window passes share one
+    // shuffle on location_id.
+    QueryDef("w18_interp_gapfill", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.pipelines.CongestionMarts.stgVolume(s, dir)
+        .groupBy(col("location_id"), to_date(col("recorded_hour")).as("day"))
+        .agg(sum(col("vehicle_count")).cast("long").as("volume"))
+        .filter(dayofmonth(col("day")) % (col("location_id") + 2) =!= 0)
+      val spine = s.range(1).select(explode(sequence(
+          to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+          expr("interval 1 day"))).as("day"))
+        .crossJoin(daily.select("location_id").distinct())
+      val back = Window.partitionBy("location_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("location_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("location_id", "day"), "left")
+        .withColumn("pv", last(col("volume"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(when(col("volume").isNotNull, col("day")),
+          ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("volume"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(when(col("volume").isNotNull, col("day")),
+          ignoreNulls = true).over(fwd))
+        .withColumn("volume_interp",
+          when(col("volume").isNotNull, col("volume").cast("double"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                datediff(col("day"), col("pd")) /
+                datediff(col("nd"), col("pd"))))
+        .select(col("location_id"), col("day"),
+          round(col("volume_interp") + lit(1e-9), 6).as("volume_interp"))
+    }, Some("""WITH stg_volume AS (
+        SELECT location_id, date_trunc('hour', recorded_time) AS recorded_hour,
+               vehicle_count
+        FROM (SELECT user_id % 20 AS location_id, ts AS recorded_time,
+                CASE WHEN event_id % 300 < 0 OR event_id % 300 > 10000 THEN NULL
+                     ELSE CAST(event_id % 300 AS DOUBLE) END AS vehicle_count
+              FROM events)
+        WHERE vehicle_count IS NOT NULL),
+      daily AS (SELECT location_id, CAST(recorded_hour AS DATE) AS day,
+          CAST(sum(vehicle_count) AS BIGINT) AS volume
+        FROM stg_volume GROUP BY 1, 2),
+      gapped AS (SELECT * FROM daily
+        WHERE day(day) % (location_id + 2) <> 0),
+      spine AS (SELECT locs.location_id, d.day
+        FROM (SELECT DISTINCT location_id FROM gapped) locs
+        CROSS JOIN (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+          DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) d),
+      joined AS (SELECT spine.location_id, spine.day, gapped.volume
+        FROM spine LEFT JOIN gapped
+          ON spine.location_id = gapped.location_id AND spine.day = gapped.day),
+      ctx AS (SELECT location_id, day, volume,
+          last_value(volume IGNORE NULLS) OVER wb AS pv,
+          last_value(CASE WHEN volume IS NOT NULL THEN day END IGNORE NULLS)
+            OVER wb AS pd,
+          first_value(volume IGNORE NULLS) OVER wf AS nv,
+          first_value(CASE WHEN volume IS NOT NULL THEN day END IGNORE NULLS)
+            OVER wf AS nd
+        FROM joined
+        WINDOW wb AS (PARTITION BY location_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY location_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT location_id, day,
+        round(CASE WHEN volume IS NOT NULL THEN CAST(volume AS DOUBLE)
+          WHEN pv IS NOT NULL AND nv IS NOT NULL
+          THEN pv + (nv - pv) * date_diff('day', pd, day)
+               / date_diff('day', pd, nd)
+          END + 1e-9, 6) AS volume_interp
+      FROM ctx""")),
+
+    // T7 (extension): distributed global row index — RowIndex scaladoc
+    // has the SinglePartition-exchange argument; the oracle IS the
+    // single-reducer window form this replaces (identical numbers, the
+    // order key is the unique o_orderkey).
+    QueryDef("t7_zip_index", (s, dir) =>
+      graft.ops.RowIndex.globalIndex(
+        Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 100000)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice,
+        CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx
+      FROM orders WHERE o_totalprice > 100000""")),
+
     // W14 (extension): CUME_DIST — fraction of partition rows at or below
     // the current order key (identical definition in both engines).
     QueryDef("w14_cume_dist", (s, dir) => {

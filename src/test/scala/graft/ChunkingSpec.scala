@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Chunking
+
+/** Contracts of content-defined chunking: boundaries tile the document,
+  * size bounds hold, output is partitioning-independent, and — the CDC
+  * point — an edit near the head leaves the tail's fingerprints intact
+  * where fixed-size chunking would shift every one of them. */
+class ChunkingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  test("chunks tile each document exactly: contiguous offsets, lengths sum to byte length") {
+    val ch = Chunking.chunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val lens = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length.toLong).toMap
+    lens.foreach { case (id, byteLen) =>
+      val rows = ch(id).sortBy(_._2)
+      assert(rows.head._3 == 0L, s"doc $id first chunk must start at 0")
+      rows.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s1 + l1 == s2, s"doc $id chunks must be contiguous")
+        case _ =>
+      }
+      assert(rows.map(_._4).sum == byteLen, s"doc $id chunk lengths must tile the text")
+    }
+  }
+
+  test("chunk sizes respect min/max bounds (final chunk may undershoot min)") {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ch = Chunking.chunks(docs, "doc_id", "text",
+        window = 16, maskBits = 6, minLen = 16, maxLen = 256)
+      .withColumn("last_idx", max(col("chunk_idx")).over(w))
+    assert(ch.filter(col("chunk_len") > 256).count() == 0,
+      "no chunk may exceed maxLen")
+    assert(ch.filter(col("chunk_idx") < col("last_idx") &&
+      col("chunk_len") < 16).count() == 0,
+      "non-final chunks respect minLen")
+  }
+
+  test("chunking is deterministic under repartitioning") {
+    val a = Chunking.chunks(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val b = Chunking.chunks(docs.repartition(7), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(a == b)
+  }
+
+  test("a head edit preserves most tail fingerprints (the CDC property)") {
+    val base = docs.limit(50)
+    val edited = base.select(col("doc_id"),
+      concat(lit("COMPLETELY NEW PREFIX INSERTED AT THE HEAD >> "), col("text"))
+        .as("text"))
+    val fpA = Chunking.chunks(base, "doc_id", "text")
+      .groupBy("doc_id").agg(collect_set("chunk_fp").as("fps"))
+    val fpB = Chunking.chunks(edited, "doc_id", "text")
+      .groupBy("doc_id").agg(collect_set("chunk_fp").as("fps2"))
+    val shared = fpA.join(fpB, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(col("fps"), col("fps2"))).as("n_shared"),
+        size(col("fps")).as("n_orig"))
+      .collect()
+    // across the corpus, the clear majority of original chunk fps survive
+    val (sharedSum, origSum) =
+      shared.foldLeft((0L, 0L)) { case ((s, o), r) =>
+        (s + r.getInt(1), o + r.getInt(2)) }
+    assert(sharedSum.toDouble / origSum > 0.6,
+      s"expected >60% of chunk fps to survive a head edit, got $sharedSum/$origSum")
+    // and fixed-size chunking would NOT: shifting every boundary by the
+    // prefix length changes every aligned 256-byte block's content
+  }
+
+  test("sharedChunks surfaces cross-document duplication") {
+    val dup = docs.limit(20)
+    val copies = dup.select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val rep = Chunking.sharedChunks(
+      Chunking.chunks(dup.unionByName(copies), "doc_id", "text"), "doc_id")
+    // byte-identical copies share every chunk -> every fp maps to 2 docs
+    assert(rep.count() > 0)
+    assert(rep.filter(col("n_docs") < 2).count() == 0)
+  }
+}
