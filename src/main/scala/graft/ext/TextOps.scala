@@ -31,6 +31,33 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /**
+   * Crawl-text cleanup: strip control characters (except tab/newline),
+   * collapse whitespace runs to one space, trim. The normalization pass
+   * that runs BEFORE fingerprinting/dedup so byte-level noise (NUL bytes
+   * from bad decodes, \r\n vs \n, trailing spaces) can't split otherwise
+   * identical documents into distinct hash groups. Pure codegen'd
+   * regexp_replace chain — streams through the scan; patterns avoid
+   * lookarounds so RE2-based engines express the identical transform.
+   */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
+  /**
+   * Sentence segmentation (heuristic, engine-portable): extract maximal
+   * runs ending in sentence-final punctuation (or the unterminated
+   * tail), trimmed, empties dropped. Returns the array of sentences;
+   * pair with posexplode for one row per sentence. An EXTRACTION, not a
+   * lookbehind split, so RE2-based engines (no lookarounds) express the
+   * identical segmentation.
+   */
+  def sentences(text: Column): Column =
+    filter(transform(
+      regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
+      s => trim(s)), s => length(s) > 0)
+
   /** Token count — whitespace definition. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -1023,6 +1023,53 @@ object ExtQueries {
           concat(lit("EDITED PREFIX >> "), col("text")).as("text"))
       Chunking.sharedChunks(
         Chunking.chunks(docs.unionByName(edited), "doc_id", "text"), "doc_id")
-    }, None)
+    }, None),
+
+    // Crawl-text cleanup: control chars + whitespace runs normalized
+    // BEFORE fingerprinting (TextOps.cleanText scaladoc). Noise is
+    // injected deterministically (the fixtures are already clean);
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default.
+    QueryDef("ext_text_clean", (s, dir) => {
+      val noisy = concat(lit("  "), col("text"), lit(" \r\n\tend"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.cleanText(noisy).as("clean"),
+        (length(noisy) - length(TextOps.cleanText(noisy)))
+          .cast("long").as("removed"))
+    }, Some("""SELECT doc_id,
+        trim(regexp_replace(regexp_replace(
+          chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
+            || 'end' || chr(7),
+          '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean,
+        CAST(len(chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
+            || 'end' || chr(7))
+          - len(trim(regexp_replace(regexp_replace(
+              chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
+                || 'end' || chr(7),
+              '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')))
+          AS BIGINT) AS removed
+      FROM documents""")),
+
+    // Sentence segmentation: extraction-based splitting (RE2-portable —
+    // TextOps.sentences scaladoc), one row per sentence via posexplode.
+    // The fixture text has no punctuation, so sentence breaks are
+    // injected deterministically first.
+    QueryDef("ext_text_sentences", (s, dir) => {
+      val punctuated = regexp_replace(col("text"), lit(" data "), lit(". "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.sentences(punctuated)).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+    }, Some("""SELECT doc_id,
+        CAST(generate_subscripts(sents, 1) - 1 AS BIGINT) AS sent_idx,
+        unnest(sents) AS sentence,
+        CAST(len(unnest(sents)) AS BIGINT) AS n_chars
+      FROM (SELECT doc_id,
+          list_filter(list_transform(
+            regexp_extract_all(regexp_replace(text, ' data ', '. ', 'g'),
+              '[^.!?]+[.!?]+|[^.!?]+$'),
+            s -> trim(s)), s -> len(s) > 0) AS sents
+        FROM documents)"""))
   )
 }

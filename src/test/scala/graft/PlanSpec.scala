@@ -193,4 +193,32 @@ class PlanSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(surviving == dimKeys, "exact join must cull every false positive")
   }
+
+  test("j15: salted join stays an equi-join on (key, salt) — no cartesian") {
+    val p = plan("j15_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("__salt"), "join keys must include the salt")
+  }
+
+  test("j14: lateral top-n never plans a cartesian product") {
+    val p = plan("j14_lateral_topn")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t7: global index runs on many partitions, unlike its window twin") {
+    import org.apache.spark.sql.functions._
+    val base = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ours = graft.ops.RowIndex.globalIndex(base, Seq("o_orderkey"))
+    assert(ours.rdd.getNumPartitions > 1,
+      "the distributed index must not serialize through one partition")
+    // the declarative twin plans the SinglePartition exchange this avoids
+    val twin = base.withColumn("idx", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")) - 1)
+    assert(twin.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    val a = ours.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = twin.collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toSet
+    assert(a == b, "distributed index must equal the window numbering")
+  }
 }
