@@ -11,6 +11,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Local-iteration filter: comma-separated name prefixes. Unset (the
+    // driver's invocation) runs the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val spark = graft.core.GraftSession.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -36,7 +41,10 @@ object Bench {
     spark.catalog.clearCache()
 
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -52,7 +60,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val errStr = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errStr,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errStr,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(json)
+    // Durable per-query history: the driver's BENCH_r{N}.json captures
+    // only truncated stdout, losing half the alphabet of per-query
+    // timings. Persist the full JSON in-repo so round-over-round
+    // regressions stay diffable. Round number = next after the last
+    // driver-written BENCH_r*.json; filtered (SPARK_GRAFT_ONLY) runs are
+    // scratch and skip the history write.
+    if (only.isEmpty) try {
+      val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+      val roundRe = "BENCH_r(\\d+)\\.json".r
+      val round = Option(repo.listFiles()).toSeq.flatten.map(_.getName)
+        .collect { case roundRe(n) => n.toInt }.foldLeft(0)(math.max) + 1
+      val outDir = new java.io.File(repo, "bench_results")
+      outDir.mkdirs()
+      for (name <- Seq(f"r$round%02d.json", "latest.json")) {
+        val w = new java.io.PrintWriter(new java.io.File(outDir, name), "UTF-8")
+        try w.println(json) finally w.close()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_results write failed: $e") }
     spark.stop()
   }
 }

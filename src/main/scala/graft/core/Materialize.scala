@@ -171,6 +171,31 @@ object Materialize {
     }
   }
 
+  /** Cluster rows by the partition columns before a partitioned write:
+    * without this, every one of the N shuffle tasks holding rows of a
+    * partition emits its own file, so a 32-task write into 30 day-
+    * partitions lands ~960 tiny files — the small-file write storm that
+    * makes partitioned loads I/O-bound. One hash shuffle on the partition
+    * cols gives one file per partition per (rare) hash collision instead.
+    * At 100 TB grain, huge single partitions would instead want
+    * `repartition(n, parts :+ salt)` — documented in SCALE.md. */
+  private def clusterByParts(df: DataFrame, parts: Seq[String]): DataFrame =
+    if (parts.isEmpty) df
+    else df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Run `body` with dynamic partition-overwrite mode, restoring the
+    * previous setting after. */
+  private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Materialize `df` under `name` per the policy; returns the readable
     * relation (the view/table as a fresh DataFrame). */
   def materialize(spark: SparkSession, name: String, df: DataFrame,
@@ -180,7 +205,7 @@ object Materialize {
       spark.table(name)
     case AsTable(parts, mode) =>
       if (mode == SaveMode.Overwrite) dropWithLocation(spark, name)
-      val w = df.write.mode(mode)
+      val w = clusterByParts(df, parts).write.mode(mode)
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(name)
       spark.table(name)
 
@@ -192,34 +217,85 @@ object Materialize {
         // insert_overwrite: replace only the partitions in the increment.
         // Dynamic mode keeps untouched partitions; insertInto is
         // position-based, so project into the table's column order.
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          df.select(spark.table(name).columns.map(org.apache.spark.sql.functions.col): _*)
+        val cols = spark.table(name).columns.toSeq
+        withDynamicOverwrite(spark) {
+          clusterByParts(df.select(cols.map(org.apache.spark.sql.functions.col): _*), parts)
             .write.mode(SaveMode.Overwrite).insertInto(name)
-        } finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
+        spark.table(name)
+      } else if (parts.nonEmpty) {
+        // keys + partitions → PARTITION-SCOPED keyed merge: only the
+        // partitions the increment touches are read, merged, and
+        // rewritten; untouched partitions' files are never opened (the
+        // touched-value IN-filter prunes them at the scan) and survive
+        // byte-identical. This is what makes keyed merges viable at
+        // 100 TB on plain parquet: cost scales with the increment's
+        // partition footprint, not the table size.
+        import org.apache.spark.sql.functions.{col, lit}
+        val cols = spark.table(name).columns.toSeq
+        // Touched-partition set: distinct partition values of the
+        // increment. Collected to literals so the kept-rows scan gets
+        // static partition pruning (a join would read every file).
+        // Bounded by the table's partition count — thousands, not rows.
+        val touched = df.select(parts.map(col): _*).distinct().collect()
+        // Pruning-friendly predicate: single-col partitions get a plain
+        // IN; multi-col get OR-of-AND equalities (both shapes the
+        // catalog's partition pruner understands — a struct-IN does not).
+        val inSet =
+          if (touched.isEmpty) lit(false)
+          else if (parts.size == 1)
+            col(parts.head).isInCollection(touched.map(_.get(0)).toSeq)
+          else touched.map { r =>
+            parts.zipWithIndex.map { case (p, i) => col(p) === lit(r.get(i)) }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+        val kept = spark.table(name).filter(inSet).join(df, keys, "left_anti")
+        val replacement = kept.unionByName(df)
+          .select(cols.map(col): _*)
+        // Spark refuses to overwrite a table it is reading in the same
+        // query, so the replacement slice (touched partitions only — the
+        // increment's footprint, not the table) is staged first, then
+        // dynamic overwrite swaps exactly those partitions in.
+        val stagePath = java.nio.file.Files.createTempDirectory("graft_inc_part_stage")
+        try {
+          clusterByParts(replacement, parts).write
+            .mode(SaveMode.Overwrite).parquet(stagePath.toString)
+          withDynamicOverwrite(spark) {
+            spark.read.parquet(stagePath.toString)
+              .select(cols.map(col): _*)
+              .write.mode(SaveMode.Overwrite).insertInto(name)
+          }
+        } finally deleteRecursively(stagePath)
         spark.table(name)
       } else {
         require(keys.nonEmpty, "AsIncremental needs uniqueKey or partitionCols")
-        // delete+insert merge: keep existing rows whose key is absent from
-        // the increment, then append the increment. The merged result is
-        // STAGED to a scratch location before the table is overwritten —
-        // a cache barrier is not enough here because DROP TABLE uncaches
-        // every plan that references the table, which would force the
-        // rewrite to recompute from the files it just deleted. NOTE: this
-        // merge path is therefore a FULL REWRITE of the table per run —
-        // only the insert_overwrite branch above is truly incremental on
-        // parquet. On a transactional table format (Iceberg/Delta) a
-        // MERGE INTO replaces both the stage-and-swap and the rewrite.
+        // delete+insert merge on an UNPARTITIONED table: keep existing
+        // rows whose key is absent from the increment, then append the
+        // increment — necessarily a full rewrite (there is no partition
+        // grain to scope it to; on Iceberg/Delta a MERGE INTO would
+        // replace this). The merged result is written ONCE to a staging
+        // dir on the warehouse filesystem, then swapped in with a rename
+        // and registered over the moved files — a cache barrier is not
+        // enough (DROP TABLE uncaches every plan reading the table,
+        // which would force the rewrite to recompute from deleted
+        // files), and re-writing the staged data through saveAsTable
+        // would pay the full-table write twice.
         val merged = spark.table(name).join(df, keys, "left_anti").unionByName(df)
-        val stagePath = java.nio.file.Files.createTempDirectory("graft_inc_stage")
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.sessionState.conf.warehousePath)
+        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stage = new org.apache.hadoop.fs.Path(warehouse, s"_graft_stage_${name.toLowerCase}")
+        fs.delete(stage, true)
         try {
-          merged.write.mode(SaveMode.Overwrite).parquet(stagePath.toString)
-          materialize(spark, name, spark.read.parquet(stagePath.toString), AsTable(parts))
-        } finally deleteRecursively(stagePath)
+          merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          dropWithLocation(spark, name)
+          val dest = new org.apache.hadoop.fs.Path(
+            fs.makeQualified(warehouse), name.toLowerCase)
+          if (!fs.rename(stage, dest))
+            throw new java.io.IOException(s"rename $stage -> $dest failed")
+          spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${dest.toString}'")
+        } finally fs.delete(stage, true)
+        spark.table(name)
       }
   }
 }

@@ -328,6 +328,33 @@ object RelationalQueries {
              CAST(sum(vehicle_count) AS BIGINT) AS daily_volume
       FROM stg_volume GROUP BY 1, 2""")),
 
+    // S9c: PARTITION-SCOPED keyed merge — unique_key + partition grain
+    // together (dbt incremental merge with partition pruning). The second
+    // batch's keys overlap days 15-19, so those day-partitions are merged
+    // (anti-join within the partition) and rewritten; days before the 15th
+    // are never read or touched (MaterializeSpec asserts their files stay
+    // byte-identical). The merged table must equal the one-shot build.
+    QueryDef("s9c_incremental_scoped", (s, dir) => {
+      import graft.core.Materialize._
+      def daily(f: DataFrame): DataFrame = f
+        .groupBy(col("location_id"), to_date(col("recorded_hour")).as("day"))
+        .agg(sum(col("vehicle_count")).cast("long").as("daily_volume"))
+      val stg = graft.pipelines.CongestionMarts.stgVolume(s, dir)
+      val name = "graft_inc_scoped_volume"
+      dropWithLocation(s, name)
+      materialize(s, name,
+        daily(stg.filter(col("recorded_hour") < lit("2024-01-20"))),
+        AsIncremental(uniqueKey = Seq("location_id", "day"),
+          partitionCols = Seq("day")))
+      materialize(s, name,
+        daily(stg.filter(col("recorded_hour") >= lit("2024-01-15"))),
+        AsIncremental(uniqueKey = Seq("location_id", "day"),
+          partitionCols = Seq("day")))
+    }, Some(s"""WITH $StgVolumeSql
+      SELECT location_id, CAST(recorded_hour AS DATE) AS day,
+             CAST(sum(vehicle_count) AS BIGINT) AS daily_volume
+      FROM stg_volume GROUP BY 1, 2""")),
+
     // F13 (extension): string shaping — pad/translate/repeat, the report
     // formatting family (identical builtins in both engines).
     QueryDef("f13_string_shape", (s, dir) =>

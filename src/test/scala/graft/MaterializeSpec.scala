@@ -41,6 +41,36 @@ class MaterializeSpec extends SparkSpec {
     Materialize.dropWithLocation(spark, name)
   }
 
+  test("partition-scoped merge rewrites touched partitions, leaves the rest byte-identical") {
+    val name = "graft_test_inc_scoped"
+    Materialize.dropWithLocation(spark, name)
+    val policy = AsIncremental(uniqueKey = Seq("id", "day"),
+      partitionCols = Seq("day"))
+    val load1 = Seq((1L, 10L, "d1"), (2L, 20L, "d1"), (3L, 30L, "d2"), (4L, 40L, "d3"))
+      .toDF("id", "v", "day")
+    materialize(spark, name, load1, policy)
+    // snapshot the d1 partition's physical files before the second batch
+    val warehouse = spark.sessionState.conf.warehousePath.stripPrefix("file:")
+    val d1Dir = new java.io.File(s"$warehouse/${name.toLowerCase}/day=d1")
+    def fileState(d: java.io.File): Map[String, (Long, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val d1Before = fileState(d1Dir)
+    assert(d1Before.nonEmpty)
+    // batch 2 touches d2 (key 3 corrected) and d3 (key 5 added); d1 untouched
+    val load2 = Seq((3L, 99L, "d2"), (5L, 50L, "d3")).toDF("id", "v", "day")
+    val out = materialize(spark, name, load2, policy)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // merge semantics: key (3, d2) replaced, (4, d3) kept, (5, d3) added
+    assert(out == Set((1L, 10L, "d1"), (2L, 20L, "d1"), (3L, 99L, "d2"),
+      (4L, 40L, "d3"), (5L, 50L, "d3")))
+    // the untouched partition's files were not rewritten (same name,
+    // size, AND mtime — a rewrite would replace the file names)
+    assert(fileState(d1Dir) == d1Before,
+      "untouched partition must not be rewritten by a scoped merge")
+    Materialize.dropWithLocation(spark, name)
+  }
+
   test("incremental without key or partitions is rejected") {
     val name = "graft_test_inc_bad"
     Materialize.dropWithLocation(spark, name)
