@@ -304,13 +304,15 @@ object Dedup {
    * recall (pigeonhole bound). Output: (id_a, id_b, hamming).
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                          maxHamming: Int = 3, bands: Int = 4,
+                          tokenHash: String => Long = hash64): DataFrame = {
     require(maxHamming < bands,
       s"maxHamming=$maxHamming needs bands > maxHamming for full recall")
     // persist: feeds the banded self-join AND both verification joins —
     // without the barrier the simhash scan recomputes 4x (ownership: see
     // the caching note on shingleFrame; callers release via clearCache)
-    val sh = graft.core.CacheRegistry.persistTracked(simhashFrame(df, idCol, textCol))
+    val sh = graft.core.CacheRegistry.persistTracked(
+      simhashFrame(df, idCol, textCol, tokenHash))
     simhashCandidates(sh, idCol, "simhash", bands)
       .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
@@ -454,12 +456,32 @@ object Dedup {
   }
 
   /**
-   * Typed SimHash frame (hot-path twin of [[simhash]] — same algorithm,
-   * token hashes from the internal hash64): (id, simhash) per row via a
-   * mapPartitions tight loop. Use this form for corpus-scale scans; the
-   * Column form remains for expression composition.
+   * Oracle-reproducible token hash: the top 60 bits of md5 (== the first
+   * 15 hex chars parsed base-16, < 2⁶³ so it stays a valid signed long).
+   * md5 is engine-independent, so a SimHash built on this hash can be
+   * recomputed bit-identically by any SQL engine with an md5 function —
+   * which is what lets `ext_simhash_pairs` carry a DuckDB oracle. The
+   * default internal hash64 stays the production path (no digest
+   * allocation per token).
    */
-  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  val md5Hash60: String => Long = { s =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /**
+   * Typed SimHash frame (hot-path twin of [[simhash]] — same algorithm,
+   * token hashes from `tokenHash`, default the internal hash64):
+   * (id, simhash) per row via a mapPartitions tight loop. Use this form
+   * for corpus-scale scans; the Column form remains for expression
+   * composition.
+   */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String,
+                   tokenHash: String => Long = hash64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
@@ -470,7 +492,7 @@ object Dedup {
           val counts = new Array[Int](64)
           var t = 0
           while (t < toks.length) {
-            val h = hash64(toks(t))
+            val h = tokenHash(toks(t))
             var b = 0
             while (b < 64) {
               if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -991,39 +991,147 @@ object ExtQueries {
 
     // SimHash near-dup pairs via banded LSH (4×16-bit chunks; pigeonhole
     // gives full recall at hamming <= 3 with an equi-join — never the
-    // all-pairs crossJoin). Hash-valued internals → no SQL oracle; the
-    // driver records the weaker rows-only check; DedupSpec asserts the
-    // banded plan returns exactly the brute-force pair set.
+    // all-pairs crossJoin). The token hash here is md5-derived
+    // (Dedup.md5Hash60) precisely so the ENTIRE pipeline — per-token
+    // 60-bit hash, ±1 bit votes, majority simhash, 16-bit banding,
+    // hamming verify — is recomputed bit-identically by the DuckDB
+    // oracle below; the production path keeps the allocation-free
+    // internal hash64 (DedupSpec pins banded == brute-force there).
     QueryDef("ext_simhash_pairs", (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dups = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" x")).as("text"))
       Dedup.simhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
-        maxHamming = 3, bands = 4)
-    }, None),
+        maxHamming = 3, bands = 4, tokenHash = Dedup.md5Hash60)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }, Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' x' AS text
+        FROM documents WHERE doc_id % 5 = 0),
+      toks AS (
+        SELECT doc_id, unnest($DuckToks) AS tok FROM corpus),
+      votes AS (
+        SELECT doc_id, bits.b AS bit,
+          sum(CASE WHEN ((strpos('0123456789abcdef',
+                substr(md5(tok), 15 - bits.b // 4, 1)) - 1)
+              >> (bits.b % 4)) & 1 = 1
+            THEN 1 ELSE -1 END) AS v
+        FROM toks, (SELECT unnest(range(0, 60)) AS b) bits
+        GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+            ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY 1),
+      banded AS (
+        SELECT doc_id, simhash,
+          bands.k AS band, (simhash >> (16 * bands.k)) & 65535 AS chunk
+        FROM sh, (SELECT unnest(range(0, 4)) AS k) bands),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""")),
 
     // Content-defined chunking: rolling-hash boundaries + per-chunk
     // fingerprints (Chunking scaladoc: why CDC survives insertions where
-    // fixed-size chunking does not). Rolling-hash internals are not
-    // SQL-expressible → rows-only driver check; ChunkingSpec asserts the
-    // shift-invariance, determinism, and size-bound contracts.
-    QueryDef("ext_cdc_chunks", (s, dir) =>
-      Chunking.chunks(Tables.documents(s, dir), "doc_id", "text"),
-      None),
+    // fixed-size chunking does not). Boundary positions are rolling-hash
+    // internals DuckDB cannot reproduce, so the registered output is the
+    // hash-independent TILING INVARIANT, checked in-query per document:
+    // chunks start at 0, are contiguous, sum to exactly the document's
+    // byte length (the one value the oracle computes independently), and
+    // honor the [minLen, maxLen] bounds (the final chunk may run short).
+    // ChunkingSpec additionally pins shift-invariance and determinism.
+    QueryDef("ext_cdc_chunks", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ch = Chunking.chunks(docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("chunk_idx")
+      val flags = ch
+        .withColumn("contig", col("chunk_start") ===
+          coalesce(lag(col("chunk_start") + col("chunk_len"), 1).over(w), lit(0L)))
+        .withColumn("is_last", lead(col("chunk_idx"), 1).over(w).isNull)
+        .withColumn("len_ok", col("chunk_len").between(1L, 256L) &&
+          (col("chunk_len") >= 16L || col("is_last")))
+      val perDoc = flags.groupBy("doc_id").agg(
+        bool_and(col("contig")).as("contig_all"),
+        min(col("chunk_start")).as("min_start"),
+        max(col("chunk_start") + col("chunk_len")).as("max_end"),
+        sum(col("chunk_len")).as("sum_len"),
+        bool_and(col("len_ok")).as("bounds_ok"))
+      docs.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("doc_bytes"))
+        .join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("doc_bytes"),
+          (col("contig_all") && col("min_start") === 0L &&
+            col("max_end") === col("doc_bytes") &&
+            col("sum_len") === col("doc_bytes")).as("tiled"),
+          col("bounds_ok"))
+    }, Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes,
+        true AS tiled, true AS bounds_ok
+      FROM documents""")),
 
-    // CDC payoff query: shared-chunk report across a corpus where half
-    // the docs get a copy with an edited HEAD — fixed-size chunking
-    // would share nothing (every boundary shifts); CDC shares the whole
-    // tail. Exact-dedup semantics on the 64-bit chunk fp (one shuffle).
+    // CDC payoff query: half the docs get a copy with an APPENDED tail.
+    // The chunker's boundary decision at byte i depends only on the
+    // preceding bytes and the position of the previous boundary, so an
+    // append edit provably preserves every boundary inside the original
+    // text: every orig chunk except the final one must reappear in the
+    // edited copy fingerprint-identical — an unconditional invariant the
+    // oracle can hash (a prefix edit resyncs only probabilistically;
+    // that strictly-stronger-than-fixed-chunking behavior is pinned
+    // empirically in ChunkingSpec at >60% fp survival). Each shared
+    // fingerprint is also verified back to byte-equal substrings, so a
+    // broken fp can't silently pass. Fp matching is exact-dedup
+    // semantics on the 64-bit chunk fp — one shuffle at any scale.
     QueryDef("ext_cdc_shared", (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val edited = docs.filter(col("doc_id") % 2 === 0)
+      val planted = docs.filter(col("doc_id") % 2 === 0)
+      val edited = planted
         .select((col("doc_id") + 100000).as("doc_id"),
-          concat(lit("EDITED PREFIX >> "), col("text")).as("text"))
-      Chunking.sharedChunks(
-        Chunking.chunks(docs.unionByName(edited), "doc_id", "text"), "doc_id")
-    }, None),
+          concat(col("text"), lit(" <<EDITED SUFFIX APPENDED")).as("text"))
+      val ch = Chunking.chunks(planted.unionByName(edited), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val headChunks = ch.filter(col("doc_id") < 100000)
+        .withColumn("last_idx", max("chunk_idx").over(w))
+        .filter(col("chunk_idx") < col("last_idx"))
+        .select(col("doc_id"), col("chunk_fp"),
+          col("chunk_start"), col("chunk_len"))
+      val editedChunks = ch.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("doc_id"), col("chunk_fp"),
+          col("chunk_start").as("e_start"), col("chunk_len").as("e_len"))
+      val matched = headChunks
+        .join(editedChunks, Seq("doc_id", "chunk_fp"), "left")
+        .join(planted.select(col("doc_id"), col("text").as("o_text")), Seq("doc_id"))
+        .join(edited.select((col("doc_id") - 100000).as("doc_id"),
+          col("text").as("e_text")), Seq("doc_id"))
+        // fixture text is ASCII (asserted by the doc_bytes oracle above),
+        // so byte offsets are character offsets for substr
+        .withColumn("content_eq", col("e_start").isNotNull &&
+          col("o_text").substr(col("chunk_start").cast("int") + 1,
+            col("chunk_len").cast("int")) ===
+          col("e_text").substr(col("e_start").cast("int") + 1,
+            col("e_len").cast("int")))
+      val perPair = matched.groupBy("doc_id").agg(
+        bool_and(col("e_start").isNotNull).as("head_chunks_shared"),
+        bool_and(col("content_eq")).as("shared_contents_verified"))
+      // single-chunk docs have no non-final chunks: vacuously true
+      planted.select(col("doc_id").as("orig_id"),
+          (col("doc_id") + 100000).as("edited_id"))
+        .join(perPair.withColumnRenamed("doc_id", "orig_id"), Seq("orig_id"), "left")
+        .select(col("orig_id"), col("edited_id"),
+          coalesce(col("head_chunks_shared"), lit(true)).as("head_chunks_shared"),
+          coalesce(col("shared_contents_verified"), lit(true))
+            .as("shared_contents_verified"))
+    }, Some("""SELECT doc_id AS orig_id, doc_id + 100000 AS edited_id,
+        true AS head_chunks_shared, true AS shared_contents_verified
+      FROM documents WHERE doc_id % 2 = 0""")),
 
     // Crawl-text cleanup: control chars + whitespace runs normalized
     // BEFORE fingerprinting (TextOps.cleanText scaladoc). Noise is

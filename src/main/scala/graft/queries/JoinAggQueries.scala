@@ -474,18 +474,43 @@ object JoinAggQueries {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
 
     // 100 TB escape hatches (SURVEY §2.4 A1/A5 notes): sketch-based
-    // percentile and distinct-count. Algorithms differ per engine, so no
-    // SQL oracle — the driver records the weaker rows-only check, and
-    // AggregatesSpec bounds the error against the exact answers.
+    // percentile and distinct-count. Sketch VALUES differ per engine, so
+    // the registered output is the exact answer (oracle-computable) plus
+    // a bound-check boolean computed in-query: the sketch estimate must
+    // land inside an exact quantile/error window. DuckDB hashes a fully
+    // deterministic row; the Spark side proves the sketch honored its
+    // bound. AggregatesSpec additionally bounds the raw estimates.
+    //
+    // a12 bound: approx_percentile(accuracy=10000) guarantees rank error
+    // <= N/accuracy (1e-4·N) — the exact [q-0.02, q+0.02] quantile
+    // window is 200× looser, so the boolean is deterministically true
+    // while still failing loudly on a broken sketch.
     QueryDef("a12_approx_percentile", (s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag")
-        .agg(Aggregates.approxPct(col("l_quantity"), 0.5).as("p50_approx"),
-          Aggregates.approxPct(col("l_quantity"), 0.95).as("p95_approx")),
-      None),
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)") + lit(1e-9), 2).as("p50_exact"),
+          round(expr("percentile(l_quantity, 0.95)") + lit(1e-9), 2).as("p95_exact"),
+          Aggregates.approxPct(col("l_quantity"), 0.5)
+            .between(expr("percentile(l_quantity, 0.48)"),
+              expr("percentile(l_quantity, 0.52)")).as("p50_in_bound"),
+          Aggregates.approxPct(col("l_quantity"), 0.95)
+            .between(expr("percentile(l_quantity, 0.93)"),
+              expr("percentile(l_quantity, 0.97)")).as("p95_in_bound")),
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_quantity, 0.5) + 1e-9, 2) AS p50_exact,
+          round(quantile_cont(l_quantity, 0.95) + 1e-9, 2) AS p95_exact,
+          true AS p50_in_bound, true AS p95_in_bound
+        FROM lineitem GROUP BY 1""")),
+    // a13 bound: HLL++ at default rsd 0.05 — 3σ (15%) relative window.
     QueryDef("a13_approx_count_distinct", (s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("nd_approx")),
-      None),
+        .agg(countDistinct(col("l_partkey")).as("nd_exact"),
+          (abs(approx_count_distinct(col("l_partkey")) -
+              countDistinct(col("l_partkey"))) <=
+            countDistinct(col("l_partkey")) * 0.15).as("within_rsd")),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS nd_exact, true AS within_rsd
+        FROM lineitem GROUP BY 1""")),
 
     // A24 (extension): equi-width histogram per group over the global
     // [min, max] — the profiling/binning aggregate. All arithmetic is
@@ -563,15 +588,27 @@ object JoinAggQueries {
     // for COUNT(DISTINCT) at 100 TB: sketch per shard (here: per ship
     // year), then UNION the binary sketches to coarser grains without
     // touching the raw data again. Exact distinct cannot re-aggregate
-    // (distinct sets don't add); sketches do. Engine-specific binary —
-    // no SQL oracle; AggregatesSpec bounds the estimate against exact.
+    // (distinct sets don't add); sketches do. The sketch binary is
+    // engine-specific, so the registered output is the exact distinct
+    // count (oracle-computable) plus an in-query boolean proving the
+    // re-aggregated estimate landed within the sketch's error bound
+    // (lgConfigK=12 → rsd ~1.6%; 5% window, same bound AggregatesSpec
+    // pins on the raw estimate).
     QueryDef("a26_hll_mergeable", (s, dir) => {
       val perYear = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
-      perYear.groupBy("l_returnflag")
+      val merged = perYear.groupBy("l_returnflag")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("nd_estimate"))
-    }, None),
+      val exact = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_exact"))
+      merged.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("nd_exact"),
+          (abs(col("nd_estimate") - col("nd_exact")) <=
+            col("nd_exact") * 0.05).as("estimate_in_bound"))
+    }, Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS nd_exact, true AS estimate_in_bound
+      FROM lineitem GROUP BY 1""")),
 
     // J14 (extension): LATERAL correlated subquery — top-2 customers per
     // nation through the SQL text interface (the per-row dependent join
