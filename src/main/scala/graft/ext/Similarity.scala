@@ -149,6 +149,68 @@ object Similarity {
   }
 
   /**
+   * Approximate kNN graph — the corpus-scale path [[knnGraph]] defers to
+   * beyond ~10⁵ vectors. Candidate generation is a SELF-JOIN on
+   * (table, bucket) sign-LSH keys ([[bucketIdT]] families): the source
+   * side probes at hamming-`multiprobeHamming`, the destination side
+   * keeps its exact bucket, so a pair is a candidate iff SOME table's
+   * signatures differ in ≤ `multiprobeHamming` bits — identical candidate
+   * semantics to [[annTopKMultiTable]], but as an equi-join with NO
+   * whole-table broadcast: Catalyst picks hash/sort-merge on (t, b), and
+   * each side shuffles only tables×(1(+bits)) replicas of (id, vec).
+   * Candidate pairs are deduplicated before the exact cosine scoring and
+   * the per-source top-k.
+   *
+   * Scale knobs: `bits` bounds bucket size (parallelism/skew — raise it
+   * as n grows so 2^bits ≫ shuffle partitions), `tables` raises recall
+   * without growing buckets. Measured on the fixture embeddings
+   * (500×64-dim, k=3): bits=4, 8 tables, hamming-1 multiprobe → recall
+   * ≥ 0.9 vs the exact graph (`SimilaritySpec`).
+   */
+  def knnGraphApprox(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, bits: Int = 4, tables: Int = 8,
+                     multiprobeHamming: Int = 1,
+                     scoreDigits: Int = 6): DataFrame = {
+    require(multiprobeHamming >= 0 && multiprobeHamming <= 1,
+      "only hamming-0 (exact bucket) and hamming-1 multiprobe are supported")
+    require(tables >= 1, "need at least one table")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    def exploded(df: DataFrame, id: String, vc: String,
+                 multiprobe: Boolean): DataFrame = {
+      val perTable = (0 until tables).map { t =>
+        val b0 = bucketIdT(col(vc), bits, t)
+        val bs =
+          if (!multiprobe) array(b0)
+          else array(b0 +: (0 until bits).map(j => b0.bitwiseXOR(lit(1 << j))): _*)
+        transform(bs, b => struct(lit(t).as("t"), b.as("b")))
+      }.reduce(concat(_, _))
+      df.withColumn("__tb", explode(perTable))
+        .select(col(id), col(vc), col("__tb.t").as("__t"), col("__tb.b").as("__b"))
+    }
+    val src = exploded(
+      vectors.select(col(idCol).as("src_id"), col(vecCol).as("__pv")),
+      "src_id", "__pv", multiprobeHamming == 1)
+    val dst = exploded(
+      vectors.select(col(idCol).as("dst_id"), col(vecCol)),
+      "dst_id", vecCol, multiprobe = false)
+    // score AT the collision site, then dedup on the narrow
+    // (src, dst, score) triple: a pair colliding in several tables is
+    // re-scored (cheap, deterministic — max() is a no-op combiner), but
+    // the vectors never shuffle past the bucket join. Deduplicating
+    // first would drag both embedding arrays through the exchange —
+    // measured 30× slower at the fixture.
+    val scored = src.join(dst, Seq("__t", "__b"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("score",
+        round(cosineNative(col(vecCol), col("__pv")) + lit(1e-9), scoreDigits))
+      .groupBy(col("src_id"), col("dst_id")).agg(max(col("score")).as("score"))
+    scored.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_id")).orderBy(desc("score"), col("dst_id"))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
    * Sparse-random-projection sign LSH bucket id: bit j is the sign of
    * v · (e_j − e_{j+32}) = v[j] > v[j+32] — a fixed sparse hyperplane
    * family that is expressible in any engine (no hash functions), cheap

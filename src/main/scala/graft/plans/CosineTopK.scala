@@ -98,6 +98,24 @@ object CosineTopKExec {
     if (denom == 0.0) Double.NaN else dot / denom
   }
 
+  /** Sum of squares of the first `n` elements. The accumulator sequence
+    * (`acc += x*x` left to right) is the same add sequence [[cosine]]'s
+    * `na`/`nb` accumulators execute, so hoisting it out of the per-pair
+    * loop is bit-identical IEEE arithmetic, not an approximation. */
+  @inline def sumSq(a: Array[Double], n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a(i); s += x * x; i += 1 }
+    s
+  }
+
+  /** Dot product of the first `n` elements — the only per-(row, probe)
+    * work left once both norms are precomputed. */
+  @inline def dotN(a: Array[Double], b: Array[Double], n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Spark-identical round(x + 1e-9, 6): shortest-decimal HALF_UP. */
   def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x + 1e-9)
@@ -116,6 +134,24 @@ object CosineTopKExec {
       i += 1
     }
     v
+  }
+
+  /** [[vecOf]] into a caller-owned scratch buffer (grown on demand):
+    * returns the element count; the hot path makes zero allocations per
+    * row. */
+  private[plans] def vecInto(row: InternalRow, elemIsFloat: Boolean,
+                             scratch: Array[Double]): (Array[Double], Int) = {
+    val ad = row.getArray(1)
+    val n = ad.numElements()
+    val v = if (n <= scratch.length) scratch else new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (ad.isNullAt(i)) 0.0
+             else if (elemIsFloat) ad.getFloat(i).toDouble
+             else ad.getDouble(i)
+      i += 1
+    }
+    (v, n)
   }
 }
 
@@ -145,17 +181,37 @@ case class CosineTopKExec(k: Int, output: Seq[Attribute],
     }
     val nProbes = pi
     val kk = k
-    // pass 1 (map-side, the only pass over the data): bounded buffers
+    // pass 1 (map-side, the only pass over the data): bounded buffers.
+    // The kernel is restructured so the per-(row, probe) loop is
+    // dot-only: probe norms are computed ONCE here, the row norm once
+    // per row, and rows are read into a reused scratch buffer — same
+    // accumulator sequences as `cosine`, so bit-identical results with
+    // ~1/3 the flops and zero per-row allocation.
+    val pNorms = Array.tabulate(nProbes)(p => sumSq(pVecs(p), pVecs(p).length))
     val partials: RDD[(Int, Double, Long)] = left.execute().mapPartitions { iter =>
       val bufs = Array.fill(nProbes)(new TopKBuffer(kk))
+      var scratch = new Array[Double](64)
       iter.foreach { row =>
         if (!row.isNullAt(0) && !row.isNullAt(1)) {
           val id = row.getLong(0)
-          val v = vecOf(row, leftIsFloat)
+          val (v, vLen) = vecInto(row, leftIsFloat, scratch)
+          if (v.length > scratch.length) scratch = v
+          val naFull = sumSq(v, vLen)
           var p = 0
           while (p < nProbes) {
-            val s = cosine(v, pVecs(p))
-            if (!s.isNaN) bufs(p).offer(round6(s), id)
+            val pv = pVecs(p)
+            val n = math.min(vLen, pv.length)
+            // norms cover exactly the first n elements `cosine` would
+            // sum; the precomputed full-length values apply whenever the
+            // pairing doesn't truncate that side (always, for the usual
+            // equal-dim corpus)
+            val na = if (n == vLen) naFull else sumSq(v, n)
+            val nb = if (n == pv.length) pNorms(p) else sumSq(pv, n)
+            val denom = math.sqrt(na) * math.sqrt(nb)
+            if (denom != 0.0) {
+              val s = dotN(v, pv, n) / denom
+              if (!s.isNaN) bufs(p).offer(round6(s), id)
+            }
             p += 1
           }
         }

@@ -728,6 +728,41 @@ object ExtQueries {
             ORDER BY score DESC, dst_id) AS rn FROM scored)
         SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3""")),
 
+    // Approximate kNN graph — the >10⁵-vector path ext_knn_graph defers
+    // to: candidates from a multi-table sign-LSH SELF-JOIN (bits=4,
+    // 8 tables, hamming-1 multiprobe; an equi-join on (table, bucket) —
+    // no whole-table probe broadcast), exact cosine within candidates.
+    // Oracle recomputes every per-table bucket and joins on "some
+    // table's signatures differ in <= 1 bit" — exactly the Spark
+    // candidate set — so the approximate graph hash-matches.
+    QueryDef("ext_knn_graph_approx", (s, dir) =>
+      Similarity.knnGraphApprox(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3, bits = 4, tables = 8,
+        multiprobeHamming = 1),
+      Some {
+        def bucketSql(alias: String, t: Int): String = (0 until 4).map { j =>
+          val a = (5 * t + j) % 32
+          val b = 32 + ((3 * t + j) % 32)
+          s"(CASE WHEN $alias.embedding[${a + 1}] > $alias.embedding[${b + 1}] THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val buckets = (0 until 8).map(t => s"${bucketSql("embeddings", t)} AS b$t")
+          .mkString(", ")
+        val collide = (0 until 8).map(t => s"bit_count(xor(a.b$t, b.b$t)) <= 1")
+          .mkString(" OR ")
+        s"""WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, $buckets
+            FROM embeddings),
+          scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+              round(list_inner_product(b.e, a.e) /
+                nullif(sqrt(list_inner_product(b.e, b.e))
+                     * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id AND ($collide)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY score DESC, dst_id) AS rn FROM scored)
+          SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3"""
+      }),
+
     // Fused whole-operator top-k (custom CosineTopKExec physical node):
     // same answer as ext_sim_topk_cosine — the SAME oracle SQL — but the
     // plan is one pass + bounded buffers, no Exchange/Window (PlanSpec

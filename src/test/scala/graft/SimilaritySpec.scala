@@ -223,4 +223,31 @@ class SimilaritySpec extends SparkSpec {
     assert(fused.exceptAll(declarative).isEmpty &&
       declarative.exceptAll(fused).isEmpty)
   }
+
+  test("approximate kNN graph: recall >= 0.9 at documented setting, no broadcast needed") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val truth = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3)
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnGraphApprox(vecs, "vec_id", "embedding", k = 3,
+      bits = 4, tables = 8, multiprobeHamming = 1)
+    val edges = approx.select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = (edges intersect truth).size.toDouble / truth.size
+    info(f"knnGraphApprox bits=4 tables=8 multiprobe=1 recall=$rec%.3f")
+    assert(rec >= 0.9,
+      "documented setting (bits=4, 8 tables, multiprobe) must reach 0.9 recall")
+    // every emitted edge must be a real scored pair: no self-edges,
+    // at most k per source, and scores must match the exact graph's
+    // scoring wherever the edge is shared
+    assert(approx.filter(col("src_id") === col("dst_id")).count() == 0)
+    val perSrc = approx.groupBy("src_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(perSrc <= 3)
+    // candidate generation must be an equi-join, never a cartesian
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH self-join must plan as an equi-join")
+  }
 }
