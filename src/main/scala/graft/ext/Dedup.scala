@@ -53,6 +53,29 @@ object Dedup {
       .drop("__fp")
       .select("survivor_id", "n_copies")
 
+  /**
+   * Incremental (cross-snapshot) exact dedup — the daily-ingest shape: a
+   * new batch is deduplicated against the already-accepted corpus, then
+   * within itself. Returns (survivor_id, n_batch_copies) per surviving
+   * batch document.
+   *
+   * Scale shape: the base corpus contributes ONLY its distinct 64-bit
+   * fingerprints (8 bytes/doc — the standing dedup state a 100 TB
+   * pipeline carries between runs, itself re-derivable by one scan);
+   * the batch anti-joins on that key and self-dedups with one more
+   * fingerprint shuffle. Nothing ever compares text to text, and the
+   * base corpus' text is never re-read once its fingerprint set exists.
+   */
+  def incremental(batch: DataFrame, base: DataFrame,
+                  textCol: String, idCol: String): DataFrame = {
+    val baseFp = base.select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(baseFp, Seq("__fp"), "left_anti")
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_batch_copies"))
+      .select("survivor_id", "n_batch_copies")
+  }
+
   /** Distinct hashed k-token shingles (the near-dup comparison set). */
   def shingleHashes(text: Column, k: Int = 3): Column =
     array_distinct(TextOps.windowFingerprints(text, k))

@@ -312,6 +312,65 @@ object ExtQueries {
             FROM all_docs)
       GROUP BY norm""")),
 
+    // Incremental (cross-snapshot) dedup — today's crawl against the
+    // accepted corpus: base contributes only distinct fingerprints
+    // (8 B/doc standing state), the batch anti-joins then self-dedups.
+    // Batch = every third doc plus injected re-crawls (+300000) of
+    // docs most of which live in base, so both the drop path and the
+    // within-batch-collapse path provably fire.
+    QueryDef("ext_dedup_incremental", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.incremental(batch, base, "text", "doc_id")
+    }, Some(s"""WITH norm_docs AS (
+        SELECT doc_id, array_to_string($DuckToks, ' ') AS norm FROM documents),
+      base AS (SELECT DISTINCT norm FROM norm_docs WHERE doc_id % 3 <> 0),
+      batch AS (
+        SELECT doc_id, norm FROM norm_docs WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 300000, norm FROM norm_docs WHERE doc_id % 7 = 1)
+      SELECT min(doc_id) AS survivor_id,
+        CAST(count(*) AS BIGINT) AS n_batch_copies
+      FROM batch WHERE norm NOT IN (SELECT norm FROM base)
+      GROUP BY norm""")),
+
+    // Gopher-style per-document quality gates (word count, mean word
+    // length, max-token dominance) — the published rule-based filter
+    // family, computed with one explode + hash agg (no per-doc UDF
+    // state; at corpus scale this is a map-side explode and ONE shuffle
+    // on doc_id).
+    QueryDef("ext_gopher_rules", (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val perTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      perTok.groupBy("doc_id").agg(
+          sum(col("c")).as("n_words"),
+          round(sum(length(col("tok")) * col("c")).cast("double") /
+            sum(col("c")) + lit(1e-9), 4).as("mean_word_len"),
+          round(max(col("c")).cast("double") /
+            sum(col("c")) + lit(1e-9), 4).as("top_tok_frac"))
+        .withColumn("passes",
+          col("n_words").between(20, 1000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("top_tok_frac") <= 0.2)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("top_tok_frac"), col("passes"))
+    }, Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToksRaw) AS tok FROM documents),
+      per_tok AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      m AS (SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_words,
+          round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c) + 1e-9, 4)
+            AS mean_word_len,
+          round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS top_tok_frac
+        FROM per_tok GROUP BY doc_id)
+      SELECT doc_id, n_words, mean_word_len, top_tok_frac,
+        (n_words BETWEEN 20 AND 1000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          AND top_tok_frac <= 0.2 AS passes
+      FROM m""")),
+
     // Near-dup: MinHash(64) + 16-band LSH candidates, exact-Jaccard
     // verified at >= 0.5. The oracle recomputes the thresholded pairs by
     // brute force over string shingles — the LSH path must find exactly

@@ -26,6 +26,21 @@ class DedupSpec extends SparkSpec {
     assert(m(1L) == 2L && m(3L) == 1L)
   }
 
+  test("incremental dedup: base content dropped, batch self-collapses, novel survives") {
+    val base = corpus.filter(col("doc_id") <= 3)
+    val batch = Seq(
+      (10L, "THE QUICK brown fox jumps over the lazy dog near the river bank today"), // = base 1
+      (11L, "a brand new document no snapshot has ever seen before right now"),
+      (12L, "A BRAND NEW document no snapshot has ever seen before right now"), // dup of 11
+      (13L, "unrelated text on minhash signatures banding and jaccard verification steps"))
+      .toDF("doc_id", "text")
+    val m = Dedup.incremental(batch, base, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 10 matches base doc 1 -> dropped; 11/12 collapse to 11 (2 copies);
+    // 13 is novel relative to THIS base (doc 5 excluded) -> survives
+    assert(m == Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("near-dup finds the perturbed pair and no unrelated pairs") {
     val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
         threshold = 0.5, numHashes = 64, bands = 32)
