@@ -788,19 +788,24 @@ object ExtQueries {
         SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3""")),
 
     // Approximate kNN graph — the >10⁵-vector path ext_knn_graph defers
-    // to: candidates from a multi-table sign-LSH SELF-JOIN (bits=4,
-    // 8 tables, hamming-1 multiprobe; an equi-join on (table, bucket) —
-    // no whole-table probe broadcast), exact cosine within candidates.
-    // Oracle recomputes every per-table bucket and joins on "some
-    // table's signatures differ in <= 1 bit" — exactly the Spark
-    // candidate set — so the approximate graph hash-matches.
+    // to: candidates from a multi-table sign-LSH SELF-JOIN (8 tables,
+    // hamming-1 multiprobe; an equi-join on (table, bucket) — no
+    // whole-table probe broadcast), exact cosine within candidates.
+    // `bits` must grow with n for the pruning to bite: at the sf0.1
+    // fixture (5k vectors) bits=4 leaves ~95% of all pairs as
+    // candidates (LSH cost with no pruning), so this entry registers
+    // the n-appropriate bits=8 (~¼ of pairs); the recall/bits tradeoff
+    // is measured in SimilaritySpec. Oracle recomputes every per-table
+    // bucket and joins on "some table's signatures differ in <= 1
+    // bit" — exactly the Spark candidate set — so the approximate
+    // graph hash-matches.
     QueryDef("ext_knn_graph_approx", (s, dir) =>
       Similarity.knnGraphApprox(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", k = 3, bits = 4, tables = 8,
+        "vec_id", "embedding", k = 3, bits = 8, tables = 8,
         multiprobeHamming = 1),
       Some {
-        def bucketSql(alias: String, t: Int): String = (0 until 4).map { j =>
+        def bucketSql(alias: String, t: Int): String = (0 until 8).map { j =>
           val a = (5 * t + j) % 32
           val b = 32 + ((3 * t + j) % 32)
           s"(CASE WHEN $alias.embedding[${a + 1}] > $alias.embedding[${b + 1}] THEN ${1 << j} ELSE 0 END)"
