@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Flat classloader for `sbt console`: the default layered strategy makes
+// Spark's runtime reflection throw "Prohibited package name: java.sql"
+// when product code builds Encoders from the REPL (profiling sessions).
+Compile / console / classLoaderLayeringStrategy := ClassLoaderLayeringStrategy.Flat
