@@ -221,4 +221,19 @@ class PlanSpec extends SparkSpec {
     val b = twin.collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toSet
     assert(a == b, "distributed index must equal the window numbering")
   }
+
+  test("incremental dedup: base enters as an anti-join build side, one agg shuffle") {
+    val p = plan("ext_dedup_incremental")
+    // the accepted corpus must gate the batch via LeftAnti — never a
+    // full join materializing matched rows, never a cartesian
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("gopher gates: explode + hash aggs, no window, no join") {
+    val p = plan("ext_gopher_rules")
+    assert(p.contains("Generate explode"))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "per-doc flags must come from aggregation alone")
+  }
 }
