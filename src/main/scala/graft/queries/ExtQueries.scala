@@ -337,6 +337,32 @@ object ExtQueries {
       FROM batch WHERE norm NOT IN (SELECT norm FROM base)
       GROUP BY norm""")),
 
+    // Bloom-gated twin of ext_dedup_incremental — identical answer (the
+    // oracle is the SAME SQL): base collapses to a broadcast Bloom
+    // filter, definitely-new batch rows skip the anti-join, only
+    // mightContain survivors pay it (exactness restored by that join).
+    // The 100 TB shape when the base fingerprint set outgrows a
+    // comfortable anti-join build side.
+    QueryDef("ext_dedup_incremental_bloom", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.incrementalBloom(batch, base, "text", "doc_id",
+        expectedItems = 100000L, fpp = 0.01)
+    }, Some(s"""WITH norm_docs AS (
+        SELECT doc_id, array_to_string($DuckToks, ' ') AS norm FROM documents),
+      base AS (SELECT DISTINCT norm FROM norm_docs WHERE doc_id % 3 <> 0),
+      batch AS (
+        SELECT doc_id, norm FROM norm_docs WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 300000, norm FROM norm_docs WHERE doc_id % 7 = 1)
+      SELECT min(doc_id) AS survivor_id,
+        CAST(count(*) AS BIGINT) AS n_batch_copies
+      FROM batch WHERE norm NOT IN (SELECT norm FROM base)
+      GROUP BY norm""")),
+
     // Gopher-style per-document quality gates (word count, mean word
     // length, max-token dominance) — the published rule-based filter
     // family, computed with one explode + hash agg (no per-doc UDF

@@ -39,6 +39,17 @@ class DedupSpec extends SparkSpec {
     // 10 matches base doc 1 -> dropped; 11/12 collapse to 11 (2 copies);
     // 13 is novel relative to THIS base (doc 5 excluded) -> survives
     assert(m == Map(11L -> 2L, 13L -> 1L))
+    // the Bloom-gated path must give the identical answer (false
+    // positives are removed by the verification anti-join)
+    val mb = Dedup.incrementalBloom(batch, base, "text", "doc_id",
+        expectedItems = 100L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mb == m)
+    // and even a tiny, collision-heavy filter stays exact
+    val mTiny = Dedup.incrementalBloom(batch, base, "text", "doc_id",
+        expectedItems = 2L, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mTiny == m)
   }
 
   test("near-dup finds the perturbed pair and no unrelated pairs") {
