@@ -438,4 +438,114 @@ object Similarity {
         sum(round(col("x").cast("double") * lit(1e6)).cast("long")).cast("double")
           / (count(lit(1)).cast("double") * lit(1e6)) + lit(1e-9), 6)
         .as("mean_val"))
+
+  // ---- Learned clustering: distributed Lloyd's k-means ------------------
+
+  /**
+   * Scan-only nearest-centroid assignment: the centroid table (k × dim
+   * doubles — kilobytes) is embedded as an array literal and the argmax
+   * runs inside the row projection, so assignment moves NOTHING — no
+   * shuffle, no window, no broadcast exchange even. Compare
+   * [[assignNearestCentroid]], which ranks a crossJoin through a
+   * per-vector window. Tie-break: highest score, then LOWEST label
+   * (encoded as max over struct(score, -label)); NULL scores (zero-norm
+   * vectors) are floored to -2 so they deterministically take label 0.
+   *
+   * Output = every input column + `assigned_label` + `assign_score`.
+   */
+  def assignNearestScan(vectors: DataFrame, vecCol: String,
+                        cents: Seq[(Long, Seq[Double])],
+                        scoreDigits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val centLit = typedLit(cents)
+    val best = array_max(transform(centLit, c => struct(
+      coalesce(round(cosineNative(col(vecCol), c.getField("_2"))
+        + lit(1e-9), scoreDigits), lit(-2d)).as("s"),
+      (-c.getField("_1")).as("nl"))))
+    vectors
+      .withColumn("__b", best)
+      .withColumn("assigned_label", -col("__b.nl"))
+      .withColumn("assign_score", col("__b.s"))
+      .drop("__b")
+  }
+
+  /**
+   * Distributed Lloyd's k-means with cosine assignment. Deterministic
+   * and engine-reproducible by construction: seeds are the k lowest-id
+   * vectors (labels 0..k-1 in id order), assignment tie-breaks on lowest
+   * label, and centroid components are fp-stabilized (`round(+1e-9, 6)`)
+   * after seeding and after every mean update, so both engines iterate
+   * over bit-identical centroid inputs and divergence cannot compound
+   * across iterations.
+   *
+   * Per-iteration scale shape (the reason this survives 100 TB):
+   *  - assignment is a pure projection against the centroid literal
+   *    ([[assignNearestScan]]) — zero data movement;
+   *  - the mean update explodes to (label, dim, x) and hash-aggregates —
+   *    k × dim groups (≤ a few thousand), so map-side partial
+   *    aggregation reduces the exchange to partitions × (k × dim) rows
+   *    regardless of table size.
+   * Like Spark MLlib's KMeans, the k × dim centroid state itself lives on
+   * the driver between iterations (kilobytes) — that collect is the
+   * algorithm's synchronization point, not a data egress. Clusters left
+   * empty by an iteration keep their previous centroid.
+   *
+   * Returns (centroid_label: long, centroid: array<double>).
+   */
+  def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val seeds = vectors
+      .select(col(idCol).cast("long").as("__id"),
+        transform(asDouble(col(vecCol)), x => round(x + lit(1e-9), 6)).as("__c"))
+      .sort(col("__id")).limit(k).collect()
+    var state: Seq[(Long, Seq[Double])] = seeds.zipWithIndex.map {
+      case (r, i) => (i.toLong, r.getSeq[Double](1))
+    }.toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignNearestScan(vectors, vecCol, state)
+      val upd = centroids(assigned, "assigned_label", vecCol)
+        .select(col("centroid_label").cast("long"),
+          transform(col("centroid"), x => round(x + lit(1e-9), 6)))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      state = state.map { case (l, c) => (l, upd.getOrElse(l, c)) }
+    }
+    import spark.implicits._
+    state.toDF("centroid_label", "centroid")
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+   * the embedding space with [[kmeansFit]], then drop every vector that
+   * has a SAME-CLUSTER neighbor above `tau` cosine with a lower id (the
+   * min-id survivor rule the exact-dedup family uses). Cluster scoping is
+   * the operator's semantics, not an approximation bug: it bounds the
+   * pairwise term to cluster sizes (tune k so n/k fits a task) in
+   * exchange for missing cross-cluster twins — the paper's tradeoff.
+   *
+   * Scale shape: assignment is scan-only; the candidate self-join
+   * shuffles each side once on the cluster id; survivors leave via a
+   * distinct on drop ids + a left-anti join.
+   *
+   * Returns the kept vectors: every input column + `cluster`.
+   */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, tau: Double,
+                    scoreDigits: Int = 6): DataFrame = {
+    val cents = kmeansFit(vectors, idCol, vecCol, k, iters)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val av = assignNearestScan(vectors, vecCol, cents)
+      .withColumn("cluster", col("assigned_label"))
+      .drop("assigned_label", "assign_score")
+    val a = av.select(col("cluster"), col(idCol).as("__a_id"),
+      col(vecCol).as("__a_vec"))
+    val b = av.select(col("cluster"), col(idCol).as("__b_id"),
+      col(vecCol).as("__b_vec"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("__b_id") < col("__a_id"))
+      .filter(round(cosineNative(col("__a_vec"), col("__b_vec"))
+        + lit(1e-9), scoreDigits) >= tau)
+      .select(col("__a_id").as(idCol)).distinct()
+    av.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -29,6 +29,53 @@ object ExtQueries {
   private val DuckToksRaw =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
 
+  /** DuckDB cosine of two double lists, fp-stabilized like the Spark
+   *  side (`round(+1e-9, 6)`, NULL→-2 floor for zero-norm vectors). */
+  private def duckCos(a: String, b: String): String =
+    s"""coalesce(round(list_inner_product($a, $b) /
+       |  nullif(sqrt(list_inner_product($a, $a))
+       |       * sqrt(list_inner_product($b, $b)), 0) + 1e-9, 6), -2)""".stripMargin
+
+  /**
+   * DuckDB twin of [[Similarity.kmeansFit]] + final assignment, unrolled
+   * (SQL has no loops): expects a CTE `v(vec_id, e)` with e =
+   * list<double>, emits CTEs up to `af(vec_id, lbl, s)` — the per-vector
+   * cluster + score against the centroids after `iters` Lloyd updates.
+   * Mirrors the Spark side exactly: k lowest-id seeds labeled in id
+   * order, fp-stabilized centroids each update, (score desc, label)
+   * assignment tie-break, empty clusters keep their previous centroid.
+   */
+  private def duckKmeans(k: Int, iters: Int): String = {
+    def assign(prev: String, out: String) =
+      s"""$out AS (SELECT vec_id, lbl FROM (
+         |  SELECT v.vec_id, c.lbl, row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.lbl) AS rn
+         |  FROM v CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    def update(ass: String, prev: String, out: String) =
+      s"""d_$out AS (SELECT $ass.lbl, generate_subscripts(v.e, 1) AS dim,
+         |    unnest(v.e) AS val
+         |  FROM v JOIN $ass ON $ass.vec_id = v.vec_id),
+         |m_$out AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
+         |  FROM d_$out GROUP BY 1, 2),
+         |u_$out AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM m_$out GROUP BY lbl),
+         |$out AS (SELECT p.lbl, coalesce(u_$out.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN u_$out ON u_$out.lbl = p.lbl)""".stripMargin
+    val seed =
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS lbl,
+         |    list_transform(e, x -> round(x + 1e-9, 6)) AS cv
+         |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assign(s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"c${i - 1}", s"c$i")
+    }
+    val fin =
+      s"""af AS (SELECT vec_id, lbl, s FROM (
+         |  SELECT v.vec_id, c.lbl, ${duckCos("v.e", "c.cv")} AS s,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.lbl) AS rn
+         |  FROM v CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+    (seed +: steps :+ fin).mkString(",\n")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- Text analysis ------------------------------------------------
@@ -1017,6 +1064,55 @@ object ExtQueries {
       ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
+    // LEARNED clustering: distributed Lloyd's k-means (k=8, 2 updates)
+    // over the embedding table, then per-vector cluster + score against
+    // the final centroids. Deterministic end to end (lowest-id seeds,
+    // fp-stabilized centroids, lowest-label tie-break), so the oracle
+    // replays the identical trajectory unrolled in SQL.
+    QueryDef("ext_kmeans", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+          k = 8, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+      Similarity.assignNearestScan(vecs, "embedding", cents)
+        .select(col("vec_id"), col("assigned_label").as("cluster"),
+          col("assign_score").as("score"))
+    }, Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      ${duckKmeans(k = 8, iters = 2)}
+      SELECT vec_id, lbl AS cluster, s AS score FROM af""")),
+
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
+    // every vector with a same-cluster lower-id neighbor above tau
+    // cosine. Near-dups are seeded in-query (perturbed copies of every
+    // 10th vector, +10000 ids) since the fixture has none; the survivors
+    // keep their cluster id. Cluster scoping bounds the pairwise term —
+    // the paper's recall tradeoff, and the reason it runs at corpus
+    // scale.
+    QueryDef("ext_semdedup", (s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val dups = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + lit(0.01)),
+            slice(col("e"), 2, 63)).as("e"))
+      Similarity.semanticDedup(base.unionByName(dups), "vec_id", "e",
+          k = 8, iters = 2, tau = 0.99)
+        .select(col("vec_id"), col("cluster"))
+    }, Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      v AS (SELECT * FROM b UNION ALL
+        SELECT vec_id + 10000 AS vec_id, list_prepend(e[1] + 0.01, e[2:64]) AS e
+        FROM b WHERE vec_id % 10 = 0),
+      ${duckKmeans(k = 8, iters = 2)}
+      , drops AS (SELECT DISTINCT a.vec_id
+        FROM af a JOIN af b ON a.lbl = b.lbl AND b.vec_id < a.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE ${duckCos("va.e", "vb.e")} >= 0.99)
+      SELECT af.vec_id, af.lbl AS cluster FROM af
+      WHERE af.vec_id NOT IN (SELECT vec_id FROM drops)""")),
 
     // ---- Multimodal plumbing ------------------------------------------
 

@@ -25,6 +25,41 @@ object StreamingQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /**
+   * Stage the events fixture PLUS far-future sentinel rows (one per
+   * requested event_type, ids -1, -2, …, user_id -1) into a scratch dir
+   * BEFORE the stream starts. The whole drain is then batch 0 — all
+   * files, watermark still at its initial floor, so nothing is dropped
+   * as late — plus one no-data batch in which the advanced watermark
+   * closes every window/timeout and flushes outer/terminal state.
+   * Draining first and appending the sentinel after pays two extra
+   * multi-second watermark-transition batches for the same final table
+   * (measured 9.3 s → 3.6 s on the stream-stream outer join at sf0.1);
+   * a live feed reaches the identical closed state as its watermark
+   * advances naturally.
+   */
+  private def stageWithSentinel(s: org.apache.spark.sql.SparkSession,
+                                dir: String, types: Seq[String]): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_st_stage").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/a_events.parquet"))
+    val maxNanos = graft.core.Tables.events(s, dir)
+      .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
+    import s.implicits._
+    val sentinelDir =
+      java.nio.file.Files.createTempDirectory("graft_st_sent").toString
+    types.zipWithIndex.map { case (tpe, i) =>
+      (-(i + 1).toLong, maxNanos + 86400L * 1000000000L, -1L, tpe, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+    val part = new java.io.File(sentinelDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$stage/z_sentinel.parquet"))
+    stage
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Watermarked event-time windowed aggregation, streamed to a memory
@@ -84,15 +119,13 @@ object StreamingQueries {
 
     // LEFT OUTER stream-stream interval join: clicks with no purchase in
     // the window emit NULL-extended rows — but only after the watermark
-    // passes click_ts + window, so the drain stages the fixture and
-    // appends far-future sentinels to BOTH event types (the outer join's
-    // global watermark is the minimum across its inputs). Oracle = the
-    // batch LEFT JOIN with the same interval condition.
+    // passes click_ts + window, so the stage includes far-future
+    // sentinels for BOTH event types (the outer join's global watermark
+    // is the minimum across its inputs) and one no-data batch flushes
+    // every unmatched click. Oracle = the batch LEFT JOIN with the same
+    // interval condition.
     QueryDef("st_stream_outer_join", (s, dir) => withStatePartitions(s, 8) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_st_oj").toString
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$stage/a_events.parquet"))
+      val stage = stageWithSentinel(s, dir, Seq("click", "purchase"))
       def side(tpe: String) = EventStream
         .readEvents(s, stage, globFilter = "*.parquet")
         .filter(col("event_type") === tpe)
@@ -100,23 +133,7 @@ object StreamingQueries {
           windowMinutes = 30)
         .writeStream.format("memory")
         .queryName("graft_st_outer").outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        val maxNanos = graft.core.Tables.events(s, dir)
-          .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
-        import s.implicits._
-        val sentinelDir =
-          java.nio.file.Files.createTempDirectory("graft_oj_sent").toString
-        Seq(("click", -1L), ("purchase", -2L)).map { case (tpe, id) =>
-          (id, maxNanos + 86400L * 1000000000L, -1L, tpe, 0.0, "{}")
-        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
-        val part = new java.io.File(sentinelDir).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$stage/z_sentinel.parquet"))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table("graft_st_outer").filter(col("user_id") >= 0)
     }, Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
         c.user_id AS user_id
@@ -138,34 +155,18 @@ object StreamingQueries {
         SELECT DISTINCT user_id, ts FROM events) GROUP BY user_id""")),
 
     // Streaming session_window drained to completion: append mode emits a
-    // session only once the watermark passes its END, so the drain stages
-    // the fixture into a scratch dir and appends a far-future sentinel
-    // event to flush the tail sessions (a live feed advances naturally).
-    // Oracle = the batch session_window chain (w12), real users only.
+    // session only once the watermark passes its END, so the stage
+    // includes a far-future sentinel event and the post-batch watermark
+    // jump flushes every tail session in one no-data batch (a live feed
+    // advances naturally). Oracle = the batch session_window chain (w12),
+    // real users only.
     QueryDef("st_session_window", (s, dir) => withStatePartitions(s, 8) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_st_sw").toString
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$stage/a_events.parquet"))
+      val stage = stageWithSentinel(s, dir, Seq("click"))
       val q = graft.streaming.EventStream.sessionWindowStats(
           graft.streaming.EventStream.readEvents(s, stage, globFilter = "*.parquet"))
         .writeStream.format("memory")
         .queryName("graft_st_session").outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        val maxNanos = graft.core.Tables.events(s, dir)
-          .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
-        import s.implicits._
-        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sw_sent").toString
-        Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
-        val part = new java.io.File(sentinelDir).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$stage/z_sentinel.parquet"))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table("graft_st_session").filter(col("user_id") >= 0)
     }, Some("""WITH flagged AS (SELECT user_id, event_id, ts,
           CASE WHEN lag(ts) OVER w IS NULL
@@ -181,34 +182,17 @@ object StreamingQueries {
 
     // Custom-state sessionization (flatMapGroupsWithState, append mode):
     // within-batch gaps close sessions inline, the open tails close when
-    // the sentinel advances the watermark past their event-time timeout.
+    // the staged sentinel's watermark jump fires their event-time timeout.
     // Drained-to-completion output == the batch gap sessionizer, which is
     // exactly what the oracle computes (exact integer-µs gap math on both
     // sides).
     QueryDef("st_custom_state", (s, dir) => withStatePartitions(s, 8) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_st_fmgs").toString
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$stage/a_events.parquet"))
+      val stage = stageWithSentinel(s, dir, Seq("click"))
       val q = EventStream.sessionizeClosed(
           EventStream.readEvents(s, stage, globFilter = "*.parquet")).toDF()
         .writeStream.format("memory")
         .queryName("graft_st_fmgs").outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        val maxNanos = graft.core.Tables.events(s, dir)
-          .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
-        import s.implicits._
-        val sentinelDir = java.nio.file.Files.createTempDirectory("graft_fmgs_sent").toString
-        Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
-        val part = new java.io.File(sentinelDir).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$stage/z_sentinel.parquet"))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table("graft_st_fmgs").filter(col("userId") >= 0)
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           round(col("durationSec") + lit(1e-9), 6).as("duration_sec"))

@@ -236,4 +236,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"),
       "per-doc flags must come from aggregation alone")
   }
+
+  test("kmeans assignment is scan-only: no exchange, no window, no join") {
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = graft.ext.Similarity.kmeansFit(vecs, "vec_id", "embedding",
+      k = 4, iters = 1).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val p = graft.ext.Similarity.assignNearestScan(vecs, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
+      "centroid argmax must ride the projection — the vector table never moves")
+  }
+
+  test("semdedup: candidate pairs come from a cluster equi-join, no cartesian") {
+    val p = plan("ext_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cluster pairing must be an equi-join on the cluster id")
+  }
 }

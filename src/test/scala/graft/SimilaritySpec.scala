@@ -250,4 +250,89 @@ class SimilaritySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "LSH self-join must plan as an equi-join")
   }
+
+  test("kmeans: assignment is the true argmax and Lloyd updates improve fit") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val k = 4
+    val fitted = Similarity.kmeansFit(vecs, "vec_id", "embedding", k, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    assert(fitted.length == k)
+    assert(fitted.map(_._1).sorted == (0L until k).toSeq)
+    val seeds = Similarity.kmeansFit(vecs, "vec_id", "embedding", k, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    def meanScore(cents: Seq[(Long, Seq[Double])]): Double =
+      Similarity.assignNearestScan(vecs, "embedding", cents)
+        .agg(avg(col("assign_score"))).head().getDouble(0)
+    assert(meanScore(fitted) > meanScore(seeds),
+      "two Lloyd updates must improve mean assignment cosine over the raw seeds")
+    // assignment really is the per-vector argmax with the documented
+    // (score desc, lowest label) tie-break
+    val assigned = Similarity.assignNearestScan(vecs, "embedding", fitted)
+      .select(col("vec_id"), col("embedding"), col("assigned_label"),
+        col("assign_score")).collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) -2.0 else math.round(d / n * 1e6 + 1e-3) / 1e6
+    }
+    assigned.foreach { r =>
+      val e = r.getSeq[Float](1).map(_.toDouble)
+      val best = fitted.map { case (l, c) => (cos(e, c), -l) }.max
+      assert(-best._2 == r.getLong(2), s"vec ${r.getLong(0)} not argmax-assigned")
+    }
+  }
+
+  test("kmeans: empty clusters keep their previous centroid") {
+    import spark.implicits._
+    // five identical vectors, k=3: everything assigns to label 0 (lowest
+    // label tie-break), so clusters 1 and 2 are empty after the update
+    // and must keep their seed centroids instead of vanishing or nulling
+    val same = (0L until 5L).map(i => (i, Array(1f, 0f, 0f))).toDF("vec_id", "v")
+    val cents = Similarity.kmeansFit(same, "vec_id", "v", k = 3, iters = 2)
+    assert(cents.count() == 3)
+    assert(cents.filter(col("centroid").isNull).count() == 0)
+    val ass = Similarity.assignNearestScan(same, "v",
+      cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq)
+    assert(ass.filter(col("assigned_label") === 0).count() == 5)
+  }
+
+  test("semanticDedup drops seeded near-dups, keeps originals, and never " +
+      "drops without a lower-id same-cluster neighbor above tau") {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.01)),
+          slice(col("e"), 2, 63)).as("e"))
+    val all = base.unionByName(dups)
+    val kept = Similarity.semanticDedup(all, "vec_id", "e",
+      k = 4, iters = 2, tau = 0.99)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = all.select("vec_id").collect().map(_.getLong(0)).toSet
+    // originals always survive: each has no LOWER-id twin
+    val seededOrigs = allIds.filter(id => id < 10000 && id % 10 == 0)
+    assert(seededOrigs.subsetOf(keptIds), "min-id survivor rule: originals stay")
+    val dropped = allIds diff keptIds
+    assert(dropped.nonEmpty, "perturbed copies must produce drops")
+    // verify every drop is justified: a lower-id same-cluster neighbor
+    // with cosine >= tau (recomputed brute force over the cluster map)
+    val cents = Similarity.kmeansFit(all, "vec_id", "e", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val rows = Similarity.assignNearestScan(all, "e", cents)
+      .select(col("vec_id"), col("e"), col("assigned_label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) -2.0 else d / n
+    }
+    dropped.foreach { id =>
+      val (_, e, c) = rows.find(_._1 == id).get
+      assert(rows.exists { case (oid, oe, oc) =>
+        oid < id && oc == c && cos(e, oe) >= 0.99 - 1e-6 },
+        s"dropped $id must have a lower-id same-cluster near-dup")
+    }
+    // cluster column rides through for downstream mixing
+    assert(kept.columns.contains("cluster"))
+  }
 }
