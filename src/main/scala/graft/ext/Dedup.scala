@@ -112,6 +112,74 @@ object Dedup {
       .select("survivor_id", "n_batch_copies")
   }
 
+  /**
+   * Incremental (cross-snapshot) NEAR-dup dedup — the MinHash twin of
+   * [[incremental]]: a new batch is dropped against the accepted corpus
+   * first (any base document with verified shingle-Jaccard >= threshold
+   * kills the batch doc), then self-deduplicated (a batch doc with ANY
+   * lower-id near-dup among the base-survivors drops — the conservative
+   * greedy rule; use [[nearDupClusters]] when transitive components are
+   * wanted). Returns the surviving batch rows unchanged.
+   *
+   * Scale shape: the candidate step is the banded (band, bandHash)
+   * equi-join of the batch's LSH table against the BASE'S PERSISTED LSH
+   * INDEX — bands × 8 bytes per base doc of standing state, the
+   * near-dup analogue of [[incremental]]'s fingerprint set; partition
+   * the stored index by band and a daily batch touches only colliding
+   * buckets. Verification re-reads shingles ONLY for candidate base ids
+   * (a semi-join–sized fetch), never base-text × batch-text. Within a
+   * run nothing is all-pairs: sum(|bucket|²) over colliding buckets,
+   * same as [[nearDupPairs]].
+   */
+  def incrementalNearDup(batch: DataFrame, base: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double, shingleK: Int = 3,
+                         numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // every shingle/signature/band table is computed ONCE (persist
+    // barriers inside the frame builders) and reused across the base
+    // join, the self-pairing, and the verifications — re-deriving them
+    // per step multiplied the whole chain's cost in the first cut
+    val shB = shingleFrame(batch, idCol, textCol, shingleK)
+    val shBase = shingleFrame(base, idCol, textCol, shingleK)
+    def banded(sh: DataFrame, as: String) =
+      signatureFrame(sh, idCol, numHashes).select(col(idCol).as(as),
+          explode(bandHashes(col("__sig"), bands, r)).as("__b"))
+        .select(col(as), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
+    val bandB = banded(shB, "__batch_id")
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val candBase = bandB.join(banded(shBase, "__base_id"), Seq("__band", "__bh"))
+      .select("__batch_id", "__base_id").distinct()
+    val dupVsBase = candBase
+      .join(shB.select(col(idCol).as("__batch_id"), col("__sh").as("__sh_a")),
+        Seq("__batch_id"))
+      .join(shBase.select(col(idCol).as("__base_id"), col("__sh").as("__sh_b")),
+        Seq("__base_id"))
+      .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
+      .select(col("__batch_id").as(idCol)).distinct()
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val freshIds = shB.select(col(idCol)).join(dupVsBase, Seq(idCol), "left_anti")
+    // self near-dup pairs from the SAME banded table, both ends
+    // restricted to base-survivors (a dropped doc cannot be a witness)
+    val candSelf = bandB.select(col("__band"), col("__bh"),
+        col("__batch_id").as("id_a"))
+      .join(bandB.select(col("__band"), col("__bh"), col("__batch_id").as("id_b")),
+        Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .join(freshIds.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+      .join(freshIds.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      .distinct()
+    val selfDrops = candSelf
+      .join(shB.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(shB.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    batch.join(dupVsBase, Seq(idCol), "left_anti")
+      .join(selfDrops, Seq(idCol), "left_anti")
+  }
+
   /** Distinct hashed k-token shingles (the near-dup comparison set). */
   def shingleHashes(text: Column, k: Int = 3): Column =
     array_distinct(TextOps.windowFingerprints(text, k))

@@ -410,6 +410,56 @@ object ExtQueries {
       FROM batch WHERE norm NOT IN (SELECT norm FROM base)
       GROUP BY norm""")),
 
+    // Incremental NEAR-dup dedup (MinHash twin of ext_dedup_incremental):
+    // the batch drops against the accepted corpus' LSH index first, then
+    // against itself (lower-id witness rule). Near-dups are seeded as
+    // tail-append copies (j ≈ 0.9); bands=32 (r=2) puts LSH recall at the
+    // 0.5 threshold ≈ 1, so the oracle's brute-force Jaccard ground truth
+    // matches exactly (same determinism argument as ext_dedup_near_minhash).
+    QueryDef("ext_dedup_incremental_near", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      Dedup.incrementalNearDup(batch, base, "doc_id", "text",
+          threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT doc_id + 500000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 15 = 0),
+      base_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      bsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      psh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM base_docs)),
+      drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN psh p
+        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
+           (len(b.shingles) + len(p.shingles)
+            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
+      fresh AS (SELECT * FROM bsh
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
+      self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
+        ON a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
+            (len(b.shingles) + len(a.shingles)
+             - len(list_intersect(b.shingles, a.shingles))) >= 0.5)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+      FROM all_docs d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
+        AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)""")),
+
     // Gopher-style per-document quality gates (word count, mean word
     // length, max-token dominance) — the published rule-based filter
     // family, computed with one explode + hash agg (no per-doc UDF

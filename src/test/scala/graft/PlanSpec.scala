@@ -249,6 +249,13 @@ class PlanSpec extends SparkSpec {
       "centroid argmax must ride the projection — the vector table never moves")
   }
 
+  test("incremental near-dup: banded equi-joins and anti-joins only, no cartesian") {
+    val p = plan("ext_dedup_incremental_near")
+    assert(p.contains("LeftAnti"), "survivors leave via anti-joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "batch x base candidates must come from the (band, bandHash) equi-join")
+  }
+
   test("semdedup: candidate pairs come from a cluster equi-join, no cartesian") {
     val p = plan("ext_semdedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
