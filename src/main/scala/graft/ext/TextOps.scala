@@ -248,4 +248,47 @@ object TextOps {
         round(avg(log(col("__c2").cast("double") / col("__c1")))
           + lit(1e-9), 6).as("lm_score"))
   }
+
+  /**
+   * C4-style cross-document boilerplate removal: a sentence whose
+   * case-normalized form appears in >= `minDocs` DISTINCT documents is
+   * boilerplate (navigation chrome, cookie banners, license footers) and
+   * is stripped from every document; each document is reassembled from
+   * its surviving sentences in original order. Returns
+   * (idCol, clean_text, n_removed, n_sentences) — documents whose text
+   * segments to nothing come back with clean_text = '' and zero counts.
+   *
+   * Scale shape: segmentation + explode are scan-side; the
+   * boilerplate verdict is ONE shuffle on the 64-bit sentence
+   * fingerprint (map-side partial aggregation collapses per-partition
+   * repeats of exactly the sentences this operator targets); verdicts
+   * join back on the same fingerprint key, so AQE can pick
+   * broadcast when the distinct-sentence table is small without being
+   * forced to; reassembly is one shuffle on the document id. Nothing is
+   * pairwise, and no document's text is ever compared to another's —
+   * repeated-sentence counting does all the work.
+   */
+  def removeBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val sents = df.select(col(idCol),
+        posexplode(sentences(col(textCol))).as(Seq("__idx", "__sent")))
+      .withColumn("__fp", xxhash64(lower(col("__sent"))))
+    val counts = sents.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    val agged = sents.join(counts, Seq("__fp"))
+      .withColumn("__boiler", col("__nd") >= minDocs)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("__boiler"),
+            struct(col("__idx"), col("__sent"))))),
+          p => p.getField("__sent")), " ").as("clean_text"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_removed"),
+        count(lit(1)).as("n_sentences"))
+    df.select(col(idCol)).join(agged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"))
+  }
 }

@@ -155,6 +155,19 @@ object CosineTopKExec {
   }
 }
 
+/**
+ * Physical fused cosine top-k. On columnar input (evaluated, declined):
+ * the vector child is a projection (id cast + element cast) over the
+ * scan, and ProjectExec is row-based, so `executeColumnar` is never
+ * offered here — consuming parquet batches directly would mean folding
+ * the projection into this operator and re-implementing its casts
+ * against ColumnarBatch. The kernel is already dot-only with
+ * precomputed norms, a reused scratch buffer, and zero per-row
+ * allocation; the remaining row-iterator overhead is the
+ * UnsafeRow array-header decode, a small fraction of the measured
+ * 0.26 s at sf0.1 — not worth a second input path that would fork the
+ * operator's correctness surface.
+ */
 case class CosineTopKExec(k: Int, output: Seq[Attribute],
                           left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
   import CosineTopKExec._

@@ -1433,6 +1433,46 @@ object ExtQueries {
     // TextOps.sentences scaladoc), one row per sentence via posexplode.
     // The fixture text has no punctuation, so sentence breaks are
     // injected deterministically first.
+    // C4-style boilerplate removal: footers seeded onto every 2nd / 5th
+    // doc appear in hundreds of documents and are stripped everywhere;
+    // organic sentences (word-soup, effectively unique) survive. The
+    // oracle counts distinct docs per normalized sentence STRING — the
+    // Spark side counts per xxhash64(lower(sentence)), identical counts
+    // modulo 64-bit collisions (~1e-13 at fixture cardinality).
+    QueryDef("ext_boilerplate_removal", (s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(regexp_replace(col("text"), lit(" data "), lit(". ")),
+          when(col("doc_id") % 2 === 0,
+            lit(". all rights reserved cookie notice terms apply."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" subscribe to our newsletter for updates."))
+            .otherwise(lit(""))).as("text"))
+      TextOps.removeBoilerplate(seeded, "doc_id", "text", minDocs = 10)
+    }, Some("""WITH seeded AS (SELECT doc_id,
+          regexp_replace(text, ' data ', '. ', 'g') ||
+          CASE WHEN doc_id % 2 = 0
+            THEN '. all rights reserved cookie notice terms apply.' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0
+            THEN ' subscribe to our newsletter for updates.' ELSE '' END AS text
+        FROM documents),
+      sents AS (SELECT doc_id,
+          CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS idx,
+          unnest(ss) AS sent
+        FROM (SELECT doc_id, list_filter(list_transform(
+            regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+            x -> trim(x)), x -> len(x) > 0) AS ss FROM seeded)),
+      counts AS (SELECT lower(sent) AS ls, count(DISTINCT doc_id) AS nd
+        FROM sents GROUP BY 1),
+      flagged AS (SELECT s.doc_id, s.idx, s.sent, c.nd >= 10 AS boiler
+        FROM sents s JOIN counts c ON lower(s.sent) = c.ls)
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN NOT boiler THEN sent END, ' '
+          ORDER BY idx), '') AS clean_text,
+        CAST(count_if(boiler) AS BIGINT) AS n_removed,
+        CAST(count(*) AS BIGINT) AS n_sentences
+      FROM flagged GROUP BY doc_id""")),
+
     QueryDef("ext_text_sentences", (s, dir) => {
       val punctuated = regexp_replace(col("text"), lit(" data "), lit(". "))
       Tables.documents(s, dir)

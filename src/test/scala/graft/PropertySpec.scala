@@ -157,4 +157,30 @@ class PropertySpec extends SparkSpec {
         r.getDouble(pIdx) >= 0.0 && r.getDouble(pIdx) <= 1.0
     })
   }
+
+  test("removeBoilerplate strips repeated sentences everywhere, keeps " +
+      "organics in order, and survives empty/all-boilerplate docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val footer = "All rights reserved."
+    val docs = Seq(
+      (1L, s"Unique alpha content. $footer Unique beta tail."),
+      (2L, s"Different gamma sentence! $footer"),
+      (3L, s"$footer"), // all-boilerplate -> empty clean text
+      (4L, "Nothing repeated here at all."),
+      (5L, "")) // segments to nothing
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("Unique alpha content. Unique beta tail.", 1L, 3L)))
+    assert(out(2L) == (("Different gamma sentence!", 1L, 2L)))
+    assert(out(3L) == (("", 1L, 1L)))
+    assert(out(4L) == (("Nothing repeated here at all.", 0L, 1L)))
+    assert(out(5L) == (("", 0L, 0L)))
+    // below the threshold nothing is removed
+    val none = graft.ext.TextOps.removeBoilerplate(docs, "doc_id", "text", minDocs = 4)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(none == 0L)
+  }
 }
