@@ -107,6 +107,55 @@ object ExtQueries {
         FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
         GROUP BY doc_id""")),
 
+    // CCNet/LLaMA-style perplexity-bucketed sampling: LM-score every doc,
+    // cut the corpus into quartiles at EXACT percentile thresholds
+    // (aggregated + broadcast — no global ntile window, the shape that
+    // survives 100 TB), keep the top quartile whole and downsample the
+    // rest at 1/2, 1/4, 1/8 via the deterministic md5 cell gate. Spark
+    // exact percentile == DuckDB quantile_cont (both linear
+    // interpolation); scores are fp-stabilized before the cut.
+    QueryDef("ext_ppl_bucket_mixture", (s, dir) => {
+      val scored = TextOps.lmScoreFrame(Tables.documents(s, dir), "doc_id", "text")
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val qs = scored.agg(
+        expr("percentile(lm_score, 0.25D)").as("q25"),
+        expr("percentile(lm_score, 0.5D)").as("q50"),
+        expr("percentile(lm_score, 0.75D)").as("q75"))
+      scored.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          when(col("lm_score") >= col("q75"), 1L)
+            .when(col("lm_score") >= col("q50"), 2L)
+            .when(col("lm_score") >= col("q25"), 3L)
+            .otherwise(4L))
+        .filter(col("bucket") === 1 ||
+          (col("bucket") === 2 && Corpus.hashCell(col("doc_id")) < "80") ||
+          (col("bucket") === 3 && Corpus.hashCell(col("doc_id")) < "40") ||
+          (col("bucket") === 4 && Corpus.hashCell(col("doc_id")) < "20"))
+        .select(col("doc_id"), col("bucket"), col("lm_score"))
+    }, Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
+        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
+        sc AS (SELECT doc_id,
+            round(avg(ln(CAST(c2 AS DOUBLE) / c1)) + 1e-9, 6) AS lm_score
+          FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
+          GROUP BY doc_id),
+        q AS (SELECT quantile_cont(lm_score, 0.25) AS q25,
+            quantile_cont(lm_score, 0.50) AS q50,
+            quantile_cont(lm_score, 0.75) AS q75 FROM sc),
+        bk AS (SELECT doc_id, lm_score,
+            CAST(CASE WHEN lm_score >= q75 THEN 1
+                 WHEN lm_score >= q50 THEN 2
+                 WHEN lm_score >= q25 THEN 3 ELSE 4 END AS BIGINT) AS bucket
+          FROM sc CROSS JOIN q)
+        SELECT doc_id, bucket, lm_score FROM bk
+        WHERE bucket = 1
+           OR (bucket = 2 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+           OR (bucket = 3 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')
+           OR (bucket = 4 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20')""")),
+
     QueryDef("ext_text_token_stats", (s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
