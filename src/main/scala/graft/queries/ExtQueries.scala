@@ -1164,6 +1164,44 @@ object ExtQueries {
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
 
+    // Hard-negative mining for contrastive/retrieval training: per probe,
+    // the top-3 most-similar vectors whose LABEL DIFFERS (the in-batch
+    // lookalikes a trainer wants as negatives). Same broadcast-probe
+    // scan shape as brute-force top-k with the label-mismatch predicate
+    // applied BEFORE scoring; the ANN bucket families drop in unchanged
+    // when the corpus outgrows brute force.
+    QueryDef("ext_hard_negatives", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+          col("label").as("probe_label"))
+      vecs.crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("probe_label"))
+        .withColumn("score",
+          round(Similarity.cosineNative(col("embedding"), col("probe_vec"))
+            + lit(1e-9), 6))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("__rn") <= 3)
+        .select(col("probe_id"), col("vec_id"), col("score"),
+          col("label").cast("long").as("neg_label"))
+    }, Some("""WITH v AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe
+        FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score,
+          CAST(v.label AS BIGINT) AS neg_label
+        FROM v JOIN p ON v.label <> p.probe_label),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score, neg_label FROM ranked WHERE rn <= 3""")),
+
     // LEARNED clustering: distributed Lloyd's k-means (k=8, 2 updates)
     // over the embedding table, then per-vector cluster + score against
     // the final centroids. Deterministic end to end (lowest-id seeds,
