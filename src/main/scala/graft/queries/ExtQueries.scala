@@ -509,6 +509,88 @@ object ExtQueries {
       WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
         AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)""")),
 
+    // The DAILY-BATCH curation chain end to end: Gopher gates on both
+    // sides -> incremental near-dup of the gated batch against the gated
+    // accepted corpus -> deterministic train/val/test split. The
+    // composition a 100 TB ingest runs every day; every stage reuses an
+    // operator proven above (gates: ext_gopher_rules bounds; dedup:
+    // ext_dedup_incremental_near; split: ext_split_hashmod cells), and
+    // the oracle replays the whole chain in one SQL statement.
+    QueryDef("ext_curation_incremental", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val baseRaw = docs.filter(col("doc_id") % 3 =!= 0)
+      val batchRaw = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      def gated(df: org.apache.spark.sql.DataFrame) = {
+        val perTok = df.select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val pass = perTok.groupBy("doc_id").agg(
+            sum(col("c")).as("n_words"),
+            round(sum(length(col("tok")) * col("c")).cast("double") /
+              sum(col("c")) + lit(1e-9), 4).as("mwl"),
+            round(max(col("c")).cast("double") /
+              sum(col("c")) + lit(1e-9), 4).as("ttf"))
+          .filter(col("n_words").between(20, 1000) &&
+            col("mwl").between(3.0, 10.0) && col("ttf") <= 0.2)
+          .select("doc_id")
+        df.join(pass, Seq("doc_id"), "left_semi")
+      }
+      Dedup.incrementalNearDup(gated(batchRaw), gated(baseRaw),
+          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("doc_id"), Corpus.hashSplit(col("doc_id")).as("split"),
+          length(col("text")).cast("long").as("n_chars"))
+    }, Some {
+      def gateCtes(src: String, out: String) =
+        s"""t_$out AS (SELECT doc_id, unnest($DuckToksRaw) AS tok FROM $src),
+           pt_$out AS (SELECT doc_id, tok, count(*) AS c FROM t_$out GROUP BY 1, 2),
+           m_$out AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c) + 1e-9, 4) AS mwl,
+               round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS ttf
+             FROM pt_$out GROUP BY doc_id),
+           $out AS (SELECT s.doc_id, s.text FROM $src s
+             JOIN m_$out m ON m.doc_id = s.doc_id
+             WHERE m.n_words BETWEEN 20 AND 1000
+               AND m.mwl BETWEEN 3.0 AND 10.0 AND m.ttf <= 0.2)"""
+      def shCte(src: String, out: String) =
+        s"""$out AS (SELECT doc_id, list_distinct(list_transform(
+               range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+               AS shingles
+             FROM (SELECT doc_id, $DuckToks AS toks FROM $src))"""
+      s"""WITH batch_raw AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
+          WHERE doc_id % 5 = 1),
+        base_raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        ${gateCtes("batch_raw", "gb")},
+        ${gateCtes("base_raw", "gp")},
+        ${shCte("gb", "bsh")},
+        ${shCte("gp", "psh")},
+        drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN psh p
+          ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
+             (len(b.shingles) + len(p.shingles)
+              - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
+        fresh AS (SELECT * FROM bsh
+          WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
+        self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
+          ON a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
+              (len(b.shingles) + len(a.shingles)
+               - len(list_intersect(b.shingles, a.shingles))) >= 0.5)
+        SELECT d.doc_id,
+          CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6'
+               THEN 'train'
+               WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'f3'
+               THEN 'val' ELSE 'test' END AS split,
+          CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM gb d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
+          AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)"""
+    }),
+
     // Gopher-style per-document quality gates (word count, mean word
     // length, max-token dominance) — the published rule-based filter
     // family, computed with one explode + hash agg (no per-doc UDF
