@@ -534,9 +534,12 @@ object Similarity {
                     scoreDigits: Int = 6): DataFrame = {
     val cents = kmeansFit(vectors, idCol, vecCol, k, iters)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    // persisted: feeds both sides of the pair join AND the final
+    // anti-join — without the barrier the scan+assignment runs 3x
     val av = assignNearestScan(vectors, vecCol, cents)
       .withColumn("cluster", col("assigned_label"))
       .drop("assigned_label", "assign_score")
+      .transform(graft.core.CacheRegistry.persistTracked)
     val a = av.select(col("cluster"), col(idCol).as("__a_id"),
       col(vecCol).as("__a_vec"))
     val b = av.select(col("cluster"), col(idCol).as("__b_id"),
