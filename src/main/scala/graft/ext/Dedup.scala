@@ -306,18 +306,35 @@ object Dedup {
    */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int = 3, numHashes: Int = 64,
-                     bands: Int = 16): DataFrame =
+                     bands: Int = 16, maxBucketSize: Int = 0): DataFrame =
     candidatesFromShingles(shingleFrame(df, idCol, textCol, shingleK),
-      idCol, numHashes, bands)
+      idCol, numHashes, bands, maxBucketSize)
 
   private def candidatesFromShingles(sh: DataFrame, idCol: String,
-                                     numHashes: Int, bands: Int): DataFrame = {
+                                     numHashes: Int, bands: Int,
+                                     maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sig = signatureFrame(sh, idCol, numHashes)
-    val banded = sig.select(col(idCol),
+    val banded0 = sig.select(col(idCol),
         explode(bandHashes(col("__sig"), bands, r)).as("__b"))
       .select(col(idCol), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
+    // optional degenerate-bucket guard (RefinedWeb-style): a bucket of
+    // m members contributes m² candidate pairs, so one mega-bucket —
+    // boilerplate that survived upstream gates, exact copies not
+    // pre-deduped — can dominate the whole join. Capping drops those
+    // buckets entirely (bounded, documented recall loss on exactly the
+    // pairs an exact-dedup pass should have removed first). Off by
+    // default: 0 = unlimited.
+    val banded =
+      if (maxBucketSize <= 0) banded0
+      else {
+        val sizes = banded0.groupBy(col("__band"), col("__bh"))
+          .agg(count(lit(1)).as("__m"))
+          .filter(col("__m") <= maxBucketSize)
+          .select("__band", "__bh")
+        banded0.join(sizes, Seq("__band", "__bh"), "left_semi")
+      }
     banded.select(col("__band"), col("__bh"), col(idCol).as("id_a"))
       .join(banded.select(col("__band"), col("__bh"), col(idCol).as("id_b")),
         Seq("__band", "__bh"))

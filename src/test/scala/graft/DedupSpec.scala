@@ -85,6 +85,30 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Seq(21L))
   }
 
+  test("bucket cap drops mega-buckets, leaves normal candidates intact") {
+    // 30 byte-identical docs form a mega-bucket in EVERY band (identical
+    // signatures); one genuine near-dup pair (41, 42) sits in small
+    // buckets. The cap must kill the m^2 identical-pair blowup and keep
+    // the real pair.
+    val same = (0L until 30L).map(i =>
+      (i, "identical boilerplate body repeated verbatim across many documents today"))
+    val pair = Seq(
+      (41L, "one organic document about shuffle sizing and broadcast thresholds in spark"),
+      (42L, "one organic document about shuffle sizing and broadcast thresholds in spark plus tail"))
+    val df = (same ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.candidatePairs(df, "doc_id", "text",
+      numHashes = 64, bands = 32, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((41L, 42L)), "small-bucket pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a < 30 && b < 30 },
+      "mega-bucket members must contribute no pairs under the cap")
+    val uncapped = Dedup.candidatePairs(df, "doc_id", "text",
+      numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists { case (a, b) => a < 30 && b < 30 },
+      "without the cap the mega-bucket pairs are present (the hazard is real)")
+  }
+
   test("near-dup finds the perturbed pair and no unrelated pairs") {
     val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
         threshold = 0.5, numHashes = 64, bands = 32)
