@@ -456,6 +456,7 @@ object Similarity {
   def assignNearestScan(vectors: DataFrame, vecCol: String,
                         cents: Seq[(Long, Seq[Double])],
                         scoreDigits: Int = 6): DataFrame = {
+    require(cents.nonEmpty, "assignNearestScan needs at least one centroid")
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val centLit = typedLit(cents)
     val best = array_max(transform(centLit, c => struct(
@@ -494,6 +495,7 @@ object Similarity {
    */
   def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val spark = vectors.sparkSession
     val seeds = vectors
       .select(col(idCol).cast("long").as("__id"),
