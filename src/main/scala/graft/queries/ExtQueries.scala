@@ -1162,6 +1162,48 @@ object ExtQueries {
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
 
+    // PERSISTED ANN index: the banded vector table is materialized ONCE
+    // as a warehouse table bucketed+sorted on the LSH bucket (the
+    // build-once/query-many shape — at corpus scale the index build is a
+    // write-side artifact and every later probe batch joins against it
+    // with the bucket shuffle already pre-paid by the table layout).
+    // Results must be identical to the ad-hoc ext_sim_ann_bucket — same
+    // oracle SQL, and the query side reads ONLY the saved table.
+    QueryDef("ext_sim_ann_persisted", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val index = graft.core.Materialize.bucketTable(s, "graft_ann_index",
+        vecs.withColumn("bucket", Similarity.bucketId(col("embedding"), 4)),
+        buckets = 8, bucketCols = Seq("bucket"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+          Similarity.bucketId(col("embedding"), 4).as("bucket"))
+      index.join(broadcast(probes), Seq("bucket"))
+        .withColumn("score",
+          round(Similarity.cosineNative(col("embedding"), col("probe_vec"))
+            + lit(1e-9), 6))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("__rn") <= 3)
+        .select(col("probe_id"), col("vec_id"), col("score"))
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          (CASE WHEN embedding[1] > embedding[33] THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > embedding[34] THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > embedding[35] THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] > embedding[36] THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v JOIN p ON v.bucket = p.bucket),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
     // Multi-table multiprobe ANN (the production recall setting: bits=4,
     // 8 tables, hamming-1 multiprobe — measured recall 0.99 on the
     // fixture). Oracle recomputes every per-table bucket and joins on
