@@ -23,11 +23,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM temp (temp streaming checkpoints, spark.local.dir shuffle
+// spill, drain staging dirs) on tmpfs when the host has one: streaming
+// state-store commits are small-file-I/O bound and /dev/shm measures
+// ~10× /tmp here. Pinned in the build — not session env — because the
+// r4→r5 bench drift on every st_* entry was exactly this setting living
+// only in a shell that died with the session.
+val graftTmpfs: Option[String] = {
+  val d = new java.io.File("/dev/shm/graft_tmp")
+  if (d.isDirectory || d.mkdirs()) Some(d.getAbsolutePath) else None
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ graftTmpfs.map(p => s"-Djava.io.tmpdir=$p").toSeq
 
 // Flat classloader for `sbt console`: the default layered strategy makes
 // Spark's runtime reflection throw "Prohibited package name: java.sql"

