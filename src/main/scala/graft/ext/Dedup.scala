@@ -130,32 +130,84 @@ object Dedup {
    * (a semi-join–sized fetch), never base-text × batch-text. Within a
    * run nothing is all-pairs: sum(|bucket|²) over colliding buckets,
    * same as [[nearDupPairs]].
+   *
+   * This overload derives the base's index in-run (convenient for
+   * one-shots); the daily-ingest shape builds the index ONCE with
+   * [[nearDupIndex]], materializes it, and runs
+   * [[incrementalNearDupIndexed]] against the saved tables so each run
+   * is O(batch), never O(corpus).
    */
   def incrementalNearDup(batch: DataFrame, base: DataFrame,
                          idCol: String, textCol: String,
                          threshold: Double, shingleK: Int = 3,
                          numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val (bandT, shT) =
+      nearDupIndex(base, idCol, textCol, shingleK, numHashes, bands)
+    incrementalNearDupIndexed(batch, bandT, shT, idCol, textCol,
+      threshold, shingleK, numHashes, bands)
+  }
+
+  /**
+   * The base corpus' persistable near-dup index — the standing state a
+   * daily [[incrementalNearDup]] re-reads instead of re-deriving the
+   * whole accepted corpus' MinHash machinery per run. Two frames, both
+   * flat-typed for parquet:
+   *  - band table `(idCol, band: int, band_hash: long)` — bands × 8
+   *    bytes per doc; store it bucketed on (band, band_hash) so the
+   *    batch-vs-base candidate join finds the shuffle pre-paid;
+   *  - shingle table `(idCol, shingles: array<long>)` — read ONLY for
+   *    candidate base ids (a semi-join–sized fetch) at verification;
+   *    bucket it on `idCol`.
+   * Feed both to [[incrementalNearDupIndexed]]; growing the index after
+   * a batch is appending the survivors' rows to both tables.
+   */
+  def nearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 64,
+                   bands: Int = 32): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // every shingle/signature/band table is computed ONCE (persist
-    // barriers inside the frame builders) and reused across the base
-    // join, the self-pairing, and the verifications — re-deriving them
-    // per step multiplied the whole chain's cost in the first cut
+    val sh = shingleFrame(corpus, idCol, textCol, shingleK)
+    val bandT = signatureFrame(sh, idCol, numHashes).select(col(idCol),
+        explode(bandHashes(col("__sig"), bands, r)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("band_hash"))
+    (bandT, sh.select(col(idCol), col("__sh").as("shingles")))
+  }
+
+  /**
+   * [[incrementalNearDup]] against a PRE-BUILT base index (the
+   * [[nearDupIndex]] schema, typically read back from warehouse
+   * tables): the query side touches only the batch text plus the two
+   * index tables — the base corpus' text is never re-scanned, which is
+   * the property that makes the daily run O(batch), not O(corpus).
+   */
+  def incrementalNearDupIndexed(batch: DataFrame, baseBands: DataFrame,
+                                baseShingles: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double, shingleK: Int = 3,
+                                numHashes: Int = 64,
+                                bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // every batch-side shingle/signature/band table is computed ONCE
+    // (persist barriers inside the frame builders) and reused across the
+    // base join, the self-pairing, and the verifications — re-deriving
+    // them per step multiplied the whole chain's cost in the first cut
     val shB = shingleFrame(batch, idCol, textCol, shingleK)
-    val shBase = shingleFrame(base, idCol, textCol, shingleK)
-    def banded(sh: DataFrame, as: String) =
-      signatureFrame(sh, idCol, numHashes).select(col(idCol).as(as),
-          explode(bandHashes(col("__sig"), bands, r)).as("__b"))
-        .select(col(as), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
-    val bandB = banded(shB, "__batch_id")
+    val bandB = signatureFrame(shB, idCol, numHashes)
+      .select(col(idCol).as("__batch_id"),
+        explode(bandHashes(col("__sig"), bands, r)).as("__b"))
+      .select(col("__batch_id"), col("__b.band").as("__band"),
+        col("__b.bh").as("__bh"))
       .transform(graft.core.CacheRegistry.persistTracked)
-    val candBase = bandB.join(banded(shBase, "__base_id"), Seq("__band", "__bh"))
+    val baseB = baseBands.select(col(idCol).as("__base_id"),
+      col("band").as("__band"), col("band_hash").as("__bh"))
+    val candBase = bandB.join(baseB, Seq("__band", "__bh"))
       .select("__batch_id", "__base_id").distinct()
     val dupVsBase = candBase
       .join(shB.select(col(idCol).as("__batch_id"), col("__sh").as("__sh_a")),
         Seq("__batch_id"))
-      .join(shBase.select(col(idCol).as("__base_id"), col("__sh").as("__sh_b")),
-        Seq("__base_id"))
+      .join(baseShingles.select(col(idCol).as("__base_id"),
+        col("shingles").as("__sh_b")), Seq("__base_id"))
       .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
       .select(col("__batch_id").as(idCol)).distinct()
       .transform(graft.core.CacheRegistry.persistTracked)

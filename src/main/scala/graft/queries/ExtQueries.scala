@@ -76,6 +76,63 @@ object ExtQueries {
     (seed +: steps :+ fin).mkString(",\n")
   }
 
+  /** Shared (base, batch) fixture for the incremental near-dup family:
+    * near-dups are seeded as tail-append copies (j ≈ 0.9) of fixture
+    * docs, two overlapping modulo families so batch-vs-base AND
+    * batch-self drops both occur. */
+  private def incrementalNearFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text")))
+    (base, batch)
+  }
+
+  /** Brute-force Jaccard ground truth for [[incrementalNearFixture]] —
+    * shared verbatim by ext_dedup_incremental_near and its
+    * persisted-index twin (bands=32/r=2 puts LSH recall at the 0.5
+    * threshold ≈ 1, so the exact oracle matches both). */
+  private lazy val IncrementalNearOracleSql: String = s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT doc_id + 500000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 15 = 0),
+      base_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      bsh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      psh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM base_docs)),
+      drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN psh p
+        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
+           (len(b.shingles) + len(p.shingles)
+            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
+      fresh AS (SELECT * FROM bsh
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
+      self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
+        ON a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
+            (len(b.shingles) + len(a.shingles)
+             - len(list_intersect(b.shingles, a.shingles))) >= 0.5)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+      FROM all_docs d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
+        AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)"""
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- Text analysis ------------------------------------------------
@@ -466,48 +523,33 @@ object ExtQueries {
     // 0.5 threshold ≈ 1, so the oracle's brute-force Jaccard ground truth
     // matches exactly (same determinism argument as ext_dedup_near_minhash).
     QueryDef("ext_dedup_incremental_near", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") % 3 =!= 0)
-      val batch = docs.filter(col("doc_id") % 3 === 0)
-        .unionByName(docs.filter(col("doc_id") % 5 === 1)
-          .select((col("doc_id") + 400000).as("doc_id"),
-            concat(col("text"), lit(" dup marker tail")).as("text")))
-        .unionByName(docs.filter(col("doc_id") % 15 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"),
-            concat(col("text"), lit(" dup marker tail")).as("text")))
+      val (base, batch) = incrementalNearFixture(s, dir)
       Dedup.incrementalNearDup(batch, base, "doc_id", "text",
           threshold = 0.5, numHashes = 64, bands = 32)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-    }, Some(s"""WITH all_docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-        UNION ALL
-        SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 5 = 1
-        UNION ALL
-        SELECT doc_id + 500000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 15 = 0),
-      base_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-      bsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-          FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
-      psh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-          FROM (SELECT doc_id, $DuckToks AS toks FROM base_docs)),
-      drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN psh p
-        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
-           (len(b.shingles) + len(p.shingles)
-            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
-      fresh AS (SELECT * FROM bsh
-        WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
-      self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
-        ON a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
-            (len(b.shingles) + len(a.shingles)
-             - len(list_intersect(b.shingles, a.shingles))) >= 0.5)
-      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
-      FROM all_docs d
-      WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
-        AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)""")),
+    }, Some(IncrementalNearOracleSql)),
+
+    // PERSISTED-INDEX twin of ext_dedup_incremental_near — THE daily
+    // operation at 100 TB: the accepted corpus' LSH index (band table +
+    // shingle table, Dedup.nearDupIndex) is materialized ONCE as
+    // warehouse tables bucketed on their join keys, and the batch run
+    // reads ONLY the batch text plus those saved tables (mirror of
+    // ext_sim_ann_persisted's build-once/query-many shape; reference
+    // analogue: dbt incremental models, 5_dbt/READ.md:386-396). Output
+    // must be bit-identical to the in-run variant — same oracle SQL.
+    QueryDef("ext_dedup_incremental_persisted", (s, dir) => {
+      val (base, batch) = incrementalNearFixture(s, dir)
+      val (bandT, shT) = Dedup.nearDupIndex(base, "doc_id", "text",
+        numHashes = 64, bands = 32)
+      val bandTable = graft.core.Materialize.bucketTable(s,
+        "graft_neardup_bands", bandT, buckets = 8,
+        bucketCols = Seq("band", "band_hash"))
+      val shTable = graft.core.Materialize.bucketTable(s,
+        "graft_neardup_shingles", shT, buckets = 8, bucketCols = Seq("doc_id"))
+      Dedup.incrementalNearDupIndexed(batch, bandTable, shTable,
+          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    }, Some(IncrementalNearOracleSql)),
 
     // The DAILY-BATCH curation chain end to end: Gopher gates on both
     // sides -> incremental near-dup of the gated batch against the gated

@@ -85,6 +85,45 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Seq(21L))
   }
 
+  test("persisted-index incremental near-dup: identical output with the " +
+      "base text deleted — the query side provably never re-reads it") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "minhash banding and jaccard verification form the near dup pipeline core"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today extra tail"),
+      (11L, "completely novel content about distributed shuffles and partition pruning at scale"),
+      (12L, "completely novel content about distributed shuffles and partition pruning at scale plus more"),
+      (13L, "entirely different text with no overlap to anything else in this fixture"))
+      .toDF("doc_id", "text")
+    val expected = Dedup.incrementalNearDup(batch, base, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected == Seq(11L, 13L))
+    // build the index from base text staged on disk, materialize it as
+    // warehouse tables, then DELETE the staged base — if the indexed run
+    // still answers, the base text was never on the query path
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_nd_base")
+    base.write.mode("overwrite").parquet(baseDir.toString)
+    val (bandT, shT) = Dedup.nearDupIndex(
+      spark.read.parquet(baseDir.toString), "doc_id", "text",
+      numHashes = 64, bands = 32)
+    graft.core.Materialize.bucketTable(spark, "graft_test_nd_bands",
+      bandT, buckets = 4, bucketCols = Seq("band", "band_hash"))
+    graft.core.Materialize.bucketTable(spark, "graft_test_nd_shingles",
+      shT, buckets = 4, bucketCols = Seq("doc_id"))
+    spark.catalog.clearCache() // drop any cached base-derived frames too
+    java.nio.file.Files.walk(baseDir)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    val kept = Dedup.incrementalNearDupIndexed(batch,
+        spark.table("graft_test_nd_bands"), spark.table("graft_test_nd_shingles"),
+        "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == expected)
+  }
+
   test("bucket cap drops mega-buckets, leaves normal candidates intact") {
     // 30 byte-identical docs form a mega-bucket in EVERY band (identical
     // signatures); one genuine near-dup pair (41, 42) sits in small

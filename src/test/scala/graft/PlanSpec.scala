@@ -256,6 +256,17 @@ class PlanSpec extends SparkSpec {
       "batch x base candidates must come from the (band, bandHash) equi-join")
   }
 
+  test("persisted incremental near-dup: query side joins the saved index tables") {
+    val p = plan("ext_dedup_incremental_persisted")
+    assert(p.contains("graft_neardup_bands") && p.contains("graft_neardup_shingles"),
+      "candidates and verification must read the MATERIALIZED index tables")
+    assert(p.contains("LeftAnti"), "survivors leave via anti-joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "batch x base candidates must come from the (band, bandHash) equi-join")
+    // the behavioral half of this pin — output identical with the base
+    // text DELETED — lives in DedupSpec
+  }
+
   test("semdedup: candidate pairs come from a cluster equi-join, no cartesian") {
     val p = plan("ext_semdedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
