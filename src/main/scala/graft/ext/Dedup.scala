@@ -528,13 +528,15 @@ object Dedup {
    * driver-side union-find, so the 10⁹-node near-dup graph a 100 TB
    * corpus produces stays fully distributed.
    *
-   * Per-round `localCheckpoint()` is load-bearing, not a cache nicety:
-   * each round references the previous edge set ~12×, so the LOGICAL PLAN
+   * The per-round checkpoint is load-bearing, not a cache nicety: each
+   * round references the previous edge set ~12×, so the LOGICAL PLAN
    * grows exponentially even under persist() (persist caches data, not
    * plan analysis — measured: 118 s for a 139-edge graph with persist,
-   * sub-second per round with checkpointing). At cluster scale swap in
-   * reliable `checkpoint()` to storage so executor loss can't lose a
-   * round.
+   * sub-second per round with checkpointing). WHERE the cut lives is the
+   * `checkpoint` parameter: `CheckpointStrategy.Local` (default — the
+   * single-machine shape) vs `CheckpointStrategy.Reliable(dir)` (durable
+   * storage, the cluster setting where executor loss can't lose a
+   * round).
    *
    * Returns (id, component) for every node incident to an edge; isolated
    * nodes are absent (callers coalesce to their own id).
@@ -551,7 +553,9 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          driverThreshold: Long = 1000000L): DataFrame = {
+                          driverThreshold: Long = 1000000L,
+                          checkpoint: graft.core.CheckpointStrategy =
+                            graft.core.CheckpointStrategy.Local): DataFrame = {
     val spark = edges.sparkSession
     if (driverThreshold > 0) {
       val e0 = edges.select(
@@ -584,17 +588,19 @@ object Dedup {
         return out.toSeq.toDF("id", "component")
       }
     }
-    connectedComponentsDistributed(edges, aCol, bCol, maxIter)
+    connectedComponentsDistributed(edges, aCol, bCol, maxIter, checkpoint)
   }
 
   /** The distributed large-star/small-star loop (see
     * [[connectedComponents]] for the algorithm and checkpointing notes). */
   def connectedComponentsDistributed(edges: DataFrame, aCol: String, bCol: String,
-                                     maxIter: Int = 25): DataFrame = {
-    var e = edges.select(
+                                     maxIter: Int = 25,
+                                     checkpoint: graft.core.CheckpointStrategy =
+                                       graft.core.CheckpointStrategy.Local): DataFrame = {
+    var e = checkpoint.cut(edges.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     var eCount = e.count()
     var iter = 0
     var converged = eCount == 0
@@ -606,18 +612,18 @@ object Dedup {
       val mins = dirAll.groupBy("x")
         .agg(min(col("y")).as("__mn"))
         .select(col("x"), least(col("__mn"), col("x")).as("m"))
-      val large = dirAll.filter(col("y") > col("x"))
+      val large = checkpoint.cut(dirAll.filter(col("y") > col("x"))
         .join(mins, Seq("x"))
         .select(col("m").as("u"), col("y").as("v"))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct())
       // small-star: every node v links its SMALLER neighbors (and itself)
       // to the minimum of that set; canonical pairs put those at u
       val sm = large.groupBy("v").agg(min(col("u")).as("m"))
-      val small = sm.select(col("m").as("u"), col("v"))
+      val small = checkpoint.cut(sm.select(col("m").as("u"), col("v"))
         .unionByName(large.join(sm, Seq("v"))
           .filter(col("u") =!= col("m"))
           .select(col("m").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct())
       val smallCount = small.count()
       converged = smallCount == eCount && small.exceptAll(e).isEmpty
       e = small
@@ -640,10 +646,13 @@ object Dedup {
    */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleK: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16,
+                      checkpoint: graft.core.CheckpointStrategy =
+                        graft.core.CheckpointStrategy.Local): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleK,
       numHashes, bands)
-    val comp = connectedComponents(pairs, "id_a", "id_b")
+    val comp = connectedComponents(pairs, "id_a", "id_b",
+      checkpoint = checkpoint)
     df.select(col(idCol).cast("long").as(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

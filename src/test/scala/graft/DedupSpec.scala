@@ -238,6 +238,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(driver == dist,
       "both component paths must produce identical (id, min-id) maps")
+    // the RELIABLE checkpoint strategy (cluster setting) must run the
+    // same loop against a durable dir and produce the identical map —
+    // and actually write checkpoint data there
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_cp")
+    try {
+      val rel = Dedup.connectedComponentsDistributed(edges, "a", "b",
+          checkpoint = graft.core.CheckpointStrategy.Reliable(cpDir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rel == driver)
+      val wrote = java.nio.file.Files.walk(cpDir)
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "reliable strategy must materialize rounds under the dir")
+    } finally {
+      java.nio.file.Files.walk(cpDir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
   }
 
   test("nearDupClusters partitions the corpus; canonical = component min") {
