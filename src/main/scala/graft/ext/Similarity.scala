@@ -493,17 +493,102 @@ object Similarity {
    *
    * Returns (centroid_label: long, centroid: array<double>).
    */
+  /**
+   * Seeding strategy for [[kmeansFit]]:
+   *  - [[KmeansInit.LowestId]] — the k lowest-id vectors become labels
+   *    0..k-1 in id order. Trivially deterministic AND replayable in
+   *    plain SQL, which is what lets the registered queries carry an
+   *    unrolled DuckDB oracle; a known-poor spread (adjacent ids are
+   *    often similar), fine when clusters are only a bucketing device
+   *    (SemDeDup).
+   *  - [[KmeansInit.FarthestPoint]] — deterministic k-center greedy
+   *    (Gonzalez 1985) over the `sampleSize` lowest-id vectors: start
+   *    at the lowest id, repeatedly add the sample vector LEAST similar
+   *    (cosine rounded to `digits`, ties to the lower id) to its
+   *    nearest already-chosen seed. Spread-out seeds, still
+   *    bit-reproducible run-to-run — the better default when the
+   *    clusters themselves are the product. Driver cost is
+   *    O(sampleSize × k) similarities over an id-ordered sample
+   *    (sort+limit = TakeOrdered at any corpus size).
+   */
+  sealed trait KmeansInit
+  object KmeansInit {
+    case object LowestId extends KmeansInit
+    final case class FarthestPoint(sampleSize: Int = 1024,
+                                   digits: Int = 6) extends KmeansInit
+  }
+
+  /** Driver-side cosine for the init greedy (zero-norm → -1: a zero
+    * vector is maximally "far", so it can be picked as a seed but never
+    * attracts one). */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Deterministic farthest-point seeds over an id-sorted sample —
+    * see [[KmeansInit.FarthestPoint]]. */
+  private def farthestPointSeeds(sample: Array[(Long, Array[Double])],
+                                 k: Int, digits: Int): Seq[(Long, Seq[Double])] = {
+    val n = sample.length
+    val picked = Array.fill(n)(false)
+    // maxSim(i) = rounded cosine of sample(i) to its NEAREST chosen seed
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def absorb(c: Int): Unit = {
+      picked(c) = true
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = BigDecimal(cosineLocal(sample(i)._2, sample(c)._2) + 1e-9)
+            .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (s > maxSim(i)) maxSim(i) = s
+        }
+        i += 1
+      }
+    }
+    order += 0 // sample is id-sorted: index 0 = lowest id
+    absorb(0)
+    while (order.size < math.min(k, n)) {
+      var best = -1
+      var bestSim = Double.PositiveInfinity
+      var i = 0
+      while (i < n) { // strict < keeps the first (lowest-id) on ties
+        if (!picked(i) && maxSim(i) < bestSim) { best = i; bestSim = maxSim(i) }
+        i += 1
+      }
+      order += best
+      absorb(best)
+    }
+    order.zipWithIndex.map { case (si, lbl) =>
+      (lbl.toLong, sample(si)._2.toSeq)
+    }.toSeq
+  }
+
   def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int): DataFrame = {
+                k: Int, iters: Int,
+                init: KmeansInit = KmeansInit.LowestId): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val spark = vectors.sparkSession
-    val seeds = vectors
+    val sampleN = init match {
+      case KmeansInit.LowestId            => k
+      case KmeansInit.FarthestPoint(n, _) =>
+        require(n >= k, "FarthestPoint sampleSize must be >= k"); n
+    }
+    val sample = vectors
       .select(col(idCol).cast("long").as("__id"),
         transform(asDouble(col(vecCol)), x => round(x + lit(1e-9), 6)).as("__c"))
-      .sort(col("__id")).limit(k).collect()
-    var state: Seq[(Long, Seq[Double])] = seeds.zipWithIndex.map {
-      case (r, i) => (i.toLong, r.getSeq[Double](1))
-    }.toSeq
+      .sort(col("__id")).limit(sampleN).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    var state: Seq[(Long, Seq[Double])] = init match {
+      case KmeansInit.LowestId =>
+        sample.zipWithIndex.map { case ((_, c), i) => (i.toLong, c.toSeq) }.toSeq
+      case KmeansInit.FarthestPoint(_, digits) =>
+        farthestPointSeeds(sample, k, digits)
+    }
     for (_ <- 1 to iters) {
       val assigned = assignNearestScan(vectors, vecCol, state)
       val upd = centroids(assigned, "assigned_label", vecCol)
@@ -533,8 +618,9 @@ object Similarity {
    */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, tau: Double,
-                    scoreDigits: Int = 6): DataFrame = {
-    val cents = kmeansFit(vectors, idCol, vecCol, k, iters)
+                    scoreDigits: Int = 6,
+                    init: KmeansInit = KmeansInit.LowestId): DataFrame = {
+    val cents = kmeansFit(vectors, idCol, vecCol, k, iters, init)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
     // persisted: feeds both sides of the pair join AND the final
     // anti-join — without the barrier the scan+assignment runs 3x

@@ -282,6 +282,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans: farthest-point init beats lowest-id at equal k/iters, " +
+      "deterministically") {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val k = 8
+    def meanScore(cents: Seq[(Long, Seq[Double])]): Double =
+      Similarity.assignNearestScan(vecs, "embedding", cents)
+        .agg(avg(col("assign_score"))).head().getDouble(0)
+    def fit(init: Similarity.KmeansInit) =
+      Similarity.kmeansFit(vecs, "vec_id", "embedding", k, iters = 2, init)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val lowest = fit(Similarity.KmeansInit.LowestId)
+    val spread = fit(Similarity.KmeansInit.FarthestPoint(sampleSize = 256))
+    assert(spread.length == k && spread.map(_._1).sorted == (0L until k).toSeq)
+    assert(meanScore(spread) > meanScore(lowest),
+      "spread seeds must strictly improve mean assignment cosine on the fixture")
+    // bit-reproducible: a second fit returns the identical centroids
+    assert(fit(Similarity.KmeansInit.FarthestPoint(sampleSize = 256)) == spread)
+  }
+
   test("kmeans: empty clusters keep their previous centroid") {
     import spark.implicits._
     // five identical vectors, k=3: everything assigns to label 0 (lowest
