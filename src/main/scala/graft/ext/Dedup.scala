@@ -428,9 +428,10 @@ object Dedup {
    */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleK: Int = 3,
-                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                   numHashes: Int = 64, bands: Int = 16,
+                   maxBucketSize: Int = 0): DataFrame = {
     val sh = shingleFrame(df, idCol, textCol, shingleK)
-    candidatesFromShingles(sh, idCol, numHashes, bands)
+    candidatesFromShingles(sh, idCol, numHashes, bands, maxBucketSize)
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))

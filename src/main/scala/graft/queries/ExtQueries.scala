@@ -698,6 +698,46 @@ object ExtQueries {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM pairs WHERE j >= 0.5""")),
 
+    // Mega-bucket cap under adversarial input (RefinedWeb-style guard,
+    // oracle-visible): 40 byte-identical boilerplate docs are injected —
+    // identical text means identical MinHash signatures, so they land in
+    // ONE (band, bandHash) bucket of size 40 in EVERY band, the m²
+    // blowup the cap exists for. With maxBucketSize=30 those buckets are
+    // dropped wholesale, so the engine's surviving pair set must equal
+    // the brute-force ground truth over the ORGANIC docs alone — which
+    // is exactly what the oracle computes (the boilerplate's nonsense
+    // shingles share no bucket with organic text, and dropped pairs are
+    // precisely the ones an exact-dedup pass removes first — the
+    // documented recall contract).
+    QueryDef("ext_dedup_near_capped", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 7 === 0)
+      val dups = docs.filter(col("doc_id") % 14 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      val mega = s.range(1, 41).select((col("id") + 900000).as("doc_id"),
+        lit("zzq mega boilerplate block repeated verbatim zzq across every " +
+          "copy of the capped fixture zzq").as("text"))
+      Dedup.nearDupPairs(docs.unionByName(dups).unionByName(mega),
+          "doc_id", "text", threshold = 0.5,
+          numHashes = 64, bands = 32, maxBucketSize = 30)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 14 = 0),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM pairs WHERE j >= 0.5""")),
+
     // Dedup clustering: the near-dup PAIRS become CLUSTERS via
     // distributed connected components (large-star/small-star), component
     // id = min doc id = the canonical survivor. The oracle recomputes the
