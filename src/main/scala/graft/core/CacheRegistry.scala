@@ -19,6 +19,8 @@ import org.apache.spark.sql.Dataset
 object CacheRegistry {
 
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val broadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
 
   /** Persist `ds` and register it for a later [[releaseAll]]. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
@@ -27,12 +29,30 @@ object CacheRegistry {
     ds
   }
 
-  /** Unpersist every frame persisted through [[persistTracked]]. */
+  /** Register a driver-created broadcast (e.g. a Bloom filter sketch)
+    * for a later [[releaseAll]] — the broadcast twin of
+    * [[persistTracked]]: a bare `sc.broadcast` inside a library
+    * operator has no release handle either. */
+  def broadcastTracked[T](b: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    broadcasts.add(b)
+    b
+  }
+
+  /** Unpersist every frame persisted through [[persistTracked]] and
+    * destroy every broadcast registered through [[broadcastTracked]].
+    * Call only once results are fully materialized — a destroyed
+    * broadcast cannot serve a late task. */
   def releaseAll(): Unit = {
     var d = frames.poll()
     while (d != null) {
       d.unpersist(blocking = false)
       d = frames.poll()
+    }
+    var b = broadcasts.poll()
+    while (b != null) {
+      b.destroy()
+      b = broadcasts.poll()
     }
   }
 

@@ -98,11 +98,20 @@ object Dedup {
                        expectedItems: Long = 1000000L,
                        fpp: Double = 0.01): DataFrame = {
     val spark = batch.sparkSession
+    // persist barriers: baseFp feeds BOTH the filter build (an action
+    // here) and the verification anti-join; fpd feeds both sides of the
+    // might/definitely split — without them each consumer re-fingerprints
+    // its source (the re-scan the 'cheaper than plain anti-join' claim
+    // can't afford). Tracked so CacheRegistry.releaseAll() can free both
+    // the cache and the broadcast sketch once results materialize.
     val baseFp = base.select(TextOps.fingerprint(col(textCol)).as("__fp"))
+      .transform(graft.core.CacheRegistry.persistTracked)
     val bloom = baseFp.stat.bloomFilter("__fp", expectedItems, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
+    val bloomB = graft.core.CacheRegistry.broadcastTracked(
+      spark.sparkContext.broadcast(bloom))
     val might = udf((fp: Long) => bloomB.value.mightContainLong(fp))
     val fpd = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .transform(graft.core.CacheRegistry.persistTracked)
     val definitelyNew = fpd.filter(!might(col("__fp")))
     val verified = fpd.filter(might(col("__fp")))
       .join(baseFp.distinct(), Seq("__fp"), "left_anti")

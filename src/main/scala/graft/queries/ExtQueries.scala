@@ -1257,9 +1257,11 @@ object ExtQueries {
       val index = graft.core.Materialize.bucketTable(s, "graft_ann_index",
         vecs.withColumn("bucket", Similarity.bucketId(col("embedding"), 4)),
         buckets = 8, bucketCols = Seq("bucket"))
-      val probes = vecs.filter(col("vec_id") % 100 === 0)
+      // probes come from the SAVED table too (vectors, buckets and all) —
+      // the query side genuinely touches nothing but the index
+      val probes = index.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
-          Similarity.bucketId(col("embedding"), 4).as("bucket"))
+          col("bucket"))
       index.join(broadcast(probes), Seq("bucket"))
         .withColumn("score",
           round(Similarity.cosineNative(col("embedding"), col("probe_vec"))
