@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * One-off scale probe: amplifies the sf fixtures N× with deterministic,
+ * similarity-preserving-within-copy transforms and measures the
+ * operators whose scale story SCALE.md asserts beyond fixture size —
+ * the approximate kNN graph (vs the exact kernel, with recall) and the
+ * incremental near-dup chain. No driver-fixture substitute: the
+ * CORRECTNESS gate stays on the driver's parquet; this main exists to
+ * measure scaling slopes, and its findings are recorded in SCALE.md.
+ *
+ *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_MULT=10 \
+ *     sbt "runMain graft.ScaleProbe"
+ */
+object ScaleProbe {
+
+  /** N deterministic copies of an embeddings frame: copy c shifts ids by
+    * c×10⁷ and rotates each vector's components by a copy-dependent
+    * per-dimension factor, so copies are distinct but the within-copy
+    * neighborhood structure mirrors the original. */
+  private def amplifyVecs(vecs: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { c =>
+      vecs.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0f) + lit(c / 50.0f) *
+            sin(i.cast("double") + lit(c)).cast("float"))).as("embedding"))
+    }.reduce(_ unionByName _)
+
+  /** N deterministic copies of a documents frame: copy c PREFIXES every
+    * token with a copy-specific tag — a bijection on the token alphabet,
+    * so the within-copy shingle structure mirrors the original exactly
+    * while cross-copy shingle sets are disjoint (Jaccard 0). (The first
+    * cut inserted a marker token BETWEEN tokens instead; that makes
+    * every other shingle depend on a single original token, which ties
+    * thousands of unrelated docs into shared LSH buckets — an amplifier
+    * artifact that showed up as fake superlinear candidate growth.) */
+  private def amplifyDocs(docs: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { c =>
+      if (c == 0) docs
+      else docs.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"z${c}q$$1").as("text"))
+    }.reduce(_ unionByName _)
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val spark = graft.core.GraftSession.local(32, "graft-scaleprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{Dedup, Similarity}
+
+    val multSteps =
+      Seq(1, mult / 4, mult / 2, mult).filter(_ >= 1).distinct.sorted
+
+    // ---- kNN graph: exact vs approx across amplifications --------------
+    val vecs0 = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    for (m <- multSteps) {
+      val vecs = amplifyVecs(vecs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = vecs.count()
+      val (exact, tExact) = timed {
+        val e = Similarity.knnGraphFused(vecs, "vec_id", "embedding", k = 3)
+          .transform(graft.core.CacheRegistry.persistTracked)
+        e.count(); e
+      }
+      val nExact = exact.count()
+      // size buckets to ~n/2^bits ≈ 8 members, the operator's own knob
+      val bits = math.max(4, (math.log(n / 8.0) / math.log(2)).round.toInt)
+      val (approx, tApprox) = timed {
+        val a = Similarity.knnGraphApprox(vecs, "vec_id", "embedding", k = 3,
+            bits = bits, tables = 8)
+          .transform(graft.core.CacheRegistry.persistTracked)
+        a.count(); a
+      }
+      val hit = exact.join(approx, Seq("src_id", "dst_id"), "left_semi").count()
+      println(f"[scaleprobe] knn m=$m n=$n exact=$tExact%.2fs " +
+        f"approx=$tApprox%.2fs (bits=$bits) recall=${hit.toDouble / nExact}%.3f")
+      spark.catalog.clearCache()
+    }
+
+    // ---- incremental near-dup across amplifications --------------------
+    val docs0 = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    for (m <- multSteps) {
+      val docs = amplifyDocs(docs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nDocs = docs.count()
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      val (kept, tInc) = timed {
+        Dedup.incrementalNearDup(batch, base, "doc_id", "text",
+          threshold = 0.5, numHashes = 64, bands = 32).count()
+      }
+      println(f"[scaleprobe] incnear m=$m docs=$nDocs kept=$kept " +
+        f"time=$tInc%.2fs")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
