@@ -241,6 +241,80 @@ object Dedup {
       .join(selfDrops, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Exact-substring repetition statistics (the ExactSubstr family of
+   * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better", re-expressed Spark-first): every k-token window of every
+   * document is fingerprinted; a window whose fingerprint occurs at
+   * least `minCount` times ACROSS THE CORPUS (same-doc repeats count)
+   * is "repeated"; per document, repeated windows merge into maximal
+   * spans. Output per doc — every doc, zero-filled when clean:
+   * `(idCol, n_tokens, covered_tokens, n_spans, dup_ratio)` where
+   * covered_tokens is the union length of the merged spans.
+   *
+   * Scale shape: windows explode to (doc, start, fp) — ~tokens × 16 B —
+   * and the repeat decision is ONE hash aggregation on fp with map-side
+   * combine, then a semi-join back. The reference implementation builds
+   * a corpus-wide suffix array on one giant machine; the equi-join
+   * formulation pays ~k× the bytes of the token stream in exchange for
+   * embarrassing parallelism and no global structure. Span merging is a
+   * per-doc `aggregate()` scan over the sorted start list (no second
+   * shuffle beyond the per-doc regroup; the scan is linear in windows).
+   *
+   * Removal policy is the caller's (drop high dup_ratio docs, or cut
+   * spans): the paper's span-cut changes tokenization context at span
+   * edges, so curation pipelines usually act on the ratio.
+   */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 10, minCount: Long = 2L): DataFrame = {
+    require(k >= 2 && minCount >= 2, "need k >= 2 and minCount >= 2")
+    val toks = df
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val winCol = transform(
+      sequence(lit(1), size(col("__toks")) - (k - 1)),
+      i => struct(i.as("s"),
+        xxhash64(concat_ws(" ", slice(col("__toks"), i, lit(k)))).as("fp")))
+    val w = toks.filter(size(col("__toks")) >= k)
+      .select(col(idCol), explode(winCol).as("__w"))
+      .select(col(idCol), col("__w.s").as("__s"), col("__w.fp").as("__fp"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val repeated = w.groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__fp")
+    // per doc: sorted repeated-window starts -> one linear merge scan
+    // (state: covered so far, span count, exclusive end of open span)
+    val starts = w.join(repeated, Seq("__fp"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__s"))).as("__ss"))
+    val scanned = starts.select(col(idCol),
+      aggregate(col("__ss"),
+        struct(lit(0L).as("covered"), lit(0L).as("spans"),
+          lit(Long.MinValue).as("end")),
+        (acc, s0) => {
+          val s = s0.cast("long")
+          // strictly greater: a window starting exactly at the open
+          // span's exclusive end is contiguous coverage, not a new span
+          when(s > acc.getField("end"), struct(
+            (acc.getField("covered") + k).as("covered"),
+            (acc.getField("spans") + 1L).as("spans"),
+            (s + k).as("end")))
+          .otherwise(struct(
+            (acc.getField("covered")
+              + greatest(s + k - acc.getField("end"), lit(0L))).as("covered"),
+            acc.getField("spans").as("spans"),
+            greatest(acc.getField("end"), s + k).as("end")))
+        },
+        acc => struct(acc.getField("covered").as("covered"),
+          acc.getField("spans").as("spans"))).as("__r"))
+    toks.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(scanned, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__r.covered"), lit(0L)).as("covered_tokens"),
+        coalesce(col("__r.spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("__r.covered"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1L)) + lit(1e-9), 6).as("dup_ratio"))
+  }
+
   /** Distinct hashed k-token shingles (the near-dup comparison set). */
   def shingleHashes(text: Column, k: Int = 3): Column =
     array_distinct(TextOps.windowFingerprints(text, k))

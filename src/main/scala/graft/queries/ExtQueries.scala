@@ -738,6 +738,62 @@ object ExtQueries {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM pairs WHERE j >= 0.5""")),
 
+    // Exact-substring repetition (ExactSubstr, Lee et al. 2022): every
+    // 10-token window fingerprinted, corpus-wide repeats (>= 2
+    // occurrences, same-doc counts) merged into maximal per-doc spans.
+    // Repeats are seeded three ways — a shared boilerplate tail on %3
+    // docs, a second legal tail on %4 docs (the %12 overlap exercises
+    // span MERGING), and whole-document copies of %10 docs (full-doc
+    // spans). The oracle recomputes windows as strings, marks repeats
+    // by count, and derives covered/spans from the distinct covered
+    // position set with a lag-gap walk — a different formulation that
+    // must agree exactly with the engine's interval-merge scan.
+    QueryDef("ext_dedup_substring", (s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" all rights reserved this content is provided as is without warranty of any kind"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit(" by continuing you agree to the site terms and the processing of your data"))
+            .otherwise(lit(""))).as("text"))
+      val copies = seeded.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+      Dedup.repeatedSpanStats(seeded.unionByName(copies),
+        "doc_id", "text", k = 10, minCount = 2L)
+    }, Some(s"""WITH seeded AS (SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' all rights reserved this content is provided as is without warranty of any kind'
+            ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0
+            THEN ' by continuing you agree to the site terms and the processing of your data'
+            ELSE '' END AS text
+        FROM documents),
+      all_docs AS (SELECT doc_id, text FROM seeded
+        UNION ALL
+        SELECT doc_id + 700000, text FROM seeded WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, $DuckToks AS toks FROM all_docs),
+      w AS (SELECT doc_id, s, array_to_string(toks[s:s+9], ' ') AS win
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS s
+              FROM t WHERE len(toks) >= 10)),
+      rep AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+      rw AS (SELECT doc_id, s FROM w JOIN rep USING (win)),
+      pos AS (SELECT DISTINCT doc_id, s + off AS p
+        FROM rw, range(0, 10) r2(off)),
+      cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered,
+          CAST(count(*) FILTER (WHERE prev IS NULL OR p - prev > 1) AS BIGINT)
+            AS n_spans
+        FROM (SELECT doc_id, p,
+            lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM pos)
+        GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        coalesce(covered, 0) AS covered_tokens,
+        coalesce(n_spans, 0) AS n_spans,
+        round(CAST(coalesce(covered, 0) AS DOUBLE)
+          / greatest(len(toks), 1) + 1e-9, 6) AS dup_ratio
+      FROM t d LEFT JOIN cov USING (doc_id)""")),
+
     // Dedup clustering: the near-dup PAIRS become CLUSTERS via
     // distributed connected components (large-star/small-star), component
     // id = min doc id = the canonical survivor. The oracle recomputes the

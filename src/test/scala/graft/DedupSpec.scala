@@ -124,6 +124,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == expected)
   }
 
+  test("repeatedSpanStats: corpus-wide window repeats merge into maximal " +
+      "spans; adjacency is one span; clean and sub-k docs zero-fill") {
+    // k=3, minCount=2. Shared 5-token run "alpha beta gamma delta epsilon"
+    // in docs 1 and 2 -> 3 repeated windows per doc merging into ONE
+    // 5-token span. Doc 3: same text twice (within-doc repeat counts).
+    // Doc 4: clean. Doc 5: two tokens (< k, no windows).
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon unique one tail here"),
+      (2L, "other head words alpha beta gamma delta epsilon distinct end"),
+      (3L, "rep tok trip rep tok trip"),
+      (4L, "completely clean document nothing shared at all"),
+      (5L, "two tokens"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanStats(df, "doc_id", "text", k = 3, minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((9L, 5L, 1L, 0.555556)), s"got ${out(1L)}")
+    assert(out(2L) == ((10L, 5L, 1L, 0.5)), s"got ${out(2L)}")
+    // doc 3: windows (rep tok trip)@1,@4 repeat (same fp twice) plus
+    // (tok trip rep)@2 / (trip rep tok)@3 are unique -> spans [1,4)+[4,7)
+    // adjacent -> ONE span covering all 6 tokens
+    assert(out(3L) == ((6L, 6L, 1L, 1.0)), s"got ${out(3L)}")
+    assert(out(4L) == ((7L, 0L, 0L, 0.0)), s"got ${out(4L)}")
+    assert(out(5L) == ((2L, 0L, 0L, 0.0)), s"got ${out(5L)}")
+  }
+
   test("bucket cap drops mega-buckets, leaves normal candidates intact") {
     // 30 byte-identical docs form a mega-bucket in EVERY band (identical
     // signatures); one genuine near-dup pair (41, 42) sits in small
