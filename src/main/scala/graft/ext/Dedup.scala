@@ -287,25 +287,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__s"))).as("__ss"))
     val scanned = starts.select(col(idCol),
-      aggregate(col("__ss"),
-        struct(lit(0L).as("covered"), lit(0L).as("spans"),
-          lit(Long.MinValue).as("end")),
-        (acc, s0) => {
-          val s = s0.cast("long")
-          // strictly greater: a window starting exactly at the open
-          // span's exclusive end is contiguous coverage, not a new span
-          when(s > acc.getField("end"), struct(
-            (acc.getField("covered") + k).as("covered"),
-            (acc.getField("spans") + 1L).as("spans"),
-            (s + k).as("end")))
-          .otherwise(struct(
-            (acc.getField("covered")
-              + greatest(s + k - acc.getField("end"), lit(0L))).as("covered"),
-            acc.getField("spans").as("spans"),
-            greatest(acc.getField("end"), s + k).as("end")))
-        },
-        acc => struct(acc.getField("covered").as("covered"),
-          acc.getField("spans").as("spans"))).as("__r"))
+      spanMerge(col("__ss"), k).as("__r"))
     toks.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
       .join(scanned, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -314,6 +296,31 @@ object Dedup {
         round(coalesce(col("__r.covered"), lit(0L)).cast("double")
           / greatest(col("n_tokens"), lit(1L)) + lit(1e-9), 6).as("dup_ratio"))
   }
+
+  /** Linear interval-merge scan over a SORTED window-start array: each
+    * start s opens/extends a [s, s+k) interval; returns
+    * struct(covered: long, spans: long) — union length and maximal-span
+    * count. A window starting exactly at the open span's exclusive end
+    * is contiguous coverage, not a new span (strict `>`). Shared by
+    * [[repeatedSpanStats]] and the within-doc repetition signals. */
+  private[ext] def spanMerge(startsSorted: Column, k: Int): Column =
+    aggregate(startsSorted,
+      struct(lit(0L).as("covered"), lit(0L).as("spans"),
+        lit(Long.MinValue).as("end")),
+      (acc, s0) => {
+        val s = s0.cast("long")
+        when(s > acc.getField("end"), struct(
+          (acc.getField("covered") + k).as("covered"),
+          (acc.getField("spans") + 1L).as("spans"),
+          (s + k).as("end")))
+        .otherwise(struct(
+          (acc.getField("covered")
+            + greatest(s + k - acc.getField("end"), lit(0L))).as("covered"),
+          acc.getField("spans").as("spans"),
+          greatest(acc.getField("end"), s + k).as("end")))
+      },
+      acc => struct(acc.getField("covered").as("covered"),
+        acc.getField("spans").as("spans")))
 
   /** Distinct hashed k-token shingles (the near-dup comparison set). */
   def shingleHashes(text: Column, k: Int = 3): Column =

@@ -268,6 +268,96 @@ object TextOps {
    * pairwise, and no document's text is ever compared to another's —
    * repeated-sentence counting does all the work.
    */
+  /**
+   * Gopher-style within-document repetition signals (Rae et al. 2021,
+   * Table A1 — the quality-gate family `ext_gopher_rules`' word stats
+   * don't cover). Per document:
+   *  - `dup_line_frac` / `dup_line_char_frac` — fraction of sentence
+   *    occurrences (and of their characters) whose lowercased sentence
+   *    text appears more than once in the document. Crawl "lines" are
+   *    sentence segments here ([[sentences]]) — the fixture corpus
+   *    carries no newlines; the operator is delimiter-agnostic beyond
+   *    that choice.
+   *  - `top_bigram_char_frac` — characters covered by all occurrences
+   *    of the document's most frequent token bigram over total token
+   *    characters (ties broken toward the lexicographically smallest
+   *    bigram, so the stat is deterministic).
+   *  - `dup_ngram_token_frac` — fraction of tokens covered by n-token
+   *    windows that repeat WITHIN the document (interval-merged via
+   *    [[Dedup.spanMerge]], so overlapping repeats are counted once —
+   *    the "fraction of characters in duplicated n-grams" analogue on
+   *    token granularity).
+   * Zero-filled for documents with no sentences / tokens / windows.
+   *
+   * Scale shape: three explode → hash-aggregate legs, each shuffling on
+   * (doc, key) then (doc) — map-side combine collapses exactly the
+   * repeats being measured; nothing is pairwise and no cross-document
+   * state exists at all (this family is embarrassingly per-doc).
+   */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, ngram: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(ngram >= 2, "ngram must be >= 2")
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+        + lit(1e-9), 6)
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val docBase = toks.select(col(idCol),
+      size(col("__toks")).cast("long").as("__n_tokens"),
+      aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)).as("__tok_chars"))
+    // sentence duplicates (case-insensitive, like removeBoilerplate)
+    val sc = df.select(col(idCol),
+        explode(sentences(col(textCol))).as("__sent"))
+      .select(col(idCol), lower(col("__sent")).as("__sent"))
+      .groupBy(col(idCol), col("__sent")).agg(count(lit(1)).as("__c"))
+    val lineStats = sc.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("__n_lines"),
+      sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("__dl"),
+      sum(length(col("__sent")) * col("__c")).as("__lc"),
+      sum(when(col("__c") >= 2, length(col("__sent")) * col("__c"))
+        .otherwise(0L)).as("__dlc"))
+    // most frequent bigram: min over struct(-count, bigram) is (highest
+    // count, then smallest bigram) — a deterministic argmax
+    val bc = toks.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(2))))).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+    val topStats = bc
+      .select(col(idCol),
+        struct((-col("__c")).as("nc"), col("__bg").as("bg")).as("__s"))
+      .groupBy(col(idCol)).agg(min(col("__s")).as("__t"))
+      .select(col(idCol), (-col("__t.nc")).as("__topc"),
+        (length(col("__t.bg")) - 1).cast("long").as("__topchars"))
+    // within-doc repeated n-gram coverage
+    val w = toks.filter(size(col("__toks")) >= ngram)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - (ngram - 1)),
+        i => struct(i.as("s"), xxhash64(
+          concat_ws(" ", slice(col("__toks"), i, lit(ngram)))).as("fp")))).as("__w"))
+      .select(col(idCol), col("__w.s").as("__s"), col("__w.fp").as("__fp"))
+    val cov = w.groupBy(col(idCol), col("__fp"))
+      .agg(count(lit(1)).as("__c"), collect_list(col("__s")).as("__starts"))
+      .filter(col("__c") >= 2)
+      .select(col(idCol), explode(col("__starts")).as("__s"))
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("__s"))).as("__ss"))
+      .select(col(idCol),
+        Dedup.spanMerge(col("__ss"), ngram).getField("covered").as("__cov"))
+    docBase.join(lineStats, Seq(idCol), "left")
+      .join(topStats, Seq(idCol), "left")
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_lines"), lit(0L)).as("n_lines"),
+        frac(coalesce(col("__dl"), lit(0L)), coalesce(col("__n_lines"), lit(0L)))
+          .as("dup_line_frac"),
+        frac(coalesce(col("__dlc"), lit(0L)), coalesce(col("__lc"), lit(0L)))
+          .as("dup_line_char_frac"),
+        frac(coalesce(col("__topc") * col("__topchars"), lit(0L)),
+          col("__tok_chars")).as("top_bigram_char_frac"),
+        frac(coalesce(col("__cov"), lit(0L)), col("__n_tokens"))
+          .as("dup_ngram_token_frac"))
+  }
+
   def removeBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, minDocs: Int): org.apache.spark.sql.DataFrame = {
     val sents = df.select(col(idCol),

@@ -667,6 +667,92 @@ object ExtQueries {
           AND top_tok_frac <= 0.2 AS passes
       FROM m""")),
 
+    // Gopher repetition signals (Rae et al. 2021 Table A1 — the
+    // within-doc family ext_gopher_rules' word stats don't cover).
+    // Repetition is seeded deterministically: ' data ' -> '. ' makes
+    // sentences, %2 docs get one sentence duplicated, %3 docs get a
+    // 5-token phrase repeated twice (the dup-ngram signal), and the
+    // oracle recomputes all four fractions from scratch with the same
+    // sentence regex / token rules, deriving ngram coverage from the
+    // distinct-position lag walk vs the engine's interval-merge scan.
+    QueryDef("ext_gopher_repetition", (s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(regexp_replace(col("text"), lit(" data "), lit(". ")),
+          when(col("doc_id") % 2 === 0,
+            lit(" repeated closing sentence here. repeated closing sentence here."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" the quick brown fox jumps the quick brown fox jumps"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.repetitionSignals(seeded, "doc_id", "text", ngram = 5)
+    }, Some(s"""WITH seeded AS (SELECT doc_id,
+          regexp_replace(text, ' data ', '. ', 'g') ||
+          CASE WHEN doc_id % 2 = 0
+            THEN ' repeated closing sentence here. repeated closing sentence here.'
+            ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' the quick brown fox jumps the quick brown fox jumps'
+            ELSE '' END AS text
+        FROM documents),
+      base AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)
+            AS toks, text
+        FROM seeded),
+      doc_base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+            AS BIGINT) AS tok_chars
+        FROM base),
+      sents AS (SELECT doc_id, lower(trim(sent)) AS sent
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+            '[^.!?]+[.!?]+|[^.!?]+${"$"}')) AS sent FROM seeded)
+        WHERE len(trim(sent)) > 0),
+      sent_c AS (SELECT doc_id, sent, count(*) AS c
+        FROM sents GROUP BY 1, 2),
+      line_stats AS (SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dl,
+          CAST(sum(len(sent) * c) AS BIGINT) AS lc,
+          CAST(sum(CASE WHEN c >= 2 THEN len(sent) * c ELSE 0 END) AS BIGINT)
+            AS dlc
+        FROM sent_c GROUP BY doc_id),
+      bg AS (SELECT doc_id, toks[s] || ' ' || toks[s + 1] AS bg
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS s
+              FROM base WHERE len(toks) >= 2)),
+      bg_c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      top_bg AS (SELECT doc_id, c AS topc,
+          CAST(len(bg) - 1 AS BIGINT) AS topchars
+        FROM (SELECT doc_id, bg, c, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, bg ASC) AS rn FROM bg_c)
+        WHERE rn = 1),
+      w AS (SELECT doc_id, s,
+          array_to_string(toks[s:s+4], ' ') AS win
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS s
+              FROM base WHERE len(toks) >= 5)),
+      rep_w AS (SELECT doc_id, s FROM (SELECT doc_id, s,
+            count(*) OVER (PARTITION BY doc_id, win) AS c FROM w)
+        WHERE c >= 2),
+      pos AS (SELECT DISTINCT doc_id, s + off AS p
+        FROM rep_w, range(0, 5) r2(off)),
+      cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+        FROM pos GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+        round(CASE WHEN coalesce(n_lines, 0) > 0
+          THEN CAST(dl AS DOUBLE) / n_lines ELSE 0 END + 1e-9, 6)
+          AS dup_line_frac,
+        round(CASE WHEN coalesce(lc, 0) > 0
+          THEN CAST(dlc AS DOUBLE) / lc ELSE 0 END + 1e-9, 6)
+          AS dup_line_char_frac,
+        round(CASE WHEN tok_chars > 0 AND topc IS NOT NULL
+          THEN CAST(topc * topchars AS DOUBLE) / tok_chars ELSE 0 END + 1e-9, 6)
+          AS top_bigram_char_frac,
+        round(CASE WHEN n_tokens > 0
+          THEN CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens ELSE 0 END
+          + 1e-9, 6) AS dup_ngram_token_frac
+      FROM doc_base d
+      LEFT JOIN line_stats USING (doc_id)
+      LEFT JOIN top_bg USING (doc_id)
+      LEFT JOIN cov USING (doc_id)""")),
+
     // Near-dup: MinHash(64) + 16-band LSH candidates, exact-Jaccard
     // verified at >= 0.5. The oracle recomputes the thresholded pairs by
     // brute force over string shingles — the LSH path must find exactly

@@ -183,4 +183,40 @@ class PropertySpec extends SparkSpec {
       .agg(sum("n_removed")).head().getLong(0)
     assert(none == 0L)
   }
+
+  test("repetitionSignals: hand-computed line/bigram/ngram fractions; " +
+      "clean and degenerate docs zero-fill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      // three sentences, one duplicated (case-insensitively):
+      // "same line." x2 (10 chars lowered) + "other one." (10 chars)
+      // -> dup_line_frac 2/3, dup_line_char_frac 20/30. All bigrams tie
+      // at count 1 -> lexicographic min "Other one." (9 tok chars) over
+      // tok_chars 27 -> 0.333333
+      (1L, "Same line. same line. Other one."),
+      // bigram "a b" appears 3x in "a b a b a b": tokens 6, tok_chars 6,
+      // top bigram = 3 occurrences x 2 chars / 6 = 1.0 (overlap can push
+      // this above 1 - Gopher's stat shares that property); 5-gram
+      // windows "a b a b a" @1 and "b a b a b" @2 unique -> dup_ngram 0
+      (2L, "a b a b a b"),
+      // 5-token phrase repeated verbatim: windows @1..@6 of
+      // "p q r s t p q r s t" -> @1 == @6 repeat -> covered [1,6)+[6,11)
+      // contiguous = 10 of 10 tokens
+      (3L, "p q r s t p q r s t"),
+      (4L, "totally unique clean words only here"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.repetitionSignals(docs, "doc_id", "text", ngram = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(1L) == ((3L, 0.666667, 0.666667, 0.333333, 0.0)), s"got ${out(1L)}")
+    assert(out(2L)._1 == 1L && out(2L)._4 == 1.0 && out(2L)._5 == 0.0,
+      s"got ${out(2L)}")
+    assert(out(3L)._5 == 1.0, s"got ${out(3L)}")
+    assert(out(4L) == ((1L, 0.0, 0.0,
+      out(4L)._4, 0.0)) && out(4L)._4 > 0.0, s"got ${out(4L)}")
+    assert(out(5L) == ((0L, 0.0, 0.0, 0.0, 0.0)), s"got ${out(5L)}")
+  }
 }
