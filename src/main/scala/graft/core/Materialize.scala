@@ -58,6 +58,21 @@ object Materialize {
     spark.table(name)
   }
 
+  /** Append rows to an existing bucketed table created by
+    * [[bucketTable]] — the bucket spec must match the table's. This is
+    * how a persisted index GROWS (e.g. appending a day's accepted
+    * documents' band/shingle rows, `Dedup.nearDupIndex`): new files land
+    * in the matching buckets, so the exchange-free join property is
+    * preserved without rewriting history. */
+  def bucketAppend(spark: SparkSession, name: String, df: DataFrame,
+                   buckets: Int, bucketCols: Seq[String]): DataFrame = {
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
   /**
    * Small-file compaction: rewrite a parquet path into ~`targetFileMB`
    * files. Streaming sinks and incremental appends accrete tiny files

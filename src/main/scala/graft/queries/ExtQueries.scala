@@ -551,6 +551,112 @@ object ExtQueries {
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
     }, Some(IncrementalNearOracleSql)),
 
+    // TWO-DAY index growth cycle — the property that makes the persisted
+    // index an INDEX and not a cache: day-1 survivors' band/shingle rows
+    // are APPENDED to the saved tables (Materialize.bucketAppend, bucket
+    // spec preserved), and day 2 is gated by the GROWN index — its
+    // tail-copies of day-1 docs (%42 family, +800000) drop only because
+    // the append happened. The oracle replays both days with day-2
+    // comparing against base ∪ day-1 survivors.
+    QueryDef("ext_dedup_index_growth", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      val batch2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)
+        .unionByName(docs
+          .filter(col("doc_id") % 6 === 0 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      val (b0, sh0) = Dedup.nearDupIndex(base, "doc_id", "text",
+        numHashes = 64, bands = 32)
+      var bandT = graft.core.Materialize.bucketTable(s, "graft_growth_bands",
+        b0, buckets = 8, bucketCols = Seq("band", "band_hash"))
+      var shT = graft.core.Materialize.bucketTable(s, "graft_growth_shingles",
+        sh0, buckets = 8, bucketCols = Seq("doc_id"))
+      // EAGER lineage cut, not persist: the append below MUTATES the
+      // tables s1's plan reads, so a cache-evicted re-execution would
+      // see day-1 docs drop against their own index rows. After
+      // localCheckpoint the day-1 survivors are materialized rows with
+      // no reference to the tables at all.
+      val s1 = Dedup.incrementalNearDupIndexed(batch1, bandT, shT,
+          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+        .localCheckpoint()
+      val (b1, sh1) = Dedup.nearDupIndex(s1, "doc_id", "text",
+        numHashes = 64, bands = 32)
+      bandT = graft.core.Materialize.bucketAppend(s, "graft_growth_bands",
+        b1, buckets = 8, bucketCols = Seq("band", "band_hash"))
+      shT = graft.core.Materialize.bucketAppend(s, "graft_growth_shingles",
+        sh1, buckets = 8, bucketCols = Seq("doc_id"))
+      val s2 = Dedup.incrementalNearDupIndexed(batch2, bandT, shT,
+        "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+      s1.select(col("doc_id"), lit(1L).as("day"))
+        .unionByName(s2.select(col("doc_id"), lit(2L).as("day")))
+    }, Some(s"""WITH base_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      b1_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 1),
+      b2_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 800000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 6 = 0 AND doc_id % 7 = 0),
+      psh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM base_docs)),
+      b1sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM b1_docs)),
+      b2sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM b2_docs)),
+      d1_vs_base AS (SELECT DISTINCT b.doc_id FROM b1sh b JOIN psh p
+        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
+           (len(b.shingles) + len(p.shingles)
+            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
+      d1_fresh AS (SELECT * FROM b1sh
+        WHERE doc_id NOT IN (SELECT doc_id FROM d1_vs_base)),
+      d1_self AS (SELECT DISTINCT b.doc_id FROM d1_fresh b JOIN d1_fresh a
+        ON a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
+            (len(b.shingles) + len(a.shingles)
+             - len(list_intersect(b.shingles, a.shingles))) >= 0.5),
+      s1 AS (SELECT doc_id, shingles FROM b1sh
+        WHERE doc_id NOT IN (SELECT doc_id FROM d1_vs_base)
+          AND doc_id NOT IN (SELECT doc_id FROM d1_self)),
+      idx2 AS (SELECT doc_id, shingles FROM psh
+        UNION ALL SELECT doc_id, shingles FROM s1),
+      d2_vs_idx AS (SELECT DISTINCT b.doc_id FROM b2sh b JOIN idx2 p
+        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
+           (len(b.shingles) + len(p.shingles)
+            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
+      d2_fresh AS (SELECT * FROM b2sh
+        WHERE doc_id NOT IN (SELECT doc_id FROM d2_vs_idx)),
+      d2_self AS (SELECT DISTINCT b.doc_id FROM d2_fresh b JOIN d2_fresh a
+        ON a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
+            (len(b.shingles) + len(a.shingles)
+             - len(list_intersect(b.shingles, a.shingles))) >= 0.5),
+      s2 AS (SELECT doc_id FROM b2sh
+        WHERE doc_id NOT IN (SELECT doc_id FROM d2_vs_idx)
+          AND doc_id NOT IN (SELECT doc_id FROM d2_self))
+      SELECT doc_id, CAST(1 AS BIGINT) AS day FROM s1
+      UNION ALL
+      SELECT doc_id, CAST(2 AS BIGINT) AS day FROM s2""")),
+
     // The DAILY-BATCH curation chain end to end: Gopher gates on both
     // sides -> incremental near-dup of the gated batch against the gated
     // accepted corpus -> deterministic train/val/test split. The

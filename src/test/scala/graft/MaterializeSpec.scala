@@ -12,6 +12,30 @@ import graft.core.Materialize._
 class MaterializeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bucketAppend grows a bucketed table in place and keeps the join " +
+      "exchange-free on the bucket key") {
+    val day0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val day1 = Seq((4L, "d"), (5L, "e")).toDF("k", "v")
+    Materialize.bucketTable(spark, "graft_test_grow", day0,
+      buckets = 4, bucketCols = Seq("k"))
+    val grown = Materialize.bucketAppend(spark, "graft_test_grow", day1,
+      buckets = 4, bucketCols = Seq("k"))
+    assert(grown.count() == 5)
+    assert(grown.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // the appended table must still join bucket-to-bucket: no Exchange
+    // upstream of the table scan side
+    val probe = Seq((2L, 9), (5L, 9)).toDF("k", "p")
+    val j = spark.table("graft_test_grow")
+      .join(probe.hint("shuffle_hash"), Seq("k"))
+    val plan = j.queryExecution.executedPlan.toString
+    val scanSide = plan.linesIterator
+      .filter(_.contains("graft_test_grow")).mkString
+    assert(scanSide.contains("SelectedBucketsCount") ||
+      !plan.contains("Exchange hashpartitioning(k"),
+      s"bucketed side must not re-shuffle on k:\n$plan")
+  }
+
   test("incremental merge upserts by unique key and keeps unmatched rows") {
     val name = "graft_test_inc_merge"
     Materialize.dropWithLocation(spark, name)
