@@ -262,6 +262,57 @@ object StreamingQueries {
     }, Some("""SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
       FROM events GROUP BY user_id""")),
 
+    // Streaming corpus-dedup ingest (foreachBatch + accumulating
+    // fingerprint table): the documents fixture is staged into 4
+    // id-RANGE files drained one per micro-batch in id order (ascending
+    // mtimes pin the file-source ordering), so first-arrival-wins
+    // converges to the batch dedup's global min-id survivor set — which
+    // is exactly what the oracle computes in one statement.
+    QueryDef("st_dedup_ingest", (s, dir) => withStatePartitions(s, 8) {
+      val table = "graft_stream_dedup_docs"
+      graft.core.Materialize.dropWithLocation(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = java.nio.file.Files.createTempDirectory("graft_st_ingest")
+      for (i <- 0 until 4) {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_st_ing_part")
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = new java.io.File(scratch.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$stage/${('a' + i).toChar}_chunk.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        // ascending mtimes, pinned well apart and in the recent past, so
+        // the file source's (mtime, path) ordering processes chunks in
+        // id order regardless of copy speed
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (4 - i) * 60000L))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = graft.streaming.CorpusIngest.dedupIngest(
+        stream, "doc_id", "text", table)
+      try q.processAllAvailable() finally q.stop()
+      // the stream's clone did the appends; drop this session's stale
+      // file-listing snapshot before the read-back
+      s.catalog.refreshTable(table)
+      s.table(table).select(col("doc_id"))
+    }, Some("""SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, array_to_string(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0), ' ')
+          AS norm
+        FROM documents)
+      GROUP BY norm""")),
+
     QueryDef("st_dedup_bykey", (s, dir) => withStatePartitions(s, 8) {
       val q = EventStream.dedupStreamByKey(EventStream.readEvents(s, dir),
           Seq("user_id"))

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Streaming corpus ingest with exact dedup — the streaming twin of
+ * [[graft.ext.Dedup.incremental]]: documents arrive as micro-batches,
+ * each batch keeps one row per content fingerprint (lowest id within
+ * the batch), drops rows whose fingerprint the accepted table already
+ * holds, and APPENDS the survivors. First arrival wins across batches;
+ * within a batch the lowest id wins — so an id-ordered feed converges
+ * to exactly the batch dedup's min-id-per-fingerprint survivor set.
+ *
+ * Exactly-once: foreachBatch is at-least-once (a batch can replay after
+ * a crash), and blind append is not idempotent — every appended row
+ * carries its batch id and a replayed id skips, the same guard the
+ * keyed streaming upsert uses ([[EventStream.upsertUserStats]]).
+ *
+ * Scale shape: per batch, ONE hash aggregation on the 64-bit
+ * fingerprint (map-side combined) + ONE anti-join against the accepted
+ * table's fingerprint column — O(batch) work against O(1)-per-doc
+ * standing state, the property that lets the ingest run forever. On a
+ * transactional table format the anti-join + append collapses into
+ * MERGE WHEN NOT MATCHED.
+ */
+object CorpusIngest {
+
+  /**
+   * Apply one micro-batch of documents to the accepted table: dedup
+   * within the batch (lowest id per fingerprint), anti-join away
+   * fingerprints the table already holds, append survivors. A replayed
+   * batch id (foreachBatch is at-least-once) is a no-op. Exposed
+   * separately from the stream wrapper so the replay guard and
+   * cross-batch dedup are directly testable.
+   */
+  def applyBatch(batch: Dataset[Row], batchId: Long, idCol: String,
+                 textCol: String, table: String): Unit = {
+    // foreachBatch hands frames bound to the stream's CLONED session;
+    // catalog metadata is shared but the table-relation cache (with its
+    // file-listing snapshot) is per-session. Read and write through the
+    // batch's own session and refresh after every append, or each
+    // batch's anti-join sees only the state from before the stream
+    // started and the dedup silently degrades to per-batch.
+    val spark = batch.sparkSession
+    val lastApplied =
+      if (!spark.catalog.tableExists(table)) -1L
+      else spark.table(table)
+        .agg(coalesce(max(col("__last_batch")), lit(-1L))).head().getLong(0)
+    if (batchId > lastApplied) {
+      val best = batch
+        .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
+        .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      val fresh =
+        if (!spark.catalog.tableExists(table)) best
+        else best.join(spark.table(table).select(col("__fp")),
+          Seq("__fp"), "left_anti")
+      if (sys.env.contains("GRAFT_INGEST_DEBUG"))
+        println(s"[ingest] batch=$batchId last=$lastApplied " +
+          s"in=${batch.count()} best=${best.count()} fresh=${fresh.count()}")
+      fresh.withColumn("__last_batch", lit(batchId))
+        .write.mode("append").saveAsTable(table)
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
+                  table: String,
+                  checkpoint: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch, batchId, idCol, textCol, table)
+      }.start()
+  }
+}

@@ -184,4 +184,30 @@ class StreamingSpec extends SparkSpec {
       assert(joined.isEmpty, "streamed per-user totals must match batch counts")
     } finally q.stop()
   }
+
+  test("corpus dedup ingest: first arrival wins across batches, replay is a no-op") {
+    import spark.implicits._
+    val table = "graft_test_corpus_ingest"
+    graft.core.Materialize.dropWithLocation(spark, table)
+    try {
+      val b0 = Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha"))
+        .toDF("doc_id", "text")
+      val b1 = Seq((20L, "beta"), (21L, "gamma"), (22L, "gamma"))
+        .toDF("doc_id", "text")
+      graft.streaming.CorpusIngest.applyBatch(b0, 0L, "doc_id", "text", table)
+      graft.streaming.CorpusIngest.applyBatch(b1, 1L, "doc_id", "text", table)
+      // alpha -> 10 (12 loses within batch 0), beta -> 11 (20 loses
+      // cross-batch to the accepted table), gamma -> 21 (22 loses within
+      // batch 1)
+      val got = spark.table(table).select("doc_id").as[Long].collect().toSet
+      assert(got == Set(10L, 11L, 21L))
+      // at-least-once replay of an already-applied batch changes nothing
+      graft.streaming.CorpusIngest.applyBatch(b1, 1L, "doc_id", "text", table)
+      assert(spark.table(table).count() == 3)
+      // and a later batch with nothing new appends nothing
+      graft.streaming.CorpusIngest.applyBatch(
+        Seq((30L, "alpha")).toDF("doc_id", "text"), 2L, "doc_id", "text", table)
+      assert(spark.table(table).count() == 3)
+    } finally graft.core.Materialize.dropWithLocation(spark, table)
+  }
 }
