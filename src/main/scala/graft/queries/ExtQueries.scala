@@ -24,7 +24,7 @@ import graft.ext.{Chunking, Corpus, Dedup, Multimodal, Similarity, TextOps}
 object ExtQueries {
 
   /** Shared DuckDB fragment: whitespace tokens of lowercased text. */
-  private val DuckToks =
+  private[queries] val DuckToks =
     """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
   private val DuckToksRaw =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""

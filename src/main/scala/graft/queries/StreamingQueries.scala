@@ -90,6 +90,104 @@ object StreamingQueries {
     stage
   }
 
+  private val DocChunkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  /**
+   * Stage document frames as one parquet file each, named and
+   * mtime-ordered so the file stream source (ordered by (mtime, path))
+   * drains them one per micro-batch in sequence — mtimes are pinned a
+   * minute apart in the recent past so copy speed can't reorder them.
+   */
+  private def stageIdChunks(s: org.apache.spark.sql.SparkSession,
+                            chunks: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_st_ingest")
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val scratch = java.nio.file.Files.createTempDirectory("graft_st_ing_part")
+      c.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$stage/${('a' + i).toChar}_chunk.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (chunks.size - i) * 60000L))
+    }
+    stage.toString
+  }
+
+  /** DuckDB: shingle sets (3-token, whole-text fallback for short docs)
+    * of a doc CTE — the exact twin of `Dedup.shingleFrame`. */
+  private def duckShingleCte(src: String): String =
+    s"""SELECT doc_id, CASE WHEN len(toks) < 3
+        THEN [array_to_string(toks, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+      FROM (SELECT doc_id, ${ExtQueries.DuckToks} AS toks FROM $src)"""
+
+  /** DuckDB: shingle-Jaccard(a, b) >= 0.5 join condition. */
+  private def duckJacc(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a.shingles, $b.shingles)) AS DOUBLE) /
+        (len($a.shingles) + len($b.shingles)
+         - len(list_intersect($a.shingles, $b.shingles))) >= 0.5"""
+
+  /**
+   * The st_neardup_ingest oracle: four unrolled ingest levels. Level i
+   * drops chunk-i docs with an exact-Jaccard >= 0.5 twin in the
+   * accumulated accepted set, then applies the within-batch
+   * lower-id-dominator rule over the remaining (base-surviving) docs;
+   * survivors join the accepted set for level i+1.
+   */
+  private lazy val nearDupIngestOracle: String = {
+    val chunkDefs =
+      """st AS (SELECT (max(doc_id) // 4) + 1 AS s FROM documents),
+        c0 AS (SELECT doc_id, text FROM documents, st WHERE doc_id < s),
+        c1 AS (SELECT doc_id, text FROM documents, st
+            WHERE doc_id >= s AND doc_id < 2 * s
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' dup marker tail'
+            FROM documents, st WHERE doc_id < s AND doc_id % 5 = 1),
+        c2 AS (SELECT doc_id, text FROM documents, st
+            WHERE doc_id >= 2 * s AND doc_id < 3 * s
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' dup marker tail'
+            FROM documents, st
+            WHERE doc_id >= s AND doc_id < 2 * s AND doc_id % 5 = 2),
+        c3 AS (SELECT doc_id, text FROM documents, st
+            WHERE doc_id >= 3 * s
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' dup marker tail'
+            FROM documents, st
+            WHERE doc_id >= 2 * s AND doc_id < 3 * s AND doc_id % 5 = 3)"""
+    val shingleCtes = (0 until 4)
+      .map(i => s"c${i}sh AS (${duckShingleCte(s"c$i")})").mkString(",\n")
+    // level 0 has no accepted set yet: fresh = the whole chunk
+    val level0 =
+      s"""ds0 AS (SELECT DISTINCT b.doc_id FROM c0sh b JOIN c0sh a
+           ON a.doc_id < b.doc_id AND ${duckJacc("b", "a")}),
+         s0 AS (SELECT doc_id, shingles FROM c0sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM ds0)),
+         acc1 AS (SELECT * FROM s0)"""
+    val levels = (1 until 4).map { i =>
+      s"""dvs$i AS (SELECT DISTINCT b.doc_id FROM c${i}sh b JOIN acc$i p
+           ON ${duckJacc("b", "p")}),
+         fr$i AS (SELECT * FROM c${i}sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM dvs$i)),
+         ds$i AS (SELECT DISTINCT b.doc_id FROM fr$i b JOIN fr$i a
+           ON a.doc_id < b.doc_id AND ${duckJacc("b", "a")}),
+         s$i AS (SELECT doc_id, shingles FROM fr$i
+           WHERE doc_id NOT IN (SELECT doc_id FROM ds$i)),
+         acc${i + 1} AS (SELECT * FROM acc$i UNION ALL SELECT * FROM s$i)"""
+    }.mkString(",\n")
+    val finalSelect = (0 until 4)
+      .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS batch FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $chunkDefs,\n$shingleCtes,\n$level0,\n$levels\n$finalSelect"
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Watermarked event-time windowed aggregation, streamed to a memory
@@ -275,30 +373,11 @@ object StreamingQueries {
         .select(col("doc_id"), col("text"))
       val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       val step = mx / 4 + 1
-      val stage = java.nio.file.Files.createTempDirectory("graft_st_ingest")
-      for (i <- 0 until 4) {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_st_ing_part")
-        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
-          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-        val part = new java.io.File(scratch.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = java.nio.file.Paths.get(s"$stage/${('a' + i).toChar}_chunk.parquet")
-        java.nio.file.Files.copy(part.toPath, dst)
-        // ascending mtimes, pinned well apart and in the recent past, so
-        // the file source's (mtime, path) ordering processes chunks in
-        // id order regardless of copy speed
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - (4 - i) * 60000L))
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
-      val stream = s.readStream.schema(schema)
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val stream = s.readStream.schema(DocChunkSchema)
         .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
       val q = graft.streaming.CorpusIngest.dedupIngest(
         stream, "doc_id", "text", table)
       try q.processAllAvailable() finally q.stop()
@@ -312,6 +391,45 @@ object StreamingQueries {
           AS norm
         FROM documents)
       GROUP BY norm""")),
+
+    // Streaming NEAR-dup ingest — the streaming twin of the daily
+    // index-growth cycle (ext_dedup_index_growth): each micro-batch is
+    // LSH-deduped against everything accepted so far, and the persisted
+    // band/shingle index GROWS in place by the survivors. Chunks 1-3
+    // carry tail-copies of earlier-chunk documents, so cross-batch drops
+    // only happen because the index growth happened. The oracle unrolls
+    // the four levels exactly: per level, exact-Jaccard drop vs the
+    // accumulated accepted set, then the within-batch lower-id-dominator
+    // rule over base-survivors (the same semantics
+    // Dedup.incrementalNearDupIndexed implements with banded candidates).
+    QueryDef("st_neardup_ingest", (s, dir) => withStatePartitions(s, 8) {
+      val prefix = "graft_stream_neardup"
+      for (t <- Seq("_docs", "_bands", "_shingles"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      def quart(i: Int) = docs
+        .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+      def chunk(i: Int) =
+        if (i == 0) quart(0)
+        else quart(i).unionByName(quart(i - 1)
+          .filter(col("doc_id") % 5 === i)
+          .select((col("doc_id") + i * 1000000L).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      val stage = stageIdChunks(s, (0 until 4).map(chunk))
+      val stream = s.readStream.schema(DocChunkSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.CorpusIngest.nearDupIngest(
+        stream, "doc_id", "text", prefix, threshold = 0.5)
+      try q.processAllAvailable() finally q.stop()
+      graft.core.CacheRegistry.releaseAll()
+      s.catalog.refreshTable(prefix + "_docs")
+      s.table(prefix + "_docs")
+        .select(col("doc_id"), col("__last_batch").as("batch"))
+    }, Some(nearDupIngestOracle)),
 
     QueryDef("st_dedup_bykey", (s, dir) => withStatePartitions(s, 8) {
       val q = EventStream.dedupStreamByKey(EventStream.readEvents(s, dir),

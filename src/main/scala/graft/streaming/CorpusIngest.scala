@@ -74,4 +74,86 @@ object CorpusIngest {
         applyBatch(batch, batchId, idCol, textCol, table)
       }.start()
   }
+
+  /**
+   * Apply one micro-batch of the NEAR-dup ingest: dedup the batch
+   * against the accepted corpus's persisted LSH index
+   * ([[graft.ext.Dedup.incrementalNearDupIndexed]] — banded candidate
+   * join + exact-Jaccard verification + within-batch lower-id-dominator
+   * rule), then GROW the index in place with the survivors' band and
+   * shingle rows ([[graft.core.Materialize.bucketAppend]] keeps the
+   * bucketed exchange-free join property). Three tables under `prefix`:
+   * `_docs (id, __last_batch)`, `_bands`, `_shingles`.
+   *
+   * Ordering makes replay safe: the `_docs` write — whose `__last_batch`
+   * drives the replay guard — happens LAST, so a crash between the index
+   * appends and the docs write replays the whole step; the only residue
+   * is duplicate band/shingle rows, which the candidate `.distinct()`
+   * absorbs without changing any verdict.
+   */
+  def applyNearDupBatch(batch: Dataset[Row], batchId: Long, idCol: String,
+                        textCol: String, prefix: String,
+                        threshold: Double = 0.5, shingleK: Int = 3,
+                        numHashes: Int = 64, bands: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val docsT = s"${prefix}_docs"
+    val bandsT = s"${prefix}_bands"
+    val shinglesT = s"${prefix}_shingles"
+    val lastApplied =
+      if (!spark.catalog.tableExists(docsT)) -1L
+      else spark.table(docsT)
+        .agg(coalesce(max(col("__last_batch")), lit(-1L))).head().getLong(0)
+    if (batchId > lastApplied) {
+      if (!spark.catalog.tableExists(bandsT)) {
+        // first batch: seed EMPTY index tables with the right schema so
+        // every batch takes the same dedup-then-append path
+        val (b0, s0) = graft.ext.Dedup.nearDupIndex(batch.limit(0), idCol,
+          textCol, shingleK, numHashes, bands)
+        graft.core.Materialize.bucketTable(spark, bandsT, b0,
+          buckets = 8, bucketCols = Seq("band", "band_hash"))
+        graft.core.Materialize.bucketTable(spark, shinglesT, s0,
+          buckets = 8, bucketCols = Seq(idCol))
+      }
+      // EAGER lineage cut before the appends: the survivor plan reads
+      // the very tables the appends mutate (same hazard documented at
+      // ext_dedup_index_growth), so materialize it to rows first
+      val surv = graft.ext.Dedup.incrementalNearDupIndexed(batch,
+          spark.table(bandsT), spark.table(shinglesT), idCol, textCol,
+          threshold, shingleK, numHashes, bands)
+        .localCheckpoint()
+      val (bN, sN) = graft.ext.Dedup.nearDupIndex(surv, idCol, textCol,
+        shingleK, numHashes, bands)
+      graft.core.Materialize.bucketAppend(spark, bandsT, bN,
+        buckets = 8, bucketCols = Seq("band", "band_hash"))
+      graft.core.Materialize.bucketAppend(spark, shinglesT, sN,
+        buckets = 8, bucketCols = Seq(idCol))
+      spark.catalog.refreshTable(bandsT)
+      spark.catalog.refreshTable(shinglesT)
+      surv.select(col(idCol)).withColumn("__last_batch", lit(batchId))
+        .write.mode("append").saveAsTable(docsT)
+      spark.catalog.refreshTable(docsT)
+    }
+  }
+
+  /**
+   * Streaming near-dup corpus ingest: the streaming twin of the daily
+   * index-growth cycle (`ext_dedup_index_growth`). Each micro-batch is
+   * near-dup-deduped against everything accepted so far and the
+   * persisted LSH index grows by exactly the survivors — the shape a
+   * continuous 100 TB crawl ingest runs: O(batch × colliding buckets)
+   * work per trigger against O(bands)-bytes-per-doc standing state,
+   * never a corpus-wide rescan.
+   */
+  def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+                    prefix: String, threshold: Double = 0.5,
+                    shingleK: Int = 3, numHashes: Int = 64,
+                    bands: Int = 32,
+                    checkpoint: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyNearDupBatch(batch, batchId, idCol, textCol, prefix,
+          threshold, shingleK, numHashes, bands)
+      }.start()
+  }
 }

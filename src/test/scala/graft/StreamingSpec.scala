@@ -210,4 +210,41 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table(table).count() == 3)
     } finally graft.core.Materialize.dropWithLocation(spark, table)
   }
+
+  test("near-dup ingest: drops vs the grown index, dominator within batch, replay no-op") {
+    import spark.implicits._
+    val prefix = "graft_test_nd_ingest"
+    def dropAll(): Unit = for (t <- Seq("_docs", "_bands", "_shingles"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      val b0 = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "completely different text about spark streaming ingestion pipelines"),
+        (12L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val b1 = Seq(
+        // near-dup of accepted 10 (J = 7/8): dropped only because the
+        // index grew with batch 0's survivors
+        (20L, "the quick brown fox jumps over the lazy dog today"),
+        (21L, "a fresh unrelated document holding entirely novel content"))
+        .toDF("doc_id", "text")
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b0, 0L, "doc_id", "text", prefix)
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b1, 1L, "doc_id", "text", prefix)
+      val got = spark.table(prefix + "_docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(10L, 11L, 21L),
+        "12 falls to the within-batch dominator, 20 to the grown index")
+      // the index holds exactly the survivors' rows
+      val idx = spark.table(prefix + "_shingles")
+        .select("doc_id").as[Long].collect().toSet
+      assert(idx == Set(10L, 11L, 21L))
+      // at-least-once replay of an applied batch changes nothing
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b1, 1L, "doc_id", "text", prefix)
+      assert(spark.table(prefix + "_docs").count() == 3)
+    } finally dropAll()
+  }
 }
