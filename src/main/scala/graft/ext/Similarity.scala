@@ -639,4 +639,99 @@ object Similarity {
       .select(col("__a_id").as(idCol)).distinct()
     av.join(drops, Seq(idCol), "left_anti")
   }
+
+  // ---- Product quantization (PQ-ADC) ------------------------------------
+
+  /** Per-subspace rounded dot product of a vector slice against a chosen
+    * codeword — the fp-stabilized ADC term (round(+1e-9, 6) on each
+    *  subspace partial, so summation order can't diverge engines). */
+  private def adcTerm(probeSlice: Column, codeword: Column): Column =
+    round(aggregate(zip_with(probeSlice, codeword, (x, y) => x * y),
+      lit(0d), (acc, x) => acc + x) + lit(1e-9), 6)
+
+  /**
+   * Train product-quantization codebooks (Jégou, Douze, Schmid 2011,
+   * "Product Quantization for Nearest Neighbor Search"): split the
+   * `dim`-dimensional space into `m` contiguous subspaces of dim/m and
+   * run [[kmeansFit]] independently in each. Deterministic end to end
+   * (lowest-id seeding, fp-stabilized updates), so the whole training is
+   * replayable in plain SQL — the property the registered oracle uses.
+   *
+   * Returns m codebooks of (label, codeword) on the driver —
+   * m × k × dim/m doubles, kilobytes, the broadcast-literal regime of
+   * [[assignNearestScan]]. At corpus scale, train on a bounded id-ordered
+   * SAMPLE (standard PQ practice: codebooks converge on ~10⁵ vectors) —
+   * training cost is then independent of corpus size and the full-corpus
+   * work is the one-scan [[pqEncode]].
+   */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, k: Int, iters: Int,
+              init: KmeansInit = KmeansInit.LowestId): Seq[Seq[(Long, Seq[Double])]] = {
+    require(m > 0 && dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansFit(vectors.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+        idCol, vecCol, k, iters, init)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    }
+  }
+
+  /**
+   * Encode every vector to m small codes — nearest codeword per subspace
+   * by the same (cosine desc, lowest label) rule as
+   * [[assignNearestScan]], evaluated against the codebook literals
+   * inside the row projection. Scan-only: no shuffle, no join, and the
+   * standing state it produces is m bytes per document (`codes:
+   * array<int>`, one codebook index per subspace) — the 100 TB point of
+   * PQ: a 64-dim float corpus compresses 64× into something that FITS
+   * where the raw vectors never will.
+   */
+  def pqEncode(vectors: DataFrame, vecCol: String,
+               books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val sub = books.head.head._2.size
+    val codes = books.zipWithIndex.map { case (book, s) =>
+      val centLit = typedLit(book)
+      val slc = slice(col(vecCol), s * sub + 1, sub)
+      val best = array_max(transform(centLit, c => struct(
+        coalesce(round(cosineNative(slc, c.getField("_2")) + lit(1e-9), 6),
+          lit(-2d)).as("s"),
+        (-c.getField("_1")).as("nl"))))
+      (-best.getField("nl")).cast("int")
+    }
+    vectors.withColumn("codes", array(codes: _*))
+  }
+
+  /**
+   * Asymmetric-distance top-k over PQ codes: score(q, x) =
+   * Σ_s ⟨q_s, codeword_s(x)⟩ = ⟨q, reconstruction(x)⟩ — the query stays
+   * exact, the corpus side is its quantized reconstruction. Probes are
+   * broadcast (the J7 1-row-stats shape) and each term is a lookup of
+   * the code into the codebook LITERAL plus a dim/m-wide dot — the ADC
+   * trade: ~m lookups + dim multiplies per pair over CODES instead of a
+   * full-width scan over raw floats, on standing state m bytes/doc.
+   * Rank per probe by (score desc, id) — same deterministic cut as
+   * [[bruteForceTopK]], and like it composable with an IVF cell gate
+   * ([[ivfTopK]]) to avoid scoring the whole corpus per probe.
+   */
+  def pqAdcTopK(encoded: DataFrame, idCol: String,
+                probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                books: Seq[Seq[(Long, Seq[Double])]], k: Int): DataFrame = {
+    val sub = books.head.head._2.size
+    val score = books.zipWithIndex.map { case (book, s) =>
+      // label l's codeword sits at position l+1: labels are 0..k-1 by
+      // construction (lowest-id seeding keeps them dense and ordered)
+      val wordsLit = typedLit(book.sortBy(_._1).map(_._2))
+      adcTerm(slice(col(probeVecCol), s * sub + 1, sub),
+        element_at(wordsLit, element_at(col("codes"), s + 1) + 1))
+    }.reduceLeft(_ + _)
+    encoded.crossJoin(broadcast(probes))
+      .withColumn("score", round(score + lit(1e-9), 6))
+      .select(col(probeIdCol), col(idCol), col("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -45,34 +45,40 @@ object ExtQueries {
    * order, fp-stabilized centroids each update, (score desc, label)
    * assignment tie-break, empty clusters keep their previous centroid.
    */
-  private def duckKmeans(k: Int, iters: Int): String = {
+  /** Unrolled DuckDB replay of [[graft.ext.Similarity.kmeansFit]] over
+    * source CTE `src` (vec_id, e). CTE names carry prefix `p` so several
+    * replays (one per PQ subspace) can coexist in one statement; the
+    * final assignment CTE is `${p}af`. */
+  private def duckKmeans(k: Int, iters: Int, src: String = "v",
+                         p: String = ""): String = {
     def assign(prev: String, out: String) =
       s"""$out AS (SELECT vec_id, lbl FROM (
-         |  SELECT v.vec_id, c.lbl, row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.lbl) AS rn
-         |  FROM v CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+         |  SELECT $src.vec_id, c.lbl, row_number() OVER (PARTITION BY $src.vec_id
+         |      ORDER BY ${duckCos(s"$src.e", "c.cv")} DESC, c.lbl) AS rn
+         |  FROM $src CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
     def update(ass: String, prev: String, out: String) =
-      s"""d_$out AS (SELECT $ass.lbl, generate_subscripts(v.e, 1) AS dim,
-         |    unnest(v.e) AS val
-         |  FROM v JOIN $ass ON $ass.vec_id = v.vec_id),
+      s"""d_$out AS (SELECT $ass.lbl, generate_subscripts($src.e, 1) AS dim,
+         |    unnest($src.e) AS val
+         |  FROM $src JOIN $ass ON $ass.vec_id = $src.vec_id),
          |m_$out AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
          |  FROM d_$out GROUP BY 1, 2),
          |u_$out AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM m_$out GROUP BY lbl),
          |$out AS (SELECT p.lbl, coalesce(u_$out.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN u_$out ON u_$out.lbl = p.lbl)""".stripMargin
     val seed =
-      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS lbl,
+      s"""${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS lbl,
          |    list_transform(e, x -> round(x + 1e-9, 6)) AS cv
-         |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
     val steps = (1 to iters).map { i =>
-      assign(s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"c${i - 1}", s"c$i")
+      assign(s"${p}c${i - 1}", s"${p}a$i") + ",\n" +
+        update(s"${p}a$i", s"${p}c${i - 1}", s"${p}c$i")
     }
     val fin =
-      s"""af AS (SELECT vec_id, lbl, s FROM (
-         |  SELECT v.vec_id, c.lbl, ${duckCos("v.e", "c.cv")} AS s,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.lbl) AS rn
-         |  FROM v CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+      s"""${p}af AS (SELECT vec_id, lbl, s FROM (
+         |  SELECT $src.vec_id, c.lbl, ${duckCos(s"$src.e", "c.cv")} AS s,
+         |      row_number() OVER (PARTITION BY $src.vec_id
+         |        ORDER BY ${duckCos(s"$src.e", "c.cv")} DESC, c.lbl) AS rn
+         |  FROM $src CROSS JOIN ${p}c$iters c) WHERE rn = 1)""".stripMargin
     (seed +: steps :+ fin).mkString(",\n")
   }
 
@@ -1619,6 +1625,54 @@ object ExtQueries {
       ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY score DESC, vec_id) AS rn FROM scored)
       SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
+    // Product-quantization ADC top-k (Jégou et al. 2011) — the
+    // compressed-domain end of the ANN family: 4 per-subspace codebooks
+    // trained with the deterministic k-means, every vector encoded to 4
+    // codes (scan-only), probes scored against RECONSTRUCTIONS via
+    // per-subspace codeword dots. The oracle replays the entire thing —
+    // four unrolled kmeans (one per subspace slice), encode, ADC sum —
+    // in one statement, so the correctness check covers training,
+    // encoding, and scoring end to end.
+    QueryDef("ext_sim_pq_adc", (s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val books = Similarity.pqTrain(base, "vec_id", "e",
+        dim = 64, m = 4, k = 8, iters = 1)
+      val probes = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      Similarity.pqAdcTopK(Similarity.pqEncode(base, "e", books), "vec_id",
+          probes, "probe_id", "pe", books, k = 5)
+        .select(col("probe_id"), col("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }, Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      sv0 AS (SELECT vec_id, e[1:16] AS e FROM v),
+      sv1 AS (SELECT vec_id, e[17:32] AS e FROM v),
+      sv2 AS (SELECT vec_id, e[33:48] AS e FROM v),
+      sv3 AS (SELECT vec_id, e[49:64] AS e FROM v),
+      ${duckKmeans(k = 8, iters = 1, src = "sv0", p = "s0")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv1", p = "s1")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv2", p = "s2")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv3", p = "s3")},
+      sc AS (SELECT p.vec_id AS probe_id, s0af.vec_id,
+          round(
+            round(list_inner_product(p.e[1:16],  b0.cv) + 1e-9, 6)
+          + round(list_inner_product(p.e[17:32], b1.cv) + 1e-9, 6)
+          + round(list_inner_product(p.e[33:48], b2.cv) + 1e-9, 6)
+          + round(list_inner_product(p.e[49:64], b3.cv) + 1e-9, 6)
+          + 1e-9, 6) AS score
+        FROM v p, s0af, s1af, s2af, s3af,
+             s0c1 b0, s1c1 b1, s2c1 b2, s3c1 b3
+        WHERE p.vec_id % 100 = 0
+          AND s1af.vec_id = s0af.vec_id AND s2af.vec_id = s0af.vec_id
+          AND s3af.vec_id = s0af.vec_id
+          AND b0.lbl = s0af.lbl AND b1.lbl = s1af.lbl
+          AND b2.lbl = s2af.lbl AND b3.lbl = s3af.lbl),
+      rk AS (SELECT probe_id, vec_id, score, row_number() OVER
+          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM sc)
+      SELECT probe_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5""")),
 
     // Hard-negative mining for contrastive/retrieval training: per probe,
     // the top-3 most-similar vectors whose LABEL DIFFERS (the in-batch

@@ -354,4 +354,39 @@ class SimilaritySpec extends SparkSpec {
     // cluster column rides through for downstream mixing
     assert(kept.columns.contains("cluster"))
   }
+
+  test("PQ: codes in range, ADC score equals dot(probe, reconstruction)") {
+    import graft.ext.Similarity
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+    val books = Similarity.pqTrain(base, "vec_id", "e",
+      dim = 64, m = 4, k = 8, iters = 1)
+    assert(books.size == 4 && books.forall(_.size == 8))
+    assert(books.forall(_.forall(_._2.size == 16)))
+    val enc = Similarity.pqEncode(base, "e", books)
+    val codeRows = enc.select(col("vec_id"), col("codes"), col("e")).collect()
+    assert(codeRows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 8)))
+    val probes = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val top = Similarity.pqAdcTopK(enc, "vec_id", probes, "probe_id", "pe",
+      books, k = 5).collect()
+    assert(top.nonEmpty)
+    // independent reconstruction check: ADC score is the dot of the raw
+    // probe against the concatenation of the chosen codewords (each
+    // subspace term rounded the way the operator rounds)
+    val codesOf = codeRows.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val probeVec = probes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def rnd(x: Double) = math.floor((x + 1e-9) * 1e6 + 0.5) / 1e6
+    top.foreach { r =>
+      val (pid, vid, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val p = probeVec(pid)
+      val expected = rnd((0 until 4).map { s =>
+        val word = books(s).sortBy(_._1).map(_._2).apply(codesOf(vid)(s))
+        rnd(word.indices.map(d => p(s * 16 + d) * word(d)).sum)
+      }.sum)
+      assert(math.abs(expected - score) < 2e-6,
+        s"probe $pid vec $vid: adc $score vs recon $expected")
+    }
+  }
 }
