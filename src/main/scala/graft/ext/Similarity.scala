@@ -717,19 +717,69 @@ object Similarity {
    */
   def pqAdcTopK(encoded: DataFrame, idCol: String,
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
-                books: Seq[Seq[(Long, Seq[Double])]], k: Int): DataFrame = {
+                books: Seq[Seq[(Long, Seq[Double])]], k: Int): DataFrame =
+    encoded.crossJoin(broadcast(probes))
+      .withColumn("score", round(adcScore(books, probeVecCol) + lit(1e-9), 6))
+      .select(col(probeIdCol), col(idCol), col("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("rank") <= k)
+
+  /** The full ADC sum over a `codes` column: Σ_s ⟨probe_s, codeword_s⟩,
+    * each term fp-stabilized, summed in subspace order. */
+  private def adcScore(books: Seq[Seq[(Long, Seq[Double])]],
+                       probeVecCol: String): Column = {
     val sub = books.head.head._2.size
-    val score = books.zipWithIndex.map { case (book, s) =>
+    books.zipWithIndex.map { case (book, s) =>
       // label l's codeword sits at position l+1: labels are 0..k-1 by
       // construction (lowest-id seeding keeps them dense and ordered)
       val wordsLit = typedLit(book.sortBy(_._1).map(_._2))
       adcTerm(slice(col(probeVecCol), s * sub + 1, sub),
         element_at(wordsLit, element_at(col("codes"), s + 1) + 1))
     }.reduceLeft(_ + _)
-    encoded.crossJoin(broadcast(probes))
-      .withColumn("score", round(score + lit(1e-9), 6))
+  }
+
+  /**
+   * IVF-PQ search — the composition that actually runs at 100 TB
+   * (Jégou et al. 2011 §V; the FAISS `IVFPQ` index): a coarse quantizer
+   * ([[ivfTopK]]'s cell assignment) prunes the corpus to `nprobe` cells
+   * per probe, and within the surviving cells vectors are scored from
+   * their PQ CODES ([[pqAdcTopK]]'s ADC sum) — never their raw floats.
+   * The standing state the search touches is (cell, m codes) per
+   * document: the per-probe work is |corpus| × nprobe / nlist rows of a
+   * few BYTES each, against kilobyte codebook/centroid literals, which
+   * is why this shape survives a corpus whose raw vectors don't fit
+   * anywhere.
+   */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                books: Seq[Seq[(Long, Seq[Double])]], k: Int,
+                nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val cents = centroids(
+        vectors.withColumn("__lbl", col(idCol) % nlist), "__lbl", vecCol)
+      .select(col("centroid_label"),
+        transform(col("centroid"), x => round(x + lit(1e-9), 6)).as("centroid"))
+    val vass = assignNearestCentroid(vectors, idCol, vecCol, cents)
+      .select(col(idCol), col("assigned_label").as("__cell"))
+    // the scored side carries ONLY (id, cell, codes) — m bytes of
+    // payload per row through the candidate join
+    val enc = pqEncode(vectors, vecCol, books)
+      .select(col(idCol), col("codes")).join(vass, Seq(idCol))
+    val pcells = probes.crossJoin(broadcast(cents))
+      .withColumn("__s",
+        round(cosineNative(col(probeVecCol), col("centroid")) + lit(1e-9), 6))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(desc("__s"), col("centroid_label"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col(probeIdCol), col(probeVecCol),
+        col("centroid_label").as("__cell"))
+    val scored = enc.join(broadcast(pcells), Seq("__cell"))
+      .withColumn("score", round(adcScore(books, probeVecCol) + lit(1e-9), 6))
       .select(col(probeIdCol), col(idCol), col("score"))
-      .withColumn("rank", row_number().over(
+    scored.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
       .filter(col("rank") <= k)

@@ -389,4 +389,27 @@ class SimilaritySpec extends SparkSpec {
         s"probe $pid vec $vid: adc $score vs recon $expected")
     }
   }
+
+  test("IVF-PQ with nprobe=nlist degrades to the full ADC scan, row for row") {
+    import graft.ext.Similarity
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+    val books = Similarity.pqTrain(base, "vec_id", "e",
+      dim = 64, m = 4, k = 8, iters = 1)
+    val probes = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val full = Similarity.pqAdcTopK(Similarity.pqEncode(base, "e", books),
+        "vec_id", probes, "probe_id", "pe", books, k = 5)
+      .select("probe_id", "vec_id", "score", "rank").collect().toSet
+    val ivf = Similarity.ivfPqTopK(base, "vec_id", "e",
+        probes, "probe_id", "pe", books, k = 5, nlist = 8, nprobe = 8)
+      .select("probe_id", "vec_id", "score", "rank").collect().toSet
+    assert(ivf == full, "probing every cell must equal the unpruned ADC scan")
+    // and the pruned search still finds the probe's own quantization
+    val pruned = Similarity.ivfPqTopK(base, "vec_id", "e",
+        probes, "probe_id", "pe", books, k = 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probes.collect().forall(p =>
+      pruned.exists(_._1 == p.getLong(0))), "every probe gets candidates")
+  }
 }
