@@ -272,4 +272,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "within-cluster pairing must be an equi-join on the cluster id")
   }
+
+  test("PQ encode is scan-only: no exchange, no window, no join") {
+    val base = graft.core.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.ext.Similarity.asDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("e"))
+    val books = graft.ext.Similarity.pqTrain(base, "vec_id", "e",
+      dim = 64, m = 4, k = 8, iters = 1)
+    val p = graft.ext.Similarity.pqEncode(base, "e", books)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
+      "per-subspace code argmax must ride the projection against codebook literals")
+  }
+
+  test("IVF-PQ: cell gate is a broadcast equi-join over codes, no shuffle of floats") {
+    val p = plan("ext_sim_ivf_pq")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the probed-cell equi-join, never all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the nprobe cell list broadcasts against the encoded corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the search path is big enough to justify a sort-merge")
+  }
 }
