@@ -62,6 +62,27 @@ object Corpus {
   }
 
   /**
+   * Per-group quota cap (the RefinedWeb/C4 "domain cap": no single
+   * source may dominate the mixture): keep at most `cap` rows per
+   * `groupCol`, preferring higher `prefCol` and breaking ties on lowest
+   * `idCol` — a deterministic absolute ceiling, where
+   * [[stratifiedSample]] is a proportional one. One shuffle on the
+   * group key; at corpus scale a skewed group (the giant domain — the
+   * very thing the cap exists for) concentrates on one task, so the
+   * rank is top-`cap`-able: AQE's skew handling or a two-phase
+   * per-partition pre-rank bounds it, and `cap` rows per group is all
+   * that ever survives the filter.
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  prefCol: String, cap: Int): DataFrame = {
+    val ord = Window.partitionBy(col(groupCol))
+      .orderBy(col(prefCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /**
    * TRUE greedy (next-fit) sequence packing: documents are visited in
    * (partition, order) sequence; a document that does not fit in the
    * current bin starts a new one, so `bin_offset + size <= binSize` is an

@@ -1204,6 +1204,20 @@ object ExtQueries {
         FROM documents)
       SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.2)""")),
 
+    // Per-source quota cap (RefinedWeb-style domain cap): an ABSOLUTE
+    // ceiling per source — keep the 50 longest docs of each, lowest id
+    // on ties — where the stratified sample above is proportional.
+    QueryDef("ext_source_cap", (s, dir) =>
+      Corpus.capPerGroup(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", "n_chars", cap = 50),
+      Some("""WITH t AS (SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM t WHERE rn <= 50""")),
+
     // Sequence packing, strided layout: running-token-count binning into
     // 512-token context windows, packed WITHIN each language partition
     // (global concatenation order would serialize the corpus through one
