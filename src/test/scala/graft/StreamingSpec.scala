@@ -211,6 +211,40 @@ class StreamingSpec extends SparkSpec {
     } finally graft.core.Materialize.dropWithLocation(spark, table)
   }
 
+  test("checkpointed dedup ingest resumes across a restart: no loss, no double-accept") {
+    import spark.implicits._
+    val table = "graft_test_resume_ingest"
+    graft.core.Materialize.dropWithLocation(spark, table)
+    val stage = java.nio.file.Files.createTempDirectory("graft_ingres_stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingres_ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def feed() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    // first file arrives, is drained, and the query STOPS
+    Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(stage)
+    val q1 = graft.streaming.CorpusIngest.dedupIngest(
+      feed(), "doc_id", "text", table, checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    // more files land; a NEW query restarts from the same checkpoint —
+    // the already-accepted fingerprints must keep gating, and the
+    // already-processed file must not re-append its survivors
+    Seq((20L, "beta"), (21L, "gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(stage)
+    val q2 = graft.streaming.CorpusIngest.dedupIngest(
+      feed(), "doc_id", "text", table, checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    spark.catalog.refreshTable(table)
+    val got = spark.table(table).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L, 21L),
+      "restart must neither drop accepted docs nor re-accept duplicates")
+    graft.core.Materialize.dropWithLocation(spark, table)
+  }
+
   test("near-dup ingest: drops vs the grown index, dominator within batch, replay no-op") {
     import spark.implicits._
     val prefix = "graft_test_nd_ingest"
