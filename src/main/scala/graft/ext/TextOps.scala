@@ -381,4 +381,30 @@ object TextOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("n_sentences"), lit(0L)).as("n_sentences"))
   }
+
+  /**
+   * Gopher-style quality gate as a reusable frame transform (the same
+   * bounds the curation chain applies inline; Rae et al. 2021 rule
+   * family): keep docs whose word count, mean word length, and
+   * top-token dominance sit in the published ranges. One explode + two
+   * hash aggs + a semi-join back — map-side combinable, no per-doc UDF
+   * state, the shape that gates a crawl batch at any scale.
+   */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+                 minWords: Long = 20, maxWords: Long = 1000,
+                 minMwl: Double = 3.0, maxMwl: Double = 10.0,
+                 maxTtf: Double = 0.2): DataFrame = {
+    val perTok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val pass = perTok.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_words"),
+        round(sum(length(col("tok")) * col("c")).cast("double") /
+          sum(col("c")) + lit(1e-9), 4).as("mwl"),
+        round(max(col("c")).cast("double") /
+          sum(col("c")) + lit(1e-9), 4).as("ttf"))
+      .filter(col("n_words").between(minWords, maxWords) &&
+        col("mwl").between(minMwl, maxMwl) && col("ttf") <= maxTtf)
+      .select(col(idCol))
+    df.join(pass, Seq(idCol), "left_semi")
+  }
 }

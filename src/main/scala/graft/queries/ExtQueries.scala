@@ -26,7 +26,7 @@ object ExtQueries {
   /** Shared DuckDB fragment: whitespace tokens of lowercased text. */
   private[queries] val DuckToks =
     """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
-  private val DuckToksRaw =
+  private[queries] val DuckToksRaw =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
 
   /** DuckDB cosine of two double lists, fp-stabilized like the Spark

@@ -134,47 +134,49 @@ object StreamingQueries {
         (len($a.shingles) + len($b.shingles)
          - len(list_intersect($a.shingles, $b.shingles))) >= 0.5"""
 
+  /** Four id-range chunks of `documents`; chunks 1-3 carry tail-copies
+    * of earlier-chunk docs so cross-batch near-dup drops are guaranteed
+    * (mirrors the engine-side `chunk(i)` staging). */
+  private val IngestChunkDefs =
+    """st AS (SELECT (max(doc_id) // 4) + 1 AS s FROM documents),
+      c0 AS (SELECT doc_id, text FROM documents, st WHERE doc_id < s),
+      c1 AS (SELECT doc_id, text FROM documents, st
+          WHERE doc_id >= s AND doc_id < 2 * s
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' dup marker tail'
+          FROM documents, st WHERE doc_id < s AND doc_id % 5 = 1),
+      c2 AS (SELECT doc_id, text FROM documents, st
+          WHERE doc_id >= 2 * s AND doc_id < 3 * s
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' dup marker tail'
+          FROM documents, st
+          WHERE doc_id >= s AND doc_id < 2 * s AND doc_id % 5 = 2),
+      c3 AS (SELECT doc_id, text FROM documents, st
+          WHERE doc_id >= 3 * s
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' dup marker tail'
+          FROM documents, st
+          WHERE doc_id >= 2 * s AND doc_id < 3 * s AND doc_id % 5 = 3)"""
+
   /**
-   * The st_neardup_ingest oracle: four unrolled ingest levels. Level i
-   * drops chunk-i docs with an exact-Jaccard >= 0.5 twin in the
-   * accumulated accepted set, then applies the within-batch
-   * lower-id-dominator rule over the remaining (base-surviving) docs;
-   * survivors join the accepted set for level i+1.
+   * Unrolled ingest levels over per-chunk shingle CTEs `shNames`: level
+   * i drops docs with an exact-Jaccard >= 0.5 twin in the accumulated
+   * accepted set, then applies the within-batch lower-id-dominator rule
+   * over the remaining (base-surviving) docs; survivors join the
+   * accepted set for level i+1. Survivor CTEs are s0..s{n-1}.
    */
-  private lazy val nearDupIngestOracle: String = {
-    val chunkDefs =
-      """st AS (SELECT (max(doc_id) // 4) + 1 AS s FROM documents),
-        c0 AS (SELECT doc_id, text FROM documents, st WHERE doc_id < s),
-        c1 AS (SELECT doc_id, text FROM documents, st
-            WHERE doc_id >= s AND doc_id < 2 * s
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' dup marker tail'
-            FROM documents, st WHERE doc_id < s AND doc_id % 5 = 1),
-        c2 AS (SELECT doc_id, text FROM documents, st
-            WHERE doc_id >= 2 * s AND doc_id < 3 * s
-          UNION ALL
-          SELECT doc_id + 2000000, text || ' dup marker tail'
-            FROM documents, st
-            WHERE doc_id >= s AND doc_id < 2 * s AND doc_id % 5 = 2),
-        c3 AS (SELECT doc_id, text FROM documents, st
-            WHERE doc_id >= 3 * s
-          UNION ALL
-          SELECT doc_id + 3000000, text || ' dup marker tail'
-            FROM documents, st
-            WHERE doc_id >= 2 * s AND doc_id < 3 * s AND doc_id % 5 = 3)"""
-    val shingleCtes = (0 until 4)
-      .map(i => s"c${i}sh AS (${duckShingleCte(s"c$i")})").mkString(",\n")
-    // level 0 has no accepted set yet: fresh = the whole chunk
+  private def ingestLevelCtes(shNames: Seq[String]): String = {
     val level0 =
-      s"""ds0 AS (SELECT DISTINCT b.doc_id FROM c0sh b JOIN c0sh a
+      s"""ds0 AS (SELECT DISTINCT b.doc_id FROM ${shNames.head} b
+           JOIN ${shNames.head} a
            ON a.doc_id < b.doc_id AND ${duckJacc("b", "a")}),
-         s0 AS (SELECT doc_id, shingles FROM c0sh
+         s0 AS (SELECT doc_id, shingles FROM ${shNames.head}
            WHERE doc_id NOT IN (SELECT doc_id FROM ds0)),
          acc1 AS (SELECT * FROM s0)"""
-    val levels = (1 until 4).map { i =>
-      s"""dvs$i AS (SELECT DISTINCT b.doc_id FROM c${i}sh b JOIN acc$i p
+    val levels = (1 until shNames.size).map { i =>
+      s"""dvs$i AS (SELECT DISTINCT b.doc_id FROM ${shNames(i)} b JOIN acc$i p
            ON ${duckJacc("b", "p")}),
-         fr$i AS (SELECT * FROM c${i}sh
+         fr$i AS (SELECT * FROM ${shNames(i)}
            WHERE doc_id NOT IN (SELECT doc_id FROM dvs$i)),
          ds$i AS (SELECT DISTINCT b.doc_id FROM fr$i b JOIN fr$i a
            ON a.doc_id < b.doc_id AND ${duckJacc("b", "a")}),
@@ -182,10 +184,58 @@ object StreamingQueries {
            WHERE doc_id NOT IN (SELECT doc_id FROM ds$i)),
          acc${i + 1} AS (SELECT * FROM acc$i UNION ALL SELECT * FROM s$i)"""
     }.mkString(",\n")
+    s"$level0,\n$levels"
+  }
+
+  /** The st_neardup_ingest oracle: raw chunks through the four levels. */
+  private lazy val nearDupIngestOracle: String = {
+    val shingleCtes = (0 until 4)
+      .map(i => s"c${i}sh AS (${duckShingleCte(s"c$i")})").mkString(",\n")
     val finalSelect = (0 until 4)
       .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS batch FROM s$i")
       .mkString("\nUNION ALL\n")
-    s"WITH $chunkDefs,\n$shingleCtes,\n$level0,\n$levels\n$finalSelect"
+    s"WITH $IngestChunkDefs,\n$shingleCtes,\n" +
+      s"${ingestLevelCtes((0 until 4).map(i => s"c${i}sh"))}\n$finalSelect"
+  }
+
+  /**
+   * The st_curation_ingest oracle: Gopher gates applied per chunk
+   * BEFORE the same four ingest levels (TextOps.gopherGate's bounds:
+   * word count 20-1000, mean word length 3-10, top-token fraction
+   * <= 0.2), survivors labeled with their hash split. Gated docs have
+   * >= 20 words, so the plain 3-shingle CTE needs no short-doc
+   * fallback (same reasoning as ext_curation_incremental's oracle).
+   */
+  private lazy val curationIngestOracle: String = {
+    def gateCtes(src: String, out: String) =
+      s"""t_$out AS (SELECT doc_id, unnest(${ExtQueries.DuckToksRaw}) AS tok
+             FROM $src),
+         pt_$out AS (SELECT doc_id, tok, count(*) AS c FROM t_$out GROUP BY 1, 2),
+         m_$out AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c) + 1e-9, 4) AS mwl,
+             round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS ttf
+           FROM pt_$out GROUP BY doc_id),
+         $out AS (SELECT s.doc_id, s.text FROM $src s
+           JOIN m_$out m ON m.doc_id = s.doc_id
+           WHERE m.n_words BETWEEN 20 AND 1000
+             AND m.mwl BETWEEN 3.0 AND 10.0 AND m.ttf <= 0.2)"""
+    val gates = (0 until 4).map(i => gateCtes(s"c$i", s"g$i")).mkString(",\n")
+    val shingleCtes = (0 until 4).map(i =>
+      s"""g${i}sh AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+           AS shingles
+         FROM (SELECT doc_id, ${ExtQueries.DuckToks} AS toks FROM g$i))""")
+      .mkString(",\n")
+    val split =
+      """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+           THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+           THEN 'val' ELSE 'test' END"""
+    val finalSelect = (0 until 4)
+      .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS batch, $split AS split FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $IngestChunkDefs,\n$gates,\n$shingleCtes,\n" +
+      s"${ingestLevelCtes((0 until 4).map(i => s"g${i}sh"))}\n$finalSelect"
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -430,6 +480,41 @@ object StreamingQueries {
       s.table(prefix + "_docs")
         .select(col("doc_id"), col("__last_batch").as("batch"))
     }, Some(nearDupIngestOracle)),
+
+    // The DAILY CURATION CHAIN as a continuous stream: Gopher gates per
+    // micro-batch, then near-dup ingest against the growing accepted
+    // index, survivors labeled with their deterministic hash split —
+    // the streaming twin of ext_curation_incremental over the same
+    // chunked feed as st_neardup_ingest.
+    QueryDef("st_curation_ingest", (s, dir) => withStatePartitions(s, 8) {
+      val prefix = "graft_stream_curation"
+      for (t <- Seq("_docs", "_bands", "_shingles"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      def quart(i: Int) = docs
+        .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+      def chunk(i: Int) =
+        if (i == 0) quart(0)
+        else quart(i).unionByName(quart(i - 1)
+          .filter(col("doc_id") % 5 === i)
+          .select((col("doc_id") + i * 1000000L).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      val stage = stageIdChunks(s, (0 until 4).map(chunk))
+      val stream = s.readStream.schema(DocChunkSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.CorpusIngest.curationIngest(
+        stream, "doc_id", "text", prefix, threshold = 0.5)
+      try q.processAllAvailable() finally q.stop()
+      graft.core.CacheRegistry.releaseAll()
+      s.catalog.refreshTable(prefix + "_docs")
+      s.table(prefix + "_docs")
+        .select(col("doc_id"), col("__last_batch").as("batch"),
+          graft.ext.Corpus.hashSplit(col("doc_id")).as("split"))
+    }, Some(curationIngestOracle)),
 
     QueryDef("st_dedup_bykey", (s, dir) => withStatePartitions(s, 8) {
       val q = EventStream.dedupStreamByKey(EventStream.readEvents(s, dir),

@@ -156,4 +156,28 @@ object CorpusIngest {
           threshold, shingleK, numHashes, bands)
       }.start()
   }
+
+  /**
+   * Streaming curation ingest — the daily curation chain
+   * (`ext_curation_incremental`: Gopher gates → incremental near-dup →
+   * split downstream) as a continuous stream: each micro-batch is
+   * quality-gated FIRST ([[graft.ext.TextOps.gopherGate]] — only docs
+   * worth deduplicating pay for banding), then near-dup-ingested
+   * against the accepted index, which grows by the gated survivors.
+   * Same replay guard and table layout as [[nearDupIngest]].
+   */
+  def curationIngest(docs: DataFrame, idCol: String, textCol: String,
+                     prefix: String, threshold: Double = 0.5,
+                     shingleK: Int = 3, numHashes: Int = 64,
+                     bands: Int = 32,
+                     checkpoint: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyNearDupBatch(
+          graft.ext.TextOps.gopherGate(batch.toDF(), idCol, textCol),
+          batchId, idCol, textCol, prefix, threshold, shingleK,
+          numHashes, bands)
+      }.start()
+  }
 }

@@ -219,4 +219,16 @@ class PropertySpec extends SparkSpec {
       out(4L)._4, 0.0)) && out(4L)._4 > 0.0, s"got ${out(4L)}")
     assert(out(5L) == ((0L, 0.0, 0.0, 0.0, 0.0)), s"got ${out(5L)}")
   }
+
+  test("gopherGate keeps exactly the docs ext_gopher_rules marks passing") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val gated = graft.ext.TextOps.gopherGate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val passing = graft.queries.Registry.queries("ext_gopher_rules")(spark, sfDir)
+      .filter(col("passes")).select("doc_id").as[Long].collect().toSet
+    assert(gated == passing,
+      "the reusable gate and the registered rule query must agree doc for doc")
+  }
 }
