@@ -210,7 +210,13 @@ object Dedup {
       .transform(graft.core.CacheRegistry.persistTracked)
     val baseB = baseBands.select(col(idCol).as("__base_id"),
       col("band").as("__band"), col("band_hash").as("__bh"))
+    // a document is never its own near-dup: a batch id colliding with a
+    // base id is the SAME document met again (an at-least-once replay
+    // that already appended this batch's index rows, or a re-presented
+    // doc) — without this exclusion such a replay would drop every
+    // survivor against its own index rows and lose the batch
     val candBase = bandB.join(baseB, Seq("__band", "__bh"))
+      .filter(col("__batch_id") =!= col("__base_id"))
       .select("__batch_id", "__base_id").distinct()
     val dupVsBase = candBase
       .join(shB.select(col(idCol).as("__batch_id"), col("__sh").as("__sh_a")),

@@ -87,9 +87,15 @@ object CorpusIngest {
    *
    * Ordering makes replay safe: the `_docs` write — whose `__last_batch`
    * drives the replay guard — happens LAST, so a crash between the index
-   * appends and the docs write replays the whole step; the only residue
-   * is duplicate band/shingle rows, which the candidate `.distinct()`
-   * absorbs without changing any verdict.
+   * appends and the docs write replays the whole step. Replay of a
+   * partially-applied batch is exact, not just harmless: the batch is
+   * id-anti-joined against the accepted docs (a doc id never ingests
+   * twice), the candidate join excludes self-id pairs (so survivors
+   * whose index rows already landed are not dropped against themselves
+   * — survivors are pairwise non-similar by the dominator rule, so no
+   * OTHER index row of the replayed batch can drop them either), and
+   * re-appended index rows are duplicates the candidate `.distinct()`
+   * absorbs.
    */
   def applyNearDupBatch(batch: Dataset[Row], batchId: Long, idCol: String,
                         textCol: String, prefix: String,
@@ -114,10 +120,16 @@ object CorpusIngest {
         graft.core.Materialize.bucketTable(spark, shinglesT, s0,
           buckets = 8, bucketCols = Seq(idCol))
       }
+      // exactly-once per id: docs already accepted (possible only when a
+      // replayed feed re-presents an id) never re-enter the pipeline
+      val batchNew =
+        if (!spark.catalog.tableExists(docsT)) batch.toDF()
+        else batch.join(spark.table(docsT).select(col(idCol)),
+          Seq(idCol), "left_anti")
       // EAGER lineage cut before the appends: the survivor plan reads
       // the very tables the appends mutate (same hazard documented at
       // ext_dedup_index_growth), so materialize it to rows first
-      val surv = graft.ext.Dedup.incrementalNearDupIndexed(batch,
+      val surv = graft.ext.Dedup.incrementalNearDupIndexed(batchNew,
           spark.table(bandsT), spark.table(shinglesT), idCol, textCol,
           threshold, shingleK, numHashes, bands)
         .localCheckpoint()

@@ -224,9 +224,12 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))
     def feed() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    // first file arrives, is drained, and the query STOPS
+    // first file arrives, is drained, and the query STOPS (coalesce(1):
+    // multiple same-mtime files would drain in random UUID-name order,
+    // making the first-arrival winner nondeterministic)
     Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha"))
-      .toDF("doc_id", "text").write.mode("overwrite").parquet(stage)
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
     val q1 = graft.streaming.CorpusIngest.dedupIngest(
       feed(), "doc_id", "text", table, checkpoint = Some(ckpt))
     try q1.processAllAvailable() finally q1.stop()
@@ -234,7 +237,7 @@ class StreamingSpec extends SparkSpec {
     // the already-accepted fingerprints must keep gating, and the
     // already-processed file must not re-append its survivors
     Seq((20L, "beta"), (21L, "gamma")).toDF("doc_id", "text")
-      .write.mode("append").parquet(stage)
+      .coalesce(1).write.mode("append").parquet(stage)
     val q2 = graft.streaming.CorpusIngest.dedupIngest(
       feed(), "doc_id", "text", table, checkpoint = Some(ckpt))
     try q2.processAllAvailable() finally q2.stop()
@@ -279,6 +282,50 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.CorpusIngest.applyNearDupBatch(
         b1, 1L, "doc_id", "text", prefix)
       assert(spark.table(prefix + "_docs").count() == 3)
+    } finally dropAll()
+  }
+
+  test("near-dup ingest replays exactly after a crash between index append and docs write") {
+    import spark.implicits._
+    val prefix = "graft_test_nd_crash"
+    def dropAll(): Unit = for (t <- Seq("_docs", "_bands", "_shingles"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      val b0 = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "completely different text about spark streaming ingestion pipelines"))
+        .toDF("doc_id", "text")
+      val b1 = Seq(
+        (20L, "the quick brown fox jumps over the lazy dog today"),
+        (21L, "a fresh unrelated document holding entirely novel content"),
+        (22L, "a fresh unrelated document holding entirely novel content too"))
+        .toDF("doc_id", "text")
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b0, 0L, "doc_id", "text", prefix)
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b1, 1L, "doc_id", "text", prefix)
+      // simulate the worst crash window: batch 1's index rows landed but
+      // its docs write was lost — rebuild the docs table holding batch 0
+      // only, leave the grown band/shingle index untouched
+      val keep = spark.table(prefix + "_docs")
+        .filter(col("__last_batch") === 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.core.Materialize.dropWithLocation(spark, prefix + "_docs")
+      keep.toDF("doc_id", "__last_batch")
+        .write.saveAsTable(prefix + "_docs")
+      // the at-least-once replay of batch 1 must re-accept its survivors
+      // — NOT drop them as near-dups of their own index rows
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b1, 1L, "doc_id", "text", prefix)
+      val got = spark.table(prefix + "_docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(10L, 11L, 21L),
+        "crash-replay lost survivors (or resurrected dominated docs)")
+      // the re-appended index rows are duplicates, not divergence
+      val idx = spark.table(prefix + "_shingles")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(idx == Set(10L, 11L, 21L))
     } finally dropAll()
   }
 }
