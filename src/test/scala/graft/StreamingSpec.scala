@@ -328,4 +328,32 @@ class StreamingSpec extends SparkSpec {
       assert(idx == Set(10L, 11L, 21L))
     } finally dropAll()
   }
+
+  test("near-dup ingest: an empty (fully gated-away) batch leaves the chain intact") {
+    import spark.implicits._
+    val prefix = "graft_test_nd_empty"
+    def dropAll(): Unit = for (t <- Seq("_docs", "_bands", "_shingles"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      val b0 = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b0, 0L, "doc_id", "text", prefix)
+      // batch 1 contributes nothing (everything gated upstream); the
+      // lastApplied watermark stays at 0 — harmless, since replaying an
+      // empty batch is itself a no-op
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        b0.limit(0), 1L, "doc_id", "text", prefix)
+      assert(spark.table(prefix + "_docs").count() == 1)
+      // batch 2 still ingests normally against the index
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        Seq((30L, "the quick brown fox jumps over the lazy dog today"),
+          (31L, "a genuinely novel document about something else entirely"))
+          .toDF("doc_id", "text"), 2L, "doc_id", "text", prefix)
+      val got = spark.table(prefix + "_docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(10L, 31L), "30 drops vs the index; 31 joins")
+    } finally dropAll()
+  }
 }
