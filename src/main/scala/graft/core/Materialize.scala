@@ -74,6 +74,57 @@ object Materialize {
   }
 
   /**
+   * OPTIMIZE for a bucketed table grown by [[bucketAppend]]: rewrite it
+   * to ONE file per bucket, preserving the bucket spec (and so the
+   * exchange-free join property). Append-only growth — the ingest
+   * family appends per micro-batch — accretes one file per touched
+   * bucket per append, and scans eventually drown in per-file
+   * open/footer cost; this is the periodic maintenance step that lets
+   * an append-forever index stay scannable. The pre-write
+   * `repartition(buckets, cols)` uses the same hash as the bucket spec,
+   * so each task holds exactly one bucket and writes exactly one file.
+   *
+   * Crash-safe via rename-swap: the compacted copy is fully written to
+   * a stage table first, then the catalog swaps names (original →
+   * `__compact_old` → dropped). A crash between the renames leaves the
+   * data intact under `<name>__compact_old`, never lost.
+   * Returns the parquet file count after the rewrite.
+   */
+  def bucketCompact(spark: SparkSession, name: String,
+                    buckets: Int, bucketCols: Seq[String]): Long = {
+    val stage = s"${name}__compact_stage"
+    val old = s"${name}__compact_old"
+    dropWithLocation(spark, stage)
+    dropWithLocation(spark, old)
+    // the repartition below matches the source's bucketed partitioning,
+    // so the planner elides its shuffle — which is only correct if the
+    // scan actually GROUPS files by bucket. Auto-bucketed-scan would
+    // degrade it to an arbitrary file grouping (no operator after the
+    // write "exploits" the bucketing as far as it can see) and each
+    // task would then hold a bucket MIX, writing tasks × buckets files;
+    // pin the bucketed scan on for the rewrite.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      spark.table(name)
+        .repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(stage)
+    } finally spark.conf.set(autoKey, prevAuto)
+    spark.sql(s"ALTER TABLE `$name` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$name`")
+    dropWithLocation(spark, old)
+    spark.catalog.refreshTable(name)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /**
    * Small-file compaction: rewrite a parquet path into ~`targetFileMB`
    * files. Streaming sinks and incremental appends accrete tiny files
    * whose per-file open/footer cost eventually dominates scans — the

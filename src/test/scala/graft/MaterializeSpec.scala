@@ -36,6 +36,44 @@ class MaterializeSpec extends SparkSpec {
       s"bucketed side must not re-shuffle on k:\n$plan")
   }
 
+  test("bucketCompact rewrites to one file per bucket; rows and join shape survive") {
+    val name = "graft_test_compact_bkt"
+    Materialize.dropWithLocation(spark, name)
+    val day0 = (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    Materialize.bucketTable(spark, name, day0, buckets = 4,
+      bucketCols = Seq("k"))
+    // three appends accrete files the way the streaming ingest does
+    for (d <- 1 to 3)
+      Materialize.bucketAppend(spark,
+        name, Seq((40L + d, s"w$d")).toDF("k", "v"),
+        buckets = 4, bucketCols = Seq("k"))
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(loc)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before > 4, s"appends should accrete files, saw $before")
+    val expected = spark.table(name).collect().map(_.toSeq).toSet
+    val after = Materialize.bucketCompact(spark, name, buckets = 4,
+      bucketCols = Seq("k"))
+    assert(after <= 4, s"one file per bucket expected, saw $after")
+    assert(spark.table(name).collect().map(_.toSeq).toSet == expected,
+      "compaction must be a pure rewrite")
+    // the compacted table still joins bucket-to-bucket
+    val probe = Seq((2L, 9), (41L, 9)).toDF("k", "p")
+    val plan = spark.table(name).join(probe.hint("shuffle_hash"), Seq("k"))
+      .queryExecution.executedPlan.toString
+    val scanSide = plan.linesIterator.filter(_.contains(name)).mkString
+    assert(scanSide.contains("SelectedBucketsCount") ||
+      !plan.contains("Exchange hashpartitioning(k"),
+      s"compacted bucketed side must not re-shuffle on k:\n$plan")
+    // no stage/backup residue
+    assert(!spark.catalog.tableExists(s"${name}__compact_stage"))
+    assert(!spark.catalog.tableExists(s"${name}__compact_old"))
+    Materialize.dropWithLocation(spark, name)
+  }
+
   test("incremental merge upserts by unique key and keeps unmatched rows") {
     val name = "graft_test_inc_merge"
     Materialize.dropWithLocation(spark, name)
