@@ -300,4 +300,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(fps(0) == fps(1) && fps(0) != fps(3))
   }
+
+  test("incremental near-dup is identical against a bucketCompacted index") {
+    import spark.implicits._
+    val bandsT = "graft_test_cpx_bands"
+    val shT = "graft_test_cpx_shingles"
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val growth = docs.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+    val (b0, s0) = Dedup.nearDupIndex(base, "doc_id", "text")
+    graft.core.Materialize.bucketTable(spark, bandsT, b0,
+      buckets = 8, bucketCols = Seq("band", "band_hash"))
+    graft.core.Materialize.bucketTable(spark, shT, s0,
+      buckets = 8, bucketCols = Seq("doc_id"))
+    val (b1, s1) = Dedup.nearDupIndex(growth, "doc_id", "text")
+    graft.core.Materialize.bucketAppend(spark, bandsT, b1,
+      buckets = 8, bucketCols = Seq("band", "band_hash"))
+    graft.core.Materialize.bucketAppend(spark, shT, s1,
+      buckets = 8, bucketCols = Seq("doc_id"))
+    def run() = Dedup.incrementalNearDupIndexed(batch,
+        spark.table(bandsT), spark.table(shT), "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val before = run()
+    graft.core.Materialize.bucketCompact(spark, bandsT,
+      buckets = 8, bucketCols = Seq("band", "band_hash"))
+    graft.core.Materialize.bucketCompact(spark, shT,
+      buckets = 8, bucketCols = Seq("doc_id"))
+    assert(run() == before,
+      "compaction must not change a single dedup verdict")
+    graft.core.Materialize.dropWithLocation(spark, bandsT)
+    graft.core.Materialize.dropWithLocation(spark, shT)
+  }
 }
