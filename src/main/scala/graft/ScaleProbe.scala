@@ -59,11 +59,15 @@ object ScaleProbe {
 
     val multSteps =
       Seq(1, mult / 4, mult / 2, mult).filter(_ >= 1).distinct.sorted
+    // SPARK_GRAFT_PROBE=knn|incnear|ingest runs one section (the exact
+    // kNN section is O(n²) by design — at sf0.1 m=8 it alone is ~90 s)
+    val only = sys.env.get("SPARK_GRAFT_PROBE")
+    def section(name: String): Boolean = only.forall(_ == name)
 
     // ---- kNN graph: exact vs approx across amplifications --------------
     val vecs0 = graft.core.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    for (m <- multSteps) {
+    for (m <- multSteps if section("knn")) {
       val vecs = amplifyVecs(vecs0, m)
         .transform(graft.core.CacheRegistry.persistTracked)
       val n = vecs.count()
@@ -90,7 +94,7 @@ object ScaleProbe {
     // ---- incremental near-dup across amplifications --------------------
     val docs0 = graft.core.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    for (m <- multSteps) {
+    for (m <- multSteps if section("incnear")) {
       val docs = amplifyDocs(docs0, m)
         .transform(graft.core.CacheRegistry.persistTracked)
       val nDocs = docs.count()
@@ -105,6 +109,47 @@ object ScaleProbe {
       }
       println(f"[scaleprobe] incnear m=$m docs=$nDocs kept=$kept " +
         f"time=$tInc%.2fs")
+      spark.catalog.clearCache()
+    }
+
+    // ---- streaming ingest: FIXED batch vs growing standing index -------
+    // the claim under test: per-trigger work is O(batch) against the
+    // persisted band index — the accepted corpus can grow 8x while the
+    // per-batch ingest time stays near-flat (the batch only meets its
+    // own colliding buckets; the index side is a bucketed equi-join,
+    // not a rescan)
+    for (m <- multSteps if section("ingest")) {
+      val prefix = "graft_probe_ingest"
+      def dropAll(): Unit = for (t <- Seq("_docs", "_bands", "_shingles"))
+        graft.core.Materialize.dropWithLocation(spark, prefix + t)
+      dropAll()
+      val corpus = amplifyDocs(docs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nIndex = corpus.count()
+      val (b, sh) = Dedup.nearDupIndex(corpus, "doc_id", "text")
+      graft.core.Materialize.bucketTable(spark, prefix + "_bands", b,
+        buckets = 8, bucketCols = Seq("band", "band_hash"))
+      graft.core.Materialize.bucketTable(spark, prefix + "_shingles", sh,
+        buckets = 8, bucketCols = Seq("doc_id"))
+      corpus.select(col("doc_id")).withColumn("__last_batch", lit(0L))
+        .write.mode("overwrite").saveAsTable(prefix + "_docs")
+      // fixed-size batch regardless of m: half near-dup tails of copy-0
+      // docs (must drop vs the index), half novel
+      val batch = docs0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+        .unionByName(docs0.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 95000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "novelx$1").as("text")))
+      val (_, tBatch) = timed {
+        graft.streaming.CorpusIngest.applyNearDupBatch(
+          batch, 1L, "doc_id", "text", prefix)
+      }
+      val accepted = spark.table(prefix + "_docs")
+        .filter(col("__last_batch") === 1L).count()
+      println(f"[scaleprobe] ingest m=$m index=$nIndex " +
+        f"batch=${batch.count()} accepted=$accepted time=$tBatch%.2fs")
+      dropAll()
       spark.catalog.clearCache()
     }
     spark.stop()

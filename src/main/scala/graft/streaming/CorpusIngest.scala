@@ -27,6 +27,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object CorpusIngest {
 
+  /** Read the persisted replay watermark (max applied batch id) from an
+    * accepted table — the once-per-stream-start seed for the in-memory
+    * guard the ingest wrappers hold. Exposed so a restarted driver (or a
+    * test) can recover the guard without replicating the expression. */
+  def lastAppliedIn(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Long =
+    if (!spark.catalog.tableExists(table)) -1L
+    else spark.table(table)
+      .agg(coalesce(max(col("__last_batch")), lit(-1L))).head().getLong(0)
+
+  /** The per-trigger dedup plan, exposed for plan-shape pinning: dedup
+    * within the batch (lowest id per fingerprint — one map-side-combined
+    * hash aggregation), then anti-join away fingerprints the accepted
+    * table already holds. With the accepted table bucketed on `__fp`,
+    * the corpus side of the anti-join reads in place — no Exchange. */
+  def batchSurvivors(batch: Dataset[Row], idCol: String, textCol: String,
+                     table: String): DataFrame = {
+    val spark = batch.sparkSession
+    val best = batch
+      .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    if (!spark.catalog.tableExists(table)) best
+    else best.join(spark.table(table).select(col("__fp")),
+      Seq("__fp"), "left_anti")
+  }
+
   /**
    * Apply one micro-batch of documents to the accepted table: dedup
    * within the batch (lowest id per fingerprint), anti-join away
@@ -34,9 +60,24 @@ object CorpusIngest {
    * batch id (foreachBatch is at-least-once) is a no-op. Exposed
    * separately from the stream wrapper so the replay guard and
    * cross-batch dedup are directly testable.
+   *
+   * Returns the new replay watermark. `knownLast` short-circuits the
+   * watermark read: within a run batch ids are monotonic, so the stream
+   * wrapper seeds it from the table ONCE and then passes its in-memory
+   * value — without it every trigger pays an O(accepted-corpus) scan
+   * just to re-learn a number that cannot have changed.
+   *
+   * The accepted table is BUCKETED on `__fp`
+   * ([[graft.core.Materialize.bucketTable]]/[[graft.core.Materialize.bucketAppend]]),
+   * so the per-trigger anti-join plans with no Exchange on the corpus
+   * side — the batch (already hash-partitioned by its dedup groupBy)
+   * aligns to the bucket count and the standing fingerprints are read
+   * in place. Same shape as the near-dup band index: per-trigger
+   * shuffle is O(batch), never O(corpus).
    */
   def applyBatch(batch: Dataset[Row], batchId: Long, idCol: String,
-                 textCol: String, table: String): Unit = {
+                 textCol: String, table: String,
+                 knownLast: Option[Long] = None): Long = {
     // foreachBatch hands frames bound to the stream's CLONED session;
     // catalog metadata is shared but the table-relation cache (with its
     // file-listing snapshot) is per-session. Read and write through the
@@ -44,34 +85,37 @@ object CorpusIngest {
     // batch's anti-join sees only the state from before the stream
     // started and the dedup silently degrades to per-batch.
     val spark = batch.sparkSession
-    val lastApplied =
-      if (!spark.catalog.tableExists(table)) -1L
-      else spark.table(table)
-        .agg(coalesce(max(col("__last_batch")), lit(-1L))).head().getLong(0)
+    val exists = spark.catalog.tableExists(table)
+    val lastApplied = knownLast.getOrElse(lastAppliedIn(spark, table))
     if (batchId > lastApplied) {
-      val best = batch
-        .withColumn("__fp", graft.ext.TextOps.fingerprint(col(textCol)))
-        .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
-      val fresh =
-        if (!spark.catalog.tableExists(table)) best
-        else best.join(spark.table(table).select(col("__fp")),
-          Seq("__fp"), "left_anti")
+      val fresh = batchSurvivors(batch, idCol, textCol, table)
       if (sys.env.contains("GRAFT_INGEST_DEBUG"))
         println(s"[ingest] batch=$batchId last=$lastApplied " +
-          s"in=${batch.count()} best=${best.count()} fresh=${fresh.count()}")
-      fresh.withColumn("__last_batch", lit(batchId))
-        .write.mode("append").saveAsTable(table)
+          s"in=${batch.count()} fresh=${fresh.count()}")
+      val out = fresh.withColumn("__last_batch", lit(batchId))
+      if (!exists)
+        graft.core.Materialize.bucketTable(spark, table, out,
+          buckets = 8, bucketCols = Seq("__fp"))
+      else
+        graft.core.Materialize.bucketAppend(spark, table, out,
+          buckets = 8, bucketCols = Seq("__fp"))
       spark.catalog.refreshTable(table)
     }
+    math.max(batchId, lastApplied)
   }
 
   def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
                   table: String,
                   checkpoint: Option[String] = None): StreamingQuery = {
+    // replay watermark: seeded from the table on the first trigger
+    // (covers restart-from-checkpoint), then held in memory — see
+    // applyBatch's knownLast note
+    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
     val w = docs.writeStream
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch, batchId, idCol, textCol, table)
+        guard.set(Some(
+          applyBatch(batch, batchId, idCol, textCol, table, guard.get())))
       }.start()
   }
 
@@ -100,15 +144,13 @@ object CorpusIngest {
   def applyNearDupBatch(batch: Dataset[Row], batchId: Long, idCol: String,
                         textCol: String, prefix: String,
                         threshold: Double = 0.5, shingleK: Int = 3,
-                        numHashes: Int = 64, bands: Int = 32): Unit = {
+                        numHashes: Int = 64, bands: Int = 32,
+                        knownLast: Option[Long] = None): Long = {
     val spark = batch.sparkSession
     val docsT = s"${prefix}_docs"
     val bandsT = s"${prefix}_bands"
     val shinglesT = s"${prefix}_shingles"
-    val lastApplied =
-      if (!spark.catalog.tableExists(docsT)) -1L
-      else spark.table(docsT)
-        .agg(coalesce(max(col("__last_batch")), lit(-1L))).head().getLong(0)
+    val lastApplied = knownLast.getOrElse(lastAppliedIn(spark, docsT))
     if (batchId > lastApplied) {
       if (!spark.catalog.tableExists(bandsT)) {
         // first batch: seed EMPTY index tables with the right schema so
@@ -145,6 +187,7 @@ object CorpusIngest {
         .write.mode("append").saveAsTable(docsT)
       spark.catalog.refreshTable(docsT)
     }
+    math.max(batchId, lastApplied)
   }
 
   /**
@@ -161,11 +204,12 @@ object CorpusIngest {
                     shingleK: Int = 3, numHashes: Int = 64,
                     bands: Int = 32,
                     checkpoint: Option[String] = None): StreamingQuery = {
+    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
     val w = docs.writeStream
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyNearDupBatch(batch, batchId, idCol, textCol, prefix,
-          threshold, shingleK, numHashes, bands)
+        guard.set(Some(applyNearDupBatch(batch, batchId, idCol, textCol,
+          prefix, threshold, shingleK, numHashes, bands, guard.get())))
       }.start()
   }
 
@@ -183,13 +227,14 @@ object CorpusIngest {
                      shingleK: Int = 3, numHashes: Int = 64,
                      bands: Int = 32,
                      checkpoint: Option[String] = None): StreamingQuery = {
+    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
     val w = docs.writeStream
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyNearDupBatch(
+        guard.set(Some(applyNearDupBatch(
           graft.ext.TextOps.gopherGate(batch.toDF(), idCol, textCol),
           batchId, idCol, textCol, prefix, threshold, shingleK,
-          numHashes, bands)
+          numHashes, bands, guard.get())))
       }.start()
   }
 }

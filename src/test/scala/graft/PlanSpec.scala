@@ -295,4 +295,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "nothing in the search path is big enough to justify a sort-merge")
   }
+
+  test("dedup ingest: the accepted-fingerprint side of the anti-join never shuffles") {
+    import spark.implicits._
+    val table = "graft_plan_ingest"
+    graft.core.Materialize.dropWithLocation(spark, table)
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBcast = spark.conf.get(bcastKey)
+    try {
+      graft.streaming.CorpusIngest.applyBatch(
+        Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+        0L, "doc_id", "text", table)
+      // at fixture scale the accepted table would broadcast; the shape
+      // under pin is the 100 TB one where it can't — force the non-
+      // broadcast plan and require the bucketed scan to carry the join
+      spark.conf.set(bcastKey, "-1")
+      val p = graft.streaming.CorpusIngest.batchSurvivors(
+          Seq((3L, "alpha"), (4L, "gamma")).toDF("doc_id", "text"),
+          "doc_id", "text", table)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("LeftAnti"), "the gate must stay an anti-join")
+      assert(p.contains("Bucketed: true"),
+        "the accepted table must be read as a bucketed scan")
+      // per-trigger shuffle must be O(batch): the batch side exchanges
+      // for its dedup groupBy and to align to the bucket count, but the
+      // standing corpus reads its bucketed files in place — an Exchange
+      // above the table scan would re-shuffle the whole accepted corpus
+      // every trigger. In the printed tree the left (batch) subtree's
+      // lines carry the ':' continuation prefix; the lines between the
+      // last of those and the table scan are exactly the scan's
+      // ancestors on the join's right spine.
+      val lines = p.linesIterator.toVector
+      val scanLine = lines.indexWhere(l =>
+        l.contains("FileScan") && l.contains(table))
+      assert(scanLine >= 0, "plan must scan the accepted table")
+      val lastLeft = lines.lastIndexWhere(_.trim.startsWith(":"), scanLine)
+      val rightSpine = lines.slice(math.max(lastLeft + 1, 0), scanLine)
+      assert(rightSpine.forall(!_.contains("Exchange")),
+        s"no exchange above the bucketed accepted-table scan, got:\n$p")
+    } finally {
+      spark.conf.set(bcastKey, prevBcast)
+      graft.core.Materialize.dropWithLocation(spark, table)
+    }
+  }
 }
