@@ -181,6 +181,60 @@ object Corpus {
     }.reduce(_.unionByName(_))
   }
 
+  /**
+   * DSIR-style importance log-weights (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", NeurIPS'23): score every
+   * document by how much more likely its tokens are under a TARGET
+   * distribution (the data you want more of — here any boolean column
+   * predicate) than under the RAW corpus distribution, both estimated
+   * over hashed token buckets. log w(doc) = Σ_tokens [ln p̂_target(b) −
+   * ln p̂_raw(b)] with add-one smoothing over the 16^hexChars buckets;
+   * resample/select downstream on the returned weight
+   * ([[weightedSample]] / top-k).
+   *
+   * The bucket key is the first `hexChars` hex chars of md5(token) — a
+   * builtin on both Spark and any oracle engine, so the whole scoring
+   * chain replays bit-identically in SQL (same convention as
+   * [[hashCell]]; no UDF, stays inside codegen).
+   *
+   * Scale shape: two corpus scans and nothing else grows with the
+   * corpus — pass 1 builds the bucket model (one map-side-combined
+   * shuffle on ≤16^hexChars keys, then a kilobyte model), pass 2
+   * re-tokenizes and scores against the BROADCAST model (one shuffle
+   * on doc id for the per-doc sum). The exploded token stream is never
+   * cached or shuffled: at 100 TB the model is the only state worth
+   * keeping, and rescanning beats caching a corpus-sized token table.
+   * Emits (idCol, dsir_logweight) — unrounded; fixture-facing callers
+   * round for fp-stable comparison.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars=$hexChars outside [1,8]")
+    val nBuckets = math.pow(16.0, hexChars)
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol), isTarget.cast("boolean").as("__t"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("__tok"))
+      .select(col(idCol), col("__t"),
+        substring(md5(col("__tok")), 1, hexChars).as("__bucket"))
+    // persist: counts feeds BOTH the totals row and the per-bucket model
+    // — without the barrier the model-build scan (explode + agg over the
+    // whole corpus) runs twice. ≤16^hexChars rows, kilobytes.
+    val counts = graft.core.CacheRegistry.persistTracked(
+      bucketed(docs).groupBy("__bucket").agg(
+        count(lit(1)).as("__n_raw"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__n_tgt")))
+    val totals = counts.agg(sum("__n_raw").as("__nr"), sum("__n_tgt").as("__nt"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("__bucket"),
+        (log((col("__n_tgt") + lit(1.0)) / (col("__nt") + lit(nBuckets))) -
+         log((col("__n_raw") + lit(1.0)) / (col("__nr") + lit(nBuckets))))
+          .as("__w"))
+    bucketed(docs)
+      .join(broadcast(model), Seq("__bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("dsir_logweight"))
+  }
+
   /** RE2-safe patterns (portable across Java regex and RE2 oracles). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\d{3}-\\d{4}"

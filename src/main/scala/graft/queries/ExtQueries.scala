@@ -1218,6 +1218,52 @@ object ExtQueries {
         FROM documents)
       SELECT doc_id, source, n_chars FROM t WHERE rn <= 50""")),
 
+    // DSIR importance log-weights (hashed-unigram likelihood ratio vs the
+    // English subset as the target distribution): the md5-prefix bucket
+    // is a builtin on both engines, so model build + scoring replay
+    // bit-identically in SQL. 16^3 = 4096 buckets.
+    QueryDef("ext_dsir_weights", (s, dir) =>
+      Corpus.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", hexChars = 3)
+        .select(col("doc_id"),
+          round(col("dsir_logweight") + lit(1e-9), 4).as("dsir_logweight")),
+      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+            unnest($DuckToks) AS tok FROM documents),
+        b AS (SELECT doc_id, t, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        cnt AS (SELECT bucket, count(*) AS n_raw,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt FROM b GROUP BY 1),
+        tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt),
+        model AS (SELECT bucket,
+            ln((n_tgt + 1.0) / (nt + 4096.0))
+          - ln((n_raw + 1.0) / (nr + 4096.0)) AS w FROM cnt, tot)
+      SELECT b.doc_id, round(sum(model.w) + 1e-9, 4) AS dsir_logweight
+      FROM b JOIN model USING (bucket) GROUP BY 1""")),
+
+    // DSIR selection: the top-k documents by importance weight — ordered
+    // on the ROUNDED weight with id tiebreak so the cut line is engine-
+    // stable. Plans as TakeOrderedAndProject (no global sort).
+    QueryDef("ext_dsir_select", (s, dir) =>
+      Corpus.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", hexChars = 3)
+        .select(col("doc_id"),
+          round(col("dsir_logweight") + lit(1e-9), 4).as("dsir_logweight"))
+        .orderBy(col("dsir_logweight").desc, col("doc_id"))
+        .limit(100),
+      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+            unnest($DuckToks) AS tok FROM documents),
+        b AS (SELECT doc_id, t, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        cnt AS (SELECT bucket, count(*) AS n_raw,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt FROM b GROUP BY 1),
+        tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt),
+        model AS (SELECT bucket,
+            ln((n_tgt + 1.0) / (nt + 4096.0))
+          - ln((n_raw + 1.0) / (nr + 4096.0)) AS w FROM cnt, tot),
+        scored AS (SELECT b.doc_id,
+            round(sum(model.w) + 1e-9, 4) AS dsir_logweight
+          FROM b JOIN model USING (bucket) GROUP BY 1)
+      SELECT doc_id, dsir_logweight FROM scored
+      ORDER BY dsir_logweight DESC, doc_id LIMIT 100""")),
+
     // Sequence packing, strided layout: running-token-count binning into
     // 512-token context windows, packed WITHIN each language partition
     // (global concatenation order would serialize the corpus through one

@@ -119,6 +119,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dsirWeights ranks target-like docs above raw-like docs") {
+    // target = docs about "alpha beta": a held-out doc written in target
+    // vocabulary must outscore one written in raw-only vocabulary, and
+    // a shared-vocabulary doc must land between them
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma", true),
+      (2L, "alpha beta beta alpha alpha", true),
+      (3L, "delta epsilon zeta delta eta", false),
+      (4L, "epsilon zeta eta delta zeta", false),
+      (5L, "alpha beta alpha beta", false),     // target-voc, not labeled
+      (6L, "delta epsilon zeta eta", false),    // raw-only voc
+      (7L, "alpha beta delta epsilon", false)   // mixed voc
+    ).toDF("doc_id", "text", "is_t")
+    val w = Corpus.dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(5) > w(7), "pure target vocabulary must outscore mixed")
+    assert(w(7) > w(6), "mixed vocabulary must outscore pure raw-only")
+    // the labeled 5-token docs: target-labeled must outscore raw-labeled
+    assert(math.min(w(1), w(2)) > math.max(w(3), w(4)),
+      "target-labeled docs must outscore raw-labeled docs of equal length")
+    // determinism: same input, same weights, bit for bit
+    val w2 = Corpus.dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == w2)
+  }
+
   test("mixture keeps full-rate sources whole and downsamples by the hash gate") {
     import org.apache.spark.sql.functions._
     val a = spark.range(0, 400).toDF("doc_id").withColumn("src", lit("a"))

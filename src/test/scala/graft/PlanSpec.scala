@@ -296,6 +296,19 @@ class PlanSpec extends SparkSpec {
       "nothing in the search path is big enough to justify a sort-merge")
   }
 
+  test("dsir: the bucket model broadcasts and the corpus is never sort-merge joined") {
+    val p = plan("ext_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "token->model scoring must be a broadcast join (the model is kilobytes)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing in DSIR scoring is big enough to shuffle-join")
+    assert(p.contains("InMemoryTableScan"),
+      "bucket counts must persist — totals and model share one model-build scan")
+    val sel = plan("ext_dsir_select")
+    assert(sel.contains("TakeOrderedAndProject"),
+      "selection is a bounded top-k, never a global sort")
+  }
+
   test("dedup ingest: the accepted-fingerprint side of the anti-join never shuffles") {
     import spark.implicits._
     val table = "graft_plan_ingest"
