@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Chunking, Corpus, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Bpe, Chunking, Corpus, Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * LLM-training-data extension operators (BASELINE north star): text
@@ -28,6 +28,45 @@ object ExtQueries {
     """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
   private[queries] val DuckToksRaw =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
+
+  /**
+   * DuckDB twin of [[graft.ext.Bpe.bpeTrain]], unrolled (SQL has no
+   * loops): emits CTEs `w0..w{rounds}` (the evolving word
+   * symbolization, chr(31)-wrapped symbols) and `p0/m0..` (per-round
+   * pair counts and the argmax merge). Mirrors the Spark side exactly:
+   * same tokenization, same (count DESC, lhs, rhs) tie-break, and the
+   * same non-overlapping `replace` as the merge step — all exact
+   * integer/string work. A round with no pairs left degenerates to an
+   * empty `m{i}` whose LEFT JOIN leaves `w{i+1}` = `w{i}`, matching the
+   * Spark loop's early stop. Every CTE is `MATERIALIZED`: each `w{i}`
+   * is referenced twice (pair count + next round), so DuckDB's default
+   * inlining would expand the chain 2^rounds times — at 16 rounds that
+   * is 65k scans of documents.parquet and an fd-exhaustion IO error,
+   * not just slowness.
+   */
+  private def duckBpeRounds(rounds: Int): String = {
+    val w0 = s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym
+      FROM (SELECT unnest($DuckToks) AS word FROM documents
+            WHERE lang = 'en')
+      GROUP BY 1)"""
+    val rs = (0 until rounds).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs,
+          CAST(sum(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+            j -> [syms[j], syms[j+1]])) AS pr
+          FROM (SELECT cnt, list_filter(string_split(sym, chr(31)),
+            x -> x <> '') AS syms FROM w$i))
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+      w${i + 1} AS MATERIALIZED (SELECT word, cnt, CASE WHEN m.lhs IS NULL THEN sym
+          ELSE replace(sym,
+            chr(31) || m.lhs || chr(31) || chr(31) || m.rhs || chr(31),
+            chr(31) || m.lhs || m.rhs || chr(31)) END AS sym
+        FROM w$i LEFT JOIN m$i m ON TRUE)"""
+    }
+    (w0 +: rs).mkString(",\n      ")
+  }
 
   /** DuckDB cosine of two double lists, fp-stabilized like the Spark
    *  side (`round(+1e-9, 6)`, NULL→-2 floor for zero-norm vectors). */
@@ -1263,6 +1302,35 @@ object ExtQueries {
           FROM b JOIN model USING (bucket) GROUP BY 1)
       SELECT doc_id, dsir_logweight FROM scored
       ORDER BY dsir_logweight DESC, doc_id LIMIT 100""")),
+
+    // BPE tokenizer induction: 16 merge rounds over the English
+    // vocabulary. The oracle unrolls the identical loop round by round
+    // (SQL has no iteration — same pattern as the k-means oracle); the
+    // whole chain is exact integer/string work, so the match is
+    // bit-identical, not rounded.
+    QueryDef("ext_bpe_merges", (s, dir) =>
+      Bpe.bpeTrain(Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._1,
+      Some(s"""WITH ${duckBpeRounds(16)}
+      ${(0 until 16).map(i =>
+          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
+          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
+
+    // The segmented vocabulary those merges induce: top-40 subword
+    // tokens by corpus frequency after all 16 merges.
+    QueryDef("ext_bpe_vocab", (s, dir) => {
+      val words = Bpe.bpeTrain(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._2
+      words.select(col("cnt"), explode(Bpe.symbols(col("sym"))).as("token"))
+        .groupBy("token").agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), col("token")).limit(40)
+    },
+      Some(s"""WITH ${duckBpeRounds(16)}
+      SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        SELECT cnt, unnest(list_filter(string_split(sym, chr(31)),
+          x -> x <> '')) AS token FROM w16)
+      GROUP BY 1 ORDER BY n DESC, token LIMIT 40""")),
 
     // Sequence packing, strided layout: running-token-count binning into
     // 512-token context windows, packed WITHIN each language partition

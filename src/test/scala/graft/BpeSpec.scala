@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge is simultaneous non-overlapping left-to-right") {
+    // canonical BPE edge case: "aaaa" + merge(a,a) → [aa, aa], not [aa, a, a]
+    // (greedy re-merge) nor [a, aa, a]
+    val out = Seq("aaaa", "aaa", "abab")
+      .toDF("w")
+      .select(col("w"),
+        Bpe.symbols(Bpe.applyMerge(Bpe.delimit(col("w")), "a", "a")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("aaaa") == Seq("aa", "aa"))
+    assert(out("aaa") == Seq("aa", "a"))
+    assert(out("abab") == Seq("a", "b", "a", "b"))
+  }
+
+  test("encodeWord applies merges in rank order") {
+    val merges = Seq(("a", "a"), ("aa", "b"))
+    val out = Seq("aab", "aaab", "baa")
+      .toDF("w")
+      .select(col("w"), Bpe.encodeWord(col("w"), merges).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("aab") == Seq("aab"))
+    assert(out("aaab") == Seq("aa", "a", "b")) // rank-1 pass eats "aa" first
+    assert(out("baa") == Seq("b", "aa"))
+  }
+
+  test("bpeTrain learns the dominant pair first and segments the vocab") {
+    // "ab" appears in every word; weight by repetition so the argmax is
+    // unambiguous at every round
+    val docs = Seq(
+      "abab abab abab", "abc abc", "dab").toDF("text")
+    val (merges, words) = Bpe.bpeTrain(docs, "text", numMerges = 2)
+    val m = merges.orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // pair counts: (a,b) = 2*3(in abab, simultaneous pairs per word: a-b,a-b
+    //  → 2 each ×3 words) + 1*2 + 1 = 9 ; (b,a) = 1*3 = 3
+    assert(m(0) == (("a", "b", 9L)))
+    // round 2 operates on merged syms: (ab,ab) count 3 from "abab"×3
+    assert(m(1) == (("ab", "ab", 3L)))
+    val segs = words.select(col("word"), Bpe.symbols(col("sym")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segs("abab") == Seq("abab"))
+    assert(segs("abc") == Seq("ab", "c"))
+    assert(segs("dab") == Seq("d", "ab"))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq("a b c a b").toDF("text") // all words single-char
+    val (merges, words) = Bpe.bpeTrain(docs, "text", numMerges = 5)
+    assert(merges.count() == 0)
+    assert(words.select(size(Bpe.symbols(col("sym")))).as[Int]
+      .collect().forall(_ == 1))
+  }
+}
