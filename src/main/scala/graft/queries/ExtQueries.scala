@@ -1332,6 +1332,38 @@ object ExtQueries {
           x -> x <> '')) AS token FROM w16)
       GROUP BY 1 ORDER BY n DESC, token LIMIT 40""")),
 
+    // The readout a tokenizer-induction run actually reports: corpus
+    // fertility (subword tokens per word) and compression (chars per
+    // subword token) under the 16 trained merges, straight off the final
+    // words table — one vocabulary-sized agg, no corpus re-encode.
+    QueryDef("ext_bpe_fertility", (s, dir) => {
+      val words = Bpe.bpeTrain(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._2
+      words.select(col("cnt"), length(col("word")).as("chars"),
+          size(Bpe.symbols(col("sym"))).as("toks"))
+        .agg(count(lit(1)).as("n_vocab_words"),
+          sum("cnt").as("n_corpus_words"),
+          sum(col("cnt") * col("toks")).as("n_corpus_tokens"),
+          round(sum(col("cnt") * col("toks")) / sum(col("cnt")) + lit(1e-9), 6)
+            .as("fertility"),
+          round(sum(col("cnt") * col("chars")) /
+            sum(col("cnt") * col("toks")) + lit(1e-9), 6)
+            .as("chars_per_token"))
+    },
+      Some(s"""WITH ${duckBpeRounds(16)},
+      wf AS (SELECT cnt, len(word) AS chars,
+          len(list_filter(string_split(sym, chr(31)), x -> x <> '')) AS toks
+        FROM w16)
+      SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+        CAST(sum(cnt) AS BIGINT) AS n_corpus_words,
+        CAST(sum(cnt * toks) AS BIGINT) AS n_corpus_tokens,
+        round(CAST(sum(cnt * toks) AS DOUBLE) / sum(cnt) + 1e-9, 6)
+          AS fertility,
+        round(CAST(sum(cnt * chars) AS DOUBLE) / sum(cnt * toks) + 1e-9, 6)
+          AS chars_per_token
+      FROM wf""")),
+
     // Sequence packing, strided layout: running-token-count binning into
     // 512-token context windows, packed WITHIN each language partition
     // (global concatenation order would serialize the corpus through one
