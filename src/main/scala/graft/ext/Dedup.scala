@@ -194,7 +194,28 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 threshold: Double, shingleK: Int = 3,
                                 numHashes: Int = 64,
-                                bands: Int = 32): DataFrame = {
+                                bands: Int = 32): DataFrame =
+    incrementalNearDupWithBatchIndex(batch, baseBands, baseShingles,
+      idCol, textCol, threshold, shingleK, numHashes, bands)._1
+
+  /**
+   * [[incrementalNearDupIndexed]] plus the batch's OWN index frames in
+   * the [[nearDupIndex]] schema — `(survivors, batchBands,
+   * batchShingles)`. The band/shingle frames are the very tables the
+   * dedup itself banded and verified with (persisted once inside this
+   * call), so an ingest step that must GROW the base index by the
+   * survivors can semi-join these on the survivor ids instead of
+   * re-tokenizing and re-minhashing the survivor text from scratch —
+   * the second full MinHash pass per micro-batch that
+   * `nearDupIndex(survivors, …)` would cost. Values are identical
+   * (MinHash is deterministic over the same text).
+   */
+  def incrementalNearDupWithBatchIndex(batch: DataFrame, baseBands: DataFrame,
+                                baseShingles: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double, shingleK: Int = 3,
+                                numHashes: Int = 64,
+                                bands: Int = 32): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // every batch-side shingle/signature/band table is computed ONCE
@@ -243,8 +264,12 @@ object Dedup {
       .join(shB.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    batch.join(dupVsBase, Seq(idCol), "left_anti")
+    val survivors = batch.join(dupVsBase, Seq(idCol), "left_anti")
       .join(selfDrops, Seq(idCol), "left_anti")
+    val batchBands = bandB.select(col("__batch_id").as(idCol),
+      col("__band").as("band"), col("__bh").as("band_hash"))
+    val batchShingles = shB.select(col(idCol), col("__sh").as("shingles"))
+    (survivors, batchBands, batchShingles)
   }
 
   /**
