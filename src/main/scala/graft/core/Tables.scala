@@ -32,19 +32,34 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * `events.ts` is physically INT64 TIMESTAMP(NANOS) — a type Spark's
-   * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). The sanctioned
-   * escape hatch is `spark.sql.legacy.parquet.nanosAsLong`, which surfaces
-   * the raw nanosecond count as LongType; we then truncate ns → µs with
-   * INTEGER division (`ts div 1000` — float division would lose precision:
-   * epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa) and rebuild a
-   * TimestampType column. DuckDB performs the same ns → µs truncation when
-   * it reads the file, so oracle comparisons see identical values.
+   * `events.ts` has shipped in two physical encodings across fixture
+   * generations: INT64 TIMESTAMP(NANOS) — a type Spark's parquet reader
+   * rejects outright (PARQUET_TYPE_ILLEGAL) — and plain TIMESTAMP(MICROS)
+   * without a UTC flag (surfaced as TIMESTAMP_NTZ). Normalize both to one
+   * logical contract: a TimestampType (session-TZ) column at microsecond
+   * precision.
+   *
+   *  - Nanos files: the sanctioned escape hatch is
+   *    `spark.sql.legacy.parquet.nanosAsLong`, which surfaces the raw
+   *    nanosecond count as LongType; truncate ns → µs with INTEGER
+   *    division (`ts div 1000` — float division would lose precision:
+   *    epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa) and
+   *    rebuild a TimestampType column. DuckDB performs the same ns → µs
+   *    truncation, so oracle comparisons see identical values.
+   *  - Micros/NTZ files: cast NTZ → TimestampType. The session timezone is
+   *    pinned to UTC (GraftSession), so the cast is value-preserving and
+   *    DuckDB (which reads the file as a naive timestamp) sees the same
+   *    instants.
    */
   private def eventsNanoFixed(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsFixed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", tsFixed)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

@@ -74,13 +74,17 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$stage/a_events.parquet"))
-    val maxNanos = graft.core.Tables.events(s, dir)
-      .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
+    val maxSec = graft.core.Tables.events(s, dir)
+      .agg(max(col("ts").cast("long"))).head().getLong(0)
+    // sentinel ts written as TIMESTAMP_NTZ so the staged directory's files
+    // (fixture copy + sentinel) agree on the physical ts type
+    val sentinelTs = java.time.LocalDateTime.ofEpochSecond(
+      maxSec + 86400L, 0, java.time.ZoneOffset.UTC)
     import s.implicits._
     val sentinelDir =
       java.nio.file.Files.createTempDirectory("graft_st_sent").toString
     types.zipWithIndex.map { case (tpe, i) =>
-      (-(i + 1).toLong, maxNanos + 86400L * 1000000000L, -1L, tpe, 0.0, "{}")
+      (-(i + 1).toLong, sentinelTs, -1L, tpe, 0.0, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
     val part = new java.io.File(sentinelDir).listFiles()

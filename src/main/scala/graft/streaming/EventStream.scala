@@ -23,10 +23,13 @@ import org.apache.spark.sql.types._
  */
 object EventStream {
 
-  /** Physical schema of the events feed (ts is INT64 nanos in the
-    * fixtures — surfaced as long, rebuilt into a timestamp below). */
+  /** Logical schema of the raw events feed as the current fixtures encode
+    * it: `ts` is TIMESTAMP(MICROS) without a UTC flag, which Spark
+    * surfaces as TIMESTAMP_NTZ. Stage-writers (tests, sentinel files) use
+    * this schema so every file in a staged directory agrees on the `ts`
+    * physical type. */
   val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -34,18 +37,31 @@ object EventStream {
     * `maxFilesPerTrigger <= 0` (default) puts every available file in one
     * micro-batch — the bulk-drain shape; a positive value throttles to
     * that many files per trigger (the live-feed shape, and what tests use
-    * to force multi-batch execution). */
+    * to force multi-batch execution).
+    *
+    * A streaming source needs its schema up front, but the fixtures have
+    * shipped `ts` as both INT64 nanos and TIMESTAMP(MICROS) across
+    * generations (see [[graft.core.Tables]]); one batch footer probe
+    * resolves the actual physical type, and the stream normalizes to the
+    * same TimestampType contract the batch loader provides. */
   def readEvents(spark: SparkSession, dir: String,
                  globFilter: String = "events.parquet",
                  maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.option("pathGlobFilter", globFilter)
+      .parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     val r = spark.readStream
-      .schema(rawSchema)
+      .schema(schema)
       .option("pathGlobFilter", globFilter)
     val r2 = if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
-    r2.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsFixed = tsType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(TimestampType)
+    }
+    r2.parquet(dir).withColumn("ts", tsFixed)
   }
 
   /**

@@ -71,11 +71,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // append mode withholds sessions until the watermark passes their
       // end — a far-future sentinel event flushes every real session
-      val maxNanos = graft.core.Tables.events(spark, sfDir)
-        .agg(max(col("ts").cast("long"))).head().getLong(0) * 1000000000L
+      val maxSec = graft.core.Tables.events(spark, sfDir)
+        .agg(max(col("ts").cast("long"))).head().getLong(0)
+      // NTZ ts so the sentinel file's physical type matches the fixture copy
+      val sentinelTs = java.time.LocalDateTime.ofEpochSecond(
+        maxSec + 86400L, 0, java.time.ZoneOffset.UTC)
       import spark.implicits._
       val stage = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
-      Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "click", 0.0, "{}"))
+      Seq((-1L, sentinelTs, -1L, "click", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
