@@ -170,13 +170,23 @@ object CorpusIngest {
           Seq(idCol), "left_anti")
       // EAGER lineage cut before the appends: the survivor plan reads
       // the very tables the appends mutate (same hazard documented at
-      // ext_dedup_index_growth), so materialize it to rows first
-      val surv = graft.ext.Dedup.incrementalNearDupIndexed(batchNew,
+      // ext_dedup_index_growth), so materialize it to rows first. The
+      // WithBatchIndex variant hands back the batch's own band/shingle
+      // frames — the very tables the dedup banded and verified with —
+      // so growing the index is a survivor-id semi-join over work
+      // already done, not a second full MinHash pass over the survivor
+      // text per trigger.
+      val (survPlan, batchBands, batchShingles) =
+        graft.ext.Dedup.incrementalNearDupWithBatchIndex(batchNew,
           spark.table(bandsT), spark.table(shinglesT), idCol, textCol,
           threshold, shingleK, numHashes, bands)
-        .localCheckpoint()
-      val (bN, sN) = graft.ext.Dedup.nearDupIndex(surv, idCol, textCol,
-        shingleK, numHashes, bands)
+      val surv = survPlan.localCheckpoint()
+      val survIds = surv.select(col(idCol))
+      // safe against cache eviction: these plans read only the batch
+      // source and the accepted-docs table, neither of which mutates
+      // before the docs write below
+      val bN = batchBands.join(survIds, Seq(idCol), "left_semi")
+      val sN = batchShingles.join(survIds, Seq(idCol), "left_semi")
       graft.core.Materialize.bucketAppend(spark, bandsT, bN,
         buckets = 8, bucketCols = Seq("band", "band_hash"))
       graft.core.Materialize.bucketAppend(spark, shinglesT, sN,
@@ -186,6 +196,12 @@ object CorpusIngest {
       surv.select(col(idCol)).withColumn("__last_batch", lit(batchId))
         .write.mode("append").saveAsTable(docsT)
       spark.catalog.refreshTable(docsT)
+      // everything this trigger computed is materialized; release the
+      // operator-internal persist barriers (shingle/band/verdict frames)
+      // or a continuous stream accretes ~4 cached frames per trigger.
+      // An ingest job owns its session's graft caches — the same
+      // contract the Verify/Bench harnesses use.
+      graft.core.CacheRegistry.releaseAll()
     }
     math.max(batchId, lastApplied)
   }

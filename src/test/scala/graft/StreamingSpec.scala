@@ -359,4 +359,25 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(10L, 31L), "30 drops vs the index; 31 joins")
     } finally dropAll()
   }
+
+  test("near-dup ingest releases its persist barriers per trigger (no cache accretion)") {
+    import spark.implicits._
+    val prefix = "graft_test_nd_leak"
+    def dropAll(): Unit = for (t <- Seq("_docs", "_bands", "_shingles"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    graft.core.CacheRegistry.releaseAll()
+    try {
+      for (i <- 0L until 3L) {
+        graft.streaming.CorpusIngest.applyNearDupBatch(
+          Seq((100L + i, s"document number $i with its own distinct words ${i * 7}"))
+            .toDF("doc_id", "text"), i, "doc_id", "text", prefix)
+        // a continuous stream must not accrete cached frames trigger
+        // over trigger — each applyNearDupBatch ends fully released
+        assert(graft.core.CacheRegistry.trackedCount == 0,
+          s"trigger $i leaked ${graft.core.CacheRegistry.trackedCount} cached frames")
+      }
+      assert(spark.table(prefix + "_docs").count() == 3)
+    } finally dropAll()
+  }
 }
