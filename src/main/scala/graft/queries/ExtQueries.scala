@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Bpe, Chunking, Corpus, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Bpe, Chunking, Classifier, Corpus, Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * LLM-training-data extension operators (BASELINE north star): text
@@ -119,6 +119,83 @@ object ExtQueries {
          |        ORDER BY ${duckCos(s"$src.e", "c.cv")} DESC, c.lbl) AS rn
          |  FROM $src CROSS JOIN ${p}c$iters c) WHERE rn = 1)""".stripMargin
     (seed +: steps :+ fin).mkString(",\n")
+  }
+
+  /** Seed lexicon for the classifier fixture: three tokens whose md5
+    * buckets are collision-free in the fixture vocabulary at B=64, so
+    * the learned weights are interpretable in the spec. */
+  private val ClassifierLexicon = Seq("stream", "window", "merge")
+
+  /**
+   * DuckDB twin of [[graft.ext.Classifier.perceptronTrain]] over the
+   * classifier fixture, unrolled (SQL has no loops). The entire replay
+   * is exact integer arithmetic — binary presence features, unit
+   * updates — so no rounding convention is needed anywhere: CTEs
+   * `qw{i}`/`qb{i}` are the weights/bias entering round i, `qzf` the
+   * final per-doc integer margin. Rounds after convergence select an
+   * empty misclassified set and become no-ops, matching the trainer's
+   * early stop wherever it lands. Sums are CAST AS BIGINT (DuckDB
+   * integer sums return HUGEINT, which the driver's pandas path would
+   * surface as float64).
+   */
+  private def duckPerceptron(rounds: Int, numBuckets: Int): String = {
+    val lex = ClassifierLexicon.map(t => s"'$t'").mkString("[", ",", "]")
+    val bucket =
+      s"""((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         | + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+         | % $numBuckets""".stripMargin
+    val head =
+      s"""qdocs AS MATERIALIZED (SELECT doc_id, $DuckToks AS toks FROM documents),
+         |qpos AS MATERIALIZED (SELECT doc_id, toks, CAST(1 AS BIGINT) AS y
+         |  FROM qdocs WHERE len(list_intersect(toks, $lex)) > 0),
+         |qcorp AS MATERIALIZED (SELECT * FROM qpos UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    list_filter(toks, x -> NOT list_contains($lex, x)) AS toks,
+         |    CAST(-1 AS BIGINT) AS y FROM qpos),
+         |qlab AS MATERIALIZED (SELECT doc_id, y FROM qcorp),
+         |qfb AS MATERIALIZED (SELECT DISTINCT doc_id, $bucket AS bucket
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM qcorp)),
+         |qw0 AS MATERIALIZED (SELECT CAST(unnest(range(0, $numBuckets)) AS BIGINT)
+         |    AS bucket, CAST(0 AS BIGINT) AS w),
+         |qb0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS bias)""".stripMargin
+    def z(i: Int, out: String) =
+      s"""$out AS MATERIALIZED (SELECT l.doc_id, l.y,
+         |  (SELECT bias FROM qb$i) + coalesce(CAST(sum(w.w) AS BIGINT), 0) AS z
+         |  FROM qlab l LEFT JOIN qfb fb ON fb.doc_id = l.doc_id
+         |  LEFT JOIN qw$i w ON w.bucket = fb.bucket GROUP BY 1, 2)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s"""${z(i, s"qz$i")},
+         |qg$i AS MATERIALIZED (SELECT fb.bucket, CAST(sum(z.y) AS BIGINT) AS dw
+         |  FROM qz$i z JOIN qfb fb USING (doc_id)
+         |  WHERE z.y * z.z <= 0 GROUP BY 1),
+         |qw${i + 1} AS MATERIALIZED (SELECT w.bucket, w.w + coalesce(g.dw, 0) AS w
+         |  FROM qw$i w LEFT JOIN qg$i g USING (bucket)),
+         |qb${i + 1} AS MATERIALIZED (SELECT (SELECT bias FROM qb$i) +
+         |  coalesce((SELECT CAST(sum(y) AS BIGINT) FROM qz$i
+         |            WHERE y * z <= 0), 0) AS bias)""".stripMargin
+    }
+    (head +: steps :+ z(rounds, "qzf")).mkString(",\n")
+  }
+
+  /** Spark twin of [[duckPerceptron]]'s labeled corpus: positives =
+    * fixture docs containing a lexicon token, negatives = the same docs
+    * with lexicon tokens stripped (+100000 ids), features = sorted
+    * md5-bucket presence at B=64, label ±1. */
+  private def classifierFixture(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val lex = typedLit(ClassifierLexicon)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.TextOps.tokens(lower(col("text"))).as("toks"))
+      .filter(arrays_overlap(col("toks"), lex))
+    val pos = docs.select(col("doc_id"), col("toks"), lit(1L).as("y"))
+    val neg = docs.select((col("doc_id") + 100000).as("doc_id"),
+      filter(col("toks"), t => !array_contains(lex, t)).as("toks"),
+      lit(-1L).as("y"))
+    pos.unionByName(neg)
+      .select(col("doc_id"),
+        Classifier.bucketsOf(col("toks"), numBuckets = 64).as("buckets"),
+        col("y"))
   }
 
   /** Shared (base, batch) fixture for the incremental near-dup family:
@@ -1302,6 +1379,35 @@ object ExtQueries {
           FROM b JOIN model USING (bucket) GROUP BY 1)
       SELECT doc_id, dsir_logweight FROM scored
       ORDER BY dsir_logweight DESC, doc_id LIMIT 100""")),
+
+    // Quality classifier, trained: hashed bag-of-words batch perceptron
+    // (the GPT-3/LLaMA-style linear quality filter). Positives = docs
+    // mentioning a seed lexicon; negatives = the SAME docs with the
+    // lexicon stripped — the curated-vs-raw construction real quality
+    // classifiers train on, and linearly separable by design, so the
+    // trainer provably converges. Everything is exact integer work;
+    // the oracle replays all 12 rounds unrolled with zero rounding.
+    QueryDef("ext_classifier_weights", (s, dir) => {
+      val model = Classifier.perceptronTrain(classifierFixture(s, dir),
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      model.weightsFrame(s)
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
+      SELECT bucket, w AS weight FROM qw12
+      UNION ALL SELECT CAST(-1 AS BIGINT) AS bucket, bias AS weight FROM qb12""")),
+
+    // The trained model applied back as a selection gate: integer margin
+    // per doc, keep score > 0. On this fixture the perceptron reaches
+    // zero training errors, so `selected` equals the true label — the
+    // spec asserts both that and the margin floor.
+    QueryDef("ext_classifier_select", (s, dir) => {
+      val feats = classifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(feats,
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      Classifier.score(feats, "buckets", model)
+        .select(col("doc_id"), col("y").as("label"), col("score"),
+          (col("score") > 0).as("selected"))
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
+      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
 
     // BPE tokenizer induction: 16 merge rounds over the English
     // vocabulary. The oracle unrolls the identical loop round by round

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Classifier
+
+/** Batch-perceptron quality classifier: convergence, interpretability,
+  * exactness, and the scan-only scoring plan shape. */
+class ClassifierSpec extends SparkSpec {
+
+  private val lex = Seq("stream", "window", "merge")
+
+  /** The registered fixture rebuilt locally: lexicon positives + their
+    * stripped twins, md5-bucket presence features at B=64. */
+  private def fixture() = {
+    val lexLit = typedLit(lex)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.ext.TextOps.tokens(lower(col("text"))).as("toks"))
+      .filter(arrays_overlap(col("toks"), lexLit))
+    val pos = docs.select(col("doc_id"), col("toks"), lit(1L).as("y"))
+    val neg = docs.select((col("doc_id") + 100000).as("doc_id"),
+      filter(col("toks"), t => !array_contains(lexLit, t)).as("toks"),
+      lit(-1L).as("y"))
+    pos.unionByName(neg)
+      .select(col("doc_id"), Classifier.bucketsOf(col("toks"), 64).as("buckets"),
+        col("y"))
+  }
+
+  test("perceptron converges to zero training errors on the separable fixture") {
+    val model = Classifier.perceptronTrain(fixture(), "buckets", "y",
+      numBuckets = 64, maxRounds = 12)
+    assert(model.errors == 0L, s"training ended with ${model.errors} errors")
+    assert(model.rounds < 12, s"needed all ${model.rounds} rounds — raise maxRounds")
+  }
+
+  test("the lexicon buckets dominate the learned weights") {
+    val model = Classifier.perceptronTrain(fixture(), "buckets", "y",
+      numBuckets = 64, maxRounds = 12)
+    val lexBuckets = lex.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      (d(0) & 0xff) % 64
+    }.toSet
+    val lexMin = lexBuckets.map(model.weights(_)).min
+    val otherMax = model.weights.indices
+      .filterNot(lexBuckets).map(b => math.abs(model.weights(b))).max
+    assert(lexMin > 100 * math.max(otherMax, 1L),
+      s"lexicon weight floor $lexMin vs non-lexicon ceiling $otherMax — " +
+        "the signal buckets must carry the model")
+  }
+
+  test("selection gate recovers the true labels exactly, with an integer margin") {
+    val feats = fixture()
+    val model = Classifier.perceptronTrain(feats, "buckets", "y",
+      numBuckets = 64, maxRounds = 12)
+    val scored = Classifier.score(feats, "buckets", model)
+      .select(col("y"), col("score"))
+    val bad = scored.filter((col("score") > 0) =!= (col("y") === 1L)).count()
+    assert(bad == 0L, s"$bad docs land on the wrong side of the gate")
+    val minMargin = scored.agg(min(col("y") * col("score"))).head().getLong(0)
+    assert(minMargin >= 1L, s"margins are integers; converged floor is >= 1, got $minMargin")
+  }
+
+  test("scoring is scan-only: no exchange, no window, no join") {
+    val model = Classifier.perceptronTrain(fixture(), "buckets", "y",
+      numBuckets = 64, maxRounds = 12)
+    val p = Classifier.score(fixture(), "buckets", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
+      "the weight vector rides the projection as a literal — the corpus never moves")
+  }
+
+  test("md5 token bucket matches the JVM digest byte-for-byte") {
+    import spark.implicits._
+    val toks = Seq("stream", "window", "merge", "hash", "a", "dup")
+    val got = toks.toDF("tok")
+      .select(Classifier.tokenBucket(col("tok"), 64).as("b"))
+      .as[Int].collect().toSeq
+    val want = toks.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (d(0) & 0xff) % 64
+    }
+    assert(got == want, s"$got vs $want")
+  }
+}
