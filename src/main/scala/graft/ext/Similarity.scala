@@ -640,6 +640,43 @@ object Similarity {
     av.join(drops, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Prototypicality pruning (Sorscher et al. NeurIPS'22, "Beyond neural
+   * scaling laws: beating power-law scaling via data pruning"): k-means
+   * the embedding space, score every vector by cosine to its OWN
+   * centroid, and drop the most prototypical `dropFrac` of each cluster
+   * — with abundant data, the easy (most-typical) examples carry the
+   * least marginal signal, so the keep-set is the hard tail. Returns
+   * every vector as (id, cluster, score, kept); exactly
+   * ceil(dropFrac × cluster size) rows per cluster are kept = false,
+   * highest score first, id-tiebroken — deterministic, so the oracle
+   * replays it with the same unrolled k-means the `ext_kmeans` row uses.
+   *
+   * Scale: assignment is scan-only (centroid literal); the per-cluster
+   * ranking is a window partitioned by cluster — k reducers, fine while
+   * a cluster's rows fit a partition (SemDeDup's operating point, and k
+   * is chosen to make cells small). Beyond that, swap the exact rank
+   * for a per-cluster score threshold from `approxQuantile` (one
+   * aggregation + a scan-side filter) — same contract, no total order
+   * per cluster.
+   */
+  def prototypePrune(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, dropFrac: Double,
+                     init: KmeansInit = KmeansInit.LowestId): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1, s"dropFrac=$dropFrac out of [0,1)")
+    val cents = kmeansFit(vectors, idCol, vecCol, k, iters, init)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    assignNearestScan(vectors, vecCol, cents)
+      .select(col(idCol), col("assigned_label").as("cluster"),
+        col("assign_score").as("score"))
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(desc("score"), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(byCluster))
+      .withColumn("kept", col("__rn") > ceil(col("__n") * lit(dropFrac)))
+      .drop("__rn", "__n")
+  }
+
   // ---- Product quantization (PQ-ADC) ------------------------------------
 
   /** Per-subspace rounded dot product of a vector slice against a chosen

@@ -2099,6 +2099,22 @@ object ExtQueries {
       SELECT af.vec_id, af.lbl AS cluster FROM af
       WHERE af.vec_id NOT IN (SELECT vec_id FROM drops)""")),
 
+    // Prototypicality pruning (Sorscher et al. NeurIPS'22): same k-means
+    // trajectory as ext_kmeans, then drop the 30% most-prototypical
+    // (closest-to-centroid) vectors of each cluster — the keep-set is
+    // the hard tail that beats power-law scaling when data is abundant.
+    QueryDef("ext_prototype_prune", (s, dir) =>
+      Similarity.prototypePrune(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 8, iters = 2, dropFrac = 0.3),
+      Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      ${duckKmeans(k = 8, iters = 2)},
+      r AS (SELECT vec_id, lbl AS cluster, s AS score,
+          row_number() OVER (PARTITION BY lbl ORDER BY s DESC, vec_id) AS rn,
+          count(*) OVER (PARTITION BY lbl) AS n FROM af)
+      SELECT vec_id, cluster, score, rn > ceil(n * 0.3) AS kept FROM r""")),
+
     // ---- Multimodal plumbing ------------------------------------------
 
     // Binary payload + typed metadata (decode stubbed; schema/plumbing real).

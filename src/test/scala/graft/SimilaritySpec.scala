@@ -412,4 +412,26 @@ class SimilaritySpec extends SparkSpec {
     assert(probes.collect().forall(p =>
       pruned.exists(_._1 == p.getLong(0))), "every probe gets candidates")
   }
+
+  test("prototypicality pruning drops exactly the most-typical fraction per cluster") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val pruned = Similarity.prototypePrune(vecs, "vec_id", "embedding",
+      k = 8, iters = 2, dropFrac = 0.3)
+    assert(pruned.count() == vecs.count(), "every vector gets a verdict")
+    val per = pruned.groupBy("cluster").agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped"),
+      avg(when(!col("kept"), col("score"))).as("drop_avg"),
+      avg(when(col("kept"), col("score"))).as("keep_avg")).collect()
+    per.foreach { r =>
+      val (n, dropped) = (r.getLong(1), r.getLong(2))
+      assert(dropped == math.ceil(n * 0.3).toLong,
+        s"cluster ${r.get(0)}: $dropped of $n dropped")
+      if (dropped > 0 && dropped < n)
+        assert(r.getDouble(3) >= r.getDouble(4),
+          "dropped rows are the MOST prototypical (highest centroid cosine)")
+    }
+  }
 }
