@@ -1470,6 +1470,47 @@ object ExtQueries {
           AS chars_per_token
       FROM wf""")),
 
+    // Applying the trained tokenizer to text it was NOT trained on — the
+    // deployment half of tokenizer induction: encode the held-out
+    // (non-English) vocabulary under the 16 English-trained merges, in
+    // rank order. On the Spark side the merge list is a 16-row driver
+    // collect and encoding is a fold of 16 non-overlapping replaces over
+    // the held-out word table — one projection, no joins, no shuffles
+    // beyond the vocab groupBy. The oracle replays training (m0..m15)
+    // then applies each merge to the held-out words the same way.
+    QueryDef("ext_bpe_encode", (s, dir) => {
+      val merges = Bpe.bpeTrain(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._1
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val held = Tables.documents(s, dir).filter(col("lang") =!= "en")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      held
+        .withColumn("toks", Bpe.encodeWord(col("word"), merges))
+        .select(col("word"), col("cnt"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          array_join(col("toks"), " ").as("segmented"))
+    }, Some(s"""WITH ${duckBpeRounds(16)},
+      hw0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+          regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym
+        FROM (SELECT unnest($DuckToks) AS word FROM documents
+              WHERE lang <> 'en')
+        GROUP BY 1),
+      ${(0 until 16).map(i =>
+        s"""hw${i + 1} AS MATERIALIZED (SELECT word, cnt,
+           CASE WHEN m.lhs IS NULL THEN sym
+             ELSE replace(sym,
+               chr(31) || m.lhs || chr(31) || chr(31) || m.rhs || chr(31),
+               chr(31) || m.lhs || m.rhs || chr(31)) END AS sym
+         FROM hw$i LEFT JOIN m$i m ON TRUE)""").mkString(",\n      ")},
+      henc AS (SELECT word, cnt,
+          list_filter(string_split(sym, chr(31)), x -> x <> '') AS toks
+        FROM hw16)
+      SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_tokens,
+        array_to_string(toks, ' ') AS segmented FROM henc""")),
+
     // Sequence packing, strided layout: running-token-count binning into
     // 512-token context windows, packed WITHIN each language partition
     // (global concatenation order would serialize the corpus through one

@@ -57,4 +57,25 @@ class BpeSpec extends SparkSpec {
     assert(words.select(size(Bpe.symbols(col("sym")))).as[Int]
       .collect().forall(_ == 1))
   }
+
+  test("encoding held-out text round-trips and actually compresses") {
+    // train on one slice, encode the disjoint slice — the deployment
+    // contract ext_bpe_encode registers
+    val train = Seq("abab abab cdcd", "abab cdcd cd").toDF("text")
+    val held = Seq("ababab cdab xyz").toDF("text")
+    val merges = Bpe.bpeTrain(train, "text", numMerges = 4)._1
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val enc = held
+      .select(explode(graft.ext.TextOps.tokens(lower(col("text")))).as("word"))
+      .withColumn("toks", Bpe.encodeWord(col("word"), merges))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // lossless: concatenating the subwords recovers every word
+    enc.foreach { case (w, toks) => assert(toks.mkString == w, s"$w -> $toks") }
+    // learned units transfer: 'ababab' segments under the (a,b)+(ab,ab)
+    // merges; unseen chars stay single symbols
+    assert(enc("ababab").length < "ababab".length)
+    assert(enc("xyz") == Seq("x", "y", "z"))
+  }
 }
