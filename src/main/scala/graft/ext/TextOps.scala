@@ -383,6 +383,40 @@ object TextOps {
   }
 
   /**
+   * Cross-document duplicate n-gram fraction — the corpus-level twin of
+   * [[repetitionSignals]]'s within-doc ratios, and the per-document
+   * overlap readout Dolma/RefinedWeb-style pipelines record before
+   * dedup decisions: for each doc, the fraction of its DISTINCT word
+   * n-grams that occur in at least `minDocs` documents corpus-wide
+   * (itself included, so `minDocs = 2` means "shared with at least one
+   * other doc"). Docs shorter than `n` tokens contribute their whole
+   * text as one gram, mirroring the near-dup shingler's fallback.
+   *
+   * Shape: one codegen scan builds per-doc distinct gram fingerprints
+   * (xxhash64 — the shuffle moves 8-byte keys, not strings, the same
+   * trick [[removeBoilerplate]] uses), one map-side-combined count
+   * shuffle, one equi-join back, one per-doc aggregate. Nothing is
+   * pairwise; corpus growth costs one more scan's worth of shuffle.
+   */
+  def crossDupNgramFraction(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, minDocs: Long = 2): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
+    val grams = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("__t"))
+      .select(col(idCol), explode(array_distinct(
+        when(size(col("__t")) < n, array(concat_ws(" ", col("__t"))))
+          .otherwise(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__t"), i, lit(n))))))).as("__gram"))
+      .select(col(idCol), xxhash64(col("__gram")).as("__fp"))
+    val dfreq = grams.groupBy("__fp").agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, Seq("__fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        round(avg(when(col("__df") >= minDocs, 1.0d).otherwise(0.0d))
+          + lit(1e-9), 6).as("dup_ngram_frac"))
+  }
+
+  /**
    * Gopher-style quality gate as a reusable frame transform (the same
    * bounds the curation chain applies inline; Rae et al. 2021 rule
    * family): keep docs whose word count, mean word length, and

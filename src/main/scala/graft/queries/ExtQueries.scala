@@ -981,6 +981,27 @@ object ExtQueries {
       LEFT JOIN top_bg USING (doc_id)
       LEFT JOIN cov USING (doc_id)""")),
 
+    // CROSS-document duplicate trigram fraction (corpus-level twin of
+    // the within-doc signals above): per doc, the share of its distinct
+    // trigrams that appear in >= 2 documents. Spark shuffles 8-byte
+    // xxhash64 fingerprints; the oracle counts the raw gram strings —
+    // identical absent a 64-bit collision, which the fixture doesn't
+    // have.
+    QueryDef("ext_cross_dup_ngrams", (s, dir) =>
+      TextOps.crossDupNgramFraction(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3),
+      Some(s"""WITH d AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+      g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) < 3
+          THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')) END) AS gram FROM d),
+      c AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        round(avg(CASE WHEN c.df >= 2 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+          AS dup_ngram_frac
+      FROM g JOIN c USING (gram) GROUP BY 1""")),
+
     // Near-dup: MinHash(64) + 16-band LSH candidates, exact-Jaccard
     // verified at >= 0.5. The oracle recomputes the thresholded pairs by
     // brute force over string shingles — the LSH path must find exactly

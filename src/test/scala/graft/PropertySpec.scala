@@ -231,4 +231,21 @@ class PropertySpec extends SparkSpec {
     assert(gated == passing,
       "the reusable gate and the registered rule query must agree doc for doc")
   }
+
+  test("crossDupNgramFraction: exact twins hit 1.0, unique docs 0.0, short docs fall back") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // trigrams shared with its twin only
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"),   // all trigrams unique corpus-wide
+      (4L, "hi"),                       // < n tokens: whole text is the gram
+      (5L, "hi"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.crossDupNgramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 1.0)) && out(2L) == ((2L, 1.0)), s"got $out")
+    assert(out(3L) == ((2L, 0.0)), s"got ${out(3L)}")
+    assert(out(4L) == ((1L, 1.0)) && out(5L) == ((1L, 1.0)),
+      "short docs share their whole-text fallback gram")
+  }
 }
