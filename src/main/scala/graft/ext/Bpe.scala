@@ -91,7 +91,8 @@ object Bpe {
    */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
                checkpoint: graft.core.CheckpointStrategy =
-                 graft.core.CheckpointStrategy.Local)
+                 graft.core.CheckpointStrategy.Local,
+               maxDriverVocab: Int = 100000)
       : (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges=$numMerges must be positive")
     val spark = docs.sparkSession
@@ -99,6 +100,15 @@ object Bpe {
       docs.select(explode(TextOps.tokens(lower(col(textCol)))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .withColumn("sym", delimit(col("word"))))
+    // The merge loop runs on the DISTINCT-WORD table, which is what
+    // single-node tokenizer trainers hold in RAM — so below a vocab
+    // bound, scheduling `numMerges` distributed rounds (2 jobs each)
+    // pays pure overhead. Same guarded escape as the components loop's
+    // driver union-find: identical output (asserted in BpeSpec), the
+    // distributed loop stays the ≥ vocab-bound path.
+    if (maxDriverVocab > 0 && words.count() <= maxDriverVocab)
+      return bpeTrainDriver(spark,
+        words.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -118,5 +128,69 @@ object Bpe {
     }
     import spark.implicits._
     (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), words)
+  }
+
+  /** UTF-8 byte order (Spark's UTF8String / DuckDB string comparison) —
+    * Java's String.compareTo orders UTF-16 code units, which diverges
+    * for supplementary characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side merge loop over a collected (word, cnt) vocabulary —
+    * byte-for-byte the distributed loop's semantics: same delimited
+    * symbolization (java.util.regex backs both `regexp_replace` and
+    * `replaceAll`), same all-adjacent-pair counting weighted by word
+    * count, same (count DESC, lhs, rhs) argmax in UTF-8 byte order,
+    * same non-overlapping left-to-right replace. */
+  private def bpeTrainDriver(spark: org.apache.spark.sql.SparkSession,
+                             vocab: Array[(String, Long)], numMerges: Int)
+      : (DataFrame, DataFrame) = {
+    var syms = vocab.map { case (w, c) =>
+      (w, c, w.replaceAll("(.)", Sep + "$1" + Sep))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (_, cnt, sym) =>
+        val parts = sym.split(Sep).filter(_.nonEmpty)
+        var i = 0
+        while (i < parts.length - 1) {
+          val k = (parts(i), parts(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ord = new Ordering[((String, String), Long)] {
+          def compare(a: ((String, String), Long), b: ((String, String), Long)): Int = {
+            if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+            else if (a._1._1 != b._1._1) { if (utf8Lt(a._1._1, b._1._1)) -1 else 1 }
+            else if (a._1._2 != b._1._2) { if (utf8Lt(a._1._2, b._1._2)) -1 else 1 }
+            else 0
+          }
+        }
+        val ((l, rr), c) = counts.min(ord)
+        merges += ((r + 1L, l, rr, c))
+        val from = Sep + l + Sep + Sep + rr + Sep
+        val to = Sep + l + rr + Sep
+        syms = syms.map { case (w, cnt, sym) => (w, cnt, sym.replace(from, to)) }
+      }
+      r += 1
+    }
+    import spark.implicits._
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"),
+      syms.toSeq.toDF("word", "cnt", "sym"))
   }
 }

@@ -677,6 +677,36 @@ object Similarity {
       .drop("__rn", "__n")
   }
 
+  /**
+   * The scale path [[prototypePrune]]'s scaladoc promises: instead of
+   * exactly ranking every cluster (a k-reducer window — a total order
+   * per cluster), cut each cluster at an approximate score quantile
+   * (`percentile_approx`, one map-side-combinable aggregation) and
+   * gate with a scan-side broadcast join against the k-row threshold
+   * table. No per-cluster total order anywhere, so cells of any size
+   * cost one pass. The boundary is approximate: rows whose score ties
+   * the estimated quantile can land on either side of the exact
+   * variant's cut — `SimilaritySpec` measures the agreement.
+   */
+  def prototypePruneApprox(vectors: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int, dropFrac: Double,
+                           accuracy: Int = 10000,
+                           init: KmeansInit = KmeansInit.LowestId): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1, s"dropFrac=$dropFrac out of [0,1)")
+    val cents = kmeansFit(vectors, idCol, vecCol, k, iters, init)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    val av = assignNearestScan(vectors, vecCol, cents)
+      .select(col(idCol), col("assigned_label").as("cluster"),
+        col("assign_score").as("score"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val thresholds = av.groupBy("cluster")
+      .agg(percentile_approx(col("score"), lit(1.0 - dropFrac), lit(accuracy))
+        .as("__thr"))
+    av.join(broadcast(thresholds), Seq("cluster"))
+      .withColumn("kept", col("score") < col("__thr"))
+      .drop("__thr")
+  }
+
   // ---- Product quantization (PQ-ADC) ------------------------------------
 
   /** Per-subspace rounded dot product of a vector slice against a chosen

@@ -35,7 +35,10 @@ class BpeSpec extends SparkSpec {
     // unambiguous at every round
     val docs = Seq(
       "abab abab abab", "abc abc", "dab").toDF("text")
-    val (merges, words) = Bpe.bpeTrain(docs, "text", numMerges = 2)
+    // maxDriverVocab = 0 forces the DISTRIBUTED loop — this test pins
+    // the cluster-path semantics; the escape is pinned against it below
+    val (merges, words) = Bpe.bpeTrain(docs, "text", numMerges = 2,
+      maxDriverVocab = 0)
     val m = merges.orderBy("merge_rank")
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
     // pair counts: (a,b) = 2*3(in abab, simultaneous pairs per word: a-b,a-b
@@ -50,12 +53,33 @@ class BpeSpec extends SparkSpec {
     assert(segs("dab") == Seq("d", "ab"))
   }
 
-  test("bpeTrain stops early when no pairs remain") {
+  test("bpeTrain stops early when no pairs remain (both paths)") {
     val docs = Seq("a b c a b").toDF("text") // all words single-char
-    val (merges, words) = Bpe.bpeTrain(docs, "text", numMerges = 5)
-    assert(merges.count() == 0)
-    assert(words.select(size(Bpe.symbols(col("sym")))).as[Int]
-      .collect().forall(_ == 1))
+    for (mdv <- Seq(0, 100000)) {
+      val (merges, words) = Bpe.bpeTrain(docs, "text", numMerges = 5,
+        maxDriverVocab = mdv)
+      assert(merges.count() == 0)
+      assert(words.select(size(Bpe.symbols(col("sym")))).as[Int]
+        .collect().forall(_ == 1))
+    }
+  }
+
+  test("driver-vocab escape is byte-identical to the distributed loop") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+    def snapshot(maxDriverVocab: Int) = {
+      val (m, w) = Bpe.bpeTrain(docs, "text", numMerges = 16,
+        maxDriverVocab = maxDriverVocab)
+      (m.orderBy("merge_rank").collect()
+         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+         .toSeq,
+       w.select("word", "cnt", "sym").collect()
+         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet)
+    }
+    val (mDist, wDist) = snapshot(maxDriverVocab = 0)
+    val (mDrv, wDrv) = snapshot(maxDriverVocab = 100000)
+    assert(mDrv == mDist, "merge trajectories diverge")
+    assert(wDrv == wDist, "final segmented vocabularies diverge")
   }
 
   test("encoding held-out text round-trips and actually compresses") {

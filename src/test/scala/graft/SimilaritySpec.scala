@@ -434,4 +434,26 @@ class SimilaritySpec extends SparkSpec {
           "dropped rows are the MOST prototypical (highest centroid cosine)")
     }
   }
+
+  test("approx-quantile pruning agrees with the exact rank away from the boundary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    def keeps(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    val exact = keeps(Similarity.prototypePrune(vecs, "vec_id", "embedding",
+      k = 8, iters = 2, dropFrac = 0.3))
+    val approx = keeps(Similarity.prototypePruneApprox(vecs, "vec_id", "embedding",
+      k = 8, iters = 2, dropFrac = 0.3))
+    val n = vecs.count().toDouble
+    val agree = 1.0 - (exact.diff(approx).size + approx.diff(exact).size) / n
+    assert(agree >= 0.9,
+      f"exact/approx keep-set agreement $agree%.3f — the cut may only wobble at quantile ties")
+    // and the plan has no per-cluster total order
+    val p = Similarity.prototypePruneApprox(vecs, "vec_id", "embedding",
+      k = 8, iters = 2, dropFrac = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "the scale path must not rank clusters")
+  }
 }
