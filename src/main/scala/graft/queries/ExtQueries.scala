@@ -138,7 +138,8 @@ object ExtQueries {
    * integer sums return HUGEINT, which the driver's pandas path would
    * surface as float64).
    */
-  private def duckPerceptron(rounds: Int, numBuckets: Int): String = {
+  private def duckPerceptron(rounds: Int, numBuckets: Int,
+                             trainWhere: String = "TRUE"): String = {
     val lex = ClassifierLexicon.map(t => s"'$t'").mkString("[", ",", "]")
     val bucket =
       s"""((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
@@ -155,18 +156,21 @@ object ExtQueries {
          |qlab AS MATERIALIZED (SELECT doc_id, y FROM qcorp),
          |qfb AS MATERIALIZED (SELECT DISTINCT doc_id, $bucket AS bucket
          |  FROM (SELECT doc_id, unnest(toks) AS tok FROM qcorp)),
+         |qtlab AS MATERIALIZED (SELECT * FROM qlab WHERE $trainWhere),
+         |qtfb AS MATERIALIZED (SELECT fb.* FROM qfb fb
+         |  JOIN qtlab t ON t.doc_id = fb.doc_id),
          |qw0 AS MATERIALIZED (SELECT CAST(unnest(range(0, $numBuckets)) AS BIGINT)
          |    AS bucket, CAST(0 AS BIGINT) AS w),
          |qb0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS bias)""".stripMargin
-    def z(i: Int, out: String) =
+    def z(i: Int, out: String, lab: String, fb: String) =
       s"""$out AS MATERIALIZED (SELECT l.doc_id, l.y,
          |  (SELECT bias FROM qb$i) + coalesce(CAST(sum(w.w) AS BIGINT), 0) AS z
-         |  FROM qlab l LEFT JOIN qfb fb ON fb.doc_id = l.doc_id
+         |  FROM $lab l LEFT JOIN $fb fb ON fb.doc_id = l.doc_id
          |  LEFT JOIN qw$i w ON w.bucket = fb.bucket GROUP BY 1, 2)""".stripMargin
     val steps = (0 until rounds).map { i =>
-      s"""${z(i, s"qz$i")},
+      s"""${z(i, s"qz$i", "qtlab", "qtfb")},
          |qg$i AS MATERIALIZED (SELECT fb.bucket, CAST(sum(z.y) AS BIGINT) AS dw
-         |  FROM qz$i z JOIN qfb fb USING (doc_id)
+         |  FROM qz$i z JOIN qtfb fb USING (doc_id)
          |  WHERE z.y * z.z <= 0 GROUP BY 1),
          |qw${i + 1} AS MATERIALIZED (SELECT w.bucket, w.w + coalesce(g.dw, 0) AS w
          |  FROM qw$i w LEFT JOIN qg$i g USING (bucket)),
@@ -174,7 +178,7 @@ object ExtQueries {
          |  coalesce((SELECT CAST(sum(y) AS BIGINT) FROM qz$i
          |            WHERE y * z <= 0), 0) AS bias)""".stripMargin
     }
-    (head +: steps :+ z(rounds, "qzf")).mkString(",\n")
+    (head +: steps :+ z(rounds, "qzf", "qlab", "qfb")).mkString(",\n")
   }
 
   /** Spark twin of [[duckPerceptron]]'s labeled corpus: positives =
@@ -1429,6 +1433,25 @@ object ExtQueries {
           (col("score") > 0).as("selected"))
     }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
       SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
+
+    // The train/test discipline a deployed filter needs: train on the
+    // even-id half of the labeled pairs only (a twin shares its
+    // original's parity — +100000 preserves it), then score the
+    // UNSEEN odd half. The learned lexicon weights transfer, so the
+    // held-out gate still recovers the labels — generalization, not
+    // memorization, and the oracle replays both halves.
+    QueryDef("ext_classifier_holdout", (s, dir) => {
+      val feats = classifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(
+        feats.filter(col("doc_id") % 2 === 0),
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      Classifier.score(feats.filter(col("doc_id") % 2 === 1), "buckets", model)
+        .select(col("doc_id"), col("y").as("label"), col("score"),
+          (col("score") > 0).as("selected"))
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64,
+        trainWhere = "doc_id % 2 = 0")}
+      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf
+      WHERE doc_id % 2 = 1""")),
 
     // BPE tokenizer induction: 16 merge rounds over the English
     // vocabulary. The oracle unrolls the identical loop round by round
