@@ -152,6 +152,50 @@ object ScaleProbe {
       dropAll()
       spark.catalog.clearCache()
     }
+    // ---- perceptron training: per-round cost vs corpus size ------------
+    // the claim under test: each round is one scan against the literal
+    // weight vector plus a <= B+1-row update aggregation, so training
+    // wall time grows linearly with the corpus at a FIXED round count.
+    // The label here is id parity — deliberately non-separable, so the
+    // trainer never early-stops and every step times exactly 12 rounds
+    // of full-corpus work (convergence quality is the spec's job; this
+    // probe measures the round cost slope).
+    for (m <- multSteps if section("classifier")) {
+      val docs = amplifyDocs(docs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = docs.count()
+      val feats = graft.ext.Classifier
+        .hashedFeatures(docs, "doc_id", "text", numBuckets = 64)
+        .withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+      val (model, tTrain) = timed {
+        graft.ext.Classifier.perceptronTrain(feats, "buckets", "y",
+          numBuckets = 64, maxRounds = 12)
+      }
+      println(f"[scaleprobe] classifier m=$m docs=$n rounds=${model.rounds} " +
+        f"time=$tTrain%.2fs perRound=${tTrain / math.max(model.rounds, 1)}%.3fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    // ---- cross-doc dup n-grams: linearity under amplification ----------
+    // the claim under test: one count shuffle + one equi-join on gram
+    // fingerprints — no pairwise term, so amplified copies (disjoint
+    // gram alphabets) cost linear time and linear distinct-gram growth.
+    for (m <- multSteps if section("ngrams")) {
+      val docs = amplifyDocs(docs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = docs.count()
+      val (out, tFrac) = timed {
+        val f = graft.ext.TextOps.crossDupNgramFraction(docs, "doc_id", "text",
+            n = 3)
+          .transform(graft.core.CacheRegistry.persistTracked)
+        f.count(); f
+      }
+      val grams = out.agg(sum("n_grams")).head().getLong(0)
+      println(f"[scaleprobe] ngrams m=$m docs=$n grams=$grams time=$tFrac%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
