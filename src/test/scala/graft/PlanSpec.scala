@@ -351,4 +351,12 @@ class PlanSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, table)
     }
   }
+
+  test("cross-doc dup n-grams: fingerprint aggs + equi-join, nothing pairwise") {
+    val p = plan("ext_cross_dup_ngrams")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"gram counting must never pair documents, got:\n$p")
+    assert(p.contains("HashAggregate"),
+      "gram df-counts and per-doc fractions are hash aggregations")
+  }
 }
