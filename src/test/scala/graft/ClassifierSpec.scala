@@ -69,6 +69,27 @@ class ClassifierSpec extends SparkSpec {
       "the weight vector rides the projection as a literal — the corpus never moves")
   }
 
+  test("perceptron converges on arbitrary wide-margin separable data (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val B = 32
+    // hidden model with a comfortable margin; labels derived from it,
+    // so the data is separable by construction and Novikoff bounds the
+    // round count
+    val hidden = Array.fill(B)(rnd.nextInt(7) - 3)
+    val rows = (0 until 300).map { i =>
+      val buckets = (0 until B).filter(_ => rnd.nextDouble() < 0.25).toArray
+      val z = buckets.map(hidden(_)).sum
+      (i.toLong, buckets.toSeq, if (z >= 2) 1L else if (z <= -2) -1L else 0L)
+    }.filter(_._3 != 0L) // keep only wide-margin rows
+    assert(rows.size > 100, "fixture generator must keep a real corpus")
+    val feats = rows.toDF("doc_id", "buckets", "y")
+    val model = Classifier.perceptronTrain(feats, "buckets", "y",
+      numBuckets = B, maxRounds = 500)
+    assert(model.errors == 0L,
+      s"separable data must converge; ${model.errors} errors after ${model.rounds} rounds")
+  }
+
   test("md5 token bucket matches the JVM digest byte-for-byte") {
     import spark.implicits._
     val toks = Seq("stream", "window", "merge", "hash", "a", "dup")
