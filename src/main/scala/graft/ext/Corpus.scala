@@ -83,6 +83,39 @@ object Corpus {
   }
 
   /**
+   * Token-budget sampling per source — the "N tokens from each source"
+   * mixture knob (how LLaMA-style data recipes are actually specified,
+   * in tokens, where [[capPerGroup]] caps document COUNTS and
+   * [[mixture]] gates by RATE): documents are taken in the
+   * deterministic md5-cell order (the same RNG-free order every
+   * sampler here uses) until the source's cumulative token count
+   * first reaches its budget. The doc that crosses the line is kept —
+   * budgets are floors, truncation to exact token counts belongs to
+   * sequence packing downstream. Sources without a budget entry pass
+   * through whole.
+   *
+   * Scale: one window partitioned by source — the [[capPerGroup]]
+   * shape, reducers = sources. A source too hot for one reducer is the
+   * signal to split its budget across sub-shards (hash-salt the
+   * partition key, budget/k each), which composes with this operator
+   * unchanged.
+   */
+  def tokenBudgetSample(df: DataFrame, sourceCol: String, idCol: String,
+                        tokensCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    val ord = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val budgetCol = element_at(
+      typedLit(budgets), col(sourceCol).cast("string"))
+    df.withColumn("__cum",
+        sum(col(tokensCol)).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__budget", budgetCol)
+      .filter(col("__budget").isNull ||
+        (col("__cum") - col(tokensCol)) < col("__budget"))
+      .drop("__cum", "__budget")
+  }
+
+  /**
    * TRUE greedy (next-fit) sequence packing: documents are visited in
    * (partition, order) sequence; a document that does not fit in the
    * current bin starts a new one, so `bin_offset + size <= binSize` is an

@@ -1359,6 +1359,28 @@ object ExtQueries {
         FROM documents)
       SELECT doc_id, source, n_chars FROM t WHERE rn <= 50""")),
 
+    // Token-budget mixture (the LLaMA-recipe knob: budgets in TOKENS,
+    // not docs or rates): src0 capped at 2000 tokens, src1 at 3000,
+    // everything else passes whole. Docs are taken in the md5-cell
+    // order every RNG-free sampler here uses; the doc crossing the
+    // budget line is kept (budgets are floors — exact truncation is
+    // sequence packing's job downstream).
+    QueryDef("ext_token_budget_mix", (s, dir) =>
+      Corpus.tokenBudgetSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens",
+        budgets = Map("src0" -> 2000L, "src1" -> 3000L)),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+          CAST(len($DuckToksRaw) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT doc_id, source, n_tokens FROM c
+      WHERE CASE source WHEN 'src0' THEN (cum - n_tokens) < 2000
+                        WHEN 'src1' THEN (cum - n_tokens) < 3000
+                        ELSE TRUE END""")),
+
     // DSIR importance log-weights (hashed-unigram likelihood ratio vs the
     // English subset as the target distribution): the md5-prefix bucket
     // is a builtin on both engines, so model build + scoring replay

@@ -165,4 +165,45 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(mixed.filter(_._2 == "b").map(_._1).toSet == expectedB)
   }
+
+  test("tokenBudgetSample: budgets are floors crossed by exactly one doc; " +
+    "unbudgeted sources pass whole") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // small enough that the crossing branch actually runs on the spec
+    // fixture (src totals there are ~1.5k tokens)
+    val budgets = Map("src0" -> 500L, "src1" -> 700L)
+    val kept = Corpus.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
+      budgets)
+    val per = kept.groupBy("source")
+      .agg(sum("n_tokens").as("toks"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = docs.groupBy("source")
+      .agg(sum("n_tokens").as("toks"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((src, budget) <- budgets) {
+      val (toks, _) = per(src)
+      if (full(src)._1 < budget)
+        // a source smaller than its budget passes whole
+        assert(per(src) == full(src), s"$src under budget must pass whole")
+      else {
+        assert(toks >= budget, s"$src kept $toks < budget $budget (floor)")
+        // every kept doc started strictly under the line, so removing
+        // the largest kept doc must dip back below the budget
+        val maxLast = kept.filter(col("source") === src)
+          .agg(max("n_tokens")).head().getLong(0)
+        assert(toks - maxLast < budget,
+          s"$src over-collected: $toks tokens for budget $budget")
+      }
+    }
+    for ((src, (toks, n)) <- full if !budgets.contains(src))
+      assert(per(src) == ((toks, n)), s"unbudgeted $src must pass whole")
+    // deterministic: re-running selects the identical id set
+    val ids1 = kept.select("doc_id").as[Long].collect().toSet
+    val ids2 = Corpus.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
+      budgets).select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
 }
