@@ -59,8 +59,9 @@ object ScaleProbe {
 
     val multSteps =
       Seq(1, mult / 4, mult / 2, mult).filter(_ >= 1).distinct.sorted
-    // SPARK_GRAFT_PROBE=knn|incnear|ingest runs one section (the exact
-    // kNN section is O(n²) by design — at sf0.1 m=8 it alone is ~90 s)
+    // SPARK_GRAFT_PROBE=knn|incnear|ingest|classifier|ngrams runs one
+    // section (the exact kNN section is O(n²) by design — at sf0.1 m=8
+    // it alone is ~90 s)
     val only = sys.env.get("SPARK_GRAFT_PROBE")
     def section(name: String): Boolean = only.forall(_ == name)
 

@@ -58,4 +58,34 @@ object CacheRegistry {
 
   /** Number of currently-tracked cached frames (for tests/diagnostics). */
   def trackedCount: Int = frames.size()
+
+  /**
+   * Run `body` and release ONLY the frames/broadcasts it registered —
+   * entries tracked before the call survive untouched. This is what a
+   * library function that fully materializes its own work (e.g. a
+   * streaming trigger) must use: a bare [[releaseAll]] inside a library
+   * call would destroy caller-owned broadcasts mid-plan, which
+   * hard-fails late tasks (caches merely recompute; destroyed
+   * broadcasts throw).
+   */
+  def scoped[T](body: => T): T = {
+    val priorFrames = new java.util.IdentityHashMap[Dataset[_], Unit]()
+    frames.forEach(d => priorFrames.put(d, ()))
+    val priorBc =
+      new java.util.IdentityHashMap[org.apache.spark.broadcast.Broadcast[_], Unit]()
+    broadcasts.forEach(b => priorBc.put(b, ()))
+    try body
+    finally {
+      val fIt = frames.iterator()
+      while (fIt.hasNext) {
+        val d = fIt.next()
+        if (!priorFrames.containsKey(d)) { d.unpersist(blocking = false); fIt.remove() }
+      }
+      val bIt = broadcasts.iterator()
+      while (bIt.hasNext) {
+        val b = bIt.next()
+        if (!priorBc.containsKey(b)) { b.destroy(); bIt.remove() }
+      }
+    }
+  }
 }

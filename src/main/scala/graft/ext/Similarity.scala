@@ -684,9 +684,14 @@ object Similarity {
    * (`percentile_approx`, one map-side-combinable aggregation) and
    * gate with a scan-side broadcast join against the k-row threshold
    * table. No per-cluster total order anywhere, so cells of any size
-   * cost one pass. The boundary is approximate: rows whose score ties
-   * the estimated quantile can land on either side of the exact
-   * variant's cut — `SimilaritySpec` measures the agreement.
+   * cost one pass. The boundary is approximate AND tie-keeping: rows
+   * whose score EQUALS the estimated quantile are kept, so a tie-heavy
+   * cluster — the all-duplicates case, where every rounded cosine is
+   * identical — prunes nothing rather than everything (a strict `<`
+   * would empty it outright). Under-pruning at the boundary is
+   * recoverable downstream; an emptied cluster is data loss.
+   * `SimilaritySpec` measures agreement with the exact rank and pins
+   * the tied-cluster behavior.
    */
   def prototypePruneApprox(vectors: DataFrame, idCol: String, vecCol: String,
                            k: Int, iters: Int, dropFrac: Double,
@@ -703,7 +708,7 @@ object Similarity {
       .agg(percentile_approx(col("score"), lit(1.0 - dropFrac), lit(accuracy))
         .as("__thr"))
     av.join(broadcast(thresholds), Seq("cluster"))
-      .withColumn("kept", col("score") < col("__thr"))
+      .withColumn("kept", col("score") <= col("__thr"))
       .drop("__thr")
   }
 

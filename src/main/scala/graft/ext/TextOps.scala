@@ -401,13 +401,16 @@ object TextOps {
   def crossDupNgramFraction(df: DataFrame, idCol: String, textCol: String,
                             n: Int, minDocs: Long = 2): DataFrame = {
     require(n >= 1, s"n=$n must be positive")
-    val grams = df
+    // persist barrier: the fingerprint frame feeds BOTH the df-count
+    // aggregation and the join's probe side — without it the
+    // tokenize/explode/hash scan of the whole corpus runs twice
+    val grams = graft.core.CacheRegistry.persistTracked(df
       .select(col(idCol), tokens(lower(col(textCol))).as("__t"))
       .select(col(idCol), explode(array_distinct(
         when(size(col("__t")) < n, array(concat_ws(" ", col("__t"))))
           .otherwise(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
             i => concat_ws(" ", slice(col("__t"), i, lit(n))))))).as("__gram"))
-      .select(col(idCol), xxhash64(col("__gram")).as("__fp"))
+      .select(col(idCol), xxhash64(col("__gram")).as("__fp")))
     val dfreq = grams.groupBy("__fp").agg(count(lit(1)).as("__df"))
     grams.join(dfreq, Seq("__fp"))
       .groupBy(col(idCol))

@@ -404,7 +404,10 @@ object StreamingQueries {
       graft.core.Materialize.dropWithLocation(s, table)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stage = java.nio.file.Files.createTempDirectory("graft_st_ups").toString
-      s.read.schema(EventStream.rawSchema).parquet(s"$dir/events.parquet")
+      // plain read (no imposed schema): works against either fixture
+      // ts encoding; the staged files inherit it and readEvents' probe
+      // picks the matching conversion
+      s.read.parquet(s"$dir/events.parquet")
         .repartition(4).write.mode("overwrite").parquet(stage)
       val q = EventStream.upsertUserStats(
         EventStream.readEvents(s, stage, globFilter = "*.parquet",

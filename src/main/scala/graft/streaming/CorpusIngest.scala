@@ -151,7 +151,15 @@ object CorpusIngest {
     val bandsT = s"${prefix}_bands"
     val shinglesT = s"${prefix}_shingles"
     val lastApplied = knownLast.getOrElse(lastAppliedIn(spark, docsT))
-    if (batchId > lastApplied) {
+    // SCOPED release: everything this trigger computes is materialized
+    // by the end of the block, so the operator-internal persist
+    // barriers (shingle/band/verdict frames) are released — without a
+    // release a continuous stream accretes ~4 cached frames per
+    // trigger. Scoped, not releaseAll(): a library call must not
+    // destroy caller-owned tracked caches/broadcasts registered before
+    // it ran (a destroyed broadcast hard-fails the caller's later
+    // actions; see CacheRegistry.scoped).
+    if (batchId > lastApplied) graft.core.CacheRegistry.scoped {
       if (!spark.catalog.tableExists(bandsT)) {
         // first batch: seed EMPTY index tables with the right schema so
         // every batch takes the same dedup-then-append path
@@ -196,12 +204,6 @@ object CorpusIngest {
       surv.select(col(idCol)).withColumn("__last_batch", lit(batchId))
         .write.mode("append").saveAsTable(docsT)
       spark.catalog.refreshTable(docsT)
-      // everything this trigger computed is materialized; release the
-      // operator-internal persist barriers (shingle/band/verdict frames)
-      // or a continuous stream accretes ~4 cached frames per trigger.
-      // An ingest job owns its session's graft caches — the same
-      // contract the Verify/Bench harnesses use.
-      graft.core.CacheRegistry.releaseAll()
     }
     math.max(batchId, lastApplied)
   }

@@ -48,8 +48,19 @@ object EventStream {
                  globFilter: String = "events.parquet",
                  maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.option("pathGlobFilter", globFilter)
-      .parquet(dir).schema("ts").dataType
+    // An empty landing directory (live-feed start before the first file
+    // arrives) has nothing to probe — fall back to the current fixture
+    // generation's encoding (rawSchema, NTZ). The probe pins ts's
+    // physical type from the first listing; a directory must not mix
+    // encodings across its lifetime (stage-writers use rawSchema for
+    // exactly this reason).
+    val tsType = try {
+      spark.read.option("pathGlobFilter", globFilter)
+        .parquet(dir).schema("ts").dataType
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        rawSchema("ts").dataType
+    }
     val schema = StructType(rawSchema.fields.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val r = spark.readStream

@@ -456,4 +456,21 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), "the scale path must not rank clusters")
   }
+
+  test("approx pruning keeps quantile ties: an all-duplicate cluster is never emptied") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two well-separated directions; every vector within a cluster is
+    // IDENTICAL, so every assign_score ties at the cluster's quantile
+    val e1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val e2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val vecs = ((0L until 20L).map(i => (i, e1)) ++
+      (100L until 120L).map(i => (i, e2))).toDF("vec_id", "e")
+    val out = Similarity.prototypePruneApprox(vecs, "vec_id", "e",
+      k = 2, iters = 1, dropFrac = 0.3)
+    val dropped = out.filter(!col("kept")).count()
+    assert(dropped == 0L,
+      s"tie-keeping boundary must not empty duplicate clusters (dropped $dropped of 40)")
+    assert(out.count() == 40L)
+  }
 }

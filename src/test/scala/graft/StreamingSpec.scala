@@ -126,8 +126,7 @@ class StreamingSpec extends SparkSpec {
     graft.core.Materialize.dropWithLocation(spark, table)
     val stage = java.nio.file.Files.createTempDirectory("graft_resume_stage").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ckpt").toString
-    val src = spark.read.schema(EventStream.rawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
     // first half of the feed arrives, is drained, and the query STOPS
     src.filter(col("event_id") % 2 === 0)
       .write.mode("overwrite").parquet(stage)
@@ -379,5 +378,34 @@ class StreamingSpec extends SparkSpec {
       }
       assert(spark.table(prefix + "_docs").count() == 3)
     } finally dropAll()
+  }
+
+  test("a trigger's scoped release leaves caller-owned tracked state intact") {
+    import spark.implicits._
+    val prefix = "graft_test_nd_scope"
+    def dropAll(): Unit = for (t <- Seq("_docs", "_bands", "_shingles"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    graft.core.CacheRegistry.releaseAll()
+    try {
+      // caller-owned tracked cache AND broadcast, registered BEFORE the
+      // library call — a releaseAll() inside the trigger would destroy
+      // the broadcast and hard-fail the later lookup
+      val mine = graft.core.CacheRegistry.persistTracked(
+        Seq((1L, "caller")).toDF("id", "tag"))
+      mine.count()
+      val bc = graft.core.CacheRegistry.broadcastTracked(
+        spark.sparkContext.broadcast(Set(42L)))
+      graft.streaming.CorpusIngest.applyNearDupBatch(
+        Seq((7L, "a perfectly ordinary document")).toDF("doc_id", "text"),
+        0L, "doc_id", "text", prefix)
+      assert(graft.core.CacheRegistry.trackedCount == 1,
+        "the trigger must release only its own frames")
+      assert(mine.count() == 1L)
+      assert(bc.value == Set(42L), "caller broadcast must survive the trigger")
+    } finally {
+      graft.core.CacheRegistry.releaseAll()
+      dropAll()
+    }
   }
 }
