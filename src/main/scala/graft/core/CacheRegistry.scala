@@ -22,10 +22,25 @@ object CacheRegistry {
   private val broadcasts =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
 
+  /** Per-scope registration list: entries a [[scoped]] body registered
+    * from its own thread. Ownership is thread-local so two concurrent
+    * scopes (e.g. two streaming queries in one session) can never
+    * release each other's in-flight caches/broadcasts. */
+  private final class Scope {
+    val frames = new java.util.ArrayList[Dataset[_]]()
+    val bcs = new java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]()
+  }
+  private val activeScopes = new ThreadLocal[java.util.ArrayDeque[Scope]] {
+    override def initialValue(): java.util.ArrayDeque[Scope] =
+      new java.util.ArrayDeque[Scope]()
+  }
+
   /** Persist `ds` and register it for a later [[releaseAll]]. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist()
     frames.add(ds)
+    val s = activeScopes.get().peek()
+    if (s != null) s.frames.add(ds)
     ds
   }
 
@@ -36,6 +51,8 @@ object CacheRegistry {
   def broadcastTracked[T](b: org.apache.spark.broadcast.Broadcast[T])
       : org.apache.spark.broadcast.Broadcast[T] = {
     broadcasts.add(b)
+    val s = activeScopes.get().peek()
+    if (s != null) s.bcs.add(b)
     b
   }
 
@@ -61,30 +78,30 @@ object CacheRegistry {
 
   /**
    * Run `body` and release ONLY the frames/broadcasts it registered —
-   * entries tracked before the call survive untouched. This is what a
-   * library function that fully materializes its own work (e.g. a
-   * streaming trigger) must use: a bare [[releaseAll]] inside a library
-   * call would destroy caller-owned broadcasts mid-plan, which
-   * hard-fails late tasks (caches merely recompute; destroyed
-   * broadcasts throw).
+   * entries tracked before the call, and entries registered concurrently
+   * by OTHER threads (e.g. a second streaming query in the same
+   * session), survive untouched. Ownership is a thread-local
+   * registration list opened for the duration of the body, so one
+   * trigger's scope exit can never destroy another caller's in-flight
+   * broadcast mid-plan (caches merely recompute; destroyed broadcasts
+   * hard-fail late tasks). Registrations the body makes from threads it
+   * spawns itself are not scope-owned and fall through to [[releaseAll]].
+   * Nested scopes register into the innermost scope only.
    */
   def scoped[T](body: => T): T = {
-    val priorFrames = new java.util.IdentityHashMap[Dataset[_], Unit]()
-    frames.forEach(d => priorFrames.put(d, ()))
-    val priorBc =
-      new java.util.IdentityHashMap[org.apache.spark.broadcast.Broadcast[_], Unit]()
-    broadcasts.forEach(b => priorBc.put(b, ()))
+    val scope = new Scope
+    val stack = activeScopes.get()
+    stack.push(scope)
     try body
     finally {
-      val fIt = frames.iterator()
-      while (fIt.hasNext) {
-        val d = fIt.next()
-        if (!priorFrames.containsKey(d)) { d.unpersist(blocking = false); fIt.remove() }
+      stack.pop()
+      scope.frames.forEach { d =>
+        d.unpersist(blocking = false)
+        frames.remove(d)
       }
-      val bIt = broadcasts.iterator()
-      while (bIt.hasNext) {
-        val b = bIt.next()
-        if (!priorBc.containsKey(b)) { b.destroy(); bIt.remove() }
+      scope.bcs.forEach { b =>
+        b.destroy()
+        broadcasts.remove(b)
       }
     }
   }

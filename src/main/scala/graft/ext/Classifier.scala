@@ -68,11 +68,14 @@ object Classifier {
   }
 
   /** Margin of one feature row against a literal model: bias + Σ w[b]
-    * over the row's buckets — scan-only, no join. */
+    * over the row's buckets — scan-only, no join. A null buckets array
+    * (null/absent-token doc) scores as bias-only, matching what a SQL
+    * engine computes for an empty feature set — without the coalesce
+    * such rows would score NULL and silently drop out of training. */
   def marginCol(bucketsCol: Column, weights: Array[Long], bias: Long): Column = {
     val wLit = typedLit(weights.toSeq)
-    lit(bias) + aggregate(bucketsCol, lit(0L),
-      (acc, b) => acc + element_at(wLit, b + 1))
+    lit(bias) + aggregate(coalesce(bucketsCol, typedLit(Seq.empty[Int])),
+      lit(0L), (acc, b) => acc + element_at(wLit, b + 1))
   }
 
   /**
@@ -84,36 +87,46 @@ object Classifier {
    * are independent of where the early-stop lands.
    */
   def perceptronTrain(feats: DataFrame, bucketsCol: String, labelCol: String,
-                      numBuckets: Int, maxRounds: Int): PerceptronModel = {
-    require(maxRounds >= 1, s"maxRounds=$maxRounds must be positive")
-    val f = graft.core.CacheRegistry.persistTracked(
-      feats.select(col(bucketsCol).as("__b"), col(labelCol).cast("long").as("__y")))
-    val weights = Array.fill(numBuckets)(0L)
-    var bias = 0L
-    var rounds = 0
-    var errors = -1L
-    while (rounds < maxRounds && errors != 0L) {
-      // bias rides along as pseudo-bucket -1, so one aggregation yields
-      // every per-bucket delta AND the misclassified count
-      val upd = f
-        .withColumn("__z", marginCol(col("__b"), weights, bias))
-        .filter(col("__y") * col("__z") <= 0)
-        .select(explode(concat(col("__b"), array(lit(-1)))).as("bucket"),
-          col("__y"))
-        .groupBy("bucket")
-        .agg(sum("__y").as("dw"), count(lit(1)).as("touched"))
-        .collect()
-      errors = upd.find(_.getInt(0) == -1).map(_.getLong(2)).getOrElse(0L)
-      if (errors != 0L) {
-        upd.foreach { r =>
-          val b = r.getInt(0)
-          if (b == -1) bias += r.getLong(1) else weights(b) += r.getLong(1)
+                      numBuckets: Int, maxRounds: Int): PerceptronModel =
+    graft.core.CacheRegistry.scoped {
+      require(maxRounds >= 1, s"maxRounds=$maxRounds must be positive")
+      // Normalize the public-API buckets column up front: cast to
+      // array<int> (a caller passing array<bigint> — natural from SQL —
+      // would otherwise ClassCastException at getInt below) and coalesce
+      // null feature sets to empty so null-text docs train as bias-only
+      // rows on both engines. The returned model holds only driver
+      // arrays, so nothing escaping the scope depends on the cache.
+      val f = graft.core.CacheRegistry.persistTracked(
+        feats.select(
+          coalesce(col(bucketsCol).cast("array<int>"),
+            typedLit(Seq.empty[Int])).as("__b"),
+          col(labelCol).cast("long").as("__y")))
+      val weights = Array.fill(numBuckets)(0L)
+      var bias = 0L
+      var rounds = 0
+      var errors = -1L
+      while (rounds < maxRounds && errors != 0L) {
+        // bias rides along as pseudo-bucket -1, so one aggregation yields
+        // every per-bucket delta AND the misclassified count
+        val upd = f
+          .withColumn("__z", marginCol(col("__b"), weights, bias))
+          .filter(col("__y") * col("__z") <= 0)
+          .select(explode(concat(col("__b"), array(lit(-1)))).as("bucket"),
+            col("__y"))
+          .groupBy("bucket")
+          .agg(sum("__y").as("dw"), count(lit(1)).as("touched"))
+          .collect()
+        errors = upd.find(_.getInt(0) == -1).map(_.getLong(2)).getOrElse(0L)
+        if (errors != 0L) {
+          upd.foreach { r =>
+            val b = r.getInt(0)
+            if (b == -1) bias += r.getLong(1) else weights(b) += r.getLong(1)
+          }
+          rounds += 1
         }
-        rounds += 1
       }
+      PerceptronModel(weights, bias, rounds, errors)
     }
-    PerceptronModel(weights, bias, rounds, errors)
-  }
 
   /** Features + the model's integer margin per row (`score`), exact in
     * any engine. */

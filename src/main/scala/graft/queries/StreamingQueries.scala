@@ -76,17 +76,31 @@ object StreamingQueries {
       java.nio.file.Paths.get(s"$stage/a_events.parquet"))
     val maxSec = graft.core.Tables.events(s, dir)
       .agg(max(col("ts").cast("long"))).head().getLong(0)
-    // sentinel ts written as TIMESTAMP_NTZ so the staged directory's files
-    // (fixture copy + sentinel) agree on the physical ts type
-    val sentinelTs = java.time.LocalDateTime.ofEpochSecond(
-      maxSec + 86400L, 0, java.time.ZoneOffset.UTC)
+    // The fixture copy and the sentinel must agree on ts's physical type:
+    // readEvents pins one schema from the first listing, so a mixed-type
+    // directory fails or corrupts ts. Probe the fixture's encoding (same
+    // footer probe readEvents uses) and write the sentinel to match —
+    // an INT64-nanos column when the fixture is nanos, NTZ otherwise.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fixtureNanos = s.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
     import s.implicits._
     val sentinelDir =
       java.nio.file.Files.createTempDirectory("graft_st_sent").toString
-    types.zipWithIndex.map { case (tpe, i) =>
-      (-(i + 1).toLong, sentinelTs, -1L, tpe, 0.0, "{}")
-    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+    val sentinelRaw =
+      if (fixtureNanos) {
+        val tsNanos = (maxSec + 86400L) * 1000000000L
+        types.zipWithIndex.map { case (tpe, i) =>
+          (-(i + 1).toLong, tsNanos, -1L, tpe, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      } else {
+        val sentinelTs = java.time.LocalDateTime.ofEpochSecond(
+          maxSec + 86400L, 0, java.time.ZoneOffset.UTC)
+        types.zipWithIndex.map { case (tpe, i) =>
+          (-(i + 1).toLong, sentinelTs, -1L, tpe, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      }
+    sentinelRaw.coalesce(1).write.mode("overwrite").parquet(sentinelDir)
     val part = new java.io.File(sentinelDir).listFiles()
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.copy(part.toPath,

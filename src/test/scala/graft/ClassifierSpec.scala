@@ -90,6 +90,32 @@ class ClassifierSpec extends SparkSpec {
       s"separable data must converge; ${model.errors} errors after ${model.rounds} rounds")
   }
 
+  test("null buckets score as bias-only and train; bigint buckets accepted") {
+    import spark.implicits._
+    // null-feature doc: scores bias (not NULL) and participates in
+    // training as a bias-only row — matching what DuckDB computes for an
+    // empty feature set
+    val m = Classifier.PerceptronModel(Array(5L, -3L), 7L, 1, 0)
+    val scored = Classifier.score(
+      Seq((1L, Some(Seq(0, 1))), (2L, None)).toDF("doc_id", "buckets"),
+      "buckets", m).orderBy("doc_id").select("score").as[Long].collect()
+    assert(scored.toSeq == Seq(7L + 5L - 3L, 7L),
+      "null feature set must score as bias-only, not NULL")
+    // array<bigint> buckets (natural from SQL) must train without a
+    // ClassCastException and match the array<int> trajectory
+    val rows = Seq((1L, Seq(0L, 1L), 1L), (2L, Seq(1L), -1L), (3L, Seq(0L), 1L))
+    val big = Classifier.perceptronTrain(
+      rows.toDF("doc_id", "buckets", "y"), "buckets", "y", 2, 50)
+    val small = Classifier.perceptronTrain(
+      rows.map { case (d, b, y) => (d, b.map(_.toInt), y) }
+        .toDF("doc_id", "buckets", "y"), "buckets", "y", 2, 50)
+    assert(big.weights.toSeq == small.weights.toSeq && big.bias == small.bias,
+      "bigint and int bucket arrays must produce the identical trajectory")
+    // training cache is scope-released: no accretion across repeated trains
+    assert(graft.core.CacheRegistry.trackedCount == 0,
+      "perceptronTrain must release its features cache on exit")
+  }
+
   test("md5 token bucket matches the JVM digest byte-for-byte") {
     import spark.implicits._
     val toks = Seq("stream", "window", "merge", "hash", "a", "dup")

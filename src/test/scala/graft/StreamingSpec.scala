@@ -408,4 +408,73 @@ class StreamingSpec extends SparkSpec {
       dropAll()
     }
   }
+
+  test("sentinel staging matches the fixture's ts encoding (INT64-nanos variant)") {
+    // Re-encode the fixture's events as INT64 nanos — the other physical
+    // encoding the driver has shipped — and run the sentinel-staged outer
+    // join against it. Before the encoding probe in stageWithSentinel,
+    // the staged dir mixed an INT64 fixture with an NTZ sentinel and the
+    // pinned-schema stream read failed or corrupted ts.
+    val nanosDir = java.nio.file.Files.createTempDirectory("graft_nanos_fix")
+    try {
+      graft.core.Tables.events(spark, sfDir)
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
+        .coalesce(1).write.mode("overwrite").parquet(s"$nanosDir/stage")
+      val part = new java.io.File(s"$nanosDir/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$nanosDir/events.parquet"))
+      val run = graft.queries.Registry.queries("st_stream_outer_join")
+      val fromNanos = run(spark, nanosDir.toString)
+      val fromNtz = run(spark, sfDir)
+      assert(fromNanos.count() == fromNtz.count() && fromNanos.count() > 0,
+        "nanos-encoded fixture must drain to the same result as the NTZ fixture")
+      assert(fromNanos.exceptAll(fromNtz).isEmpty &&
+        fromNtz.exceptAll(fromNanos).isEmpty)
+    } finally {
+      import scala.util.Try
+      Try {
+        java.nio.file.Files.walk(nanosDir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
+    }
+  }
+
+  test("concurrent scopes on two threads release only their own registrations") {
+    import spark.implicits._
+    graft.core.CacheRegistry.releaseAll()
+    try {
+      // Thread B registers a broadcast while thread A's scope is open;
+      // A's scope exit must not destroy it (the two-streaming-queries-
+      // in-one-session shape).
+      val bReady = new java.util.concurrent.CountDownLatch(1)
+      val aExited = new java.util.concurrent.CountDownLatch(1)
+      @volatile var bBroadcast: org.apache.spark.broadcast.Broadcast[Set[Long]] = null
+      val threadB = new Thread(() => {
+        graft.core.CacheRegistry.scoped {
+          bBroadcast = graft.core.CacheRegistry.broadcastTracked(
+            spark.sparkContext.broadcast(Set(7L)))
+          bReady.countDown()
+          aExited.await() // hold B's scope open across A's exit
+        }
+      })
+      threadB.start()
+      graft.core.CacheRegistry.scoped {
+        val aFrame = graft.core.CacheRegistry.persistTracked(
+          Seq((1L, "a")).toDF("id", "tag"))
+        aFrame.count()
+        bReady.await()
+      }
+      // A has exited; B's broadcast must still be alive and usable
+      assert(bBroadcast.value == Set(7L),
+        "thread A's scope exit must not destroy thread B's broadcast")
+      aExited.countDown()
+      threadB.join()
+      assert(graft.core.CacheRegistry.trackedCount == 0,
+        "both scopes drained their own registrations")
+    } finally {
+      graft.core.CacheRegistry.releaseAll()
+    }
+  }
 }
