@@ -770,11 +770,12 @@ object Dedup {
                       threshold: Double, shingleK: Int = 3,
                       numHashes: Int = 64, bands: Int = 16,
                       checkpoint: graft.core.CheckpointStrategy =
-                        graft.core.CheckpointStrategy.Local): DataFrame = {
+                        graft.core.CheckpointStrategy.Local,
+                      driverThreshold: Long = 1000000L): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleK,
       numHashes, bands)
     val comp = connectedComponents(pairs, "id_a", "id_b",
-      checkpoint = checkpoint)
+      checkpoint = checkpoint, driverThreshold = driverThreshold)
     df.select(col(idCol).cast("long").as(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -1169,6 +1169,59 @@ object ExtQueries {
         (id = min(reach)) AS is_canonical
       FROM walk GROUP BY id""")),
 
+    // The same clustering through the DURABLE path a multi-hour 100 TB
+    // job runs with: CheckpointStrategy.Reliable cuts each
+    // large-star/small-star round to a reliable checkpoint directory
+    // (HDFS/object store on a cluster; warehouse tmp here), and
+    // driverThreshold=0 forces the distributed iteration so the durable
+    // cut actually executes. Result must be bit-identical to
+    // ext_dedup_components — same oracle.
+    QueryDef("ext_dedup_components_reliable", (s, dir) => {
+      val cpRoot = new java.io.File(
+        s.sessionState.conf.warehousePath.stripPrefix("file:"),
+        "_graft_cp_reliable")
+      // drop prior invocations' checkpoint trees (their results are long
+      // materialized); this run gets a fresh UUID child
+      if (cpRoot.isDirectory) {
+        import scala.util.Try
+        Try {
+          java.nio.file.Files.walk(cpRoot.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+      }
+      val cpDir = new java.io.File(cpRoot, java.util.UUID.randomUUID().toString)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      Dedup.nearDupClusters(docs.unionByName(dups), "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32,
+        checkpoint = graft.core.CheckpointStrategy.Reliable(cpDir.toString),
+        driverThreshold = 0L)
+    }, Some(s"""WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 0),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM all_docs
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+      SELECT id AS doc_id, min(reach) AS component,
+        (id = min(reach)) AS is_canonical
+      FROM walk GROUP BY id""")),
+
     // N-gram Jaccard scored directly on constructed (orig, perturbed)
     // pairs — the dedup metric as a first-class similarity measure.
     QueryDef("ext_jaccard_pairs", (s, dir) => {

@@ -338,4 +338,13 @@ class DedupSpec extends SparkSpec {
     graft.core.Materialize.dropWithLocation(spark, bandsT)
     graft.core.Materialize.dropWithLocation(spark, shT)
   }
+
+  test("registered reliable-checkpoint clustering is bit-identical to the local path") {
+    val run = graft.queries.Registry.queries
+    val local = run("ext_dedup_components")(spark, sfDir)
+    val reliable = run("ext_dedup_components_reliable")(spark, sfDir)
+    assert(local.schema == reliable.schema)
+    assert(local.exceptAll(reliable).isEmpty && reliable.exceptAll(local).isEmpty,
+      "durable-checkpoint clustering must produce the identical partition")
+  }
 }
