@@ -44,11 +44,11 @@ object ExtQueries {
    * is 65k scans of documents.parquet and an fd-exhaustion IO error,
    * not just slowness.
    */
-  private def duckBpeRounds(rounds: Int): String = {
+  private def duckBpeRounds(rounds: Int,
+      corpusSrc: String = "documents WHERE lang = 'en'"): String = {
     val w0 = s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
         regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym
-      FROM (SELECT unnest($DuckToks) AS word FROM documents
-            WHERE lang = 'en')
+      FROM (SELECT unnest($DuckToks) AS word FROM $corpusSrc)
       GROUP BY 1)"""
     val rs = (0 until rounds).map { i =>
       s"""p$i AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs,
@@ -139,14 +139,15 @@ object ExtQueries {
    * surface as float64).
    */
   private def duckPerceptron(rounds: Int, numBuckets: Int,
-                             trainWhere: String = "TRUE"): String = {
+                             trainWhere: String = "TRUE",
+                             docsSrc: String = "documents"): String = {
     val lex = ClassifierLexicon.map(t => s"'$t'").mkString("[", ",", "]")
     val bucket =
       s"""((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
          | + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
          | % $numBuckets""".stripMargin
     val head =
-      s"""qdocs AS MATERIALIZED (SELECT doc_id, $DuckToks AS toks FROM documents),
+      s"""qdocs AS MATERIALIZED (SELECT doc_id, $DuckToks AS toks FROM $docsSrc),
          |qpos AS MATERIALIZED (SELECT doc_id, toks, CAST(1 AS BIGINT) AS y
          |  FROM qdocs WHERE len(list_intersect(toks, $lex)) > 0),
          |qcorp AS MATERIALIZED (SELECT * FROM qpos UNION ALL
@@ -189,6 +190,81 @@ object ExtQueries {
                                 dir: String): org.apache.spark.sql.DataFrame = {
     val lex = typedLit(ClassifierLexicon)
     val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.TextOps.tokens(lower(col("text"))).as("toks"))
+      .filter(arrays_overlap(col("toks"), lex))
+    val pos = docs.select(col("doc_id"), col("toks"), lit(1L).as("y"))
+    val neg = docs.select((col("doc_id") + 100000).as("doc_id"),
+      filter(col("toks"), t => !array_contains(lex, t)).as("toks"),
+      lit(-1L).as("y"))
+    pos.unionByName(neg)
+      .select(col("doc_id"),
+        Classifier.bucketsOf(col("toks"), numBuckets = 64).as("buckets"),
+        col("y"))
+  }
+
+  /**
+   * Degenerate corpus for the adversarial robustness rows (`ext_adv_*`):
+   * empty and whitespace-only docs, a 1-token doc with exact and
+   * case/padding twins, supplementary-plane emoji docs, a document whose
+   * two words tie on pair count but whose UTF-8 byte order INVERTS the
+   * JVM's UTF-16 code-unit order (U+FFFD = EF BF BD sorts BELOW
+   * U+1D552 = F0 9D 95 92 in bytes, but its 0xFFFD code unit sorts ABOVE
+   * the 0xD835 surrogate — the exact divergence `Bpe.utf8Lt` exists
+   * for), and a 20-copy all-identical block. Unioned with a thin fixture
+   * slice so organic text flows through the same plans. The SQL twin is
+   * interpolated from the SAME Scala constants — one source of truth.
+   */
+  private val AdvEmojiDoc = "😀 🐍" // "😀 🐍"
+  private val AdvTieDoc =
+    "�� 𝕒𝕒" // "�� 𝕒𝕒"
+  private val AdvBoiler =
+    "identical boilerplate sentence repeated verbatim zzq"
+  private val AdvDegenRows: Seq[(Long, String)] = Seq(
+    (9000001L, ""), (9000002L, "   "), (9000003L, "word"),
+    (9000004L, "word"), (9000005L, "Word  "),
+    (9000006L, AdvEmojiDoc), (9000007L, AdvEmojiDoc), (9000008L, AdvTieDoc)) ++
+    (1 to 20).map(i => (9000100L + i, AdvBoiler))
+  private def advCorpus(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    AdvDegenRows.toDF("doc_id", "text")
+      .unionByName(Tables.documents(s, dir)
+        .filter(col("doc_id") % 17 === 0).select(col("doc_id"), col("text")))
+  }
+  /** DuckDB derived-table twin of [[advCorpus]] (alias `adv`). */
+  private lazy val DuckAdvCorpus: String = {
+    val vals = AdvDegenRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""(SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        FROM (VALUES $vals) t(doc_id, text)
+        UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0) adv"""
+  }
+  /** The degenerate rows alone (no boiler block, no fixture slice) — the
+    * BPE corpus, small enough that the count-1 tie rounds are reached
+    * within a few merges. */
+  private val AdvDegenHead: Seq[(Long, String)] = AdvDegenRows.take(8)
+  private lazy val DuckAdvDegenHead: String = {
+    val vals = AdvDegenHead.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""(SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        FROM (VALUES $vals) t(doc_id, text)) advd"""
+  }
+  /** Lexicon-bearing degenerate docs for the classifier row: their
+    * stripped negative twins have EMPTY or emoji-only feature sets. */
+  private val AdvLexDocs: Seq[(Long, String)] = Seq(
+    (9000011L, "stream"), (9000012L, "stream merge window"),
+    (9000013L, s"stream $AdvEmojiDoc"))
+  private lazy val DuckAdvClassifierDocs: String = {
+    val vals = AdvLexDocs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""(SELECT doc_id, text FROM documents
+        UNION ALL SELECT CAST(doc_id AS BIGINT), text
+        FROM (VALUES $vals) t(doc_id, text)) advc"""
+  }
+  private def advClassifierFixture(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val lex = typedLit(ClassifierLexicon)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(AdvLexDocs.toDF("doc_id", "text"))
       .select(col("doc_id"),
         graft.ext.TextOps.tokens(lower(col("text"))).as("toks"))
       .filter(arrays_overlap(col("toks"), lex))
@@ -2600,6 +2676,84 @@ object ExtQueries {
             regexp_extract_all(regexp_replace(text, ' data ', '. ', 'g'),
               '[^.!?]+[.!?]+|[^.!?]+$'),
             s -> trim(s)), s -> len(s) > 0) AS sents
-        FROM documents)"""))
+        FROM documents)""")),
+
+    // ───────────────────────── adversarial robustness ─────────────────
+    // Degenerate corpora through the dedup/BPE/classifier chains, with
+    // the oracle watching (the ext_dedup_near_capped pattern): empty and
+    // whitespace-only docs, 1-token docs, supplementary-plane Unicode,
+    // and an all-identical block. A 100 TB crawl contains ALL of these.
+
+    // Exact dedup over the degenerate corpus: ''/whitespace-only
+    // normalize to the same (empty) token stream and collapse; the
+    // 1-token doc collapses with its case/padding twins; the 20-copy
+    // block collapses to one survivor; supplementary-plane text
+    // round-trips the fingerprint without mangling.
+    QueryDef("ext_adv_dedup_exact", (s, dir) =>
+      Dedup.exactGroups(advCorpus(s, dir), "text", "doc_id"),
+      Some(s"""SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+        FROM (SELECT doc_id, array_to_string($DuckToks, ' ') AS norm
+              FROM $DuckAdvCorpus)
+        GROUP BY norm""")),
+
+    // Near-dup LSH over the degenerate corpus: sub-shingle-length docs
+    // take the whole-text fallback shingle (so ''/'   ' pair at j=1, the
+    // 1-token twins pair at j=1), identical docs share signatures
+    // bucket-exactly (the 20-copy block yields all C(20,2)=190 pairs
+    // without an all-pairs scan anywhere), and emoji shingles hash
+    // stably. Oracle = brute-force shingle Jaccard with the same
+    // short-doc fallback.
+    QueryDef("ext_adv_dedup_near", (s, dir) =>
+      Dedup.nearDupPairs(advCorpus(s, dir), "doc_id", "text",
+          threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard")),
+      Some(s"""WITH sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [coalesce(array_to_string(toks, ' '), '')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM $DuckAdvCorpus)),
+        -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+        -- mkString: coalesce so zero-token docs share one fallback shingle
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard
+        FROM pairs WHERE j >= 0.5""")),
+
+    // BPE induction over the degenerate head: empty/whitespace docs
+    // contribute no words, 1-char emoji words contribute no pairs, the
+    // 'word' family drives three count-3 merges, and then the count-1
+    // tie between (U+FFFD,U+FFFD) and (U+1D552,U+1D552) must resolve in
+    // UTF-8 BYTE order — a JVM UTF-16 compareTo would pick the other
+    // pair and diverge from every SQL engine. Remaining rounds find no
+    // pairs and no-op (the early-stop contract).
+    QueryDef("ext_adv_bpe_merges", (s, dir) => {
+      import s.implicits._
+      Bpe.bpeTrain(AdvDegenHead.toDF("doc_id", "text"), "text",
+        numMerges = 6)._1
+    }, Some(s"""WITH ${duckBpeRounds(6, corpusSrc = DuckAdvDegenHead)}
+      ${(0 until 6).map(i =>
+          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
+          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
+
+    // Classifier training with degenerate feature rows IN the training
+    // set: the stripped negative twins of all-lexicon docs have EMPTY
+    // token sets (margin = bias exactly — the null/empty-feature path),
+    // and the emoji doc's negative twin carries only supplementary-plane
+    // tokens through md5 bucketing. Fixed-round exact-integer replay on
+    // both engines.
+    QueryDef("ext_adv_classifier", (s, dir) => {
+      val feats = advClassifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(feats,
+        "buckets", "y", numBuckets = 64, maxRounds = 8)
+      Classifier.score(feats, "buckets", model)
+        .select(col("doc_id"), col("y").as("label"), col("score"),
+          (col("score") > 0).as("selected"))
+    }, Some(s"""WITH ${duckPerceptron(rounds = 8, numBuckets = 64,
+        docsSrc = DuckAdvClassifierDocs)}
+      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf"""))
   )
 }
