@@ -263,9 +263,13 @@ object Dedup {
       .join(shB.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(shB.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    val survivors = batch.join(dupVsBase, Seq(idCol), "left_anti")
-      .join(selfDrops, Seq(idCol), "left_anti")
+      .select(col("id_b").as(idCol))
+    // one anti-join against the UNION of both drop sets (anti ∘ anti ≡
+    // anti ∘ union) — and no distinct on the drop side: left_anti is
+    // insensitive to duplicate keys on its right input, so the extra
+    // exchange+aggregate bought nothing
+    val survivors = batch.join(dupVsBase.unionByName(selfDrops),
+      Seq(idCol), "left_anti")
     val batchBands = bandB.select(col("__batch_id").as(idCol),
       col("__band").as("band"), col("__bh").as("band_hash"))
     val batchShingles = shB.select(col(idCol), col("__sh").as("shingles"))

@@ -31,16 +31,26 @@ object StreamingQueries {
   private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
                                      n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     val prevCp = s.conf.getOption("spark.sql.streaming.checkpointLocation")
     val shm = new java.io.File("/dev/shm")
     val cpRoot = if (shm.isDirectory && shm.canWrite)
       Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_st_cp"))
     else None
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // AQE off for the drain: a micro-batch trigger runs ~12 exchanges of
+    // a few thousand rows each, and AQE's per-stage materialize +
+    // driver re-plan is pure constant overhead at that size (measured
+    // ~0.5 s/trigger off the ingest survivor-chain materialization,
+    // median 1.9 -> 1.4 s; SCALE.md streaming table). A production feed
+    // with real batch sizes keeps the session default (on) — this is
+    // harness batch-size shaping, same category as the partition count.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     cpRoot.foreach(p =>
       s.conf.set("spark.sql.streaming.checkpointLocation", p.toString))
     try f finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       prevCp match {
         case Some(v) => s.conf.set("spark.sql.streaming.checkpointLocation", v)
         case None    => s.conf.unset("spark.sql.streaming.checkpointLocation")
@@ -123,10 +133,17 @@ object StreamingQueries {
   private def stageIdChunks(s: org.apache.spark.sql.SparkSession,
                             chunks: Seq[org.apache.spark.sql.DataFrame]): String = {
     val stage = java.nio.file.Files.createTempDirectory("graft_st_ingest")
-    chunks.zipWithIndex.foreach { case (c, i) =>
-      val scratch = java.nio.file.Files.createTempDirectory("graft_st_ing_part")
-      c.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = new java.io.File(scratch.toString).listFiles()
+    // ONE write job for all chunks (union + partitionBy on the chunk
+    // ordinal), not one job per chunk — the per-job constant dominated
+    // the staging wall at fixture scale
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_ing_part")
+    chunks.zipWithIndex.map { case (c, i) => c.withColumn("__chunk", lit(i)) }
+      .reduce(_ unionByName _)
+      .repartition(col("__chunk"))
+      .write.mode("overwrite").partitionBy("__chunk")
+      .parquet(scratch.toString)
+    chunks.indices.foreach { i =>
+      val part = new java.io.File(s"$scratch/__chunk=$i").listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = java.nio.file.Paths.get(s"$stage/${('a' + i).toChar}_chunk.parquet")
       java.nio.file.Files.copy(part.toPath, dst)
@@ -437,7 +454,7 @@ object StreamingQueries {
     // mtimes pin the file-source ordering), so first-arrival-wins
     // converges to the batch dedup's global min-id survivor set — which
     // is exactly what the oracle computes in one statement.
-    QueryDef("st_dedup_ingest", (s, dir) => withStatePartitions(s, 8) {
+    QueryDef("st_dedup_ingest", (s, dir) => withStatePartitions(s, 4) {
       val table = "graft_stream_dedup_docs"
       graft.core.Materialize.dropWithLocation(s, table)
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -473,7 +490,7 @@ object StreamingQueries {
     // accumulated accepted set, then the within-batch lower-id-dominator
     // rule over base-survivors (the same semantics
     // Dedup.incrementalNearDupIndexed implements with banded candidates).
-    QueryDef("st_neardup_ingest", (s, dir) => withStatePartitions(s, 8) {
+    QueryDef("st_neardup_ingest", (s, dir) => withStatePartitions(s, 4) {
       val prefix = "graft_stream_neardup"
       for (t <- Seq("_docs", "_bands", "_shingles"))
         graft.core.Materialize.dropWithLocation(s, prefix + t)
@@ -507,7 +524,7 @@ object StreamingQueries {
     // index, survivors labeled with their deterministic hash split —
     // the streaming twin of ext_curation_incremental over the same
     // chunked feed as st_neardup_ingest.
-    QueryDef("st_curation_ingest", (s, dir) => withStatePartitions(s, 8) {
+    QueryDef("st_curation_ingest", (s, dir) => withStatePartitions(s, 4) {
       val prefix = "graft_stream_curation"
       for (t <- Seq("_docs", "_bands", "_shingles"))
         graft.core.Materialize.dropWithLocation(s, prefix + t)

@@ -150,6 +150,13 @@ object CorpusIngest {
     val docsT = s"${prefix}_docs"
     val bandsT = s"${prefix}_bands"
     val shinglesT = s"${prefix}_shingles"
+    val debug = sys.env.contains("GRAFT_INGEST_DEBUG")
+    var tPrev = System.nanoTime()
+    def lap(phase: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"[ingest-phase] batch=$batchId $phase%-14s ${(now - tPrev) / 1e9}%.3f s")
+      tPrev = now
+    }
     val lastApplied = knownLast.getOrElse(lastAppliedIn(spark, docsT))
     // SCOPED release: everything this trigger computes is materialized
     // by the end of the block, so the operator-internal persist
@@ -184,26 +191,40 @@ object CorpusIngest {
       // so growing the index is a survivor-id semi-join over work
       // already done, not a second full MinHash pass over the survivor
       // text per trigger.
+      lap("setup")
       val (survPlan, batchBands, batchShingles) =
         graft.ext.Dedup.incrementalNearDupWithBatchIndex(batchNew,
           spark.table(bandsT), spark.table(shinglesT), idCol, textCol,
           threshold, shingleK, numHashes, bands)
       val surv = survPlan.localCheckpoint()
+      lap("dedup")
       val survIds = surv.select(col(idCol))
       // safe against cache eviction: these plans read only the batch
       // source and the accepted-docs table, neither of which mutates
       // before the docs write below
       val bN = batchBands.join(survIds, Seq(idCol), "left_semi")
       val sN = batchShingles.join(survIds, Seq(idCol), "left_semi")
-      graft.core.Materialize.bucketAppend(spark, bandsT, bN,
-        buckets = 8, bucketCols = Seq("band", "band_hash"))
-      graft.core.Materialize.bucketAppend(spark, shinglesT, sN,
-        buckets = 8, bucketCols = Seq(idCol))
+      // the two index appends are independent (both semi-join the
+      // checkpointed survivors) and target different tables — run them
+      // as concurrent jobs. Only the DOCS write below must stay last
+      // (it carries the replay watermark); the index appends may land
+      // in any order, replay absorbs partial appends (scaladoc above).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fb = Future { graft.core.Materialize.bucketAppend(spark, bandsT, bN,
+        buckets = 8, bucketCols = Seq("band", "band_hash")) }
+      val fs = Future { graft.core.Materialize.bucketAppend(spark, shinglesT, sN,
+        buckets = 8, bucketCols = Seq(idCol)) }
+      Await.result(fb, Duration.Inf)
+      Await.result(fs, Duration.Inf)
+      lap("append-index")
       spark.catalog.refreshTable(bandsT)
       spark.catalog.refreshTable(shinglesT)
       surv.select(col(idCol)).withColumn("__last_batch", lit(batchId))
         .write.mode("append").saveAsTable(docsT)
       spark.catalog.refreshTable(docsT)
+      lap("append-docs")
     }
     math.max(batchId, lastApplied)
   }
@@ -249,10 +270,17 @@ object CorpusIngest {
     val w = docs.writeStream
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(applyNearDupBatch(
-          graft.ext.TextOps.gopherGate(batch.toDF(), idCol, textCol),
-          batchId, idCol, textCol, prefix, threshold, shingleK,
-          numHashes, bands, guard.get())))
+        // persist the gated batch for the trigger: the survivor plan and
+        // the batch-index frames both read it, and without a barrier the
+        // explode + double-agg gate chain recomputes per consumer. The
+        // scope releases it once the trigger's writes are materialized.
+        graft.core.CacheRegistry.scoped {
+          val gated = graft.core.CacheRegistry.persistTracked(
+            graft.ext.TextOps.gopherGate(batch.toDF(), idCol, textCol))
+          guard.set(Some(applyNearDupBatch(gated,
+            batchId, idCol, textCol, prefix, threshold, shingleK,
+            numHashes, bands, guard.get())))
+        }
       }.start()
   }
 }

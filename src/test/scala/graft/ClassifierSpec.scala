@@ -103,6 +103,7 @@ class ClassifierSpec extends SparkSpec {
       "null feature set must score as bias-only, not NULL")
     // array<bigint> buckets (natural from SQL) must train without a
     // ClassCastException and match the array<int> trajectory
+    val tracked0 = graft.core.CacheRegistry.trackedCount
     val rows = Seq((1L, Seq(0L, 1L), 1L), (2L, Seq(1L), -1L), (3L, Seq(0L), 1L))
     val big = Classifier.perceptronTrain(
       rows.toDF("doc_id", "buckets", "y"), "buckets", "y", 2, 50)
@@ -111,8 +112,9 @@ class ClassifierSpec extends SparkSpec {
         .toDF("doc_id", "buckets", "y"), "buckets", "y", 2, 50)
     assert(big.weights.toSeq == small.weights.toSeq && big.bias == small.bias,
       "bigint and int bucket arrays must produce the identical trajectory")
-    // training cache is scope-released: no accretion across repeated trains
-    assert(graft.core.CacheRegistry.trackedCount == 0,
+    // training cache is scope-released: no accretion from these trains
+    // (delta, not absolute — other suites share the JVM-wide registry)
+    assert(graft.core.CacheRegistry.trackedCount <= tracked0,
       "perceptronTrain must release its features cache on exit")
   }
 
