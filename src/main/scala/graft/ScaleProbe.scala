@@ -178,6 +178,91 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- k-means: per-iteration scan cost vs corpus size ---------------
+    // the claim under test: assignment is a SCAN against the k×dim
+    // centroid literals (no exchange — pinned in PlanSpec) and the
+    // update is one hash agg, so a Lloyd iteration is linear in n with
+    // driver state of k×dim doubles. Fixed k and iters across steps.
+    for (m <- multSteps if section("kmeans")) {
+      val vecs = amplifyVecs(vecs0, m)
+        .select(col("vec_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("e"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = vecs.count()
+      val (cents, tFit) = timed {
+        Similarity.kmeansFit(vecs, "vec_id", "e", k = 8, iters = 4)
+      }
+      println(f"[scaleprobe] kmeans m=$m n=$n k=${cents.count()} " +
+        f"time=$tFit%.2fs perIter=${tFit / 4}%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    // ---- IVF-PQ: train/encode/search slopes + recall vs brute force ----
+    // the claims under test: codebook training is linear in n at fixed
+    // (m, k, iters); the search moves codes (m bytes/row), never floats,
+    // through a candidate join bounded by the probed cells; recall@10
+    // against the fused exact operator stays in the band the spec pins
+    // at fixture scale. Probes are a FIXED 20-vector copy-0 set so the
+    // search's probe side is constant across steps.
+    for (m <- multSteps if section("ivfpq")) {
+      val base = amplifyVecs(vecs0, m)
+        .select(col("vec_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("e"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = base.count()
+      val probes = base.filter(col("vec_id") < 10000000L &&
+          col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val (books, tTrain) = timed {
+        Similarity.pqTrain(base, "vec_id", "e", dim = 64, m = 4, k = 8,
+          iters = 1)
+      }
+      val (approx, tSearch) = timed {
+        val t = Similarity.ivfPqTopK(base, "vec_id", "e",
+            probes, "probe_id", "pe", books, k = 10, nlist = 16, nprobe = 4)
+          .select(col("probe_id"), col("vec_id"))
+          .transform(graft.core.CacheRegistry.persistTracked)
+        t.count(); t
+      }
+      val (exact, tBrute) = timed {
+        val e = Similarity.bruteForceTopKFused(base, "vec_id", "e",
+            probes, "probe_id", "pe", k = 10)
+          .select(col("probe_id"), col("vec_id"))
+          .transform(graft.core.CacheRegistry.persistTracked)
+        e.count(); e
+      }
+      val nExact = exact.count()
+      val hit = exact.join(approx, Seq("probe_id", "vec_id"), "left_semi").count()
+      println(f"[scaleprobe] ivfpq m=$m n=$n train=$tTrain%.2fs " +
+        f"search=$tSearch%.2fs brute=$tBrute%.2fs " +
+        f"recall=${hit.toDouble / nExact}%.3f")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    // ---- BPE: vocab-agg slope + merge-round corpus independence --------
+    // the claims under test: the one corpus-sized cost is the initial
+    // distinct-word aggregation (linear in corpus tokens); the 16 merge
+    // rounds then run on the DISTINCT-WORD table (the driver escape
+    // below its vocab bound, byte-identical to the distributed loop per
+    // BpeSpec), so round cost tracks vocabulary, not corpus. The
+    // amplifier's per-copy token prefixes grow the vocab linearly too —
+    // worst case for the rounds — and it stays orders below corpus size.
+    for (m <- multSteps if section("bpe")) {
+      val docs = amplifyDocs(docs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = docs.count()
+      val ((mergesDf, words), tBpe) = timed {
+        val r = graft.ext.Bpe.bpeTrain(docs, "text", numMerges = 16)
+        (r._1.count(), r._2.count()); r
+      }
+      println(f"[scaleprobe] bpe m=$m docs=$n vocab=${words.count()} " +
+        f"merges=${mergesDf.count()} time=$tBpe%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     // ---- cross-doc dup n-grams: linearity under amplification ----------
     // the claim under test: one count shuffle + one equi-join on gram
     // fingerprints — no pairwise term, so amplified copies (disjoint

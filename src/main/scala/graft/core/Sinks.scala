@@ -35,4 +35,45 @@ object Sinks {
     val w = df.write.mode(mode).option("maxRecordsPerFile", 5000000)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** S4, warehouse form: the reference's actual sink is pandas
+    * `to_sql(if_exists='append')` over a JDBC connection (reference
+    * `1_AWS/README.md:133-134`, `2_Azure/READ.md:106-107`,
+    * `3_BigQuery/READ.md:106`) — this is that path, executor-parallel
+    * instead of single-connection.
+    *
+    * Scale notes (the knobs a 1000-executor load lives or dies by):
+    *  - `numPartitions` caps CONCURRENT CONNECTIONS — unthrottled, every
+    *    task opens its own connection and a wide frame becomes a
+    *    connection storm the database refuses. The writer coalesces to
+    *    this count; default 8.
+    *  - `batchSize` rows per executeBatch round-trip (default 10k) —
+    *    per-row inserts are the classic 100× slowdown.
+    *  - extra `options` pass through (isolation level, driver, etc.). */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 numPartitions: Int = 8, batchSize: Int = 10000,
+                 options: Map[String, String] = Map.empty): Unit =
+    writeJdbc(df, url, table, SaveMode.Append, numPartitions, batchSize, options)
+
+  /** S5, warehouse form: `to_sql(if_exists='replace')`. `truncate=true`
+    * keeps the table's DDL (indexes, grants) and empties it instead of
+    * DROP+CREATE — what a production overwrite into a managed schema
+    * wants; Spark falls back to DROP+CREATE when the dialect can't
+    * truncate safely. */
+  def overwriteJdbc(df: DataFrame, url: String, table: String,
+                    numPartitions: Int = 8, batchSize: Int = 10000,
+                    options: Map[String, String] = Map.empty): Unit =
+    writeJdbc(df, url, table, SaveMode.Overwrite, numPartitions, batchSize,
+      options + ("truncate" -> "true"))
+
+  private def writeJdbc(df: DataFrame, url: String, table: String,
+                        mode: SaveMode, numPartitions: Int, batchSize: Int,
+                        options: Map[String, String]): Unit =
+    df.coalesce(numPartitions).write.mode(mode)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .options(options)
+      .save()
 }
