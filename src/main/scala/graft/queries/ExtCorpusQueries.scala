@@ -1,0 +1,789 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Bpe, Chunking, Classifier, Corpus, Dedup, Multimodal, Similarity, TextOps}
+import ExtQueries._
+
+/**
+ * Corpus-curation registry rows: curation chains, splits, mixtures,
+ * sampling and caps, DSIR, the quality classifier, BPE induction,
+ * sequence packing, PII scrubbing and CDC chunking.
+ *
+ * Split from ExtQueries by family (zero behavior change) — shared
+ * fixture builders and DuckDB oracle fragments stay in [[ExtQueries]].
+ */
+object ExtCorpusQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+
+    // End-to-end curation pipeline (the C4-style gate a training corpus
+    // runs before tokenization): predicted-language gate → quality floor
+    // → exact dedup, in that order so the cheap codegen'd filters prune
+    // before the dedup shuffle. Output: surviving doc_ids + score. The
+    // filter compares the ROUNDED score on both sides so the gate can
+    // never straddle an fp boundary between engines.
+    QueryDef("ext_curation_pipeline", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val variants = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          upper(concat(col("text"), lit("  "))).as("text"), col("lang"))
+      val gated = docs.unionByName(variants)
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .withColumn("quality_score",
+          round(TextOps.qualityScoreFast(col("text")) + lit(1e-9), 4))
+        .filter(col("lang_pred") === "en" && col("quality_score") >= 0.6)
+      Dedup.exact(gated, "text", "doc_id").select("doc_id", "quality_score")
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, upper(text || '  ') FROM documents
+        WHERE lang = 'en' AND doc_id % 2 = 0),
+      t AS (SELECT doc_id, text, $DuckToks AS ltoks, $DuckToksRaw AS rtoks
+        FROM all_docs),
+      lang AS (SELECT doc_id,
+          CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS lang_pred
+        FROM (SELECT doc_id, greatest(
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','mit','für','nicht'))), 'de'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('the','and','of','is','to','in','that','with'))), 'en'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('el','la','los','y','es','en','para','que'))), 'es'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','dans','pour','que'))), 'fr'),
+            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('的','是','在','了','和','有','我','不'))), 'zh')) AS best
+          FROM t)),
+      q AS (SELECT doc_id,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+            + least((CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(len(list_filter(rtoks, x -> lower(x) IN ('the','a','an','and','or',
+                  'of','to','in','is','it','that','for','on','with','as','at','by')))
+                  AS DOUBLE) / len(rtoks) END) * 5, 1.0) * 0.3
+            + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0 ELSE
+                CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                  / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
+                BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
+        FROM t),
+      gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm, quality_score
+        FROM t JOIN lang USING (doc_id) JOIN q USING (doc_id)
+        WHERE lang_pred = 'en' AND quality_score >= 0.6),
+      surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm)
+      SELECT doc_id, quality_score FROM surv JOIN gated USING (doc_id)""")),
+
+
+    // The FULL curation chain in one query — the end-to-end path a
+    // training corpus takes: quality floor → exact dedup (normalized
+    // fingerprint, min-id survivor) → MinHash-LSH near-dup clustering
+    // with canonical (min-id) survivors → deterministic hash split +
+    // token count. Synthetic exact copies (+200000) and near-dup tails
+    // (+100000) are injected so every dedup stage provably fires. Stage
+    // order is the 100 TB order: cheap codegen'd filters prune before
+    // the dedup shuffles, exact dedup shrinks the near-dup input.
+    QueryDef("ext_curation_full", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val exactDups = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      // persist barrier: quality_score is interpreted-HOF-heavy and the
+      // gated frame feeds the exact-dedup window, the near-dup chain, AND
+      // the output projection — without the barrier CollapseProject
+      // re-inlines the score computation into every consumer
+      val gated = graft.core.CacheRegistry.persistTracked(
+        docs.unionByName(exactDups).unionByName(nearDups)
+          .withColumn("quality_score",
+            round(TextOps.qualityScoreFast(col("text")) + lit(1e-9), 4))
+          .filter(col("quality_score") >= 0.6))
+      val exactSurv = Dedup.exact(gated, "text", "doc_id")
+      val canon = exactSurv.join(
+        Dedup.nearDupClusters(exactSurv.select("doc_id", "text"), "doc_id", "text",
+            threshold = 0.5, numHashes = 64, bands = 32)
+          .filter(col("is_canonical")).select("doc_id"),
+        Seq("doc_id"))
+      canon.select(col("doc_id"),
+        Corpus.hashSplit(col("doc_id")).as("split"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("quality_score"))
+    }, Some(s"""WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 0),
+      t AS (SELECT doc_id, text, $DuckToks AS ltoks, $DuckToksRaw AS rtoks
+        FROM all_docs),
+      q AS (SELECT doc_id,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+            + least((CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(len(list_filter(rtoks, x -> lower(x) IN ('the','a','an','and','or',
+                  'of','to','in','is','it','that','for','on','with','as','at','by')))
+                  AS DOUBLE) / len(rtoks) END) * 5, 1.0) * 0.3
+            + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0 ELSE
+                CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                  / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
+                BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
+        FROM t),
+      gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm,
+          CAST(len(rtoks) AS BIGINT) AS n_tokens, ltoks, quality_score
+        FROM t JOIN q USING (doc_id) WHERE quality_score >= 0.6),
+      surv AS (SELECT g.* FROM gated g
+        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm) m
+          USING (doc_id)),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ltoks) - 1),
+               i -> array_to_string(ltoks[i:i+2], ' '))) AS shingles
+             FROM surv),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+      canon AS (SELECT id AS doc_id FROM walk GROUP BY id
+        HAVING id = min(reach))
+      SELECT s.doc_id,
+        CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+             WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+             ELSE 'test' END AS split,
+        s.n_tokens, s.quality_score
+      FROM surv s JOIN canon USING (doc_id)""")),
+
+
+    // The DAILY-BATCH curation chain end to end: Gopher gates on both
+    // sides -> incremental near-dup of the gated batch against the gated
+    // accepted corpus -> deterministic train/val/test split. The
+    // composition a 100 TB ingest runs every day; every stage reuses an
+    // operator proven above (gates: ext_gopher_rules bounds; dedup:
+    // ext_dedup_incremental_near; split: ext_split_hashmod cells), and
+    // the oracle replays the whole chain in one SQL statement.
+    QueryDef("ext_curation_incremental", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val baseRaw = docs.filter(col("doc_id") % 3 =!= 0)
+      val batchRaw = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      def gated(df: org.apache.spark.sql.DataFrame) = {
+        val perTok = df.select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val pass = perTok.groupBy("doc_id").agg(
+            sum(col("c")).as("n_words"),
+            round(sum(length(col("tok")) * col("c")).cast("double") /
+              sum(col("c")) + lit(1e-9), 4).as("mwl"),
+            round(max(col("c")).cast("double") /
+              sum(col("c")) + lit(1e-9), 4).as("ttf"))
+          .filter(col("n_words").between(20, 1000) &&
+            col("mwl").between(3.0, 10.0) && col("ttf") <= 0.2)
+          .select("doc_id")
+        df.join(pass, Seq("doc_id"), "left_semi")
+      }
+      Dedup.incrementalNearDup(gated(batchRaw), gated(baseRaw),
+          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("doc_id"), Corpus.hashSplit(col("doc_id")).as("split"),
+          length(col("text")).cast("long").as("n_chars"))
+    }, Some {
+      def gateCtes(src: String, out: String) =
+        s"""t_$out AS (SELECT doc_id, unnest($DuckToksRaw) AS tok FROM $src),
+           pt_$out AS (SELECT doc_id, tok, count(*) AS c FROM t_$out GROUP BY 1, 2),
+           m_$out AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c) + 1e-9, 4) AS mwl,
+               round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS ttf
+             FROM pt_$out GROUP BY doc_id),
+           $out AS (SELECT s.doc_id, s.text FROM $src s
+             JOIN m_$out m ON m.doc_id = s.doc_id
+             WHERE m.n_words BETWEEN 20 AND 1000
+               AND m.mwl BETWEEN 3.0 AND 10.0 AND m.ttf <= 0.2)"""
+      def shCte(src: String, out: String) =
+        s"""$out AS (SELECT doc_id, list_distinct(list_transform(
+               range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+               AS shingles
+             FROM (SELECT doc_id, $DuckToks AS toks FROM $src))"""
+      s"""WITH batch_raw AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
+          WHERE doc_id % 5 = 1),
+        base_raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        ${gateCtes("batch_raw", "gb")},
+        ${gateCtes("base_raw", "gp")},
+        ${shCte("gb", "bsh")},
+        ${shCte("gp", "psh")},
+        drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN psh p
+          ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
+             (len(b.shingles) + len(p.shingles)
+              - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
+        fresh AS (SELECT * FROM bsh
+          WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
+        self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
+          ON a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
+              (len(b.shingles) + len(a.shingles)
+               - len(list_intersect(b.shingles, a.shingles))) >= 0.5)
+        SELECT d.doc_id,
+          CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6'
+               THEN 'train'
+               WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'f3'
+               THEN 'val' ELSE 'test' END AS split,
+          CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM gb d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
+          AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)"""
+    }),
+
+
+    // Funnel conversion: users whose first click converts to a purchase
+    // within 1 hour — event-sequence analytics over the same feed the
+    // streaming attribution join consumes. One row out.
+    QueryDef("ext_funnel", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val converted = firstClick
+        .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+        .filter(col("ts") >= col("first_click") &&
+          col("ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
+        .select("user_id").distinct()
+      firstClick.agg(count(lit(1)).as("n_clicked"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+        .withColumn("conversion_rate", round(
+          col("n_converted").cast("double") / col("n_clicked") + lit(1e-9), 6))
+    }, Some("""WITH fc AS (SELECT user_id, min(ts) AS first_click
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+      conv AS (SELECT DISTINCT fc.user_id FROM fc JOIN events e
+          ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+          AND e.ts >= fc.first_click
+          AND e.ts <= fc.first_click + INTERVAL 1 HOUR)
+      SELECT (SELECT count(*) FROM fc) AS n_clicked,
+        (SELECT count(*) FROM conv) AS n_converted,
+        round(CAST((SELECT count(*) FROM conv) AS DOUBLE) /
+          (SELECT count(*) FROM fc) + 1e-9, 6) AS conversion_rate""")),
+
+
+    // ---- Corpus management (splits, sampling, packing, PII) -----------
+
+    // Deterministic train/val/test split: the md5-cell range split every
+    // training pipeline needs — a pure projection (no shuffle, no RNG),
+    // identical assignment in any engine, stable under appends.
+    QueryDef("ext_split_hashmod", (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Corpus.hashCell(col("doc_id")).as("cell"),
+        Corpus.hashSplit(col("doc_id")).as("split")),
+      Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS cell,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents""")),
+
+
+    // Deterministic training mixture: short-named sources (src0..src9)
+    // kept whole, long-named (src10..src19) downsampled to 64/256 via the
+    // md5 cell-gate — the "N parts A to M parts B" corpus-mixing
+    // primitive, reproducible with no RNG state.
+    QueryDef("ext_mixture", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      Corpus.mixture(Seq(
+        (docs.filter(length(col("source")) === 4), 1.0),
+        (docs.filter(length(col("source")) === 5), 0.25)), "doc_id")
+    }, Some("""SELECT doc_id, source FROM documents
+      WHERE length(source) = 4
+         OR (length(source) = 5
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')""")),
+
+
+    // Stratified 20% sample per language: exact per-stratum quotas via a
+    // count window + deterministic (md5, id) ordering — one shuffle on the
+    // stratum key, no driver loop, reproducible.
+    QueryDef("ext_stratified_sample", (s, dir) =>
+      Corpus.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", frac = 0.2),
+      Some("""WITH t AS (SELECT doc_id, lang,
+          count(*) OVER (PARTITION BY lang) AS n,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.2)""")),
+
+
+    // Per-source quota cap (RefinedWeb-style domain cap): an ABSOLUTE
+    // ceiling per source — keep the 50 longest docs of each, lowest id
+    // on ties — where the stratified sample above is proportional.
+    QueryDef("ext_source_cap", (s, dir) =>
+      Corpus.capPerGroup(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", "n_chars", cap = 50),
+      Some("""WITH t AS (SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM t WHERE rn <= 50""")),
+
+
+    // Token-budget mixture (the LLaMA-recipe knob: budgets in TOKENS,
+    // not docs or rates): src0 capped at 2000 tokens, src1 at 3000,
+    // everything else passes whole. Docs are taken in the md5-cell
+    // order every RNG-free sampler here uses; the doc crossing the
+    // budget line is kept (budgets are floors — exact truncation is
+    // sequence packing's job downstream).
+    QueryDef("ext_token_budget_mix", (s, dir) =>
+      Corpus.tokenBudgetSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens",
+        budgets = Map("src0" -> 2000L, "src1" -> 3000L)),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+          CAST(len($DuckToksRaw) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT doc_id, source, n_tokens FROM c
+      WHERE CASE source WHEN 'src0' THEN (cum - n_tokens) < 2000
+                        WHEN 'src1' THEN (cum - n_tokens) < 3000
+                        ELSE TRUE END""")),
+
+
+    // DSIR importance log-weights (hashed-unigram likelihood ratio vs the
+    // English subset as the target distribution): the md5-prefix bucket
+    // is a builtin on both engines, so model build + scoring replay
+    // bit-identically in SQL. 16^3 = 4096 buckets.
+    QueryDef("ext_dsir_weights", (s, dir) =>
+      Corpus.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", hexChars = 3)
+        .select(col("doc_id"),
+          round(col("dsir_logweight") + lit(1e-9), 4).as("dsir_logweight")),
+      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+            unnest($DuckToks) AS tok FROM documents),
+        b AS (SELECT doc_id, t, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        cnt AS (SELECT bucket, count(*) AS n_raw,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt FROM b GROUP BY 1),
+        tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt),
+        model AS (SELECT bucket,
+            ln((n_tgt + 1.0) / (nt + 4096.0))
+          - ln((n_raw + 1.0) / (nr + 4096.0)) AS w FROM cnt, tot)
+      SELECT b.doc_id, round(sum(model.w) + 1e-9, 4) AS dsir_logweight
+      FROM b JOIN model USING (bucket) GROUP BY 1""")),
+
+
+    // DSIR selection: the top-k documents by importance weight — ordered
+    // on the ROUNDED weight with id tiebreak so the cut line is engine-
+    // stable. Plans as TakeOrderedAndProject (no global sort).
+    QueryDef("ext_dsir_select", (s, dir) =>
+      Corpus.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", hexChars = 3)
+        .select(col("doc_id"),
+          round(col("dsir_logweight") + lit(1e-9), 4).as("dsir_logweight"))
+        .orderBy(col("dsir_logweight").desc, col("doc_id"))
+        .limit(100),
+      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+            unnest($DuckToks) AS tok FROM documents),
+        b AS (SELECT doc_id, t, substr(md5(tok), 1, 3) AS bucket FROM tok),
+        cnt AS (SELECT bucket, count(*) AS n_raw,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt FROM b GROUP BY 1),
+        tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt),
+        model AS (SELECT bucket,
+            ln((n_tgt + 1.0) / (nt + 4096.0))
+          - ln((n_raw + 1.0) / (nr + 4096.0)) AS w FROM cnt, tot),
+        scored AS (SELECT b.doc_id,
+            round(sum(model.w) + 1e-9, 4) AS dsir_logweight
+          FROM b JOIN model USING (bucket) GROUP BY 1)
+      SELECT doc_id, dsir_logweight FROM scored
+      ORDER BY dsir_logweight DESC, doc_id LIMIT 100""")),
+
+
+    // Quality classifier, trained: hashed bag-of-words batch perceptron
+    // (the GPT-3/LLaMA-style linear quality filter). Positives = docs
+    // mentioning a seed lexicon; negatives = the SAME docs with the
+    // lexicon stripped — the curated-vs-raw construction real quality
+    // classifiers train on, and linearly separable by design, so the
+    // trainer provably converges. Everything is exact integer work;
+    // the oracle replays all 12 rounds unrolled with zero rounding.
+    QueryDef("ext_classifier_weights", (s, dir) => {
+      val model = Classifier.perceptronTrain(classifierFixture(s, dir),
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      model.weightsFrame(s)
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
+      SELECT bucket, w AS weight FROM qw12
+      UNION ALL SELECT CAST(-1 AS BIGINT) AS bucket, bias AS weight FROM qb12""")),
+
+
+    // The trained model applied back as a selection gate: integer margin
+    // per doc, keep score > 0. On this fixture the perceptron reaches
+    // zero training errors, so `selected` equals the true label — the
+    // spec asserts both that and the margin floor.
+    QueryDef("ext_classifier_select", (s, dir) => {
+      val feats = classifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(feats,
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      Classifier.score(feats, "buckets", model)
+        .select(col("doc_id"), col("y").as("label"), col("score"),
+          (col("score") > 0).as("selected"))
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
+      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
+
+
+    // The train/test discipline a deployed filter needs: train on the
+    // even-id half of the labeled pairs only (a twin shares its
+    // original's parity — +100000 preserves it), then score the
+    // UNSEEN odd half. The learned lexicon weights transfer, so the
+    // held-out gate still recovers the labels — generalization, not
+    // memorization, and the oracle replays both halves.
+    QueryDef("ext_classifier_holdout", (s, dir) => {
+      val feats = classifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(
+        feats.filter(col("doc_id") % 2 === 0),
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      Classifier.score(feats.filter(col("doc_id") % 2 === 1), "buckets", model)
+        .select(col("doc_id"), col("y").as("label"), col("score"),
+          (col("score") > 0).as("selected"))
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64,
+        trainWhere = "doc_id % 2 = 0")}
+      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf
+      WHERE doc_id % 2 = 1""")),
+
+
+    // BPE tokenizer induction: 16 merge rounds over the English
+    // vocabulary. The oracle unrolls the identical loop round by round
+    // (SQL has no iteration — same pattern as the k-means oracle); the
+    // whole chain is exact integer/string work, so the match is
+    // bit-identical, not rounded.
+    QueryDef("ext_bpe_merges", (s, dir) =>
+      Bpe.bpeTrain(Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._1,
+      Some(s"""WITH ${duckBpeRounds(16)}
+      ${(0 until 16).map(i =>
+          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
+          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
+
+
+    // The segmented vocabulary those merges induce: top-40 subword
+    // tokens by corpus frequency after all 16 merges.
+    QueryDef("ext_bpe_vocab", (s, dir) => {
+      val words = Bpe.bpeTrain(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._2
+      words.select(col("cnt"), explode(Bpe.symbols(col("sym"))).as("token"))
+        .groupBy("token").agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), col("token")).limit(40)
+    },
+      Some(s"""WITH ${duckBpeRounds(16)}
+      SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        SELECT cnt, unnest(list_filter(string_split(sym, chr(31)),
+          x -> x <> '')) AS token FROM w16)
+      GROUP BY 1 ORDER BY n DESC, token LIMIT 40""")),
+
+
+    // The readout a tokenizer-induction run actually reports: corpus
+    // fertility (subword tokens per word) and compression (chars per
+    // subword token) under the 16 trained merges, straight off the final
+    // words table — one vocabulary-sized agg, no corpus re-encode.
+    QueryDef("ext_bpe_fertility", (s, dir) => {
+      val words = Bpe.bpeTrain(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._2
+      words.select(col("cnt"), length(col("word")).as("chars"),
+          size(Bpe.symbols(col("sym"))).as("toks"))
+        .agg(count(lit(1)).as("n_vocab_words"),
+          sum("cnt").as("n_corpus_words"),
+          sum(col("cnt") * col("toks")).as("n_corpus_tokens"),
+          round(sum(col("cnt") * col("toks")) / sum(col("cnt")) + lit(1e-9), 6)
+            .as("fertility"),
+          round(sum(col("cnt") * col("chars")) /
+            sum(col("cnt") * col("toks")) + lit(1e-9), 6)
+            .as("chars_per_token"))
+    },
+      Some(s"""WITH ${duckBpeRounds(16)},
+      wf AS (SELECT cnt, len(word) AS chars,
+          len(list_filter(string_split(sym, chr(31)), x -> x <> '')) AS toks
+        FROM w16)
+      SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+        CAST(sum(cnt) AS BIGINT) AS n_corpus_words,
+        CAST(sum(cnt * toks) AS BIGINT) AS n_corpus_tokens,
+        round(CAST(sum(cnt * toks) AS DOUBLE) / sum(cnt) + 1e-9, 6)
+          AS fertility,
+        round(CAST(sum(cnt * chars) AS DOUBLE) / sum(cnt * toks) + 1e-9, 6)
+          AS chars_per_token
+      FROM wf""")),
+
+
+    // Applying the trained tokenizer to text it was NOT trained on — the
+    // deployment half of tokenizer induction: encode the held-out
+    // (non-English) vocabulary under the 16 English-trained merges, in
+    // rank order. On the Spark side the merge list is a 16-row driver
+    // collect and encoding is a fold of 16 non-overlapping replaces over
+    // the held-out word table — one projection, no joins, no shuffles
+    // beyond the vocab groupBy. The oracle replays training (m0..m15)
+    // then applies each merge to the held-out words the same way.
+    QueryDef("ext_bpe_encode", (s, dir) => {
+      val merges = Bpe.bpeTrain(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        "text", numMerges = 16)._1
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val held = Tables.documents(s, dir).filter(col("lang") =!= "en")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      held
+        .withColumn("toks", Bpe.encodeWord(col("word"), merges))
+        .select(col("word"), col("cnt"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          array_join(col("toks"), " ").as("segmented"))
+    }, Some(s"""WITH ${duckBpeRounds(16)},
+      hw0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+          regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym
+        FROM (SELECT unnest($DuckToks) AS word FROM documents
+              WHERE lang <> 'en')
+        GROUP BY 1),
+      ${(0 until 16).map(i =>
+        s"""hw${i + 1} AS MATERIALIZED (SELECT word, cnt,
+           CASE WHEN m.lhs IS NULL THEN sym
+             ELSE replace(sym,
+               chr(31) || m.lhs || chr(31) || chr(31) || m.rhs || chr(31),
+               chr(31) || m.lhs || m.rhs || chr(31)) END AS sym
+         FROM hw$i LEFT JOIN m$i m ON TRUE)""").mkString(",\n      ")},
+      henc AS (SELECT word, cnt,
+          list_filter(string_split(sym, chr(31)), x -> x <> '') AS toks
+        FROM hw16)
+      SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_tokens,
+        array_to_string(toks, ' ') AS segmented FROM henc""")),
+
+
+    // Sequence packing, strided layout: running-token-count binning into
+    // 512-token context windows, packed WITHIN each language partition
+    // (global concatenation order would serialize the corpus through one
+    // task). Documents may straddle a bin boundary — downstream splits
+    // them (see ext_pack_greedy for the capacity-invariant variant).
+    QueryDef("ext_pack_sequences", (s, dir) =>
+      Corpus.packSequencesStrided(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", binSize = 512),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(len($DuckToksRaw) AS BIGINT) AS n_tokens FROM documents),
+        p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS prev FROM t)
+      SELECT doc_id, lang, n_tokens,
+        CAST(floor(prev / 512.0) AS BIGINT) AS bin,
+        CAST(prev % 512 AS BIGINT) AS bin_offset
+      FROM p""")),
+
+
+    // Sequence packing, TRUE next-fit: a doc that doesn't fit starts a
+    // new bin, so bin_offset + n_tokens <= 512 is an invariant (oversize
+    // docs excluded by construction here: docs are capped at 512 via
+    // least()). The sequential fill recurrence has no window-sum form —
+    // the oracle walks each language partition with a recursive CTE.
+    QueryDef("ext_pack_greedy", (s, dir) =>
+      Corpus.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          least(TextOps.tokenCount(col("text")).cast("long"), lit(512L))
+            .as("n_tokens")),
+        "lang", "doc_id", "n_tokens", binSize = 512),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, lang,
+          least(CAST(len($DuckToksRaw) AS BIGINT), 512) AS n_tokens,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+      pack AS (
+        SELECT doc_id, lang, n_tokens, rn,
+          CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+          n_tokens AS fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
+          CASE WHEN p.fill + t.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+          CASE WHEN p.fill + t.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+          CASE WHEN p.fill + t.n_tokens > 512 THEN t.n_tokens
+               ELSE p.fill + t.n_tokens END
+        FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+      SELECT doc_id, lang, n_tokens, bin, bin_offset FROM pack""")),
+
+
+    // Deterministic weighted sampling (A-ES): 20 docs drawn with
+    // probability proportional to length via hash-derived uniforms —
+    // reproducible across engines, reruns, and cluster sizes.
+    QueryDef("ext_weighted_sample", (s, dir) =>
+      Corpus.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", k = 20),
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents),
+        u AS (SELECT doc_id, lang, n_chars,
+          ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 + 1.0) / 257.0 AS uu
+          FROM t)
+      SELECT doc_id, lang, n_chars FROM u
+      ORDER BY ln(uu) / n_chars DESC, doc_id LIMIT 20""")),
+
+
+    // PII scrubbing: redact emails and phone-shaped tokens (RE2-safe
+    // patterns), with per-doc redaction counts for density gating.
+    // Deterministic PII is injected on a doc_id stride so the redaction
+    // path actually fires.
+    QueryDef("ext_pii_scrub", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val withPii = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-0142.")))
+          .otherwise(col("text")))
+      withPii.select(col("doc_id"),
+        Corpus.emailCount(col("text")).cast("long").as("n_emails"),
+        Corpus.phoneCount(col("text")).cast("long").as("n_phones"),
+        Corpus.scrubPii(col("text")).as("scrubbed"))
+    }, Some("""WITH t AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@example.com or call 555-0142.'
+          ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+      FROM t""")),
+
+
+    // Content-defined chunking: rolling-hash boundaries + per-chunk
+    // fingerprints (Chunking scaladoc: why CDC survives insertions where
+    // fixed-size chunking does not). Boundary positions are rolling-hash
+    // internals DuckDB cannot reproduce, so the registered output is the
+    // hash-independent TILING INVARIANT, checked in-query per document:
+    // chunks start at 0, are contiguous, sum to exactly the document's
+    // byte length (the one value the oracle computes independently), and
+    // honor the [minLen, maxLen] bounds (the final chunk may run short).
+    // ChunkingSpec additionally pins shift-invariance and determinism.
+    QueryDef("ext_cdc_chunks", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ch = Chunking.chunks(docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("chunk_idx")
+      val flags = ch
+        .withColumn("contig", col("chunk_start") ===
+          coalesce(lag(col("chunk_start") + col("chunk_len"), 1).over(w), lit(0L)))
+        .withColumn("is_last", lead(col("chunk_idx"), 1).over(w).isNull)
+        .withColumn("len_ok", col("chunk_len").between(1L, 256L) &&
+          (col("chunk_len") >= 16L || col("is_last")))
+      val perDoc = flags.groupBy("doc_id").agg(
+        bool_and(col("contig")).as("contig_all"),
+        min(col("chunk_start")).as("min_start"),
+        max(col("chunk_start") + col("chunk_len")).as("max_end"),
+        sum(col("chunk_len")).as("sum_len"),
+        bool_and(col("len_ok")).as("bounds_ok"))
+      docs.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("doc_bytes"))
+        .join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("doc_bytes"),
+          (col("contig_all") && col("min_start") === 0L &&
+            col("max_end") === col("doc_bytes") &&
+            col("sum_len") === col("doc_bytes")).as("tiled"),
+          col("bounds_ok"))
+    }, Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes,
+        true AS tiled, true AS bounds_ok
+      FROM documents""")),
+
+
+    // CDC payoff query: half the docs get a copy with an APPENDED tail.
+    // The chunker's boundary decision at byte i depends only on the
+    // preceding bytes and the position of the previous boundary, so an
+    // append edit provably preserves every boundary inside the original
+    // text: every orig chunk except the final one must reappear in the
+    // edited copy fingerprint-identical — an unconditional invariant the
+    // oracle can hash (a prefix edit resyncs only probabilistically;
+    // that strictly-stronger-than-fixed-chunking behavior is pinned
+    // empirically in ChunkingSpec at >60% fp survival). Each shared
+    // fingerprint is also verified back to byte-equal substrings, so a
+    // broken fp can't silently pass. Fp matching is exact-dedup
+    // semantics on the 64-bit chunk fp — one shuffle at any scale.
+    QueryDef("ext_cdc_shared", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 2 === 0)
+      val edited = planted
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" <<EDITED SUFFIX APPENDED")).as("text"))
+      val ch = Chunking.chunks(planted.unionByName(edited), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val headChunks = ch.filter(col("doc_id") < 100000)
+        .withColumn("last_idx", max("chunk_idx").over(w))
+        .filter(col("chunk_idx") < col("last_idx"))
+        .select(col("doc_id"), col("chunk_fp"),
+          col("chunk_start"), col("chunk_len"))
+      val editedChunks = ch.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("doc_id"), col("chunk_fp"),
+          col("chunk_start").as("e_start"), col("chunk_len").as("e_len"))
+      val matched = headChunks
+        .join(editedChunks, Seq("doc_id", "chunk_fp"), "left")
+        .join(planted.select(col("doc_id"), col("text").as("o_text")), Seq("doc_id"))
+        .join(edited.select((col("doc_id") - 100000).as("doc_id"),
+          col("text").as("e_text")), Seq("doc_id"))
+        // fixture text is ASCII (asserted by the doc_bytes oracle above),
+        // so byte offsets are character offsets for substr
+        .withColumn("content_eq", col("e_start").isNotNull &&
+          col("o_text").substr(col("chunk_start").cast("int") + 1,
+            col("chunk_len").cast("int")) ===
+          col("e_text").substr(col("e_start").cast("int") + 1,
+            col("e_len").cast("int")))
+      val perPair = matched.groupBy("doc_id").agg(
+        bool_and(col("e_start").isNotNull).as("head_chunks_shared"),
+        bool_and(col("content_eq")).as("shared_contents_verified"))
+      // single-chunk docs have no non-final chunks: vacuously true
+      planted.select(col("doc_id").as("orig_id"),
+          (col("doc_id") + 100000).as("edited_id"))
+        .join(perPair.withColumnRenamed("doc_id", "orig_id"), Seq("orig_id"), "left")
+        .select(col("orig_id"), col("edited_id"),
+          coalesce(col("head_chunks_shared"), lit(true)).as("head_chunks_shared"),
+          coalesce(col("shared_contents_verified"), lit(true))
+            .as("shared_contents_verified"))
+    }, Some("""SELECT doc_id AS orig_id, doc_id + 100000 AS edited_id,
+        true AS head_chunks_shared, true AS shared_contents_verified
+      FROM documents WHERE doc_id % 2 = 0""")),
+
+
+    // BPE induction over the degenerate head: empty/whitespace docs
+    // contribute no words, 1-char emoji words contribute no pairs, the
+    // 'word' family drives three count-3 merges, and then the count-1
+    // tie between (U+FFFD,U+FFFD) and (U+1D552,U+1D552) must resolve in
+    // UTF-8 BYTE order — a JVM UTF-16 compareTo would pick the other
+    // pair and diverge from every SQL engine. Remaining rounds find no
+    // pairs and no-op (the early-stop contract).
+    QueryDef("ext_adv_bpe_merges", (s, dir) => {
+      import s.implicits._
+      Bpe.bpeTrain(AdvDegenHead.toDF("doc_id", "text"), "text",
+        numMerges = 6)._1
+    }, Some(s"""WITH ${duckBpeRounds(6, corpusSrc = DuckAdvDegenHead)}
+      ${(0 until 6).map(i =>
+          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
+          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
+
+
+    // Classifier training with degenerate feature rows IN the training
+    // set: the stripped negative twins of all-lexicon docs have EMPTY
+    // token sets (margin = bias exactly — the null/empty-feature path),
+    // and the emoji doc's negative twin carries only supplementary-plane
+    // tokens through md5 bucketing. Fixed-round exact-integer replay on
+    // both engines.
+    QueryDef("ext_adv_classifier", (s, dir) => {
+      val feats = advClassifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(feats,
+        "buckets", "y", numBuckets = 64, maxRounds = 8)
+      Classifier.score(feats, "buckets", model)
+        .select(col("doc_id"), col("y").as("label"), col("score"),
+          (col("score") > 0).as("selected"))
+    }, Some(s"""WITH ${duckPerceptron(rounds = 8, numBuckets = 64,
+        docsSrc = DuckAdvClassifierDocs)}
+      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf"""))
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Bpe, Chunking, Classifier, Corpus, Dedup, Multimodal, Similarity, TextOps}
+import ExtQueries._
+
+/**
+ * Multimodal registry rows: opaque binary payloads with typed
+ * metadata — decode/resize/frame-sample/feature plumbing.
+ *
+ * Split from ExtQueries by family (zero behavior change) — shared
+ * fixture builders and DuckDB oracle fragments stay in [[ExtQueries]].
+ */
+object ExtMultimodalQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+
+    // ---- Multimodal plumbing ------------------------------------------
+
+    // Binary payload + typed metadata (decode stubbed; schema/plumbing real).
+    QueryDef("ext_mm_media_meta", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      media.select(col("media_id"), col("media_type"),
+        col("meta.n_bytes").as("n_bytes"))
+    }, Some("""SELECT doc_id AS media_id,
+        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents""")),
+
+
+    // Resize stub: every-4th-byte downsample; payload and metadata are
+    // rewritten together. Oracle checks the byte accounting (content is
+    // hex-round-tripped so the driver can hash it as a scalar).
+    QueryDef("ext_mm_resize", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      Multimodal.resizeStub(media, factor = 4)
+        .select(col("media_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"), hex(col("payload")).as("payload_hex"))
+    }, Some("""SELECT doc_id AS media_id,
+        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_bytes,
+        regexp_replace(hex(encode(text)), '(..)(..)?(..)?(..)?', '\1', 'g')
+          AS payload_hex
+      FROM documents""")),
+
+
+    // Frame sampling: every-4th 64-byte block of the payload stands in
+    // for every-4th video frame (decode stubbed; the explode-to-frames
+    // operator shape is the point). Hex frames are recomputed by the
+    // oracle byte-for-byte.
+    QueryDef("ext_mm_frames", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      Multimodal.sampleFrames(media, blockBytes = 64, everyNth = 4)
+        .select(col("media_id"), col("media_type"),
+          col("frame_idx").cast("long").as("frame_idx"), col("frame_hex"))
+    }, Some("""WITH h AS (SELECT doc_id,
+          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+          hex(encode(text)) AS hx FROM documents),
+      idx AS (SELECT doc_id, media_type, hx,
+          unnest(range(CAST(ceil(len(hx) / 128.0) AS BIGINT))) AS i FROM h)
+      SELECT doc_id AS media_id, media_type, i AS frame_idx,
+        substr(hx, CAST(i * 128 + 1 AS INT), 128) AS frame_hex
+      FROM idx WHERE i % 4 = 0
+        AND len(substr(hx, CAST(i * 128 + 1 AS INT), 128)) > 0""")),
+
+
+    // Batched per-partition feature extraction over ASCII payloads (the
+    // mapPartitions analogue of a batched pandas UDF); stride-fold stub
+    // features are recomputed by the oracle from character codes.
+    // Output is exploded to one (media_id, dim_idx, value) row per feature
+    // dimension: array-typed result columns are unrepresentable in the
+    // harness comparator, and the stub features are integral byte sums, so
+    // BIGINT rows make the compare fp-free.
+    QueryDef("ext_mm_features", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir).filter(col("lang") === "en")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload",
+        lit("text"))
+      Multimodal.extractFeatures(media, dims = 8)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("dim_idx", "value")))
+        .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"),
+          col("value").cast("long").as("value"))
+    }, Some("""SELECT doc_id AS media_id,
+        CAST(generate_subscripts(features, 1) - 1 AS BIGINT) AS dim_idx,
+        CAST(unnest(features) AS BIGINT) AS value
+      FROM (SELECT doc_id,
+        [list_sum(list_transform(range(1, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(2, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(3, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(4, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(5, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(6, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(7, len(codes) + 1, 8), i -> codes[i])),
+         list_sum(list_transform(range(8, len(codes) + 1, 8), i -> codes[i]))]
+        AS features
+      FROM (SELECT doc_id,
+              list_transform(regexp_extract_all(text, '.'), c -> unicode(c)) AS codes
+            FROM documents WHERE lang = 'en'))"""))
+  )
+}

@@ -44,7 +44,7 @@ object ExtQueries {
    * is 65k scans of documents.parquet and an fd-exhaustion IO error,
    * not just slowness.
    */
-  private def duckBpeRounds(rounds: Int,
+  private[queries] def duckBpeRounds(rounds: Int,
       corpusSrc: String = "documents WHERE lang = 'en'"): String = {
     val w0 = s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
         regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym
@@ -70,7 +70,7 @@ object ExtQueries {
 
   /** DuckDB cosine of two double lists, fp-stabilized like the Spark
    *  side (`round(+1e-9, 6)`, NULL→-2 floor for zero-norm vectors). */
-  private def duckCos(a: String, b: String): String =
+  private[queries] def duckCos(a: String, b: String): String =
     s"""coalesce(round(list_inner_product($a, $b) /
        |  nullif(sqrt(list_inner_product($a, $a))
        |       * sqrt(list_inner_product($b, $b)), 0) + 1e-9, 6), -2)""".stripMargin
@@ -88,7 +88,7 @@ object ExtQueries {
     * source CTE `src` (vec_id, e). CTE names carry prefix `p` so several
     * replays (one per PQ subspace) can coexist in one statement; the
     * final assignment CTE is `${p}af`. */
-  private def duckKmeans(k: Int, iters: Int, src: String = "v",
+  private[queries] def duckKmeans(k: Int, iters: Int, src: String = "v",
                          p: String = ""): String = {
     def assign(prev: String, out: String) =
       s"""$out AS (SELECT vec_id, lbl FROM (
@@ -124,7 +124,7 @@ object ExtQueries {
   /** Seed lexicon for the classifier fixture: three tokens whose md5
     * buckets are collision-free in the fixture vocabulary at B=64, so
     * the learned weights are interpretable in the spec. */
-  private val ClassifierLexicon = Seq("stream", "window", "merge")
+  private[queries] val ClassifierLexicon = Seq("stream", "window", "merge")
 
   /**
    * DuckDB twin of [[graft.ext.Classifier.perceptronTrain]] over the
@@ -138,7 +138,7 @@ object ExtQueries {
    * integer sums return HUGEINT, which the driver's pandas path would
    * surface as float64).
    */
-  private def duckPerceptron(rounds: Int, numBuckets: Int,
+  private[queries] def duckPerceptron(rounds: Int, numBuckets: Int,
                              trainWhere: String = "TRUE",
                              docsSrc: String = "documents"): String = {
     val lex = ClassifierLexicon.map(t => s"'$t'").mkString("[", ",", "]")
@@ -186,7 +186,7 @@ object ExtQueries {
     * fixture docs containing a lexicon token, negatives = the same docs
     * with lexicon tokens stripped (+100000 ids), features = sorted
     * md5-bucket presence at B=64, label ±1. */
-  private def classifierFixture(s: org.apache.spark.sql.SparkSession,
+  private[queries] def classifierFixture(s: org.apache.spark.sql.SparkSession,
                                 dir: String): org.apache.spark.sql.DataFrame = {
     val lex = typedLit(ClassifierLexicon)
     val docs = Tables.documents(s, dir)
@@ -215,17 +215,17 @@ object ExtQueries {
    * slice so organic text flows through the same plans. The SQL twin is
    * interpolated from the SAME Scala constants — one source of truth.
    */
-  private val AdvEmojiDoc = "😀 🐍" // "😀 🐍"
-  private val AdvTieDoc =
+  private[queries] val AdvEmojiDoc = "😀 🐍" // "😀 🐍"
+  private[queries] val AdvTieDoc =
     "�� 𝕒𝕒" // "�� 𝕒𝕒"
-  private val AdvBoiler =
+  private[queries] val AdvBoiler =
     "identical boilerplate sentence repeated verbatim zzq"
-  private val AdvDegenRows: Seq[(Long, String)] = Seq(
+  private[queries] val AdvDegenRows: Seq[(Long, String)] = Seq(
     (9000001L, ""), (9000002L, "   "), (9000003L, "word"),
     (9000004L, "word"), (9000005L, "Word  "),
     (9000006L, AdvEmojiDoc), (9000007L, AdvEmojiDoc), (9000008L, AdvTieDoc)) ++
     (1 to 20).map(i => (9000100L + i, AdvBoiler))
-  private def advCorpus(s: org.apache.spark.sql.SparkSession,
+  private[queries] def advCorpus(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     AdvDegenRows.toDF("doc_id", "text")
@@ -233,7 +233,7 @@ object ExtQueries {
         .filter(col("doc_id") % 17 === 0).select(col("doc_id"), col("text")))
   }
   /** DuckDB derived-table twin of [[advCorpus]] (alias `adv`). */
-  private lazy val DuckAdvCorpus: String = {
+  private[queries] lazy val DuckAdvCorpus: String = {
     val vals = AdvDegenRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
     s"""(SELECT CAST(doc_id AS BIGINT) AS doc_id, text
         FROM (VALUES $vals) t(doc_id, text)
@@ -242,24 +242,24 @@ object ExtQueries {
   /** The degenerate rows alone (no boiler block, no fixture slice) — the
     * BPE corpus, small enough that the count-1 tie rounds are reached
     * within a few merges. */
-  private val AdvDegenHead: Seq[(Long, String)] = AdvDegenRows.take(8)
-  private lazy val DuckAdvDegenHead: String = {
+  private[queries] val AdvDegenHead: Seq[(Long, String)] = AdvDegenRows.take(8)
+  private[queries] lazy val DuckAdvDegenHead: String = {
     val vals = AdvDegenHead.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
     s"""(SELECT CAST(doc_id AS BIGINT) AS doc_id, text
         FROM (VALUES $vals) t(doc_id, text)) advd"""
   }
   /** Lexicon-bearing degenerate docs for the classifier row: their
     * stripped negative twins have EMPTY or emoji-only feature sets. */
-  private val AdvLexDocs: Seq[(Long, String)] = Seq(
+  private[queries] val AdvLexDocs: Seq[(Long, String)] = Seq(
     (9000011L, "stream"), (9000012L, "stream merge window"),
     (9000013L, s"stream $AdvEmojiDoc"))
-  private lazy val DuckAdvClassifierDocs: String = {
+  private[queries] lazy val DuckAdvClassifierDocs: String = {
     val vals = AdvLexDocs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
     s"""(SELECT doc_id, text FROM documents
         UNION ALL SELECT CAST(doc_id AS BIGINT), text
         FROM (VALUES $vals) t(doc_id, text)) advc"""
   }
-  private def advClassifierFixture(s: org.apache.spark.sql.SparkSession,
+  private[queries] def advClassifierFixture(s: org.apache.spark.sql.SparkSession,
                                    dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val lex = typedLit(ClassifierLexicon)
@@ -282,7 +282,7 @@ object ExtQueries {
     * near-dups are seeded as tail-append copies (j ≈ 0.9) of fixture
     * docs, two overlapping modulo families so batch-vs-base AND
     * batch-self drops both occur. */
-  private def incrementalNearFixture(s: org.apache.spark.sql.SparkSession,
+  private[queries] def incrementalNearFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val base = docs.filter(col("doc_id") % 3 =!= 0)
@@ -300,7 +300,7 @@ object ExtQueries {
     * shared verbatim by ext_dedup_incremental_near and its
     * persisted-index twin (bands=32/r=2 puts LSH recall at the 0.5
     * threshold ≈ 1, so the exact oracle matches both). */
-  private lazy val IncrementalNearOracleSql: String = s"""WITH all_docs AS (
+  private[queries] lazy val IncrementalNearOracleSql: String = s"""WITH all_docs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         UNION ALL
         SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
@@ -335,2425 +335,9 @@ object ExtQueries {
       WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
         AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)"""
 
-  def defs: Seq[QueryDef] = Seq(
-
-    // ---- Text analysis ------------------------------------------------
-
-    // Token Shannon entropy — the low-entropy tail is boilerplate /
-    // keyword-stuffed text that length and stopword gates miss. Shape:
-    // explode → two hash aggregates (H = ln n − Σc·ln c / n).
-    QueryDef("ext_token_entropy", (s, dir) =>
-      TextOps.tokenEntropyFrame(Tables.documents(s, dir), "doc_id", "text"),
-      Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS tok FROM documents),
-        c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
-        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-          round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 6) AS entropy
-        FROM c GROUP BY doc_id""")),
-
-    // Corpus-bigram LM score — deterministic stand-in for the KenLM
-    // perplexity gate: mean ln P(w2|w1) under the corpus's own bigram
-    // counts; rare/garbled transitions score low.
-    QueryDef("ext_lm_score", (s, dir) =>
-      TextOps.lmScoreFrame(Tables.documents(s, dir), "doc_id", "text"),
-      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
-        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
-        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
-        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
-        cu AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1)
-        SELECT doc_id, count(*) AS n_bigrams,
-          round(avg(ln(CAST(c2 AS DOUBLE) / c1)) + 1e-9, 6) AS lm_score
-        FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
-        GROUP BY doc_id""")),
-
-    // CCNet/LLaMA-style perplexity-bucketed sampling: LM-score every doc,
-    // cut the corpus into quartiles at EXACT percentile thresholds
-    // (aggregated + broadcast — no global ntile window, the shape that
-    // survives 100 TB), keep the top quartile whole and downsample the
-    // rest at 1/2, 1/4, 1/8 via the deterministic md5 cell gate. Spark
-    // exact percentile == DuckDB quantile_cont (both linear
-    // interpolation); scores are fp-stabilized before the cut.
-    QueryDef("ext_ppl_bucket_mixture", (s, dir) => {
-      val scored = TextOps.lmScoreFrame(Tables.documents(s, dir), "doc_id", "text")
-        .transform(graft.core.CacheRegistry.persistTracked)
-      val qs = scored.agg(
-        expr("percentile(lm_score, 0.25D)").as("q25"),
-        expr("percentile(lm_score, 0.5D)").as("q50"),
-        expr("percentile(lm_score, 0.75D)").as("q75"))
-      scored.crossJoin(broadcast(qs))
-        .withColumn("bucket",
-          when(col("lm_score") >= col("q75"), 1L)
-            .when(col("lm_score") >= col("q50"), 2L)
-            .when(col("lm_score") >= col("q25"), 3L)
-            .otherwise(4L))
-        .filter(col("bucket") === 1 ||
-          (col("bucket") === 2 && Corpus.hashCell(col("doc_id")) < "80") ||
-          (col("bucket") === 3 && Corpus.hashCell(col("doc_id")) < "40") ||
-          (col("bucket") === 4 && Corpus.hashCell(col("doc_id")) < "20"))
-        .select(col("doc_id"), col("bucket"), col("lm_score"))
-    }, Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
-        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
-        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
-        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
-        cu AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
-        sc AS (SELECT doc_id,
-            round(avg(ln(CAST(c2 AS DOUBLE) / c1)) + 1e-9, 6) AS lm_score
-          FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
-          GROUP BY doc_id),
-        q AS (SELECT quantile_cont(lm_score, 0.25) AS q25,
-            quantile_cont(lm_score, 0.50) AS q50,
-            quantile_cont(lm_score, 0.75) AS q75 FROM sc),
-        bk AS (SELECT doc_id, lm_score,
-            CAST(CASE WHEN lm_score >= q75 THEN 1
-                 WHEN lm_score >= q50 THEN 2
-                 WHEN lm_score >= q25 THEN 3 ELSE 4 END AS BIGINT) AS bucket
-          FROM sc CROSS JOIN q)
-        SELECT doc_id, bucket, lm_score FROM bk
-        WHERE bucket = 1
-           OR (bucket = 2 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
-           OR (bucket = 3 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')
-           OR (bucket = 4 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20')""")),
-
-    QueryDef("ext_text_token_stats", (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
-        round(TextOps.punctRatio(col("text")) + lit(1e-9), 6).as("punct_ratio"),
-        round(TextOps.meanTokenLen(col("text")) + lit(1e-9), 6).as("mean_token_len")),
-      Some(s"""SELECT doc_id, n_tokens,
-        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
-        round(CASE WHEN len(text) = 0 THEN 0 ELSE
-          CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-            / len(text) END + 1e-9, 6) AS punct_ratio,
-        round(CASE WHEN n_tokens = 0 THEN 0 ELSE
-          CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n_tokens
-          END + 1e-9, 6) AS mean_token_len
-        FROM (SELECT doc_id, text, $DuckToksRaw AS toks, len($DuckToksRaw) AS n_tokens
-              FROM documents)""")),
-
-    QueryDef("ext_text_quality", (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        round(TextOps.stopwordRatio(col("text")) + lit(1e-9), 6).as("stopword_ratio"),
-        round(TextOps.qualityScore(col("text")) + lit(1e-9), 4).as("quality_score")),
-      Some(s"""WITH t AS (
-          SELECT doc_id, text, $DuckToksRaw AS toks FROM documents),
-        m AS (SELECT doc_id, text,
-          CASE WHEN len(toks) = 0 THEN 0 ELSE
-            CAST(len(list_filter(toks, t -> lower(t) IN ('the','a','an','and','or',
-              'of','to','in','is','it','that','for','on','with','as','at','by')))
-              AS DOUBLE) / len(toks) END AS stop_ratio,
-          CASE WHEN len(text) = 0 THEN 0 ELSE
-            CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-              / len(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0 ELSE
-            CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
-            END AS mean_tok_len
-          FROM t)
-        SELECT doc_id, round(stop_ratio + 1e-9, 6) AS stopword_ratio,
-          round(least(len(text) / 500.0, 1.0) * 0.4
-              + least(stop_ratio * 5, 1.0) * 0.3
-              + (CASE WHEN punct_ratio < 0.2 THEN 0.15 ELSE 0 END)
-              + (CASE WHEN mean_tok_len BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END)
-              + 1e-9, 4) AS quality_score
-        FROM m""")),
-
-    QueryDef("ext_text_lang_id", (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
-      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
-        s AS (SELECT doc_id,
-          len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit','für','nicht'))) AS h_de,
-          len(list_filter(toks, t -> t IN ('the','and','of','is','to','in','that','with'))) AS h_en,
-          len(list_filter(toks, t -> t IN ('el','la','los','y','es','en','para','que'))) AS h_es,
-          len(list_filter(toks, t -> t IN ('le','la','les','et','est','dans','pour','que'))) AS h_fr,
-          len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
-          FROM t)
-        SELECT doc_id,
-          CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS lang_pred
-        FROM (SELECT doc_id, greatest(
-            printf('%04d|%s', h_de, 'de'), printf('%04d|%s', h_en, 'en'),
-            printf('%04d|%s', h_es, 'es'), printf('%04d|%s', h_fr, 'fr'),
-            printf('%04d|%s', h_zh, 'zh')) AS best FROM s)""")),
-
-    // End-to-end curation pipeline (the C4-style gate a training corpus
-    // runs before tokenization): predicted-language gate → quality floor
-    // → exact dedup, in that order so the cheap codegen'd filters prune
-    // before the dedup shuffle. Output: surviving doc_ids + score. The
-    // filter compares the ROUNDED score on both sides so the gate can
-    // never straddle an fp boundary between engines.
-    QueryDef("ext_curation_pipeline", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
-      val variants = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          upper(concat(col("text"), lit("  "))).as("text"), col("lang"))
-      val gated = docs.unionByName(variants)
-        .withColumn("lang_pred", TextOps.langId(col("text")))
-        .withColumn("quality_score",
-          round(TextOps.qualityScoreFast(col("text")) + lit(1e-9), 4))
-        .filter(col("lang_pred") === "en" && col("quality_score") >= 0.6)
-      Dedup.exact(gated, "text", "doc_id").select("doc_id", "quality_score")
-    }, Some(s"""WITH all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, upper(text || '  ') FROM documents
-        WHERE lang = 'en' AND doc_id % 2 = 0),
-      t AS (SELECT doc_id, text, $DuckToks AS ltoks, $DuckToksRaw AS rtoks
-        FROM all_docs),
-      lang AS (SELECT doc_id,
-          CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS lang_pred
-        FROM (SELECT doc_id, greatest(
-            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','mit','für','nicht'))), 'de'),
-            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('the','and','of','is','to','in','that','with'))), 'en'),
-            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('el','la','los','y','es','en','para','que'))), 'es'),
-            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','dans','pour','que'))), 'fr'),
-            printf('%04d|%s', len(list_filter(ltoks, x -> x IN ('的','是','在','了','和','有','我','不'))), 'zh')) AS best
-          FROM t)),
-      q AS (SELECT doc_id,
-          round(least(len(text) / 500.0, 1.0) * 0.4
-            + least((CASE WHEN len(rtoks) = 0 THEN 0 ELSE
-                CAST(len(list_filter(rtoks, x -> lower(x) IN ('the','a','an','and','or',
-                  'of','to','in','is','it','that','for','on','with','as','at','by')))
-                  AS DOUBLE) / len(rtoks) END) * 5, 1.0) * 0.3
-            + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0 ELSE
-                CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                  / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
-            + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
-                CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
-                BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
-        FROM t),
-      gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm, quality_score
-        FROM t JOIN lang USING (doc_id) JOIN q USING (doc_id)
-        WHERE lang_pred = 'en' AND quality_score >= 0.6),
-      surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm)
-      SELECT doc_id, quality_score FROM surv JOIN gated USING (doc_id)""")),
-
-    // The FULL curation chain in one query — the end-to-end path a
-    // training corpus takes: quality floor → exact dedup (normalized
-    // fingerprint, min-id survivor) → MinHash-LSH near-dup clustering
-    // with canonical (min-id) survivors → deterministic hash split +
-    // token count. Synthetic exact copies (+200000) and near-dup tails
-    // (+100000) are injected so every dedup stage provably fires. Stage
-    // order is the 100 TB order: cheap codegen'd filters prune before
-    // the dedup shuffles, exact dedup shrinks the near-dup input.
-    QueryDef("ext_curation_full", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val exactDups = docs.filter(col("doc_id") % 4 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
-      val nearDups = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" dup marker tail")).as("text"))
-      // persist barrier: quality_score is interpreted-HOF-heavy and the
-      // gated frame feeds the exact-dedup window, the near-dup chain, AND
-      // the output projection — without the barrier CollapseProject
-      // re-inlines the score computation into every consumer
-      val gated = graft.core.CacheRegistry.persistTracked(
-        docs.unionByName(exactDups).unionByName(nearDups)
-          .withColumn("quality_score",
-            round(TextOps.qualityScoreFast(col("text")) + lit(1e-9), 4))
-          .filter(col("quality_score") >= 0.6))
-      val exactSurv = Dedup.exact(gated, "text", "doc_id")
-      val canon = exactSurv.join(
-        Dedup.nearDupClusters(exactSurv.select("doc_id", "text"), "doc_id", "text",
-            threshold = 0.5, numHashes = 64, bands = 32)
-          .filter(col("is_canonical")).select("doc_id"),
-        Seq("doc_id"))
-      canon.select(col("doc_id"),
-        Corpus.hashSplit(col("doc_id")).as("split"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        col("quality_score"))
-    }, Some(s"""WITH RECURSIVE all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 4 = 0
-        UNION ALL
-        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 5 = 0),
-      t AS (SELECT doc_id, text, $DuckToks AS ltoks, $DuckToksRaw AS rtoks
-        FROM all_docs),
-      q AS (SELECT doc_id,
-          round(least(len(text) / 500.0, 1.0) * 0.4
-            + least((CASE WHEN len(rtoks) = 0 THEN 0 ELSE
-                CAST(len(list_filter(rtoks, x -> lower(x) IN ('the','a','an','and','or',
-                  'of','to','in','is','it','that','for','on','with','as','at','by')))
-                  AS DOUBLE) / len(rtoks) END) * 5, 1.0) * 0.3
-            + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0 ELSE
-                CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                  / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
-            + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
-                CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
-                BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
-        FROM t),
-      gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm,
-          CAST(len(rtoks) AS BIGINT) AS n_tokens, ltoks, quality_score
-        FROM t JOIN q USING (doc_id) WHERE quality_score >= 0.6),
-      surv AS (SELECT g.* FROM gated g
-        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm) m
-          USING (doc_id)),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ltoks) - 1),
-               i -> array_to_string(ltoks[i:i+2], ' '))) AS shingles
-             FROM surv),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-            (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
-      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      walk(id, reach) AS (
-        SELECT doc_id, doc_id FROM surv
-        UNION
-        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-      canon AS (SELECT id AS doc_id FROM walk GROUP BY id
-        HAVING id = min(reach))
-      SELECT s.doc_id,
-        CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-             WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-             ELSE 'test' END AS split,
-        s.n_tokens, s.quality_score
-      FROM surv s JOIN canon USING (doc_id)""")),
-
-    // Repetition signal: repeated 2-gram / 3-gram fraction per document
-    // (a Gopher-style filter for looping or boilerplate text). Synthetic
-    // high-repetition docs are derived in-query so the signal separates.
-    QueryDef("ext_text_repetition", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val loops = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          concat(col("text"), lit(" "), col("text")).as("text"))
-      docs.unionByName(loops).select(col("doc_id"),
-        round(TextOps.repetitionRatio(col("text"), 2) + lit(1e-9), 6).as("rep2"),
-        round(TextOps.repetitionRatio(col("text"), 3) + lit(1e-9), 6).as("rep3"))
-    }, Some(s"""WITH all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 200000, text || ' ' || text FROM documents
-        WHERE doc_id % 50 = 0),
-      t AS (SELECT doc_id, $DuckToks AS toks FROM all_docs),
-      g AS (SELECT doc_id,
-          CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)),
-            i -> toks[i] || ' ' || toks[i + 1]) END AS g2,
-          CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(range(1, len(toks) - 1),
-            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS g3
-        FROM t)
-      SELECT doc_id,
-        round(CASE WHEN len(g2) = 0 THEN 0 ELSE
-          1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END + 1e-9, 6) AS rep2,
-        round(CASE WHEN len(g3) = 0 THEN 0 ELSE
-          1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END + 1e-9, 6) AS rep3
-      FROM g""")),
-
-    // ---- Deduplication ------------------------------------------------
-
-    // Exact dedup: ASCII-case/whitespace variants of even en-docs must
-    // collapse onto their originals (survivor = min doc_id, copy count 2).
-    QueryDef("ext_dedup_exact", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
-      val variants = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          upper(concat(col("text"), lit("  "))).as("text"), col("lang"))
-      Dedup.exactGroups(docs.unionByName(variants).select("doc_id", "text"),
-        "text", "doc_id")
-    }, Some(s"""WITH all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, upper(text || '  ') FROM documents
-        WHERE lang = 'en' AND doc_id % 2 = 0)
-      SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
-      FROM (SELECT doc_id,
-              array_to_string($DuckToks, ' ') AS norm
-            FROM all_docs)
-      GROUP BY norm""")),
-
-    // Incremental (cross-snapshot) dedup — today's crawl against the
-    // accepted corpus: base contributes only distinct fingerprints
-    // (8 B/doc standing state), the batch anti-joins then self-dedups.
-    // Batch = every third doc plus injected re-crawls (+300000) of
-    // docs most of which live in base, so both the drop path and the
-    // within-batch-collapse path provably fire.
-    QueryDef("ext_dedup_incremental", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") % 3 =!= 0)
-      val batch = docs.filter(col("doc_id") % 3 === 0)
-        .unionByName(docs.filter(col("doc_id") % 7 === 1)
-          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
-      Dedup.incremental(batch, base, "text", "doc_id")
-    }, Some(s"""WITH norm_docs AS (
-        SELECT doc_id, array_to_string($DuckToks, ' ') AS norm FROM documents),
-      base AS (SELECT DISTINCT norm FROM norm_docs WHERE doc_id % 3 <> 0),
-      batch AS (
-        SELECT doc_id, norm FROM norm_docs WHERE doc_id % 3 = 0
-        UNION ALL
-        SELECT doc_id + 300000, norm FROM norm_docs WHERE doc_id % 7 = 1)
-      SELECT min(doc_id) AS survivor_id,
-        CAST(count(*) AS BIGINT) AS n_batch_copies
-      FROM batch WHERE norm NOT IN (SELECT norm FROM base)
-      GROUP BY norm""")),
-
-    // Bloom-gated twin of ext_dedup_incremental — identical answer (the
-    // oracle is the SAME SQL): base collapses to a broadcast Bloom
-    // filter, definitely-new batch rows skip the anti-join, only
-    // mightContain survivors pay it (exactness restored by that join).
-    // The 100 TB shape when the base fingerprint set outgrows a
-    // comfortable anti-join build side.
-    QueryDef("ext_dedup_incremental_bloom", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") % 3 =!= 0)
-      val batch = docs.filter(col("doc_id") % 3 === 0)
-        .unionByName(docs.filter(col("doc_id") % 7 === 1)
-          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
-      Dedup.incrementalBloom(batch, base, "text", "doc_id",
-        expectedItems = 100000L, fpp = 0.01)
-    }, Some(s"""WITH norm_docs AS (
-        SELECT doc_id, array_to_string($DuckToks, ' ') AS norm FROM documents),
-      base AS (SELECT DISTINCT norm FROM norm_docs WHERE doc_id % 3 <> 0),
-      batch AS (
-        SELECT doc_id, norm FROM norm_docs WHERE doc_id % 3 = 0
-        UNION ALL
-        SELECT doc_id + 300000, norm FROM norm_docs WHERE doc_id % 7 = 1)
-      SELECT min(doc_id) AS survivor_id,
-        CAST(count(*) AS BIGINT) AS n_batch_copies
-      FROM batch WHERE norm NOT IN (SELECT norm FROM base)
-      GROUP BY norm""")),
-
-    // Incremental NEAR-dup dedup (MinHash twin of ext_dedup_incremental):
-    // the batch drops against the accepted corpus' LSH index first, then
-    // against itself (lower-id witness rule). Near-dups are seeded as
-    // tail-append copies (j ≈ 0.9); bands=32 (r=2) puts LSH recall at the
-    // 0.5 threshold ≈ 1, so the oracle's brute-force Jaccard ground truth
-    // matches exactly (same determinism argument as ext_dedup_near_minhash).
-    QueryDef("ext_dedup_incremental_near", (s, dir) => {
-      val (base, batch) = incrementalNearFixture(s, dir)
-      Dedup.incrementalNearDup(batch, base, "doc_id", "text",
-          threshold = 0.5, numHashes = 64, bands = 32)
-        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-    }, Some(IncrementalNearOracleSql)),
-
-    // PERSISTED-INDEX twin of ext_dedup_incremental_near — THE daily
-    // operation at 100 TB: the accepted corpus' LSH index (band table +
-    // shingle table, Dedup.nearDupIndex) is materialized ONCE as
-    // warehouse tables bucketed on their join keys, and the batch run
-    // reads ONLY the batch text plus those saved tables (mirror of
-    // ext_sim_ann_persisted's build-once/query-many shape; reference
-    // analogue: dbt incremental models, 5_dbt/READ.md:386-396). Output
-    // must be bit-identical to the in-run variant — same oracle SQL.
-    QueryDef("ext_dedup_incremental_persisted", (s, dir) => {
-      val (base, batch) = incrementalNearFixture(s, dir)
-      val (bandT, shT) = Dedup.nearDupIndex(base, "doc_id", "text",
-        numHashes = 64, bands = 32)
-      val bandTable = graft.core.Materialize.bucketTable(s,
-        "graft_neardup_bands", bandT, buckets = 8,
-        bucketCols = Seq("band", "band_hash"))
-      val shTable = graft.core.Materialize.bucketTable(s,
-        "graft_neardup_shingles", shT, buckets = 8, bucketCols = Seq("doc_id"))
-      Dedup.incrementalNearDupIndexed(batch, bandTable, shTable,
-          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
-        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-    }, Some(IncrementalNearOracleSql)),
-
-    // TWO-DAY index growth cycle — the property that makes the persisted
-    // index an INDEX and not a cache: day-1 survivors' band/shingle rows
-    // are APPENDED to the saved tables (Materialize.bucketAppend, bucket
-    // spec preserved), and day 2 is gated by the GROWN index — its
-    // tail-copies of day-1 docs (%42 family, +800000) drop only because
-    // the append happened. The oracle replays both days with day-2
-    // comparing against base ∪ day-1 survivors.
-    QueryDef("ext_dedup_index_growth", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") % 3 =!= 0)
-      val batch1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
-        .unionByName(docs.filter(col("doc_id") % 5 === 1)
-          .select((col("doc_id") + 400000).as("doc_id"),
-            concat(col("text"), lit(" dup marker tail")).as("text")))
-      val batch2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)
-        .unionByName(docs
-          .filter(col("doc_id") % 6 === 0 && col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 800000).as("doc_id"),
-            concat(col("text"), lit(" dup marker tail")).as("text")))
-      val (b0, sh0) = Dedup.nearDupIndex(base, "doc_id", "text",
-        numHashes = 64, bands = 32)
-      var bandT = graft.core.Materialize.bucketTable(s, "graft_growth_bands",
-        b0, buckets = 8, bucketCols = Seq("band", "band_hash"))
-      var shT = graft.core.Materialize.bucketTable(s, "graft_growth_shingles",
-        sh0, buckets = 8, bucketCols = Seq("doc_id"))
-      // EAGER lineage cut, not persist: the append below MUTATES the
-      // tables s1's plan reads, so a cache-evicted re-execution would
-      // see day-1 docs drop against their own index rows. After
-      // localCheckpoint the day-1 survivors are materialized rows with
-      // no reference to the tables at all.
-      val s1 = Dedup.incrementalNearDupIndexed(batch1, bandT, shT,
-          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
-        .localCheckpoint()
-      val (b1, sh1) = Dedup.nearDupIndex(s1, "doc_id", "text",
-        numHashes = 64, bands = 32)
-      bandT = graft.core.Materialize.bucketAppend(s, "graft_growth_bands",
-        b1, buckets = 8, bucketCols = Seq("band", "band_hash"))
-      shT = graft.core.Materialize.bucketAppend(s, "graft_growth_shingles",
-        sh1, buckets = 8, bucketCols = Seq("doc_id"))
-      val s2 = Dedup.incrementalNearDupIndexed(batch2, bandT, shT,
-        "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
-      s1.select(col("doc_id"), lit(1L).as("day"))
-        .unionByName(s2.select(col("doc_id"), lit(2L).as("day")))
-    }, Some(s"""WITH base_docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-      b1_docs AS (
-        SELECT doc_id, text FROM documents
-        WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
-        UNION ALL
-        SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 5 = 1),
-      b2_docs AS (
-        SELECT doc_id, text FROM documents
-        WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
-        UNION ALL
-        SELECT doc_id + 800000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 6 = 0 AND doc_id % 7 = 0),
-      psh AS (SELECT doc_id, CASE WHEN len(toks) < 3
-            THEN [array_to_string(toks, ' ')]
-            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
-          FROM (SELECT doc_id, $DuckToks AS toks FROM base_docs)),
-      b1sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
-            THEN [array_to_string(toks, ' ')]
-            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
-          FROM (SELECT doc_id, $DuckToks AS toks FROM b1_docs)),
-      b2sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
-            THEN [array_to_string(toks, ' ')]
-            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
-          FROM (SELECT doc_id, $DuckToks AS toks FROM b2_docs)),
-      d1_vs_base AS (SELECT DISTINCT b.doc_id FROM b1sh b JOIN psh p
-        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
-           (len(b.shingles) + len(p.shingles)
-            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
-      d1_fresh AS (SELECT * FROM b1sh
-        WHERE doc_id NOT IN (SELECT doc_id FROM d1_vs_base)),
-      d1_self AS (SELECT DISTINCT b.doc_id FROM d1_fresh b JOIN d1_fresh a
-        ON a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
-            (len(b.shingles) + len(a.shingles)
-             - len(list_intersect(b.shingles, a.shingles))) >= 0.5),
-      s1 AS (SELECT doc_id, shingles FROM b1sh
-        WHERE doc_id NOT IN (SELECT doc_id FROM d1_vs_base)
-          AND doc_id NOT IN (SELECT doc_id FROM d1_self)),
-      idx2 AS (SELECT doc_id, shingles FROM psh
-        UNION ALL SELECT doc_id, shingles FROM s1),
-      d2_vs_idx AS (SELECT DISTINCT b.doc_id FROM b2sh b JOIN idx2 p
-        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
-           (len(b.shingles) + len(p.shingles)
-            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
-      d2_fresh AS (SELECT * FROM b2sh
-        WHERE doc_id NOT IN (SELECT doc_id FROM d2_vs_idx)),
-      d2_self AS (SELECT DISTINCT b.doc_id FROM d2_fresh b JOIN d2_fresh a
-        ON a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
-            (len(b.shingles) + len(a.shingles)
-             - len(list_intersect(b.shingles, a.shingles))) >= 0.5),
-      s2 AS (SELECT doc_id FROM b2sh
-        WHERE doc_id NOT IN (SELECT doc_id FROM d2_vs_idx)
-          AND doc_id NOT IN (SELECT doc_id FROM d2_self))
-      SELECT doc_id, CAST(1 AS BIGINT) AS day FROM s1
-      UNION ALL
-      SELECT doc_id, CAST(2 AS BIGINT) AS day FROM s2""")),
-
-    // The DAILY-BATCH curation chain end to end: Gopher gates on both
-    // sides -> incremental near-dup of the gated batch against the gated
-    // accepted corpus -> deterministic train/val/test split. The
-    // composition a 100 TB ingest runs every day; every stage reuses an
-    // operator proven above (gates: ext_gopher_rules bounds; dedup:
-    // ext_dedup_incremental_near; split: ext_split_hashmod cells), and
-    // the oracle replays the whole chain in one SQL statement.
-    QueryDef("ext_curation_incremental", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val baseRaw = docs.filter(col("doc_id") % 3 =!= 0)
-      val batchRaw = docs.filter(col("doc_id") % 3 === 0)
-        .unionByName(docs.filter(col("doc_id") % 5 === 1)
-          .select((col("doc_id") + 400000).as("doc_id"),
-            concat(col("text"), lit(" dup marker tail")).as("text")))
-      def gated(df: org.apache.spark.sql.DataFrame) = {
-        val perTok = df.select(col("doc_id"),
-            explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        val pass = perTok.groupBy("doc_id").agg(
-            sum(col("c")).as("n_words"),
-            round(sum(length(col("tok")) * col("c")).cast("double") /
-              sum(col("c")) + lit(1e-9), 4).as("mwl"),
-            round(max(col("c")).cast("double") /
-              sum(col("c")) + lit(1e-9), 4).as("ttf"))
-          .filter(col("n_words").between(20, 1000) &&
-            col("mwl").between(3.0, 10.0) && col("ttf") <= 0.2)
-          .select("doc_id")
-        df.join(pass, Seq("doc_id"), "left_semi")
-      }
-      Dedup.incrementalNearDup(gated(batchRaw), gated(baseRaw),
-          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
-        .select(col("doc_id"), Corpus.hashSplit(col("doc_id")).as("split"),
-          length(col("text")).cast("long").as("n_chars"))
-    }, Some {
-      def gateCtes(src: String, out: String) =
-        s"""t_$out AS (SELECT doc_id, unnest($DuckToksRaw) AS tok FROM $src),
-           pt_$out AS (SELECT doc_id, tok, count(*) AS c FROM t_$out GROUP BY 1, 2),
-           m_$out AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-               round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c) + 1e-9, 4) AS mwl,
-               round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS ttf
-             FROM pt_$out GROUP BY doc_id),
-           $out AS (SELECT s.doc_id, s.text FROM $src s
-             JOIN m_$out m ON m.doc_id = s.doc_id
-             WHERE m.n_words BETWEEN 20 AND 1000
-               AND m.mwl BETWEEN 3.0 AND 10.0 AND m.ttf <= 0.2)"""
-      def shCte(src: String, out: String) =
-        s"""$out AS (SELECT doc_id, list_distinct(list_transform(
-               range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
-               AS shingles
-             FROM (SELECT doc_id, $DuckToks AS toks FROM $src))"""
-      s"""WITH batch_raw AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-          UNION ALL
-          SELECT doc_id + 400000, text || ' dup marker tail' FROM documents
-          WHERE doc_id % 5 = 1),
-        base_raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-        ${gateCtes("batch_raw", "gb")},
-        ${gateCtes("base_raw", "gp")},
-        ${shCte("gb", "bsh")},
-        ${shCte("gp", "psh")},
-        drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN psh p
-          ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
-             (len(b.shingles) + len(p.shingles)
-              - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
-        fresh AS (SELECT * FROM bsh
-          WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
-        self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
-          ON a.doc_id < b.doc_id
-          AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
-              (len(b.shingles) + len(a.shingles)
-               - len(list_intersect(b.shingles, a.shingles))) >= 0.5)
-        SELECT d.doc_id,
-          CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6'
-               THEN 'train'
-               WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'f3'
-               THEN 'val' ELSE 'test' END AS split,
-          CAST(length(d.text) AS BIGINT) AS n_chars
-        FROM gb d
-        WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
-          AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)"""
-    }),
-
-    // Gopher-style per-document quality gates (word count, mean word
-    // length, max-token dominance) — the published rule-based filter
-    // family, computed with one explode + hash agg (no per-doc UDF
-    // state; at corpus scale this is a map-side explode and ONE shuffle
-    // on doc_id).
-    QueryDef("ext_gopher_rules", (s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      val perTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      perTok.groupBy("doc_id").agg(
-          sum(col("c")).as("n_words"),
-          round(sum(length(col("tok")) * col("c")).cast("double") /
-            sum(col("c")) + lit(1e-9), 4).as("mean_word_len"),
-          round(max(col("c")).cast("double") /
-            sum(col("c")) + lit(1e-9), 4).as("top_tok_frac"))
-        .withColumn("passes",
-          col("n_words").between(20, 1000) &&
-          col("mean_word_len").between(3.0, 10.0) &&
-          col("top_tok_frac") <= 0.2)
-        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("top_tok_frac"), col("passes"))
-    }, Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToksRaw) AS tok FROM documents),
-      per_tok AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
-      m AS (SELECT doc_id,
-          CAST(sum(c) AS BIGINT) AS n_words,
-          round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c) + 1e-9, 4)
-            AS mean_word_len,
-          round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS top_tok_frac
-        FROM per_tok GROUP BY doc_id)
-      SELECT doc_id, n_words, mean_word_len, top_tok_frac,
-        (n_words BETWEEN 20 AND 1000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-          AND top_tok_frac <= 0.2 AS passes
-      FROM m""")),
-
-    // Gopher repetition signals (Rae et al. 2021 Table A1 — the
-    // within-doc family ext_gopher_rules' word stats don't cover).
-    // Repetition is seeded deterministically: ' data ' -> '. ' makes
-    // sentences, %2 docs get one sentence duplicated, %3 docs get a
-    // 5-token phrase repeated twice (the dup-ngram signal), and the
-    // oracle recomputes all four fractions from scratch with the same
-    // sentence regex / token rules, deriving ngram coverage from the
-    // distinct-position lag walk vs the engine's interval-merge scan.
-    QueryDef("ext_gopher_repetition", (s, dir) => {
-      val seeded = Tables.documents(s, dir).select(col("doc_id"),
-        concat(regexp_replace(col("text"), lit(" data "), lit(". ")),
-          when(col("doc_id") % 2 === 0,
-            lit(" repeated closing sentence here. repeated closing sentence here."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 3 === 0,
-            lit(" the quick brown fox jumps the quick brown fox jumps"))
-            .otherwise(lit(""))).as("text"))
-      TextOps.repetitionSignals(seeded, "doc_id", "text", ngram = 5)
-    }, Some(s"""WITH seeded AS (SELECT doc_id,
-          regexp_replace(text, ' data ', '. ', 'g') ||
-          CASE WHEN doc_id % 2 = 0
-            THEN ' repeated closing sentence here. repeated closing sentence here.'
-            ELSE '' END ||
-          CASE WHEN doc_id % 3 = 0
-            THEN ' the quick brown fox jumps the quick brown fox jumps'
-            ELSE '' END AS text
-        FROM documents),
-      base AS (SELECT doc_id,
-          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)
-            AS toks, text
-        FROM seeded),
-      doc_base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-          CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
-            AS BIGINT) AS tok_chars
-        FROM base),
-      sents AS (SELECT doc_id, lower(trim(sent)) AS sent
-        FROM (SELECT doc_id, unnest(regexp_extract_all(text,
-            '[^.!?]+[.!?]+|[^.!?]+${"$"}')) AS sent FROM seeded)
-        WHERE len(trim(sent)) > 0),
-      sent_c AS (SELECT doc_id, sent, count(*) AS c
-        FROM sents GROUP BY 1, 2),
-      line_stats AS (SELECT doc_id,
-          CAST(sum(c) AS BIGINT) AS n_lines,
-          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dl,
-          CAST(sum(len(sent) * c) AS BIGINT) AS lc,
-          CAST(sum(CASE WHEN c >= 2 THEN len(sent) * c ELSE 0 END) AS BIGINT)
-            AS dlc
-        FROM sent_c GROUP BY doc_id),
-      bg AS (SELECT doc_id, toks[s] || ' ' || toks[s + 1] AS bg
-        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS s
-              FROM base WHERE len(toks) >= 2)),
-      bg_c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-      top_bg AS (SELECT doc_id, c AS topc,
-          CAST(len(bg) - 1 AS BIGINT) AS topchars
-        FROM (SELECT doc_id, bg, c, row_number() OVER (PARTITION BY doc_id
-            ORDER BY c DESC, bg ASC) AS rn FROM bg_c)
-        WHERE rn = 1),
-      w AS (SELECT doc_id, s,
-          array_to_string(toks[s:s+4], ' ') AS win
-        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS s
-              FROM base WHERE len(toks) >= 5)),
-      rep_w AS (SELECT doc_id, s FROM (SELECT doc_id, s,
-            count(*) OVER (PARTITION BY doc_id, win) AS c FROM w)
-        WHERE c >= 2),
-      pos AS (SELECT DISTINCT doc_id, s + off AS p
-        FROM rep_w, range(0, 5) r2(off)),
-      cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
-        FROM pos GROUP BY doc_id)
-      SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
-        round(CASE WHEN coalesce(n_lines, 0) > 0
-          THEN CAST(dl AS DOUBLE) / n_lines ELSE 0 END + 1e-9, 6)
-          AS dup_line_frac,
-        round(CASE WHEN coalesce(lc, 0) > 0
-          THEN CAST(dlc AS DOUBLE) / lc ELSE 0 END + 1e-9, 6)
-          AS dup_line_char_frac,
-        round(CASE WHEN tok_chars > 0 AND topc IS NOT NULL
-          THEN CAST(topc * topchars AS DOUBLE) / tok_chars ELSE 0 END + 1e-9, 6)
-          AS top_bigram_char_frac,
-        round(CASE WHEN n_tokens > 0
-          THEN CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens ELSE 0 END
-          + 1e-9, 6) AS dup_ngram_token_frac
-      FROM doc_base d
-      LEFT JOIN line_stats USING (doc_id)
-      LEFT JOIN top_bg USING (doc_id)
-      LEFT JOIN cov USING (doc_id)""")),
-
-    // CROSS-document duplicate trigram fraction (corpus-level twin of
-    // the within-doc signals above): per doc, the share of its distinct
-    // trigrams that appear in >= 2 documents. Spark shuffles 8-byte
-    // xxhash64 fingerprints; the oracle counts the raw gram strings —
-    // identical absent a 64-bit collision, which the fixture doesn't
-    // have.
-    QueryDef("ext_cross_dup_ngrams", (s, dir) =>
-      TextOps.crossDupNgramFraction(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text", n = 3),
-      Some(s"""WITH d AS (SELECT doc_id, $DuckToks AS toks FROM documents),
-      g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) < 3
-          THEN [array_to_string(toks, ' ')]
-          ELSE list_transform(range(1, len(toks) - 1),
-            i -> array_to_string(toks[i:i+2], ' ')) END) AS gram FROM d),
-      c AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
-      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        round(avg(CASE WHEN c.df >= 2 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
-          AS dup_ngram_frac
-      FROM g JOIN c USING (gram) GROUP BY 1""")),
-
-    // Near-dup: MinHash(64) + 16-band LSH candidates, exact-Jaccard
-    // verified at >= 0.5. The oracle recomputes the thresholded pairs by
-    // brute force over string shingles — the LSH path must find exactly
-    // the pairs that actually exceed the threshold.
-    QueryDef("ext_dedup_near_minhash", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dups = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" dup marker tail")).as("text"))
-      // bands=32 (r=2): the LSH S-curve midpoint drops to ~0.18, so pairs
-      // at the 0.5 threshold are caught with recall ~1 — required for the
-      // oracle's brute-force ground truth to match exactly.
-      Dedup.nearDupPairs(docs.unionByName(dups), "doc_id", "text", threshold = 0.5,
-        numHashes = 64, bands = 32)
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
-    }, Some(s"""WITH all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 5 = 0),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-            (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) AS j
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM pairs WHERE j >= 0.5""")),
-
-    // Mega-bucket cap under adversarial input (RefinedWeb-style guard,
-    // oracle-visible): 40 byte-identical boilerplate docs are injected —
-    // identical text means identical MinHash signatures, so they land in
-    // ONE (band, bandHash) bucket of size 40 in EVERY band, the m²
-    // blowup the cap exists for. With maxBucketSize=30 those buckets are
-    // dropped wholesale, so the engine's surviving pair set must equal
-    // the brute-force ground truth over the ORGANIC docs alone — which
-    // is exactly what the oracle computes (the boilerplate's nonsense
-    // shingles share no bucket with organic text, and dropped pairs are
-    // precisely the ones an exact-dedup pass removes first — the
-    // documented recall contract).
-    QueryDef("ext_dedup_near_capped", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 7 === 0)
-      val dups = docs.filter(col("doc_id") % 14 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" dup marker tail")).as("text"))
-      val mega = s.range(1, 41).select((col("id") + 900000).as("doc_id"),
-        lit("zzq mega boilerplate block repeated verbatim zzq across every " +
-          "copy of the capped fixture zzq").as("text"))
-      Dedup.nearDupPairs(docs.unionByName(dups).unionByName(mega),
-          "doc_id", "text", threshold = 0.5,
-          numHashes = 64, bands = 32, maxBucketSize = 30)
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
-    }, Some(s"""WITH all_docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
-        UNION ALL
-        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 14 = 0),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-            (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) AS j
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM pairs WHERE j >= 0.5""")),
-
-    // Exact-substring repetition (ExactSubstr, Lee et al. 2022): every
-    // 10-token window fingerprinted, corpus-wide repeats (>= 2
-    // occurrences, same-doc counts) merged into maximal per-doc spans.
-    // Repeats are seeded three ways — a shared boilerplate tail on %3
-    // docs, a second legal tail on %4 docs (the %12 overlap exercises
-    // span MERGING), and whole-document copies of %10 docs (full-doc
-    // spans). The oracle recomputes windows as strings, marks repeats
-    // by count, and derives covered/spans from the distinct covered
-    // position set with a lag-gap walk — a different formulation that
-    // must agree exactly with the engine's interval-merge scan.
-    QueryDef("ext_dedup_substring", (s, dir) => {
-      val seeded = Tables.documents(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            lit(" all rights reserved this content is provided as is without warranty of any kind"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 4 === 0,
-            lit(" by continuing you agree to the site terms and the processing of your data"))
-            .otherwise(lit(""))).as("text"))
-      val copies = seeded.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 700000).as("doc_id"), col("text"))
-      Dedup.repeatedSpanStats(seeded.unionByName(copies),
-        "doc_id", "text", k = 10, minCount = 2L)
-    }, Some(s"""WITH seeded AS (SELECT doc_id,
-          text ||
-          CASE WHEN doc_id % 3 = 0
-            THEN ' all rights reserved this content is provided as is without warranty of any kind'
-            ELSE '' END ||
-          CASE WHEN doc_id % 4 = 0
-            THEN ' by continuing you agree to the site terms and the processing of your data'
-            ELSE '' END AS text
-        FROM documents),
-      all_docs AS (SELECT doc_id, text FROM seeded
-        UNION ALL
-        SELECT doc_id + 700000, text FROM seeded WHERE doc_id % 10 = 0),
-      t AS (SELECT doc_id, $DuckToks AS toks FROM all_docs),
-      w AS (SELECT doc_id, s, array_to_string(toks[s:s+9], ' ') AS win
-        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS s
-              FROM t WHERE len(toks) >= 10)),
-      rep AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
-      rw AS (SELECT doc_id, s FROM w JOIN rep USING (win)),
-      pos AS (SELECT DISTINCT doc_id, s + off AS p
-        FROM rw, range(0, 10) r2(off)),
-      cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered,
-          CAST(count(*) FILTER (WHERE prev IS NULL OR p - prev > 1) AS BIGINT)
-            AS n_spans
-        FROM (SELECT doc_id, p,
-            lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM pos)
-        GROUP BY doc_id)
-      SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        coalesce(covered, 0) AS covered_tokens,
-        coalesce(n_spans, 0) AS n_spans,
-        round(CAST(coalesce(covered, 0) AS DOUBLE)
-          / greatest(len(toks), 1) + 1e-9, 6) AS dup_ratio
-      FROM t d LEFT JOIN cov USING (doc_id)""")),
-
-    // Dedup clustering: the near-dup PAIRS become CLUSTERS via
-    // distributed connected components (large-star/small-star), component
-    // id = min doc id = the canonical survivor. The oracle recomputes the
-    // same brute-force pair set and resolves components with a recursive
-    // min-label walk — the LSH + iterative-join path must land on exactly
-    // the same partition of the corpus.
-    QueryDef("ext_dedup_components", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dups = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" dup marker tail")).as("text"))
-      Dedup.nearDupClusters(docs.unionByName(dups), "doc_id", "text",
-        threshold = 0.5, numHashes = 64, bands = 32)
-    }, Some(s"""WITH RECURSIVE all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 5 = 0),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-            (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
-      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      walk(id, reach) AS (
-        SELECT doc_id, doc_id FROM all_docs
-        UNION
-        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a)
-      SELECT id AS doc_id, min(reach) AS component,
-        (id = min(reach)) AS is_canonical
-      FROM walk GROUP BY id""")),
-
-    // The same clustering through the DURABLE path a multi-hour 100 TB
-    // job runs with: CheckpointStrategy.Reliable cuts each
-    // large-star/small-star round to a reliable checkpoint directory
-    // (HDFS/object store on a cluster; warehouse tmp here), and
-    // driverThreshold=0 forces the distributed iteration so the durable
-    // cut actually executes. Result must be bit-identical to
-    // ext_dedup_components — same oracle.
-    QueryDef("ext_dedup_components_reliable", (s, dir) => {
-      val cpRoot = new java.io.File(
-        s.sessionState.conf.warehousePath.stripPrefix("file:"),
-        "_graft_cp_reliable")
-      // drop prior invocations' checkpoint trees (their results are long
-      // materialized); this run gets a fresh UUID child
-      if (cpRoot.isDirectory) {
-        import scala.util.Try
-        Try {
-          java.nio.file.Files.walk(cpRoot.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        }
-      }
-      val cpDir = new java.io.File(cpRoot, java.util.UUID.randomUUID().toString)
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dups = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" dup marker tail")).as("text"))
-      Dedup.nearDupClusters(docs.unionByName(dups), "doc_id", "text",
-        threshold = 0.5, numHashes = 64, bands = 32,
-        checkpoint = graft.core.CheckpointStrategy.Reliable(cpDir.toString),
-        driverThreshold = 0L)
-    }, Some(s"""WITH RECURSIVE all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
-        WHERE doc_id % 5 = 0),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-            (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
-      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      walk(id, reach) AS (
-        SELECT doc_id, doc_id FROM all_docs
-        UNION
-        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a)
-      SELECT id AS doc_id, min(reach) AS component,
-        (id = min(reach)) AS is_canonical
-      FROM walk GROUP BY id""")),
-
-    // N-gram Jaccard scored directly on constructed (orig, perturbed)
-    // pairs — the dedup metric as a first-class similarity measure.
-    QueryDef("ext_jaccard_pairs", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 5 === 0)
-      val a = docs.select(col("doc_id").as("id_a"),
-        Dedup.shingleHashes(col("text"), 3).as("__sa"))
-      val b = docs.select((col("doc_id") + 100000).as("id_b"),
-        Dedup.shingleHashes(concat(col("text"), lit(" dup marker tail")), 3).as("__sb"))
-      a.join(b, col("id_b") === col("id_a") + 100000)
-        .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccard(col("__sa"), col("__sb")) + lit(1e-9), 6).as("jaccard"))
-    }, Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-      sa AS (SELECT doc_id AS id_a, list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> array_to_string(toks[i:i+2], ' '))) AS sh
-             FROM (SELECT doc_id, $DuckToks AS toks FROM base)),
-      sb AS (SELECT doc_id + 100000 AS id_b,
-               list_distinct(list_transform(range(1, len(toks) - 1),
-                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
-             FROM (SELECT doc_id,
-                     list_filter(string_split_regex(trim(lower(text || ' dup marker tail')),
-                       '\\s+'), x -> len(x) > 0) AS toks
-                   FROM base))
-      SELECT id_a, id_b,
-        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) + 1e-9, 6)
-          AS jaccard
-      FROM sa JOIN sb ON id_b = id_a + 100000""")),
-
-    // Corpus vocabulary: top-50 tokens by frequency (explode -> count ->
-    // top-k; the standard corpus-stats shape).
-    QueryDef("ext_vocab_topk", (s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("token")).limit(50),
-      Some(s"""SELECT token, count(*) AS n
-        FROM (SELECT unnest($DuckToks) AS token FROM documents)
-        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
-
-    // TF-IDF top-3 terms per document (tf = term count / doc length,
-    // idf = ln(N/df)): the classic relevance weighting a training-data
-    // pipeline uses for keyword extraction / corpus diagnostics. Shuffles:
-    // one on (doc, term), one on term for df, one broadcast-able 1-row N.
-    QueryDef("ext_tfidf_topk", (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      // persist barrier: tf feeds BOTH the scoring chain and the df
-      // branch — without it the tokenize+count subtree runs twice
-      // (released by the harness's per-query clearCache)
-      val tf = docs.select(col("doc_id"),
-          explode(TextOps.tokens(lower(col("text")))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
-        .withColumn("toklen", sum(col("tc")).over(Window.partitionBy("doc_id")))
-        .transform(graft.core.CacheRegistry.persistTracked)
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, Seq("term"))
-        .crossJoin(broadcast(nDocs))
-        .withColumn("tfidf", round(
-          (col("tc").cast("double") / col("toklen")) *
-            log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 6))
-      scored.withColumn("__rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))))
-        .filter(col("__rn") <= 3)
-        .select("doc_id", "term", "tfidf")
-    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
-      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
-      tl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS toklen FROM tf),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      n AS (SELECT count(*) AS n_docs FROM documents),
-      scored AS (SELECT doc_id, term,
-          round((CAST(tc AS DOUBLE) / toklen) *
-            ln(CAST(n_docs AS DOUBLE) / df) + 1e-9, 6) AS tfidf
-        FROM tl JOIN dfreq USING (term) CROSS JOIN n),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-          ORDER BY tfidf DESC, term) AS rn FROM scored)
-      SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3""")),
-
-    // Funnel conversion: users whose first click converts to a purchase
-    // within 1 hour — event-sequence analytics over the same feed the
-    // streaming attribution join consumes. One row out.
-    QueryDef("ext_funnel", (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val firstClick = ev.filter(col("event_type") === "click")
-        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
-      val converted = firstClick
-        .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
-        .filter(col("ts") >= col("first_click") &&
-          col("ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
-        .select("user_id").distinct()
-      firstClick.agg(count(lit(1)).as("n_clicked"))
-        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
-        .withColumn("conversion_rate", round(
-          col("n_converted").cast("double") / col("n_clicked") + lit(1e-9), 6))
-    }, Some("""WITH fc AS (SELECT user_id, min(ts) AS first_click
-          FROM events WHERE event_type = 'click' GROUP BY 1),
-      conv AS (SELECT DISTINCT fc.user_id FROM fc JOIN events e
-          ON e.user_id = fc.user_id AND e.event_type = 'purchase'
-          AND e.ts >= fc.first_click
-          AND e.ts <= fc.first_click + INTERVAL 1 HOUR)
-      SELECT (SELECT count(*) FROM fc) AS n_clicked,
-        (SELECT count(*) FROM conv) AS n_converted,
-        round(CAST((SELECT count(*) FROM conv) AS DOUBLE) /
-          (SELECT count(*) FROM fc) + 1e-9, 6) AS conversion_rate""")),
-
-    // Benchmark decontamination: corpus docs sharing any 13-token shingle
-    // with the benchmark set (the published n-gram-overlap convention).
-    // Spark joins 64-bit shingle hashes; the oracle joins the shingle
-    // STRINGS — equal iff no 64-bit collision, which the compare verifies.
-    QueryDef("ext_decontaminate", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val bench = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 500000).as("bench_id"), col("text"))
-      Dedup.contaminationHits(docs, "doc_id", "text",
-        bench, "bench_id", "text", shingleK = 13)
-    }, Some(s"""WITH ctoks AS (SELECT doc_id, $DuckToks AS toks FROM documents),
-      bench AS (SELECT doc_id + 500000 AS bid, $DuckToks AS toks
-        FROM documents WHERE doc_id % 10 = 0),
-      csh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id,
-          unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-            ELSE list_transform(range(1, len(toks) - 11),
-              i -> array_to_string(toks[i:i+12], ' ')) END) AS sh
-        FROM ctoks)),
-      bsh AS (SELECT DISTINCT bid, sh FROM (SELECT bid,
-          unnest(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-            ELSE list_transform(range(1, len(toks) - 11),
-              i -> array_to_string(toks[i:i+12], ' ')) END) AS sh
-        FROM bench))
-      SELECT doc_id, count(*) AS n_hits, count(DISTINCT bid) AS n_bench_docs
-      FROM csh JOIN bsh USING (sh) GROUP BY doc_id""")),
-
-    // ---- Corpus management (splits, sampling, packing, PII) -----------
-
-    // Deterministic train/val/test split: the md5-cell range split every
-    // training pipeline needs — a pure projection (no shuffle, no RNG),
-    // identical assignment in any engine, stable under appends.
-    QueryDef("ext_split_hashmod", (s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        Corpus.hashCell(col("doc_id")).as("cell"),
-        Corpus.hashSplit(col("doc_id")).as("split")),
-      Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS cell,
-        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-             ELSE 'test' END AS split
-      FROM documents""")),
-
-    // Deterministic training mixture: short-named sources (src0..src9)
-    // kept whole, long-named (src10..src19) downsampled to 64/256 via the
-    // md5 cell-gate — the "N parts A to M parts B" corpus-mixing
-    // primitive, reproducible with no RNG state.
-    QueryDef("ext_mixture", (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
-      Corpus.mixture(Seq(
-        (docs.filter(length(col("source")) === 4), 1.0),
-        (docs.filter(length(col("source")) === 5), 0.25)), "doc_id")
-    }, Some("""SELECT doc_id, source FROM documents
-      WHERE length(source) = 4
-         OR (length(source) = 5
-             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')""")),
-
-    // Stratified 20% sample per language: exact per-stratum quotas via a
-    // count window + deterministic (md5, id) ordering — one shuffle on the
-    // stratum key, no driver loop, reproducible.
-    QueryDef("ext_stratified_sample", (s, dir) =>
-      Corpus.stratifiedSample(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-        "lang", "doc_id", frac = 0.2),
-      Some("""WITH t AS (SELECT doc_id, lang,
-          count(*) OVER (PARTITION BY lang) AS n,
-          row_number() OVER (PARTITION BY lang
-            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2), doc_id) AS rn
-        FROM documents)
-      SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.2)""")),
-
-    // Per-source quota cap (RefinedWeb-style domain cap): an ABSOLUTE
-    // ceiling per source — keep the 50 longest docs of each, lowest id
-    // on ties — where the stratified sample above is proportional.
-    QueryDef("ext_source_cap", (s, dir) =>
-      Corpus.capPerGroup(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars")),
-        "source", "doc_id", "n_chars", cap = 50),
-      Some("""WITH t AS (SELECT doc_id, source, n_chars,
-          row_number() OVER (PARTITION BY source
-            ORDER BY n_chars DESC, doc_id) AS rn
-        FROM documents)
-      SELECT doc_id, source, n_chars FROM t WHERE rn <= 50""")),
-
-    // Token-budget mixture (the LLaMA-recipe knob: budgets in TOKENS,
-    // not docs or rates): src0 capped at 2000 tokens, src1 at 3000,
-    // everything else passes whole. Docs are taken in the md5-cell
-    // order every RNG-free sampler here uses; the doc crossing the
-    // budget line is kept (budgets are floors — exact truncation is
-    // sequence packing's job downstream).
-    QueryDef("ext_token_budget_mix", (s, dir) =>
-      Corpus.tokenBudgetSample(
-        Tables.documents(s, dir).select(col("doc_id"), col("source"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
-        "source", "doc_id", "n_tokens",
-        budgets = Map("src0" -> 2000L, "src1" -> 3000L)),
-      Some(s"""WITH t AS (SELECT doc_id, source,
-          CAST(len($DuckToksRaw) AS BIGINT) AS n_tokens FROM documents),
-        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-            ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-      SELECT doc_id, source, n_tokens FROM c
-      WHERE CASE source WHEN 'src0' THEN (cum - n_tokens) < 2000
-                        WHEN 'src1' THEN (cum - n_tokens) < 3000
-                        ELSE TRUE END""")),
-
-    // DSIR importance log-weights (hashed-unigram likelihood ratio vs the
-    // English subset as the target distribution): the md5-prefix bucket
-    // is a builtin on both engines, so model build + scoring replay
-    // bit-identically in SQL. 16^3 = 4096 buckets.
-    QueryDef("ext_dsir_weights", (s, dir) =>
-      Corpus.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
-          col("lang") === "en", hexChars = 3)
-        .select(col("doc_id"),
-          round(col("dsir_logweight") + lit(1e-9), 4).as("dsir_logweight")),
-      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
-            unnest($DuckToks) AS tok FROM documents),
-        b AS (SELECT doc_id, t, substr(md5(tok), 1, 3) AS bucket FROM tok),
-        cnt AS (SELECT bucket, count(*) AS n_raw,
-            sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt FROM b GROUP BY 1),
-        tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt),
-        model AS (SELECT bucket,
-            ln((n_tgt + 1.0) / (nt + 4096.0))
-          - ln((n_raw + 1.0) / (nr + 4096.0)) AS w FROM cnt, tot)
-      SELECT b.doc_id, round(sum(model.w) + 1e-9, 4) AS dsir_logweight
-      FROM b JOIN model USING (bucket) GROUP BY 1""")),
-
-    // DSIR selection: the top-k documents by importance weight — ordered
-    // on the ROUNDED weight with id tiebreak so the cut line is engine-
-    // stable. Plans as TakeOrderedAndProject (no global sort).
-    QueryDef("ext_dsir_select", (s, dir) =>
-      Corpus.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
-          col("lang") === "en", hexChars = 3)
-        .select(col("doc_id"),
-          round(col("dsir_logweight") + lit(1e-9), 4).as("dsir_logweight"))
-        .orderBy(col("dsir_logweight").desc, col("doc_id"))
-        .limit(100),
-      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
-            unnest($DuckToks) AS tok FROM documents),
-        b AS (SELECT doc_id, t, substr(md5(tok), 1, 3) AS bucket FROM tok),
-        cnt AS (SELECT bucket, count(*) AS n_raw,
-            sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt FROM b GROUP BY 1),
-        tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt),
-        model AS (SELECT bucket,
-            ln((n_tgt + 1.0) / (nt + 4096.0))
-          - ln((n_raw + 1.0) / (nr + 4096.0)) AS w FROM cnt, tot),
-        scored AS (SELECT b.doc_id,
-            round(sum(model.w) + 1e-9, 4) AS dsir_logweight
-          FROM b JOIN model USING (bucket) GROUP BY 1)
-      SELECT doc_id, dsir_logweight FROM scored
-      ORDER BY dsir_logweight DESC, doc_id LIMIT 100""")),
-
-    // Quality classifier, trained: hashed bag-of-words batch perceptron
-    // (the GPT-3/LLaMA-style linear quality filter). Positives = docs
-    // mentioning a seed lexicon; negatives = the SAME docs with the
-    // lexicon stripped — the curated-vs-raw construction real quality
-    // classifiers train on, and linearly separable by design, so the
-    // trainer provably converges. Everything is exact integer work;
-    // the oracle replays all 12 rounds unrolled with zero rounding.
-    QueryDef("ext_classifier_weights", (s, dir) => {
-      val model = Classifier.perceptronTrain(classifierFixture(s, dir),
-        "buckets", "y", numBuckets = 64, maxRounds = 12)
-      model.weightsFrame(s)
-    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
-      SELECT bucket, w AS weight FROM qw12
-      UNION ALL SELECT CAST(-1 AS BIGINT) AS bucket, bias AS weight FROM qb12""")),
-
-    // The trained model applied back as a selection gate: integer margin
-    // per doc, keep score > 0. On this fixture the perceptron reaches
-    // zero training errors, so `selected` equals the true label — the
-    // spec asserts both that and the margin floor.
-    QueryDef("ext_classifier_select", (s, dir) => {
-      val feats = classifierFixture(s, dir)
-      val model = Classifier.perceptronTrain(feats,
-        "buckets", "y", numBuckets = 64, maxRounds = 12)
-      Classifier.score(feats, "buckets", model)
-        .select(col("doc_id"), col("y").as("label"), col("score"),
-          (col("score") > 0).as("selected"))
-    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
-      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
-
-    // The train/test discipline a deployed filter needs: train on the
-    // even-id half of the labeled pairs only (a twin shares its
-    // original's parity — +100000 preserves it), then score the
-    // UNSEEN odd half. The learned lexicon weights transfer, so the
-    // held-out gate still recovers the labels — generalization, not
-    // memorization, and the oracle replays both halves.
-    QueryDef("ext_classifier_holdout", (s, dir) => {
-      val feats = classifierFixture(s, dir)
-      val model = Classifier.perceptronTrain(
-        feats.filter(col("doc_id") % 2 === 0),
-        "buckets", "y", numBuckets = 64, maxRounds = 12)
-      Classifier.score(feats.filter(col("doc_id") % 2 === 1), "buckets", model)
-        .select(col("doc_id"), col("y").as("label"), col("score"),
-          (col("score") > 0).as("selected"))
-    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64,
-        trainWhere = "doc_id % 2 = 0")}
-      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf
-      WHERE doc_id % 2 = 1""")),
-
-    // BPE tokenizer induction: 16 merge rounds over the English
-    // vocabulary. The oracle unrolls the identical loop round by round
-    // (SQL has no iteration — same pattern as the k-means oracle); the
-    // whole chain is exact integer/string work, so the match is
-    // bit-identical, not rounded.
-    QueryDef("ext_bpe_merges", (s, dir) =>
-      Bpe.bpeTrain(Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._1,
-      Some(s"""WITH ${duckBpeRounds(16)}
-      ${(0 until 16).map(i =>
-          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
-          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
-
-    // The segmented vocabulary those merges induce: top-40 subword
-    // tokens by corpus frequency after all 16 merges.
-    QueryDef("ext_bpe_vocab", (s, dir) => {
-      val words = Bpe.bpeTrain(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._2
-      words.select(col("cnt"), explode(Bpe.symbols(col("sym"))).as("token"))
-        .groupBy("token").agg(sum("cnt").as("n"))
-        .orderBy(desc("n"), col("token")).limit(40)
-    },
-      Some(s"""WITH ${duckBpeRounds(16)}
-      SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
-        SELECT cnt, unnest(list_filter(string_split(sym, chr(31)),
-          x -> x <> '')) AS token FROM w16)
-      GROUP BY 1 ORDER BY n DESC, token LIMIT 40""")),
-
-    // The readout a tokenizer-induction run actually reports: corpus
-    // fertility (subword tokens per word) and compression (chars per
-    // subword token) under the 16 trained merges, straight off the final
-    // words table — one vocabulary-sized agg, no corpus re-encode.
-    QueryDef("ext_bpe_fertility", (s, dir) => {
-      val words = Bpe.bpeTrain(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._2
-      words.select(col("cnt"), length(col("word")).as("chars"),
-          size(Bpe.symbols(col("sym"))).as("toks"))
-        .agg(count(lit(1)).as("n_vocab_words"),
-          sum("cnt").as("n_corpus_words"),
-          sum(col("cnt") * col("toks")).as("n_corpus_tokens"),
-          round(sum(col("cnt") * col("toks")) / sum(col("cnt")) + lit(1e-9), 6)
-            .as("fertility"),
-          round(sum(col("cnt") * col("chars")) /
-            sum(col("cnt") * col("toks")) + lit(1e-9), 6)
-            .as("chars_per_token"))
-    },
-      Some(s"""WITH ${duckBpeRounds(16)},
-      wf AS (SELECT cnt, len(word) AS chars,
-          len(list_filter(string_split(sym, chr(31)), x -> x <> '')) AS toks
-        FROM w16)
-      SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
-        CAST(sum(cnt) AS BIGINT) AS n_corpus_words,
-        CAST(sum(cnt * toks) AS BIGINT) AS n_corpus_tokens,
-        round(CAST(sum(cnt * toks) AS DOUBLE) / sum(cnt) + 1e-9, 6)
-          AS fertility,
-        round(CAST(sum(cnt * chars) AS DOUBLE) / sum(cnt * toks) + 1e-9, 6)
-          AS chars_per_token
-      FROM wf""")),
-
-    // Applying the trained tokenizer to text it was NOT trained on — the
-    // deployment half of tokenizer induction: encode the held-out
-    // (non-English) vocabulary under the 16 English-trained merges, in
-    // rank order. On the Spark side the merge list is a 16-row driver
-    // collect and encoding is a fold of 16 non-overlapping replaces over
-    // the held-out word table — one projection, no joins, no shuffles
-    // beyond the vocab groupBy. The oracle replays training (m0..m15)
-    // then applies each merge to the held-out words the same way.
-    QueryDef("ext_bpe_encode", (s, dir) => {
-      val merges = Bpe.bpeTrain(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._1
-        .orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val held = Tables.documents(s, dir).filter(col("lang") =!= "en")
-        .select(explode(TextOps.tokens(lower(col("text")))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-      held
-        .withColumn("toks", Bpe.encodeWord(col("word"), merges))
-        .select(col("word"), col("cnt"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          array_join(col("toks"), " ").as("segmented"))
-    }, Some(s"""WITH ${duckBpeRounds(16)},
-      hw0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
-          regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym
-        FROM (SELECT unnest($DuckToks) AS word FROM documents
-              WHERE lang <> 'en')
-        GROUP BY 1),
-      ${(0 until 16).map(i =>
-        s"""hw${i + 1} AS MATERIALIZED (SELECT word, cnt,
-           CASE WHEN m.lhs IS NULL THEN sym
-             ELSE replace(sym,
-               chr(31) || m.lhs || chr(31) || chr(31) || m.rhs || chr(31),
-               chr(31) || m.lhs || m.rhs || chr(31)) END AS sym
-         FROM hw$i LEFT JOIN m$i m ON TRUE)""").mkString(",\n      ")},
-      henc AS (SELECT word, cnt,
-          list_filter(string_split(sym, chr(31)), x -> x <> '') AS toks
-        FROM hw16)
-      SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_tokens,
-        array_to_string(toks, ' ') AS segmented FROM henc""")),
-
-    // Sequence packing, strided layout: running-token-count binning into
-    // 512-token context windows, packed WITHIN each language partition
-    // (global concatenation order would serialize the corpus through one
-    // task). Documents may straddle a bin boundary — downstream splits
-    // them (see ext_pack_greedy for the capacity-invariant variant).
-    QueryDef("ext_pack_sequences", (s, dir) =>
-      Corpus.packSequencesStrided(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
-        "lang", "doc_id", "n_tokens", binSize = 512),
-      Some(s"""WITH t AS (SELECT doc_id, lang,
-          CAST(len($DuckToksRaw) AS BIGINT) AS n_tokens FROM documents),
-        p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang
-            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-            0) AS prev FROM t)
-      SELECT doc_id, lang, n_tokens,
-        CAST(floor(prev / 512.0) AS BIGINT) AS bin,
-        CAST(prev % 512 AS BIGINT) AS bin_offset
-      FROM p""")),
-
-    // Sequence packing, TRUE next-fit: a doc that doesn't fit starts a
-    // new bin, so bin_offset + n_tokens <= 512 is an invariant (oversize
-    // docs excluded by construction here: docs are capped at 512 via
-    // least()). The sequential fill recurrence has no window-sum form —
-    // the oracle walks each language partition with a recursive CTE.
-    QueryDef("ext_pack_greedy", (s, dir) =>
-      Corpus.packSequences(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-          least(TextOps.tokenCount(col("text")).cast("long"), lit(512L))
-            .as("n_tokens")),
-        "lang", "doc_id", "n_tokens", binSize = 512),
-      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, lang,
-          least(CAST(len($DuckToksRaw) AS BIGINT), 512) AS n_tokens,
-          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-        FROM documents),
-      pack AS (
-        SELECT doc_id, lang, n_tokens, rn,
-          CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
-          n_tokens AS fill
-        FROM t WHERE rn = 1
-        UNION ALL
-        SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
-          CASE WHEN p.fill + t.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
-          CASE WHEN p.fill + t.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE p.fill END,
-          CASE WHEN p.fill + t.n_tokens > 512 THEN t.n_tokens
-               ELSE p.fill + t.n_tokens END
-        FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
-      SELECT doc_id, lang, n_tokens, bin, bin_offset FROM pack""")),
-
-    // Deterministic weighted sampling (A-ES): 20 docs drawn with
-    // probability proportional to length via hash-derived uniforms —
-    // reproducible across engines, reruns, and cluster sizes.
-    QueryDef("ext_weighted_sample", (s, dir) =>
-      Corpus.weightedSample(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
-        "doc_id", "n_chars", k = 20),
-      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
-          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents),
-        u AS (SELECT doc_id, lang, n_chars,
-          ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-            + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 + 1.0) / 257.0 AS uu
-          FROM t)
-      SELECT doc_id, lang, n_chars FROM u
-      ORDER BY ln(uu) / n_chars DESC, doc_id LIMIT 20""")),
-
-    // PII scrubbing: redact emails and phone-shaped tokens (RE2-safe
-    // patterns), with per-doc redaction counts for density gating.
-    // Deterministic PII is injected on a doc_id stride so the redaction
-    // path actually fires.
-    QueryDef("ext_pii_scrub", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val withPii = docs.withColumn("text",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com or call 555-0142.")))
-          .otherwise(col("text")))
-      withPii.select(col("doc_id"),
-        Corpus.emailCount(col("text")).cast("long").as("n_emails"),
-        Corpus.phoneCount(col("text")).cast("long").as("n_phones"),
-        Corpus.scrubPii(col("text")).as("scrubbed"))
-    }, Some("""WITH t AS (SELECT doc_id,
-          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
-            CAST(doc_id AS VARCHAR) || '@example.com or call 555-0142.'
-          ELSE text END AS text
-        FROM documents)
-      SELECT doc_id,
-        CAST(len(regexp_extract_all(text,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
-        regexp_replace(regexp_replace(text,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
-      FROM t""")),
-
-    // ---- Similarity search --------------------------------------------
-
-    // Embedding-cosine near-dup: perturbed copies must pair with their
-    // originals through the LSH bucket (the bucket criterion is part of
-    // the operator's semantics — the oracle replicates it).
-    QueryDef("ext_embed_neardup", (s, dir) => {
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
-      val dups = vecs.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"),
-          concat(array(element_at(col("e"), 1) + lit(0.01)),
-            slice(col("e"), 2, 63)).as("e"))
-      val all = vecs.unionByName(dups)
-        .withColumn("bucket", Similarity.bucketId(col("e"), 4))
-      graft.functions.GraftFunctions.register(s)
-      val a = all.select(col("bucket"), col("vec_id").as("id_a"), col("e").as("ea"))
-      val b = all.select(col("bucket"), col("vec_id").as("id_b"), col("e").as("eb"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .withColumn("score",
-          round(Similarity.cosineNative(col("ea"), col("eb")) + lit(1e-9), 6))
-        .filter(col("score") >= 0.99)
-        .select("id_a", "id_b", "score")
-    }, Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      dups AS (SELECT vec_id + 10000 AS vec_id,
-          list_prepend(e[1] + 0.01, e[2:64]) AS e FROM v WHERE vec_id % 10 = 0),
-      allv AS (SELECT vec_id, e,
-          (CASE WHEN e[1] > e[33] THEN 1 ELSE 0 END)
-          + (CASE WHEN e[2] > e[34] THEN 2 ELSE 0 END)
-          + (CASE WHEN e[3] > e[35] THEN 4 ELSE 0 END)
-          + (CASE WHEN e[4] > e[36] THEN 8 ELSE 0 END) AS bucket
-        FROM (SELECT vec_id, e FROM v UNION ALL SELECT vec_id, e FROM dups)),
-      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          round(list_inner_product(a.e, b.e) /
-            nullif(sqrt(list_inner_product(a.e, a.e))
-                 * sqrt(list_inner_product(b.e, b.e)), 0) + 1e-9, 6) AS score
-        FROM allv a JOIN allv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      SELECT id_a, id_b, score FROM pairs WHERE score >= 0.99""")),
-
-    // Brute-force exact cosine top-5 per probe (probe set broadcast).
-    QueryDef("ext_sim_topk_cosine", (s, dir) => {
-      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val probes = vecs.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
-        probes, "probe_id", "probe_vec", k = 5)
-    }, Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-      scored AS (SELECT p.probe_id, v.vec_id,
-          round(list_inner_product(v.e, p.pe) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
-        FROM v CROSS JOIN p),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-          ORDER BY score DESC, vec_id) AS rn FROM scored)
-      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
-
-    // Exact kNN graph over the embedding table (k=3, self excluded) —
-    // the clustering/semantic-dedup building block; at corpus scale the
-    // same scoring runs within LSH/IVF candidate blocks. Runs on the
-    // fused CosineTopK operator (one pass, bounded buffers — measured
-    // ~9× over the nested-loop + rank-window form at the fixture);
-    // `Similarity.knnGraph` keeps the portable declarative twin.
-    QueryDef("ext_knn_graph", (s, dir) =>
-      Similarity.knnGraphFused(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", k = 3),
-      Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-            round(list_inner_product(b.e, a.e) /
-              nullif(sqrt(list_inner_product(b.e, b.e))
-                   * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
-          FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
-        ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
-            ORDER BY score DESC, dst_id) AS rn FROM scored)
-        SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3""")),
-
-    // Approximate kNN graph — the >10⁵-vector path ext_knn_graph defers
-    // to: candidates from a multi-table sign-LSH SELF-JOIN (8 tables,
-    // hamming-1 multiprobe; an equi-join on (table, bucket) — no
-    // whole-table probe broadcast), exact cosine within candidates.
-    // `bits` must grow with n for the pruning to bite: at the sf0.1
-    // fixture (5k vectors) bits=4 leaves ~95% of all pairs as
-    // candidates (LSH cost with no pruning), so this entry registers
-    // the n-appropriate bits=8 (~¼ of pairs); the recall/bits tradeoff
-    // is measured in SimilaritySpec. Oracle recomputes every per-table
-    // bucket and joins on "some table's signatures differ in <= 1
-    // bit" — exactly the Spark candidate set — so the approximate
-    // graph hash-matches.
-    QueryDef("ext_knn_graph_approx", (s, dir) =>
-      Similarity.knnGraphApprox(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", k = 3, bits = 8, tables = 8,
-        multiprobeHamming = 1),
-      Some {
-        def bucketSql(alias: String, t: Int): String = (0 until 8).map { j =>
-          val a = (5 * t + j) % 32
-          val b = 32 + ((3 * t + j) % 32)
-          s"(CASE WHEN $alias.embedding[${a + 1}] > $alias.embedding[${b + 1}] THEN ${1 << j} ELSE 0 END)"
-        }.mkString(" + ")
-        val buckets = (0 until 8).map(t => s"${bucketSql("embeddings", t)} AS b$t")
-          .mkString(", ")
-        val collide = (0 until 8).map(t => s"bit_count(xor(a.b$t, b.b$t)) <= 1")
-          .mkString(" OR ")
-        s"""WITH v AS (SELECT vec_id,
-              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, $buckets
-            FROM embeddings),
-          scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-              round(list_inner_product(b.e, a.e) /
-                nullif(sqrt(list_inner_product(b.e, b.e))
-                     * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
-            FROM v a JOIN v b ON a.vec_id <> b.vec_id AND ($collide)),
-          ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
-              ORDER BY score DESC, dst_id) AS rn FROM scored)
-          SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3"""
-      }),
-
-    // Fused whole-operator top-k (custom CosineTopKExec physical node):
-    // same answer as ext_sim_topk_cosine — the SAME oracle SQL — but the
-    // plan is one pass + bounded buffers, no Exchange/Window (PlanSpec
-    // pins the shape).
-    QueryDef("ext_sim_topk_fused", (s, dir) => {
-      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val probes = vecs.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      Similarity.bruteForceTopKFused(vecs, "vec_id", "embedding",
-        probes, "probe_id", "probe_vec", k = 5)
-    }, Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-      scored AS (SELECT p.probe_id, v.vec_id,
-          round(list_inner_product(v.e, p.pe) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
-        FROM v CROSS JOIN p),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-          ORDER BY score DESC, vec_id) AS rn FROM scored)
-      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
-
-    // Int8 scalar quantization of embeddings (index compression):
-    // per-vector symmetric scale, exploded (id, dim, q) layout. Pure
-    // projection + generator — zero shuffle.
-    QueryDef("ext_embed_quantize", (s, dir) =>
-      Similarity.int8Quantize(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding"),
-      Some("""WITH t AS (SELECT vec_id,
-          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
-            AS scale,
-          embedding FROM embeddings),
-        u AS (SELECT vec_id, scale,
-          generate_subscripts(embedding, 1) - 1 AS dim,
-          unnest(embedding) AS x FROM t)
-      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
-        CAST(CASE WHEN scale = 0 THEN 0
-                  ELSE round(CAST(x AS DOUBLE) / scale + 1e-9) END AS BIGINT) AS q
-      FROM u""")),
-
-    // Dimension-wise mean pooling per label (class prototypes): one
-    // shuffle on (label, dim); fixed-point sum makes the mean independent
-    // of summation order (reproducible across partitionings and engines).
-    QueryDef("ext_embed_meanpool", (s, dir) =>
-      Similarity.meanPoolByKey(
-        Tables.embeddings(s, dir).select(col("label"), col("embedding")),
-        "label", "embedding"),
-      Some("""WITH u AS (SELECT label,
-          generate_subscripts(embedding, 1) - 1 AS dim,
-          unnest(embedding) AS x FROM embeddings)
-      SELECT CAST(label AS BIGINT) AS pool_key, CAST(dim AS BIGINT) AS dim,
-        round(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-          / (count(*) * 1000000.0) + 1e-9, 6) AS mean_val
-      FROM u GROUP BY 1, 2""")),
-
-    // LSH-bucketed ANN top-3: sparse sign-projection bucket (4 bits),
-    // candidates restricted to the probe's bucket — the scale path.
-    QueryDef("ext_sim_ann_bucket", (s, dir) => {
-      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val probes = vecs.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      Similarity.annTopK(vecs, "vec_id", "embedding",
-        probes, "probe_id", "probe_vec", k = 3, bits = 4)
-    }, Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-          (CASE WHEN embedding[1] > embedding[33] THEN 1 ELSE 0 END)
-          + (CASE WHEN embedding[2] > embedding[34] THEN 2 ELSE 0 END)
-          + (CASE WHEN embedding[3] > embedding[35] THEN 4 ELSE 0 END)
-          + (CASE WHEN embedding[4] > embedding[36] THEN 8 ELSE 0 END) AS bucket
-        FROM embeddings),
-      p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM v WHERE vec_id % 100 = 0),
-      scored AS (SELECT p.probe_id, v.vec_id,
-          round(list_inner_product(v.e, p.pe) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
-        FROM v JOIN p ON v.bucket = p.bucket),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-          ORDER BY score DESC, vec_id) AS rn FROM scored)
-      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
-
-    // PERSISTED ANN index: the banded vector table is materialized ONCE
-    // as a warehouse table bucketed+sorted on the LSH bucket (the
-    // build-once/query-many shape — at corpus scale the index build is a
-    // write-side artifact and every later probe batch joins against it
-    // with the bucket shuffle already pre-paid by the table layout).
-    // Results must be identical to the ad-hoc ext_sim_ann_bucket — same
-    // oracle SQL, and the query side reads ONLY the saved table.
-    QueryDef("ext_sim_ann_persisted", (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val index = graft.core.Materialize.bucketTable(s, "graft_ann_index",
-        vecs.withColumn("bucket", Similarity.bucketId(col("embedding"), 4)),
-        buckets = 8, bucketCols = Seq("bucket"))
-      // probes come from the SAVED table too (vectors, buckets and all) —
-      // the query side genuinely touches nothing but the index
-      val probes = index.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
-          col("bucket"))
-      index.join(broadcast(probes), Seq("bucket"))
-        .withColumn("score",
-          round(Similarity.cosineNative(col("embedding"), col("probe_vec"))
-            + lit(1e-9), 6))
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("probe_id")).orderBy(desc("score"), col("vec_id"))))
-        .filter(col("__rn") <= 3)
-        .select(col("probe_id"), col("vec_id"), col("score"))
-    }, Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-          (CASE WHEN embedding[1] > embedding[33] THEN 1 ELSE 0 END)
-          + (CASE WHEN embedding[2] > embedding[34] THEN 2 ELSE 0 END)
-          + (CASE WHEN embedding[3] > embedding[35] THEN 4 ELSE 0 END)
-          + (CASE WHEN embedding[4] > embedding[36] THEN 8 ELSE 0 END) AS bucket
-        FROM embeddings),
-      p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM v WHERE vec_id % 100 = 0),
-      scored AS (SELECT p.probe_id, v.vec_id,
-          round(list_inner_product(v.e, p.pe) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
-        FROM v JOIN p ON v.bucket = p.bucket),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-          ORDER BY score DESC, vec_id) AS rn FROM scored)
-      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
-
-    // Multi-table multiprobe ANN (the production recall setting: bits=4,
-    // 8 tables, hamming-1 multiprobe — measured recall 0.99 on the
-    // fixture). Oracle recomputes every per-table bucket and joins on
-    // "some table collides within hamming 1", which is exactly the
-    // multiprobe candidate set.
-    QueryDef("ext_sim_ann_multitable", (s, dir) => {
-      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val probes = vecs.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      Similarity.annTopKMultiTable(vecs, "vec_id", "embedding",
-        probes, "probe_id", "probe_vec", k = 3, bits = 4, tables = 8,
-        multiprobeHamming = 1)
-    }, Some {
-      def bucketSql(t: Int): String = (0 until 4).map { j =>
-        val a = (5 * t + j) % 32
-        val b = 32 + ((3 * t + j) % 32)
-        s"(CASE WHEN embedding[${a + 1}] > embedding[${b + 1}] THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      val buckets = (0 until 8).map(t => s"${bucketSql(t)} AS b$t").mkString(", ")
-      val collide = (0 until 8).map(t => s"bit_count(xor(v.b$t, p.b$t)) <= 1")
-        .mkString(" OR ")
-      s"""WITH v AS (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, $buckets
-          FROM embeddings),
-        p AS (SELECT vec_id AS probe_id, e AS pe,
-            ${(0 until 8).map(t => s"b$t").mkString(", ")}
-          FROM v WHERE vec_id % 100 = 0),
-        scored AS (SELECT p.probe_id, v.vec_id,
-            round(list_inner_product(v.e, p.pe) /
-              nullif(sqrt(list_inner_product(v.e, v.e))
-                   * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
-          FROM v JOIN p ON ($collide)),
-        ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-            ORDER BY score DESC, vec_id) AS rn FROM scored)
-        SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3"""
-    }),
-
-    // IVF coarse-quantizer ANN: one-pass centroids (hash-partition init,
-    // fp-stabilized), vectors assigned to their nearest cell, probes
-    // scored against their nprobe=2 of nlist=8 nearest cells only. The
-    // oracle replicates the full IVF candidate semantics — centroid
-    // averages, cell assignment, probe cells, and final top-k.
-    QueryDef("ext_sim_ivf", (s, dir) => {
-      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val probes = vecs.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      Similarity.ivfTopK(vecs, "vec_id", "embedding",
-        probes, "probe_id", "probe_vec", k = 3, nlist = 8, nprobe = 2)
-    }, Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      dimvals AS (SELECT vec_id % 8 AS lbl, generate_subscripts(e, 1) AS dim,
-          unnest(e) AS val FROM v),
-      cent AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
-        FROM dimvals GROUP BY 1, 2),
-      centv AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM cent GROUP BY lbl),
-      vscore AS (SELECT v.vec_id, c.lbl,
-          round(list_inner_product(v.e, c.cv) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
-        FROM v CROSS JOIN centv c),
-      vass AS (SELECT vec_id, lbl FROM (SELECT *, row_number() OVER
-          (PARTITION BY vec_id ORDER BY s DESC, lbl) AS rn FROM vscore)
-        WHERE rn = 1),
-      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-      pscore AS (SELECT p.probe_id, c.lbl,
-          round(list_inner_product(p.pe, c.cv) /
-            nullif(sqrt(list_inner_product(p.pe, p.pe))
-                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
-        FROM p CROSS JOIN centv c),
-      pcells AS (SELECT probe_id, lbl FROM (SELECT *, row_number() OVER
-          (PARTITION BY probe_id ORDER BY s DESC, lbl) AS rn FROM pscore)
-        WHERE rn <= 2),
-      cand AS (SELECT pc.probe_id, va.vec_id
-        FROM pcells pc JOIN vass va ON va.lbl = pc.lbl),
-      scored AS (SELECT c.probe_id, c.vec_id,
-          round(list_inner_product(v.e, p.pe) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
-        FROM cand c JOIN v ON v.vec_id = c.vec_id
-        JOIN p ON p.probe_id = c.probe_id),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-          ORDER BY score DESC, vec_id) AS rn FROM scored)
-      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
-
-    // Product-quantization ADC top-k (Jégou et al. 2011) — the
-    // compressed-domain end of the ANN family: 4 per-subspace codebooks
-    // trained with the deterministic k-means, every vector encoded to 4
-    // codes (scan-only), probes scored against RECONSTRUCTIONS via
-    // per-subspace codeword dots. The oracle replays the entire thing —
-    // four unrolled kmeans (one per subspace slice), encode, ADC sum —
-    // in one statement, so the correctness check covers training,
-    // encoding, and scoring end to end.
-    QueryDef("ext_sim_pq_adc", (s, dir) => {
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
-      val books = Similarity.pqTrain(base, "vec_id", "e",
-        dim = 64, m = 4, k = 8, iters = 1)
-      val probes = base.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
-      Similarity.pqAdcTopK(Similarity.pqEncode(base, "e", books), "vec_id",
-          probes, "probe_id", "pe", books, k = 5)
-        .select(col("probe_id"), col("vec_id"), col("score"),
-          col("rank").cast("long").as("rank"))
-    }, Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      sv0 AS (SELECT vec_id, e[1:16] AS e FROM v),
-      sv1 AS (SELECT vec_id, e[17:32] AS e FROM v),
-      sv2 AS (SELECT vec_id, e[33:48] AS e FROM v),
-      sv3 AS (SELECT vec_id, e[49:64] AS e FROM v),
-      ${duckKmeans(k = 8, iters = 1, src = "sv0", p = "s0")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv1", p = "s1")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv2", p = "s2")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv3", p = "s3")},
-      sc AS (SELECT p.vec_id AS probe_id, s0af.vec_id,
-          round(
-            round(list_inner_product(p.e[1:16],  b0.cv) + 1e-9, 6)
-          + round(list_inner_product(p.e[17:32], b1.cv) + 1e-9, 6)
-          + round(list_inner_product(p.e[33:48], b2.cv) + 1e-9, 6)
-          + round(list_inner_product(p.e[49:64], b3.cv) + 1e-9, 6)
-          + 1e-9, 6) AS score
-        FROM v p, s0af, s1af, s2af, s3af,
-             s0c1 b0, s1c1 b1, s2c1 b2, s3c1 b3
-        WHERE p.vec_id % 100 = 0
-          AND s1af.vec_id = s0af.vec_id AND s2af.vec_id = s0af.vec_id
-          AND s3af.vec_id = s0af.vec_id
-          AND b0.lbl = s0af.lbl AND b1.lbl = s1af.lbl
-          AND b2.lbl = s2af.lbl AND b3.lbl = s3af.lbl),
-      rk AS (SELECT probe_id, vec_id, score, row_number() OVER
-          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM sc)
-      SELECT probe_id, vec_id, score, CAST(rank AS BIGINT) AS rank
-      FROM rk WHERE rank <= 5""")),
-
-    // IVF-PQ — the composition that runs at 100 TB (FAISS IVFPQ): the
-    // coarse quantizer prunes to nprobe cells per probe, and candidates
-    // are scored from their m-byte PQ codes, never their raw floats.
-    // Oracle = ext_sim_ivf's cell CTEs + ext_sim_pq_adc's four kmeans
-    // replays, composed: candidates from the probed cells, ADC-scored.
-    QueryDef("ext_sim_ivf_pq", (s, dir) => {
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
-      val books = Similarity.pqTrain(base, "vec_id", "e",
-        dim = 64, m = 4, k = 8, iters = 1)
-      val probes = base.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
-      Similarity.ivfPqTopK(base, "vec_id", "e", probes, "probe_id", "pe",
-          books, k = 5, nlist = 8, nprobe = 2)
-        .select(col("probe_id"), col("vec_id"), col("score"),
-          col("rank").cast("long").as("rank"))
-    }, Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      dimvals AS (SELECT vec_id % 8 AS lbl, generate_subscripts(e, 1) AS dim,
-          unnest(e) AS val FROM v),
-      cent AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
-        FROM dimvals GROUP BY 1, 2),
-      centv AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM cent GROUP BY lbl),
-      vscore AS (SELECT v.vec_id, c.lbl,
-          round(list_inner_product(v.e, c.cv) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
-        FROM v CROSS JOIN centv c),
-      vass AS (SELECT vec_id, lbl FROM (SELECT *, row_number() OVER
-          (PARTITION BY vec_id ORDER BY s DESC, lbl) AS rn FROM vscore)
-        WHERE rn = 1),
-      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-      pscore AS (SELECT p.probe_id, c.lbl,
-          round(list_inner_product(p.pe, c.cv) /
-            nullif(sqrt(list_inner_product(p.pe, p.pe))
-                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
-        FROM p CROSS JOIN centv c),
-      pcells AS (SELECT probe_id, lbl FROM (SELECT *, row_number() OVER
-          (PARTITION BY probe_id ORDER BY s DESC, lbl) AS rn FROM pscore)
-        WHERE rn <= 2),
-      sv0 AS (SELECT vec_id, e[1:16] AS e FROM v),
-      sv1 AS (SELECT vec_id, e[17:32] AS e FROM v),
-      sv2 AS (SELECT vec_id, e[33:48] AS e FROM v),
-      sv3 AS (SELECT vec_id, e[49:64] AS e FROM v),
-      ${duckKmeans(k = 8, iters = 1, src = "sv0", p = "s0")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv1", p = "s1")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv2", p = "s2")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv3", p = "s3")},
-      cand AS (SELECT pc.probe_id, va.vec_id
-        FROM pcells pc JOIN vass va ON va.lbl = pc.lbl),
-      sc AS (SELECT c.probe_id, c.vec_id,
-          round(
-            round(list_inner_product(pr.e[1:16],  b0.cv) + 1e-9, 6)
-          + round(list_inner_product(pr.e[17:32], b1.cv) + 1e-9, 6)
-          + round(list_inner_product(pr.e[33:48], b2.cv) + 1e-9, 6)
-          + round(list_inner_product(pr.e[49:64], b3.cv) + 1e-9, 6)
-          + 1e-9, 6) AS score
-        FROM cand c
-        JOIN v pr ON pr.vec_id = c.probe_id
-        JOIN s0af ON s0af.vec_id = c.vec_id
-        JOIN s1af ON s1af.vec_id = c.vec_id
-        JOIN s2af ON s2af.vec_id = c.vec_id
-        JOIN s3af ON s3af.vec_id = c.vec_id
-        JOIN s0c1 b0 ON b0.lbl = s0af.lbl
-        JOIN s1c1 b1 ON b1.lbl = s1af.lbl
-        JOIN s2c1 b2 ON b2.lbl = s2af.lbl
-        JOIN s3c1 b3 ON b3.lbl = s3af.lbl),
-      rk AS (SELECT probe_id, vec_id, score, row_number() OVER
-          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM sc)
-      SELECT probe_id, vec_id, score, CAST(rank AS BIGINT) AS rank
-      FROM rk WHERE rank <= 5""")),
-
-    // Hard-negative mining for contrastive/retrieval training: per probe,
-    // the top-3 most-similar vectors whose LABEL DIFFERS (the in-batch
-    // lookalikes a trainer wants as negatives). Same broadcast-probe
-    // scan shape as brute-force top-k with the label-mismatch predicate
-    // applied BEFORE scoring; the ANN bucket families drop in unchanged
-    // when the corpus outgrows brute force.
-    QueryDef("ext_hard_negatives", (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val probes = vecs.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
-          col("label").as("probe_label"))
-      vecs.crossJoin(broadcast(probes))
-        .filter(col("label") =!= col("probe_label"))
-        .withColumn("score",
-          round(Similarity.cosineNative(col("embedding"), col("probe_vec"))
-            + lit(1e-9), 6))
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("probe_id")).orderBy(desc("score"), col("vec_id"))))
-        .filter(col("__rn") <= 3)
-        .select(col("probe_id"), col("vec_id"), col("score"),
-          col("label").cast("long").as("neg_label"))
-    }, Some("""WITH v AS (SELECT vec_id, label,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe
-        FROM v WHERE vec_id % 100 = 0),
-      scored AS (SELECT p.probe_id, v.vec_id,
-          round(list_inner_product(v.e, p.pe) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score,
-          CAST(v.label AS BIGINT) AS neg_label
-        FROM v JOIN p ON v.label <> p.probe_label),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-          ORDER BY score DESC, vec_id) AS rn FROM scored)
-      SELECT probe_id, vec_id, score, neg_label FROM ranked WHERE rn <= 3""")),
-
-    // LEARNED clustering: distributed Lloyd's k-means (k=8, 2 updates)
-    // over the embedding table, then per-vector cluster + score against
-    // the final centroids. Deterministic end to end (lowest-id seeds,
-    // fp-stabilized centroids, lowest-label tie-break), so the oracle
-    // replays the identical trajectory unrolled in SQL.
-    QueryDef("ext_kmeans", (s, dir) => {
-      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = Similarity.kmeansFit(vecs, "vec_id", "embedding",
-          k = 8, iters = 2)
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
-      Similarity.assignNearestScan(vecs, "embedding", cents)
-        .select(col("vec_id"), col("assigned_label").as("cluster"),
-          col("assign_score").as("score"))
-    }, Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      ${duckKmeans(k = 8, iters = 2)}
-      SELECT vec_id, lbl AS cluster, s AS score FROM af""")),
-
-    // SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
-    // every vector with a same-cluster lower-id neighbor above tau
-    // cosine. Near-dups are seeded in-query (perturbed copies of every
-    // 10th vector, +10000 ids) since the fixture has none; the survivors
-    // keep their cluster id. Cluster scoping bounds the pairwise term —
-    // the paper's recall tradeoff, and the reason it runs at corpus
-    // scale.
-    QueryDef("ext_semdedup", (s, dir) => {
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
-      val dups = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"),
-          concat(array(element_at(col("e"), 1) + lit(0.01)),
-            slice(col("e"), 2, 63)).as("e"))
-      Similarity.semanticDedup(base.unionByName(dups), "vec_id", "e",
-          k = 8, iters = 2, tau = 0.99)
-        .select(col("vec_id"), col("cluster"))
-    }, Some(s"""WITH b AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      v AS (SELECT * FROM b UNION ALL
-        SELECT vec_id + 10000 AS vec_id, list_prepend(e[1] + 0.01, e[2:64]) AS e
-        FROM b WHERE vec_id % 10 = 0),
-      ${duckKmeans(k = 8, iters = 2)}
-      , drops AS (SELECT DISTINCT a.vec_id
-        FROM af a JOIN af b ON a.lbl = b.lbl AND b.vec_id < a.vec_id
-        JOIN v va ON va.vec_id = a.vec_id
-        JOIN v vb ON vb.vec_id = b.vec_id
-        WHERE ${duckCos("va.e", "vb.e")} >= 0.99)
-      SELECT af.vec_id, af.lbl AS cluster FROM af
-      WHERE af.vec_id NOT IN (SELECT vec_id FROM drops)""")),
-
-    // Prototypicality pruning (Sorscher et al. NeurIPS'22): same k-means
-    // trajectory as ext_kmeans, then drop the 30% most-prototypical
-    // (closest-to-centroid) vectors of each cluster — the keep-set is
-    // the hard tail that beats power-law scaling when data is abundant.
-    QueryDef("ext_prototype_prune", (s, dir) =>
-      Similarity.prototypePrune(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", k = 8, iters = 2, dropFrac = 0.3),
-      Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      ${duckKmeans(k = 8, iters = 2)},
-      r AS (SELECT vec_id, lbl AS cluster, s AS score,
-          row_number() OVER (PARTITION BY lbl ORDER BY s DESC, vec_id) AS rn,
-          count(*) OVER (PARTITION BY lbl) AS n FROM af)
-      SELECT vec_id, cluster, score, rn > ceil(n * 0.3) AS kept FROM r""")),
-
-    // ---- Multimodal plumbing ------------------------------------------
-
-    // Binary payload + typed metadata (decode stubbed; schema/plumbing real).
-    QueryDef("ext_mm_media_meta", (s, dir) => {
-      val media = Multimodal.toMediaFrame(
-        Tables.documents(s, dir)
-          .withColumn("payload", encode(col("text"), "UTF-8")),
-        "doc_id", "payload",
-        element_at(typedLit(Seq("image", "audio", "video")),
-          (col("doc_id") % 3 + 1).cast("int")))
-      media.select(col("media_id"), col("media_type"),
-        col("meta.n_bytes").as("n_bytes"))
-    }, Some("""SELECT doc_id AS media_id,
-        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      FROM documents""")),
-
-    // Resize stub: every-4th-byte downsample; payload and metadata are
-    // rewritten together. Oracle checks the byte accounting (content is
-    // hex-round-tripped so the driver can hash it as a scalar).
-    QueryDef("ext_mm_resize", (s, dir) => {
-      val media = Multimodal.toMediaFrame(
-        Tables.documents(s, dir)
-          .withColumn("payload", encode(col("text"), "UTF-8")),
-        "doc_id", "payload",
-        element_at(typedLit(Seq("image", "audio", "video")),
-          (col("doc_id") % 3 + 1).cast("int")))
-      Multimodal.resizeStub(media, factor = 4)
-        .select(col("media_id"), col("media_type"),
-          col("meta.n_bytes").as("n_bytes"), hex(col("payload")).as("payload_hex"))
-    }, Some("""SELECT doc_id AS media_id,
-        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_bytes,
-        regexp_replace(hex(encode(text)), '(..)(..)?(..)?(..)?', '\1', 'g')
-          AS payload_hex
-      FROM documents""")),
-
-    // Frame sampling: every-4th 64-byte block of the payload stands in
-    // for every-4th video frame (decode stubbed; the explode-to-frames
-    // operator shape is the point). Hex frames are recomputed by the
-    // oracle byte-for-byte.
-    QueryDef("ext_mm_frames", (s, dir) => {
-      val media = Multimodal.toMediaFrame(
-        Tables.documents(s, dir)
-          .withColumn("payload", encode(col("text"), "UTF-8")),
-        "doc_id", "payload",
-        element_at(typedLit(Seq("image", "audio", "video")),
-          (col("doc_id") % 3 + 1).cast("int")))
-      Multimodal.sampleFrames(media, blockBytes = 64, everyNth = 4)
-        .select(col("media_id"), col("media_type"),
-          col("frame_idx").cast("long").as("frame_idx"), col("frame_hex"))
-    }, Some("""WITH h AS (SELECT doc_id,
-          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-          hex(encode(text)) AS hx FROM documents),
-      idx AS (SELECT doc_id, media_type, hx,
-          unnest(range(CAST(ceil(len(hx) / 128.0) AS BIGINT))) AS i FROM h)
-      SELECT doc_id AS media_id, media_type, i AS frame_idx,
-        substr(hx, CAST(i * 128 + 1 AS INT), 128) AS frame_hex
-      FROM idx WHERE i % 4 = 0
-        AND len(substr(hx, CAST(i * 128 + 1 AS INT), 128)) > 0""")),
-
-    // Batched per-partition feature extraction over ASCII payloads (the
-    // mapPartitions analogue of a batched pandas UDF); stride-fold stub
-    // features are recomputed by the oracle from character codes.
-    // Output is exploded to one (media_id, dim_idx, value) row per feature
-    // dimension: array-typed result columns are unrepresentable in the
-    // harness comparator, and the stub features are integral byte sums, so
-    // BIGINT rows make the compare fp-free.
-    QueryDef("ext_mm_features", (s, dir) => {
-      val media = Multimodal.toMediaFrame(
-        Tables.documents(s, dir).filter(col("lang") === "en")
-          .withColumn("payload", encode(col("text"), "UTF-8")),
-        "doc_id", "payload",
-        lit("text"))
-      Multimodal.extractFeatures(media, dims = 8)
-        .select(col("media_id"),
-          posexplode(col("features")).as(Seq("dim_idx", "value")))
-        .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"),
-          col("value").cast("long").as("value"))
-    }, Some("""SELECT doc_id AS media_id,
-        CAST(generate_subscripts(features, 1) - 1 AS BIGINT) AS dim_idx,
-        CAST(unnest(features) AS BIGINT) AS value
-      FROM (SELECT doc_id,
-        [list_sum(list_transform(range(1, len(codes) + 1, 8), i -> codes[i])),
-         list_sum(list_transform(range(2, len(codes) + 1, 8), i -> codes[i])),
-         list_sum(list_transform(range(3, len(codes) + 1, 8), i -> codes[i])),
-         list_sum(list_transform(range(4, len(codes) + 1, 8), i -> codes[i])),
-         list_sum(list_transform(range(5, len(codes) + 1, 8), i -> codes[i])),
-         list_sum(list_transform(range(6, len(codes) + 1, 8), i -> codes[i])),
-         list_sum(list_transform(range(7, len(codes) + 1, 8), i -> codes[i])),
-         list_sum(list_transform(range(8, len(codes) + 1, 8), i -> codes[i]))]
-        AS features
-      FROM (SELECT doc_id,
-              list_transform(regexp_extract_all(text, '.'), c -> unicode(c)) AS codes
-            FROM documents WHERE lang = 'en'))""")),
-
-    // SimHash near-dup pairs via banded LSH (4×16-bit chunks; pigeonhole
-    // gives full recall at hamming <= 3 with an equi-join — never the
-    // all-pairs crossJoin). The token hash here is md5-derived
-    // (Dedup.md5Hash60) precisely so the ENTIRE pipeline — per-token
-    // 60-bit hash, ±1 bit votes, majority simhash, 16-bit banding,
-    // hamming verify — is recomputed bit-identically by the DuckDB
-    // oracle below; the production path keeps the allocation-free
-    // internal hash64 (DedupSpec pins banded == brute-force there).
-    QueryDef("ext_simhash_pairs", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dups = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" x")).as("text"))
-      Dedup.simhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
-        maxHamming = 3, bands = 4, tokenHash = Dedup.md5Hash60)
-        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-    }, Some(s"""WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text || ' x' AS text
-        FROM documents WHERE doc_id % 5 = 0),
-      toks AS (
-        SELECT doc_id, unnest($DuckToks) AS tok FROM corpus),
-      votes AS (
-        SELECT doc_id, bits.b AS bit,
-          sum(CASE WHEN ((strpos('0123456789abcdef',
-                substr(md5(tok), 15 - bits.b // 4, 1)) - 1)
-              >> (bits.b % 4)) & 1 = 1
-            THEN 1 ELSE -1 END) AS v
-        FROM toks, (SELECT unnest(range(0, 60)) AS b) bits
-        GROUP BY 1, 2),
-      sh AS (
-        SELECT doc_id,
-          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
-            ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY 1),
-      banded AS (
-        SELECT doc_id, simhash,
-          bands.k AS band, (simhash >> (16 * bands.k)) & 65535 AS chunk
-        FROM sh, (SELECT unnest(range(0, 4)) AS k) bands),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-          a.simhash AS sh_a, b.simhash AS sh_b
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
-          AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b,
-        CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""")),
-
-    // Content-defined chunking: rolling-hash boundaries + per-chunk
-    // fingerprints (Chunking scaladoc: why CDC survives insertions where
-    // fixed-size chunking does not). Boundary positions are rolling-hash
-    // internals DuckDB cannot reproduce, so the registered output is the
-    // hash-independent TILING INVARIANT, checked in-query per document:
-    // chunks start at 0, are contiguous, sum to exactly the document's
-    // byte length (the one value the oracle computes independently), and
-    // honor the [minLen, maxLen] bounds (the final chunk may run short).
-    // ChunkingSpec additionally pins shift-invariance and determinism.
-    QueryDef("ext_cdc_chunks", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val ch = Chunking.chunks(docs, "doc_id", "text")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("chunk_idx")
-      val flags = ch
-        .withColumn("contig", col("chunk_start") ===
-          coalesce(lag(col("chunk_start") + col("chunk_len"), 1).over(w), lit(0L)))
-        .withColumn("is_last", lead(col("chunk_idx"), 1).over(w).isNull)
-        .withColumn("len_ok", col("chunk_len").between(1L, 256L) &&
-          (col("chunk_len") >= 16L || col("is_last")))
-      val perDoc = flags.groupBy("doc_id").agg(
-        bool_and(col("contig")).as("contig_all"),
-        min(col("chunk_start")).as("min_start"),
-        max(col("chunk_start") + col("chunk_len")).as("max_end"),
-        sum(col("chunk_len")).as("sum_len"),
-        bool_and(col("len_ok")).as("bounds_ok"))
-      docs.select(col("doc_id"),
-          octet_length(col("text")).cast("long").as("doc_bytes"))
-        .join(perDoc, Seq("doc_id"))
-        .select(col("doc_id"), col("doc_bytes"),
-          (col("contig_all") && col("min_start") === 0L &&
-            col("max_end") === col("doc_bytes") &&
-            col("sum_len") === col("doc_bytes")).as("tiled"),
-          col("bounds_ok"))
-    }, Some("""SELECT doc_id,
-        CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes,
-        true AS tiled, true AS bounds_ok
-      FROM documents""")),
-
-    // CDC payoff query: half the docs get a copy with an APPENDED tail.
-    // The chunker's boundary decision at byte i depends only on the
-    // preceding bytes and the position of the previous boundary, so an
-    // append edit provably preserves every boundary inside the original
-    // text: every orig chunk except the final one must reappear in the
-    // edited copy fingerprint-identical — an unconditional invariant the
-    // oracle can hash (a prefix edit resyncs only probabilistically;
-    // that strictly-stronger-than-fixed-chunking behavior is pinned
-    // empirically in ChunkingSpec at >60% fp survival). Each shared
-    // fingerprint is also verified back to byte-equal substrings, so a
-    // broken fp can't silently pass. Fp matching is exact-dedup
-    // semantics on the 64-bit chunk fp — one shuffle at any scale.
-    QueryDef("ext_cdc_shared", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") % 2 === 0)
-      val edited = planted
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" <<EDITED SUFFIX APPENDED")).as("text"))
-      val ch = Chunking.chunks(planted.unionByName(edited), "doc_id", "text")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val headChunks = ch.filter(col("doc_id") < 100000)
-        .withColumn("last_idx", max("chunk_idx").over(w))
-        .filter(col("chunk_idx") < col("last_idx"))
-        .select(col("doc_id"), col("chunk_fp"),
-          col("chunk_start"), col("chunk_len"))
-      val editedChunks = ch.filter(col("doc_id") >= 100000)
-        .select((col("doc_id") - 100000).as("doc_id"), col("chunk_fp"),
-          col("chunk_start").as("e_start"), col("chunk_len").as("e_len"))
-      val matched = headChunks
-        .join(editedChunks, Seq("doc_id", "chunk_fp"), "left")
-        .join(planted.select(col("doc_id"), col("text").as("o_text")), Seq("doc_id"))
-        .join(edited.select((col("doc_id") - 100000).as("doc_id"),
-          col("text").as("e_text")), Seq("doc_id"))
-        // fixture text is ASCII (asserted by the doc_bytes oracle above),
-        // so byte offsets are character offsets for substr
-        .withColumn("content_eq", col("e_start").isNotNull &&
-          col("o_text").substr(col("chunk_start").cast("int") + 1,
-            col("chunk_len").cast("int")) ===
-          col("e_text").substr(col("e_start").cast("int") + 1,
-            col("e_len").cast("int")))
-      val perPair = matched.groupBy("doc_id").agg(
-        bool_and(col("e_start").isNotNull).as("head_chunks_shared"),
-        bool_and(col("content_eq")).as("shared_contents_verified"))
-      // single-chunk docs have no non-final chunks: vacuously true
-      planted.select(col("doc_id").as("orig_id"),
-          (col("doc_id") + 100000).as("edited_id"))
-        .join(perPair.withColumnRenamed("doc_id", "orig_id"), Seq("orig_id"), "left")
-        .select(col("orig_id"), col("edited_id"),
-          coalesce(col("head_chunks_shared"), lit(true)).as("head_chunks_shared"),
-          coalesce(col("shared_contents_verified"), lit(true))
-            .as("shared_contents_verified"))
-    }, Some("""SELECT doc_id AS orig_id, doc_id + 100000 AS edited_id,
-        true AS head_chunks_shared, true AS shared_contents_verified
-      FROM documents WHERE doc_id % 2 = 0""")),
-
-    // Crawl-text cleanup: control chars + whitespace runs normalized
-    // BEFORE fingerprinting (TextOps.cleanText scaladoc). Noise is
-    // injected deterministically (the fixtures are already clean);
-    // DuckDB regexp_replace needs the 'g' flag to match Spark's
-    // replace-all default.
-    QueryDef("ext_text_clean", (s, dir) => {
-      val noisy = concat(lit("  "), col("text"), lit(" \r\n\tend"))
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextOps.cleanText(noisy).as("clean"),
-        (length(noisy) - length(TextOps.cleanText(noisy)))
-          .cast("long").as("removed"))
-    }, Some("""SELECT doc_id,
-        trim(regexp_replace(regexp_replace(
-          chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
-            || 'end' || chr(7),
-          '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean,
-        CAST(len(chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
-            || 'end' || chr(7))
-          - len(trim(regexp_replace(regexp_replace(
-              chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
-                || 'end' || chr(7),
-              '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')))
-          AS BIGINT) AS removed
-      FROM documents""")),
-
-    // Sentence segmentation: extraction-based splitting (RE2-portable —
-    // TextOps.sentences scaladoc), one row per sentence via posexplode.
-    // The fixture text has no punctuation, so sentence breaks are
-    // injected deterministically first.
-    // C4-style boilerplate removal: footers seeded onto every 2nd / 5th
-    // doc appear in hundreds of documents and are stripped everywhere;
-    // organic sentences (word-soup, effectively unique) survive. The
-    // oracle counts distinct docs per normalized sentence STRING — the
-    // Spark side counts per xxhash64(lower(sentence)), identical counts
-    // modulo 64-bit collisions (~1e-13 at fixture cardinality).
-    QueryDef("ext_boilerplate_removal", (s, dir) => {
-      val seeded = Tables.documents(s, dir).select(col("doc_id"),
-        concat(regexp_replace(col("text"), lit(" data "), lit(". ")),
-          when(col("doc_id") % 2 === 0,
-            lit(". all rights reserved cookie notice terms apply."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 5 === 0,
-            lit(" subscribe to our newsletter for updates."))
-            .otherwise(lit(""))).as("text"))
-      TextOps.removeBoilerplate(seeded, "doc_id", "text", minDocs = 10)
-    }, Some("""WITH seeded AS (SELECT doc_id,
-          regexp_replace(text, ' data ', '. ', 'g') ||
-          CASE WHEN doc_id % 2 = 0
-            THEN '. all rights reserved cookie notice terms apply.' ELSE '' END ||
-          CASE WHEN doc_id % 5 = 0
-            THEN ' subscribe to our newsletter for updates.' ELSE '' END AS text
-        FROM documents),
-      sents AS (SELECT doc_id,
-          CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS idx,
-          unnest(ss) AS sent
-        FROM (SELECT doc_id, list_filter(list_transform(
-            regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
-            x -> trim(x)), x -> len(x) > 0) AS ss FROM seeded)),
-      counts AS (SELECT lower(sent) AS ls, count(DISTINCT doc_id) AS nd
-        FROM sents GROUP BY 1),
-      flagged AS (SELECT s.doc_id, s.idx, s.sent, c.nd >= 10 AS boiler
-        FROM sents s JOIN counts c ON lower(s.sent) = c.ls)
-      SELECT doc_id,
-        coalesce(string_agg(CASE WHEN NOT boiler THEN sent END, ' '
-          ORDER BY idx), '') AS clean_text,
-        CAST(count_if(boiler) AS BIGINT) AS n_removed,
-        CAST(count(*) AS BIGINT) AS n_sentences
-      FROM flagged GROUP BY doc_id""")),
-
-    QueryDef("ext_text_sentences", (s, dir) => {
-      val punctuated = regexp_replace(col("text"), lit(" data "), lit(". "))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextOps.sentences(punctuated)).as(Seq("sent_idx", "sentence")))
-        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
-          col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
-    }, Some("""SELECT doc_id,
-        CAST(generate_subscripts(sents, 1) - 1 AS BIGINT) AS sent_idx,
-        unnest(sents) AS sentence,
-        CAST(len(unnest(sents)) AS BIGINT) AS n_chars
-      FROM (SELECT doc_id,
-          list_filter(list_transform(
-            regexp_extract_all(regexp_replace(text, ' data ', '. ', 'g'),
-              '[^.!?]+[.!?]+|[^.!?]+$'),
-            s -> trim(s)), s -> len(s) > 0) AS sents
-        FROM documents)""")),
-
-    // ───────────────────────── adversarial robustness ─────────────────
-    // Degenerate corpora through the dedup/BPE/classifier chains, with
-    // the oracle watching (the ext_dedup_near_capped pattern): empty and
-    // whitespace-only docs, 1-token docs, supplementary-plane Unicode,
-    // and an all-identical block. A 100 TB crawl contains ALL of these.
-
-    // Exact dedup over the degenerate corpus: ''/whitespace-only
-    // normalize to the same (empty) token stream and collapse; the
-    // 1-token doc collapses with its case/padding twins; the 20-copy
-    // block collapses to one survivor; supplementary-plane text
-    // round-trips the fingerprint without mangling.
-    QueryDef("ext_adv_dedup_exact", (s, dir) =>
-      Dedup.exactGroups(advCorpus(s, dir), "text", "doc_id"),
-      Some(s"""SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
-        FROM (SELECT doc_id, array_to_string($DuckToks, ' ') AS norm
-              FROM $DuckAdvCorpus)
-        GROUP BY norm""")),
-
-    // Near-dup LSH over the degenerate corpus: sub-shingle-length docs
-    // take the whole-text fallback shingle (so ''/'   ' pair at j=1, the
-    // 1-token twins pair at j=1), identical docs share signatures
-    // bucket-exactly (the 20-copy block yields all C(20,2)=190 pairs
-    // without an all-pairs scan anywhere), and emoji shingles hash
-    // stably. Oracle = brute-force shingle Jaccard with the same
-    // short-doc fallback.
-    QueryDef("ext_adv_dedup_near", (s, dir) =>
-      Dedup.nearDupPairs(advCorpus(s, dir), "doc_id", "text",
-          threshold = 0.5, numHashes = 64, bands = 32)
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard") + lit(1e-9), 6).as("jaccard")),
-      Some(s"""WITH sh AS (SELECT doc_id, CASE WHEN len(toks) < 3
-            THEN [coalesce(array_to_string(toks, ' '), '')]
-            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
-          FROM (SELECT doc_id, $DuckToks AS toks FROM $DuckAdvCorpus)),
-        -- array_to_string([]) is NULL in DuckDB but '' in Spark's
-        -- mkString: coalesce so zero-token docs share one fallback shingle
-        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-              (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) AS j
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard
-        FROM pairs WHERE j >= 0.5""")),
-
-    // BPE induction over the degenerate head: empty/whitespace docs
-    // contribute no words, 1-char emoji words contribute no pairs, the
-    // 'word' family drives three count-3 merges, and then the count-1
-    // tie between (U+FFFD,U+FFFD) and (U+1D552,U+1D552) must resolve in
-    // UTF-8 BYTE order — a JVM UTF-16 compareTo would pick the other
-    // pair and diverge from every SQL engine. Remaining rounds find no
-    // pairs and no-op (the early-stop contract).
-    QueryDef("ext_adv_bpe_merges", (s, dir) => {
-      import s.implicits._
-      Bpe.bpeTrain(AdvDegenHead.toDF("doc_id", "text"), "text",
-        numMerges = 6)._1
-    }, Some(s"""WITH ${duckBpeRounds(6, corpusSrc = DuckAdvDegenHead)}
-      ${(0 until 6).map(i =>
-          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
-          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
-
-    // Classifier training with degenerate feature rows IN the training
-    // set: the stripped negative twins of all-lexicon docs have EMPTY
-    // token sets (margin = bias exactly — the null/empty-feature path),
-    // and the emoji doc's negative twin carries only supplementary-plane
-    // tokens through md5 bucketing. Fixed-round exact-integer replay on
-    // both engines.
-    QueryDef("ext_adv_classifier", (s, dir) => {
-      val feats = advClassifierFixture(s, dir)
-      val model = Classifier.perceptronTrain(feats,
-        "buckets", "y", numBuckets = 64, maxRounds = 8)
-      Classifier.score(feats, "buckets", model)
-        .select(col("doc_id"), col("y").as("label"), col("score"),
-          (col("score") > 0).as("selected"))
-    }, Some(s"""WITH ${duckPerceptron(rounds = 8, numBuckets = 64,
-        docsSrc = DuckAdvClassifierDocs)}
-      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf"""))
-  )
+  /** All ext_* rows — concatenation of the family files (split r7;
+    * registry contents unchanged). */
+  def defs: Seq[QueryDef] =
+    ExtTextQueries.defs ++ ExtDedupQueries.defs ++ ExtCorpusQueries.defs ++
+      ExtSimilarityQueries.defs ++ ExtMultimodalQueries.defs
 }

@@ -1,0 +1,588 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Bpe, Chunking, Classifier, Corpus, Dedup, Multimodal, Similarity, TextOps}
+import ExtQueries._
+
+/**
+ * Similarity/ANN registry rows: brute-force and fused cosine top-k,
+ * kNN graphs, sign-LSH buckets, IVF / PQ-ADC / IVF-PQ, k-means,
+ * SemDeDup and prototypicality pruning over the embeddings fixture.
+ *
+ * Split from ExtQueries by family (zero behavior change) — shared
+ * fixture builders and DuckDB oracle fragments stay in [[ExtQueries]].
+ */
+object ExtSimilarityQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+
+    // ---- Similarity search --------------------------------------------
+
+    // Embedding-cosine near-dup: perturbed copies must pair with their
+    // originals through the LSH bucket (the bucket criterion is part of
+    // the operator's semantics — the oracle replicates it).
+    QueryDef("ext_embed_neardup", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val dups = vecs.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + lit(0.01)),
+            slice(col("e"), 2, 63)).as("e"))
+      val all = vecs.unionByName(dups)
+        .withColumn("bucket", Similarity.bucketId(col("e"), 4))
+      graft.functions.GraftFunctions.register(s)
+      val a = all.select(col("bucket"), col("vec_id").as("id_a"), col("e").as("ea"))
+      val b = all.select(col("bucket"), col("vec_id").as("id_b"), col("e").as("eb"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("score",
+          round(Similarity.cosineNative(col("ea"), col("eb")) + lit(1e-9), 6))
+        .filter(col("score") >= 0.99)
+        .select("id_a", "id_b", "score")
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      dups AS (SELECT vec_id + 10000 AS vec_id,
+          list_prepend(e[1] + 0.01, e[2:64]) AS e FROM v WHERE vec_id % 10 = 0),
+      allv AS (SELECT vec_id, e,
+          (CASE WHEN e[1] > e[33] THEN 1 ELSE 0 END)
+          + (CASE WHEN e[2] > e[34] THEN 2 ELSE 0 END)
+          + (CASE WHEN e[3] > e[35] THEN 4 ELSE 0 END)
+          + (CASE WHEN e[4] > e[36] THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, e FROM v UNION ALL SELECT vec_id, e FROM dups)),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_inner_product(a.e, b.e) /
+            nullif(sqrt(list_inner_product(a.e, a.e))
+                 * sqrt(list_inner_product(b.e, b.e)), 0) + 1e-9, 6) AS score
+        FROM allv a JOIN allv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, score FROM pairs WHERE score >= 0.99""")),
+
+
+    // Brute-force exact cosine top-5 per probe (probe set broadcast).
+    QueryDef("ext_sim_topk_cosine", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 5)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v CROSS JOIN p),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
+
+
+    // Exact kNN graph over the embedding table (k=3, self excluded) —
+    // the clustering/semantic-dedup building block; at corpus scale the
+    // same scoring runs within LSH/IVF candidate blocks. Runs on the
+    // fused CosineTopK operator (one pass, bounded buffers — measured
+    // ~9× over the nested-loop + rank-window form at the fixture);
+    // `Similarity.knnGraph` keeps the portable declarative twin.
+    QueryDef("ext_knn_graph", (s, dir) =>
+      Similarity.knnGraphFused(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3),
+      Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+            round(list_inner_product(b.e, a.e) /
+              nullif(sqrt(list_inner_product(b.e, b.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+          FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY score DESC, dst_id) AS rn FROM scored)
+        SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3""")),
+
+
+    // Approximate kNN graph — the >10⁵-vector path ext_knn_graph defers
+    // to: candidates from a multi-table sign-LSH SELF-JOIN (8 tables,
+    // hamming-1 multiprobe; an equi-join on (table, bucket) — no
+    // whole-table probe broadcast), exact cosine within candidates.
+    // `bits` must grow with n for the pruning to bite: at the sf0.1
+    // fixture (5k vectors) bits=4 leaves ~95% of all pairs as
+    // candidates (LSH cost with no pruning), so this entry registers
+    // the n-appropriate bits=8 (~¼ of pairs); the recall/bits tradeoff
+    // is measured in SimilaritySpec. Oracle recomputes every per-table
+    // bucket and joins on "some table's signatures differ in <= 1
+    // bit" — exactly the Spark candidate set — so the approximate
+    // graph hash-matches.
+    QueryDef("ext_knn_graph_approx", (s, dir) =>
+      Similarity.knnGraphApprox(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3, bits = 8, tables = 8,
+        multiprobeHamming = 1),
+      Some {
+        def bucketSql(alias: String, t: Int): String = (0 until 8).map { j =>
+          val a = (5 * t + j) % 32
+          val b = 32 + ((3 * t + j) % 32)
+          s"(CASE WHEN $alias.embedding[${a + 1}] > $alias.embedding[${b + 1}] THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val buckets = (0 until 8).map(t => s"${bucketSql("embeddings", t)} AS b$t")
+          .mkString(", ")
+        val collide = (0 until 8).map(t => s"bit_count(xor(a.b$t, b.b$t)) <= 1")
+          .mkString(" OR ")
+        s"""WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, $buckets
+            FROM embeddings),
+          scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+              round(list_inner_product(b.e, a.e) /
+                nullif(sqrt(list_inner_product(b.e, b.e))
+                     * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id AND ($collide)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY score DESC, dst_id) AS rn FROM scored)
+          SELECT src_id, dst_id, score FROM ranked WHERE rn <= 3"""
+      }),
+
+
+    // Fused whole-operator top-k (custom CosineTopKExec physical node):
+    // same answer as ext_sim_topk_cosine — the SAME oracle SQL — but the
+    // plan is one pass + bounded buffers, no Exchange/Window (PlanSpec
+    // pins the shape).
+    QueryDef("ext_sim_topk_fused", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.bruteForceTopKFused(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 5)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v CROSS JOIN p),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
+
+
+    // Int8 scalar quantization of embeddings (index compression):
+    // per-vector symmetric scale, exploded (id, dim, q) layout. Pure
+    // projection + generator — zero shuffle.
+    QueryDef("ext_embed_quantize", (s, dir) =>
+      Similarity.int8Quantize(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding"),
+      Some("""WITH t AS (SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+            AS scale,
+          embedding FROM embeddings),
+        u AS (SELECT vec_id, scale,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS x FROM t)
+      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        CAST(CASE WHEN scale = 0 THEN 0
+                  ELSE round(CAST(x AS DOUBLE) / scale + 1e-9) END AS BIGINT) AS q
+      FROM u""")),
+
+
+    // Dimension-wise mean pooling per label (class prototypes): one
+    // shuffle on (label, dim); fixed-point sum makes the mean independent
+    // of summation order (reproducible across partitionings and engines).
+    QueryDef("ext_embed_meanpool", (s, dir) =>
+      Similarity.meanPoolByKey(
+        Tables.embeddings(s, dir).select(col("label"), col("embedding")),
+        "label", "embedding"),
+      Some("""WITH u AS (SELECT label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS x FROM embeddings)
+      SELECT CAST(label AS BIGINT) AS pool_key, CAST(dim AS BIGINT) AS dim,
+        round(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+          / (count(*) * 1000000.0) + 1e-9, 6) AS mean_val
+      FROM u GROUP BY 1, 2""")),
+
+
+    // LSH-bucketed ANN top-3: sparse sign-projection bucket (4 bits),
+    // candidates restricted to the probe's bucket — the scale path.
+    QueryDef("ext_sim_ann_bucket", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.annTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, bits = 4)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          (CASE WHEN embedding[1] > embedding[33] THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > embedding[34] THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > embedding[35] THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] > embedding[36] THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v JOIN p ON v.bucket = p.bucket),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
+
+    // PERSISTED ANN index: the banded vector table is materialized ONCE
+    // as a warehouse table bucketed+sorted on the LSH bucket (the
+    // build-once/query-many shape — at corpus scale the index build is a
+    // write-side artifact and every later probe batch joins against it
+    // with the bucket shuffle already pre-paid by the table layout).
+    // Results must be identical to the ad-hoc ext_sim_ann_bucket — same
+    // oracle SQL, and the query side reads ONLY the saved table.
+    QueryDef("ext_sim_ann_persisted", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val index = graft.core.Materialize.bucketTable(s, "graft_ann_index",
+        vecs.withColumn("bucket", Similarity.bucketId(col("embedding"), 4)),
+        buckets = 8, bucketCols = Seq("bucket"))
+      // probes come from the SAVED table too (vectors, buckets and all) —
+      // the query side genuinely touches nothing but the index
+      val probes = index.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+          col("bucket"))
+      index.join(broadcast(probes), Seq("bucket"))
+        .withColumn("score",
+          round(Similarity.cosineNative(col("embedding"), col("probe_vec"))
+            + lit(1e-9), 6))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("__rn") <= 3)
+        .select(col("probe_id"), col("vec_id"), col("score"))
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          (CASE WHEN embedding[1] > embedding[33] THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > embedding[34] THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > embedding[35] THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] > embedding[36] THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v JOIN p ON v.bucket = p.bucket),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
+
+    // Multi-table multiprobe ANN (the production recall setting: bits=4,
+    // 8 tables, hamming-1 multiprobe — measured recall 0.99 on the
+    // fixture). Oracle recomputes every per-table bucket and joins on
+    // "some table collides within hamming 1", which is exactly the
+    // multiprobe candidate set.
+    QueryDef("ext_sim_ann_multitable", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.annTopKMultiTable(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, bits = 4, tables = 8,
+        multiprobeHamming = 1)
+    }, Some {
+      def bucketSql(t: Int): String = (0 until 4).map { j =>
+        val a = (5 * t + j) % 32
+        val b = 32 + ((3 * t + j) % 32)
+        s"(CASE WHEN embedding[${a + 1}] > embedding[${b + 1}] THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val buckets = (0 until 8).map(t => s"${bucketSql(t)} AS b$t").mkString(", ")
+      val collide = (0 until 8).map(t => s"bit_count(xor(v.b$t, p.b$t)) <= 1")
+        .mkString(" OR ")
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, $buckets
+          FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, e AS pe,
+            ${(0 until 8).map(t => s"b$t").mkString(", ")}
+          FROM v WHERE vec_id % 100 = 0),
+        scored AS (SELECT p.probe_id, v.vec_id,
+            round(list_inner_product(v.e, p.pe) /
+              nullif(sqrt(list_inner_product(v.e, v.e))
+                   * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+          FROM v JOIN p ON ($collide)),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY score DESC, vec_id) AS rn FROM scored)
+        SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3"""
+    }),
+
+
+    // IVF coarse-quantizer ANN: one-pass centroids (hash-partition init,
+    // fp-stabilized), vectors assigned to their nearest cell, probes
+    // scored against their nprobe=2 of nlist=8 nearest cells only. The
+    // oracle replicates the full IVF candidate semantics — centroid
+    // averages, cell assignment, probe cells, and final top-k.
+    QueryDef("ext_sim_ivf", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", k = 3, nlist = 8, nprobe = 2)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      dimvals AS (SELECT vec_id % 8 AS lbl, generate_subscripts(e, 1) AS dim,
+          unnest(e) AS val FROM v),
+      cent AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
+        FROM dimvals GROUP BY 1, 2),
+      centv AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM cent GROUP BY lbl),
+      vscore AS (SELECT v.vec_id, c.lbl,
+          round(list_inner_product(v.e, c.cv) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM v CROSS JOIN centv c),
+      vass AS (SELECT vec_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY s DESC, lbl) AS rn FROM vscore)
+        WHERE rn = 1),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      pscore AS (SELECT p.probe_id, c.lbl,
+          round(list_inner_product(p.pe, c.cv) /
+            nullif(sqrt(list_inner_product(p.pe, p.pe))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM p CROSS JOIN centv c),
+      pcells AS (SELECT probe_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY probe_id ORDER BY s DESC, lbl) AS rn FROM pscore)
+        WHERE rn <= 2),
+      cand AS (SELECT pc.probe_id, va.vec_id
+        FROM pcells pc JOIN vass va ON va.lbl = pc.lbl),
+      scored AS (SELECT c.probe_id, c.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM cand c JOIN v ON v.vec_id = c.vec_id
+        JOIN p ON p.probe_id = c.probe_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 3""")),
+
+
+    // Product-quantization ADC top-k (Jégou et al. 2011) — the
+    // compressed-domain end of the ANN family: 4 per-subspace codebooks
+    // trained with the deterministic k-means, every vector encoded to 4
+    // codes (scan-only), probes scored against RECONSTRUCTIONS via
+    // per-subspace codeword dots. The oracle replays the entire thing —
+    // four unrolled kmeans (one per subspace slice), encode, ADC sum —
+    // in one statement, so the correctness check covers training,
+    // encoding, and scoring end to end.
+    QueryDef("ext_sim_pq_adc", (s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val books = Similarity.pqTrain(base, "vec_id", "e",
+        dim = 64, m = 4, k = 8, iters = 1)
+      val probes = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      Similarity.pqAdcTopK(Similarity.pqEncode(base, "e", books), "vec_id",
+          probes, "probe_id", "pe", books, k = 5)
+        .select(col("probe_id"), col("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }, Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      sv0 AS (SELECT vec_id, e[1:16] AS e FROM v),
+      sv1 AS (SELECT vec_id, e[17:32] AS e FROM v),
+      sv2 AS (SELECT vec_id, e[33:48] AS e FROM v),
+      sv3 AS (SELECT vec_id, e[49:64] AS e FROM v),
+      ${duckKmeans(k = 8, iters = 1, src = "sv0", p = "s0")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv1", p = "s1")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv2", p = "s2")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv3", p = "s3")},
+      sc AS (SELECT p.vec_id AS probe_id, s0af.vec_id,
+          round(
+            round(list_inner_product(p.e[1:16],  b0.cv) + 1e-9, 6)
+          + round(list_inner_product(p.e[17:32], b1.cv) + 1e-9, 6)
+          + round(list_inner_product(p.e[33:48], b2.cv) + 1e-9, 6)
+          + round(list_inner_product(p.e[49:64], b3.cv) + 1e-9, 6)
+          + 1e-9, 6) AS score
+        FROM v p, s0af, s1af, s2af, s3af,
+             s0c1 b0, s1c1 b1, s2c1 b2, s3c1 b3
+        WHERE p.vec_id % 100 = 0
+          AND s1af.vec_id = s0af.vec_id AND s2af.vec_id = s0af.vec_id
+          AND s3af.vec_id = s0af.vec_id
+          AND b0.lbl = s0af.lbl AND b1.lbl = s1af.lbl
+          AND b2.lbl = s2af.lbl AND b3.lbl = s3af.lbl),
+      rk AS (SELECT probe_id, vec_id, score, row_number() OVER
+          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM sc)
+      SELECT probe_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5""")),
+
+
+    // IVF-PQ — the composition that runs at 100 TB (FAISS IVFPQ): the
+    // coarse quantizer prunes to nprobe cells per probe, and candidates
+    // are scored from their m-byte PQ codes, never their raw floats.
+    // Oracle = ext_sim_ivf's cell CTEs + ext_sim_pq_adc's four kmeans
+    // replays, composed: candidates from the probed cells, ADC-scored.
+    QueryDef("ext_sim_ivf_pq", (s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val books = Similarity.pqTrain(base, "vec_id", "e",
+        dim = 64, m = 4, k = 8, iters = 1)
+      val probes = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      Similarity.ivfPqTopK(base, "vec_id", "e", probes, "probe_id", "pe",
+          books, k = 5, nlist = 8, nprobe = 2)
+        .select(col("probe_id"), col("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }, Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      dimvals AS (SELECT vec_id % 8 AS lbl, generate_subscripts(e, 1) AS dim,
+          unnest(e) AS val FROM v),
+      cent AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
+        FROM dimvals GROUP BY 1, 2),
+      centv AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM cent GROUP BY lbl),
+      vscore AS (SELECT v.vec_id, c.lbl,
+          round(list_inner_product(v.e, c.cv) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM v CROSS JOIN centv c),
+      vass AS (SELECT vec_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY s DESC, lbl) AS rn FROM vscore)
+        WHERE rn = 1),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      pscore AS (SELECT p.probe_id, c.lbl,
+          round(list_inner_product(p.pe, c.cv) /
+            nullif(sqrt(list_inner_product(p.pe, p.pe))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM p CROSS JOIN centv c),
+      pcells AS (SELECT probe_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY probe_id ORDER BY s DESC, lbl) AS rn FROM pscore)
+        WHERE rn <= 2),
+      sv0 AS (SELECT vec_id, e[1:16] AS e FROM v),
+      sv1 AS (SELECT vec_id, e[17:32] AS e FROM v),
+      sv2 AS (SELECT vec_id, e[33:48] AS e FROM v),
+      sv3 AS (SELECT vec_id, e[49:64] AS e FROM v),
+      ${duckKmeans(k = 8, iters = 1, src = "sv0", p = "s0")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv1", p = "s1")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv2", p = "s2")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv3", p = "s3")},
+      cand AS (SELECT pc.probe_id, va.vec_id
+        FROM pcells pc JOIN vass va ON va.lbl = pc.lbl),
+      sc AS (SELECT c.probe_id, c.vec_id,
+          round(
+            round(list_inner_product(pr.e[1:16],  b0.cv) + 1e-9, 6)
+          + round(list_inner_product(pr.e[17:32], b1.cv) + 1e-9, 6)
+          + round(list_inner_product(pr.e[33:48], b2.cv) + 1e-9, 6)
+          + round(list_inner_product(pr.e[49:64], b3.cv) + 1e-9, 6)
+          + 1e-9, 6) AS score
+        FROM cand c
+        JOIN v pr ON pr.vec_id = c.probe_id
+        JOIN s0af ON s0af.vec_id = c.vec_id
+        JOIN s1af ON s1af.vec_id = c.vec_id
+        JOIN s2af ON s2af.vec_id = c.vec_id
+        JOIN s3af ON s3af.vec_id = c.vec_id
+        JOIN s0c1 b0 ON b0.lbl = s0af.lbl
+        JOIN s1c1 b1 ON b1.lbl = s1af.lbl
+        JOIN s2c1 b2 ON b2.lbl = s2af.lbl
+        JOIN s3c1 b3 ON b3.lbl = s3af.lbl),
+      rk AS (SELECT probe_id, vec_id, score, row_number() OVER
+          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM sc)
+      SELECT probe_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5""")),
+
+
+    // Hard-negative mining for contrastive/retrieval training: per probe,
+    // the top-3 most-similar vectors whose LABEL DIFFERS (the in-batch
+    // lookalikes a trainer wants as negatives). Same broadcast-probe
+    // scan shape as brute-force top-k with the label-mismatch predicate
+    // applied BEFORE scoring; the ANN bucket families drop in unchanged
+    // when the corpus outgrows brute force.
+    QueryDef("ext_hard_negatives", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+          col("label").as("probe_label"))
+      vecs.crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("probe_label"))
+        .withColumn("score",
+          round(Similarity.cosineNative(col("embedding"), col("probe_vec"))
+            + lit(1e-9), 6))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("__rn") <= 3)
+        .select(col("probe_id"), col("vec_id"), col("score"),
+          col("label").cast("long").as("neg_label"))
+    }, Some("""WITH v AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe
+        FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score,
+          CAST(v.label AS BIGINT) AS neg_label
+        FROM v JOIN p ON v.label <> p.probe_label),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored)
+      SELECT probe_id, vec_id, score, neg_label FROM ranked WHERE rn <= 3""")),
+
+
+    // LEARNED clustering: distributed Lloyd's k-means (k=8, 2 updates)
+    // over the embedding table, then per-vector cluster + score against
+    // the final centroids. Deterministic end to end (lowest-id seeds,
+    // fp-stabilized centroids, lowest-label tie-break), so the oracle
+    // replays the identical trajectory unrolled in SQL.
+    QueryDef("ext_kmeans", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+          k = 8, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+      Similarity.assignNearestScan(vecs, "embedding", cents)
+        .select(col("vec_id"), col("assigned_label").as("cluster"),
+          col("assign_score").as("score"))
+    }, Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      ${duckKmeans(k = 8, iters = 2)}
+      SELECT vec_id, lbl AS cluster, s AS score FROM af""")),
+
+
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
+    // every vector with a same-cluster lower-id neighbor above tau
+    // cosine. Near-dups are seeded in-query (perturbed copies of every
+    // 10th vector, +10000 ids) since the fixture has none; the survivors
+    // keep their cluster id. Cluster scoping bounds the pairwise term —
+    // the paper's recall tradeoff, and the reason it runs at corpus
+    // scale.
+    QueryDef("ext_semdedup", (s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val dups = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + lit(0.01)),
+            slice(col("e"), 2, 63)).as("e"))
+      Similarity.semanticDedup(base.unionByName(dups), "vec_id", "e",
+          k = 8, iters = 2, tau = 0.99)
+        .select(col("vec_id"), col("cluster"))
+    }, Some(s"""WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      v AS (SELECT * FROM b UNION ALL
+        SELECT vec_id + 10000 AS vec_id, list_prepend(e[1] + 0.01, e[2:64]) AS e
+        FROM b WHERE vec_id % 10 = 0),
+      ${duckKmeans(k = 8, iters = 2)}
+      , drops AS (SELECT DISTINCT a.vec_id
+        FROM af a JOIN af b ON a.lbl = b.lbl AND b.vec_id < a.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE ${duckCos("va.e", "vb.e")} >= 0.99)
+      SELECT af.vec_id, af.lbl AS cluster FROM af
+      WHERE af.vec_id NOT IN (SELECT vec_id FROM drops)""")),
+
+
+    // Prototypicality pruning (Sorscher et al. NeurIPS'22): same k-means
+    // trajectory as ext_kmeans, then drop the 30% most-prototypical
+    // (closest-to-centroid) vectors of each cluster — the keep-set is
+    // the hard tail that beats power-law scaling when data is abundant.
+    QueryDef("ext_prototype_prune", (s, dir) =>
+      Similarity.prototypePrune(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 8, iters = 2, dropFrac = 0.3),
+      Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      ${duckKmeans(k = 8, iters = 2)},
+      r AS (SELECT vec_id, lbl AS cluster, s AS score,
+          row_number() OVER (PARTITION BY lbl ORDER BY s DESC, vec_id) AS rn,
+          count(*) OVER (PARTITION BY lbl) AS n FROM af)
+      SELECT vec_id, cluster, score, rn > ceil(n * 0.3) AS kept FROM r"""))
+  )
+}

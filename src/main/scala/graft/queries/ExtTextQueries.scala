@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Bpe, Chunking, Classifier, Corpus, Dedup, Multimodal, Similarity, TextOps}
+import ExtQueries._
+
+/**
+ * Text-analysis registry rows: quality scoring, language id,
+ * entropy/LM scoring, repetition and Gopher signals, TF-IDF,
+ * boilerplate and sentence work over the documents fixture.
+ *
+ * Split from ExtQueries by family (zero behavior change) — shared
+ * fixture builders and DuckDB oracle fragments stay in [[ExtQueries]].
+ */
+object ExtTextQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+
+    // ---- Text analysis ------------------------------------------------
+
+    // Token Shannon entropy — the low-entropy tail is boilerplate /
+    // keyword-stuffed text that length and stopword gates miss. Shape:
+    // explode → two hash aggregates (H = ln n − Σc·ln c / n).
+    QueryDef("ext_token_entropy", (s, dir) =>
+      TextOps.tokenEntropyFrame(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 6) AS entropy
+        FROM c GROUP BY doc_id""")),
+
+
+    // Corpus-bigram LM score — deterministic stand-in for the KenLM
+    // perplexity gate: mean ln P(w2|w1) under the corpus's own bigram
+    // counts; rare/garbled transitions score low.
+    QueryDef("ext_lm_score", (s, dir) =>
+      TextOps.lmScoreFrame(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
+        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(avg(ln(CAST(c2 AS DOUBLE) / c1)) + 1e-9, 6) AS lm_score
+        FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        GROUP BY doc_id""")),
+
+
+    // CCNet/LLaMA-style perplexity-bucketed sampling: LM-score every doc,
+    // cut the corpus into quartiles at EXACT percentile thresholds
+    // (aggregated + broadcast — no global ntile window, the shape that
+    // survives 100 TB), keep the top quartile whole and downsample the
+    // rest at 1/2, 1/4, 1/8 via the deterministic md5 cell gate. Spark
+    // exact percentile == DuckDB quantile_cont (both linear
+    // interpolation); scores are fp-stabilized before the cut.
+    QueryDef("ext_ppl_bucket_mixture", (s, dir) => {
+      val scored = TextOps.lmScoreFrame(Tables.documents(s, dir), "doc_id", "text")
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val qs = scored.agg(
+        expr("percentile(lm_score, 0.25D)").as("q25"),
+        expr("percentile(lm_score, 0.5D)").as("q50"),
+        expr("percentile(lm_score, 0.75D)").as("q75"))
+      scored.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          when(col("lm_score") >= col("q75"), 1L)
+            .when(col("lm_score") >= col("q50"), 2L)
+            .when(col("lm_score") >= col("q25"), 3L)
+            .otherwise(4L))
+        .filter(col("bucket") === 1 ||
+          (col("bucket") === 2 && Corpus.hashCell(col("doc_id")) < "80") ||
+          (col("bucket") === 3 && Corpus.hashCell(col("doc_id")) < "40") ||
+          (col("bucket") === 4 && Corpus.hashCell(col("doc_id")) < "20"))
+        .select(col("doc_id"), col("bucket"), col("lm_score"))
+    }, Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
+        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
+        sc AS (SELECT doc_id,
+            round(avg(ln(CAST(c2 AS DOUBLE) / c1)) + 1e-9, 6) AS lm_score
+          FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1)
+          GROUP BY doc_id),
+        q AS (SELECT quantile_cont(lm_score, 0.25) AS q25,
+            quantile_cont(lm_score, 0.50) AS q50,
+            quantile_cont(lm_score, 0.75) AS q75 FROM sc),
+        bk AS (SELECT doc_id, lm_score,
+            CAST(CASE WHEN lm_score >= q75 THEN 1
+                 WHEN lm_score >= q50 THEN 2
+                 WHEN lm_score >= q25 THEN 3 ELSE 4 END AS BIGINT) AS bucket
+          FROM sc CROSS JOIN q)
+        SELECT doc_id, bucket, lm_score FROM bk
+        WHERE bucket = 1
+           OR (bucket = 2 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+           OR (bucket = 3 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')
+           OR (bucket = 4 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20')""")),
+
+
+    QueryDef("ext_text_token_stats", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        round(TextOps.punctRatio(col("text")) + lit(1e-9), 6).as("punct_ratio"),
+        round(TextOps.meanTokenLen(col("text")) + lit(1e-9), 6).as("mean_token_len")),
+      Some(s"""SELECT doc_id, n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+        round(CASE WHEN len(text) = 0 THEN 0 ELSE
+          CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+            / len(text) END + 1e-9, 6) AS punct_ratio,
+        round(CASE WHEN n_tokens = 0 THEN 0 ELSE
+          CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n_tokens
+          END + 1e-9, 6) AS mean_token_len
+        FROM (SELECT doc_id, text, $DuckToksRaw AS toks, len($DuckToksRaw) AS n_tokens
+              FROM documents)""")),
+
+
+    QueryDef("ext_text_quality", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextOps.stopwordRatio(col("text")) + lit(1e-9), 6).as("stopword_ratio"),
+        round(TextOps.qualityScore(col("text")) + lit(1e-9), 4).as("quality_score")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, text, $DuckToksRaw AS toks FROM documents),
+        m AS (SELECT doc_id, text,
+          CASE WHEN len(toks) = 0 THEN 0 ELSE
+            CAST(len(list_filter(toks, t -> lower(t) IN ('the','a','an','and','or',
+              'of','to','in','is','it','that','for','on','with','as','at','by')))
+              AS DOUBLE) / len(toks) END AS stop_ratio,
+          CASE WHEN len(text) = 0 THEN 0 ELSE
+            CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              / len(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0 ELSE
+            CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+            END AS mean_tok_len
+          FROM t)
+        SELECT doc_id, round(stop_ratio + 1e-9, 6) AS stopword_ratio,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+              + least(stop_ratio * 5, 1.0) * 0.3
+              + (CASE WHEN punct_ratio < 0.2 THEN 0.15 ELSE 0 END)
+              + (CASE WHEN mean_tok_len BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END)
+              + 1e-9, 4) AS quality_score
+        FROM m""")),
+
+
+    QueryDef("ext_text_lang_id", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+        s AS (SELECT doc_id,
+          len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit','für','nicht'))) AS h_de,
+          len(list_filter(toks, t -> t IN ('the','and','of','is','to','in','that','with'))) AS h_en,
+          len(list_filter(toks, t -> t IN ('el','la','los','y','es','en','para','que'))) AS h_es,
+          len(list_filter(toks, t -> t IN ('le','la','les','et','est','dans','pour','que'))) AS h_fr,
+          len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS lang_pred
+        FROM (SELECT doc_id, greatest(
+            printf('%04d|%s', h_de, 'de'), printf('%04d|%s', h_en, 'en'),
+            printf('%04d|%s', h_es, 'es'), printf('%04d|%s', h_fr, 'fr'),
+            printf('%04d|%s', h_zh, 'zh')) AS best FROM s)""")),
+
+
+    // Repetition signal: repeated 2-gram / 3-gram fraction per document
+    // (a Gopher-style filter for looping or boilerplate text). Synthetic
+    // high-repetition docs are derived in-query so the signal separates.
+    QueryDef("ext_text_repetition", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val loops = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      docs.unionByName(loops).select(col("doc_id"),
+        round(TextOps.repetitionRatio(col("text"), 2) + lit(1e-9), 6).as("rep2"),
+        round(TextOps.repetitionRatio(col("text"), 3) + lit(1e-9), 6).as("rep3"))
+    }, Some(s"""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text || ' ' || text FROM documents
+        WHERE doc_id % 50 = 0),
+      t AS (SELECT doc_id, $DuckToks AS toks FROM all_docs),
+      g AS (SELECT doc_id,
+          CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1]) END AS g2,
+          CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS g3
+        FROM t)
+      SELECT doc_id,
+        round(CASE WHEN len(g2) = 0 THEN 0 ELSE
+          1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END + 1e-9, 6) AS rep2,
+        round(CASE WHEN len(g3) = 0 THEN 0 ELSE
+          1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END + 1e-9, 6) AS rep3
+      FROM g""")),
+
+
+    // Gopher-style per-document quality gates (word count, mean word
+    // length, max-token dominance) — the published rule-based filter
+    // family, computed with one explode + hash agg (no per-doc UDF
+    // state; at corpus scale this is a map-side explode and ONE shuffle
+    // on doc_id).
+    QueryDef("ext_gopher_rules", (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val perTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      perTok.groupBy("doc_id").agg(
+          sum(col("c")).as("n_words"),
+          round(sum(length(col("tok")) * col("c")).cast("double") /
+            sum(col("c")) + lit(1e-9), 4).as("mean_word_len"),
+          round(max(col("c")).cast("double") /
+            sum(col("c")) + lit(1e-9), 4).as("top_tok_frac"))
+        .withColumn("passes",
+          col("n_words").between(20, 1000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("top_tok_frac") <= 0.2)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("top_tok_frac"), col("passes"))
+    }, Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToksRaw) AS tok FROM documents),
+      per_tok AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      m AS (SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_words,
+          round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c) + 1e-9, 4)
+            AS mean_word_len,
+          round(CAST(max(c) AS DOUBLE) / sum(c) + 1e-9, 4) AS top_tok_frac
+        FROM per_tok GROUP BY doc_id)
+      SELECT doc_id, n_words, mean_word_len, top_tok_frac,
+        (n_words BETWEEN 20 AND 1000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          AND top_tok_frac <= 0.2 AS passes
+      FROM m""")),
+
+
+    // Gopher repetition signals (Rae et al. 2021 Table A1 — the
+    // within-doc family ext_gopher_rules' word stats don't cover).
+    // Repetition is seeded deterministically: ' data ' -> '. ' makes
+    // sentences, %2 docs get one sentence duplicated, %3 docs get a
+    // 5-token phrase repeated twice (the dup-ngram signal), and the
+    // oracle recomputes all four fractions from scratch with the same
+    // sentence regex / token rules, deriving ngram coverage from the
+    // distinct-position lag walk vs the engine's interval-merge scan.
+    QueryDef("ext_gopher_repetition", (s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(regexp_replace(col("text"), lit(" data "), lit(". ")),
+          when(col("doc_id") % 2 === 0,
+            lit(" repeated closing sentence here. repeated closing sentence here."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" the quick brown fox jumps the quick brown fox jumps"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.repetitionSignals(seeded, "doc_id", "text", ngram = 5)
+    }, Some(s"""WITH seeded AS (SELECT doc_id,
+          regexp_replace(text, ' data ', '. ', 'g') ||
+          CASE WHEN doc_id % 2 = 0
+            THEN ' repeated closing sentence here. repeated closing sentence here.'
+            ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' the quick brown fox jumps the quick brown fox jumps'
+            ELSE '' END AS text
+        FROM documents),
+      base AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)
+            AS toks, text
+        FROM seeded),
+      doc_base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+            AS BIGINT) AS tok_chars
+        FROM base),
+      sents AS (SELECT doc_id, lower(trim(sent)) AS sent
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+            '[^.!?]+[.!?]+|[^.!?]+${"$"}')) AS sent FROM seeded)
+        WHERE len(trim(sent)) > 0),
+      sent_c AS (SELECT doc_id, sent, count(*) AS c
+        FROM sents GROUP BY 1, 2),
+      line_stats AS (SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dl,
+          CAST(sum(len(sent) * c) AS BIGINT) AS lc,
+          CAST(sum(CASE WHEN c >= 2 THEN len(sent) * c ELSE 0 END) AS BIGINT)
+            AS dlc
+        FROM sent_c GROUP BY doc_id),
+      bg AS (SELECT doc_id, toks[s] || ' ' || toks[s + 1] AS bg
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS s
+              FROM base WHERE len(toks) >= 2)),
+      bg_c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      top_bg AS (SELECT doc_id, c AS topc,
+          CAST(len(bg) - 1 AS BIGINT) AS topchars
+        FROM (SELECT doc_id, bg, c, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, bg ASC) AS rn FROM bg_c)
+        WHERE rn = 1),
+      w AS (SELECT doc_id, s,
+          array_to_string(toks[s:s+4], ' ') AS win
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS s
+              FROM base WHERE len(toks) >= 5)),
+      rep_w AS (SELECT doc_id, s FROM (SELECT doc_id, s,
+            count(*) OVER (PARTITION BY doc_id, win) AS c FROM w)
+        WHERE c >= 2),
+      pos AS (SELECT DISTINCT doc_id, s + off AS p
+        FROM rep_w, range(0, 5) r2(off)),
+      cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+        FROM pos GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+        round(CASE WHEN coalesce(n_lines, 0) > 0
+          THEN CAST(dl AS DOUBLE) / n_lines ELSE 0 END + 1e-9, 6)
+          AS dup_line_frac,
+        round(CASE WHEN coalesce(lc, 0) > 0
+          THEN CAST(dlc AS DOUBLE) / lc ELSE 0 END + 1e-9, 6)
+          AS dup_line_char_frac,
+        round(CASE WHEN tok_chars > 0 AND topc IS NOT NULL
+          THEN CAST(topc * topchars AS DOUBLE) / tok_chars ELSE 0 END + 1e-9, 6)
+          AS top_bigram_char_frac,
+        round(CASE WHEN n_tokens > 0
+          THEN CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens ELSE 0 END
+          + 1e-9, 6) AS dup_ngram_token_frac
+      FROM doc_base d
+      LEFT JOIN line_stats USING (doc_id)
+      LEFT JOIN top_bg USING (doc_id)
+      LEFT JOIN cov USING (doc_id)""")),
+
+
+    // CROSS-document duplicate trigram fraction (corpus-level twin of
+    // the within-doc signals above): per doc, the share of its distinct
+    // trigrams that appear in >= 2 documents. Spark shuffles 8-byte
+    // xxhash64 fingerprints; the oracle counts the raw gram strings —
+    // identical absent a 64-bit collision, which the fixture doesn't
+    // have.
+    QueryDef("ext_cross_dup_ngrams", (s, dir) =>
+      TextOps.crossDupNgramFraction(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3),
+      Some(s"""WITH d AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+      g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) < 3
+          THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')) END) AS gram FROM d),
+      c AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        round(avg(CASE WHEN c.df >= 2 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+          AS dup_ngram_frac
+      FROM g JOIN c USING (gram) GROUP BY 1""")),
+
+
+    // Corpus vocabulary: top-50 tokens by frequency (explode -> count ->
+    // top-k; the standard corpus-stats shape).
+    QueryDef("ext_vocab_topk", (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token")).limit(50),
+      Some(s"""SELECT token, count(*) AS n
+        FROM (SELECT unnest($DuckToks) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+
+    // TF-IDF top-3 terms per document (tf = term count / doc length,
+    // idf = ln(N/df)): the classic relevance weighting a training-data
+    // pipeline uses for keyword extraction / corpus diagnostics. Shuffles:
+    // one on (doc, term), one on term for df, one broadcast-able 1-row N.
+    QueryDef("ext_tfidf_topk", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      // persist barrier: tf feeds BOTH the scoring chain and the df
+      // branch — without it the tokenize+count subtree runs twice
+      // (released by the harness's per-query clearCache)
+      val tf = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+        .withColumn("toklen", sum(col("tc")).over(Window.partitionBy("doc_id")))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(
+          (col("tc").cast("double") / col("toklen")) *
+            log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 6))
+      scored.withColumn("__rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))))
+        .filter(col("__rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      tl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS toklen FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, term,
+          round((CAST(tc AS DOUBLE) / toklen) *
+            ln(CAST(n_docs AS DOUBLE) / df) + 1e-9, 6) AS tfidf
+        FROM tl JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, term) AS rn FROM scored)
+      SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3""")),
+
+
+    // Crawl-text cleanup: control chars + whitespace runs normalized
+    // BEFORE fingerprinting (TextOps.cleanText scaladoc). Noise is
+    // injected deterministically (the fixtures are already clean);
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default.
+    QueryDef("ext_text_clean", (s, dir) => {
+      val noisy = concat(lit("  "), col("text"), lit(" \r\n\tend"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.cleanText(noisy).as("clean"),
+        (length(noisy) - length(TextOps.cleanText(noisy)))
+          .cast("long").as("removed"))
+    }, Some("""SELECT doc_id,
+        trim(regexp_replace(regexp_replace(
+          chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
+            || 'end' || chr(7),
+          '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean,
+        CAST(len(chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
+            || 'end' || chr(7))
+          - len(trim(regexp_replace(regexp_replace(
+              chr(7) || '  ' || text || ' ' || chr(13) || chr(10) || chr(9)
+                || 'end' || chr(7),
+              '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')))
+          AS BIGINT) AS removed
+      FROM documents""")),
+
+
+    // Sentence segmentation: extraction-based splitting (RE2-portable —
+    // TextOps.sentences scaladoc), one row per sentence via posexplode.
+    // The fixture text has no punctuation, so sentence breaks are
+    // injected deterministically first.
+    // C4-style boilerplate removal: footers seeded onto every 2nd / 5th
+    // doc appear in hundreds of documents and are stripped everywhere;
+    // organic sentences (word-soup, effectively unique) survive. The
+    // oracle counts distinct docs per normalized sentence STRING — the
+    // Spark side counts per xxhash64(lower(sentence)), identical counts
+    // modulo 64-bit collisions (~1e-13 at fixture cardinality).
+    QueryDef("ext_boilerplate_removal", (s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(regexp_replace(col("text"), lit(" data "), lit(". ")),
+          when(col("doc_id") % 2 === 0,
+            lit(". all rights reserved cookie notice terms apply."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" subscribe to our newsletter for updates."))
+            .otherwise(lit(""))).as("text"))
+      TextOps.removeBoilerplate(seeded, "doc_id", "text", minDocs = 10)
+    }, Some("""WITH seeded AS (SELECT doc_id,
+          regexp_replace(text, ' data ', '. ', 'g') ||
+          CASE WHEN doc_id % 2 = 0
+            THEN '. all rights reserved cookie notice terms apply.' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0
+            THEN ' subscribe to our newsletter for updates.' ELSE '' END AS text
+        FROM documents),
+      sents AS (SELECT doc_id,
+          CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS idx,
+          unnest(ss) AS sent
+        FROM (SELECT doc_id, list_filter(list_transform(
+            regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+            x -> trim(x)), x -> len(x) > 0) AS ss FROM seeded)),
+      counts AS (SELECT lower(sent) AS ls, count(DISTINCT doc_id) AS nd
+        FROM sents GROUP BY 1),
+      flagged AS (SELECT s.doc_id, s.idx, s.sent, c.nd >= 10 AS boiler
+        FROM sents s JOIN counts c ON lower(s.sent) = c.ls)
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN NOT boiler THEN sent END, ' '
+          ORDER BY idx), '') AS clean_text,
+        CAST(count_if(boiler) AS BIGINT) AS n_removed,
+        CAST(count(*) AS BIGINT) AS n_sentences
+      FROM flagged GROUP BY doc_id""")),
+
+
+    QueryDef("ext_text_sentences", (s, dir) => {
+      val punctuated = regexp_replace(col("text"), lit(" data "), lit(". "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.sentences(punctuated)).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+    }, Some("""SELECT doc_id,
+        CAST(generate_subscripts(sents, 1) - 1 AS BIGINT) AS sent_idx,
+        unnest(sents) AS sentence,
+        CAST(len(unnest(sents)) AS BIGINT) AS n_chars
+      FROM (SELECT doc_id,
+          list_filter(list_transform(
+            regexp_extract_all(regexp_replace(text, ' data ', '. ', 'g'),
+              '[^.!?]+[.!?]+|[^.!?]+$'),
+            s -> trim(s)), s -> len(s) > 0) AS sents
+        FROM documents)"""))
+  )
+}
