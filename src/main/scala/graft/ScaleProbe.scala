@@ -59,9 +59,9 @@ object ScaleProbe {
 
     val multSteps =
       Seq(1, mult / 4, mult / 2, mult).filter(_ >= 1).distinct.sorted
-    // SPARK_GRAFT_PROBE=knn|incnear|ingest|classifier|ngrams runs one
-    // section (the exact kNN section is O(n²) by design — at sf0.1 m=8
-    // it alone is ~90 s)
+    // SPARK_GRAFT_PROBE=knn|incnear|ingest|skewjoin|kmeans|ivfpq|bpe|
+    // classifier|ngrams runs one section (the exact kNN section is O(n²)
+    // by design — at sf0.1 m=8 it alone is ~90 s)
     val only = sys.env.get("SPARK_GRAFT_PROBE")
     def section(name: String): Boolean = only.forall(_ == name)
 
@@ -178,6 +178,79 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- skewed join: manual salting vs AQE skew splitting -------------
+    // the question under test (Skew scaladoc's guidance, now measured):
+    // for a pathological hot key, when does AQE's runtime skew-join
+    // splitting suffice and what does manual salting buy? Fact = orders
+    // amplified 16x with HALF of all rows remapped to one hot customer;
+    // dim = customer (too small to matter, broadcast DISABLED so the
+    // join actually shuffles — a broadcastable dim never needs either
+    // treatment, which is lesson zero). AQE's skew detection only fires
+    // above size thresholds (256 MB default); the probe lowers them to
+    // fixture scale, which a real cluster does NOT need to do.
+    // 64x amplification: the hot partition must dwarf the per-task
+    // constant before the treatments separate (at 16x they do not).
+    if (section("skewjoin")) {
+      val orders0 = graft.core.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val fact = (0 until 64).map { c =>
+        orders0.select((col("o_orderkey") + lit(c * 100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      }.reduce(_ unionByName _)
+        .withColumn("c_custkey",
+          when(pmod(col("o_orderkey"), lit(2)) === 0, lit(1L))
+            .otherwise(col("o_custkey")))
+        .select("o_orderkey", "c_custkey", "o_totalprice")
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val dim = graft.core.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nF = fact.count(); val nD = dim.count()
+      val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      def restore(): Unit = keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      def bench(tag: String, aqe: Boolean, salts: Int): Unit = {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
+        def frame() =
+          if (salts > 1)
+            graft.ops.Skew.saltedJoin(fact, dim, "c_custkey",
+              "o_orderkey", salts)
+          else fact.join(dim, Seq("c_custkey"))
+        // 3 runs, keep the min (same floor discipline as the bench)
+        val times = (1 to 3).map(_ => timed(frame().count())._2)
+        // skew-split detection must execute the frame's OWN plan (count()
+        // builds a separate QueryExecution whose adaptive plan the df
+        // never sees finalized)
+        val probeDf = frame()
+        probeDf.queryExecution.toRdd.count()
+        val split = probeDf.queryExecution.executedPlan.toString
+          .contains("skew=true")
+        println(f"[scaleprobe] skewjoin $tag%-16s fact=$nF dim=$nD " +
+          f"t=${times.min}%.2fs skewSplit=$split")
+        if (sys.env.contains("GRAFT_SKEW_DEBUG"))
+          println(probeDf.queryExecution.executedPlan.toString.take(2000))
+      }
+      bench("plain-noaqe", aqe = false, salts = 1)
+      bench("plain-aqeskew", aqe = true, salts = 1)
+      bench("salted8-noaqe", aqe = false, salts = 8)
+      bench("salted8-aqe", aqe = true, salts = 8)
+      restore()
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     // ---- k-means: per-iteration scan cost vs corpus size ---------------
     // the claim under test: assignment is a SCAN against the k×dim
     // centroid literals (no exchange — pinned in PlanSpec) and the
@@ -214,9 +287,12 @@ object ScaleProbe {
       val probes = base.filter(col("vec_id") < 10000000L &&
           col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      // iters=3: the contract queries pin iters=1 for cheap oracle
+      // replay; the probe trains codebooks to convergence-ish so the
+      // recall number reflects PQ, not an undertrained seed
       val (books, tTrain) = timed {
         Similarity.pqTrain(base, "vec_id", "e", dim = 64, m = 4, k = 8,
-          iters = 1)
+          iters = 3)
       }
       val (approx, tSearch) = timed {
         val t = Similarity.ivfPqTopK(base, "vec_id", "e",

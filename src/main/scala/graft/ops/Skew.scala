@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
  * For skewed JOINS prefer AQE's runtime skew-join splitting
  * (`spark.sql.adaptive.skewJoin.enabled`, on by default here) before
  * reaching for manual key replication.
+ *
+ * Measured on an injected hot key (ScaleProbe `skewjoin`: 9.6M-row fact,
+ * HALF the rows on one key, broadcast disabled, sf0.1 ×64): plain SMJ
+ * 2.36 s; AQE skew split (fired, `skew=true` in the final plan) 1.89 s;
+ * manual salting (salts=8) 1.20 s; salting + AQE 1.22 s. Reading:
+ *  - AQE splitting recovers part of the imbalance with ZERO code change,
+ *    but only splits the reduce side along advisory-size boundaries and
+ *    only fires past its size thresholds
+ *    (`skewedPartitionThresholdInBytes`, 256 MB default — the probe
+ *    lowers it to fixture scale; a real cluster should NOT, the default
+ *    exists to keep the split from churning healthy partitions).
+ *  - Salting redistributes at the MAP side — the hot key's rows never
+ *    congregate at all, sorts included — which is why it wins here and
+ *    why it also composes with aggregation (saltedSumCount). Its price
+ *    is salts× dim replication and a schema-visible join-key change.
+ * Guidance: leave AQE skew splitting on and reach for saltedJoin only
+ * when a named pathological key (null surrogate, "unknown" member) still
+ * dominates after AQE — or when the skew is in an AGGREGATION, which AQE
+ * splitting does not cover (use saltedSumCount/saltedAvg).
  */
 object Skew {
 
