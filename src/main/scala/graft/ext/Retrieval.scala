@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Lexical (BM25) retrieval over a document corpus — the keyword-search
+ * leg of a training-data pipeline: retrieval-based decontamination
+ * audits, targeted corpus inspection ("show me the docs about X"), and
+ * the sparse half of hybrid sparse+dense search where
+ * [[Similarity.cosineTopK]] is the dense half.
+ *
+ * Reference scope: the reference's analytics delegate relevance-style
+ * ranking to warehouse SQL (`5_dbt/READ.md:531-733` marts rank by
+ * aggregated metrics); free-text retrieval is an extension in the same
+ * spirit as the other `ext` operators.
+ *
+ * Scale shape (SCALE.md): the query set is small by construction and
+ * broadcast twice (term list, then term+df list); the corpus
+ * contributes exactly two aggregations — (doc, term) term frequencies
+ * and per-term document frequencies — both one map-side-combined
+ * shuffle. Scoring joins postings to the broadcast query terms, so the
+ * (query, doc) score exchange carries only documents containing at
+ * least one query term (the inverted-index access pattern, expressed
+ * declaratively: Catalyst's broadcast join IS the posting lookup).
+ * The final top-k ranks inside query_id partitions — a bounded number
+ * of groups, never a global sort.
+ */
+object Retrieval {
+
+  /**
+   * Top-k documents per query under Okapi BM25 (Robertson & Walker;
+   * k1/b defaults are the classic parameterization; idf is the
+   * +1-smoothed variant `ln(1 + (N - df + 0.5) / (df + 0.5))` so terms
+   * in over half the corpus score small-positive, never negative).
+   *
+   * Documents with no tokens never enter a posting list, so N counts
+   * docs with at least one token — the convention an inverted index
+   * materializes naturally (an empty doc is unreachable by search).
+   *
+   * @param docs    (doc_id, text)
+   * @param queries (query_id, term) — one row per query term; terms are
+   *                matched verbatim against lowercased whitespace tokens
+   * @param k       results per query
+   * @return (query_id, doc_id, score): `score` is rounded to 6 digits
+   *         BEFORE ranking (ties broken by doc_id) so the ranking is
+   *         reproducible across engines and summation orders
+   */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // (doc, term, tc, dl): one shuffle on (doc_id, term); dl rides the
+    // same exchange as a window over the already-partitioned groups.
+    // Persist barrier: feeds the df aggregation, the corpus stats, and
+    // the scoring join — three consumers of one tokenize+count pass.
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+      .withColumn("dl", sum("tc").over(Window.partitionBy("doc_id")))
+      .transform(graft.core.CacheRegistry.persistTracked)
+
+    // Per-term document frequency, immediately culled to the query's
+    // terms by the broadcast join — only |query terms| rows survive.
+    val qdf = broadcast(queries.join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term"))
+
+    // 1-row corpus constants (N, total tokens → avgdl).
+    val stats = broadcast(tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tc")).as("n_tokens")))
+
+    val avgdl = col("n_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tc") * lit(k1 + 1.0)) /
+      (col("tc") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+
+    tf.join(qdf, Seq("term"))
+      .crossJoin(stats)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(w) + lit(1e-9), 6).as("score"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .select("query_id", "doc_id", "score")
+  }
+
+  /**
+   * Deterministic benchmark query set derived from the corpus itself:
+   * the terms ranked 11..(10+n*perQuery) by document frequency
+   * (df DESC, term ASC — skipping the 10 most common, which are
+   * stopword-shaped), grouped into `n` queries of `perQuery` terms by
+   * rank order. Top-k-shaped: `orderBy().limit()` plans
+   * TakeOrderedAndProject, so the vocabulary is never globally sorted;
+   * the window below it ranks a ≤(10+n*perQuery)-row local result.
+   */
+  def dfDerivedQueries(docs: DataFrame, n: Int, perQuery: Int): DataFrame = {
+    val top = docs
+      .select(explode(TextOps.tokens(lower(col("text")))).as("term"), col("doc_id"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term")).limit(10 + n * perQuery)
+    // constant partition key: the ≤(10+n*perQuery)-row rank is
+    // single-partition by construction; keying it explicitly documents
+    // that and silences WindowExec's missing-partition warning
+    top.withColumn("__rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(desc("df"), col("term"))))
+      .filter(col("__rank") > 10)
+      .select(floor((col("__rank") - 11) / perQuery).cast("long").as("query_id"),
+        col("term"))
+  }
+}

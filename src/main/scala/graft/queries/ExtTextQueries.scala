@@ -479,6 +479,39 @@ object ExtTextQueries {
             regexp_extract_all(regexp_replace(text, ' data ', '. ', 'g'),
               '[^.!?]+[.!?]+|[^.!?]+$'),
             s -> trim(s)), s -> len(s) > 0) AS sents
-        FROM documents)"""))
+        FROM documents)""")),
+
+
+    // BM25 top-5 per query (Okapi k1=1.2, b=0.75, +1-smoothed idf) —
+    // lexical retrieval over the corpus; the query set is derived
+    // deterministically from the corpus's own df ranking (terms 11-22
+    // by df DESC, grouped 3-per-query → 4 queries), so both engines
+    // build identical queries with no fixture dependency. Shape: two
+    // corpus aggregations + broadcast posting join; see
+    // ext/Retrieval.scala scaladoc for the inverted-index argument.
+    QueryDef("ext_bm25_topk", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      graft.ext.Retrieval.bm25TopK(
+        docs, graft.ext.Retrieval.dfDerivedQueries(docs, n = 4, perQuery = 3), k = 5)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST((rnk - 11) // 3 AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+        WHERE rnk BETWEEN 11 AND 22),
+      scored AS (SELECT qt.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+      SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5"""))
   )
 }

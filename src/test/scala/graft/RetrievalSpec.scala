@@ -1,0 +1,96 @@
+package graft
+
+import graft.ext.Retrieval
+import org.apache.spark.sql.functions._
+
+/**
+ * BM25 retrieval: score correctness against an independent driver-side
+ * computation on a toy corpus, ranking/tiebreak rules, and the plan
+ * shape that makes it an inverted-index lookup (query terms broadcast,
+ * never a corpus-vs-corpus sort-merge join).
+ */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    ("a", "apple banana apple"),
+    ("b", "banana cherry"),
+    ("c", "cherry cherry cherry durian"),
+    ("d", "apple durian banana cherry")).toDF("doc_id", "text")
+
+  /** Independent BM25 (plain Scala, same smoothed idf). */
+  private def refBm25(docs: Seq[(String, Seq[String])],
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : Map[String, Double] = {
+    val n = docs.size.toDouble
+    val avgdl = docs.map(_._2.size).sum / n
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size.toDouble)
+    docs.map { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val score = query.map { t =>
+        val tc = toks.count(_ == t).toDouble
+        if (tc == 0) 0.0
+        else math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          tc * (k1 + 1) / (tc + k1 * (1 - b + b * dl / avgdl))
+      }.sum
+      id -> (math.rint((score + 1e-9) * 1e6) / 1e6)
+    }.toMap.filter(_._2 > 0)
+  }
+
+  test("bm25 scores match an independent computation") {
+    val queries = Seq((0L, "apple"), (0L, "cherry"), (1L, "durian")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(corpus, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val docs = corpus.collect().map(r =>
+      r.getString(0) -> r.getString(1).split("\\s+").toSeq).toSeq
+    val exp0 = refBm25(docs, Seq("apple", "cherry"))
+    val exp1 = refBm25(docs, Seq("durian"))
+    val exp = exp0.map { case (d, s) => (0L, d) -> s } ++
+      exp1.map { case (d, s) => (1L, d) -> s }
+    assert(got.keySet === exp.keySet)
+    for ((key, s) <- exp)
+      assert(math.abs(got(key) - s) < 1e-9, s"score mismatch at $key")
+  }
+
+  test("top-k truncates per query with doc_id tiebreak on equal rounded scores") {
+    val queries = Seq((0L, "cherry")).toDF("query_id", "term")
+    val top1 = Retrieval.bm25TopK(corpus, queries, k = 1).collect()
+    assert(top1.length === 1)
+    // c has tc=3 of 'cherry' — highest saturation, must win
+    assert(top1.head.getString(1) === "c")
+    val top3 = Retrieval.bm25TopK(corpus, queries, k = 3)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(top3.toSeq === Seq("b", "c", "d")) // 'a' has no cherry: excluded
+  }
+
+  test("docs without query terms never appear; empty docs don't count toward N") {
+    val withEmpty = corpus.union(Seq(("e", "   ")).toDF("doc_id", "text"))
+    val queries = Seq((0L, "apple")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(withEmpty, queries, k = 10).collect()
+    assert(got.map(_.getString(1)).toSet === Set("a", "d"))
+    // N must equal 4 (e has no tokens): scores identical to the 4-doc corpus
+    val base = Retrieval.bm25TopK(corpus, queries, k = 10)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    for (r <- got) assert(r.getDouble(2) === base(r.getString(1)))
+  }
+
+  test("df-derived benchmark queries are deterministic and skip the df top-10") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val q1 = Retrieval.dfDerivedQueries(docs, n = 4, perQuery = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    val q2 = Retrieval.dfDerivedQueries(docs, n = 4, perQuery = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    assert(q1.toSeq === q2.toSeq)
+    assert(q1.length === 12 && q1.map(_._1).distinct.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("plan: query terms broadcast (inverted-index lookup, no corpus sort-merge)") {
+    val queries = Seq((0L, "apple"), (0L, "cherry")).toDF("query_id", "term")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val p = Retrieval.bm25TopK(docs, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    graft.core.CacheRegistry.releaseAll()
+  }
+}
