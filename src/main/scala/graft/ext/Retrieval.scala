@@ -85,6 +85,47 @@ object Retrieval {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+   * independently ranked retrieval legs — the standard way to combine a
+   * sparse (BM25) and a dense (embedding cosine) ranking without score
+   * calibration: each leg contributes `1 / (rrfK + rank)` per document
+   * and the fused score is the sum, so a document ranked well by EITHER
+   * leg surfaces, and incomparable score scales never meet.
+   *
+   * Scale shape: every leg is already a top-k result — O(|queries| × k)
+   * rows — so ranking, the union, and the fused aggregation all operate
+   * on kilobytes regardless of corpus size; the heavy lifting happened
+   * inside the legs ([[bm25TopK]], [[Similarity.bruteForceTopK]] or its
+   * LSH/IVF variants). One exchange on (query_id, doc_id), bounded by
+   * legs × queries × k rows.
+   *
+   * @param legs each (query_id, doc_id, score); per-leg rank is derived
+   *             here as row_number by (score DESC, doc_id) within the
+   *             query, so callers pass raw scored top-k output
+   * @param k    fused results per query
+   * @param rrfK the standard dampening constant (60 in the paper);
+   *             larger values flatten the contribution of top ranks
+   * @return (query_id, doc_id, rrf): `rrf` rounded to 6 digits before
+   *         the final rank, ties broken by doc_id
+   */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    val ranked = legs.map { leg =>
+      leg.select(col("query_id"), col("doc_id"),
+          row_number().over(Window.partitionBy("query_id")
+            .orderBy(desc("score"), col("doc_id"))).as("__rank"))
+    }.reduce(_ unionByName _)
+    ranked
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("__rank"))) + lit(1e-9), 6)
+        .as("rrf"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .select("query_id", "doc_id", "rrf")
+  }
+
+  /**
    * Deterministic benchmark query set derived from the corpus itself:
    * the terms ranked 11..(10+n*perQuery) by document frequency
    * (df DESC, term ASC — skipping the 10 most common, which are

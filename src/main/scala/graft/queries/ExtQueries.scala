@@ -278,6 +278,45 @@ object ExtQueries {
         col("y"))
   }
 
+  /**
+   * Degenerate embeddings for the similarity adversarial rows
+   * (`ext_adv_sim_*`): a zero vector (zero norm — cosine is undefined;
+   * the engine contract is NULL score, excluded from results), a uniform
+   * all-ones vector, its tiny-magnitude parallel twin (1e-20 — cosine
+   * exactly 1.0 with the ones vector, probing norm underflow), its
+   * negation (cosine −1.0), and a single-hot axis vector. Unioned with a
+   * fixture slice so organic vectors flow through the same plan. The
+   * uniform fill values are shared Scala↔SQL as literal strings — one
+   * source of truth for both engines.
+   */
+  private[queries] val AdvVecUniform: Seq[(Long, String)] = Seq(
+    (9100001L, "0.0"), (9100002L, "1.0"), (9100003L, "1.0e-20"),
+    (9100004L, "-1.0"))
+  private[queries] val AdvVecHotId = 9100005L
+  private[queries] def advVecs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val rows = AdvVecUniform.map { case (id, v) =>
+      (id, Seq.fill(64)(v.toFloat))
+    } :+ (AdvVecHotId, 1.0f +: Seq.fill(63)(0.0f))
+    rows.toDF("vec_id", "embedding")
+      .unionByName(Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 7 === 0).select("vec_id", "embedding"))
+  }
+  /** DuckDB derived-table twin of [[advVecs]] (alias `advv`). */
+  private[queries] lazy val DuckAdvVecs: String = {
+    val uni = AdvVecUniform.map { case (id, v) =>
+      s"""SELECT CAST($id AS BIGINT) AS vec_id,
+          list_transform(range(64), x -> CAST($v AS FLOAT)) AS embedding"""
+    }
+    val hot = s"""SELECT CAST($AdvVecHotId AS BIGINT),
+        list_prepend(CAST(1.0 AS FLOAT),
+          list_transform(range(63), x -> CAST(0.0 AS FLOAT)))"""
+    s"""(${(uni :+ hot).mkString(" UNION ALL ")}
+        UNION ALL SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 7 = 0) advv"""
+  }
+
   /** Shared (base, batch) fixture for the incremental near-dup family:
     * near-dups are seeded as tail-append copies (j ≈ 0.9) of fixture
     * docs, two overlapping modulo families so batch-vs-base AND

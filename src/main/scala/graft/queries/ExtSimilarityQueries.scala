@@ -583,6 +583,60 @@ object ExtSimilarityQueries {
       r AS (SELECT vec_id, lbl AS cluster, s AS score,
           row_number() OVER (PARTITION BY lbl ORDER BY s DESC, vec_id) AS rn,
           count(*) OVER (PARTITION BY lbl) AS n FROM af)
-      SELECT vec_id, cluster, score, rn > ceil(n * 0.3) AS kept FROM r"""))
+      SELECT vec_id, cluster, score, rn > ceil(n * 0.3) AS kept FROM r""")),
+
+
+    // ───────────────────────── adversarial robustness ─────────────────
+
+    // Degenerate vectors through exact cosine top-k: a zero-norm CORPUS
+    // vector must never rank (NULL score — desc NULLS LAST keeps it out
+    // of any top-k with ≥k real rows, and the explicit notNull filter
+    // pins the contract), a zero-norm PROBE must return zero rows (every
+    // score NULL), the 1e-20 parallel twin must tie its full-magnitude
+    // original at exactly 1.0, and the negated vector lands at −1.0.
+    // The oracle pre-filters NULL scores before ranking — same survivor
+    // set, so divergent NULL-ordering conventions between the engines
+    // never reach the comparison.
+    QueryDef("ext_adv_sim_topk", (s, dir) => {
+      val vecs = advVecs(s, dir)
+      val probes = vecs.filter(col("vec_id").isin(9100001L, 9100002L))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+          probes, "probe_id", "probe_vec", k = 5)
+        .filter(col("score").isNotNull)
+    }, Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM $DuckAdvVecs),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v
+        WHERE vec_id IN (9100001, 9100002)),
+      scored AS (SELECT p.probe_id, v.vec_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v CROSS JOIN p),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY score DESC, vec_id) AS rn FROM scored
+        WHERE score IS NOT NULL)
+      SELECT probe_id, vec_id, score FROM ranked WHERE rn <= 5""")),
+
+
+    // Degenerate vectors through int8 quantization: the zero vector's
+    // scale is 0 (guarded to all-zero codes, never a division), the
+    // 1e-20 uniform vector quantizes IDENTICALLY to the ones vector
+    // (scale is relative to per-vector max-abs — magnitude cancels), and
+    // the negated vector mirrors to −127.
+    QueryDef("ext_adv_quantize", (s, dir) =>
+      Similarity.int8Quantize(advVecs(s, dir), "vec_id", "embedding"),
+      Some(s"""WITH t AS (SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+            AS scale,
+          embedding FROM $DuckAdvVecs),
+        u AS (SELECT vec_id, scale,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS x FROM t)
+      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        CAST(CASE WHEN scale = 0 THEN 0
+                  ELSE round(CAST(x AS DOUBLE) / scale + 1e-9) END AS BIGINT) AS q
+      FROM u"""))
   )
 }

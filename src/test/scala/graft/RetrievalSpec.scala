@@ -84,6 +84,37 @@ class RetrievalSpec extends SparkSpec {
     assert(q1.length === 12 && q1.map(_._1).distinct.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("rrfFuse matches hand-computed reciprocal-rank fusion") {
+    // leg1 ranks: d1=1, d2=2, d3=3; leg2 ranks: d2=1, d4=2
+    val leg1 = Seq((0L, 1L, 3.0), (0L, 2L, 2.0), (0L, 3L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val leg2 = Seq((0L, 2L, 0.9), (0L, 4L, 0.8))
+      .toDF("query_id", "doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(leg1, leg2), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    def rr(ranks: Int*) = math.rint((ranks.map(r => 1.0 / (60 + r)).sum + 1e-9) * 1e6) / 1e6
+    assert(got === Map(2L -> rr(2, 1), 1L -> rr(1), 4L -> rr(2)))
+    // d3 (1/63, the smallest) is the one cut by k=3
+    assert(!got.contains(3L))
+  }
+
+  test("rrfFuse derives ranks from (score desc, doc_id) — ties break low-id-first") {
+    val leg = Seq((0L, 6L, 1.0), (0L, 5L, 1.0)).toDF("query_id", "doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(leg), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // doc 5 takes rank 1 on the tie, doc 6 rank 2
+    assert(got(5L) > got(6L))
+  }
+
+  test("rrfFuse fuses per query independently") {
+    val leg1 = Seq((0L, 1L, 2.0), (1L, 9L, 2.0)).toDF("query_id", "doc_id", "score")
+    val leg2 = Seq((1L, 9L, 5.0)).toDF("query_id", "doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(leg1, leg2), k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def rr(ranks: Int*) = math.rint((ranks.map(r => 1.0 / (60 + r)).sum + 1e-9) * 1e6) / 1e6
+    assert(got === Map((0L, 1L) -> rr(1), (1L, 9L) -> rr(1, 1)))
+  }
+
   test("plan: query terms broadcast (inverted-index lookup, no corpus sort-merge)") {
     val queries = Seq((0L, "apple"), (0L, "cherry")).toDF("query_id", "term")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")

@@ -25,6 +25,17 @@ class SimilaritySpec extends SparkSpec {
     assert(df.collect().head.isNullAt(2))
   }
 
+  test("tiny parallel twin (1e-20 fill) scores exactly 1.0 — no norm underflow") {
+    // 64 equal addends: every partial sum is an exact small-integer
+    // multiple of the element product, sqrt of the exact square is
+    // exact, so the ratio is 1.0 bit-for-bit (the property the
+    // ext_adv_sim_topk oracle row relies on cross-engine).
+    val df = Seq((Array.fill(64)(1e-20f), Array.fill(64)(1.0f))).toDF("a", "b")
+      .withColumn("cos",
+        Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))))
+    assert(df.collect().head.getDouble(2) === 1.0)
+  }
+
   test("brute-force top-k: every probe finds itself first with score 1") {
     val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val probes = vecs.filter(col("vec_id") % 100 === 0)
