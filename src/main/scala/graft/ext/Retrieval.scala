@@ -85,6 +85,68 @@ object Retrieval {
   }
 
   /**
+   * Materialize the BM25 inverted index as tables: postings
+   * (doc_id, term, tc, dl) bucketed by term — so every later term-keyed
+   * operation (df counts, the posting join) finds its shuffle pre-paid
+   * by the table layout — plus a 1-row corpus-stats table (n_docs,
+   * n_tokens). This is the standing-search-service posture SCALE.md
+   * prescribes: the corpus scan + tokenize is paid ONCE at build (or
+   * incrementally via [[graft.core.Materialize.bucketAppend]] as docs
+   * arrive), and each query run touches only the saved tables.
+   *
+   * @return (postings, stats) as fresh table-backed frames
+   */
+  def buildBm25Index(spark: org.apache.spark.sql.SparkSession, namePrefix: String,
+      docs: DataFrame, buckets: Int = 16): (DataFrame, DataFrame) = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+      .withColumn("dl", sum("tc").over(Window.partitionBy("doc_id")))
+    val postings = graft.core.Materialize.bucketTable(
+      spark, s"${namePrefix}_postings", tf, buckets, Seq("term"))
+    val stats = graft.core.Materialize.materialize(
+      spark, s"${namePrefix}_stats",
+      postings.agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tc")).as("n_tokens")),
+      graft.core.Materialize.AsTable())
+    (postings, stats)
+  }
+
+  /**
+   * BM25 top-k against a prebuilt index ([[buildBm25Index]]): same
+   * scores, ranks, and tie rules as [[bm25TopK]], but the corpus is
+   * never scanned — the query-term broadcast culls the postings table to
+   * the matching terms, per-term df is counted from those surviving
+   * postings (each posting row is one distinct doc), and N/avgdl come
+   * from the 1-row stats table. Per-query work is
+   * O(postings of the query's terms), the inverted-index access cost.
+   */
+  def bm25TopKIndexed(postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = broadcast(queries.select("term").distinct())
+    // one pass over the culled postings feeds both df and scoring
+    val rel = postings.join(qterms, Seq("term"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val qdf = broadcast(queries.join(
+      rel.groupBy("term").agg(count(lit(1)).as("df")), "term"))
+    val st = broadcast(stats)
+    val avgdl = col("n_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tc") * lit(k1 + 1.0)) /
+      (col("tc") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    rel.join(qdf, Seq("term"))
+      .crossJoin(st)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(w) + lit(1e-9), 6).as("score"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .select("query_id", "doc_id", "score")
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
    * independently ranked retrieval legs — the standard way to combine a
    * sparse (BM25) and a dense (embedding cosine) ranking without score
@@ -134,11 +196,17 @@ object Retrieval {
    * TakeOrderedAndProject, so the vocabulary is never globally sorted;
    * the window below it ranks a ≤(10+n*perQuery)-row local result.
    */
-  def dfDerivedQueries(docs: DataFrame, n: Int, perQuery: Int): DataFrame = {
-    val top = docs
+  def dfDerivedQueries(docs: DataFrame, n: Int, perQuery: Int): DataFrame =
+    dfDerivedQueriesFrom(docs
       .select(explode(TextOps.tokens(lower(col("text")))).as("term"), col("doc_id"))
       .distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("term").agg(count(lit(1)).as("df")), n, perQuery)
+
+  /** [[dfDerivedQueries]] from a prebuilt (term, df) frame — e.g. a
+    * postings table's per-term row count, so an index-only query run
+    * ([[bm25TopKIndexed]]) derives its query set without a corpus scan. */
+  def dfDerivedQueriesFrom(dfreq: DataFrame, n: Int, perQuery: Int): DataFrame = {
+    val top = dfreq
       .orderBy(desc("df"), col("term")).limit(10 + n * perQuery)
     // constant partition key: the ≤(10+n*perQuery)-row rank is
     // single-partition by construction; keying it explicitly documents

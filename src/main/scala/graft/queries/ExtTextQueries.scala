@@ -515,6 +515,81 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
 
 
+    // BM25 against a MATERIALIZED inverted index: postings bucketed by
+    // term + 1-row stats table (Retrieval.buildBm25Index). The query
+    // side — including the df-derived query set itself — reads ONLY the
+    // saved tables; the corpus is scanned once at build. Same answer,
+    // same oracle SQL as ext_bm25_topk (the ad-hoc twin): what changes
+    // is WHERE the tokenize/df shuffle is paid, not the result. Build
+    // cost rides inside the timed run, same accounting as
+    // j8_bucketed_join / ext_sim_ann_persisted.
+    QueryDef("ext_bm25_persisted", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val (postings, stats) =
+        graft.ext.Retrieval.buildBm25Index(s, "graft_bm25", docs, buckets = 16)
+      val queries = graft.ext.Retrieval.dfDerivedQueriesFrom(
+        postings.groupBy("term").agg(count(lit(1)).as("df")),
+        n = 4, perQuery = 3)
+      graft.ext.Retrieval.bm25TopKIndexed(postings, stats, queries, k = 5)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST((rnk - 11) // 3 AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+        WHERE rnk BETWEEN 11 AND 22),
+      scored AS (SELECT qt.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+      SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
+
+
+    // BM25 over the degenerate corpus with EXPLICIT query terms: the
+    // 20-copy boilerplate block scores 20 identical rows and k=7 must
+    // cut the tie purely by doc_id; the case/padding twins of "word"
+    // collapse to one posting each and tie three ways; a term absent
+    // from the corpus ("qqqzzz") drops its query from the result
+    // entirely (inner df join — no NULL-score rows); empty/whitespace
+    // docs never enter N. Explicit terms (not df-derived) keep the
+    // query set clear of the UTF-8-vs-UTF-16 tie zone the BPE row
+    // owns — this row is about tie CUTS, not collation.
+    QueryDef("ext_adv_bm25", (s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, "identical"), (0L, "boilerplate"),
+        (1L, "word"), (2L, "qqqzzz")).toDF("query_id", "term")
+      graft.ext.Retrieval.bm25TopK(advCorpus(s, dir), queries, k = 7)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term
+          FROM $DuckAdvCorpus),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term, df
+        FROM (VALUES (0, 'identical'), (0, 'boilerplate'),
+          (1, 'word'), (2, 'qqqzzz')) q(query_id, term)
+        JOIN dfreq USING (term)),
+      scored AS (SELECT qt.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+      SELECT query_id, doc_id, score FROM ranked WHERE rn <= 7""")),
+
+
     // Hybrid sparse+dense retrieval fused by reciprocal rank (RRF,
     // Cormack 2009): the BM25 leg ranks the full corpus lexically, the
     // dense leg ranks the embedded subset by cosine against one probe

@@ -84,6 +84,32 @@ class RetrievalSpec extends SparkSpec {
     assert(q1.length === 12 && q1.map(_._1).distinct.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("indexed BM25 equals the ad-hoc form row for row; postings feed df and scoring") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val queries = Retrieval.dfDerivedQueries(docs, n = 2, perQuery = 2)
+    val adHoc = Retrieval.bm25TopK(docs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    val (postings, stats) = Retrieval.buildBm25Index(spark, "graft_bm25_spec", docs)
+    val indexed = Retrieval.bm25TopKIndexed(postings, stats, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(indexed.toSeq === adHoc.toSeq)
+    // index-only query derivation matches the corpus-scan derivation
+    val qFromIndex = Retrieval.dfDerivedQueriesFrom(
+      postings.groupBy("term").agg(count(lit(1)).as("df")), n = 2, perQuery = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    val qFromDocs = queries.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    assert(qFromIndex.toSeq === qFromDocs.toSeq)
+    // query-side plan: broadcast joins only — the term shuffle was
+    // pre-paid by the bucketed table layout at build time
+    val p = Retrieval.bm25TopKIndexed(postings, stats, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    graft.core.CacheRegistry.releaseAll()
+    graft.core.Materialize.dropWithLocation(spark, "graft_bm25_spec_postings")
+    graft.core.Materialize.dropWithLocation(spark, "graft_bm25_spec_stats")
+  }
+
   test("rrfFuse matches hand-computed reciprocal-rank fusion") {
     // leg1 ranks: d1=1, d2=2, d3=3; leg2 ranks: d2=1, d4=2
     val leg1 = Seq((0L, 1L, 3.0), (0L, 2L, 2.0), (0L, 3L, 1.0))
