@@ -273,6 +273,79 @@ object StreamingQueries {
       s"${ingestLevelCtes((0 until 4).map(i => s"g${i}sh"))}\n$finalSelect"
   }
 
+  /** Sign-LSH bucket (bits=4) over a double-list column `e` — the SQL
+    * twin of `Similarity.bucketId`, same CASE family as the
+    * `ext_embed_neardup` oracle. */
+  private val DuckVecBucket: String =
+    """(CASE WHEN e[1] > e[33] THEN 1 ELSE 0 END)
+       + (CASE WHEN e[2] > e[34] THEN 2 ELSE 0 END)
+       + (CASE WHEN e[3] > e[35] THEN 4 ELSE 0 END)
+       + (CASE WHEN e[4] > e[36] THEN 8 ELSE 0 END)"""
+
+  /** DuckDB: rounded cosine(a.e, b.e) >= 0.99 join condition. */
+  private def duckVecCos(a: String, b: String): String =
+    s"""round(list_inner_product($a.e, $b.e) /
+        nullif(sqrt(list_inner_product($a.e, $a.e))
+             * sqrt(list_inner_product($b.e, $b.e)), 0) + 1e-9, 6) >= 0.99"""
+
+  /**
+   * The st_embed_ingest oracle: four vec_id-quartile chunks (chunks 1-3
+   * carry perturbed copies of earlier-chunk vectors, cosine ≈ 0.9999
+   * with their originals) through the unrolled ingest levels — per
+   * level, same-bucket cosine >= tau drop vs the accumulated accepted
+   * set, then the within-batch lower-id-dominator rule over
+   * base-survivors. The SQL twin of [[graft.streaming.VectorIngest]].
+   */
+  private lazy val embedIngestOracle: String = {
+    val chunkDefs = {
+      def pert(i: Int) =
+        s"""UNION ALL SELECT vec_id + ${i}000000, list_prepend(e[1] + 0.01, e[2:64])
+            FROM v, st WHERE vec_id >= ${i - 1} * s AND vec_id < $i * s
+              AND vec_id % 5 = $i"""
+      s"""st AS (SELECT (max(vec_id) // 4) + 1 AS s FROM embeddings),
+        v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        c0 AS (SELECT vec_id, e FROM v, st WHERE vec_id < s),
+        c1 AS (SELECT vec_id, e FROM v, st WHERE vec_id >= s AND vec_id < 2 * s
+          ${pert(1)}),
+        c2 AS (SELECT vec_id, e FROM v, st WHERE vec_id >= 2 * s AND vec_id < 3 * s
+          ${pert(2)}),
+        c3 AS (SELECT vec_id, e FROM v, st WHERE vec_id >= 3 * s
+          ${pert(3)})"""
+    }
+    val bucketCtes = (0 until 4).map(i =>
+      s"b$i AS (SELECT vec_id, e, $DuckVecBucket AS bucket FROM c$i)")
+      .mkString(",\n")
+    val level0 =
+      s"""ds0 AS (SELECT DISTINCT x.vec_id FROM b0 x JOIN b0 a
+           ON a.bucket = x.bucket AND a.vec_id < x.vec_id AND ${duckVecCos("x", "a")}),
+         s0 AS (SELECT * FROM b0 WHERE vec_id NOT IN (SELECT vec_id FROM ds0)),
+         acc1 AS (SELECT * FROM s0)"""
+    val levels = (1 until 4).map { i =>
+      s"""dvs$i AS (SELECT DISTINCT x.vec_id FROM b$i x JOIN acc$i p
+           ON p.bucket = x.bucket AND ${duckVecCos("x", "p")}),
+         fr$i AS (SELECT * FROM b$i
+           WHERE vec_id NOT IN (SELECT vec_id FROM dvs$i)),
+         ds$i AS (SELECT DISTINCT x.vec_id FROM fr$i x JOIN fr$i a
+           ON a.bucket = x.bucket AND a.vec_id < x.vec_id AND ${duckVecCos("x", "a")}),
+         s$i AS (SELECT * FROM fr$i
+           WHERE vec_id NOT IN (SELECT vec_id FROM ds$i)),
+         acc${i + 1} AS (SELECT * FROM acc$i UNION ALL SELECT * FROM s$i)"""
+    }.mkString(",\n")
+    val finalSelect = (0 until 4)
+      .map(i => s"SELECT vec_id, CAST($i AS BIGINT) AS batch FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $chunkDefs,\n$bucketCtes,\n$level0,\n$levels\n$finalSelect"
+  }
+
+  private val VecChunkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
   def defs: Seq[QueryDef] = Seq(
 
     // Watermarked event-time windowed aggregation, streamed to a memory
@@ -518,6 +591,46 @@ object StreamingQueries {
       s.table(prefix + "_docs")
         .select(col("doc_id"), col("__last_batch").as("batch"))
     }, Some(nearDupIngestOracle)),
+
+    // Streaming EMBEDDING ingest (VectorIngest.embedIngest): vectors
+    // arrive in four id-ordered micro-batches (chunks 1-3 carry
+    // perturbed near-copies of earlier-chunk vectors), each batch drops
+    // vectors with cosine >= 0.99 against an accepted same-LSH-bucket
+    // vector, applies the within-batch lower-id-dominator rule, and
+    // grows the bucket-keyed persisted index by the survivors — the
+    // embedding-space twin of st_neardup_ingest. Cross-batch drops
+    // happen only because the index growth happened; the oracle unrolls
+    // the four levels with the same bucket criterion.
+    QueryDef("st_embed_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_embed"
+      for (t <- Seq("_ids", "_vecs"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val v = graft.core.Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("embedding"))
+      val mx = v.agg(max(col("vec_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      def quart(i: Int) = v
+        .filter(col("vec_id") >= i * step && col("vec_id") < (i + 1) * step)
+      def chunk(i: Int) =
+        if (i == 0) quart(0)
+        else quart(i).unionByName(quart(i - 1)
+          .filter(col("vec_id") % 5 === i)
+          .select((col("vec_id") + i * 1000000L).as("vec_id"),
+            concat(array(element_at(col("embedding"), 1) + lit(0.01)),
+              slice(col("embedding"), 2, 63)).as("embedding")))
+      val stage = stageIdChunks(s, (0 until 4).map(chunk))
+      val stream = s.readStream.schema(VecChunkSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.VectorIngest.embedIngest(
+        stream, "vec_id", "embedding", prefix, tau = 0.99, bits = 4)
+      try q.processAllAvailable() finally q.stop()
+      graft.core.CacheRegistry.releaseAll()
+      s.catalog.refreshTable(prefix + "_ids")
+      s.table(prefix + "_ids")
+        .select(col("vec_id"), col("__last_batch").as("batch"))
+    }, Some(embedIngestOracle)),
 
     // The DAILY CURATION CHAIN as a continuous stream: Gopher gates per
     // micro-batch, then near-dup ingest against the growing accepted

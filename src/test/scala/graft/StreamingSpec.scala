@@ -331,6 +331,82 @@ class StreamingSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("embed ingest: drops vs the grown vector index, dominator within batch, replay no-op") {
+    import spark.implicits._
+    val prefix = "graft_test_emb_ingest"
+    def dropAll(): Unit = for (t <- Seq("_ids", "_vecs"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      val ones = Seq.fill(64)(1.0)
+      // perturbing a NON-hyperplane coordinate (>4, <33) keeps the
+      // bits=4 bucket while cosine stays ~1 — the same-bucket near-dup
+      val b0 = Seq(
+        (10L, ones),
+        (11L, Seq.fill(32)(1.0) ++ Seq.fill(32)(0.0)), // bucket 15, far
+        (12L, ones.updated(9, 1.01)))                  // ~dup of 10, same bucket
+        .toDF("vec_id", "embedding")
+      val b1 = Seq(
+        (20L, ones.updated(10, 1.01)), // ~dup of ACCEPTED 10 — only the grown index drops it
+        (21L, Seq.fill(32)(0.0) ++ Seq.fill(32)(1.0))) // bucket 0 but cos ~0.7: survives
+        .toDF("vec_id", "embedding")
+      graft.streaming.VectorIngest.applyEmbedBatch(
+        b0, 0L, "vec_id", "embedding", prefix)
+      graft.streaming.VectorIngest.applyEmbedBatch(
+        b1, 1L, "vec_id", "embedding", prefix)
+      val got = spark.table(prefix + "_ids")
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == Set(10L, 11L, 21L),
+        "12 falls to the within-batch dominator, 20 to the grown index")
+      val idx = spark.table(prefix + "_vecs")
+        .select("vec_id").as[Long].collect().toSet
+      assert(idx == Set(10L, 11L, 21L))
+      // at-least-once replay of an applied batch changes nothing
+      graft.streaming.VectorIngest.applyEmbedBatch(
+        b1, 1L, "vec_id", "embedding", prefix)
+      assert(spark.table(prefix + "_ids").count() == 3)
+    } finally dropAll()
+  }
+
+  test("embed ingest replays exactly after a crash between index append and ids write") {
+    import spark.implicits._
+    val prefix = "graft_test_emb_crash"
+    def dropAll(): Unit = for (t <- Seq("_ids", "_vecs"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      val ones = Seq.fill(64)(1.0)
+      val b0 = Seq((10L, ones)).toDF("vec_id", "embedding")
+      val b1 = Seq(
+        (20L, ones.updated(10, 1.01)),                  // dropped vs index
+        (21L, Seq.fill(32)(0.0) ++ Seq.fill(32)(1.0)), // survivor
+        (22L, (Seq.fill(32)(0.0) ++ Seq.fill(32)(1.0)).updated(40, 1.01)))
+        .toDF("vec_id", "embedding")                    // dominated by 21
+      graft.streaming.VectorIngest.applyEmbedBatch(
+        b0, 0L, "vec_id", "embedding", prefix)
+      graft.streaming.VectorIngest.applyEmbedBatch(
+        b1, 1L, "vec_id", "embedding", prefix)
+      // worst crash window: batch 1's vector rows landed but its ids
+      // write was lost — rebuild ids holding batch 0 only
+      val keep = spark.table(prefix + "_ids")
+        .filter(col("__last_batch") === 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.core.Materialize.dropWithLocation(spark, prefix + "_ids")
+      keep.toDF("vec_id", "__last_batch")
+        .write.saveAsTable(prefix + "_ids")
+      // replay must re-accept 21 — NOT drop it against its own index row
+      graft.streaming.VectorIngest.applyEmbedBatch(
+        b1, 1L, "vec_id", "embedding", prefix)
+      val got = spark.table(prefix + "_ids")
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == Set(10L, 21L),
+        "crash-replay lost survivors (or resurrected dominated vectors)")
+      val idx = spark.table(prefix + "_vecs")
+        .select("vec_id").distinct().as[Long].collect().toSet
+      assert(idx == Set(10L, 21L))
+    } finally dropAll()
+  }
+
   test("near-dup ingest: an empty (fully gated-away) batch leaves the chain intact") {
     import spark.implicits._
     val prefix = "graft_test_nd_empty"
