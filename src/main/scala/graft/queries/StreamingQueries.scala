@@ -632,6 +632,62 @@ object StreamingQueries {
         .select(col("vec_id"), col("__last_batch").as("batch"))
     }, Some(embedIngestOracle)),
 
+    // Streaming BM25 postings-index ingest (SearchIngest.bm25Ingest):
+    // the term-bucketed inverted index GROWS by each micro-batch's
+    // postings — per-(doc, term) facts computed batch-locally, so
+    // growth is a pure bucketed append and per-trigger work is
+    // O(batch). Corpus stats accumulate as per-batch additive rows.
+    // After the drain, a BM25 query against the GROWN index (query set
+    // df-derived from the index itself) must equal the one-shot batch
+    // build — the same oracle SQL as ext_bm25_topk.
+    QueryDef("st_bm25_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_bm25"
+      for (t <- Seq("_postings", "_stats"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val stream = s.readStream.schema(DocChunkSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.SearchIngest.bm25Ingest(
+        stream, "doc_id", "text", prefix)
+      try q.processAllAvailable() finally q.stop()
+      graft.core.CacheRegistry.releaseAll()
+      s.catalog.refreshTable(prefix + "_postings")
+      s.catalog.refreshTable(prefix + "_stats")
+      val postings = graft.streaming.SearchIngest.dedupedPostings(
+        s.table(prefix + "_postings"))
+      val stats = graft.streaming.SearchIngest.statsOf(s, prefix)
+      val queries = graft.ext.Retrieval.dfDerivedQueriesFrom(
+        postings.groupBy("term").agg(count(lit(1)).as("df")),
+        n = 4, perQuery = 3)
+      graft.ext.Retrieval.bm25TopKIndexed(postings, stats, queries, k = 5)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest(${ExtQueries.DuckToks}) AS term
+          FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST((rnk - 11) // 3 AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+        WHERE rnk BETWEEN 11 AND 22),
+      scored AS (SELECT qt.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+      SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
+
     // The DAILY CURATION CHAIN as a continuous stream: Gopher gates per
     // micro-batch, then near-dup ingest against the growing accepted
     // index, survivors labeled with their deterministic hash split —

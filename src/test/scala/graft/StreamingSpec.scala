@@ -407,6 +407,61 @@ class StreamingSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("bm25 ingest: grown index equals the one-shot build; replay dupes absorbed") {
+    import spark.implicits._
+    val prefix = "graft_test_bm25_ingest"
+    def dropAll(): Unit = for (t <- Seq("_postings", "_stats"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      val all = Seq(
+        (1L, "apple banana apple"),
+        (2L, "banana cherry"),
+        (3L, "cherry cherry cherry durian"),
+        (4L, "apple durian banana cherry"),
+        (5L, "   ")) // token-free: must stay out of n_docs
+        .toDF("doc_id", "text")
+      val b0 = all.filter(col("doc_id") <= 2)
+      val b1 = all.filter(col("doc_id") > 2)
+      graft.streaming.SearchIngest.applyBm25Batch(
+        b0, 0L, "doc_id", "text", prefix)
+      graft.streaming.SearchIngest.applyBm25Batch(
+        b1, 1L, "doc_id", "text", prefix)
+      val queries = Seq((0L, "apple"), (0L, "cherry"), (1L, "durian"))
+        .toDF("query_id", "term")
+      def indexed() = graft.ext.Retrieval.bm25TopKIndexed(
+        graft.streaming.SearchIngest.dedupedPostings(
+          spark.table(prefix + "_postings")),
+        graft.streaming.SearchIngest.statsOf(spark, prefix),
+        queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val oneShot = graft.ext.Retrieval.bm25TopK(all, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(indexed().toSeq === oneShot.toSeq)
+      // duplicate-absorbing read plans exchange-free over the bucketed
+      // layout (HashPartitioning(term) satisfies the grouping)
+      val p = graft.streaming.SearchIngest.dedupedPostings(
+        spark.table(prefix + "_postings")).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"deduped read re-shuffled:\n$p")
+      // worst crash window: batch 1's postings landed but its stats row
+      // (the watermark) was lost — replay re-appends exact duplicates
+      val keep = spark.table(prefix + "_stats")
+        .filter(col("__last_batch") === 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.core.Materialize.dropWithLocation(spark, prefix + "_stats")
+      keep.toDF("n_docs", "n_tokens", "__last_batch")
+        .write.saveAsTable(prefix + "_stats")
+      graft.streaming.SearchIngest.applyBm25Batch(
+        b1, 1L, "doc_id", "text", prefix)
+      assert(indexed().toSeq === oneShot.toSeq,
+        "replayed postings must collapse to the same scores")
+      assert(spark.table(prefix + "_stats").count() == 2)
+      graft.core.CacheRegistry.releaseAll()
+    } finally dropAll()
+  }
+
   test("near-dup ingest: an empty (fully gated-away) batch leaves the chain intact") {
     import spark.implicits._
     val prefix = "graft_test_nd_empty"
