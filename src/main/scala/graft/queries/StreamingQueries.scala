@@ -339,6 +339,55 @@ object StreamingQueries {
     s"WITH $chunkDefs,\n$bucketCtes,\n$level0,\n$levels\n$finalSelect"
   }
 
+  /**
+   * The st_kmeans_ingest oracle: streaming mini-batch k-means unrolled —
+   * seed from batch 0's k lowest-id vectors (rounded, weight 0), then
+   * per batch: scan-only argmax assignment against the current
+   * centroids, cumulative weighted-mean fold
+   * `c ← round((cnt·c + Σx)/(cnt + n) + 1e-9, 6)`, `cnt ← cnt + n`.
+   * The SQL twin of [[graft.streaming.VectorIngest.applyKmeansBatch]].
+   */
+  private def kmeansIngestOracle(k: Int): String = {
+    val chunkDefs =
+      """st AS (SELECT (max(vec_id) // 4) + 1 AS s FROM embeddings),
+        v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        c0 AS (SELECT vec_id, e FROM v, st WHERE vec_id < s),
+        c1 AS (SELECT vec_id, e FROM v, st WHERE vec_id >= s AND vec_id < 2 * s),
+        c2 AS (SELECT vec_id, e FROM v, st WHERE vec_id >= 2 * s AND vec_id < 3 * s),
+        c3 AS (SELECT vec_id, e FROM v, st WHERE vec_id >= 3 * s)"""
+    val seed =
+      s"""k0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS lbl,
+          list_transform(e, x -> round(x + 1e-9, 6)) AS cv,
+          CAST(0 AS BIGINT) AS cnt
+        FROM (SELECT * FROM c0 ORDER BY vec_id LIMIT $k))"""
+    val steps = (0 until 4).map { i =>
+      s"""a$i AS (SELECT vec_id, lbl FROM (
+            SELECT c$i.vec_id, s.lbl, row_number() OVER (PARTITION BY c$i.vec_id
+                ORDER BY ${ExtQueries.duckCos(s"c$i.e", "s.cv")} DESC, s.lbl) AS rn
+            FROM c$i CROSS JOIN k$i s) WHERE rn = 1),
+         d$i AS (SELECT a$i.lbl, CAST(generate_subscripts(c$i.e, 1) - 1 AS BIGINT)
+              AS dim, unnest(c$i.e) AS x
+           FROM c$i JOIN a$i ON a$i.vec_id = c$i.vec_id),
+         p$i AS (SELECT lbl, dim, sum(x) AS sx, CAST(count(*) AS BIGINT) AS n
+           FROM d$i GROUP BY 1, 2),
+         e$i AS (SELECT lbl, CAST(generate_subscripts(cv, 1) - 1 AS BIGINT) AS dim,
+             unnest(cv) AS c, cnt FROM k$i),
+         u$i AS (SELECT e$i.lbl, e$i.dim,
+             CASE WHEN p$i.n IS NULL THEN e$i.c
+                  ELSE round((e$i.cnt * e$i.c + p$i.sx)
+                             / (e$i.cnt + p$i.n) + 1e-9, 6) END AS c,
+             e$i.cnt + coalesce(p$i.n, 0) AS cnt
+           FROM e$i LEFT JOIN p$i ON p$i.lbl = e$i.lbl AND p$i.dim = e$i.dim),
+         k${i + 1} AS (SELECT lbl, list(c ORDER BY dim) AS cv,
+             CAST(max(cnt) AS BIGINT) AS cnt FROM u$i GROUP BY lbl)"""
+    }.mkString(",\n")
+    s"""WITH $chunkDefs,\n$seed,\n$steps
+      SELECT lbl AS cluster, CAST(generate_subscripts(cv, 1) - 1 AS BIGINT) AS dim,
+        unnest(cv) AS c, cnt FROM k4"""
+  }
+
   private val VecChunkSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
       org.apache.spark.sql.types.LongType),
@@ -631,6 +680,37 @@ object StreamingQueries {
       s.table(prefix + "_ids")
         .select(col("vec_id"), col("__last_batch").as("batch"))
     }, Some(embedIngestOracle)),
+
+    // Streaming MINI-BATCH K-MEANS (Sculley WWW'10): each micro-batch is
+    // assigned to the current centroids scan-only (the k×dim state rides
+    // the projection as a literal — nothing shuffles for assignment),
+    // then folded into the cumulative weighted mean; state history
+    // appends per batch, the marks row is the replay watermark. The
+    // drained state must equal the 4-step unrolled fold.
+    QueryDef("st_kmeans_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_kmeans"
+      for (t <- Seq("_state", "_marks"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val v = graft.core.Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("embedding"))
+      val mx = v.agg(max(col("vec_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        v.filter(col("vec_id") >= i * step && col("vec_id") < (i + 1) * step)))
+      val stream = s.readStream.schema(VecChunkSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.VectorIngest.kmeansIngest(
+        stream, "vec_id", "embedding", prefix, k = 8)
+      try q.processAllAvailable() finally q.stop()
+      graft.core.CacheRegistry.releaseAll()
+      s.catalog.refreshTable(prefix + "_state")
+      s.catalog.refreshTable(prefix + "_marks")
+      val last = graft.streaming.CorpusIngest.lastAppliedIn(s, prefix + "_marks")
+      s.table(prefix + "_state").filter(col("__batch") === last).distinct()
+        .select(col("cluster"), col("dim"), col("c"), col("cnt"))
+    }, Some(kmeansIngestOracle(k = 8))),
 
     // Streaming BM25 postings-index ingest (SearchIngest.bm25Ingest):
     // the term-bucketed inverted index GROWS by each micro-batch's

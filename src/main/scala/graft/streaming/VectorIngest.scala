@@ -112,6 +112,106 @@ object VectorIngest {
     math.max(batchId, lastApplied)
   }
 
+  // ---- Streaming mini-batch k-means ------------------------------------
+
+  /** Current centroid state (cluster → (cnt, vector)) from the `_state`
+    * table at watermark `at`, duplicate-absorbing (crash-replayed state
+    * rows are exact duplicates — see [[applyKmeansBatch]]). */
+  private def stateAt(spark: org.apache.spark.sql.SparkSession,
+                      stateT: String, at: Long): Seq[(Long, Long, Array[Double])] =
+    spark.table(stateT).filter(col("__batch") === at).distinct()
+      .groupBy(col("cluster"), col("cnt"))
+      .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("c")))
+        .as("m"))
+      .collect().map { r =>
+        val m = r.getMap[Long, Double](2)
+        (r.getLong(0), r.getLong(1),
+          (0 until m.size).map(d => m(d.toLong)).toArray)
+      }.sortBy(_._1)
+
+  /**
+   * Apply one micro-batch of the streaming MINI-BATCH K-MEANS (Sculley,
+   * WWW 2010): assign the batch to the current centroids (scan-only —
+   * the k×dim state rides the projection as a literal, nothing
+   * shuffles), then fold the batch into the cumulative weighted mean:
+   * `c ← round((cnt·c + Σx) / (cnt + n) + 1e-9, 6)`, `cnt ← cnt + n` —
+   * a cluster the batch never hits keeps its centroid and count.
+   * Batch 0 seeds from its k lowest-id vectors (rounded, cnt = 0),
+   * matching the batch `kmeansFit` seeding convention.
+   *
+   * State = k×dim (cluster, dim, c, cnt) rows appended per batch under
+   * `__batch`, so every historical state survives; the `_marks` row
+   * (written LAST) is the replay watermark. A crash between the state
+   * append and the marks write replays the batch against the INTACT
+   * previous state and re-appends bit-identical rows, which the
+   * distinct-read absorbs — the same duplicate-absorption argument as
+   * the BM25 postings ingest.
+   */
+  def applyKmeansBatch(batch: Dataset[Row], batchId: Long, idCol: String,
+                       vecCol: String, prefix: String, k: Int,
+                       knownLast: Option[Long] = None): Long = {
+    val spark = batch.sparkSession
+    val stateT = s"${prefix}_state"
+    val marksT = s"${prefix}_marks"
+    val lastApplied = knownLast.getOrElse(CorpusIngest.lastAppliedIn(spark, marksT))
+    if (batchId > lastApplied) graft.core.CacheRegistry.scoped {
+      val b = graft.core.CacheRegistry.persistTracked(
+        batch.toDF().select(col(idCol),
+          Similarity.asDouble(col(vecCol)).as("__e")))
+      val prev: Seq[(Long, Long, Array[Double])] =
+        if (!spark.catalog.tableExists(stateT))
+          // seed: k lowest-id vectors of the first batch, rounded like
+          // the batch kmeansFit seeds, weight 0 (they are priors, not
+          // observations — batch 0's own assignment supplies the data)
+          b.select(col(idCol).cast("long").as("__id"),
+              transform(col("__e"), x => round(x + lit(1e-9), 6)).as("__c"))
+            .sort(col("__id")).limit(k).collect().zipWithIndex
+            .map { case (r, i) =>
+              (i.toLong, 0L, r.getSeq[Double](1).toArray) }.toSeq
+        else stateAt(spark, stateT, lastApplied)
+      val cents = prev.map { case (l, _, c) => (l, c.toSeq) }
+      val assigned = Similarity.assignNearestScan(b, "__e", cents)
+      val partial = assigned
+        .select(col("assigned_label").as("cluster"),
+          posexplode(col("__e")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      import spark.implicits._
+      val old = prev.flatMap { case (l, cnt, c) =>
+        c.zipWithIndex.map { case (x, d) => (l, d.toLong, x, cnt) }
+      }.toDF("cluster", "dim", "c", "cnt")
+      val next = old.join(partial, Seq("cluster", "dim"), "left")
+        .select(col("cluster"), col("dim"),
+          when(col("n").isNull, col("c"))
+            .otherwise(round((col("cnt") * col("c") + col("s"))
+              / (col("cnt") + col("n")) + lit(1e-9), 6)).as("c"),
+          (col("cnt") + coalesce(col("n"), lit(0L))).as("cnt"))
+        .withColumn("__batch", lit(batchId))
+        .localCheckpoint() // lineage reads the state the append mutates
+      next.write.mode("append").saveAsTable(stateT)
+      spark.catalog.refreshTable(stateT)
+      // watermark LAST (replay-exactness argument in the scaladoc)
+      Seq(batchId).toDF("__last_batch")
+        .write.mode("append").saveAsTable(marksT)
+      spark.catalog.refreshTable(marksT)
+    }
+    math.max(batchId, lastApplied)
+  }
+
+  /** Streaming mini-batch k-means wrapper; final state is the `_state`
+    * rows at the last applied batch. */
+  def kmeansIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                   prefix: String, k: Int,
+                   checkpoint: Option[String] = None): StreamingQuery = {
+    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+    val w = vecs.writeStream
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        guard.set(Some(applyKmeansBatch(batch, batchId, idCol, vecCol,
+          prefix, k, guard.get())))
+      }.start()
+  }
+
   /** Streaming wrapper: replay watermark seeded from the ids table on
     * the first trigger (covers restart-from-checkpoint), then held in
     * memory. */

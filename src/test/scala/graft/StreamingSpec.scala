@@ -407,6 +407,55 @@ class StreamingSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("kmeans ingest: cumulative weighted-mean fold matches hand computation; replay no-op") {
+    import spark.implicits._
+    val prefix = "graft_test_km_ingest"
+    def dropAll(): Unit = for (t <- Seq("_state", "_marks"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      // 2-d-ish in 64 dims: cluster 0 near e_first, cluster 1 near e_last
+      def vFirst(a: Double) = (a +: Seq.fill(63)(0.0))
+      def vLast(a: Double) = (Seq.fill(63)(0.0) :+ a)
+      val b0 = Seq((1L, vFirst(1.0)), (2L, vLast(1.0)), (3L, vFirst(3.0)))
+        .toDF("vec_id", "embedding")
+      val b1 = Seq((10L, vFirst(5.0)), (11L, vLast(7.0)))
+        .toDF("vec_id", "embedding")
+      graft.streaming.VectorIngest.applyKmeansBatch(
+        b0, 0L, "vec_id", "embedding", prefix, k = 2)
+      graft.streaming.VectorIngest.applyKmeansBatch(
+        b1, 1L, "vec_id", "embedding", prefix, k = 2)
+      def state(at: Long) = spark.table(prefix + "_state")
+        .filter(col("__batch") === at).distinct()
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+        .toMap
+      // batch 0: seeds = vecs 1 (c0) and 2 (c1); cosine assigns 1,3 -> c0
+      // (score 1), 2 -> c1; fold from cnt=0 gives the plain means
+      val s0 = state(0L)
+      assert(s0((0L, 0L)) === ((2.0, 2L))) // (1 + 3)/2 in dim 0
+      assert(s0((1L, 63L))._1 === 1.0 && s0((1L, 63L))._2 === 1L)
+      // batch 1: 10 -> c0, 11 -> c1; c0 dim0 = (2*2 + 5)/3 = 3.0
+      val s1 = state(1L)
+      assert(s1((0L, 0L)) === ((3.0, 3L)))
+      assert(s1((1L, 63L)) === (((1.0 * 1 + 7.0) / 2, 2L)))
+      // untouched dims stay put
+      assert(s1((0L, 63L))._1 === 0.0)
+      // replay of an applied batch is a no-op
+      graft.streaming.VectorIngest.applyKmeansBatch(
+        b1, 1L, "vec_id", "embedding", prefix, k = 2)
+      assert(spark.table(prefix + "_marks").count() == 2)
+      // crash window: batch 1's state rows landed, marks row lost —
+      // rebuild marks holding batch 0 only, replay, and the re-appended
+      // state rows must be exact duplicates the distinct-read absorbs
+      graft.core.Materialize.dropWithLocation(spark, prefix + "_marks")
+      Seq(0L).toDF("__last_batch").write.saveAsTable(prefix + "_marks")
+      graft.streaming.VectorIngest.applyKmeansBatch(
+        b1, 1L, "vec_id", "embedding", prefix, k = 2)
+      assert(state(1L) === s1, "crash-replayed state diverged")
+      assert(spark.table(prefix + "_marks").count() == 2)
+    } finally dropAll()
+  }
+
   test("bm25 ingest: grown index equals the one-shot build; replay dupes absorbed") {
     import spark.implicits._
     val prefix = "graft_test_bm25_ingest"
