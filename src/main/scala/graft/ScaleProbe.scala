@@ -59,9 +59,9 @@ object ScaleProbe {
 
     val multSteps =
       Seq(1, mult / 4, mult / 2, mult).filter(_ >= 1).distinct.sorted
-    // SPARK_GRAFT_PROBE=knn|incnear|ingest|skewjoin|kmeans|ivfpq|bpe|
-    // classifier|ngrams runs one section (the exact kNN section is O(n²)
-    // by design — at sf0.1 m=8 it alone is ~90 s)
+    // SPARK_GRAFT_PROBE=knn|incnear|ingest|embedingest|skewjoin|kmeans|
+    // ivfpq|bpe|classifier|ngrams runs one section (the exact kNN
+    // section is O(n²) by design — at sf0.1 m=8 it alone is ~90 s)
     val only = sys.env.get("SPARK_GRAFT_PROBE")
     def section(name: String): Boolean = only.forall(_ == name)
 
@@ -153,6 +153,52 @@ object ScaleProbe {
       dropAll()
       spark.catalog.clearCache()
     }
+    // ---- streaming EMBED ingest: per-batch cost vs standing index ------
+    // the claim under test: applyEmbedBatch is O(batch × colliding
+    // bucket rows) against the bucketed standing index — growing the
+    // index must grow per-batch wall only through bucket OCCUPANCY (the
+    // candidate rows the batch's buckets collide with), never through a
+    // corpus rescan.
+    for (m <- multSteps if section("embedingest")) {
+      val prefix = "graft_probe_embed"
+      def dropAll(): Unit = for (t <- Seq("_ids", "_vecs"))
+        graft.core.Materialize.dropWithLocation(spark, prefix + t)
+      dropAll()
+      val corpus = amplifyVecs(vecs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nIndex = corpus.count()
+      val bandedIdx = corpus
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__e"))
+        .withColumn("bucket", Similarity.bucketId(col("__e"), 4))
+        .select(col("vec_id"), col("__e"), col("bucket"))
+      graft.core.Materialize.bucketTable(spark, prefix + "_vecs", bandedIdx,
+        buckets = 8, bucketCols = Seq("bucket"))
+      corpus.select(col("vec_id")).withColumn("__last_batch", lit(0L))
+        .write.mode("overwrite").saveAsTable(prefix + "_ids")
+      // fixed-size batch regardless of m: half near-dups of copy-0
+      // vectors (a non-hyperplane coordinate nudged — same bucket,
+      // cosine ~1, must drop vs the index), half negated (bucket bits
+      // flip, cosine −1: must survive)
+      val batch = vecs0.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 90000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 9, x * lit(1.0001f)).otherwise(x))
+            .as("embedding"))
+        .unionByName(vecs0.filter(col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 95000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      val (_, tBatch) = timed {
+        graft.streaming.VectorIngest.applyEmbedBatch(
+          batch, 1L, "vec_id", "embedding", prefix)
+      }
+      val accepted = spark.table(prefix + "_ids")
+        .filter(col("__last_batch") === 1L).count()
+      println(f"[scaleprobe] embedingest m=$m index=$nIndex " +
+        f"batch=${batch.count()} accepted=$accepted time=$tBatch%.2fs")
+      dropAll()
+      spark.catalog.clearCache()
+    }
+
     // ---- perceptron training: per-round cost vs corpus size ------------
     // the claim under test: each round is one scan against the literal
     // weight vector plus a <= B+1-row update aggregation, so training
