@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over similarity graphs — centrality for data
+ * curation: PageRank over the kNN graph ranks documents/embeddings by
+ * how much of the corpus points at them, a standard signal for
+ * selecting prototypical or influential training examples (the inverse
+ * of the prototypicality-pruning use case).
+ *
+ * Reference scope: the reference's marts rank by aggregated metrics
+ * (`5_dbt/READ.md:531-733`); graph centrality is an extension in the
+ * same spirit as the other `ext` operators. Connected components (the
+ * other graph op the corpus pipelines need) lives in [[Dedup]].
+ *
+ * Scale shape: per power-iteration round, ONE shuffle of the edge list
+ * keyed by src (to pick up the current rank) and one hash aggregation
+ * keyed by dst — edges move, never an adjacency matrix; rank state is
+ * one row per node. Iteration count is a constant (the caller's
+ * convergence budget), so total cost is iters × O(|E|) — the same
+ * shape GraphX/Pregel implementations converge to, expressed
+ * declaratively.
+ */
+object Graphs {
+
+  /**
+   * Damped PageRank by unrolled power iteration. Ranks are rounded to
+   * 6 digits each round (`round(x + 1e-9, 6)`) so the trajectory is
+   * reproducible across engines and summation orders — the same
+   * fp-stabilization convention as the k-means family.
+   *
+   * @param edges   (src_id, dst_id) directed edges; nodes are the union
+   *                of both endpoint sets
+   * @param iters   power-iteration rounds
+   * @param damping the classic 0.85
+   * @return (id, pr) after `iters` rounds
+   */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val e = graft.core.CacheRegistry.persistTracked(
+      edges.select(col("src_id"), col("dst_id")))
+    val nodes = graft.core.CacheRegistry.persistTracked(
+      e.select(col("src_id").as("id"))
+        .unionByName(e.select(col("dst_id").as("id"))).distinct())
+    val n = nodes.count()
+    val outdeg = graft.core.CacheRegistry.persistTracked(
+      e.groupBy("src_id").agg(count(lit(1)).as("outdeg")))
+    var pr = nodes.select(col("id"),
+      round(lit(1.0 / n) + lit(1e-9), 6).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src_id"), Seq("src_id"))
+        .join(outdeg, Seq("src_id"))
+        .select(col("dst_id").as("id"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("m"), lit(0.0)) + lit(1e-9), 6)
+            .as("pr"))
+    }
+    pr
+  }
+}

@@ -586,6 +586,51 @@ object ExtSimilarityQueries {
       SELECT vec_id, cluster, score, rn > ceil(n * 0.3) AS kept FROM r""")),
 
 
+    // PageRank over the exact kNN graph (k=3): corpus-centrality for
+    // curation — which embeddings does the rest of the corpus point at.
+    // Two unrolled damped power-iteration rounds, ranks fp-stabilized
+    // (round 6) each round; every node has out-degree k so there are no
+    // dangling-mass corrections to model. Per round: one edge shuffle
+    // keyed by src + one hash agg keyed by dst (SCALE.md).
+    QueryDef("ext_pagerank_knn", (s, dir) => {
+      val edges = graft.ext.Graphs.pageRank(
+        Similarity.knnGraphFused(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 3).select("src_id", "dst_id"),
+        iters = 2)
+      edges.select(col("id").as("vec_id"), col("pr"))
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+            round(list_inner_product(b.e, a.e) /
+              nullif(sqrt(list_inner_product(b.e, b.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+          FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY score DESC, dst_id) AS rn FROM scored),
+        edges AS (SELECT src_id, dst_id FROM ranked WHERE rn <= 3),
+        nd AS (SELECT src_id AS id FROM edges
+          UNION SELECT dst_id FROM edges),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+        odeg AS (SELECT src_id, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY 1),
+        p0 AS (SELECT id, round(1.0 / n + 1e-9, 6) AS pr
+          FROM nd CROSS JOIN nn),
+        c1 AS (SELECT e.dst_id AS id, sum(p.pr / o.outdeg) AS m
+          FROM edges e JOIN p0 p ON p.id = e.src_id
+          JOIN odeg o ON o.src_id = e.src_id GROUP BY 1),
+        p1 AS (SELECT nd.id,
+            round((1 - 0.85) / n + 0.85 * coalesce(c1.m, 0) + 1e-9, 6) AS pr
+          FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.id = nd.id),
+        c2 AS (SELECT e.dst_id AS id, sum(p.pr / o.outdeg) AS m
+          FROM edges e JOIN p1 p ON p.id = e.src_id
+          JOIN odeg o ON o.src_id = e.src_id GROUP BY 1),
+        p2 AS (SELECT nd.id,
+            round((1 - 0.85) / n + 0.85 * coalesce(c2.m, 0) + 1e-9, 6) AS pr
+          FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.id = nd.id)
+      SELECT id AS vec_id, pr FROM p2""")),
+
+
     // ───────────────────────── adversarial robustness ─────────────────
 
     // Degenerate vectors through exact cosine top-k: a zero-norm CORPUS

@@ -515,6 +515,35 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
 
 
+    // Entity-resolution blocking (record linkage): candidate pairs from
+    // a composite block key (first name token × p_size), verified by
+    // edit distance — the classic blocking-then-verify shape that
+    // bounds the quadratic to block sizes, exactly as LSH bands bound
+    // near-dup dedup. One shuffle per side on the block key; the
+    // Levenshtein verify runs only at block collisions.
+    QueryDef("ext_er_blocking", (s, dir) => {
+      val parts = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .withColumn("blk", substring_index(col("p_name"), " ", 1))
+      val a = parts.select(col("blk"), col("p_size"),
+        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = parts.select(col("blk"), col("p_size"),
+        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk", "p_size")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 4)
+        .select("id_a", "id_b", "dist")
+    }, Some("""WITH p AS (SELECT p_partkey, p_name, p_size,
+          split_part(p_name, ' ', 1) AS blk FROM part)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_size = b.p_size
+        AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4""")),
+
+
     // BM25 against a MATERIALIZED inverted index: postings bucketed by
     // term + 1-row stats table (Retrieval.buildBm25Index). The query
     // side — including the df-derived query set itself — reads ONLY the

@@ -1,0 +1,37 @@
+package graft
+
+import graft.ext.Graphs
+import org.apache.spark.sql.functions._
+
+/** PageRank: hand-checkable trajectories on tiny graphs. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a directed cycle stays uniform at 1/n every round") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src_id", "dst_id")
+    val pr = Graphs.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val third = math.rint((1.0 / 3 + 1e-9) * 1e6) / 1e6
+    assert(pr.values.toSet === Set(third))
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("a sink-of-attention node outranks its pointers") {
+    // 1,2,3 all point at 4; 4 points back at 1 only
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L))
+      .toDF("src_id", "dst_id")
+    val pr = Graphs.pageRank(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // mass oscillates between 4 and its sole successor 1; both dominate
+    // the leaf nodes, and the symmetric leaves tie exactly
+    assert(pr(4L) > pr(2L) && pr(1L) > pr(2L))
+    assert(pr(2L) === pr(3L), "symmetric nodes must tie")
+    // round-1 hand fold from uniform 0.25: node 4 gets 3 full shares
+    // (out-degree 1 each): 0.15/4 + 0.85 * 0.75
+    val expected4r1 = math.rint((0.15 / 4 + 0.85 * 0.75 + 1e-9) * 1e6) / 1e6
+    val pr1 = Graphs.pageRank(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr1(4L) === expected4r1)
+    graft.core.CacheRegistry.releaseAll()
+  }
+}
