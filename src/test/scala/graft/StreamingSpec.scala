@@ -331,6 +331,48 @@ class StreamingSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("checkpointed embed ingest resumes across a restart: gating and watermark survive") {
+    import spark.implicits._
+    val prefix = "graft_test_emb_resume"
+    def dropAll(): Unit = for (t <- Seq("_ids", "_vecs"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    val stage = java.nio.file.Files.createTempDirectory("graft_embres_stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_embres_ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def feed() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val ones = Seq.fill(64)(1.0)
+    try {
+      Seq((10L, ones), (11L, Seq.fill(32)(1.0) ++ Seq.fill(32)(0.0)))
+        .toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val q1 = graft.streaming.VectorIngest.embedIngest(
+        feed(), "vec_id", "embedding", prefix, checkpoint = Some(ckpt))
+      try q1.processAllAvailable() finally q1.stop()
+      // restart from the same checkpoint: the near-dup of ACCEPTED 10
+      // must still be gated by the standing index, the novel vector must
+      // land, and the already-processed file must not replay
+      Seq((20L, ones.updated(10, 1.01)),
+          (21L, Seq.fill(32)(0.0) ++ Seq.fill(32)(1.0)))
+        .toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(stage)
+      val q2 = graft.streaming.VectorIngest.embedIngest(
+        feed(), "vec_id", "embedding", prefix, checkpoint = Some(ckpt))
+      try q2.processAllAvailable() finally q2.stop()
+      spark.catalog.refreshTable(prefix + "_ids")
+      val got = spark.table(prefix + "_ids")
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == Set(10L, 11L, 21L),
+        "restart must keep gating against the standing index without replays")
+    } finally dropAll()
+  }
+
   test("embed ingest: drops vs the grown vector index, dominator within batch, replay no-op") {
     import spark.implicits._
     val prefix = "graft_test_emb_ingest"
