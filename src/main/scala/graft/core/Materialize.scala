@@ -91,7 +91,22 @@ object Materialize {
    * Returns the parquet file count after the rewrite.
    */
   def bucketCompact(spark: SparkSession, name: String,
-                    buckets: Int, bucketCols: Seq[String]): Long = {
+                    buckets: Int, bucketCols: Seq[String]): Long =
+    bucketRewrite(spark, name, buckets, bucketCols)(identity)
+
+  /**
+   * Staged rename-swap rewrite of a bucketed table through `xform`,
+   * preserving the bucket spec (and so every exchange-free join the
+   * layout pre-paid). [[bucketCompact]] is `xform = identity`;
+   * [[bucketForget]] is an anti-join. Same crash-safety as before: the
+   * rewritten copy is fully written to a stage table, then the catalog
+   * swaps names — a crash between the renames leaves the data intact
+   * under `<name>__compact_old`, never lost. Returns the parquet file
+   * count after the rewrite.
+   */
+  def bucketRewrite(spark: SparkSession, name: String,
+                    buckets: Int, bucketCols: Seq[String])
+                   (xform: DataFrame => DataFrame): Long = {
     val stage = s"${name}__compact_stage"
     val old = s"${name}__compact_old"
     dropWithLocation(spark, stage)
@@ -102,12 +117,14 @@ object Materialize {
     // degrade it to an arbitrary file grouping (no operator after the
     // write "exploits" the bucketing as far as it can see) and each
     // task would then hold a bucket MIX, writing tasks × buckets files;
-    // pin the bucketed scan on for the rewrite.
+    // pin the bucketed scan on for the rewrite. (A broadcast-joining
+    // xform preserves the child partitioning, so the elision survives
+    // the forget path too.)
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.get(autoKey)
     spark.conf.set(autoKey, "false")
     try {
-      spark.table(name)
+      xform(spark.table(name))
         .repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
         .write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -123,6 +140,25 @@ object Materialize {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")).toLong
   }
+
+  /**
+   * FORGET: remove every row whose `idCol` appears in `ids` from a
+   * bucketed table — the takedown/right-to-erasure maintenance step a
+   * standing dedup or ANN index needs (a forgotten document must stop
+   * gating future near-dups of itself). Parquet has no row deletes, so
+   * this is a [[bucketRewrite]] anti-join: cost is one table rewrite,
+   * run at takedown cadence (batched, like compaction), and the bucket
+   * spec — hence every exchange-free probe — survives. The forget set
+   * is broadcast; at real scale it is always tiny relative to the
+   * corpus.
+   */
+  def bucketForget(spark: SparkSession, name: String,
+                   buckets: Int, bucketCols: Seq[String],
+                   idCol: String, ids: DataFrame): Long =
+    bucketRewrite(spark, name, buckets, bucketCols)(
+      _.join(org.apache.spark.sql.functions.broadcast(
+          ids.select(org.apache.spark.sql.functions.col(idCol))),
+        Seq(idCol), "left_anti"))
 
   /**
    * Small-file compaction: rewrite a parquet path into ~`targetFileMB`

@@ -131,6 +131,73 @@ object ExtDedupQueries {
     }, Some(IncrementalNearOracleSql)),
 
 
+    // INDEX FORGET — the takedown/right-to-erasure maintenance step: a
+    // 1-in-11 slice of the accepted corpus is erased from the persisted
+    // band + shingle tables (Materialize.bucketForget: staged anti-join
+    // rewrite, bucket spec preserved), and the next batch proves both
+    // directions — near-dups of FORGOTTEN docs are now ACCEPTED (their
+    // gate is gone), near-dups of retained docs still drop. The oracle
+    // replays the batch against base MINUS the forget set.
+    QueryDef("ext_dedup_index_forget", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val forget = base.filter(col("doc_id") % 11 === 1).select(col("doc_id"))
+      val (b0, sh0) = Dedup.nearDupIndex(base, "doc_id", "text",
+        numHashes = 64, bands = 32)
+      graft.core.Materialize.bucketTable(s, "graft_forget_bands", b0,
+        buckets = 8, bucketCols = Seq("band", "band_hash"))
+      graft.core.Materialize.bucketTable(s, "graft_forget_shingles", sh0,
+        buckets = 8, bucketCols = Seq("doc_id"))
+      graft.core.Materialize.bucketForget(s, "graft_forget_bands",
+        buckets = 8, bucketCols = Seq("band", "band_hash"), "doc_id", forget)
+      graft.core.Materialize.bucketForget(s, "graft_forget_shingles",
+        buckets = 8, bucketCols = Seq("doc_id"), "doc_id", forget)
+      val batch = base.filter(col("doc_id") % 11 === 1)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 11 === 2)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+      Dedup.incrementalNearDupIndexed(batch,
+          s.table("graft_forget_bands"), s.table("graft_forget_shingles"),
+          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    }, Some(s"""WITH base_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id % 11 <> 1),
+      all_docs AS (
+        SELECT doc_id + 400000 AS doc_id, text || ' dup marker tail' AS text
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 11 = 1
+        UNION ALL
+        SELECT doc_id + 600000, text || ' dup marker tail'
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 11 = 2),
+      bsh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      psh AS (SELECT doc_id, CASE WHEN len(toks) < 3
+            THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+          FROM (SELECT doc_id, $DuckToks AS toks FROM base_docs)),
+      drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN psh p
+        ON CAST(len(list_intersect(b.shingles, p.shingles)) AS DOUBLE) /
+           (len(b.shingles) + len(p.shingles)
+            - len(list_intersect(b.shingles, p.shingles))) >= 0.5),
+      fresh AS (SELECT * FROM bsh
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
+      self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
+        ON a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(b.shingles, a.shingles)) AS DOUBLE) /
+            (len(b.shingles) + len(a.shingles)
+             - len(list_intersect(b.shingles, a.shingles))) >= 0.5)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+      FROM all_docs d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_vs_base)
+        AND d.doc_id NOT IN (SELECT doc_id FROM self_drops)""")),
+
+
     // TWO-DAY index growth cycle — the property that makes the persisted
     // index an INDEX and not a cache: day-1 survivors' band/shingle rows
     // are APPENDED to the saved tables (Materialize.bucketAppend, bucket

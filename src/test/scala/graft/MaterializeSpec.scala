@@ -74,6 +74,31 @@ class MaterializeSpec extends SparkSpec {
     Materialize.dropWithLocation(spark, name)
   }
 
+  test("bucketForget removes exactly the ids; bucket layout and join shape survive") {
+    val name = "graft_test_forget_bkt"
+    Materialize.dropWithLocation(spark, name)
+    val rows = (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    Materialize.bucketTable(spark, name, rows, buckets = 4,
+      bucketCols = Seq("k"))
+    val gone = Seq(3L, 17L, 40L).toDF("k")
+    Materialize.bucketForget(spark, name, buckets = 4,
+      bucketCols = Seq("k"), "k", gone)
+    val kept = spark.table(name).select("k").as[Long].collect().toSet
+    assert(kept == (1L to 40L).toSet -- Set(3L, 17L, 40L),
+      "forget must remove exactly the listed ids")
+    // the rewritten table still joins bucket-to-bucket
+    val probe = Seq((2L, 9), (19L, 9)).toDF("k", "p")
+    val plan = spark.table(name).join(probe.hint("shuffle_hash"), Seq("k"))
+      .queryExecution.executedPlan.toString
+    val scanSide = plan.linesIterator.filter(_.contains(name)).mkString
+    assert(scanSide.contains("SelectedBucketsCount") ||
+      !plan.contains("Exchange hashpartitioning(k"),
+      s"forgotten bucketed side must not re-shuffle on k:\n$plan")
+    assert(!spark.catalog.tableExists(s"${name}__compact_stage"))
+    assert(!spark.catalog.tableExists(s"${name}__compact_old"))
+    Materialize.dropWithLocation(spark, name)
+  }
+
   test("incremental merge upserts by unique key and keeps unmatched rows") {
     val name = "graft_test_inc_merge"
     Materialize.dropWithLocation(spark, name)
