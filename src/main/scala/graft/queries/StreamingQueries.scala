@@ -768,6 +768,42 @@ object StreamingQueries {
           ORDER BY score DESC, doc_id) AS rn FROM scored)
       SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
 
+    // Streaming MULTIMODAL ingest (MediaIngest.mediaIngest): binary
+    // payload chunks drain one per micro-batch, metadata extraction is
+    // batch-local, and the typed metadata table grows by appends —
+    // payloads are read exactly once. Drained metadata == the batch
+    // extraction (ext_mm_media_meta's oracle).
+    QueryDef("st_mm_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_mm"
+      for (t <- Seq("_meta", "_marks"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.MediaIngest.mediaIngest(
+        stream, "doc_id", "payload",
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")),
+        prefix)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_meta")
+      graft.streaming.MediaIngest.dedupedMeta(s.table(prefix + "_meta"))
+    }, Some("""SELECT doc_id AS media_id,
+        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents""")),
+
     // The DAILY CURATION CHAIN as a continuous stream: Gopher gates per
     // micro-batch, then near-dup ingest against the growing accepted
     // index, survivors labeled with their deterministic hash split —
