@@ -39,20 +39,20 @@ object Graphs {
    */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
-    val e = graft.core.CacheRegistry.persistTracked(
-      edges.select(col("src_id"), col("dst_id")))
+    val e0 = edges.select(col("src_id"), col("dst_id"))
     val nodes = graft.core.CacheRegistry.persistTracked(
-      e.select(col("src_id").as("id"))
-        .unionByName(e.select(col("dst_id").as("id"))).distinct())
+      e0.select(col("src_id").as("id"))
+        .unionByName(e0.select(col("dst_id").as("id"))).distinct())
     val n = nodes.count()
-    val outdeg = graft.core.CacheRegistry.persistTracked(
-      e.groupBy("src_id").agg(count(lit(1)).as("outdeg")))
+    // out-degree folded into the edge list ONCE — each iteration then
+    // pays a single src-keyed join instead of two
+    val outdeg = e0.groupBy("src_id").agg(count(lit(1)).as("outdeg"))
+    val e = graft.core.CacheRegistry.persistTracked(e0.join(outdeg, Seq("src_id")))
     var pr = nodes.select(col("id"),
       round(lit(1.0 / n) + lit(1e-9), 6).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("id", "src_id"), Seq("src_id"))
-        .join(outdeg, Seq("src_id"))
         .select(col("dst_id").as("id"), (col("pr") / col("outdeg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("m"))
       pr = nodes.join(contrib, Seq("id"), "left")
