@@ -87,9 +87,12 @@ object Classifier {
    * are independent of where the early-stop lands.
    */
   def perceptronTrain(feats: DataFrame, bucketsCol: String, labelCol: String,
-                      numBuckets: Int, maxRounds: Int): PerceptronModel =
+                      numBuckets: Int, maxRounds: Int,
+                      init: Option[(Array[Long], Long)] = None): PerceptronModel =
     graft.core.CacheRegistry.scoped {
       require(maxRounds >= 1, s"maxRounds=$maxRounds must be positive")
+      require(init.forall(_._1.length == numBuckets),
+        "init weights must have numBuckets entries")
       // Normalize the public-API buckets column up front: cast to
       // array<int> (a caller passing array<bigint> — natural from SQL —
       // would otherwise ClassCastException at getInt below) and coalesce
@@ -101,8 +104,8 @@ object Classifier {
           coalesce(col(bucketsCol).cast("array<int>"),
             typedLit(Seq.empty[Int])).as("__b"),
           col(labelCol).cast("long").as("__y")))
-      val weights = Array.fill(numBuckets)(0L)
-      var bias = 0L
+      val weights = init.map(_._1.clone()).getOrElse(Array.fill(numBuckets)(0L))
+      var bias = init.map(_._2).getOrElse(0L)
       var rounds = 0
       var errors = -1L
       while (rounds < maxRounds && errors != 0L) {

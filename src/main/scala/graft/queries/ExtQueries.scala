@@ -182,6 +182,64 @@ object ExtQueries {
     (head +: steps :+ z(rounds, "qzf", "qlab", "qfb")).mkString(",\n")
   }
 
+  /**
+   * Chained twin of [[duckPerceptron]] for the STREAMING trainer
+   * ([[graft.streaming.ClassifierIngest]]): the corpus splits into
+   * `batches` slices (`batchWhere(b)` over `qlab`), and each batch
+   * continues the weight chain from the previous batch's final weights
+   * for `roundsPerBatch` rounds — global round index g = b·R + r keeps
+   * the qw/qb chain linear. All-integer replay, same fragments as the
+   * batch oracle. Emits CTEs through `qw{batches·R}` / `qb{batches·R}`.
+   */
+  private[queries] def duckPerceptronChained(batches: Int, roundsPerBatch: Int,
+      numBuckets: Int, batchWhere: Int => String,
+      docsSrc: String = "documents"): String = {
+    val lex = ClassifierLexicon.map(t => s"'$t'").mkString("[", ",", "]")
+    val bucket =
+      s"""((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         | + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+         | % $numBuckets""".stripMargin
+    val head =
+      s"""qdocs AS MATERIALIZED (SELECT doc_id, $DuckToks AS toks FROM $docsSrc),
+         |qpos AS MATERIALIZED (SELECT doc_id, toks, CAST(1 AS BIGINT) AS y
+         |  FROM qdocs WHERE len(list_intersect(toks, $lex)) > 0),
+         |qcorp AS MATERIALIZED (SELECT * FROM qpos UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    list_filter(toks, x -> NOT list_contains($lex, x)) AS toks,
+         |    CAST(-1 AS BIGINT) AS y FROM qpos),
+         |qlab AS MATERIALIZED (SELECT doc_id, y FROM qcorp),
+         |qfb AS MATERIALIZED (SELECT DISTINCT doc_id, $bucket AS bucket
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM qcorp)),
+         |qw0 AS MATERIALIZED (SELECT CAST(unnest(range(0, $numBuckets)) AS BIGINT)
+         |    AS bucket, CAST(0 AS BIGINT) AS w),
+         |qb0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS bias)""".stripMargin
+    def z(i: Int, out: String, lab: String, fb: String) =
+      s"""$out AS MATERIALIZED (SELECT l.doc_id, l.y,
+         |  (SELECT bias FROM qb$i) + coalesce(CAST(sum(w.w) AS BIGINT), 0) AS z
+         |  FROM $lab l LEFT JOIN $fb fb ON fb.doc_id = l.doc_id
+         |  LEFT JOIN qw$i w ON w.bucket = fb.bucket GROUP BY 1, 2)""".stripMargin
+    val steps = (0 until batches).flatMap { b =>
+      val batchCtes =
+        s"""qtlab_$b AS MATERIALIZED (SELECT * FROM qlab WHERE ${batchWhere(b)}),
+           |qtfb_$b AS MATERIALIZED (SELECT fb.* FROM qfb fb
+           |  JOIN qtlab_$b t ON t.doc_id = fb.doc_id)""".stripMargin
+      val rounds = (0 until roundsPerBatch).map { r =>
+        val g = b * roundsPerBatch + r
+        s"""${z(g, s"qz$g", s"qtlab_$b", s"qtfb_$b")},
+           |qg$g AS MATERIALIZED (SELECT fb.bucket, CAST(sum(z.y) AS BIGINT) AS dw
+           |  FROM qz$g z JOIN qtfb_$b fb USING (doc_id)
+           |  WHERE z.y * z.z <= 0 GROUP BY 1),
+           |qw${g + 1} AS MATERIALIZED (SELECT w.bucket, w.w + coalesce(g.dw, 0) AS w
+           |  FROM qw$g w LEFT JOIN qg$g g USING (bucket)),
+           |qb${g + 1} AS MATERIALIZED (SELECT (SELECT bias FROM qb$g) +
+           |  coalesce((SELECT CAST(sum(y) AS BIGINT) FROM qz$g
+           |            WHERE y * z <= 0), 0) AS bias)""".stripMargin
+      }
+      batchCtes +: rounds
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** Spark twin of [[duckPerceptron]]'s labeled corpus: positives =
     * fixture docs containing a lexicon token, negatives = the same docs
     * with lexicon tokens stripped (+100000 ids), features = sorted

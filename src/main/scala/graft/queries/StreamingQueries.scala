@@ -768,6 +768,45 @@ object StreamingQueries {
           ORDER BY score DESC, doc_id) AS rn FROM scored)
       SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
 
+    // Streaming CLASSIFIER training (ClassifierIngest): the labeled
+    // corpus drains in four batches and each batch continues the batch
+    // perceptron from the carried weights for 4 rounds — an all-integer
+    // trajectory, so the oracle unrolls batches x rounds with no
+    // rounding convention anywhere. Weight history appends per batch
+    // (audit-ready); output = the final weight vector.
+    QueryDef("st_classifier_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_clf"
+      for (t <- Seq("_weights", "_marks"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val feats = ExtQueries.classifierFixture(s, dir)
+      val stage = stageIdChunks(s, (0 until 4).map(b =>
+        feats.filter((col("doc_id") % 100000) % 4 === b)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("buckets",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.types.StructField("y",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.ClassifierIngest.classifierIngest(
+        stream, "buckets", "y", prefix, numBuckets = 64, roundsPerBatch = 4)
+      try q.processAllAvailable() finally q.stop()
+      graft.core.CacheRegistry.releaseAll()
+      s.catalog.refreshTable(prefix + "_weights")
+      s.catalog.refreshTable(prefix + "_marks")
+      val last = graft.streaming.CorpusIngest.lastAppliedIn(s, prefix + "_marks")
+      s.table(prefix + "_weights").filter(col("__batch") === last).distinct()
+        .select(col("bucket"), col("weight"))
+    }, Some(s"""WITH ${ExtQueries.duckPerceptronChained(batches = 4,
+        roundsPerBatch = 4, numBuckets = 64,
+        batchWhere = b => s"(doc_id % 100000) % 4 = $b")}
+      SELECT bucket, w AS weight FROM qw16
+      UNION ALL SELECT CAST(-1 AS BIGINT) AS bucket, bias AS weight FROM qb16""")),
+
     // Streaming MULTIMODAL ingest (MediaIngest.mediaIngest): binary
     // payload chunks drain one per micro-batch, metadata extraction is
     // batch-local, and the typed metadata table grows by appends —

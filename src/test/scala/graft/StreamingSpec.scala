@@ -498,6 +498,47 @@ class StreamingSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("classifier ingest: weights continue exactly across batches; crash replay is identical") {
+    import spark.implicits._
+    val prefix = "graft_test_clf_ingest"
+    def dropAll(): Unit = for (t <- Seq("_weights", "_marks"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    dropAll()
+    try {
+      // tiny separable feature rows: bucket 0 ⇒ +1, bucket 1 ⇒ −1
+      val b0 = Seq((1L, Seq(0), 1L), (2L, Seq(1), -1L))
+        .toDF("doc_id", "buckets", "y")
+      val b1 = Seq((3L, Seq(0, 2), 1L), (4L, Seq(1, 3), -1L))
+        .toDF("doc_id", "buckets", "y")
+      graft.streaming.ClassifierIngest.applyTrainBatch(
+        b0, 0L, "buckets", "y", prefix, numBuckets = 4, roundsPerBatch = 3)
+      graft.streaming.ClassifierIngest.applyTrainBatch(
+        b1, 1L, "buckets", "y", prefix, numBuckets = 4, roundsPerBatch = 3)
+      val (w1, bias1) = graft.streaming.ClassifierIngest.weightsAt(
+        spark, prefix, 1L, numBuckets = 4)
+      // reference: the same trajectory threaded by hand through the
+      // batch trainer with explicit seeding
+      val m0 = graft.ext.Classifier.perceptronTrain(
+        b0, "buckets", "y", numBuckets = 4, maxRounds = 3)
+      val m1 = graft.ext.Classifier.perceptronTrain(
+        b1, "buckets", "y", numBuckets = 4, maxRounds = 3,
+        init = Some((m0.weights, m0.bias)))
+      assert(w1.toSeq === m1.weights.toSeq && bias1 === m1.bias,
+        "streamed continuation must match hand-threaded seeding")
+      // crash window: batch 1's weight rows landed, marks row lost —
+      // replay recomputes from batch 0's intact weights, identical rows
+      graft.core.Materialize.dropWithLocation(spark, prefix + "_marks")
+      Seq(0L).toDF("__last_batch").write.saveAsTable(prefix + "_marks")
+      graft.streaming.ClassifierIngest.applyTrainBatch(
+        b1, 1L, "buckets", "y", prefix, numBuckets = 4, roundsPerBatch = 3)
+      val (w1r, bias1r) = graft.streaming.ClassifierIngest.weightsAt(
+        spark, prefix, 1L, numBuckets = 4)
+      assert(w1r.toSeq === w1.toSeq && bias1r === bias1,
+        "crash-replayed weights diverged")
+      assert(spark.table(prefix + "_marks").count() == 2)
+    } finally dropAll()
+  }
+
   test("bm25 ingest: grown index equals the one-shot build; replay dupes absorbed") {
     import spark.implicits._
     val prefix = "graft_test_bm25_ingest"
