@@ -579,6 +579,28 @@ object ExtCorpusQueries {
       FROM p""")),
 
 
+    // Adversarial packing: the degenerate corpus (zero-token empty and
+    // whitespace docs, a 20-copy identical block, emoji docs) through
+    // strided packing — zero-size docs consume no capacity and land at
+    // the current offset (prev unchanged), the identical block packs at
+    // a constant stride, and the running sum stays exact integers.
+    QueryDef("ext_adv_pack", (s, dir) =>
+      Corpus.packSequencesStrided(
+        advCorpus(s, dir).select(col("doc_id"),
+          (col("doc_id") % 3).as("grp"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "grp", "doc_id", "n_tokens", binSize = 64),
+      Some(s"""WITH t AS (SELECT doc_id, doc_id % 3 AS grp,
+          CAST(len($DuckToks) AS BIGINT) AS n_tokens FROM $DuckAdvCorpus),
+        p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY grp
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS prev FROM t)
+      SELECT doc_id, grp, n_tokens,
+        CAST(floor(prev / 64.0) AS BIGINT) AS bin,
+        CAST(prev % 64 AS BIGINT) AS bin_offset
+      FROM p""")),
+
+
     // Sequence packing, TRUE next-fit: a doc that doesn't fit starts a
     // new bin, so bin_offset + n_tokens <= 512 is an invariant (oversize
     // docs excluded by construction here: docs are capped at 512 via
