@@ -23,14 +23,24 @@ object PlanAudit {
       .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
         try {
           val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-          val ex = p.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix("*(")
-            .contains("Exchange"))
+          // shuffle exchanges ONLY: "Exchange hashpartitioning/range-
+          // partitioning/SinglePartition" — BroadcastExchange is a
+          // different (cheap, dim-sized) animal and ReusedExchange is
+          // free, counting either would overstate the shuffle inventory
+          def occ(k: String): Int = {
+            var i = p.indexOf(k); var c = 0
+            while (i >= 0) { c += 1; i = p.indexOf(k, i + 1) }
+            c
+          }
+          val shuffles = Seq("Exchange hashpartitioning",
+            "Exchange rangepartitioning", "Exchange SinglePartition")
+            .map(occ).sum
+          val bex = p.linesIterator.count(_.contains("BroadcastExchange"))
           val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
           val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
           val cart = p.contains("CartesianProduct")
-          val wsc = p.linesIterator.count(_.contains("WholeStageCodegen"))
-          println(f"[planaudit] $name%-36s exchanges=$ex%-3d bhj=$bhj%-3d " +
-            f"smj=$smj%-3d cartesian=$cart%-5s codegenSpans=$wsc")
+          println(f"[planaudit] $name%-36s shuffles=$shuffles%-3d " +
+            f"broadcasts=$bex%-3d bhj=$bhj%-3d smj=$smj%-3d cartesian=$cart")
         } catch { case e: Throwable =>
           println(s"[planaudit] $name ERROR ${e.getClass.getSimpleName}")
         }

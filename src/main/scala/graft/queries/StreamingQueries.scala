@@ -388,7 +388,7 @@ object StreamingQueries {
         unnest(cv) AS c, cnt FROM k4"""
   }
 
-  private val VecChunkSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val VecChunkSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("embedding",

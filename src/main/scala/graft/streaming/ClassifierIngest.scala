@@ -54,8 +54,13 @@ object ClassifierIngest {
     val marksT = s"${prefix}_marks"
     val lastApplied = knownLast.getOrElse(CorpusIngest.lastAppliedIn(spark, marksT))
     if (batchId > lastApplied) {
+      // Seed iff no batch has been applied (watermark −1), NOT on
+      // table existence — in the batch-0 crash window (weight rows
+      // landed, marks write lost) the table exists but the chain must
+      // restart from zeros; weightsAt(-1) would coincidentally return
+      // zeros, but the intent belongs in the guard, not an accident.
       val init =
-        if (!spark.catalog.tableExists(weightsT)) None
+        if (lastApplied < 0) None
         else Some(weightsAt(spark, prefix, lastApplied, numBuckets))
       val model = Classifier.perceptronTrain(batch.toDF(), bucketsCol,
         labelCol, numBuckets, maxRounds = roundsPerBatch, init = init)
@@ -74,13 +79,8 @@ object ClassifierIngest {
   def classifierIngest(feats: DataFrame, bucketsCol: String,
                        labelCol: String, prefix: String, numBuckets: Int,
                        roundsPerBatch: Int,
-                       checkpoint: Option[String] = None): StreamingQuery = {
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = feats.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(applyTrainBatch(batch, batchId, bucketsCol, labelCol,
-          prefix, numBuckets, roundsPerBatch, guard.get())))
-      }.start()
-  }
+                       checkpoint: Option[String] = None): StreamingQuery =
+    CorpusIngest.guardedIngest(feats, checkpoint)((batch, batchId, last) =>
+      applyTrainBatch(batch, batchId, bucketsCol, labelCol, prefix,
+        numBuckets, roundsPerBatch, last))
 }

@@ -27,6 +27,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object CorpusIngest {
 
+  /** Shared stream wrapper for the ingest family: foreachBatch with the
+    * once-per-run replay-watermark guard (seeded by the first trigger's
+    * table read — covers restart-from-checkpoint — then held in
+    * memory). `apply` receives (batch, batchId, knownLast) and returns
+    * the new watermark. */
+  private[streaming] def guardedIngest(rows: DataFrame,
+      checkpoint: Option[String])(
+      apply: (Dataset[Row], Long, Option[Long]) => Long): StreamingQuery = {
+    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+    val w = rows.writeStream
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        guard.set(Some(apply(batch, batchId, guard.get())))
+      }.start()
+  }
+
   /** Read the persisted replay watermark (max applied batch id) from an
     * accepted table — the once-per-stream-start seed for the in-memory
     * guard the ingest wrappers hold. Exposed so a restarted driver (or a
@@ -106,18 +122,9 @@ object CorpusIngest {
 
   def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
                   table: String,
-                  checkpoint: Option[String] = None): StreamingQuery = {
-    // replay watermark: seeded from the table on the first trigger
-    // (covers restart-from-checkpoint), then held in memory — see
-    // applyBatch's knownLast note
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = docs.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(
-          applyBatch(batch, batchId, idCol, textCol, table, guard.get())))
-      }.start()
-  }
+                  checkpoint: Option[String] = None): StreamingQuery =
+    guardedIngest(docs, checkpoint)(
+      applyBatch(_, _, idCol, textCol, table, _))
 
   /**
    * Apply one micro-batch of the NEAR-dup ingest: dedup the batch
@@ -242,15 +249,10 @@ object CorpusIngest {
                     prefix: String, threshold: Double = 0.5,
                     shingleK: Int = 3, numHashes: Int = 64,
                     bands: Int = 32,
-                    checkpoint: Option[String] = None): StreamingQuery = {
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = docs.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(applyNearDupBatch(batch, batchId, idCol, textCol,
-          prefix, threshold, shingleK, numHashes, bands, guard.get())))
-      }.start()
-  }
+                    checkpoint: Option[String] = None): StreamingQuery =
+    guardedIngest(docs, checkpoint)((batch, batchId, last) =>
+      applyNearDupBatch(batch, batchId, idCol, textCol,
+        prefix, threshold, shingleK, numHashes, bands, last))
 
   /**
    * Streaming curation ingest — the daily curation chain
@@ -265,22 +267,17 @@ object CorpusIngest {
                      prefix: String, threshold: Double = 0.5,
                      shingleK: Int = 3, numHashes: Int = 64,
                      bands: Int = 32,
-                     checkpoint: Option[String] = None): StreamingQuery = {
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = docs.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // persist the gated batch for the trigger: the survivor plan and
-        // the batch-index frames both read it, and without a barrier the
-        // explode + double-agg gate chain recomputes per consumer. The
-        // scope releases it once the trigger's writes are materialized.
-        graft.core.CacheRegistry.scoped {
-          val gated = graft.core.CacheRegistry.persistTracked(
-            graft.ext.TextOps.gopherGate(batch.toDF(), idCol, textCol))
-          guard.set(Some(applyNearDupBatch(gated,
-            batchId, idCol, textCol, prefix, threshold, shingleK,
-            numHashes, bands, guard.get())))
-        }
-      }.start()
-  }
+                     checkpoint: Option[String] = None): StreamingQuery =
+    guardedIngest(docs, checkpoint) { (batch, batchId, last) =>
+      // persist the gated batch for the trigger: the survivor plan and
+      // the batch-index frames both read it, and without a barrier the
+      // explode + double-agg gate chain recomputes per consumer. The
+      // scope releases it once the trigger's writes are materialized.
+      graft.core.CacheRegistry.scoped {
+        val gated = graft.core.CacheRegistry.persistTracked(
+          graft.ext.TextOps.gopherGate(batch.toDF(), idCol, textCol))
+        applyNearDupBatch(gated, batchId, idCol, textCol, prefix,
+          threshold, shingleK, numHashes, bands, last)
+      }
+    }
 }

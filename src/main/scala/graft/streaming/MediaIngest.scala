@@ -56,13 +56,8 @@ object MediaIngest {
 
   def mediaIngest(rows: DataFrame, idCol: String, payloadCol: String,
                   mediaType: org.apache.spark.sql.Column, prefix: String,
-                  checkpoint: Option[String] = None): StreamingQuery = {
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = rows.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(applyMediaBatch(batch, batchId, idCol, payloadCol,
-          mediaType, prefix, guard.get())))
-      }.start()
-  }
+                  checkpoint: Option[String] = None): StreamingQuery =
+    CorpusIngest.guardedIngest(rows, checkpoint)((batch, batchId, last) =>
+      applyMediaBatch(batch, batchId, idCol, payloadCol, mediaType,
+        prefix, last))
 }

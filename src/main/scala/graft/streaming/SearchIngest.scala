@@ -92,13 +92,7 @@ object SearchIngest {
     * first trigger, then held in memory. */
   def bm25Ingest(docs: DataFrame, idCol: String, textCol: String,
                  prefix: String, buckets: Int = 16,
-                 checkpoint: Option[String] = None): StreamingQuery = {
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = docs.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(applyBm25Batch(batch, batchId, idCol, textCol,
-          prefix, buckets, guard.get())))
-      }.start()
-  }
+                 checkpoint: Option[String] = None): StreamingQuery =
+    CorpusIngest.guardedIngest(docs, checkpoint)(
+      applyBm25Batch(_, _, idCol, textCol, prefix, buckets, _))
 }

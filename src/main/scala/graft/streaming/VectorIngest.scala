@@ -158,8 +158,15 @@ object VectorIngest {
       val b = graft.core.CacheRegistry.persistTracked(
         batch.toDF().select(col(idCol),
           Similarity.asDouble(col(vecCol)).as("__e")))
+      // Seed iff NO batch has been applied (watermark −1) — NOT on
+      // state-table existence: in the batch-0 crash window (state rows
+      // landed, marks write lost) the table exists but holds no rows at
+      // __batch = −1, and keying on existence would hand an EMPTY
+      // centroid set to assignNearestScan forever. Re-seeding replays
+      // batch 0 deterministically; the re-appended state rows are
+      // bit-exact duplicates the distinct-read absorbs.
       val prev: Seq[(Long, Long, Array[Double])] =
-        if (!spark.catalog.tableExists(stateT))
+        if (lastApplied < 0)
           // seed: k lowest-id vectors of the first batch, rounded like
           // the batch kmeansFit seeds, weight 0 (they are priors, not
           // observations — batch 0's own assignment supplies the data)
@@ -202,28 +209,16 @@ object VectorIngest {
     * rows at the last applied batch. */
   def kmeansIngest(vecs: DataFrame, idCol: String, vecCol: String,
                    prefix: String, k: Int,
-                   checkpoint: Option[String] = None): StreamingQuery = {
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = vecs.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(applyKmeansBatch(batch, batchId, idCol, vecCol,
-          prefix, k, guard.get())))
-      }.start()
-  }
+                   checkpoint: Option[String] = None): StreamingQuery =
+    CorpusIngest.guardedIngest(vecs, checkpoint)(
+      applyKmeansBatch(_, _, idCol, vecCol, prefix, k, _))
 
   /** Streaming wrapper: replay watermark seeded from the ids table on
     * the first trigger (covers restart-from-checkpoint), then held in
     * memory. */
   def embedIngest(vecs: DataFrame, idCol: String, vecCol: String,
                   prefix: String, tau: Double = 0.99, bits: Int = 4,
-                  checkpoint: Option[String] = None): StreamingQuery = {
-    val guard = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-    val w = vecs.writeStream
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guard.set(Some(applyEmbedBatch(batch, batchId, idCol, vecCol,
-          prefix, tau, bits, guard.get())))
-      }.start()
-  }
+                  checkpoint: Option[String] = None): StreamingQuery =
+    CorpusIngest.guardedIngest(vecs, checkpoint)((batch, batchId, last) =>
+      applyEmbedBatch(batch, batchId, idCol, vecCol, prefix, tau, bits, last))
 }

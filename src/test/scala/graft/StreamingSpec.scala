@@ -339,12 +339,7 @@ class StreamingSpec extends SparkSpec {
     dropAll()
     val stage = java.nio.file.Files.createTempDirectory("graft_embres_stage").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_embres_ckpt").toString
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))))
+    val schema = graft.queries.StreamingQueries.VecChunkSchema
     def feed() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val ones = Seq.fill(64)(1.0)
@@ -495,6 +490,14 @@ class StreamingSpec extends SparkSpec {
         b1, 1L, "vec_id", "embedding", prefix, k = 2)
       assert(state(1L) === s1, "crash-replayed state diverged")
       assert(spark.table(prefix + "_marks").count() == 2)
+      // BATCH-0 crash window: state rows landed but the marks table was
+      // never created — the replay must RE-SEED (watermark −1), not read
+      // an empty centroid set from the existing state table
+      val s0before = state(0L)
+      graft.core.Materialize.dropWithLocation(spark, prefix + "_marks")
+      graft.streaming.VectorIngest.applyKmeansBatch(
+        b0, 0L, "vec_id", "embedding", prefix, k = 2)
+      assert(state(0L) === s0before, "batch-0 crash replay diverged")
     } finally dropAll()
   }
 
