@@ -132,6 +132,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got(5L) > got(6L))
   }
 
+  test("rrfFuse depends only on ranks — monotone score transforms change nothing") {
+    val leg1 = Seq((0L, 1L, 0.31), (0L, 2L, 0.27), (0L, 3L, 0.12))
+      .toDF("query_id", "doc_id", "score")
+    val leg2 = Seq((0L, 2L, 11.0), (0L, 4L, 3.5)).toDF("query_id", "doc_id", "score")
+    def run(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Retrieval.rrfFuse(Seq(a, b), k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(identity)
+    val base = run(leg1, leg2)
+    // strictly increasing transforms: exp on one leg, affine on the other
+    val warped = run(
+      leg1.withColumn("score", exp(col("score"))),
+      leg2.withColumn("score", col("score") * 0.001 + 7.0))
+    assert(warped.toSeq === base.toSeq,
+      "fusion must be a pure function of per-leg ranks")
+  }
+
   test("rrfFuse fuses per query independently") {
     val leg1 = Seq((0L, 1L, 2.0), (1L, 9L, 2.0)).toDF("query_id", "doc_id", "score")
     val leg2 = Seq((1L, 9L, 5.0)).toDF("query_id", "doc_id", "score")
