@@ -29,7 +29,10 @@ object StreamingQueries {
    * also guarantees a rerun can never resume a prior run's offsets.
    */
   private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
-                                     n: Int)(f: => T): T = {
+                                     n0: Int)(f: => T): T = {
+    // measurement knob: override the drain's shard count without a
+    // rebuild (SPARK_GRAFT_ST_PARTS=2 bench ...); default = caller's n
+    val n = sys.env.get("SPARK_GRAFT_ST_PARTS").map(_.toInt).getOrElse(n0)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     val prevCp = s.conf.getOption("spark.sql.streaming.checkpointLocation")
