@@ -165,6 +165,59 @@ object ExtTextQueries {
             printf('%04d|%s', h_zh, 'zh')) AS best FROM s)""")),
 
 
+    // Adversarial text signals: the degenerate corpus through quality
+    // scoring and language id — empty/whitespace docs take every
+    // zero-token guard branch (ratios 0, score = length term only),
+    // supplementary-plane emoji docs exercise codepoint length
+    // semantics (Spark's UTF8String.numChars == DuckDB len — both count
+    // codepoints, NOT UTF-16 code units), and no-hit docs resolve to
+    // 'und'.
+    QueryDef("ext_adv_text_signals", (s, dir) =>
+      advCorpus(s, dir).select(
+        col("doc_id"),
+        round(TextOps.stopwordRatio(col("text")) + lit(1e-9), 6).as("stopword_ratio"),
+        round(TextOps.qualityScore(col("text")) + lit(1e-9), 4).as("quality_score"),
+        TextOps.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, text, $DuckToksRaw AS toks, $DuckToks AS ltoks
+          FROM $DuckAdvCorpus),
+        m AS (SELECT doc_id, text, ltoks,
+          CASE WHEN len(toks) = 0 THEN 0 ELSE
+            CAST(len(list_filter(toks, t -> lower(t) IN ('the','a','an','and','or',
+              'of','to','in','is','it','that','for','on','with','as','at','by')))
+              AS DOUBLE) / len(toks) END AS stop_ratio,
+          CASE WHEN len(text) = 0 THEN 0 ELSE
+            CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              / len(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0 ELSE
+            CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+            END AS mean_tok_len
+          FROM t),
+        q AS (SELECT doc_id, ltoks,
+          round(stop_ratio + 1e-9, 6) AS stopword_ratio,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+              + least(stop_ratio * 5, 1.0) * 0.3
+              + (CASE WHEN punct_ratio < 0.2 THEN 0.15 ELSE 0 END)
+              + (CASE WHEN mean_tok_len BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END)
+              + 1e-9, 4) AS quality_score
+          FROM m),
+        h AS (SELECT doc_id,
+          len(list_filter(ltoks, t -> t IN ('der','die','das','und','ist','mit','für','nicht'))) AS h_de,
+          len(list_filter(ltoks, t -> t IN ('the','and','of','is','to','in','that','with'))) AS h_en,
+          len(list_filter(ltoks, t -> t IN ('el','la','los','y','es','en','para','que'))) AS h_es,
+          len(list_filter(ltoks, t -> t IN ('le','la','les','et','est','dans','pour','que'))) AS h_fr,
+          len(list_filter(ltoks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+          FROM q),
+        l AS (SELECT doc_id,
+          CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS lang_pred
+          FROM (SELECT doc_id, greatest(
+              printf('%04d|%s', h_de, 'de'), printf('%04d|%s', h_en, 'en'),
+              printf('%04d|%s', h_es, 'es'), printf('%04d|%s', h_fr, 'fr'),
+              printf('%04d|%s', h_zh, 'zh')) AS best FROM h))
+      SELECT q.doc_id, q.stopword_ratio, q.quality_score, l.lang_pred
+      FROM q JOIN l ON l.doc_id = q.doc_id""")),
+
+
     // Repetition signal: repeated 2-gram / 3-gram fraction per document
     // (a Gopher-style filter for looping or boilerplate text). Synthetic
     // high-repetition docs are derived in-query so the signal separates.
