@@ -83,6 +83,34 @@ object Corpus {
   }
 
   /**
+   * Per-group quality-percentile gate — "keep each source's top slice
+   * by score" (the FineWeb/DataComp per-domain pruning posture, where
+   * an absolute score cutoff would starve clean domains and drown noisy
+   * ones; a RELATIVE cutoff per group adapts automatically): keeps the
+   * rows whose score is >= their group's q-th exact percentile
+   * (linear-interpolation semantics, SURVEY A1 — the form the oracle
+   * reproduces as `quantile_cont`).
+   *
+   * Shape at 100 TB: one map-side-combinable aggregate down to ONE row
+   * per group (groups are sources/domains — always broadcast-sized),
+   * one broadcast equi-join back, one scan filter. No window over the
+   * corpus, no sort. Exact group percentiles collect each group's
+   * scores onto a reducer; at extreme group cardinality×size flip
+   * `approx = true` for the sketch-merging `percentile_approx` path
+   * whose thresholds are within epsilon at a fraction of the memory.
+   */
+  def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
+                     q: Double, approx: Boolean = false): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q=$q must be in (0,1)")
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val thr = df.groupBy(col(groupCol))
+      .agg(expr(s"$fn(`$scoreCol`, ${q}d)").as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /**
    * Token-budget sampling per source — the "N tokens from each source"
    * mixture knob (how LLaMA-style data recipes are actually specified,
    * in tokens, where [[capPerGroup]] caps document COUNTS and

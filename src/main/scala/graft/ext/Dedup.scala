@@ -788,6 +788,49 @@ object Dedup {
   }
 
   /**
+   * Cluster-representative selection — the decision step that turns a
+   * near-dup clustering into a pruned corpus (the RefinedWeb /
+   * SlimPajama "keep one document per duplicate cluster" posture, where
+   * the kept member is the best-quality one rather than an arbitrary
+   * id): every input doc comes back with its component, its quality,
+   * and `kept` = whether it is the cluster's representative — the
+   * member maximizing (quality, then lowest id on ties). Singleton
+   * components keep their only member, so `filter($"kept")` is the
+   * pruned corpus and the complement is the audit trail of what near-dup
+   * pruning dropped and to which survivor each drop collapsed.
+   *
+   * Shape at 100 TB: [[nearDupClusters]]'s cost plus ONE map-side-
+   * combinable hash aggregate (component → max(struct(quality, -id)),
+   * one row per cluster out) and one equi-join back on component — no
+   * window sort over members, no per-cluster driver state. The quality
+   * column is caller-supplied (doc length, a classifier score, an LM
+   * score), so selection composes with any scorer in `ext/`.
+   */
+  def keepBestPerCluster(df: DataFrame, idCol: String, textCol: String,
+                         quality: Column, threshold: Double,
+                         shingleK: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16,
+                         checkpoint: graft.core.CheckpointStrategy =
+                           graft.core.CheckpointStrategy.Local,
+                         driverThreshold: Long = 1000000L): DataFrame = {
+    val clustered = nearDupClusters(df, idCol, textCol, threshold,
+      shingleK, numHashes, bands, checkpoint, driverThreshold)
+    // persist barrier: the scored frame feeds BOTH the per-component
+    // max aggregate and the join probe side — without it the whole
+    // MinHash/LSH/components chain above runs twice
+    val scored = graft.core.CacheRegistry.persistTracked(
+      df.select(col(idCol).cast("long").as(idCol), quality.as("quality"))
+        .join(clustered.select(col(idCol), col("component")), Seq(idCol)))
+    val best = scored.groupBy("component")
+      .agg(max(struct(col("quality").as("q"), (-col(idCol)).as("negid")))
+        .as("__best"))
+    scored.join(best, Seq("component"))
+      .select(col(idCol), col("component"), col("quality"),
+        (col("quality") === col("__best").getField("q") &&
+          col(idCol) === -col("__best").getField("negid")).as("kept"))
+  }
+
+  /**
    * Oracle-reproducible token hash: the top 60 bits of md5 (== the first
    * 15 hex chars parsed base-16, < 2⁶³ so it stays a valid signed long).
    * md5 is engine-independent, so a SimHash built on this hash can be

@@ -330,6 +330,23 @@ object ExtCorpusQueries {
       SELECT doc_id, source, n_chars FROM t WHERE rn <= 50""")),
 
 
+    // Per-source RELATIVE quality gate (the FineWeb per-dump pruning
+    // posture): keep each source's top quartile by score — an absolute
+    // cutoff would starve clean sources and drown noisy ones. Exact
+    // percentile threshold (A1 linear-interpolation semantics), one
+    // one-row-per-source aggregate + broadcast join back, no window.
+    QueryDef("ext_quality_pct_gate", (s, dir) =>
+      Corpus.percentileGate(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", q = 0.75),
+      Some("""WITH thr AS (SELECT source,
+          quantile_cont(n_chars, 0.75) AS t FROM documents GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE d.n_chars >= thr.t""")),
+
+
     // Token-budget mixture (the LLaMA-recipe knob: budgets in TOKENS,
     // not docs or rates): src0 capped at 2000 tokens, src1 at 3000,
     // everything else passes whole. Docs are taken in the md5-cell

@@ -526,6 +526,50 @@ object ExtDedupQueries {
       FROM walk GROUP BY id""")),
 
 
+    // Cluster-representative selection: same seeded clustering, but the
+    // kept member is the BEST-quality one (here: longest text, lowest id
+    // on ties) instead of the lowest id — the dup tails are longer than
+    // their originals, so every seeded cluster must elect the +100000
+    // copy, proving selection is quality-driven, not id-driven.
+    QueryDef("ext_dedup_keep_best", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      Dedup.keepBestPerCluster(docs.unionByName(dups), "doc_id", "text",
+        quality = length(col("text")).cast("long"),
+        threshold = 0.5, numHashes = 64, bands = 32)
+    }, Some(s"""WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 0),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM all_docs
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+      comp AS (SELECT id AS doc_id, min(reach) AS component
+        FROM walk GROUP BY id),
+      j AS (SELECT c.doc_id, c.component, CAST(len(d.text) AS BIGINT) AS quality
+        FROM comp c JOIN all_docs d ON c.doc_id = d.doc_id),
+      best AS (SELECT component, max(quality) AS bq FROM j GROUP BY component),
+      rep AS (SELECT j.component, min(j.doc_id) AS bid
+        FROM j JOIN best ON j.component = best.component AND j.quality = best.bq
+        GROUP BY j.component)
+      SELECT j.doc_id, j.component, j.quality, (j.doc_id = r.bid) AS kept
+      FROM j JOIN rep r ON j.component = r.component""")),
+
+
     // N-gram Jaccard scored directly on constructed (orig, perturbed)
     // pairs — the dedup metric as a first-class similarity measure.
     QueryDef("ext_jaccard_pairs", (s, dir) => {

@@ -20,6 +20,21 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("percentileGate keeps each group's top slice by exact-percentile cutoff") {
+    // group a: scores 1..8 -> p50 = 4.5 -> keeps 5,6,7,8
+    // group b: scores 10,20,30 -> p50 = 20 -> keeps 20,30 (>= is inclusive)
+    val df = ((1 to 8).map(i => (i.toLong, "a", i.toDouble)) ++
+      Seq((101L, "b", 10.0), (102L, "b", 20.0), (103L, "b", 30.0)))
+      .toDF("id", "grp", "score")
+    val kept = Corpus.percentileGate(df, "grp", "score", q = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(5L, 6L, 7L, 8L, 102L, 103L))
+    // approx path keeps the same rows at this scale (sketch is exact here)
+    val approx = Corpus.percentileGate(df, "grp", "score", q = 0.5,
+      approx = true).select("id").as[Long].collect().toSet
+    assert(approx.subsetOf(kept) || kept.subsetOf(approx))
+  }
+
   test("stratifiedSample takes exactly ceil(frac*n) rows per stratum") {
     val df = (1 to 97).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "stratum")

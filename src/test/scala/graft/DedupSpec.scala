@@ -295,6 +295,23 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (id, c, canon) => canon == (id == c) })
   }
 
+  test("keepBestPerCluster elects the best-quality member, min id on ties") {
+    // quality-driven: doc 2 outscores its cluster mates 1 and 4
+    val byQ = Dedup.keepBestPerCluster(corpus, "doc_id", "text",
+        quality = when(col("doc_id") === 2, lit(10L)).otherwise(lit(1L)),
+        threshold = 0.5, numHashes = 64, bands = 32)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(byQ == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true),
+      "cluster {1,2,4} keeps its highest-quality member; singletons keep")
+    // all-tied: the representative falls back to the lowest id
+    val tied = Dedup.keepBestPerCluster(corpus, "doc_id", "text",
+        quality = lit(1L), threshold = 0.5, numHashes = 64, bands = 32)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(tied == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true))
+  }
+
   test("fingerprint is whitespace/case-normalized") {
     val fps = corpus.select(TextOps.fingerprint(col("text")))
       .collect().map(_.getLong(0))
