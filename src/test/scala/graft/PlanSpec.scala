@@ -352,6 +352,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("keep-best selection: per-component aggregate + equi-join, no window") {
+    val p = plan("ext_dedup_keep_best")
+    assert(!p.contains("Window"),
+      "the representative must come from a hash aggregate, not a per-cluster sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("percentile gate: one-row-per-group thresholds broadcast back") {
+    val p = plan("ext_quality_pct_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source threshold frame must broadcast, never shuffle the corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
   test("cross-doc dup n-grams: fingerprint aggs + equi-join, nothing pairwise") {
     val p = plan("ext_cross_dup_ngrams")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
