@@ -50,6 +50,37 @@ object Corpus {
    * rows per stratum in (md5(id), id) order. Exact per-stratum quotas
    * (unlike Bernoulli sampleBy), reproducible, one shuffle on the stratum.
    */
+  /**
+   * Deterministic training-order shuffle — the "global shuffle" every
+   * pretraining data pipeline runs before sequence packing, made
+   * RNG-free the same way every sampler here is: each row gets a
+   * pseudorandom permutation key `md5(salt ‖ id)`, a shard (key-derived,
+   * `shards`-way), and its position within the shard in key order.
+   * Downstream packing consumes shards independently; re-shuffling for
+   * a new epoch is a salt change, and the whole order is reproducible
+   * from (corpus, salt) alone — no seed state to store.
+   *
+   * Shape at 100 TB: ONE hash exchange on the shard id plus a
+   * within-partition sort — there is deliberately no global sort and no
+   * single total order; cross-shard interleaving is the data loader's
+   * round-robin. Each shard is one reducer's sort, so pick
+   * `shards` >> executors (shard ≈ output-file grain, the same knob as
+   * any sharded writer).
+   */
+  def shuffleOrder(df: DataFrame, idCol: String, shards: Int,
+                   salt: String = ""): DataFrame = {
+    require(shards > 0, s"shards=$shards must be positive")
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 2), 16, 10).cast("int"),
+          lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        frac: Double): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))

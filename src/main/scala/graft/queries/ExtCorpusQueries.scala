@@ -284,6 +284,26 @@ object ExtCorpusQueries {
       FROM documents""")),
 
 
+    // Deterministic training-order shuffle: md5 permutation key →
+    // 4 shards + within-shard position. One hash exchange + per-shard
+    // sort — deliberately NO global sort; epoch re-shuffles are a salt
+    // change. The oracle recomputes the identical permutation.
+    QueryDef("ext_shuffle_order", (s, dir) =>
+      Corpus.shuffleOrder(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", shards = 4),
+      Some("""WITH k AS (SELECT doc_id,
+          md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        s AS (SELECT doc_id, key,
+          CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % 4
+            AS INTEGER) AS shard FROM k)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+          AS BIGINT) AS pos
+      FROM s""")),
+
+
     // Deterministic training mixture: short-named sources (src0..src9)
     // kept whole, long-named (src10..src19) downsampled to 64/256 via the
     // md5 cell-gate — the "N parts A to M parts B" corpus-mixing

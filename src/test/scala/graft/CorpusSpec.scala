@@ -20,6 +20,25 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("shuffleOrder: dense per-shard positions, salt-keyed epochs, no RNG state") {
+    val ids = spark.range(0, 500).toDF("id")
+    val out = Corpus.shuffleOrder(ids, "id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    // positions are 1..n dense within every shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: same salt reproduces the identical order
+    val again = Corpus.shuffleOrder(ids, "id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // an epoch re-shuffle is a salt change: order must actually move
+    val epoch2 = Corpus.shuffleOrder(ids, "id", shards = 4, salt = "epoch2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq != epoch2.sortBy(_._1).toSeq)
+  }
+
   test("percentileGate keeps each group's top slice by exact-percentile cutoff") {
     // group a: scores 1..8 -> p50 = 4.5 -> keeps 5,6,7,8
     // group b: scores 10,20,30 -> p50 = 20 -> keeps 20,30 (>= is inclusive)
