@@ -188,6 +188,48 @@ object Retrieval {
   }
 
   /**
+   * Weighted-sum score fusion with per-query min-max normalization —
+   * [[rrfFuse]]'s score-AWARE sibling (the other standard hybrid
+   * combiner, e.g. in OpenSearch/Vespa hybrid ranking): each leg's
+   * scores are rescaled to [0,1] within the query (leg max → 1, leg
+   * min → 0; a constant-score leg contributes 1.0 — its ranking carries
+   * no information, so every member gets the full leg weight), then
+   * fused as Σ wᵢ·normᵢ. Docs absent from a leg contribute nothing for
+   * it. Use RRF when score scales are incomparable garbage; use this
+   * when leg scores are meaningful and the mixing ratio should be a
+   * real, tunable knob.
+   *
+   * Scale shape: identical to [[rrfFuse]] — legs are already top-k
+   * frames (O(|queries| × k) rows), the min/max windows and the fused
+   * aggregate run on kilobytes regardless of corpus size.
+   *
+   * @param legs (top-k frame, weight) pairs, each frame
+   *             (query_id, doc_id, score)
+   * @param k    fused results per query
+   * @return (query_id, doc_id, fused): rounded to 6 digits before the
+   *         final rank, ties broken by doc_id
+   */
+  def weightedFuse(legs: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(legs.nonEmpty, "weightedFuse needs at least one scored leg")
+    val normed = legs.map { case (leg, w) =>
+      val b = Window.partitionBy("query_id")
+      leg.select(col("query_id"), col("doc_id"), col("score"),
+          max(col("score")).over(b).as("__mx"),
+          min(col("score")).over(b).as("__mn"))
+        .select(col("query_id"), col("doc_id"),
+          (lit(w) * when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("score") - col("__mn"))
+              / (col("__mx") - col("__mn")))).as("__ws"))
+    }.reduce(_ unionByName _)
+    normed.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("__ws")) + lit(1e-9), 6).as("fused"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("fused"), col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .select("query_id", "doc_id", "fused")
+  }
+
+  /**
    * Deterministic benchmark query set derived from the corpus itself:
    * the terms ranked 11..(10+n*perQuery) by document frequency
    * (df DESC, term ASC — skipping the 10 most common, which are

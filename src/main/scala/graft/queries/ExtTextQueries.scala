@@ -729,6 +729,76 @@ object ExtTextQueries {
         FROM legs GROUP BY 1, 2),
       out AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY rrf DESC, doc_id) AS rn FROM fused)
-      SELECT query_id, doc_id, rrf FROM out WHERE rn <= 5"""))
+      SELECT query_id, doc_id, rrf FROM out WHERE rn <= 5""")),
+
+
+    // The same hybrid legs fused SCORE-aware: per-query min-max
+    // normalization to [0,1] within each top-10 leg, then a weighted
+    // sum (sparse 0.4, dense 0.6) — the tunable-ratio combiner used
+    // when leg scores are meaningful, vs RRF's rank-only fusion.
+    // A constant-score leg normalizes to 1.0 (its ranking carries no
+    // information, so every member gets the full leg weight).
+    QueryDef("ext_hybrid_weighted", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val sparse = graft.ext.Retrieval.bm25TopK(
+        docs, graft.ext.Retrieval.dfDerivedQueries(docs, n = 4, perQuery = 3), k = 10)
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id").isin(100L, 200L, 300L, 400L))
+        .select(((col("vec_id") / lit(100)).cast("long") - lit(1)).as("query_id"),
+          col("embedding").as("probe_vec"))
+      val dense = graft.ext.Similarity.bruteForceTopK(
+          vecs, "vec_id", "embedding", probes, "query_id", "probe_vec", k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      graft.ext.Retrieval.weightedFuse(Seq((sparse, 0.4), (dense, 0.6)), k = 5)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST((rnk - 11) // 3 AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+        WHERE rnk BETWEEN 11 AND 22),
+      sp_scored AS (SELECT qt.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      sp10 AS (SELECT query_id, doc_id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS r FROM sp_scored) WHERE r <= 10),
+      v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id // 100 - 1 AS query_id, e AS pe FROM v
+        WHERE vec_id IN (100, 200, 300, 400)),
+      dn_scored AS (SELECT p.query_id, v.vec_id AS doc_id,
+          round(list_inner_product(v.e, p.pe) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM v CROSS JOIN p),
+      dn10 AS (SELECT query_id, doc_id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS r FROM dn_scored) WHERE r <= 10),
+      legs AS (
+        SELECT query_id, doc_id,
+          0.4 * CASE WHEN mx = mn THEN 1.0
+            ELSE (score - mn) / (mx - mn) END AS ws
+        FROM (SELECT *, max(score) OVER (PARTITION BY query_id) AS mx,
+            min(score) OVER (PARTITION BY query_id) AS mn FROM sp10)
+        UNION ALL
+        SELECT query_id, doc_id,
+          0.6 * CASE WHEN mx = mn THEN 1.0
+            ELSE (score - mn) / (mx - mn) END AS ws
+        FROM (SELECT *, max(score) OVER (PARTITION BY query_id) AS mx,
+            min(score) OVER (PARTITION BY query_id) AS mn FROM dn10)),
+      fused AS (SELECT query_id, doc_id,
+          round(sum(ws) + 1e-9, 6) AS fused
+        FROM legs GROUP BY 1, 2),
+      out AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY fused DESC, doc_id) AS rn FROM fused)
+      SELECT query_id, doc_id, fused FROM out WHERE rn <= 5"""))
   )
 }

@@ -132,6 +132,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got(5L) > got(6L))
   }
 
+  test("weightedFuse: min-max normalized weighted sum, constant leg -> full weight") {
+    // leg1 (w=0.4): scores 3,2,1 -> norm 1.0, 0.5, 0.0
+    val leg1 = Seq((0L, 1L, 3.0), (0L, 2L, 2.0), (0L, 3L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    // leg2 (w=0.6): constant scores -> every member contributes 0.6
+    val leg2 = Seq((0L, 2L, 0.7), (0L, 4L, 0.7))
+      .toDF("query_id", "doc_id", "score")
+    val got = Retrieval.weightedFuse(Seq((leg1, 0.4), (leg2, 0.6)), k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    def rd(x: Double) = math.rint((x + 1e-9) * 1e6) / 1e6
+    assert(got === Map(
+      1L -> rd(0.4 * 1.0),           // leg1 max
+      2L -> rd(0.4 * 0.5 + 0.6),     // mid leg1 + constant leg2
+      3L -> rd(0.0),                 // leg1 min
+      4L -> rd(0.6)))                // constant leg2 only
+    // unlike RRF, a monotone-but-nonlinear transform DOES move the mix:
+    // squaring leg1 scores drops doc 2's normalized value (4/9 < 1/2)
+    val leg1sq = Seq((0L, 1L, 9.0), (0L, 2L, 4.0), (0L, 3L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val got2 = Retrieval.weightedFuse(Seq((leg1sq, 0.4), (leg2, 0.6)), k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got2(2L) < got(2L))
+  }
+
   test("rrfFuse depends only on ranks — monotone score transforms change nothing") {
     val leg1 = Seq((0L, 1L, 0.31), (0L, 2L, 0.27), (0L, 3L, 0.12))
       .toDF("query_id", "doc_id", "score")
