@@ -332,6 +332,65 @@ object Dedup {
           / greatest(col("n_tokens"), lit(1L)) + lit(1e-9), 6).as("dup_ratio"))
   }
 
+  /**
+   * ExactSubstr span-CUT rewrite — the removal step Lee et al. 2022
+   * actually deploy (where [[repeatedSpanStats]] is the report): every
+   * token covered by a k-token window that occurs >= minCount times
+   * corpus-wide is cut, and each document's text is rebuilt from its
+   * surviving tokens (normalized: lowercased, single-spaced — the same
+   * token stream the windows were computed on). A fully-covered doc
+   * comes back with empty clean_text rather than disappearing, so the
+   * caller still sees it (drop-or-keep is their policy).
+   *
+   * Scale shape: deliberately NO per-doc array search — coverage is
+   * relational end to end. Windows explode to (doc, start, fp); the
+   * repeat decision is one map-side-combined count on fp; repeated
+   * windows explode to covered (doc, position) rows (≤ k× window rows
+   * before distinct, ≤ n_tokens after); survivors leave via ONE
+   * anti-join on (doc, position); the rebuild is one per-doc regroup.
+   * Every stage is linear in the token stream — a doc that is one giant
+   * repeat costs the same per token as a clean one (its covered set
+   * collapses in the distinct), which is exactly the doc this operator
+   * exists for.
+   */
+  def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 10, minCount: Long = 2L): DataFrame = {
+    require(k >= 2 && minCount >= 2, "need k >= 2 and minCount >= 2")
+    val toks = df
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val winCol = transform(
+      sequence(lit(1), size(col("__toks")) - (k - 1)),
+      i => struct(i.as("s"),
+        xxhash64(concat_ws(" ", slice(col("__toks"), i, lit(k)))).as("fp")))
+    val w = toks.filter(size(col("__toks")) >= k)
+      .select(col(idCol), explode(winCol).as("__w"))
+      .select(col(idCol), col("__w.s").as("__s"), col("__w.fp").as("__fp"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val repeated = w.groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__fp")
+    val covered = w.join(repeated, Seq("__fp"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__s"),
+        col("__s") + (k - 1))).as("__p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i", "__tok")))
+      .withColumn("__p", col("__i") + 1).drop("__i")
+      .join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    toks.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
   /** Linear interval-merge scan over a SORTED window-start array: each
     * start s opens/extends a [s, s+k) interval; returns
     * struct(covered: long, spans: long) — union length and maximal-span

@@ -435,6 +435,58 @@ object ExtDedupQueries {
       FROM t d LEFT JOIN cov USING (doc_id)""")),
 
 
+    // The span-CUT rewrite over the same seeded corpus: every token
+    // covered by a repeated 10-gram is removed and the doc is rebuilt
+    // from survivors (Lee et al.'s deployed removal, where the stats
+    // row above is the report). Coverage is relational end to end —
+    // repeated windows explode to (doc, pos) rows and survivors leave
+    // via one anti-join; no per-doc array search anywhere.
+    QueryDef("ext_dedup_span_cut", (s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" all rights reserved this content is provided as is without warranty of any kind"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit(" by continuing you agree to the site terms and the processing of your data"))
+            .otherwise(lit(""))).as("text"))
+      val copies = seeded.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+      Dedup.cutRepeatedSpans(seeded.unionByName(copies),
+        "doc_id", "text", k = 10, minCount = 2L)
+    }, Some(s"""WITH seeded AS (SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' all rights reserved this content is provided as is without warranty of any kind'
+            ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0
+            THEN ' by continuing you agree to the site terms and the processing of your data'
+            ELSE '' END AS text
+        FROM documents),
+      all_docs AS (SELECT doc_id, text FROM seeded
+        UNION ALL
+        SELECT doc_id + 700000, text FROM seeded WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, $DuckToks AS toks FROM all_docs),
+      w AS (SELECT doc_id, s, array_to_string(toks[s:s+9], ' ') AS win
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS s
+              FROM t WHERE len(toks) >= 10)),
+      rep AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+      rw AS (SELECT doc_id, s FROM w JOIN rep USING (win)),
+      pos AS (SELECT DISTINCT doc_id, s + off AS p
+        FROM rw, range(0, 10) r2(off)),
+      ktoks AS (SELECT k.doc_id, k.p, k.tok
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+            generate_subscripts(toks, 1) AS p FROM t) k
+        LEFT JOIN pos ON k.doc_id = pos.doc_id AND k.p = pos.p
+        WHERE pos.p IS NULL),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+          CAST(count(*) AS BIGINT) AS kept FROM ktoks GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(len(t.toks) - coalesce(agg.kept, 0) AS BIGINT) AS removed_tokens
+      FROM t LEFT JOIN agg USING (doc_id)""")),
+
+
     // Dedup clustering: the near-dup PAIRS become CLUSTERS via
     // distributed connected components (large-star/small-star), component
     // id = min doc id = the canonical survivor. The oracle recomputes the

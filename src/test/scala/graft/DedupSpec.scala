@@ -295,6 +295,24 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (id, c, canon) => canon == (id == c) })
   }
 
+  test("cutRepeatedSpans removes covered tokens and rebuilds survivors") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two three"),
+      (2L, "x alpha beta gamma delta y"),           // shares a 4-token run with 1
+      (3L, "unique words only here nothing repeats"),
+      (4L, "rep rep rep rep rep"))                  // one giant within-doc repeat
+      .toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // repeated 3-grams: "alpha beta gamma" / "beta gamma delta" (docs 1+2),
+    // "rep rep rep" (3 occurrences inside doc 4)
+    assert(out(1L) == (("one two three", 7L, 4L)))
+    assert(out(2L) == (("x y", 6L, 4L)))
+    assert(out(3L) == (("unique words only here nothing repeats", 6L, 0L)))
+    assert(out(4L) == (("", 5L, 5L)), "a fully-covered doc stays, emptied")
+  }
+
   test("keepBestPerCluster elects the best-quality member, min id on ties") {
     // quality-driven: doc 2 outscores its cluster mates 1 and 4
     val byQ = Dedup.keepBestPerCluster(corpus, "doc_id", "text",
