@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,43 @@ object TextOps {
     val punctOk   = when(punctRatio(text) < 0.2, 0.15).otherwise(0d)
     val tokLenOk  = when(meanTokenLen(text).between(2d, 12d), 0.15).otherwise(0d)
     lenScore + stopScore + punctOk + tokLenOk
+  }
+
+  /**
+   * Word-blocklist gate (the C4 "bad words" filter): per doc, the count
+   * of blocklisted token occurrences and a `blocked` flag. The list
+   * rides the scan as a literal — scan-only, no shuffle — which is the
+   * right regime for curated lists (hundreds to low thousands of
+   * terms). For organization-scale lists that outgrow a literal, use
+   * [[blocklistGateFrame]].
+   */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklistGate needs at least one term")
+    val lowered = terms.map(_.toLowerCase)
+    df.select(col(idCol),
+        size(filter(tokens(lower(col(textCol))),
+          t => t.isin(lowered: _*))).cast("long").as("blocked_tokens"))
+      .withColumn("blocked", col("blocked_tokens") > 0)
+  }
+
+  /**
+   * [[blocklistGate]] with the list as a FRAME — the decontamination
+   * shape for lists too large to ship as a scan literal: explode tokens,
+   * equi-join the (term) frame (broadcast while it fits, shuffle join
+   * beyond), count hits per doc, left-join the verdict back so clean
+   * docs report zero. Identical output to the literal form (spec-pinned).
+   */
+  def blocklistGateFrame(df: DataFrame, idCol: String, textCol: String,
+                         terms: DataFrame): DataFrame = {
+    val hits = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .join(terms.select(lower(col("term")).as("__t")), Seq("__t"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hits"), lit(0L)).as("blocked_tokens"))
+      .withColumn("blocked", col("blocked_tokens") > 0)
   }
 
   private val StopSetEn: Set[String] = StopwordsEn.toSet

@@ -118,6 +118,22 @@ object ExtTextQueries {
               FROM documents)""")),
 
 
+    // Word-blocklist gate (the C4 badwords filter): blocked-token
+    // occurrence count + flag per doc, list riding the scan as a
+    // literal. Mixed-case terms prove matching is case-insensitive;
+    // "qqqzzz" is absent from the corpus, pinning the zero-hit path.
+    QueryDef("ext_blocklist_gate", (s, dir) =>
+      TextOps.blocklistGate(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("Slow", "MERGE", "qqqzzz")),
+      Some(s"""SELECT doc_id,
+        CAST(len(list_filter($DuckToks,
+          t -> t IN ('slow', 'merge', 'qqqzzz'))) AS BIGINT) AS blocked_tokens,
+        len(list_filter($DuckToks,
+          t -> t IN ('slow', 'merge', 'qqqzzz'))) > 0 AS blocked
+      FROM documents""")),
+
+
     QueryDef("ext_text_quality", (s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),

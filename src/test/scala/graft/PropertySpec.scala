@@ -220,6 +220,25 @@ class PropertySpec extends SparkSpec {
     assert(out(5L) == ((0L, 0.0, 0.0, 0.0, 0.0)), s"got ${out(5L)}")
   }
 
+  test("blocklistGate: case-insensitive occurrence counts; frame form identical") {
+    import graft.ext.TextOps
+    val docs = Seq(
+      (1L, "Slow merge SLOW again"),        // 2x slow + 1x merge
+      (2L, "clean document nothing here"),  // zero hits
+      (3L, ""),                             // empty
+      (4L, "slowness is not slow-ness"))    // substrings must NOT match
+      .toDF("doc_id", "text")
+    val lit_ = TextOps.blocklistGate(docs, "doc_id", "text",
+        Seq("slow", "Merge"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(lit_ == Map(1L -> ((3L, true)), 2L -> ((0L, false)),
+      3L -> ((0L, false)), 4L -> ((0L, false))))
+    val terms = Seq("slow", "Merge").toDF("term")
+    val frame = TextOps.blocklistGateFrame(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(frame == lit_, "frame variant must be row-identical to the literal form")
+  }
+
   test("gopherGate keeps exactly the docs ext_gopher_rules marks passing") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
