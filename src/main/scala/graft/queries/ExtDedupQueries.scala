@@ -487,6 +487,37 @@ object ExtDedupQueries {
       FROM t LEFT JOIN agg USING (doc_id)""")),
 
 
+    // Span-cut over the degenerate corpus (k=3): the 20-copy boiler
+    // block (6 tokens each) is fully covered and comes back emptied;
+    // empty / whitespace-only / 1-token / emoji docs are shorter than k
+    // and pass through untouched (normalized); the fixture slice keeps
+    // whatever 3-grams happen to repeat — the oracle recomputes all of
+    // it from raw strings.
+    QueryDef("ext_adv_span_cut", (s, dir) =>
+      Dedup.cutRepeatedSpans(advCorpus(s, dir), "doc_id", "text",
+        k = 3, minCount = 2L),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks
+          FROM $DuckAdvCorpus),
+      w AS (SELECT doc_id, s, array_to_string(toks[s:s+2], ' ') AS win
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS s
+              FROM t WHERE len(toks) >= 3)),
+      rep AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+      rw AS (SELECT doc_id, s FROM w JOIN rep USING (win)),
+      pos AS (SELECT DISTINCT doc_id, s + off AS p
+        FROM rw, range(0, 3) r2(off)),
+      ktoks AS (SELECT k.doc_id, k.p, k.tok
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+            generate_subscripts(toks, 1) AS p FROM t) k
+        LEFT JOIN pos ON k.doc_id = pos.doc_id AND k.p = pos.p
+        WHERE pos.p IS NULL),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+          CAST(count(*) AS BIGINT) AS kept FROM ktoks GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(len(t.toks) - coalesce(agg.kept, 0) AS BIGINT) AS removed_tokens
+      FROM t LEFT JOIN agg USING (doc_id)""")),
+
+
     // Dedup clustering: the near-dup PAIRS become CLUSTERS via
     // distributed connected components (large-star/small-star), component
     // id = min doc id = the canonical survivor. The oracle recomputes the
