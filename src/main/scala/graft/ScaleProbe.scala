@@ -60,8 +60,8 @@ object ScaleProbe {
     val multSteps =
       Seq(1, mult / 4, mult / 2, mult).filter(_ >= 1).distinct.sorted
     // SPARK_GRAFT_PROBE=knn|incnear|ingest|embedingest|skewjoin|kmeans|
-    // ivfpq|bpe|classifier|ngrams runs one section (the exact kNN
-    // section is O(n²) by design — at sf0.1 m=8 it alone is ~90 s)
+    // ivfpq|bpe|classifier|ngrams|spancut runs one section (the exact
+    // kNN section is O(n²) by design — at sf0.1 m=8 it alone is ~90 s)
     val only = sys.env.get("SPARK_GRAFT_PROBE")
     def section(name: String): Boolean = only.forall(_ == name)
 
@@ -401,6 +401,23 @@ object ScaleProbe {
       }
       val grams = out.agg(sum("n_grams")).head().getLong(0)
       println(f"[scaleprobe] ngrams m=$m docs=$n grams=$grams time=$tFrac%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    // ---- span-cut: linearity across amplifications ---------------------
+    // amplifyDocs' per-copy token bijection preserves each copy's repeat
+    // structure and keeps copies k-gram-disjoint, so removed_tokens must
+    // scale exactly ×m while wall stays ~linear in the token stream.
+    for (m <- multSteps if section("spancut")) {
+      val docs = amplifyDocs(docs0, m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = docs.count()
+      val (removed, tCut) = timed {
+        Dedup.cutRepeatedSpans(docs, "doc_id", "text", k = 10)
+          .agg(sum("removed_tokens")).head().getLong(0)
+      }
+      println(f"[scaleprobe] spancut m=$m docs=$n removed=$removed time=$tCut%.2fs")
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
