@@ -111,6 +111,43 @@ object Chunking {
   }
 
   /**
+   * Fixed-size sliding-window token chunking — the RAG/embedding-prep
+   * chunker ([[chunks]] is its content-defined sibling for dedup
+   * layout): windows of `chunkSize` whitespace tokens starting every
+   * `stride` tokens, plus a final window anchored at the document end
+   * so the tail is never orphaned (and never emitted twice when the
+   * stride already lands there). Tokens keep their case — chunking is
+   * payload prep, not normalization. Zero-token docs produce no chunks.
+   *
+   * Scale: a pure codegen'd projection — sequence/slice higher-order
+   * ops, no shuffle, no state; output rows ≈ tokens/stride per doc and
+   * each token appears in ≤ ceil(chunkSize/stride) chunks, which is the
+   * storage amplification knob every embedding pipeline budgets for.
+   */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize (got chunkSize=$chunkSize stride=$stride)")
+    val starts = {
+      val seq0 = sequence(lit(1), col("__last"), lit(stride))
+      when((col("__last") - 1) % stride === 0, seq0)
+        .otherwise(concat(seq0, array(col("__last"))))
+    }
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__last", greatest(col("__n") - (chunkSize - 1), lit(1)))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(starts).as(Seq("__i", "__s")))
+      .select(col(idCol),
+        col("__i").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__s"), lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__n") - col("__s") + 1).cast("long")
+          .as("chunk_tokens"))
+  }
+
+  /**
    * Sub-document duplication report over a chunked corpus: for each
    * chunk fingerprint seen in more than one document, the documents
    * sharing it — exact dedup semantics on the 64-bit chunk key (one

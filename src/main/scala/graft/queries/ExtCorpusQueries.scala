@@ -755,6 +755,30 @@ object ExtCorpusQueries {
       FROM documents""")),
 
 
+    // Fixed-size sliding-window chunking (the RAG/embedding-prep
+    // chunker): 32-token windows every 24 tokens, plus an end-anchored
+    // final window so no tail is orphaned — a pure projection, no
+    // shuffle. The oracle rebuilds the identical start list and slices.
+    QueryDef("ext_sliding_chunks", (s, dir) =>
+      Chunking.slidingChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkSize = 32, stride = 24),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToksRaw AS toks,
+          len($DuckToksRaw) AS n FROM documents),
+      s AS (SELECT doc_id, toks, n, greatest(n - 31, 1) AS lst
+        FROM t WHERE n > 0),
+      st AS (SELECT doc_id, toks, n,
+          CASE WHEN (lst - 1) % 24 = 0 THEN range(1, lst + 1, 24)
+               ELSE list_append(range(1, lst + 1, 24), lst) END AS starts
+        FROM s),
+      e AS (SELECT doc_id, toks, n, unnest(starts) AS strt,
+          generate_subscripts(starts, 1) - 1 AS ci FROM st)
+      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        array_to_string(toks[strt:strt+31], ' ') AS chunk_text,
+        CAST(least(32, n - strt + 1) AS BIGINT) AS chunk_tokens
+      FROM e""")),
+
+
     // CDC payoff query: half the docs get a copy with an APPENDED tail.
     // The chunker's boundary decision at byte i depends only on the
     // preceding bytes and the position of the previous boundary, so an

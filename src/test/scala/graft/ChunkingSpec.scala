@@ -74,6 +74,33 @@ class ChunkingSpec extends SparkSpec {
     // prefix length changes every aligned 256-byte block's content
   }
 
+  test("slidingChunks: stride windows + end-anchored tail, no orphans, no dupes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10, C=5, S=2
+      (2L, "a b c"),                                  // n < C -> one whole-doc chunk
+      (3L, ""),                                       // no chunks
+      (4L, (1 to 9).map(i => s"u$i").mkString(" ")))  // n=9, C=5, S=2: last start 5 on stride
+      .toDF("doc_id", "text")
+    val out = Chunking.slidingChunks(df, "doc_id", "text", chunkSize = 5, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: full starts 1,3,5; stride misses last=6 -> end-anchored extra
+    assert(byDoc(1L).map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4 t5", "t3 t4 t5 t6 t7", "t5 t6 t7 t8 t9", "t6 t7 t8 t9 t10"))
+    assert(byDoc(1L).forall(_._4 == 5L))
+    // doc 2: single short chunk, chunk_tokens = 3
+    assert(byDoc(2L).map(c => (c._3, c._4)).toSeq == Seq(("a b c", 3L)))
+    // doc 3: zero-token doc emits nothing
+    assert(!byDoc.contains(3L))
+    // doc 4: last=5 sits ON the stride (1,3,5) -> no duplicate tail chunk
+    assert(byDoc(4L).map(_._3).toSeq == Seq(
+      "u1 u2 u3 u4 u5", "u3 u4 u5 u6 u7", "u5 u6 u7 u8 u9"))
+    // every token of doc 1 is covered by at least one chunk
+    val covered = byDoc(1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("sharedChunks surfaces cross-document duplication") {
     val dup = docs.limit(20)
     val copies = dup.select((col("doc_id") + 500000).as("doc_id"), col("text"))
