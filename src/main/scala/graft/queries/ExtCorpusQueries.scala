@@ -268,6 +268,45 @@ object ExtCorpusQueries {
           (SELECT count(*) FROM fc) + 1e-9, 6) AS conversion_rate""")),
 
 
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted per week offset — the classic retention triangle. Two
+    // hash aggs + one user-keyed join + a broadcast of cohort sizes;
+    // no window anywhere, the shape that holds at any user count.
+    QueryDef("ext_retention_cohorts", (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val act = ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+            .cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val sizes = act.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("active_users").as("cohort_size"))
+      act.join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week").cast("date").as("cohort_week"),
+          col("week_offset"), col("active_users"), col("cohort_size"),
+          round(col("active_users").cast("double") / col("cohort_size")
+            + lit(1e-9), 6).as("retention"))
+    }, Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts))
+          AS cohort_week FROM events GROUP BY 1),
+      j AS (SELECT e.user_id, f.cohort_week,
+          CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+            AS BIGINT) AS week_offset
+        FROM events e JOIN f USING (user_id)),
+      act AS (SELECT cohort_week, week_offset,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM j GROUP BY 1, 2),
+      sz AS (SELECT cohort_week, active_users AS cohort_size FROM act
+        WHERE week_offset = 0)
+      SELECT CAST(a.cohort_week AS DATE) AS cohort_week, a.week_offset,
+        a.active_users, s.cohort_size,
+        round(CAST(a.active_users AS DOUBLE) / s.cohort_size + 1e-9, 6)
+          AS retention
+      FROM act a JOIN sz s USING (cohort_week)""")),
+
+
     // ---- Corpus management (splits, sampling, packing, PII) -----------
 
     // Deterministic train/val/test split: the md5-cell range split every
