@@ -420,6 +420,51 @@ object Similarity {
             .cast("long")).as("q"))
 
   /**
+   * Deterministic ±1/√k sign matrix for [[jlProject]]: entry (j, i) is
+   * +1/√outDim when the first hex digit of md5("seed_i_j") (1-based
+   * indices) is below '8', else −1/√outDim. md5 makes the matrix
+   * engine-independent — any SQL engine with md5 rebuilds it exactly,
+   * which is what lets the projection carry a DuckDB oracle. No RNG
+   * state: the seed string IS the matrix.
+   */
+  def jlSignMatrix(dim: Int, outDim: Int, seed: String): Seq[Seq[Double]] = {
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    Seq.tabulate(outDim, dim) { (j0, i0) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${seed}_${i0 + 1}_${j0 + 1}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((d(0) >> 4) & 0xf) < 8) inv else -inv
+    }
+  }
+
+  /**
+   * Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+   * construction): project `dim`-dimensional vectors to `outDim`
+   * dimensions through the [[jlSignMatrix]] — the dimensionality-
+   * reduction step run before ANN indexing when raw embedding width is
+   * the cost driver (distance distortion is O(1/√outDim), independent
+   * of the INPUT dimension). Output: (id, proj), components rounded to
+   * 6 digits.
+   *
+   * Scale: the matrix is an outDim×dim literal riding the scan (16×64
+   * ≈ 8 KB here; broadcast it explicitly if outDim×dim grows to MBs),
+   * and each row's projection is a per-row fold — scan-only, no
+   * shuffle, no state.
+   */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                dim: Int, outDim: Int, seed: String = "jl"): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim (got dim=$dim outDim=$outDim)")
+    val m = typedLit(jlSignMatrix(dim, outDim, seed))
+    df.select(col(idCol),
+      transform(sequence(lit(1), lit(outDim)), j =>
+        round(aggregate(
+          zip_with(col(vecCol), element_at(m, j),
+            (x, s) => x.cast("double") * s),
+          lit(0.0d), (a, b) => a + b) + lit(1e-9), 6)).as("proj"))
+  }
+
+  /**
    * Dimension-wise mean pooling per key (class centroids, cluster means,
    * label prototypes): explode to (key, dim, x) and aggregate — one
    * shuffle on (key, dim), reducer state O(1) per group regardless of

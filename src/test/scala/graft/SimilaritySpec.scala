@@ -36,6 +36,35 @@ class SimilaritySpec extends SparkSpec {
     assert(df.collect().head.getDouble(2) === 1.0)
   }
 
+  test("jlProject: seed-determined matrix, loose pairwise-distance preservation") {
+    // matrix is a pure function of (dim, outDim, seed)
+    val m1 = Similarity.jlSignMatrix(8, 4, "s")
+    assert(m1 == Similarity.jlSignMatrix(8, 4, "s"))
+    assert(m1 != Similarity.jlSignMatrix(8, 4, "other-seed"))
+    assert(m1.flatten.forall(v => math.abs(math.abs(v) - 0.5) < 1e-15)) // 1/sqrt(4)
+    // JL property on the fixture: projected pairwise distances track the
+    // originals within the O(1/sqrt(outDim)) distortion band
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).limit(60)
+    val orig = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val proj = Similarity.jlProject(vecs, "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = orig.keys.toSeq.sorted
+    val ratios = ids.zip(ids.tail).map { case (a, b) =>
+      dist(proj(a), proj(b)) / dist(orig(a), orig(b))
+    }
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.length / 2)
+    assert(median > 0.7 && median < 1.4,
+      s"median distance ratio $median outside the k=16 distortion band")
+    assert(ratios.forall(r => r > 0.2 && r < 2.5),
+      "an individual pair blew far past JL distortion")
+  }
+
   test("brute-force top-k: every probe finds itself first with score 1") {
     val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val probes = vecs.filter(col("vec_id") % 100 === 0)
