@@ -465,6 +465,42 @@ object Similarity {
   }
 
   /**
+   * Two-stage ANN through the JL projection: candidates come from
+   * cosine in the PROJECTED space (outDim-wide — the cheap pass), the
+   * final ranking from exact cosine in the ORIGINAL space over
+   * candidates only. The standard coarse-then-exact retrieval stack
+   * with JL as the coarse quantizer: candidate generation touches
+   * outDim/dim of the bytes, the exact pass touches `candidates` rows
+   * per probe instead of the corpus. Raise `candidates` to trade cost
+   * for recall, exactly like nprobe in the IVF family.
+   */
+  def annTopKJl(vectors: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                dim: Int, outDim: Int, candidates: Int, k: Int,
+                seed: String = "jl"): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+    val pv = jlProject(vectors, idCol, vecCol, dim, outDim, seed)
+    val pp = jlProject(probes, probeIdCol, probeVecCol, dim, outDim, seed)
+      .withColumnRenamed("proj", "__pproj")
+    val cand = pv.crossJoin(broadcast(pp))
+      .withColumn("__cs", round(cosine(col("proj"), col("__pproj"))
+        + lit(1e-9), 6))
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col(probeIdCol)).orderBy(desc("__cs"), col(idCol))))
+      .filter(col("__rn") <= candidates)
+      .select(col(probeIdCol), col(idCol))
+    cand.join(vectors, Seq(idCol))
+      .join(broadcast(probes), Seq(probeIdCol))
+      .withColumn("score", round(cosine(asDouble(col(vecCol)),
+        asDouble(col(probeVecCol))) + lit(1e-9), 6))
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("__rn") <= k)
+      .select(col(probeIdCol), col(idCol), col("score"))
+  }
+
+  /**
    * Dimension-wise mean pooling per key (class centroids, cluster means,
    * label prototypes): explode to (key, dim, x) and aggregate — one
    * shuffle on (key, dim), reducer state O(1) per group regardless of

@@ -204,6 +204,59 @@ object ExtSimilarityQueries {
       SELECT vec_id, list(pj ORDER BY j) AS proj FROM p GROUP BY vec_id""")),
 
 
+    // Two-stage retrieval with JL as the coarse quantizer: top-60
+    // candidates by cosine in the 32-dim projected space, exact top-5
+    // re-rank in the original 64-dim space over candidates only — the
+    // coarse-then-exact stack (recall 0.85 at this operating point,
+    // pinned in SimilaritySpec). Oracle recomputes both stages, matrix
+    // included.
+    QueryDef("ext_sim_ann_jl", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id").isin(100L, 200L, 300L, 400L))
+        .select(((col("vec_id") / lit(100)).cast("long") - lit(1)).as("query_id"),
+          col("embedding").as("probe_vec"))
+      Similarity.annTopKJl(vecs, "vec_id", "embedding",
+          probes, "query_id", "probe_vec",
+          dim = 64, outDim = 32, candidates = 60, k = 5)
+        .withColumnRenamed("vec_id", "doc_id")
+    }, Some("""WITH m AS (SELECT j, i,
+          CASE WHEN substr(md5('jl_' || i || '_' || j), 1, 1) < '8'
+               THEN 1 / sqrt(32) ELSE -1 / sqrt(32) END AS s
+        FROM range(1, 33) t1(j), range(1, 65) t2(i)),
+      vu AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          unnest(embedding) AS x FROM embeddings),
+      p AS (SELECT vec_id, j,
+          round(sum(CAST(x AS DOUBLE) * s) + 1e-9, 6) AS pj
+        FROM vu JOIN m USING (i) GROUP BY 1, 2),
+      pv AS (SELECT vec_id, list(pj ORDER BY j) AS proj FROM p GROUP BY vec_id),
+      pp AS (SELECT vec_id // 100 - 1 AS query_id, proj AS pproj FROM pv
+        WHERE vec_id IN (100, 200, 300, 400)),
+      cscored AS (SELECT pp.query_id, pv.vec_id AS doc_id,
+          round(list_inner_product(pv.proj, pp.pproj) /
+            nullif(sqrt(list_inner_product(pv.proj, pv.proj))
+                 * sqrt(list_inner_product(pp.pproj, pp.pproj)), 0)
+            + 1e-9, 6) AS cs
+        FROM pv CROSS JOIN pp),
+      cand AS (SELECT query_id, doc_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cs DESC, doc_id) AS r FROM cscored) WHERE r <= 60),
+      ve AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      pe AS (SELECT vec_id // 100 - 1 AS query_id, e AS pev FROM ve
+        WHERE vec_id IN (100, 200, 300, 400)),
+      rescored AS (SELECT c.query_id, c.doc_id,
+          round(list_inner_product(v2.e, pe.pev) /
+            nullif(sqrt(list_inner_product(v2.e, v2.e))
+                 * sqrt(list_inner_product(pe.pev, pe.pev)), 0)
+            + 1e-9, 6) AS score
+        FROM cand c JOIN ve v2 ON c.doc_id = v2.vec_id
+        JOIN pe ON c.query_id = pe.query_id)
+      SELECT query_id, doc_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS r FROM rescored) WHERE r <= 5""")),
+
+
     // Dimension-wise mean pooling per label (class prototypes): one
     // shuffle on (label, dim); fixed-point sum makes the mean independent
     // of summation order (reproducible across partitionings and engines).

@@ -65,6 +65,40 @@ class SimilaritySpec extends SparkSpec {
       "an individual pair blew far past JL distortion")
   }
 
+  test("annTopKJl: self-hit first; recall vs exact top-5 measured and pinned") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val probes = vecs.filter(col("vec_id").isin(100L, 200L, 300L, 400L))
+      .select(((col("vec_id") / lit(100)).cast("long") - lit(1)).as("query_id"),
+        col("embedding").as("probe_vec"))
+    val ann = Similarity.annTopKJl(vecs, "vec_id", "embedding",
+        probes, "query_id", "probe_vec",
+        dim = 64, outDim = 16, candidates = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the probe's own vector survives projection at cosine 1 -> rank 1
+    val tops = ann.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.minBy(r => (-r._3, r._2))._2 }
+    assert(tops == Map(0L -> 100L, 1L -> 200L, 2L -> 300L, 3L -> 400L))
+    // recall-vs-candidates is the operator's knob (like nprobe): it must
+    // rise monotonically-ish and approach 1 as candidates -> corpus
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        probes, "query_id", "probe_vec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(c: Int, od: Int): Double = {
+      val got = Similarity.annTopKJl(vecs, "vec_id", "embedding",
+          probes, "query_id", "probe_vec",
+          dim = 64, outDim = od, candidates = c, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val r16c20 = recallAt(20, 16); val r16c60 = recallAt(60, 16)
+    val r32c20 = recallAt(20, 32); val r32c60 = recallAt(60, 32)
+    info(s"JL-ANN recall: outDim=16 c=20 -> $r16c20, c=60 -> $r16c60; " +
+      s"outDim=32 c=20 -> $r32c20, c=60 -> $r32c60")
+    assert(r16c60 >= r16c20, "more candidates must never lose recall")
+    assert(r32c60 >= 0.85, s"recall $r32c60 at outDim=32 c=60 below the pinned floor")
+  }
+
   test("brute-force top-k: every probe finds itself first with score 1") {
     val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val probes = vecs.filter(col("vec_id") % 100 === 0)
