@@ -142,4 +142,69 @@ object Multimodal {
         posexplode(split(hex(col("payload")), s"(?<=\\G.{${blockBytes * 2}})"))
           .as(Seq("frame_idx", "frame_hex")))
       .filter(col("frame_idx") % everyNth === 0 && length(col("frame_hex")) > 0)
+
+  /**
+   * 64-bit perceptual block-hash over the payload (the Blockhash/aHash
+   * family a production image-dedup pipeline runs on DECODED pixels;
+   * here it runs on the payload bytes, which is the same algorithm one
+   * codec call earlier): the payload splits into 64 equal byte blocks,
+   * bit b = block b's mean > the global mean. The comparison is done in
+   * exact integer arithmetic (blockSum·n > totalSum·blockLen), so any
+   * engine reproduces the hash bit-for-bit — no float means anywhere.
+   * Empty payloads (and empty tail blocks when n < 64) hash their bits
+   * to 0. mapPartitions tight loop — the multimodal payload lane, like
+   * every decode-adjacent step here.
+   */
+  def blockHash64(media: DataFrame, idCol: String = "media_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val n = bytes.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += bytes(i) & 0xff; i += 1 }
+          var h = 0L
+          var b = 0
+          while (b < 64) {
+            val s = (b.toLong * n / 64).toInt
+            val e = ((b + 1).toLong * n / 64).toInt
+            var bs = 0L
+            var j = s
+            while (j < e) { bs += bytes(j) & 0xff; j += 1 }
+            if (bs * n > total * (e - s)) h |= (1L << b)
+            b += 1
+          }
+          (id, h)
+        }
+      }.toDF(idCol, "phash")
+  }
+
+  /**
+   * Media near-dup pairs by perceptual hash: [[blockHash64]] + the SAME
+   * banded-LSH machinery the text SimHash path uses
+   * ([[Dedup.simhashCandidates]] — full recall up to bands−1 by
+   * pigeonhole), verified by exact Hamming distance. One (band, chunk)
+   * shuffle; payload bytes are read exactly once to build the 8-byte
+   * hash and never move again — the economics that make image dedup
+   * feasible at 100 TB of media.
+   */
+  def nearDupMedia(media: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs bands > maxHamming for full recall")
+    val ph = graft.core.CacheRegistry.persistTracked(blockHash64(media))
+    Dedup.simhashCandidates(ph, "media_id", "phash", bands)
+      .join(ph.select(col("media_id").as("id_a"), col("phash").as("ph_a")),
+        Seq("id_a"))
+      .join(ph.select(col("media_id").as("id_b"), col("phash").as("ph_b")),
+        Seq("id_b"))
+      .withColumn("hamming", Dedup.hamming(col("ph_a"), col("ph_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
 }

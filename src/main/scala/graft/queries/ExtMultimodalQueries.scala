@@ -114,6 +114,49 @@ object ExtMultimodalQueries {
         AS features
       FROM (SELECT doc_id,
               list_transform(regexp_extract_all(text, '.'), c -> unicode(c)) AS codes
-            FROM documents WHERE lang = 'en'))"""))
+            FROM documents WHERE lang = 'en'))""")),
+
+
+    // Perceptual-hash media near-dup: 64-bit integer block-hash over
+    // payload bytes, banded-LSH candidates (full recall to hamming 3 by
+    // pigeonhole), exact Hamming verify. Seeds: byte-identical copies
+    // (hamming 0) and same-length one-byte edits. The oracle recomputes
+    // the hash from hex(payload) in exact integer arithmetic and checks
+    // ALL pairs brute-force — banding must lose nothing.
+    QueryDef("ext_mm_neardup", (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val edited = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val media = Multimodal.toMediaFrame(
+        base.unionByName(copies).unionByName(edited)
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", lit("image"))
+      Multimodal.nearDupMedia(media, maxHamming = 3, bands = 4)
+    }, Some("""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 600000, 'Z' || substr(text, 2) FROM documents
+        WHERE doc_id % 11 = 0),
+      raw AS (SELECT doc_id, hex(encode(text)) AS h,
+          octet_length(encode(text)) AS n FROM all_docs),
+      byt AS (SELECT doc_id, n, list_transform(range(1, n + 1), i ->
+          (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1)) AS bytes
+        FROM raw),
+      hp AS (SELECT doc_id, list_transform(range(0, 64), b ->
+          CASE WHEN list_sum(bytes[(b*n)//64 + 1 : ((b+1)*n)//64]) * n >
+                    list_sum(bytes) * (((b+1)*n)//64 - (b*n)//64)
+               THEN 1 ELSE 0 END) AS bits FROM byt)
+      SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i]))
+            AS BIGINT) AS hamming
+        FROM hp a JOIN hp b ON a.doc_id < b.doc_id)
+      WHERE hamming <= 3"""))
   )
 }

@@ -60,6 +60,44 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
   }
 
+  test("blockHash64: identical payloads hash equal; banding == brute force") {
+    import spark.implicits._
+    val ph = Multimodal.blockHash64(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.nonEmpty)
+    // hand-check one hash against an independent computation
+    val (someId, someText) = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").select("doc_id", "text")
+      .limit(1).collect().map(r => (r.getLong(0), r.getString(1))).head
+    val bytes = someText.getBytes("UTF-8")
+    val n = bytes.length
+    val total = bytes.map(b => (b & 0xff).toLong).sum
+    var expect = 0L
+    for (b <- 0 until 64) {
+      val s = (b.toLong * n / 64).toInt; val e = ((b + 1).toLong * n / 64).toInt
+      val bs = (s until e).map(j => (bytes(j) & 0xff).toLong).sum
+      if (bs * n > total * (e - s)) expect |= (1L << b)
+    }
+    assert(ph(someId) == expect)
+    // byte-identical copies pair at hamming 0; banded pair set == brute force
+    val m2 = media.limit(30)
+    val dup = m2.select((col("media_id") + 900000).as("media_id"),
+      col("media_type"), col("payload"), col("meta"))
+    val all = m2.unionByName(dup)
+    val pairs = Multimodal.nearDupMedia(all, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val zero = pairs.filter(p => p._2 == p._1 + 900000)
+    assert(zero.length == 30 && zero.forall(_._3 == 0L),
+      "every identical copy must pair with its original at hamming 0")
+    val hashes = Multimodal.blockHash64(all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs.toSet == brute, "banded candidates must lose no pair <= hamming 3")
+  }
+
   test("payload-sized repartitioning yields ceil(bytes/target) partitions") {
     val df = Multimodal.repartitionForPayload(media, totalBytes = 1000000,
       targetPartitionBytes = 300000)
