@@ -207,4 +207,55 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** Banded (band, chunk) rows of a (media_id, phash) frame — the
+    * equi-join key layout shared with [[graft.ext.Dedup.simhashCandidates]]. */
+  private def bandedHashes(ph: DataFrame, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    ph.select(col("media_id"), col("phash"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            call_function("shiftright", col("phash"), b * lit(width))
+              .bitwiseAND(lit(mask)).as("chunk")))).as("__b"))
+      .select(col("media_id"), col("phash"),
+        col("__b.band").as("__band"), col("__b.chunk").as("__chunk"))
+  }
+
+  /**
+   * Incremental media dedup against a STANDING phash library — the
+   * daily-batch posture of a 100 TB media pipeline: hash the incoming
+   * batch once ([[blockHash64]]), drop everything within `maxHamming`
+   * of an already-accepted hash (banded equi-join against the library's
+   * 8-byte-per-item hashes — payloads never meet), apply the
+   * within-batch lower-id dominator rule, return surviving media_ids.
+   * `baseHashes` is a (media_id, phash) frame — at scale a table
+   * bucketed on (band, chunk) so the candidate join reads it in place,
+   * the [[graft.ext.Dedup.incrementalNearDupIndexed]] lifecycle with
+   * Hamming in place of Jaccard.
+   */
+  def incrementalNearDupMedia(batchMedia: DataFrame, baseHashes: DataFrame,
+                              maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs bands > maxHamming for full recall")
+    val bh = graft.core.CacheRegistry.persistTracked(blockHash64(batchMedia))
+    val dropVsBase = bandedHashes(bh, bands)
+      .join(bandedHashes(baseHashes, bands)
+        .select(col("__band"), col("__chunk"), col("phash").as("__bp")),
+        Seq("__band", "__chunk"))
+      .filter(Dedup.hamming(col("phash"), col("__bp")) <= maxHamming)
+      .select("media_id").distinct()
+    val fresh = graft.core.CacheRegistry.persistTracked(
+      bh.join(dropVsBase, Seq("media_id"), "left_anti"))
+    val fb = bandedHashes(fresh, bands)
+    val dominated = fb
+      .join(fb.select(col("__band"), col("__chunk"),
+        col("media_id").as("__ia"), col("phash").as("__pa")),
+        Seq("__band", "__chunk"))
+      .filter(col("__ia") < col("media_id"))
+      .filter(Dedup.hamming(col("phash"), col("__pa")) <= maxHamming)
+      .select("media_id").distinct()
+    fresh.join(dominated, Seq("media_id"), "left_anti")
+      .select(col("media_id"))
+  }
 }

@@ -157,6 +157,68 @@ object ExtMultimodalQueries {
           CAST(len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i]))
             AS BIGINT) AS hamming
         FROM hp a JOIN hp b ON a.doc_id < b.doc_id)
-      WHERE hamming <= 3"""))
+      WHERE hamming <= 3""")),
+
+
+    // Incremental media dedup against a standing phash library (the
+    // daily-batch posture): identical copies and one-byte edits drop
+    // against the base by Hamming; a novel-suffix pair survives the
+    // base but self-dedups to its lower id. The oracle recomputes every
+    // hash and both drop stages brute-force.
+    QueryDef("ext_mm_dedup_incremental", (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def mediaOf(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.toMediaFrame(
+          df.withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", lit("image"))
+      val batch = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" completely novel padding suffix block"))
+              .as("text")))
+        .unionByName(base.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 560000).as("doc_id"),
+            concat(col("text"), lit(" completely novel padding suffix block"))
+              .as("text")))
+      Multimodal.incrementalNearDupMedia(mediaOf(batch),
+        Multimodal.blockHash64(mediaOf(base)), maxHamming = 3, bands = 4)
+    }, Some("""WITH batch AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 200000, 'Z' || substr(text, 2) FROM documents
+        WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id + 500000, text || ' completely novel padding suffix block'
+        FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id + 560000, text || ' completely novel padding suffix block'
+        FROM documents WHERE doc_id % 19 = 0),
+      all_docs AS (SELECT 0 AS side, doc_id, text FROM documents
+        UNION ALL SELECT 1, doc_id, text FROM batch),
+      raw AS (SELECT side, doc_id, hex(encode(text)) AS h,
+          octet_length(encode(text)) AS n FROM all_docs),
+      byt AS (SELECT side, doc_id, n, list_transform(range(1, n + 1), i ->
+          (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1)) AS bytes
+        FROM raw),
+      hp AS (SELECT side, doc_id, list_transform(range(0, 64), b ->
+          CASE WHEN list_sum(bytes[(b*n)//64 + 1 : ((b+1)*n)//64]) * n >
+                    list_sum(bytes) * (((b+1)*n)//64 - (b*n)//64)
+               THEN 1 ELSE 0 END) AS bits FROM byt),
+      bhp AS (SELECT doc_id, bits FROM hp WHERE side = 1),
+      basehp AS (SELECT doc_id, bits FROM hp WHERE side = 0),
+      drop_vs_base AS (SELECT DISTINCT b.doc_id FROM bhp b JOIN basehp a
+        ON len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+      fresh AS (SELECT * FROM bhp
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_base)),
+      self_drops AS (SELECT DISTINCT b.doc_id FROM fresh b JOIN fresh a
+        ON a.doc_id < b.doc_id
+        AND len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3)
+      SELECT doc_id AS media_id FROM fresh
+      WHERE doc_id NOT IN (SELECT doc_id FROM self_drops)"""))
   )
 }

@@ -98,6 +98,24 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet == brute, "banded candidates must lose no pair <= hamming 3")
   }
 
+  test("incrementalNearDupMedia: base drops, self-dedup to lower id, novel survives") {
+    import spark.implicits._
+    def mediaOf(rows: Seq[(Long, String)]) = Multimodal.toMediaFrame(
+      rows.toDF("id", "text").withColumn("payload", encode(col("text"), "UTF-8")),
+      "id", "payload", lit("image"))
+    val base = mediaOf(Seq((1L, "the quick brown fox jumps over the lazy dog")))
+    val batch = mediaOf(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // = base -> drop
+      (11L, "a completely different payload with other bytes inside it"),
+      (12L, "a completely different payload with other bytes inside it"), // dup of 11
+      (13L, "yet another unrelated body of bytes that shares nothing at all")))
+    val surv = Multimodal.incrementalNearDupMedia(batch,
+        Multimodal.blockHash64(base), maxHamming = 3, bands = 4)
+      .as[Long].collect().toSet
+    assert(surv == Set(11L, 13L),
+      "base content drops, the batch twin collapses to its lower id, novel stays")
+  }
+
   test("payload-sized repartitioning yields ceil(bytes/target) partitions") {
     val df = Multimodal.repartitionForPayload(media, totalBytes = 1000000,
       targetPartitionBytes = 300000)
