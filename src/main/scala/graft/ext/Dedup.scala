@@ -890,6 +890,33 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe train/val/test split: cluster near-duplicates FIRST,
+   * then decide the split from the md5 cell of the COMPONENT id — so
+   * every member of a duplicate cluster lands in the same split and a
+   * validation document can never have a near-copy in train (the
+   * contamination mode a per-document hash split silently permits; the
+   * eval-hygiene complement of [[decontaminate]]). Cell → split
+   * thresholds are exactly [[graft.ext.Corpus.hashSplit]]'s, applied to
+   * the component instead of the doc id.
+   *
+   * Shape at 100 TB: [[nearDupClusters]]'s cost (banded LSH + O(log² n)
+   * components, no all-pairs), then the split is one md5 on an already
+   * materialized column — no extra exchange. Returns every input doc as
+   * (idCol, component, is_canonical, split).
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleK: Int = 3,
+                       numHashes: Int = 64, bands: Int = 16,
+                       trainCells: Int = 230, valCells: Int = 13,
+                       checkpoint: graft.core.CheckpointStrategy =
+                         graft.core.CheckpointStrategy.Local,
+                       driverThreshold: Long = 1000000L): DataFrame =
+    nearDupClusters(df, idCol, textCol, threshold, shingleK, numHashes,
+        bands, checkpoint, driverThreshold)
+      .withColumn("split",
+        graft.ext.Corpus.hashSplit(col("component"), trainCells, valCells))
+
+  /**
    * Oracle-reproducible token hash: the top 60 bits of md5 (== the first
    * 15 hex chars parsed base-16, < 2⁶³ so it stays a valid signed long).
    * md5 is engine-independent, so a SimHash built on this hash can be

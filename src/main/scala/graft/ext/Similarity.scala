@@ -937,4 +937,117 @@ object Similarity {
           .partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * Semantic decontamination — the embedding-space twin of the 13-gram
+   * [[graft.ext.Dedup.decontaminate]] (reference analogue: the
+   * benchmark-overlap hygiene step of every eval-aware corpus build).
+   * Drops each corpus vector whose cosine to ANY benchmark vector in the
+   * same sign-LSH bucket reaches `tau`; the bucket criterion is part of
+   * the operator's contract (exactly [[semanticDedup]]'s posture): it
+   * bounds candidate pairs to same-bucket rows in exchange for missing
+   * cross-bucket near-hits the bit count is tuned to make improbable.
+   *
+   * Scale shape: the benchmark set is tiny next to the corpus (eval
+   * suites are thousands of rows; the corpus is the 100 TB side), so its
+   * bucketed form rides a broadcast hash join — the corpus is scanned
+   * once and NEVER shuffles. The contaminated-id set (bounded by the
+   * match count, small by construction) comes back through a distinct on
+   * the matched subset and leaves as a broadcast anti-join.
+   *
+   * Returns the surviving corpus rows (all input columns).
+   */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, benchVecCol: String,
+                            tau: Double, bits: Int = 4,
+                            scoreDigits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val bb = bench.select(col(benchVecCol).as("__b_vec"))
+      .withColumn("__bucket", bucketId(col("__b_vec"), bits))
+    val cb = corpus.withColumn("__bucket", bucketId(col(vecCol), bits))
+    val contaminated = cb.join(broadcast(bb), Seq("__bucket"))
+      .filter(round(cosineNative(col(vecCol), col("__b_vec")) + lit(1e-9),
+        scoreDigits) >= tau)
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
+  /** DuckDB-mirrorable local cosine: dot / (sqrt(na) * sqrt(nb)), summed
+    * left-to-right — the exact arithmetic the SQL oracles spell with
+    * three `list_inner_product` calls. NaN for a zero-norm side (callers
+    * exclude such rows by contract). */
+  private def cosineOracleForm(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** round(x, digits) with SQL ROUND's half-up semantics — keeps the
+    * greedy MMR comparisons bit-comparable to the unrolled oracle. */
+  private def roundHalfUp(x: Double, digits: Int): Double =
+    BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /**
+   * Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98):
+   * greedily pick k of each probe's candidates maximizing
+   * `round(lambda·rel − (1−lambda)·max_{s∈S} cos(c,s) + 1e-9, digits)`,
+   * lowest candidate id breaking score ties — relevance traded against
+   * redundancy with the already-selected set. The standard diversity
+   * pass between retrieval and a context window (RAG) or between mining
+   * and a training batch (contrastive pairs).
+   *
+   * Input is one row per (probe, candidate): probe id, candidate id, a
+   * pre-rounded relevance score, and the candidate's vector. Candidates
+   * per probe are bounded by construction (a top-N retrieval feeds this),
+   * so the greedy O(k·N) selection runs INSIDE one task per probe:
+   * `groupByKey(probe)` is the single shuffle, and it moves only the
+   * candidate rows — at 10⁹ probes the stage is embarrassingly parallel
+   * and no state outgrows a task. Exactly the shape `mapGroups` exists
+   * for; a join-per-step DataFrame unroll would shuffle k times instead.
+   *
+   * Returns (probeIdCol, rank [1..k], candIdCol, mmr).
+   */
+  def mmrRerank(candidates: DataFrame, probeIdCol: String, candIdCol: String,
+                relCol: String, vecCol: String, k: Int, lambda: Double,
+                scoreDigits: Int = 6): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val ds = candidates.select(
+        col(probeIdCol).cast("long"), col(candIdCol).cast("long"),
+        col(relCol).cast("double"), asDouble(col(vecCol)))
+      .as[(Long, Long, Double, Seq[Double])]
+    val digits = scoreDigits
+    val lam = lambda
+    ds.groupByKey(_._1).flatMapGroups { (probe, it) =>
+      // id-ascending scan + strict-greater acceptance = lowest-id tiebreak
+      val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
+        .toArray.sortBy(_._1)
+      val mu = 1 - lam
+      val taken = scala.collection.mutable.HashSet.empty[Long]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val kk = math.min(k, cands.length)
+      var rank = 1L
+      while (rank <= kk) {
+        var bestId = -1L; var bestScore = Double.NegativeInfinity
+        var bestVec: Array[Double] = null
+        cands.foreach { case (id, rel, v) =>
+          if (!taken(id)) {
+            val maxSim =
+              if (selected.isEmpty) 0d
+              else selected.map(s => cosineOracleForm(v, s)).max
+            val mmr = roundHalfUp(lam * rel - mu * maxSim + 1e-9, digits)
+            if (mmr > bestScore) { bestScore = mmr; bestId = id; bestVec = v }
+          }
+        }
+        taken += bestId
+        selected += bestVec
+        out += ((probe, rank, bestId, bestScore))
+        rank += 1
+      }
+      out.iterator
+    }.toDF(probeIdCol, "rank", candIdCol, "mmr")
+  }
 }

@@ -805,6 +805,48 @@ object ExtDedupQueries {
                - len(list_intersect(a.shingles, b.shingles))) AS j
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard
-        FROM pairs WHERE j >= 0.5"""))
+        FROM pairs WHERE j >= 0.5""")),
+
+
+    // Leakage-safe split: same near-dup fixture as ext_dedup_components,
+    // but the train/val/test decision hashes the COMPONENT id — a doc
+    // and its injected near-copy must land in the same split, closing
+    // the train/val contamination hole a per-document hash split leaves
+    // open. Oracle = the components CTE + the md5-cell split applied to
+    // min(reach).
+    QueryDef("ext_split_leakage_safe", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      Dedup.leakageSafeSplit(docs.unionByName(dups), "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+    }, Some(s"""WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 0),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+             FROM (SELECT doc_id, $DuckToks AS toks FROM all_docs)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM all_docs
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+      SELECT id AS doc_id, min(reach) AS component,
+        (id = min(reach)) AS is_canonical,
+        CASE WHEN substr(md5(CAST(min(reach) AS VARCHAR)), 1, 2) < 'e6'
+               THEN 'train'
+             WHEN substr(md5(CAST(min(reach) AS VARCHAR)), 1, 2) < 'f3'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM walk GROUP BY id"""))
   )
 }

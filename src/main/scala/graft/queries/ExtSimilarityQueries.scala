@@ -755,6 +755,114 @@ object ExtSimilarityQueries {
       SELECT vec_id, CAST(dim AS BIGINT) AS dim,
         CAST(CASE WHEN scale = 0 THEN 0
                   ELSE round(CAST(x AS DOUBLE) / scale + 1e-9) END AS BIGINT) AS q
-      FROM u"""))
+      FROM u""")),
+
+
+    // Semantic decontamination: a perturbed copy of every 50th corpus
+    // vector plays the benchmark set; the corpus rows whose same-bucket
+    // cosine vs any benchmark vector reaches 0.99 (their originals, plus
+    // any true near-twins) must be dropped. The bucket gate is part of
+    // the operator contract — the oracle replicates it, so a perturbed
+    // copy whose first component flips its sign bit legitimately escapes
+    // on BOTH engines.
+    QueryDef("ext_decontaminate_semantic", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val bench = vecs.filter(col("vec_id") % 50 === 0)
+        .select(concat(array(element_at(col("e"), 1) + lit(0.01)),
+          slice(col("e"), 2, 63)).as("be"))
+      Similarity.semanticDecontaminate(vecs, "vec_id", "e", bench, "be",
+          tau = 0.99, bits = 4)
+        .select(col("vec_id"))
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      b AS (SELECT list_prepend(e[1] + 0.01, e[2:64]) AS be FROM v
+        WHERE vec_id % 50 = 0),
+      bb AS (SELECT be, (CASE WHEN be[1] > be[33] THEN 1 ELSE 0 END)
+           + (CASE WHEN be[2] > be[34] THEN 2 ELSE 0 END)
+           + (CASE WHEN be[3] > be[35] THEN 4 ELSE 0 END)
+           + (CASE WHEN be[4] > be[36] THEN 8 ELSE 0 END) AS bucket FROM b),
+      cb AS (SELECT vec_id, e, (CASE WHEN e[1] > e[33] THEN 1 ELSE 0 END)
+           + (CASE WHEN e[2] > e[34] THEN 2 ELSE 0 END)
+           + (CASE WHEN e[3] > e[35] THEN 4 ELSE 0 END)
+           + (CASE WHEN e[4] > e[36] THEN 8 ELSE 0 END) AS bucket FROM v),
+      bad AS (SELECT DISTINCT vec_id FROM cb c JOIN bb ON c.bucket = bb.bucket
+        WHERE round(list_inner_product(c.e, bb.be) /
+            nullif(sqrt(list_inner_product(c.e, c.e))
+                 * sqrt(list_inner_product(bb.be, bb.be)), 0) + 1e-9, 6) >= 0.99)
+      SELECT vec_id FROM v
+      WHERE vec_id NOT IN (SELECT vec_id FROM bad)""")),
+
+
+    // MMR diversified re-rank (λ=0.7, k=3 over each probe's top-12
+    // relevance candidates). The oracle unrolls the greedy selection
+    // step by step — step-1 score is λ·rel (empty selected set), each
+    // later step subtracts (1−λ)·max cosine to the already-picked
+    // rows; identical rounding (+1e-9, 6 digits) and id tiebreaks on
+    // both engines make the cascade deterministic. (1 - 0.7) is spelled
+    // as the SUBTRACTION in SQL so both engines use the same
+    // double-precision value of μ.
+    QueryDef("ext_mmr_rerank", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      graft.functions.GraftFunctions.register(s)
+      val rel = vecs.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("rel",
+          round(Similarity.cosineNative(col("e"), col("pe")) + lit(1e-9), 6))
+      val cand = rel.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+            .orderBy(desc("rel"), col("vec_id"))))
+        .filter(col("__rn") <= 12)
+        .select("probe_id", "vec_id", "rel", "e")
+      Similarity.mmrRerank(cand, "probe_id", "vec_id", "rel", "e",
+        k = 3, lambda = 0.7)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      rel AS (SELECT probe_id, vec_id, e,
+          round(list_inner_product(e, pe) /
+            nullif(sqrt(list_inner_product(e, e))
+                 * sqrt(list_inner_product(pe, pe)), 0) + 1e-9, 6) AS rel
+        FROM v CROSS JOIN p WHERE vec_id <> probe_id),
+      cand AS (SELECT probe_id, vec_id, e, rel FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY rel DESC, vec_id) AS rn FROM rel) WHERE rn <= 12),
+      s1 AS (SELECT probe_id, vec_id, e, mmr FROM (
+          SELECT *, round(0.7 * rel + 1e-9, 6) AS mmr,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY round(0.7 * rel + 1e-9, 6) DESC, vec_id) AS rn
+          FROM cand) WHERE rn = 1),
+      m2 AS (SELECT c.probe_id, c.vec_id, c.e, c.rel,
+          round(0.7 * c.rel - (1 - 0.7) *
+            (list_inner_product(c.e, s.e) /
+              nullif(sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(s.e, s.e)), 0)) + 1e-9, 6) AS mmr
+        FROM cand c JOIN s1 s ON c.probe_id = s.probe_id
+        WHERE c.vec_id <> s.vec_id),
+      s2 AS (SELECT probe_id, vec_id, e, mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM m2) WHERE rn = 1),
+      m3 AS (SELECT c.probe_id, c.vec_id,
+          round(0.7 * c.rel - (1 - 0.7) * greatest(
+            list_inner_product(c.e, a.e) /
+              nullif(sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0),
+            list_inner_product(c.e, b.e) /
+              nullif(sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(b.e, b.e)), 0)) + 1e-9, 6) AS mmr
+        FROM cand c JOIN s1 a ON c.probe_id = a.probe_id
+                    JOIN s2 b ON c.probe_id = b.probe_id
+        WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id),
+      s3 AS (SELECT probe_id, vec_id, mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM m3) WHERE rn = 1)
+      SELECT probe_id, CAST(1 AS BIGINT) AS rank, vec_id, mmr FROM s1
+      UNION ALL
+      SELECT probe_id, CAST(2 AS BIGINT), vec_id, mmr FROM s2
+      UNION ALL
+      SELECT probe_id, CAST(3 AS BIGINT), vec_id, mmr FROM s3"""))
   )
 }

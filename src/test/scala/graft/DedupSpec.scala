@@ -382,4 +382,26 @@ class DedupSpec extends SparkSpec {
     assert(local.exceptAll(reliable).isEmpty && reliable.exceptAll(local).isEmpty,
       "durable-checkpoint clustering must produce the identical partition")
   }
+
+  test("leakageSafeSplit: near-dup pair shares one split keyed on the component") {
+    import spark.implicits._
+    // 1 and 2 are near-dups (3-shingle Jaccard 3/4 = .75 ≥ .5); 3 is
+    // unrelated. The pair must land in ONE split — the one its
+    // component (min id = 1) hashes to — regardless of where a
+    // per-document hash would have sent id 2 on its own.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 1L, 3L))
+    assert(out(0)._3 == out(1)._3, "cluster members must share a split")
+    // the split is the component's md5 cell, not the member's
+    val expected = docs.sparkSession.range(1)
+      .select(graft.ext.Corpus.hashSplit(lit(1L)).as("s"))
+      .as[String].head()
+    assert(out(0)._3 == expected)
+  }
 }

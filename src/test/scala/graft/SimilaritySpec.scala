@@ -547,4 +547,54 @@ class SimilaritySpec extends SparkSpec {
       s"tie-keeping boundary must not empty duplicate clusters (dropped $dropped of 40)")
     assert(out.count() == 40L)
   }
+
+  test("semanticDecontaminate: drops same-bucket near-bench rows, bucket gate is contractual") {
+    import spark.implicits._
+    def v(pairs: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0)
+      pairs.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // bench: e[0]=0.1, e[4]=1.0 → bucket bit0 set (e[1] > e[33] in SQL's
+    // 1-based terms). id 1 is the bench vector itself (cos 1, same
+    // bucket → dropped); id 2 is orthogonal (kept); id 3 has cos ≈ 0.98
+    // ≥ τ but its FLIPPED first component clears bit0 → different
+    // bucket, so the gate (contractually) lets it through.
+    val bench = Seq(Tuple1(v(0 -> 0.1, 4 -> 1.0))).toDF("be")
+    val corpus = Seq(
+      (1L, v(0 -> 0.1, 4 -> 1.0)),
+      (2L, v(9 -> 1.0)),
+      (3L, v(0 -> -0.1, 4 -> 1.0))).toDF("vec_id", "e")
+    val kept = Similarity.semanticDecontaminate(corpus, "vec_id", "e",
+        bench, "be", tau = 0.9, bits = 4)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("mmrRerank: diversity beats redundancy, id breaks ties") {
+    import spark.implicits._
+    // A (rel .9) and B (rel .85) are IDENTICAL vectors; C (rel .5) is
+    // orthogonal. λ=.7: step 1 takes A (.63); step 2 prefers C
+    // (.7·.5 − .3·0 = .35) over the redundant B (.7·.85 − .3·1 ≈ .295);
+    // step 3 takes B at ≈ .295.
+    val cand = Seq(
+      (1L, 1L, 0.9, Seq(1.0, 0.0)),
+      (1L, 2L, 0.85, Seq(1.0, 0.0)),
+      (1L, 3L, 0.5, Seq(0.0, 1.0))).toDF("probe_id", "cand_id", "rel", "e")
+    val out = Similarity.mmrRerank(cand, "probe_id", "cand_id", "rel", "e",
+        k = 3, lambda = 0.7)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 3L, 2L))
+    assert(math.abs(out(0)._4 - 0.63) < 1e-6)
+    assert(math.abs(out(1)._4 - 0.35) < 1e-6)
+    assert(math.abs(out(2)._4 - 0.295) < 1e-6)
+    // exact tie (same rel, same vector): lowest candidate id wins
+    val tied = Seq(
+      (9L, 7L, 0.8, Seq(1.0, 0.0)),
+      (9L, 5L, 0.8, Seq(1.0, 0.0))).toDF("probe_id", "cand_id", "rel", "e")
+    val first = Similarity.mmrRerank(tied, "probe_id", "cand_id", "rel", "e",
+        k = 1, lambda = 0.7)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(first._3 == 5L)
+  }
 }
