@@ -148,6 +148,30 @@ object Chunking {
   }
 
   /**
+   * Contrastive positive-pair mining (the Contriever/ICT posture:
+   * passages adjacent in one document are semantically related, so
+   * consecutive chunks make cheap positives for a bi-encoder): every
+   * (chunk i, chunk i+1) pair of the same document, emitted as
+   * (idCol, pair_idx = i, text_a, text_b).
+   *
+   * Scale: one `lead` window partitioned by document — a single
+   * exchange on the doc id and per-group state of one row; no
+   * self-join, and per-doc chunk counts are bounded by doc length so no
+   * group outgrows a task. Feed it [[slidingChunks]] with
+   * stride = chunkSize for non-overlapping pairs (overlapping strides
+   * would leak shared tokens into both sides of a "positive").
+   */
+  def adjacentChunkPairs(chunked: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("chunk_idx"))
+    chunked.select(col(idCol), col("chunk_idx"), col("chunk_text"))
+      .withColumn("__next", lead(col("chunk_text"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol), col("chunk_idx").as("pair_idx"),
+        col("chunk_text").as("text_a"), col("__next").as("text_b"))
+  }
+
+  /**
    * Sub-document duplication report over a chunked corpus: for each
    * chunk fingerprint seen in more than one document, the documents
    * sharing it — exact dedup semantics on the 64-bit chunk key (one

@@ -274,6 +274,41 @@ object Corpus {
   }
 
   /**
+   * Temperature-scaled mixture (the mT5/XLM-R recipe: sample source s
+   * with probability ∝ n_s^α, α < 1 up-weighting low-resource sources):
+   * each source's acceptance rate is r_s = min(1, targetFrac·N·n_s^α /
+   * (Σ n_t^α · n_s)), quantized to 256 md5 cells — so the expected total
+   * is targetFrac·N distributed by the α-tempered proportions, and the
+   * accept decision is the same deterministic cell-gate [[mixture]]
+   * uses: no RNG, reruns and engine ports pick the same rows.
+   *
+   * Scale shape: one map-side-combinable count per source (rows = number
+   * of sources, i.e. tiny), rates derived in that small frame, then a
+   * broadcast join back and a scan-side filter — the corpus itself never
+   * shuffles.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha > 0.0, s"alpha $alpha must be positive")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac $targetFrac outside (0, 1]")
+    val w = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), alpha))
+    val tot = w.agg(sum("__w").as("__sw"),
+      sum("__n").cast("double").as("__tot"))
+    val rates = w.crossJoin(broadcast(tot))
+      .withColumn("__cells", greatest(lit(1.0),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("__tot") * col("__w") /
+            (col("__sw") * col("__n").cast("double"))) * 256 + lit(1e-9), 0)))
+      .select(col(sourceCol), col("__cells"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(conv(hashCell(col(idCol)), 16, 10).cast("double") <
+        col("__cells"))
+      .drop("__cells")
+  }
+
+  /**
    * DSIR-style importance log-weights (Xie et al., "Data Selection for
    * Language Models via Importance Resampling", NeurIPS'23): score every
    * document by how much more likely its tokens are under a TARGET

@@ -906,6 +906,62 @@ object ExtCorpusQueries {
           (col("score") > 0).as("selected"))
     }, Some(s"""WITH ${duckPerceptron(rounds = 8, numBuckets = 64,
         docsSrc = DuckAdvClassifierDocs)}
-      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf"""))
+      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
+
+
+    // Temperature-scaled mixture (α=0.5, half the corpus): acceptance
+    // rates derive from per-source counts tempered by n^α, quantized to
+    // the 256-cell md5 gate — the oracle recomputes the identical rate
+    // table and cell arithmetic, so the accepted id set matches exactly.
+    QueryDef("ext_temperature_mix", (s, dir) =>
+      Corpus.temperatureMix(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", alpha = 0.5, targetFrac = 0.5)
+        .select(col("doc_id"), col("source")),
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+        t AS (SELECT sum(w) AS sw, CAST(sum(n) AS DOUBLE) AS tot FROM w),
+        r AS (SELECT source, greatest(1.0, round(least(1.0,
+              0.5 * tot * w / (sw * CAST(n AS DOUBLE))) * 256 + 1e-9))
+            AS cells FROM w CROSS JOIN t),
+        d AS (SELECT doc_id, source,
+            (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS cell
+          FROM documents)
+      SELECT d.doc_id, d.source FROM d JOIN r ON d.source = r.source
+      WHERE d.cell < r.cells""")),
+
+
+    // Contrastive positive pairs: consecutive NON-overlapping 32-token
+    // chunks of one document (stride = chunkSize, so a pair never shares
+    // a token by construction). The oracle rebuilds the same chunking
+    // and pairs via lead() per document.
+    QueryDef("ext_contrastive_pairs", (s, dir) =>
+      Chunking.adjacentChunkPairs(
+        Chunking.slidingChunks(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkSize = 32, stride = 32),
+        "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToksRaw AS toks,
+          len($DuckToksRaw) AS n FROM documents),
+        s AS (SELECT doc_id, toks, n, greatest(n - 31, 1) AS lst
+          FROM t WHERE n > 0),
+        st AS (SELECT doc_id, toks, n,
+            CASE WHEN (lst - 1) % 32 = 0 THEN range(1, lst + 1, 32)
+                 ELSE list_append(range(1, lst + 1, 32), lst) END AS starts
+          FROM s),
+        e AS (SELECT doc_id, toks, n, unnest(starts) AS strt,
+            generate_subscripts(starts, 1) - 1 AS ci FROM st),
+        ch AS (SELECT doc_id, ci,
+            array_to_string(toks[strt:strt+31], ' ') AS chunk_text FROM e),
+        p AS (SELECT doc_id, CAST(ci AS BIGINT) AS pair_idx,
+            chunk_text AS text_a,
+            lead(chunk_text, 1) OVER (PARTITION BY doc_id ORDER BY ci)
+              AS text_b FROM ch)
+      SELECT doc_id, pair_idx, text_a, text_b FROM p
+      WHERE text_b IS NOT NULL"""))
   )
 }

@@ -110,4 +110,26 @@ class ChunkingSpec extends SparkSpec {
     assert(rep.count() > 0)
     assert(rep.filter(col("n_docs") < 2).count() == 0)
   }
+
+  test("adjacentChunkPairs: consecutive non-overlapping chunks, in order, no token shared") {
+    import spark.implicits._
+    // 10 tokens, chunkSize=stride=3 → chunks at 1,4,7 + tail at 8:
+    // starts 1,4,7,8 → pairs (0,1) (1,2) (2,3)
+    val doc = Seq((7L, (1 to 10).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Chunking.adjacentChunkPairs(
+        Chunking.slidingChunks(doc, "doc_id", "text", chunkSize = 3, stride = 3),
+        "doc_id")
+      .orderBy("pair_idx")
+      .as[(Long, Long, String, String)].collect()
+    assert(pairs.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(pairs(0)._3 == "tok1 tok2 tok3" && pairs(0)._4 == "tok4 tok5 tok6")
+    // non-overlapping strides ⇒ full-size adjacent pairs never share a token
+    pairs.init.foreach { case (_, _, a, b) =>
+      assert(a.split(" ").toSet.intersect(b.split(" ").toSet).isEmpty) }
+    // single-chunk docs produce no pairs
+    val one = Seq((8L, "a b")).toDF("doc_id", "text")
+    assert(Chunking.adjacentChunkPairs(
+      Chunking.slidingChunks(one, "doc_id", "text", 3, 3), "doc_id").count() == 0)
+  }
 }

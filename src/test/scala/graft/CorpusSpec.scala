@@ -240,4 +240,31 @@ class CorpusSpec extends SparkSpec {
       budgets).select("doc_id").as[Long].collect().toSet
     assert(ids1 == ids2)
   }
+
+  test("temperatureMix: α<1 up-weights the small source, α=1 is proportional") {
+    import spark.implicits._
+    // big: 900 docs, small: 100. Proportional keep at 50% is ~50/50%;
+    // α=0.5 tempers to n^0.5 weights 30:10 → small's rate ~3× big's.
+    val docs = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def rates(alpha: Double): (Double, Double) = {
+      val kept = Corpus.temperatureMix(docs, "doc_id", "source",
+          alpha, targetFrac = 0.5)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      (kept.getOrElse("big", 0L) / 900.0, kept.getOrElse("small", 0L) / 100.0)
+    }
+    val (bigProp, smallProp) = rates(1.0)
+    // α=1: both sources sampled at the same ~50% rate (±cell quantization)
+    assert(math.abs(bigProp - smallProp) < 0.1,
+      s"alpha=1 must be proportional (big $bigProp small $smallProp)")
+    val (bigT, smallT) = rates(0.5)
+    assert(smallT > bigT * 2,
+      s"alpha=0.5 must up-weight the small source (big $bigT small $smallT)")
+    // deterministic: the same call selects the same ids
+    val a = Corpus.temperatureMix(docs, "doc_id", "source", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.temperatureMix(docs, "doc_id", "source", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
