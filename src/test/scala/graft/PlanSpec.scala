@@ -373,4 +373,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"),
       "gram df-counts and per-doc fractions are hash aggregations")
   }
+
+  test("semantic decontamination: bench + contaminated ids broadcast, corpus never sort-merges") {
+    val p = plan("ext_decontaminate_semantic")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench buckets and the contaminated-id set must ride broadcast joins")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus side must never shuffle for a join, got:\n$p")
+  }
+
+  test("temperature mix: rate table broadcasts back, corpus filter is scan-side") {
+    val p = plan("ext_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized rate table must broadcast, never shuffle the corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("mmr rerank: one probe-keyed selection exchange on top of candidate gen") {
+    val p = plan("ext_mmr_rerank")
+    // candidate gen: probe broadcast + rank window (1 hash exchange);
+    // selection: the single groupByKey exchange — nothing else moves
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"MMR must add exactly one probe-keyed exchange, got:\n$p")
+  }
+
+  test("contrastive pairs: one doc-keyed window exchange, no join anywhere") {
+    val p = plan("ext_contrastive_pairs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"adjacent-chunk pairing is one lead window, got:\n$p")
+    assert(!p.contains("Join"), "pairing must not plan a self-join")
+  }
 }
