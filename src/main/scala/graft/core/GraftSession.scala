@@ -18,7 +18,14 @@ object GraftSession {
     configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString))
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      // per-process warehouse: persisted-index operators create tables
+      // under fixed names, so two concurrent local JVMs (a bench run
+      // beside a test run) sharing the default ./spark-warehouse would
+      // corrupt each other's staged writes. Within-session table reuse —
+      // the only reuse the operators rely on — is unaffected.
+      .config("spark.sql.warehouse.dir",
+        s"target/graft-wh-${java.util.UUID.randomUUID().toString.take(8)}"))
 
   def configure(builder: SparkSession.Builder): SparkSession = {
     val spark = builder

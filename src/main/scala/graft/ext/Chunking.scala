@@ -150,25 +150,38 @@ object Chunking {
   /**
    * Contrastive positive-pair mining (the Contriever/ICT posture:
    * passages adjacent in one document are semantically related, so
-   * consecutive chunks make cheap positives for a bi-encoder): every
-   * (chunk i, chunk i+1) pair of the same document, emitted as
-   * (idCol, pair_idx = i, text_a, text_b).
+   * consecutive chunks make cheap positives for a bi-encoder): the
+   * token stream is partitioned into DISJOINT consecutive blocks of
+   * `chunkSize` tokens — last block possibly short, never re-anchored
+   * (unlike [[slidingChunks]]' tail, whose overlap would leak shared
+   * tokens into both sides of a "positive") — and every
+   * (block i, block i+1) pair of one document comes back as
+   * (idCol, pair_idx = i, text_a, text_b). Paired blocks provably share
+   * no token position.
    *
-   * Scale: one `lead` window partitioned by document — a single
-   * exchange on the doc id and per-group state of one row; no
-   * self-join, and per-doc chunk counts are bounded by doc length so no
-   * group outgrows a task. Feed it [[slidingChunks]] with
-   * stride = chunkSize for non-overlapping pairs (overlapping strides
-   * would leak shared tokens into both sides of a "positive").
+   * Scale: the blocking is a scan-only projection; pairing is one
+   * `lead` window partitioned by document — a single exchange on the
+   * doc id with one row of frame state, no self-join, and per-doc block
+   * counts are bounded by doc length so no group outgrows a task.
    */
-  def adjacentChunkPairs(chunked: DataFrame, idCol: String): DataFrame = {
+  def adjacentChunkPairs(df: DataFrame, idCol: String, textCol: String,
+                         chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize $chunkSize must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("chunk_idx"))
-    chunked.select(col(idCol), col("chunk_idx"), col("chunk_text"))
-      .withColumn("__next", lead(col("chunk_text"), 1).over(w))
+      .partitionBy(col(idCol)).orderBy(col("__ci"))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(1), col("__n"), lit(chunkSize)))
+          .as(Seq("__ci", "__s")))
+      .select(col(idCol), col("__ci").cast("long"),
+        concat_ws(" ", slice(col("__toks"), col("__s"), lit(chunkSize)))
+          .as("__chunk"))
+      .withColumn("__next", lead(col("__chunk"), 1).over(w))
       .filter(col("__next").isNotNull)
-      .select(col(idCol), col("chunk_idx").as("pair_idx"),
-        col("chunk_text").as("text_a"), col("__next").as("text_b"))
+      .select(col(idCol), col("__ci").as("pair_idx"),
+        col("__chunk").as("text_a"), col("__next").as("text_b"))
   }
 
   /**

@@ -276,36 +276,60 @@ object Corpus {
   /**
    * Temperature-scaled mixture (the mT5/XLM-R recipe: sample source s
    * with probability ∝ n_s^α, α < 1 up-weighting low-resource sources):
-   * each source's acceptance rate is r_s = min(1, targetFrac·N·n_s^α /
-   * (Σ n_t^α · n_s)), quantized to 256 md5 cells — so the expected total
-   * is targetFrac·N distributed by the α-tempered proportions, and the
-   * accept decision is the same deterministic cell-gate [[mixture]]
-   * uses: no RNG, reruns and engine ports pick the same rows.
+   * acceptance rates are water-filled — r_s = min(1, c·n_s^α / n_s)
+   * with the budget constant c chosen so Σ min(n_s, c·n_s^α) =
+   * targetFrac·N, i.e. mass a saturated low-resource source can't absorb
+   * is renormalized onto the unsaturated ones (the mT5 posture; a plain
+   * clamp would silently undershoot the target whenever a small source
+   * hits rate 1). Saturation thresholds n_s^(1−α) are monotone in n_s
+   * for α ≤ 1, so c falls out of one prefix-sum pass in threshold
+   * order: the first source where (T − prefix_n)/(W − prefix_w) drops
+   * below its own threshold pins c; if none does, every source
+   * saturates (targetFrac = 1) and all rates are 1. Rates quantize to
+   * 256 md5 cells — the same deterministic gate [[mixture]] uses: no
+   * RNG, reruns and engine ports pick the same rows (expected total =
+   * targetFrac·N up to cell quantization).
    *
-   * Scale shape: one map-side-combinable count per source (rows = number
-   * of sources, i.e. tiny), rates derived in that small frame, then a
-   * broadcast join back and a scan-side filter — the corpus itself never
-   * shuffles.
+   * Scale shape: one map-side-combinable count per source, then the
+   * water-filling runs inside the sources-sized frame (the unpartitioned
+   * prefix window is over #sources rows — tiny by definition), then a
+   * broadcast join back (null-safe: a NULL source is a legitimate group
+   * and keeps its computed rate) and a scan-side filter — the corpus
+   * itself never shuffles.
    */
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
                      alpha: Double, targetFrac: Double): DataFrame = {
-    require(alpha > 0.0, s"alpha $alpha must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
     require(targetFrac > 0.0 && targetFrac <= 1.0,
       s"targetFrac $targetFrac outside (0, 1]")
     val w = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
       .withColumn("__w", pow(col("__n").cast("double"), alpha))
+      .withColumn("__thr", pow(col("__n").cast("double"), 1 - alpha))
     val tot = w.agg(sum("__w").as("__sw"),
       sum("__n").cast("double").as("__tot"))
-    val rates = w.crossJoin(broadcast(tot))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__thr"), col(sourceCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pre = w.crossJoin(broadcast(tot))
+      .withColumn("__pre_n",
+        coalesce(sum(col("__n").cast("double")).over(ord), lit(0.0)))
+      .withColumn("__pre_w", coalesce(sum(col("__w")).over(ord), lit(0.0)))
+      .withColumn("__c", (lit(targetFrac) * col("__tot") - col("__pre_n")) /
+        (col("__sw") - col("__pre_w")))
+    val cStar = pre.filter(col("__c") < col("__thr"))
+      .orderBy(col("__thr"), col(sourceCol)).limit(1)
+      .select(col("__c").as("__cstar"), lit(1).as("__k"))
+    val rates = w.withColumn("__k", lit(1))
+      .join(broadcast(cStar), Seq("__k"), "left")
       .withColumn("__cells", greatest(lit(1.0),
         round(least(lit(1.0),
-          lit(targetFrac) * col("__tot") * col("__w") /
-            (col("__sw") * col("__n").cast("double"))) * 256 + lit(1e-9), 0)))
-      .select(col(sourceCol), col("__cells"))
-    df.join(broadcast(rates), Seq(sourceCol))
+          coalesce(col("__cstar"), lit(Double.MaxValue)) * col("__w") /
+            col("__n").cast("double")) * 256 + lit(1e-9), 0)))
+      .select(col(sourceCol).as("__src"), col("__cells"))
+    df.join(broadcast(rates), df(sourceCol) <=> col("__src"))
       .filter(conv(hashCell(col(idCol)), 16, 10).cast("double") <
         col("__cells"))
-      .drop("__cells")
+      .drop("__src", "__cells")
   }
 
   /**

@@ -895,7 +895,7 @@ object Dedup {
    * every member of a duplicate cluster lands in the same split and a
    * validation document can never have a near-copy in train (the
    * contamination mode a per-document hash split silently permits; the
-   * eval-hygiene complement of [[decontaminate]]). Cell → split
+   * eval-hygiene complement of [[contaminationHits]]). Cell → split
    * thresholds are exactly [[graft.ext.Corpus.hashSplit]]'s, applied to
    * the component instead of the doc id.
    *

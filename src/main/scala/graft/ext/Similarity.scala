@@ -940,7 +940,7 @@ object Similarity {
 
   /**
    * Semantic decontamination — the embedding-space twin of the 13-gram
-   * [[graft.ext.Dedup.decontaminate]] (reference analogue: the
+   * [[graft.ext.Dedup.contaminationHits]] (reference analogue: the
    * benchmark-overlap hygiene step of every eval-aware corpus build).
    * Drops each corpus vector whose cosine to ANY benchmark vector in the
    * same sign-LSH bucket reaches `tau`; the bucket criterion is part of
@@ -950,10 +950,9 @@ object Similarity {
    *
    * Scale shape: the benchmark set is tiny next to the corpus (eval
    * suites are thousands of rows; the corpus is the 100 TB side), so its
-   * bucketed form rides a broadcast hash join — the corpus is scanned
-   * once and NEVER shuffles. The contaminated-id set (bounded by the
-   * match count, small by construction) comes back through a distinct on
-   * the matched subset and leaves as a broadcast anti-join.
+   * bucketed form rides ONE broadcast anti-join carrying the
+   * bucket-equality AND the cosine threshold as the join condition —
+   * a single corpus scan, zero corpus-side exchanges anywhere.
    *
    * Returns the surviving corpus rows (all input columns).
    */
@@ -965,23 +964,27 @@ object Similarity {
     val bb = bench.select(col(benchVecCol).as("__b_vec"))
       .withColumn("__bucket", bucketId(col("__b_vec"), bits))
     val cb = corpus.withColumn("__bucket", bucketId(col(vecCol), bits))
-    val contaminated = cb.join(broadcast(bb), Seq("__bucket"))
-      .filter(round(cosineNative(col(vecCol), col("__b_vec")) + lit(1e-9),
-        scoreDigits) >= tau)
-      .select(col(idCol)).distinct()
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    cb.join(broadcast(bb),
+        cb("__bucket") === bb("__bucket") &&
+          round(cosineNative(col(vecCol), col("__b_vec")) + lit(1e-9),
+            scoreDigits) >= tau,
+        "left_anti")
+      .drop("__bucket")
   }
 
   /** DuckDB-mirrorable local cosine: dot / (sqrt(na) * sqrt(nb)), summed
     * left-to-right — the exact arithmetic the SQL oracles spell with
-    * three `list_inner_product` calls. NaN for a zero-norm side (callers
-    * exclude such rows by contract). */
+    * three `list_inner_product` calls. A zero-norm side scores 0 (for
+    * MMR: a degenerate vector can't be redundant with anything, so it
+    * contributes no similarity penalty — and never poisons the greedy
+    * cascade with NaN). */
   private def cosineOracleForm(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length && i < b.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** round(x, digits) with SQL ROUND's half-up semantics — keeps the
@@ -1012,6 +1015,10 @@ object Similarity {
   def mmrRerank(candidates: DataFrame, probeIdCol: String, candIdCol: String,
                 relCol: String, vecCol: String, k: Int, lambda: Double,
                 scoreDigits: Int = 6): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda $lambda outside [0, 1] — >1 would REWARD redundancy")
+    require(scoreDigits >= 0, s"scoreDigits $scoreDigits must be >= 0")
     val spark = candidates.sparkSession
     import spark.implicits._
     val ds = candidates.select(
@@ -1030,7 +1037,8 @@ object Similarity {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
       val kk = math.min(k, cands.length)
       var rank = 1L
-      while (rank <= kk) {
+      var stuck = false
+      while (rank <= kk && !stuck) {
         var bestId = -1L; var bestScore = Double.NegativeInfinity
         var bestVec: Array[Double] = null
         cands.foreach { case (id, rel, v) =>
@@ -1042,10 +1050,15 @@ object Similarity {
             if (mmr > bestScore) { bestScore = mmr; bestId = id; bestVec = v }
           }
         }
-        taken += bestId
-        selected += bestVec
-        out += ((probe, rank, bestId, bestScore))
-        rank += 1
+        // every remaining candidate scored NaN (a NaN relevance input):
+        // stop emitting rather than fabricate a (-1, -Inf) row
+        if (bestId == -1L) stuck = true
+        else {
+          taken += bestId
+          selected += bestVec
+          out += ((probe, rank, bestId, bestScore))
+          rank += 1
+        }
       }
       out.iterator
     }.toDF(probeIdCol, "rank", candIdCol, "mmr")

@@ -909,22 +909,35 @@ object ExtCorpusQueries {
       SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
 
 
-    // Temperature-scaled mixture (α=0.5, half the corpus): acceptance
-    // rates derive from per-source counts tempered by n^α, quantized to
-    // the 256-cell md5 gate — the oracle recomputes the identical rate
-    // table and cell arithmetic, so the accepted id set matches exactly.
+    // Temperature-scaled mixture (α=0.5, half the corpus): water-filled
+    // acceptance rates — the budget constant c pins at the first source
+    // (in saturation-threshold order) whose prefix-renormalized rate
+    // stays below 1 — quantized to the 256-cell md5 gate. The oracle
+    // replays the identical prefix-sum water-filling and cell
+    // arithmetic, so the accepted id set matches exactly.
     QueryDef("ext_temperature_mix", (s, dir) =>
       Corpus.temperatureMix(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         "doc_id", "source", alpha = 0.5, targetFrac = 0.5)
         .select(col("doc_id"), col("source")),
-      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      Some("""WITH c0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n
           FROM documents GROUP BY source),
-        w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+        w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w,
+            pow(CAST(n AS DOUBLE), 1 - 0.5) AS thr FROM c0),
         t AS (SELECT sum(w) AS sw, CAST(sum(n) AS DOUBLE) AS tot FROM w),
-        r AS (SELECT source, greatest(1.0, round(least(1.0,
-              0.5 * tot * w / (sw * CAST(n AS DOUBLE))) * 256 + 1e-9))
-            AS cells FROM w CROSS JOIN t),
+        pre AS (SELECT source, n, w, thr, sw, tot,
+            coalesce(sum(CAST(n AS DOUBLE)) OVER (ORDER BY thr, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_n,
+            coalesce(sum(w) OVER (ORDER BY thr, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_w
+          FROM w CROSS JOIN t),
+        cc AS (SELECT (0.5 * tot - pre_n) / (sw - pre_w) AS cstar
+          FROM pre WHERE (0.5 * tot - pre_n) / (sw - pre_w) < thr
+          ORDER BY thr, source LIMIT 1),
+        r AS (SELECT w.source, greatest(1.0, round(least(1.0,
+              coalesce(cc.cstar, 1e308) * w.w / CAST(w.n AS DOUBLE)) * 256
+              + 1e-9)) AS cells
+          FROM w LEFT JOIN cc ON TRUE),
         d AS (SELECT doc_id, source,
             (strpos('0123456789abcdef',
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
@@ -935,26 +948,19 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
-    // Contrastive positive pairs: consecutive NON-overlapping 32-token
-    // chunks of one document (stride = chunkSize, so a pair never shares
-    // a token by construction). The oracle rebuilds the same chunking
-    // and pairs via lead() per document.
+    // Contrastive positive pairs: DISJOINT consecutive 32-token blocks
+    // of one document (last block possibly short, never re-anchored —
+    // a pair provably never shares a token position). The oracle
+    // rebuilds the same blocking and pairs via lead() per document.
     QueryDef("ext_contrastive_pairs", (s, dir) =>
       Chunking.adjacentChunkPairs(
-        Chunking.slidingChunks(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text", chunkSize = 32, stride = 32),
-        "doc_id"),
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkSize = 32),
       Some(s"""WITH t AS (SELECT doc_id, $DuckToksRaw AS toks,
           len($DuckToksRaw) AS n FROM documents),
-        s AS (SELECT doc_id, toks, n, greatest(n - 31, 1) AS lst
-          FROM t WHERE n > 0),
-        st AS (SELECT doc_id, toks, n,
-            CASE WHEN (lst - 1) % 32 = 0 THEN range(1, lst + 1, 32)
-                 ELSE list_append(range(1, lst + 1, 32), lst) END AS starts
-          FROM s),
-        e AS (SELECT doc_id, toks, n, unnest(starts) AS strt,
-            generate_subscripts(starts, 1) - 1 AS ci FROM st),
+        s AS (SELECT doc_id, toks, n FROM t WHERE n > 0),
+        e AS (SELECT doc_id, toks, n, unnest(range(1, n + 1, 32)) AS strt,
+            generate_subscripts(range(1, n + 1, 32), 1) - 1 AS ci FROM s),
         ch AS (SELECT doc_id, ci,
             array_to_string(toks[strt:strt+31], ' ') AS chunk_text FROM e),
         p AS (SELECT doc_id, CAST(ci AS BIGINT) AS pair_idx,

@@ -111,25 +111,24 @@ class ChunkingSpec extends SparkSpec {
     assert(rep.filter(col("n_docs") < 2).count() == 0)
   }
 
-  test("adjacentChunkPairs: consecutive non-overlapping chunks, in order, no token shared") {
+  test("adjacentChunkPairs: disjoint blocks, in order, NO pair shares a token — tail included") {
     import spark.implicits._
-    // 10 tokens, chunkSize=stride=3 → chunks at 1,4,7 + tail at 8:
-    // starts 1,4,7,8 → pairs (0,1) (1,2) (2,3)
+    // 10 tokens, chunkSize=3 → blocks 1-3, 4-6, 7-9, 10 (short tail,
+    // NOT re-anchored) → pairs (0,1) (1,2) (2,3)
     val doc = Seq((7L, (1 to 10).map(i => s"tok$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val pairs = Chunking.adjacentChunkPairs(
-        Chunking.slidingChunks(doc, "doc_id", "text", chunkSize = 3, stride = 3),
-        "doc_id")
+    val pairs = Chunking.adjacentChunkPairs(doc, "doc_id", "text", chunkSize = 3)
       .orderBy("pair_idx")
       .as[(Long, Long, String, String)].collect()
     assert(pairs.map(_._2).toSeq == Seq(0L, 1L, 2L))
     assert(pairs(0)._3 == "tok1 tok2 tok3" && pairs(0)._4 == "tok4 tok5 tok6")
-    // non-overlapping strides ⇒ full-size adjacent pairs never share a token
-    pairs.init.foreach { case (_, _, a, b) =>
+    assert(pairs(2)._3 == "tok7 tok8 tok9" && pairs(2)._4 == "tok10",
+      "the tail block must be the short remainder, never an overlapping re-anchor")
+    // EVERY pair — tail pair included — is token-disjoint
+    pairs.foreach { case (_, _, a, b) =>
       assert(a.split(" ").toSet.intersect(b.split(" ").toSet).isEmpty) }
-    // single-chunk docs produce no pairs
+    // single-block docs produce no pairs
     val one = Seq((8L, "a b")).toDF("doc_id", "text")
-    assert(Chunking.adjacentChunkPairs(
-      Chunking.slidingChunks(one, "doc_id", "text", 3, 3), "doc_id").count() == 0)
+    assert(Chunking.adjacentChunkPairs(one, "doc_id", "text", 3).count() == 0)
   }
 }

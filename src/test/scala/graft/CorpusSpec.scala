@@ -241,30 +241,47 @@ class CorpusSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
-  test("temperatureMix: α<1 up-weights the small source, α=1 is proportional") {
+  test("temperatureMix: α<1 up-weights the small source, clipped mass renormalizes") {
     import spark.implicits._
-    // big: 900 docs, small: 100. Proportional keep at 50% is ~50/50%;
-    // α=0.5 tempers to n^0.5 weights 30:10 → small's rate ~3× big's.
+    // big: 900 docs, small: 100, targetFrac 0.5 → budget 500.
+    // α=0.5: weights 30:10 ask the small source for 125 docs — it
+    // saturates at 100, and water-filling hands the surplus to big:
+    // c = (500−100)/30 = 13.3̄ → big rate 0.4̄ (cell-quantized 114/256).
     val docs = ((0L until 900L).map(i => (i, "big")) ++
       (1000L until 1100L).map(i => (i, "small"))).toDF("doc_id", "source")
-    def rates(alpha: Double): (Double, Double) = {
-      val kept = Corpus.temperatureMix(docs, "doc_id", "source",
-          alpha, targetFrac = 0.5)
+    def kept(alpha: Double): Map[String, Long] =
+      Corpus.temperatureMix(docs, "doc_id", "source", alpha, targetFrac = 0.5)
         .groupBy("source").count().as[(String, Long)].collect().toMap
-      (kept.getOrElse("big", 0L) / 900.0, kept.getOrElse("small", 0L) / 100.0)
-    }
-    val (bigProp, smallProp) = rates(1.0)
+    val prop = kept(1.0)
     // α=1: both sources sampled at the same ~50% rate (±cell quantization)
-    assert(math.abs(bigProp - smallProp) < 0.1,
-      s"alpha=1 must be proportional (big $bigProp small $smallProp)")
-    val (bigT, smallT) = rates(0.5)
-    assert(smallT > bigT * 2,
-      s"alpha=0.5 must up-weight the small source (big $bigT small $smallT)")
+    assert(math.abs(prop("big") / 900.0 - prop("small") / 100.0) < 0.1,
+      s"alpha=1 must be proportional ($prop)")
+    val tempered = kept(0.5)
+    assert(tempered("small") == 100L,
+      s"the saturated small source must be kept WHOLE ($tempered)")
+    val bigRate = tempered("big") / 900.0
+    assert(bigRate > 0.35 && bigRate < 0.55, s"big rate $bigRate off water-fill")
+    val total = tempered.values.sum
+    assert(math.abs(total - 500L) < 60,
+      s"renormalization must hold the targetFrac budget (total $total vs 500)")
     // deterministic: the same call selects the same ids
     val a = Corpus.temperatureMix(docs, "doc_id", "source", 0.5, 0.5)
       .select("doc_id").as[Long].collect().toSet
     val b = Corpus.temperatureMix(docs, "doc_id", "source", 0.5, 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
+  }
+
+  test("temperatureMix: NULL-source rows keep their computed rate, not silently dropped") {
+    import spark.implicits._
+    val docs = ((0L until 200L).map(i => (i, Option("src"))) ++
+      (1000L until 1200L).map(i => (i, Option.empty[String])))
+      .toDF("doc_id", "source")
+    val byGroup = Corpus.temperatureMix(docs, "doc_id", "source",
+        alpha = 1.0, targetFrac = 0.5)
+      .groupBy("source").count().as[(Option[String], Long)].collect().toMap
+    val nullKept = byGroup.getOrElse(None, 0L)
+    assert(nullKept > 50L && nullKept < 150L,
+      s"null-source group must sample at ~50%, kept $nullKept of 200")
   }
 }

@@ -597,4 +597,29 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().head
     assert(first._3 == 5L)
   }
+
+  test("mmrRerank: a zero-norm candidate neither crashes nor poisons later steps") {
+    import spark.implicits._
+    // the zero vector wins step 1 on relevance; its similarity to
+    // everything is 0 by contract, so steps 2–3 proceed with finite
+    // scores (no NaN cascade, no fabricated (-1, -Inf) row)
+    val cand = Seq(
+      (1L, 1L, 0.9, Seq(0.0, 0.0)),
+      (1L, 2L, 0.5, Seq(1.0, 0.0)),
+      (1L, 3L, 0.45, Seq(1.0, 0.0))).toDF("probe_id", "cand_id", "rel", "e")
+    val out = Similarity.mmrRerank(cand, "probe_id", "cand_id", "rel", "e",
+        k = 3, lambda = 0.7)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+    // step 3: C pays full redundancy vs B (cos 1) but none vs the zero vec
+    assert(math.abs(out(2)._4 - (0.7 * 0.45 - 0.3 * 1.0)) < 1e-6)
+    // misuse guards
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(cand, "probe_id", "cand_id", "rel", "e", 3, 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(cand, "probe_id", "cand_id", "rel", "e", 0, 0.5)
+    }
+  }
 }

@@ -13,6 +13,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // unique warehouse per test JVM — see GraftSession.local
+      .config("spark.sql.warehouse.dir",
+        s"target/graft-wh-test-${java.util.UUID.randomUUID().toString.take(8)}")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
