@@ -81,6 +81,46 @@ object Corpus {
       .drop("__key")
   }
 
+  /**
+   * Curriculum ordering (Bengio et al., ICML'09 "Curriculum Learning"):
+   * a global ease order — higher `easeCol` schedules earlier — cut into
+   * `bins` equal-population difficulty stages, each stage internally
+   * permuted by the same md5 shuffle [[shuffleOrder]] uses. The loader
+   * consumes (bin asc, shard round-robin, pos asc): easy examples first,
+   * hard ones last, no within-stage order bias, and — like every sampler
+   * here — the whole schedule is reproducible from (corpus, salt) with
+   * zero RNG state; a new epoch's re-shuffle is a salt change that
+   * PRESERVES the curriculum stages.
+   *
+   * Shape at 100 TB: the global ease rank rides
+   * [[graft.ops.RowIndex.globalIndex]] (range exchange + parallel
+   * per-partition sorts + a P-element driver offset array — never a
+   * SinglePartition window), bin assignment is exact integer arithmetic
+   * against a broadcast 1-row count, and the within-bin permutation is
+   * one hash exchange on (bin, shard) + per-shard sorts. No stage holds
+   * more than a shard's rows in one task.
+   */
+  def curriculumOrder(df: DataFrame, idCol: String, easeCol: String,
+                      bins: Int, shards: Int, salt: String = ""): DataFrame = {
+    require(bins > 0, s"bins=$bins must be positive")
+    require(shards > 0, s"shards=$shards must be positive")
+    val idx = graft.ops.RowIndex.globalIndex(
+      df.select(col(idCol), (-col(easeCol).cast("double")).as("__nease")),
+      Seq("__nease", idCol), "__idx")
+    val n = idx.agg(count(lit(1)).as("__N"))
+    val binned = idx.crossJoin(broadcast(n))
+      .select(col(idCol), expr(s"__idx * $bins div __N").as("bin"))
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("bin"), col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    binned.withColumn("__key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 2), 16, 10).cast("int"),
+          lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        frac: Double): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))

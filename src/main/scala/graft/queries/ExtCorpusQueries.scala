@@ -948,6 +948,31 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
+    // Curriculum ordering: n_chars as the ease signal (longest docs
+    // schedule first here — the signal is caller-defined), 4
+    // equal-population stages, md5-permuted within each stage. The
+    // oracle replays the global rank, the exact integer bin split, and
+    // the within-(bin, shard) permutation.
+    QueryDef("ext_curriculum_order", (s, dir) =>
+      Corpus.curriculumOrder(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", bins = 4, shards = 4),
+      Some("""WITH i AS (SELECT doc_id,
+          row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS idx,
+          count(*) OVER () AS n FROM documents),
+        b AS (SELECT doc_id, (idx * 4) // n AS bin FROM i),
+        k AS (SELECT doc_id, bin,
+          md5(CAST(doc_id AS VARCHAR)) AS key FROM b),
+        sh AS (SELECT doc_id, bin, key,
+          CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % 4
+            AS INTEGER) AS shard FROM k)
+      SELECT doc_id, CAST(bin AS BIGINT) AS bin, shard,
+        CAST(row_number() OVER (PARTITION BY bin, shard
+          ORDER BY key, doc_id) AS BIGINT) AS pos
+      FROM sh""")),
+
+
     // Contrastive positive pairs: DISJOINT consecutive 32-token blocks
     // of one document (last block possibly short, never re-anchored —
     // a pair provably never shares a token position). The oracle

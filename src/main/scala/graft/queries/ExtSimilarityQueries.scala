@@ -863,6 +863,65 @@ object ExtSimilarityQueries {
       UNION ALL
       SELECT probe_id, CAST(2 AS BIGINT), vec_id, mmr FROM s2
       UNION ALL
+      SELECT probe_id, CAST(3 AS BIGINT), vec_id, mmr FROM s3""")),
+
+
+    // Degenerate vectors through MMR: the zero vector tops relevance and
+    // is picked first — its similarity to everything is 0 by contract
+    // (engine: zero-norm cosine ≡ 0; oracle: coalesce(NULL, 0)), so it
+    // never poisons later steps. Step 3 then prefers the ANTI-parallel
+    // vector (cos −1 ⇒ no redundancy penalty) over the 1e-20 twin of an
+    // already-selected vector (cos 1 ⇒ full penalty) despite its lower
+    // relevance — redundancy demotion pinned cross-engine on the exact
+    // degenerate family.
+    QueryDef("ext_adv_mmr", (s, dir) => {
+      val cand = advVecs(s, dir).filter(col("vec_id") >= 9100001L)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+        .withColumn("probe_id", lit(0L))
+        .withColumn("rel", round((lit(9100006L) - col("vec_id"))
+          .cast("double") / 10.0 + lit(1e-9), 6))
+      Similarity.mmrRerank(cand, "probe_id", "vec_id", "rel", "e",
+        k = 3, lambda = 0.7)
+    }, Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM $DuckAdvVecs WHERE vec_id >= 9100001),
+      cand AS (SELECT CAST(0 AS BIGINT) AS probe_id, vec_id, e,
+          round((9100006 - vec_id) / 10.0 + 1e-9, 6) AS rel FROM v),
+      s1 AS (SELECT probe_id, vec_id, e, mmr FROM (
+          SELECT *, round(0.7 * rel + 1e-9, 6) AS mmr,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY round(0.7 * rel + 1e-9, 6) DESC, vec_id) AS rn
+          FROM cand) WHERE rn = 1),
+      m2 AS (SELECT c.probe_id, c.vec_id, c.e, c.rel,
+          round(0.7 * c.rel - (1 - 0.7) * coalesce(
+            list_inner_product(c.e, s.e) /
+              nullif(sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(s.e, s.e)), 0), 0) + 1e-9, 6)
+            AS mmr
+        FROM cand c JOIN s1 s ON c.probe_id = s.probe_id
+        WHERE c.vec_id <> s.vec_id),
+      s2 AS (SELECT probe_id, vec_id, e, mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM m2) WHERE rn = 1),
+      m3 AS (SELECT c.probe_id, c.vec_id,
+          round(0.7 * c.rel - (1 - 0.7) * greatest(
+            coalesce(list_inner_product(c.e, a.e) /
+              nullif(sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0), 0),
+            coalesce(list_inner_product(c.e, b.e) /
+              nullif(sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(b.e, b.e)), 0), 0)) + 1e-9, 6)
+            AS mmr
+        FROM cand c JOIN s1 a ON c.probe_id = a.probe_id
+                    JOIN s2 b ON c.probe_id = b.probe_id
+        WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id),
+      s3 AS (SELECT probe_id, vec_id, mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM m3) WHERE rn = 1)
+      SELECT probe_id, CAST(1 AS BIGINT) AS rank, vec_id, mmr FROM s1
+      UNION ALL
+      SELECT probe_id, CAST(2 AS BIGINT), vec_id, mmr FROM s2
+      UNION ALL
       SELECT probe_id, CAST(3 AS BIGINT), vec_id, mmr FROM s3"""))
   )
 }

@@ -272,6 +272,34 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("curriculumOrder: equal-population stages by ease, shuffled within, salt-stable") {
+    import spark.implicits._
+    // ease 1..8 over 8 docs, 4 bins → the two easiest (ease 8, 7) are
+    // stage 0, …, the two hardest (ease 2, 1) are stage 3
+    val docs = (1L to 8L).map(i => (i, i.toDouble)).toDF("doc_id", "ease")
+    val out = Corpus.curriculumOrder(docs, "doc_id", "ease",
+        bins = 4, shards = 2)
+      .select("doc_id", "bin", "shard", "pos")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    val binOf = out.map(r => r._1 -> r._2).toMap
+    assert(binOf(8L) == 0L && binOf(7L) == 0L)
+    assert(binOf(2L) == 3L && binOf(1L) == 3L)
+    // positions are consecutive from 1 within each (bin, shard)
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // same salt = same schedule; a new salt preserves the STAGES while
+    // re-permuting within them
+    val again = Corpus.curriculumOrder(docs, "doc_id", "ease", 4, 2)
+      .select("doc_id", "bin", "shard", "pos")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+    val epoch2 = Corpus.curriculumOrder(docs, "doc_id", "ease", 4, 2, salt = "e2")
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out.forall(r => epoch2(r._1) == r._2),
+      "a salt change must re-shuffle within stages, never move a doc across stages")
+  }
+
   test("temperatureMix: NULL-source rows keep their computed rate, not silently dropped") {
     import spark.implicits._
     val docs = ((0L until 200L).map(i => (i, Option("src"))) ++
