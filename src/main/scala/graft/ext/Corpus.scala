@@ -82,6 +82,35 @@ object Corpus {
   }
 
   /**
+   * Corpus snapshot diff — the version audit between two corpus builds
+   * (what changed since the last release: regulatory takedowns applied?
+   * re-crawl drift? silent loss?): full-outer join of the two snapshots
+   * on the doc id, comparing normalized-content fingerprints. Returns
+   * ONLY the differences as (idCol, status ∈ added | removed | changed)
+   * — at corpus scale the unchanged set is the overwhelming majority
+   * and echoing it back would dominate the output for no information.
+   *
+   * Scale shape: each snapshot is reduced to (id, 64-bit fp) on the
+   * scan, then one id-keyed shuffle per side for the join — or zero if
+   * both snapshots are stored bucketed by id, the natural layout for
+   * versioned corpora (see `Materialize.bucketTable`).
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).cast("long").as(idCol),
+      TextOps.fingerprint(col(textCol)).as("__ofp"))
+    val n = newSnap.select(col(idCol).cast("long").as(idCol),
+      TextOps.fingerprint(col(textCol)).as("__nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ofp").isNull, "added")
+          .when(col("__nfp").isNull, "removed")
+          .when(col("__ofp") =!= col("__nfp"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
+  /**
    * Curriculum ordering (Bengio et al., ICML'09 "Curriculum Learning"):
    * a global ease order — higher `easeCol` schedules earlier — cut into
    * `bins` equal-population difficulty stages, each stage internally

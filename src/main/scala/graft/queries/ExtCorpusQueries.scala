@@ -948,6 +948,40 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
+    // Corpus snapshot diff: v2 drops every 7th doc, appends an edit to
+    // every 5th-mod-1, and adds fresh ids — the audit must report
+    // exactly those as removed/changed/added and stay silent on the
+    // unchanged majority. Fingerprint equality engine-side ≡ normalized
+    // text equality oracle-side (the ext_dedup_exact correspondence).
+    QueryDef("ext_snapshot_diff", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(docs, v2, "doc_id", "text")
+    }, Some(s"""WITH oldc AS (SELECT doc_id, text FROM documents),
+      newc AS (
+        SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN text || ' v2 edit'
+          ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 11 = 3),
+      o AS (SELECT doc_id,
+        coalesce(array_to_string($DuckToks, ' '), '') AS norm FROM oldc),
+      n AS (SELECT doc_id,
+        coalesce(array_to_string($DuckToks, ' '), '') AS norm FROM newc),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          o.norm AS onorm, n.norm AS nnorm
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT doc_id, CASE WHEN onorm IS NULL THEN 'added'
+          WHEN nnorm IS NULL THEN 'removed'
+          WHEN onorm <> nnorm THEN 'changed' END AS status
+      FROM j
+      WHERE onorm IS NULL OR nnorm IS NULL OR onorm <> nnorm""")),
+
+
     // Curriculum ordering: n_chars as the ease signal (longest docs
     // schedule first here — the signal is caller-defined), 4
     // equal-population stages, md5-permuted within each stage. The

@@ -272,6 +272,21 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("snapshotDiff: reports exactly added/removed/changed, silent on unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a b c"), (2L, "x y"), (3L, "p q")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a b c"), (2L, "x y z"), (4L, "new doc"))
+      .toDF("doc_id", "text")
+    val diff = Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // normalization-equivalent edits (case/whitespace) are NOT changes
+    val v2b = Seq((1L, "A  b   C")).toDF("doc_id", "text")
+    val d2 = Corpus.snapshotDiff(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), v2b, "doc_id", "text")
+    assert(d2.count() == 0)
+  }
+
   test("curriculumOrder: equal-population stages by ease, shuffled within, salt-stable") {
     import spark.implicits._
     // ease 1..8 over 8 docs, 4 bins → the two easiest (ease 8, 7) are
