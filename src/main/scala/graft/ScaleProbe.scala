@@ -421,6 +421,50 @@ object ScaleProbe {
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
+
+    // ---- MMR selection stage: parallelism in the probe count -----------
+    // the claim under test: the greedy selection is ONE groupByKey
+    // exchange of probes×N candidate rows with per-probe O(k·N) local
+    // work — so wall grows (sub)linearly in probes and never quadratically
+    // (candidate GENERATION cost is the retrieval leg's, measured by the
+    // sim_topk family, and is excluded here by pre-materializing).
+    for (m <- multSteps if section("mmr")) {
+      val probes = 500 * m
+      val cand = spark.range(0, probes).toDF("probe_id")
+        .crossJoin(spark.range(0, 12).toDF("ci"))
+        .select(col("probe_id"), (col("probe_id") * 100 + col("ci")).as("cand_id"),
+          round(lit(1.0) / (col("ci") + 2), 6).as("rel"),
+          transform(sequence(lit(0), lit(63)),
+            i => sin(i.cast("double") * (col("probe_id") % 17 + 1)
+              + col("ci").cast("double"))).as("e"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      cand.count()
+      val (nOut, tSel) = timed {
+        graft.ext.Similarity.mmrRerank(cand, "probe_id", "cand_id",
+          "rel", "e", k = 5, lambda = 0.7).count()
+      }
+      println(f"[scaleprobe] mmr m=$m probes=$probes out=$nOut time=$tSel%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    // ---- curriculum ordering: no single-reducer cliff ------------------
+    // the claim under test: the global ease rank rides RowIndex (range
+    // exchange + parallel sorts), so wall stays near-linear in rows where
+    // a row_number() OVER (ORDER BY) window would hit one reducer.
+    for (m <- multSteps if section("curriculum")) {
+      val docs = amplifyDocs(docs0, m)
+        .withColumn("ease", length(col("text")).cast("double"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = docs.count()
+      val (nOut, tCur) = timed {
+        graft.ext.Corpus.curriculumOrder(docs, "doc_id", "ease",
+          bins = 8, shards = 32).count()
+      }
+      println(f"[scaleprobe] curriculum m=$m docs=$n out=$nOut time=$tCur%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
