@@ -948,6 +948,53 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
+    // Temperature mixture under SATURATION (the branch the uniform
+    // fixture sources never reach): a singleton source (thr 1) and a
+    // 5-doc rare source (thr n^0.75) both saturate at rate 1 under
+    // α=0.25 up-weighting; the water-filling must hand their unabsorbed
+    // budget to the bulk source — two prefix rows are consumed before
+    // the budget constant pins. The oracle replays the same two-step
+    // saturation.
+    QueryDef("ext_adv_temperature", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") === 1, "one")
+          .when(col("doc_id") % 101 === 0, "rare")
+          .otherwise("bulk").as("source"))
+      Corpus.temperatureMix(docs, "doc_id", "source",
+          alpha = 0.25, targetFrac = 0.5)
+        .select(col("doc_id"), col("source"))
+    }, Some("""WITH docs AS (SELECT doc_id,
+          CASE WHEN doc_id = 1 THEN 'one'
+               WHEN doc_id % 101 = 0 THEN 'rare'
+               ELSE 'bulk' END AS source FROM documents),
+      c0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM docs GROUP BY source),
+      w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.25) AS w,
+          pow(CAST(n AS DOUBLE), 1 - 0.25) AS thr FROM c0),
+      t AS (SELECT sum(w) AS sw, CAST(sum(n) AS DOUBLE) AS tot FROM w),
+      pre AS (SELECT source, n, w, thr, sw, tot,
+          coalesce(sum(CAST(n AS DOUBLE)) OVER (ORDER BY thr, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_n,
+          coalesce(sum(w) OVER (ORDER BY thr, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_w
+        FROM w CROSS JOIN t),
+      cc AS (SELECT (0.5 * tot - pre_n) / (sw - pre_w) AS cstar
+        FROM pre WHERE (0.5 * tot - pre_n) / (sw - pre_w) < thr
+        ORDER BY thr, source LIMIT 1),
+      r AS (SELECT w.source, greatest(1.0, round(least(1.0,
+            coalesce(cc.cstar, 1e308) * w.w / CAST(w.n AS DOUBLE)) * 256
+            + 1e-9)) AS cells
+        FROM w LEFT JOIN cc ON TRUE),
+      d AS (SELECT doc_id, source,
+          (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS cell
+        FROM docs)
+      SELECT d.doc_id, d.source FROM d JOIN r ON d.source = r.source
+      WHERE d.cell < r.cells""")),
+
+
     // Corpus snapshot diff: v2 drops every 7th doc, appends an edit to
     // every 5th-mod-1, and adds fresh ids — the audit must report
     // exactly those as removed/changed/added and stay silent on the
