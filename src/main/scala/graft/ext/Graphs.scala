@@ -63,4 +63,51 @@ object Graphs {
     }
     pr
   }
+
+  /**
+   * Deterministic synchronous label propagation (Raghavan et al. 2007,
+   * "Near linear time algorithm to detect community structures"):
+   * community detection over a similarity graph — the coarser,
+   * density-driven complement to [[graft.ext.Dedup.connectedComponents]]
+   * (components merge through ANY edge; LPA communities form around
+   * densely-linked cores, e.g. topic clusters in a kNN graph).
+   * Labels start as node ids; each round every node takes the most
+   * frequent label among its UNDIRECTED neighbors, smallest label on
+   * ties — integer counts and id tiebreaks end to end, so the
+   * trajectory is bit-reproducible on any engine with no fp
+   * stabilization needed (the property that lets an unrolled SQL oracle
+   * replay it). Synchronous updates on a fixed round budget: the
+   * classic bipartite oscillation is deterministic too, not a
+   * divergence.
+   *
+   * Scale shape per round: one edge-list shuffle keyed by src (label
+   * pickup), one (node, label) hash aggregation with map-side combine,
+   * and one per-node max(struct) — edges move, never an adjacency
+   * matrix; label state is one row per node. iters × O(|E|), the
+   * Pregel shape, declaratively.
+   *
+   * @return (id, label) after `iters` rounds — nodes sharing a label
+   *         are one community
+   */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("src_id"), col("dst_id"))
+    val sym = graft.core.CacheRegistry.persistTracked(
+      e0.unionByName(e0.select(col("dst_id").as("src_id"),
+        col("src_id").as("dst_id"))).distinct())
+    val nodes = graft.core.CacheRegistry.persistTracked(
+      sym.select(col("src_id").as("id")).distinct())
+    var lab = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val neigh = sym
+        .join(lab.withColumnRenamed("id", "src_id"), Seq("src_id"))
+        .groupBy(col("dst_id").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = neigh.groupBy("id")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
+        .select(col("id"), (-col("b").getField("nl")).as("label"))
+      lab = nodes.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
+    lab
+  }
 }

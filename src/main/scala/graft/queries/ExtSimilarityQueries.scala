@@ -704,6 +704,46 @@ object ExtSimilarityQueries {
       SELECT id AS vec_id, pr FROM p2""")),
 
 
+    // Label-propagation communities over the same kNN graph (2 synchronous
+    // rounds): labels are ids, each node takes its neighbors' most
+    // frequent label (min on ties) over the SYMMETRIZED edges — integer
+    // counts end to end, so the oracle replays the trajectory exactly.
+    QueryDef("ext_lpa_knn", (s, dir) => {
+      val edges = Similarity.knnGraphFused(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3).select("src_id", "dst_id")
+      graft.ext.Graphs.labelPropagation(edges, iters = 2)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+            round(list_inner_product(b.e, a.e) /
+              nullif(sqrt(list_inner_product(b.e, b.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+          FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY score DESC, dst_id) AS rn FROM scored),
+        edges AS (SELECT src_id, dst_id FROM ranked WHERE rn <= 3),
+        sym AS (SELECT src_id, dst_id FROM edges
+          UNION SELECT dst_id, src_id FROM edges),
+        nd AS (SELECT DISTINCT src_id AS id FROM sym),
+        n1 AS (SELECT s.dst_id AS id, l.id AS label, count(*) AS c
+          FROM sym s JOIN nd l ON l.id = s.src_id GROUP BY 1, 2),
+        b1 AS (SELECT id, label FROM (SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY c DESC, label) AS rn FROM n1)
+          WHERE rn = 1),
+        l1 AS (SELECT nd.id, coalesce(b1.label, nd.id) AS label
+          FROM nd LEFT JOIN b1 ON b1.id = nd.id),
+        n2 AS (SELECT s.dst_id AS id, l.label, count(*) AS c
+          FROM sym s JOIN l1 l ON l.id = s.src_id GROUP BY 1, 2),
+        b2 AS (SELECT id, label FROM (SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY c DESC, label) AS rn FROM n2)
+          WHERE rn = 1),
+        l2 AS (SELECT nd.id, coalesce(b2.label, nd.id) AS label
+          FROM nd LEFT JOIN b2 ON b2.id = nd.id)
+      SELECT id AS vec_id, label AS community FROM l2""")),
+
+
     // ───────────────────────── adversarial robustness ─────────────────
 
     // Degenerate vectors through exact cosine top-k: a zero-norm CORPUS

@@ -34,4 +34,23 @@ class GraphsSpec extends SparkSpec {
     assert(pr1(4L) === expected4r1)
     graft.core.CacheRegistry.releaseAll()
   }
+
+  test("labelPropagation: a triangle converges to its min id; a 2-cycle oscillates deterministically") {
+    import spark.implicits._
+    // triangle 1-2-3 (given directed, symmetrized internally) + the
+    // isolated edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L))
+      .toDF("src_id", "dst_id")
+    // hand trace — r1: 1→min(2,3)=2, 2→min(1,3)=1, 3→min(1,2)=1,
+    //              10↔11 swap; r2: 1→1 (both nbrs carry 1), 2→min(2,1)=1,
+    //              3→min(2,1)=1, 10/11 swap back
+    val l2 = Graphs.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 11L))
+    // determinism: same rounds, same labels
+    val again = Graphs.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == l2)
+    graft.core.CacheRegistry.releaseAll()
+  }
 }
