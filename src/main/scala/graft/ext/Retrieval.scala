@@ -85,6 +85,54 @@ object Retrieval {
   }
 
   /**
+   * Pseudo-relevance-feedback query expansion (the RM3 posture, Lavrenko
+   * & Croft relevance models, deterministic variant): run the query,
+   * treat its top `feedbackK` documents as relevant, rank their terms by
+   * Σ tf·idf over the feedback set (6-digit rounded, term-tiebroken),
+   * and append the best `expandTerms` NEW terms to each query. Feed the
+   * result back into [[bm25TopK]] (or [[bm25TopKIndexed]]) for the
+   * second pass — recall rises for vocabulary-mismatch queries at the
+   * cost of one extra retrieval round.
+   *
+   * Scale shape: the first pass is BM25's own cost; expansion joins the
+   * (doc, term) frame against the BROADCAST feedback set (queries×k
+   * rows), aggregates into (query, term) groups map-side, and the
+   * per-query top-E is a window over candidate terms of ≤k docs. For a
+   * standing service, read tf/df from the materialized index
+   * ([[buildBm25Index]]) instead of re-tokenizing — this convenience
+   * form re-derives them from the corpus.
+   *
+   * @return the expanded (query_id, term) set: original ∪ top-E fresh
+   */
+  def prfExpand(docs: DataFrame, queries: DataFrame, feedbackK: Int,
+                expandTerms: Int, k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(feedbackK >= 1 && expandTerms >= 1,
+      s"feedbackK=$feedbackK / expandTerms=$expandTerms must be >= 1")
+    val first = bm25TopK(docs, queries, feedbackK, k1, b)
+      .select("query_id", "doc_id")
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = broadcast(tf.agg(countDistinct(col("doc_id")).as("n_docs")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val cand = tf.join(broadcast(first), Seq("doc_id"))
+      .join(dfreq, Seq("term")).crossJoin(stats)
+      .groupBy("query_id", "term")
+      .agg(round(sum(col("tc") * idf) + lit(1e-9), 6).as("wt"))
+    val fresh = cand.join(queries.select("query_id", "term"),
+      Seq("query_id", "term"), "left_anti")
+    val exp = fresh.withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("wt"), col("term"))))
+      .filter(col("__rn") <= expandTerms)
+      .select("query_id", "term")
+    queries.select("query_id", "term").unionByName(exp)
+  }
+
+  /**
    * Materialize the BM25 inverted index as tables: postings
    * (doc_id, term, tc, dl) bucketed by term — so every later term-keyed
    * operation (df counts, the posting join) finds its shuffle pre-paid

@@ -584,6 +584,64 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
 
 
+    // Pseudo-relevance-feedback retrieval (RM3 posture): pass 1 BM25 →
+    // top-5 feedback docs per query → top-2 fresh tf·idf terms appended
+    // → pass 2 BM25 over the expanded queries. The oracle replays both
+    // passes and the expansion ranking in one statement.
+    QueryDef("ext_bm25_prf", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val q0 = graft.ext.Retrieval.dfDerivedQueries(docs, n = 4, perQuery = 3)
+      val expanded = graft.ext.Retrieval.prfExpand(docs, q0,
+        feedbackK = 5, expandTerms = 2)
+      graft.ext.Retrieval.bm25TopK(docs, expanded, k = 5)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST((rnk - 11) // 3 AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+        WHERE rnk BETWEEN 11 AND 22),
+      scored AS (SELECT qt.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      fb AS (SELECT query_id, doc_id FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM scored) WHERE rn <= 5),
+      cand AS (SELECT fb.query_id, dl.term,
+          round(sum(dl.tc *
+            ln(1 + (n_docs - f.df + 0.5) / (f.df + 0.5))) + 1e-9, 6) AS wt
+        FROM fb JOIN dl ON dl.doc_id = fb.doc_id
+        JOIN dfreq f ON f.term = dl.term CROSS JOIN stats
+        GROUP BY 1, 2),
+      fresh AS (SELECT c.query_id, c.term, c.wt FROM cand c
+        LEFT JOIN qt ON qt.query_id = c.query_id AND qt.term = c.term
+        WHERE qt.term IS NULL),
+      exp AS (SELECT query_id, term FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY wt DESC, term) AS rn FROM fresh)
+        WHERE rn <= 2),
+      qt2 AS (SELECT q.query_id, q.term, f.df FROM (
+          SELECT query_id, term FROM qt
+          UNION ALL SELECT query_id, term FROM exp) q
+        JOIN dfreq f USING (term)),
+      scored2 AS (SELECT qt2.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt2.df + 0.5) / (qt2.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt2 USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      ranked2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored2)
+      SELECT query_id, doc_id, score FROM ranked2 WHERE rn <= 5""")),
+
+
     // Entity-resolution blocking (record linkage): candidate pairs from
     // a composite block key (first name token × p_size), verified by
     // edit distance — the classic blocking-then-verify shape that

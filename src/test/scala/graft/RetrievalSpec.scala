@@ -190,4 +190,20 @@ class RetrievalSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
     graft.core.CacheRegistry.releaseAll()
   }
+
+  test("prfExpand: appends the top fresh tf·idf term, never an original term") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana date"),
+      (3L, "apple banana elder"),
+      (4L, "zebra yak xray")).toDF("doc_id", "text")
+    val q = Seq((0L, "apple")).toDF("query_id", "term")
+    val expanded = Retrieval.prfExpand(docs, q, feedbackK = 3, expandTerms = 1)
+      .as[(Long, String)].collect().toSet
+    // feedback docs are 1-3; candidates: banana (tf 3 × low idf ≈ 1.07),
+    // cherry/date/elder (tf 1 × singleton idf ≈ 1.204, term-tiebroken)
+    // — 'apple' itself is excluded as an original term
+    assert(expanded == Set((0L, "apple"), (0L, "cherry")))
+    graft.core.CacheRegistry.releaseAll()
+  }
 }
