@@ -133,6 +133,48 @@ object Retrieval {
   }
 
   /**
+   * Retrieval quality metrics against a binary-relevance ground truth:
+   * per query with truth, recall@k, MRR (1/rank of the first relevant
+   * hit), and nDCG@k (1/log2(rank+1) gains, ideal = the top
+   * min(k, n_rel) positions). The measurement half of a retrieval
+   * stack — what turns "the ANN returned something" into a recall
+   * curve. All three metrics are 6-digit rounded; queries with truth
+   * but no results score zeros; queries without truth are not judged.
+   *
+   * Scale shape: ranking is a window inside ≤result-set-sized query
+   * groups; the hit join is (query, doc)-keyed; every aggregate is
+   * map-side combinable and output is one row per judged query. Nothing
+   * corpus-proportional happens here — the legs being measured own that.
+   */
+  def evalMetrics(results: DataFrame, truth: DataFrame, k: Int,
+                  queryIdCol: String = "query_id",
+                  docIdCol: String = "doc_id",
+                  scoreCol: String = "score"): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val ranked = results.withColumn("__rank", row_number().over(
+        Window.partitionBy(queryIdCol).orderBy(desc(scoreCol), col(docIdCol))))
+      .filter(col("__rank") <= k)
+    val t = truth.select(col(queryIdCol), col(docIdCol)).distinct()
+    val nRel = t.groupBy(queryIdCol).agg(count(lit(1)).as("n_rel"))
+    val perQ = ranked.join(t, Seq(queryIdCol, docIdCol))
+      .groupBy(queryIdCol).agg(
+        count(lit(1)).as("__hits"),
+        min(col("__rank")).as("__minrank"),
+        sum(lit(1.0) / log2(col("__rank") + 1)).as("__dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(lit(k.toLong), col("n_rel")).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+    nRel.join(perQ, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_rel"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_rel") + lit(1e-9), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("__minrank"), lit(0.0)) + lit(1e-9), 6)
+          .as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / idcg + lit(1e-9), 6)
+          .as("ndcg"))
+  }
+
+  /**
    * Materialize the BM25 inverted index as tables: postings
    * (doc_id, term, tc, dl) bucketed by term — so every later term-keyed
    * operation (df counts, the posting join) finds its shuffle pre-paid

@@ -993,6 +993,42 @@ object Similarity {
     BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * kNN label transfer (semi-supervised auto-labeling): every unlabeled
+   * vector takes the MAJORITY label of its k nearest labeled neighbors
+   * by cosine (rounded scores, id-tiebroken k-set — [[bruteForceTopK]]'s
+   * contract), smallest label on vote ties. The standard bootstrap for
+   * extending a small hand-labeled seed set across a large corpus
+   * (quality tiers, topic tags, language families).
+   *
+   * Scale shape: the UNLABELED side is the big one and rides as the
+   * probe set of a top-k scan over the labeled table — when the labeled
+   * seed set is the small side (the norm), flip roles: labeled as the
+   * scan, unlabeled batched as broadcast probes, exactly what this does.
+   * Voting is one hash agg on (probe, label) + a per-probe max(struct)
+   * — integer counts, no fp in the vote.
+   *
+   * @return (idCol, label, votes) — votes = how many of the k neighbors
+   *         carried the winning label
+   */
+  def knnClassify(labeled: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, unlabeled: DataFrame,
+                  probeIdCol: String, probeVecCol: String,
+                  k: Int): DataFrame = {
+    val topk = bruteForceTopK(labeled, idCol, vecCol,
+      unlabeled, probeIdCol, probeVecCol, k)
+    val votes = topk
+      .join(labeled.select(col(idCol), col(labelCol).cast("long").as("__lab")),
+        Seq(idCol))
+      .groupBy(col(probeIdCol), col("__lab"))
+      .agg(count(lit(1)).as("__votes"))
+    votes.groupBy(probeIdCol)
+      .agg(max(struct(col("__votes"), (-col("__lab")).as("nl"))).as("__b"))
+      .select(col(probeIdCol),
+        (-col("__b").getField("nl")).as("label"),
+        col("__b").getField("__votes").as("votes"))
+  }
+
+  /**
    * Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98):
    * greedily pick k of each probe's candidates maximizing
    * `round(lambda·rel − (1−lambda)·max_{s∈S} cos(c,s) + 1e-9, digits)`,

@@ -744,6 +744,38 @@ object ExtSimilarityQueries {
       SELECT id AS vec_id, label AS community FROM l2""")),
 
 
+    // kNN label transfer: every 3rd vector plays the unlabeled batch,
+    // the rest the labeled seed set; 5-neighbor majority vote, smallest
+    // label on ties. Integer votes — the oracle replays the scored
+    // top-k, the vote count, and the (votes desc, label asc) argmax.
+    QueryDef("ext_knn_classify", (s, dir) => {
+      val all = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val labeled = all.filter(col("vec_id") % 3 =!= 0)
+      val probes = all.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      Similarity.knnClassify(labeled, "vec_id", "embedding", "label",
+        probes, "probe_id", "pe", k = 5)
+    }, Some("""WITH v AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      lab AS (SELECT * FROM v WHERE vec_id % 3 <> 0),
+      prob AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 3 = 0),
+      scored AS (SELECT p.probe_id, l.vec_id, l.label,
+          round(list_inner_product(l.e, p.pe) /
+            nullif(sqrt(list_inner_product(l.e, l.e))
+                 * sqrt(list_inner_product(p.pe, p.pe)), 0) + 1e-9, 6) AS score
+        FROM lab l CROSS JOIN prob p),
+      topk AS (SELECT probe_id, label FROM (SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 5),
+      votes AS (SELECT probe_id, CAST(label AS BIGINT) AS label,
+          CAST(count(*) AS BIGINT) AS votes FROM topk GROUP BY 1, 2),
+      best AS (SELECT probe_id, label, votes FROM (SELECT *,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY votes DESC, label) AS rn FROM votes) WHERE rn = 1)
+      SELECT probe_id, label, votes FROM best""")),
+
+
     // ───────────────────────── adversarial robustness ─────────────────
 
     // Degenerate vectors through exact cosine top-k: a zero-norm CORPUS

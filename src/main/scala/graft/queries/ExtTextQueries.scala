@@ -642,6 +642,66 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked2 WHERE rn <= 5""")),
 
 
+    // Retrieval metrics: BM25 top-10 judged against conjunctive-match
+    // ground truth (a doc is relevant iff it contains ALL the query's
+    // terms). recall@10 / MRR / nDCG@10 replayed end to end by the
+    // oracle, including the ideal-DCG normalizer.
+    QueryDef("ext_retrieval_metrics", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val q0 = graft.ext.Retrieval.dfDerivedQueries(docs, n = 4, perQuery = 3)
+      val results = graft.ext.Retrieval.bm25TopK(docs, q0, k = 10)
+      val tf = docs.select(col("doc_id"),
+        explode(graft.ext.TextOps.tokens(lower(col("text")))).as("term"))
+        .distinct()
+      val nt = q0.groupBy("query_id").agg(count(lit(1)).as("__nt"))
+      val truth = q0.join(tf, Seq("term"))
+        .groupBy("query_id", "doc_id").agg(countDistinct("term").as("__m"))
+        .join(nt, Seq("query_id")).filter(col("__m") === col("__nt"))
+        .select("query_id", "doc_id")
+      graft.ext.Retrieval.evalMetrics(results, truth, k = 10)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST((rnk - 11) // 3 AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+        WHERE rnk BETWEEN 11 AND 22),
+      scored AS (SELECT qt.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN qt USING (term) CROSS JOIN stats GROUP BY 1, 2),
+      ranked AS (SELECT query_id, doc_id, rn FROM (SELECT *,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rn FROM scored) WHERE rn <= 10),
+      nt AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+      mt AS (SELECT qt.query_id, tf.doc_id,
+          count(DISTINCT qt.term) AS m
+        FROM qt JOIN tf ON tf.term = qt.term GROUP BY 1, 2),
+      truth AS (SELECT mt.query_id, mt.doc_id FROM mt
+        JOIN nt ON nt.query_id = mt.query_id WHERE mt.m = nt.n_terms),
+      nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM truth GROUP BY 1),
+      hits AS (SELECT r.query_id, r.rn FROM ranked r
+        JOIN truth t ON t.query_id = r.query_id AND t.doc_id = r.doc_id),
+      perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+          min(rn) AS minrank, sum(1.0 / log2(rn + 1)) AS dcg
+        FROM hits GROUP BY 1)
+      SELECT n.query_id, n.n_rel,
+        round(coalesce(p.hits, 0) / CAST(n.n_rel AS DOUBLE) + 1e-9, 6)
+          AS recall,
+        round(coalesce(1.0 / p.minrank, 0) + 1e-9, 6) AS mrr,
+        round(coalesce(p.dcg, 0) / list_sum(list_transform(
+            range(1, least(10, n.n_rel) + 1), i -> 1.0 / log2(i + 1)))
+          + 1e-9, 6) AS ndcg
+      FROM nrel n LEFT JOIN perq p USING (query_id)""")),
+
+
     // Entity-resolution blocking (record linkage): candidate pairs from
     // a composite block key (first name token × p_size), verified by
     // edit distance — the classic blocking-then-verify shape that

@@ -206,4 +206,22 @@ class RetrievalSpec extends SparkSpec {
     assert(expanded == Set((0L, "apple"), (0L, "cherry")))
     graft.core.CacheRegistry.releaseAll()
   }
+
+  test("evalMetrics: hand-computed recall/MRR/nDCG, zeros for a hitless query") {
+    val results = Seq(
+      (0L, 1L, 0.9), (0L, 2L, 0.8), (0L, 3L, 0.7), (0L, 4L, 0.6),
+      (1L, 1L, 0.5)).toDF("query_id", "doc_id", "score")
+    val truth = Seq((0L, 2L), (0L, 4L), (0L, 5L), (1L, 9L))
+      .toDF("query_id", "doc_id")
+    val m = Retrieval.evalMetrics(results, truth, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nRel, recall, mrr, ndcg) = m(0L)
+    assert(nRel == 3L)
+    assert(math.abs(recall - 1.0 / 3) < 1e-5)   // only d2 in the top-3
+    assert(mrr == 0.5)                          // first hit at rank 2
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(ndcg - (1.0 / (math.log(3) / math.log(2))) / idcg) < 1e-5)
+    assert(m(1L) == ((1L, 0.0, 0.0, 0.0)))      // judged, zero everywhere
+  }
 }

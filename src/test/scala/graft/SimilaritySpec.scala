@@ -622,4 +622,24 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrRerank(cand, "probe_id", "cand_id", "rel", "e", 0, 0.5)
     }
   }
+
+  test("knnClassify: majority vote of the k nearest labels, min label on ties") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, Seq(1.0, 0.0), 0),
+      (2L, Seq(0.9, 0.1), 0),
+      (3L, Seq(0.0, 1.0), 1)).toDF("vec_id", "e", "label")
+    val probe = Seq((100L, Seq(1.0, 0.05))).toDF("probe_id", "pe")
+    val out = Similarity.knnClassify(labeled, "vec_id", "e", "label",
+        probe, "probe_id", "pe", k = 3)
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((100L, 0L, 2L)), s"2-of-3 vote for label 0, got $out")
+    // k=2: one vote each for labels 0 and 1 → smallest label wins
+    val mid = Seq((200L, Seq(1.0, 1.0))).toDF("probe_id", "pe")
+    val tied = Similarity.knnClassify(
+        labeled.filter(col("vec_id") =!= 2L), "vec_id", "e", "label",
+        mid, "probe_id", "pe", k = 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(tied == ((200L, 0L, 1L)))
+  }
 }
