@@ -481,4 +481,39 @@ object TextOps {
       .select(col(idCol))
     df.join(pass, Seq(idCol), "left_semi")
   }
+
+  /**
+   * Feature hashing (Weinberger et al., ICML'09 — the "hashing trick"):
+   * every document becomes a fixed-`dims` dense count vector, token →
+   * dimension via the engine-portable md5 bucket
+   * ([[graft.ext.Classifier.tokenBucket]], so any SQL engine recomputes
+   * the mapping bit-identically). The vocabulary-free featurizer that
+   * feeds linear models and cheap similarity when no embedding model is
+   * in the loop; [[graft.ext.Classifier.featuresOf]] is its
+   * presence-set sibling.
+   *
+   * Zero-token documents produce no row (no features to hash — the same
+   * convention as the posting-list builders).
+   *
+   * Scale shape: one explode + (doc, bucket) hash agg with map-side
+   * combine, then per-doc assembly into a `dims`-wide array via a map
+   * lookup — a second doc-keyed agg; state per doc is ≤ dims entries.
+   * Nothing token-order-dependent, nothing driver-side.
+   *
+   * @return (idCol, features array<bigint> of length dims)
+   */
+  def hashingTf(df: DataFrame, idCol: String, textCol: String,
+                dims: Int): DataFrame = {
+    require(dims >= 1, s"dims $dims must be >= 1")
+    val counts = df.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("__tok"))
+      .withColumn("__b", graft.ext.Classifier.tokenBucket(col("__tok"), dims))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))).as("features"))
+  }
 }

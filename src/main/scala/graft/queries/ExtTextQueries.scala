@@ -642,6 +642,32 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked2 WHERE rn <= 5""")),
 
 
+    // Feature hashing: 64-dim dense count vectors via the md5 token
+    // bucket (the classifier's mapping), emitted EXPLODED as
+    // (doc_id, dim, val) with zeros included — pinning the dense
+    // assembly, not just the sparse counts.
+    QueryDef("ext_hashing_tf", (s, dir) =>
+      graft.ext.TextOps.hashingTf(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", dims = 64)
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val")),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS tok
+          FROM documents),
+        b AS (SELECT doc_id,
+            CAST(((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64
+              AS INTEGER) AS bk FROM toks),
+        c AS (SELECT doc_id, bk, CAST(count(*) AS BIGINT) AS val
+          FROM b GROUP BY 1, 2),
+        d AS (SELECT DISTINCT doc_id FROM toks)
+      SELECT d.doc_id, CAST(r.i AS BIGINT) AS dim,
+        coalesce(c.val, CAST(0 AS BIGINT)) AS val
+      FROM d CROSS JOIN range(0, 64) r(i)
+      LEFT JOIN c ON c.doc_id = d.doc_id AND c.bk = r.i""")),
+
+
     // Retrieval metrics: BM25 top-10 judged against conjunctive-match
     // ground truth (a doc is relevant iff it contains ALL the query's
     // terms). recall@10 / MRR / nDCG@10 replayed end to end by the

@@ -130,4 +130,20 @@ class ClassifierSpec extends SparkSpec {
     }
     assert(got == want, s"$got vs $want")
   }
+
+  test("hashingTf: dims-wide count vector, hand-verified buckets, empty doc emits nothing") {
+    import spark.implicits._
+    def bucket(t: String, dims: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (d(0) & 0xff) % dims
+    }
+    val docs = Seq((1L, "Alpha beta ALPHA"), (2L, "   ")).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.hashingTf(docs, "doc_id", "text", dims = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(!out.contains(2L), "zero-token doc must produce no row")
+    val v = out(1L)
+    assert(v.length == 8 && v.sum == 3L)
+    assert(v(bucket("alpha", 8)) >= 2L, "case-folded dupes count twice")
+    assert(v(bucket("beta", 8)) >= 1L)
+  }
 }
