@@ -1,6 +1,7 @@
 package graft.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -118,6 +119,42 @@ object Checks {
   /** Interval-consistency test: end before start (reference `5_dbt/READ.md:866-879`). */
   def endBeforeStart(df: DataFrame, startCol: String, endCol: String): DataFrame =
     df.filter(col(endCol) < col(startCol))
+
+  /**
+   * Rolling anomaly test: rows whose value sits more than `k`
+   * sample-stddevs from the TRAILING-window mean of their own series —
+   * the drift-aware twin of [[threeSigmaOutliers]] (a global threshold
+   * flags a whole regime shift; a trailing one flags the moment of
+   * departure). The window frame excludes the current row, so a spike
+   * never shrinks its own z-score; rows with fewer than `minPrior`
+   * predecessors are not judged (cold start), and a zero-variance
+   * history judges nothing (sd > 0 guard, not a division blow-up).
+   *
+   * Scale shape: one window exchange on the series key with an
+   * O(window)-row frame per row — no self-join, no global pass; series
+   * cardinality is the parallelism.
+   *
+   * @return the flagged rows as (orderCols' ids implied by caller's
+   *         selection) + `z`, the 4-digit-rounded trailing z-score
+   */
+  def rollingAnomalies(df: DataFrame, valueCol: String,
+                       keyCols: Seq[String], orderCols: Seq[String],
+                       window: Int = 20, minPrior: Int = 10,
+                       k: Double = 3.0): DataFrame = {
+    require(window >= 2 && minPrior >= 2 && minPrior <= window,
+      s"need 2 <= minPrior <= window (got window=$window minPrior=$minPrior)")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-window, -1)
+    df.withColumn("__mu", avg(col(valueCol)).over(w))
+      .withColumn("__sd", stddev_samp(col(valueCol)).over(w))
+      .withColumn("__n", count(col(valueCol)).over(w))
+      .filter(col("__n") >= minPrior && col("__sd") > 0)
+      .withColumn("z",
+        round((col(valueCol) - col("__mu")) / col("__sd") + lit(1e-9), 4))
+      .filter(abs(col("z")) > k)
+      .drop("__mu", "__sd", "__n")
+  }
 
   /**
    * dbt source-freshness test: per key, the newest row's age relative to

@@ -147,5 +147,30 @@ object QualityQueries {
           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
           min(o_orderpriority), max(o_orderpriority)
         FROM orders"""))
+  ) ++ Seq(
+
+    // Rolling (trailing-window) anomaly: |value − trailing mean| > 3
+    // trailing stddevs per event_type series, frame excluding the
+    // current row, ≥10 predecessors, zero-variance histories unjudged.
+    // The drift-aware twin of dq_three_sigma — the oracle replays the
+    // identical frame and guards.
+    QueryDef("dq_rolling_anomaly", (s, dir) =>
+      graft.quality.Checks.rollingAnomalies(
+          Tables.events(s, dir)
+            .select("event_id", "event_type", "ts", "value"),
+          "value", keyCols = Seq("event_type"), orderCols = Seq("ts", "event_id"),
+          window = 20, minPrior = 10, k = 3.0)
+        .select("event_id", "event_type", "z"),
+      Some("""WITH w AS (SELECT event_id, event_type, value,
+          avg(value) OVER win AS mu,
+          stddev_samp(value) OVER win AS sd,
+          count(value) OVER win AS n
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, event_type,
+        round((value - mu) / sd + 1e-9, 4) AS z
+      FROM w WHERE n >= 10 AND sd > 0
+        AND abs(round((value - mu) / sd + 1e-9, 4)) > 3"""))
   )
 }

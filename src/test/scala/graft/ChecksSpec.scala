@@ -71,4 +71,19 @@ class ChecksSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(out == Set(100L), s"expected only the spike, got $out")
   }
+
+  test("rollingAnomalies: flags the departure point, skips cold starts and flat histories") {
+    // series 'a': alternating 1.0/1.02 (live variance), spike at row 26;
+    // series 'b': constant history (sd = 0) then a spike — unjudged
+    val a = (1 to 25).map(i => (i.toLong, "a", i.toLong, 1.0 + 0.02 * (i % 2))) :+
+      (26L, "a", 26L, 50.0)
+    val b = (1 to 25).map(i => (100L + i, "b", i.toLong, 5.0)) :+ (126L, "b", 26L, 50.0)
+    val rows = (a ++ b).toDF("id", "grp", "seq", "v")
+    val flagged = Checks.rollingAnomalies(rows, "v",
+        keyCols = Seq("grp"), orderCols = Seq("seq"),
+        window = 20, minPrior = 10, k = 3.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(26L),
+      s"only series-a's departure point is judgeable, got $flagged")
+  }
 }
