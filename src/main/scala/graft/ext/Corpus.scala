@@ -111,6 +111,43 @@ object Corpus {
   }
 
   /**
+   * Population Stability Index between two corpus snapshots over a
+   * numeric column — the distribution-drift score release pipelines
+   * gate on (the companion of [[snapshotDiff]]: that reports WHICH rows
+   * changed, this reports whether the SHAPE moved). Fixed-width bins
+   * (no quantile estimation to disagree across engines), epsilon-
+   * smoothed proportions, per-bin terms (p_new − p_old)·ln(p_new/p_old)
+   * — their sum is the PSI (< 0.1 stable, > 0.25 shifted, by the usual
+   * credit-scoring rule of thumb).
+   *
+   * Scale shape: each snapshot collapses to bin counts on the scan
+   * (map-side combined, rows = distinct bins); everything after is
+   * bins-sized arithmetic with a broadcast 1-row total.
+   *
+   * @return (bin, n_old, n_new, psi_term), psi_term 6-digit rounded
+   */
+  def psiDrift(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
+               binWidth: Double, epsilon: Double = 1e-6): DataFrame = {
+    require(binWidth > 0, s"binWidth $binWidth must be positive")
+    def binned(df: DataFrame, name: String) =
+      df.select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(name))
+    val j = binned(oldSnap, "__no")
+      .join(binned(newSnap, "__nn"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__no"), lit(0L)).as("n_old"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"))
+    val tots = j.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    j.crossJoin(broadcast(tots))
+      .withColumn("__po",
+        col("n_old").cast("double") / col("__to") + lit(epsilon))
+      .withColumn("__pn",
+        col("n_new").cast("double") / col("__tn") + lit(epsilon))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        round((col("__pn") - col("__po")) * log(col("__pn") / col("__po"))
+          + lit(1e-9), 6).as("psi_term"))
+  }
+
+  /**
    * Curriculum ordering (Bengio et al., ICML'09 "Curriculum Learning"):
    * a global ease order — higher `easeCol` schedules earlier — cut into
    * `bins` equal-population difficulty stages, each stage internally

@@ -995,6 +995,57 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
+    // First-order Markov transitions over per-user event journeys:
+    // (from, next-of-same-user) counts + row-normalized P(to | from).
+    // One user-keyed window + one (from, to) hash agg; the oracle
+    // replays the lead() pairing and normalization.
+    QueryDef("ext_event_transitions", (s, dir) =>
+      graft.ext.Events.transitionMatrix(
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts"),
+        "user_id", "event_type", orderCols = Seq("ts", "event_id")),
+      Some("""WITH s AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nxt
+        FROM events),
+      p AS (SELECT event_type AS from_type, nxt AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+      SELECT p.from_type, p.to_type, p.n,
+        round(p.n / CAST(t.tot AS DOUBLE) + 1e-9, 6) AS p
+      FROM p JOIN t USING (from_type)""")),
+
+
+    // PSI distribution drift between two corpus releases (n_chars,
+    // 500-wide bins): v2 drops every 3rd doc and inflates every
+    // 5th-mod-1 length by 300 — the per-bin (p_new − p_old)·ln ratio
+    // terms must match the oracle's exactly, epsilon smoothing included.
+    QueryDef("ext_psi_drift", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, col("n_chars") + 300)
+            .otherwise(col("n_chars")).as("n_chars"))
+      Corpus.psiDrift(docs, v2, "n_chars", binWidth = 500.0)
+    }, Some("""WITH o AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_old FROM documents GROUP BY 1),
+      v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN n_chars + 300
+          ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 3 <> 0),
+      nn AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_new FROM v2 GROUP BY 1),
+      j AS (SELECT coalesce(o.bin, nn.bin) AS bin,
+          coalesce(o.n_old, 0) AS n_old, coalesce(nn.n_new, 0) AS n_new
+        FROM o FULL OUTER JOIN nn ON o.bin = nn.bin),
+      t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS do_,
+          CAST(sum(n_new) AS DOUBLE) AS dn FROM j)
+      SELECT bin, n_old, n_new,
+        round((n_new / dn + 1e-6 - (n_old / do_ + 1e-6))
+          * ln((n_new / dn + 1e-6) / (n_old / do_ + 1e-6)) + 1e-9, 6)
+          AS psi_term
+      FROM j CROSS JOIN t""")),
+
+
     // Corpus snapshot diff: v2 drops every 7th doc, appends an edit to
     // every 5th-mod-1, and adds fresh ids — the audit must report
     // exactly those as removed/changed/added and stay silent on the
