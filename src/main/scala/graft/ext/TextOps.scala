@@ -483,6 +483,58 @@ object TextOps {
   }
 
   /**
+   * Document-level PMI collocations (Church & Hanks 1990): for pairs of
+   * frequent terms, how much more often they share a document than
+   * independence predicts — ln(n_ab·N / (n_a·n_b)) over document
+   * presence counts. The corpus-analysis staple behind topic audits and
+   * stop-phrase mining. The pair universe is BOUNDED by construction:
+   * only the `vocab` most document-frequent terms after skipping the
+   * `skip` most common (stopword-shaped, the [[graft.ext.Retrieval]]
+   * df-rank convention) participate, so the blowup knob is explicit —
+   * the quadratic is C(vocab, 2) at most, never corpus-sized.
+   *
+   * Scale shape: (doc, term)-distinct tokens join the BROADCAST
+   * vocabulary; the within-doc pair join is doc-keyed with ≤ vocab
+   * matching terms per doc; pair counts hash-aggregate map-side; N and
+   * the per-term document counts ride broadcast.
+   *
+   * @return (term_a, term_b, n_ab, pmi) for pairs sharing ≥ `minPairs`
+   *         docs, term_a < term_b, pmi 6-digit rounded
+   */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   vocab: Int = 30, skip: Int = 10,
+                   minPairs: Long = 5): DataFrame = {
+    require(vocab >= 2 && skip >= 0 && minPairs >= 1,
+      s"need vocab >= 2, skip >= 0, minPairs >= 1 (got $vocab/$skip/$minPairs)")
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val top = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term")).limit(skip + vocab)
+      .withColumn("__rank", row_number().over(
+        w.partitionBy(lit(0)).orderBy(desc("df"), col("term"))))
+      .filter(col("__rank") > skip)
+      .select(col("term"), col("df"))
+    val n = toks.agg(countDistinct(col(idCol)).as("__N"))
+    val t = toks.join(broadcast(top), Seq("term"))
+    val a = t.select(col(idCol), col("term").as("term_a"), col("df").as("__dfa"))
+    val pairs = a.join(
+        t.select(col(idCol), col("term").as("term_b"), col("df").as("__dfb")),
+        Seq(idCol))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n_ab"), max("__dfa").as("__na"),
+        max("__dfb").as("__nb"))
+      .filter(col("n_ab") >= minPairs)
+    pairs.crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("__N") /
+          (col("__na") * col("__nb"))) + lit(1e-9), 6).as("pmi"))
+  }
+
+  /**
    * Feature hashing (Weinberger et al., ICML'09 — the "hashing trick"):
    * every document becomes a fixed-`dims` dense count vector, token →
    * dimension via the engine-portable md5 bucket

@@ -642,6 +642,33 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked2 WHERE rn <= 5""")),
 
 
+    // Document-level PMI collocations over the rank-11..40 vocabulary
+    // (df-rank convention), pairs sharing ≥ 5 docs. The oracle replays
+    // the vocabulary cut, the within-doc pairing, and the PMI formula.
+    QueryDef("ext_collocations", (s, dir) =>
+      graft.ext.TextOps.collocations(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", vocab = 30, skip = 10, minPairs = 5),
+      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, unnest($DuckToks) AS term
+          FROM documents),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM toks GROUP BY 1),
+        top AS (SELECT term, df FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+          WHERE rnk BETWEEN 11 AND 40),
+        nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+        t AS (SELECT toks.doc_id, toks.term, top.df FROM toks
+          JOIN top USING (term)),
+        pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+            CAST(count(*) AS BIGINT) AS n_ab,
+            max(a.df) AS na, max(b.df) AS nb
+          FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT term_a, term_b, n_ab,
+        round(ln(CAST(n_ab AS DOUBLE) * n / (na * nb)) + 1e-9, 6) AS pmi
+      FROM pairs CROSS JOIN nn""")),
+
+
     // Feature hashing: 64-dim dense count vectors via the md5 token
     // bucket (the classifier's mapping), emitted EXPLODED as
     // (doc_id, dim, val) with zeros included — pinning the dense

@@ -267,4 +267,22 @@ class PropertySpec extends SparkSpec {
     assert(out(4L) == ((1L, 1.0)) && out(5L) == ((1L, 1.0)),
       "short docs share their whole-text fallback gram")
   }
+
+  test("collocations: PMI rewards co-occurrence beyond independence, bounded vocab") {
+    import spark.implicits._
+    // 'salt'/'pepper' always co-occur (4 of 8 docs); 'salt'/'water'
+    // co-occur at chance. skip=0, vocab covers everything frequent.
+    val docs = (
+      (1 to 4).map(i => (i.toLong, s"salt pepper water filler$i")) ++
+      (5 to 8).map(i => (i.toLong, s"water stone filler$i extra$i"))
+    ).toDF("doc_id", "text")
+    val m = graft.ext.TextOps.collocations(docs, "doc_id", "text",
+        vocab = 4, skip = 0, minPairs = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    // salt∧pepper: 4·8/(4·4) = 2 → ln 2; salt∧water: 4·8/(4·8) = 1 → 0
+    assert(math.abs(m(("pepper", "salt")) - math.log(2)) < 1e-5)
+    assert(math.abs(m(("salt", "water"))) < 1e-5)
+    graft.core.CacheRegistry.releaseAll()
+  }
 }
