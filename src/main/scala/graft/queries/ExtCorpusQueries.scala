@@ -157,6 +157,96 @@ object ExtCorpusQueries {
       FROM surv s JOIN canon USING (doc_id)""")),
 
 
+    // Curation PROVENANCE: every input doc labeled with the FIRST stage
+    // of the ext_curation_full chain that dropped it (gate → exact_dup
+    // → near_dup → kept) — the audit trail a data-governance review
+    // asks for ("why is my document not in the release?"). Same fixture
+    // and stage semantics as the full chain; the oracle re-walks the
+    // chain and left-joins each stage's survivor set.
+    QueryDef("ext_curation_provenance", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val exactDups = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup marker tail")).as("text"))
+      val scored = graft.core.CacheRegistry.persistTracked(
+        docs.unionByName(exactDups).unionByName(nearDups)
+          .withColumn("quality_score",
+            round(TextOps.qualityScoreFast(col("text")) + lit(1e-9), 4)))
+      val gated = scored.filter(col("quality_score") >= 0.6)
+      val exactSurv = graft.core.CacheRegistry.persistTracked(
+        Dedup.exact(gated, "text", "doc_id"))
+      val canon = Dedup.nearDupClusters(
+          exactSurv.select("doc_id", "text"), "doc_id", "text",
+          threshold = 0.5, numHashes = 64, bands = 32)
+        .filter(col("is_canonical")).select("doc_id")
+      scored.select(col("doc_id"))
+        .join(gated.select(col("doc_id"), lit(true).as("__gate")),
+          Seq("doc_id"), "left")
+        .join(exactSurv.select(col("doc_id"), lit(true).as("__ex")),
+          Seq("doc_id"), "left")
+        .join(canon.select(col("doc_id"), lit(true).as("__cn")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__gate").isNull, "gate")
+            .when(col("__ex").isNull, "exact_dup")
+            .when(col("__cn").isNull, "near_dup")
+            .otherwise("kept").as("status"))
+    }, Some(s"""WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text || ' dup marker tail' FROM documents
+        WHERE doc_id % 5 = 0),
+      t AS (SELECT doc_id, text, $DuckToks AS ltoks, $DuckToksRaw AS rtoks
+        FROM all_docs),
+      q AS (SELECT doc_id,
+          round(least(len(text) / 500.0, 1.0) * 0.4
+            + least((CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(len(list_filter(rtoks, x -> lower(x) IN ('the','a','an','and','or',
+                  'of','to','in','is','it','that','for','on','with','as','at','by')))
+                  AS DOUBLE) / len(rtoks) END) * 5, 1.0) * 0.3
+            + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0 ELSE
+                CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                  / len(text) END) < 0.2 THEN 0.15 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(rtoks) = 0 THEN 0 ELSE
+                CAST(list_sum(list_transform(rtoks, x -> len(x))) AS DOUBLE) / len(rtoks) END)
+                BETWEEN 2 AND 12 THEN 0.15 ELSE 0 END) + 1e-9, 4) AS quality_score
+        FROM t),
+      gated AS (SELECT t.doc_id, array_to_string(ltoks, ' ') AS norm, ltoks
+        FROM t JOIN q USING (doc_id) WHERE quality_score >= 0.6),
+      surv AS (SELECT g.* FROM gated g
+        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm) m
+          USING (doc_id)),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ltoks) - 1),
+               i -> array_to_string(ltoks[i:i+2], ' '))) AS shingles
+             FROM surv),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+      canon AS (SELECT id AS doc_id FROM walk GROUP BY id
+        HAVING id = min(reach))
+      SELECT a.doc_id,
+        CASE WHEN g.doc_id IS NULL THEN 'gate'
+             WHEN s.doc_id IS NULL THEN 'exact_dup'
+             WHEN c.doc_id IS NULL THEN 'near_dup'
+             ELSE 'kept' END AS status
+      FROM all_docs a
+      LEFT JOIN gated g USING (doc_id)
+      LEFT JOIN surv s USING (doc_id)
+      LEFT JOIN canon c ON c.doc_id = a.doc_id""")),
+
+
     // The DAILY-BATCH curation chain end to end: Gopher gates on both
     // sides -> incremental near-dup of the gated batch against the gated
     // accepted corpus -> deterministic train/val/test split. The
