@@ -993,6 +993,55 @@ object Similarity {
     BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Sign-bit packing for binary embeddings: bits `startBit..startBit+31`
+   * of the vector's sign pattern (dim value > 0 → bit set) as one long.
+   * 32 bits per half keeps every intermediate below 2³², so the same
+   * arithmetic is overflow-safe on any SQL engine (a 64-bit single-word
+   * pack would need the sign bit, which DuckDB's checked integer ops
+   * reject) — bits are disjoint so the additive fold equals the OR.
+   */
+  def signPackHalf(vec: Column, startBit: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+      acc + when(element_at(vec, i + startBit + 1) > lit(0d),
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+
+  /**
+   * Binary-quantized top-k by Hamming distance (the binary-embedding /
+   * binary-quantization posture modern vector stores ship as their
+   * cheapest tier): 64-dim vectors collapse to two packed sign halves
+   * (16 bytes/vector), distance is two XOR+popcounts — integer end to
+   * end, so ranking is exactly reproducible with no rounding protocol
+   * at all. Recall what it is for sign agreement; re-rank survivors
+   * with [[bruteForceTopK]] when exact cosine order matters (the
+   * two-stage shape of [[annTopKJl]]).
+   *
+   * Scale shape: encoding is scan-only; probes broadcast like every
+   * top-k here; the rank window moves (probe, id, distance) triples
+   * only — and the encoded table is 16 B/vector, 16× under the float
+   * form, so a standing binary index is the cheapest standing index in
+   * this file.
+   */
+  def hammingTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                  probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                  k: Int): DataFrame = {
+    val enc = vectors.select(col(idCol),
+      signPackHalf(col(vecCol), 0).as("__h1"),
+      signPackHalf(col(vecCol), 32).as("__h2"))
+    val pe = probes.select(col(probeIdCol),
+      signPackHalf(col(probeVecCol), 0).as("__p1"),
+      signPackHalf(col(probeVecCol), 32).as("__p2"))
+    enc.crossJoin(broadcast(pe))
+      .withColumn("hamming",
+        (bit_count(col("__h1").bitwiseXOR(col("__p1"))) +
+         bit_count(col("__h2").bitwiseXOR(col("__p2")))).cast("long"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(probeIdCol)).orderBy(col("hamming"), col(idCol))))
+      .filter(col("__rn") <= k)
+      .select(col(probeIdCol), col(idCol), col("hamming"))
+  }
+
+  /**
    * kNN label transfer (semi-supervised auto-labeling): every unlabeled
    * vector takes the MAJORITY label of its k nearest labeled neighbors
    * by cosine (rounded scores, id-tiebroken k-set — [[bruteForceTopK]]'s

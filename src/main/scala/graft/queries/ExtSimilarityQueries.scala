@@ -744,6 +744,37 @@ object ExtSimilarityQueries {
       SELECT id AS vec_id, label AS community FROM l2""")),
 
 
+    // Binary-quantized Hamming top-5 (self-excluded, every 100th vector
+    // probes): sign packing and XOR+popcount are integer end to end, so
+    // the oracle needs no rounding protocol — the 32-bit halves keep
+    // both engines' arithmetic overflow-free.
+    QueryDef("ext_sim_hamming", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      Similarity.hammingTopK(vecs, "vec_id", "embedding",
+          probes, "probe_id", "pe", k = 5)
+        .filter(col("vec_id") =!= col("probe_id"))
+    }, Some("""WITH enc AS (SELECT vec_id,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN embedding[i + 1] > 0 THEN CAST(2 ** i AS BIGINT)
+                 ELSE 0 END)) AS BIGINT) AS h1,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN embedding[i + 33] > 0 THEN CAST(2 ** i AS BIGINT)
+                 ELSE 0 END)) AS BIGINT) AS h2
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, h1 AS p1, h2 AS p2 FROM enc
+        WHERE vec_id % 100 = 0),
+      d AS (SELECT p.probe_id, enc.vec_id,
+          CAST(bit_count(xor(enc.h1, p.p1))
+             + bit_count(xor(enc.h2, p.p2)) AS BIGINT) AS hamming
+        FROM enc CROSS JOIN p)
+      SELECT probe_id, vec_id, hamming FROM (SELECT *,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY hamming, vec_id) AS rn FROM d)
+      WHERE rn <= 5 AND vec_id <> probe_id""")),
+
+
     // kNN label transfer: every 3rd vector plays the unlabeled batch,
     // the rest the labeled seed set; 5-neighbor majority vote, smallest
     // label on ties. Integer votes — the oracle replays the scored

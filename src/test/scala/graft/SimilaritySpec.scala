@@ -623,6 +623,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hammingTopK: sign packing + XOR popcount, integer distances") {
+    import spark.implicits._
+    val allPos = Seq.fill(64)(1.0)
+    val allNeg = Seq.fill(64)(-1.0)
+    val oneFlip = -1.0 +: Seq.fill(63)(1.0)
+    val vecs = Seq((1L, allPos), (2L, allNeg), (3L, oneFlip)).toDF("vec_id", "e")
+    val probes = Seq((1L, allPos)).toDF("probe_id", "pe")
+    val out = graft.ext.Similarity.hammingTopK(vecs, "vec_id", "e",
+        probes, "probe_id", "pe", k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.map(r => r._2 -> r._3).toSeq == Seq(1L -> 0L, 3L -> 1L, 2L -> 64L))
+    // packing sanity: all-positive = 2^32 − 1 in both halves
+    val packed = vecs.filter(col("vec_id") === 1L)
+      .select(graft.ext.Similarity.signPackHalf(col("e"), 0),
+        graft.ext.Similarity.signPackHalf(col("e"), 32))
+      .as[(Long, Long)].head()
+    assert(packed == (((1L << 32) - 1, (1L << 32) - 1)))
+  }
+
   test("knnClassify: majority vote of the k nearest labels, min label on ties") {
     import spark.implicits._
     val labeled = Seq(
