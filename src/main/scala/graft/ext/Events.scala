@@ -28,6 +28,46 @@ object Events {
    * joins a broadcast row-total frame. Nothing holds a user's whole
    * history beyond the sort.
    */
+  /**
+   * Multi-step funnel: how many users complete each prefix of an
+   * ordered step sequence, where step i+1 must occur strictly AFTER the
+   * user's earliest completion of step i (and within `maxGap` of it,
+   * when given) — the N-ary generalization of the registered
+   * 2-step `ext_funnel`. Earliest-completion semantics make the count
+   * deterministic and monotonically non-increasing by stage.
+   *
+   * Scale shape: one user-keyed aggregation per stage over only that
+   * stage's events (the type filter prunes the scan), chained by
+   * user-keyed joins of 1-row-per-user frames — no window over the
+   * whole event stream, no cross product; stage count frames are 1-row
+   * unions. Stages are a short literal list, so the plan depth is
+   * bounded by the funnel length.
+   *
+   * @return one row per stage: (stage 1-based, step, n_users)
+   */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  maxGap: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var stage = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    var out = stage.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit(steps.head).as("step"), col("n_users"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val within = maxGap.map(g =>
+          col("__ts2") <= col("__t") + expr(s"INTERVAL $g"))
+        .getOrElse(lit(true))
+      stage = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__ts2"))
+        .join(stage, Seq(userCol))
+        .filter(col("__ts2") > col("__t") && within)
+        .groupBy(col(userCol)).agg(min(col("__ts2")).as("__t"))
+      out = out.unionByName(stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2L).as("stage"), lit(st).as("step"), col("n_users")))
+    }
+    out
+  }
+
   def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
                        orderCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)

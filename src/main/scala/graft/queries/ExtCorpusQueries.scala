@@ -1085,6 +1085,32 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
+    // Multi-step funnel view → click → purchase, each step within 2
+    // hours of the previous step's earliest completion — the N-ary
+    // generalization of ext_funnel. The oracle chains the same
+    // earliest-completion CTEs.
+    QueryDef("ext_funnel_steps", (s, dir) =>
+      graft.ext.Events.funnelSteps(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), maxGap = Some("2 HOUR")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+            AND e.ts <= s1.t + INTERVAL 2 HOUR GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            AND e.ts <= s2.t + INTERVAL 2 HOUR GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+        CAST((SELECT count(*) FROM s2) AS BIGINT)
+      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+        CAST((SELECT count(*) FROM s3) AS BIGINT)""")),
+
+
     // First-order Markov transitions over per-user event journeys:
     // (from, next-of-same-user) counts + row-normalized P(to | from).
     // One user-keyed window + one (from, to) hash agg; the oracle

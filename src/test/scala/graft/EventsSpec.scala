@@ -22,6 +22,23 @@ class EventsSpec extends SparkSpec {
     assert(!m.contains(("c", "a")) && !m.contains(("b", "c")))
   }
 
+  test("funnelSteps: earliest-completion chaining, gap cutoff, monotone counts") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // u1 completes all 3 in order; u2 clicks BEFORE viewing (never
+    // advances); u3's purchase misses the 30-minute gap
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(10)),
+      (2L, "click", ts(0)), (2L, "view", ts(5)),
+      (3L, "view", ts(0)), (3L, "click", ts(5)), (3L, "purchase", ts(50))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGap = Some("30 MINUTE"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq == Seq(3L, 2L, 1L),
+      s"view 3 users → click 2 (u2 clicked first) → purchase 1 (u3 over gap), got ${out.toSeq}")
+  }
+
   test("psiDrift: identical snapshots score ~0, a shifted one scores positive") {
     val v1 = (1L to 400L).map(i => (i, (i % 20) * 100.0)).toDF("id", "v")
     val same = Corpus.psiDrift(v1, v1, "v", binWidth = 500.0)
