@@ -29,6 +29,48 @@ object Events {
    * history beyond the sort.
    */
   /**
+   * Debounce: drop events closer than `minGap` to their key's PREVIOUS
+   * event (kept or not) — the standard duplicate-fire suppressor for
+   * chatty emitters (double-clicks, sensor bounce, retry storms). Gap
+   * is measured to the immediate predecessor, so a long burst thins to
+   * its gap-opening events; for keep-one-per-window semantics use
+   * [[rateLimit]] instead.
+   *
+   * Scale shape: one window exchange on the key with a one-row lag
+   * frame — no state beyond the sort, no join.
+   */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsCol: String,
+               minGap: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    events.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull ||
+        col(tsCol) >= col("__prev") + expr(s"INTERVAL $minGap"))
+      .drop("__prev")
+  }
+
+  /**
+   * Per-key rate limit: at most `maxPerWindow` events per key per
+   * `windowLen` tumbling window, earliest first (ties by `tieCols`) —
+   * the ingestion guard that bounds any key's contribution per period
+   * (the event-stream twin of [[graft.ext.Corpus.capPerGroup]]).
+   *
+   * Scale shape: one window exchange on (key, time bucket); the rank
+   * never exceeds `maxPerWindow` rows of state per bucket.
+   */
+  def rateLimit(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                windowLen: String, maxPerWindow: Int,
+                tieCols: Seq[String] = Nil): DataFrame = {
+    require(maxPerWindow >= 1, s"maxPerWindow $maxPerWindow must be >= 1")
+    val bucket = window(col(tsCol), windowLen).getField("start")
+    val w = Window.partitionBy((keyCols.map(col) :+ bucket): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerWindow)
+      .drop("__rn")
+  }
+
+  /**
    * Multi-step funnel: how many users complete each prefix of an
    * ordered step sequence, where step i+1 must occur strictly AFTER the
    * user's earliest completion of step i (and within `maxGap` of it,

@@ -1085,6 +1085,37 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
+    // Debounce: per (user, type), drop events under 30 minutes from
+    // their immediate predecessor. One lag window — the oracle replays
+    // it.
+    QueryDef("ext_event_debounce", (s, dir) =>
+      graft.ext.Events.debounce(Tables.events(s, dir),
+          keyCols = Seq("user_id", "event_type"), tsCol = "ts",
+          minGap = "30 MINUTE", tieCols = Seq("event_id"))
+        .select("event_id", "user_id", "event_type"),
+      Some("""WITH w AS (SELECT event_id, user_id, event_type, ts,
+          lag(ts) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT event_id, user_id, event_type FROM w
+      WHERE prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE""")),
+
+
+    // Per-key rate limit: at most 2 events per user per 1-hour tumbling
+    // window, earliest (event_id-tiebroken) first. Spark's window() and
+    // DuckDB's time_bucket share hour-aligned epoch boundaries.
+    QueryDef("ext_event_rate_limit", (s, dir) =>
+      graft.ext.Events.rateLimit(Tables.events(s, dir),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          windowLen = "1 hour", maxPerWindow = 2, tieCols = Seq("event_id"))
+        .select("event_id", "user_id"),
+      Some("""WITH b AS (SELECT event_id, user_id, ts,
+          time_bucket(INTERVAL 1 HOUR, ts) AS w FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id, w
+            ORDER BY ts, event_id) AS rn FROM b)
+      SELECT event_id, user_id FROM r WHERE rn <= 2""")),
+
+
     // Multi-step funnel view → click → purchase, each step within 2
     // hours of the previous step's earliest completion — the N-ary
     // generalization of ext_funnel. The oracle chains the same

@@ -39,6 +39,27 @@ class EventsSpec extends SparkSpec {
       s"view 3 users → click 2 (u2 clicked first) → purchase 1 (u3 over gap), got ${out.toSeq}")
   }
 
+  test("debounce vs rateLimit: gap thinning vs per-window caps") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // burst at 0, 10, 25, 59 minutes for one key
+    val ev = Seq(
+      (1L, 7L, "c", ts(0)), (2L, 7L, "c", ts(10)),
+      (3L, 7L, "c", ts(25)), (4L, 7L, "c", ts(59)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    // 15-min debounce: keep 0 (first), drop 10 (gap 10), keep 25
+    // (gap 15 from its PREDECESSOR 10, kept or not), keep 59
+    val kept = Events.debounce(ev, Seq("user_id"), "ts", "15 MINUTE",
+        tieCols = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // 2-per-hour cap: earliest two of the 10:00 window survive
+    val limited = Events.rateLimit(ev, Seq("user_id"), "ts", "1 hour",
+        maxPerWindow = 2, tieCols = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(limited == Set(1L, 2L))
+  }
+
   test("psiDrift: identical snapshots score ~0, a shifted one scores positive") {
     val v1 = (1L to 400L).map(i => (i, (i % 20) * 100.0)).toDF("id", "v")
     val same = Corpus.psiDrift(v1, v1, "v", binWidth = 500.0)
