@@ -97,9 +97,11 @@ object Corpus {
    */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol).cast("long").as(idCol),
+    // the id is only a join key — no coercion, so string/UUID-keyed
+    // corpora work unchanged
+    val o = oldSnap.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("__ofp"))
-    val n = newSnap.select(col(idCol).cast("long").as(idCol),
+    val n = newSnap.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("__nfp"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
@@ -137,11 +139,16 @@ object Corpus {
       .select(col("bin"), coalesce(col("__no"), lit(0L)).as("n_old"),
         coalesce(col("__nn"), lit(0L)).as("n_new"))
     val tots = j.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    // an EMPTY snapshot (first-release bootstrap, fully-filtered side)
+    // contributes p = ε everywhere instead of dividing by zero — the
+    // terms stay finite and read as maximal drift, which is the truth
     j.crossJoin(broadcast(tots))
       .withColumn("__po",
-        col("n_old").cast("double") / col("__to") + lit(epsilon))
+        coalesce(col("n_old").cast("double") / nullif(col("__to"), lit(0L)),
+          lit(0.0)) + lit(epsilon))
       .withColumn("__pn",
-        col("n_new").cast("double") / col("__tn") + lit(epsilon))
+        coalesce(col("n_new").cast("double") / nullif(col("__tn"), lit(0L)),
+          lit(0.0)) + lit(epsilon))
       .select(col("bin"), col("n_old"), col("n_new"),
         round((col("__pn") - col("__po")) * log(col("__pn") / col("__po"))
           + lit(1e-9), 6).as("psi_term"))

@@ -16,19 +16,6 @@ import org.apache.spark.sql.functions._
 object Events {
 
   /**
-   * First-order Markov transition matrix over per-user event streams:
-   * every (event, next event of the SAME user in `orderCols` order)
-   * pair, counted, with row-normalized probabilities — P(to | from).
-   * 6-digit rounded; deterministic given a totalizing order (include a
-   * unique tiebreak column, as any window query must).
-   *
-   * Scale shape: one window exchange on the user key (per-row frame
-   * state = one row), one (from, to) hash aggregation with map-side
-   * combine — the matrix is |types|² rows at most, so normalization
-   * joins a broadcast row-total frame. Nothing holds a user's whole
-   * history beyond the sort.
-   */
-  /**
    * Debounce: drop events closer than `minGap` to their key's PREVIOUS
    * event (kept or not) — the standard duplicate-fire suppressor for
    * chatty emitters (double-clicks, sensor bounce, retry storms). Gap
@@ -110,6 +97,19 @@ object Events {
     out
   }
 
+  /**
+   * First-order Markov transition matrix over per-user event streams:
+   * every (event, next event of the SAME user in `orderCols` order)
+   * pair, counted, with row-normalized probabilities — P(to | from).
+   * 6-digit rounded; deterministic given a totalizing order (include a
+   * unique tiebreak column, as any window query must).
+   *
+   * Scale shape: one window exchange on the user key (per-row frame
+   * state = one row), one (from, to) hash aggregation with map-side
+   * combine — the matrix is |types|² rows at most, so normalization
+   * joins a broadcast row-total frame. Nothing holds a user's whole
+   * history beyond the sort.
+   */
   def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
                        orderCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)

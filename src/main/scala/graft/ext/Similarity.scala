@@ -1017,23 +1017,28 @@ object Similarity {
    *
    * Scale shape: encoding is scan-only; probes broadcast like every
    * top-k here; the rank window moves (probe, id, distance) triples
-   * only — and the encoded table is 16 B/vector, 16× under the float
-   * form, so a standing binary index is the cheapest standing index in
-   * this file.
+   * only — and the encoded table is dims/8 B per vector (16 B at 64
+   * dims, 16× under the float form), so a standing binary index is the
+   * cheapest standing index in this file.
+   *
+   * `dims` is the CONTRACT: vectors must carry at least `dims`
+   * components (shorter ones fail loudly at the element access under
+   * ANSI); components beyond `dims` do not participate.
    */
   def hammingTopK(vectors: DataFrame, idCol: String, vecCol: String,
                   probes: DataFrame, probeIdCol: String, probeVecCol: String,
-                  k: Int): DataFrame = {
-    val enc = vectors.select(col(idCol),
-      signPackHalf(col(vecCol), 0).as("__h1"),
-      signPackHalf(col(vecCol), 32).as("__h2"))
-    val pe = probes.select(col(probeIdCol),
-      signPackHalf(col(probeVecCol), 0).as("__p1"),
-      signPackHalf(col(probeVecCol), 32).as("__p2"))
+                  k: Int, dims: Int = 64): DataFrame = {
+    require(dims >= 32 && dims % 32 == 0,
+      s"dims $dims must be a positive multiple of 32 (pad or truncate)")
+    val halves = 0 until dims / 32
+    val enc = vectors.select(col(idCol) +: halves.map(h =>
+      signPackHalf(col(vecCol), h * 32).as(s"__h$h")): _*)
+    val pe = probes.select(col(probeIdCol) +: halves.map(h =>
+      signPackHalf(col(probeVecCol), h * 32).as(s"__p$h")): _*)
     enc.crossJoin(broadcast(pe))
-      .withColumn("hamming",
-        (bit_count(col("__h1").bitwiseXOR(col("__p1"))) +
-         bit_count(col("__h2").bitwiseXOR(col("__p2")))).cast("long"))
+      .withColumn("hamming", halves.map(h =>
+          bit_count(col(s"__h$h").bitwiseXOR(col(s"__p$h"))))
+        .reduce(_ + _).cast("long"))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(probeIdCol)).orderBy(col("hamming"), col(idCol))))
@@ -1053,8 +1058,10 @@ object Similarity {
    * probe set of a top-k scan over the labeled table — when the labeled
    * seed set is the small side (the norm), flip roles: labeled as the
    * scan, unlabeled batched as broadcast probes, exactly what this does.
-   * Voting is one hash agg on (probe, label) + a per-probe max(struct)
-   * — integer counts, no fp in the vote.
+   * Voting is one hash agg on (probe, label), a per-probe max-votes agg,
+   * and a min-label tie resolution — integer counts, no fp in the vote,
+   * and the label keeps its own type (string topics, numeric tiers —
+   * any orderable column).
    *
    * @return (idCol, label, votes) — votes = how many of the k neighbors
    *         carried the winning label
@@ -1066,15 +1073,16 @@ object Similarity {
     val topk = bruteForceTopK(labeled, idCol, vecCol,
       unlabeled, probeIdCol, probeVecCol, k)
     val votes = topk
-      .join(labeled.select(col(idCol), col(labelCol).cast("long").as("__lab")),
-        Seq(idCol))
+      .join(labeled.select(col(idCol), col(labelCol).as("__lab")), Seq(idCol))
       .groupBy(col(probeIdCol), col("__lab"))
       .agg(count(lit(1)).as("__votes"))
-    votes.groupBy(probeIdCol)
-      .agg(max(struct(col("__votes"), (-col("__lab")).as("nl"))).as("__b"))
-      .select(col(probeIdCol),
-        (-col("__b").getField("nl")).as("label"),
-        col("__b").getField("__votes").as("votes"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val best = votes.groupBy(probeIdCol).agg(max(col("__votes")).as("__mx"))
+    votes.join(best, Seq(probeIdCol))
+      .filter(col("__votes") === col("__mx"))
+      .groupBy(probeIdCol)
+      .agg(min(col("__lab")).as("label"), max(col("__mx")).as("votes"))
+      .select(col(probeIdCol), col("label"), col("votes"))
   }
 
   /**

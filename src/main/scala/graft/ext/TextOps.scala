@@ -528,10 +528,14 @@ object TextOps {
       .agg(count(lit(1)).as("n_ab"), max("__dfa").as("__na"),
         max("__dfb").as("__nb"))
       .filter(col("n_ab") >= minPairs)
+    // __na cast double BEFORE the product: the counts approach N by
+    // construction (most-frequent terms), and a long na*nb overflows at
+    // billion-doc scale — the double product doesn't, and 6-digit
+    // rounding absorbs the precision difference
     pairs.crossJoin(broadcast(n))
       .select(col("term_a"), col("term_b"), col("n_ab"),
         round(log(col("n_ab").cast("double") * col("__N") /
-          (col("__na") * col("__nb"))) + lit(1e-9), 6).as("pmi"))
+          (col("__na").cast("double") * col("__nb"))) + lit(1e-9), 6).as("pmi"))
   }
 
   /**

@@ -781,7 +781,8 @@ object ExtSimilarityQueries {
     // top-k, the vote count, and the (votes desc, label asc) argmax.
     QueryDef("ext_knn_classify", (s, dir) => {
       val all = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), col("label"))
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("long").as("label"))
       val labeled = all.filter(col("vec_id") % 3 =!= 0)
       val probes = all.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))

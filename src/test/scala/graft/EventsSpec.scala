@@ -69,5 +69,12 @@ class EventsSpec extends SparkSpec {
     val shifted = Corpus.psiDrift(v1, v2, "v", binWidth = 500.0)
       .agg(sum(col("psi_term"))).head().getDouble(0)
     assert(shifted > 0.25, s"a full-bin shift must exceed the 0.25 alarm, got $shifted")
+    // empty old snapshot (first-release bootstrap): finite maximal-drift
+    // terms, never a division by zero
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val boot = Corpus.psiDrift(empty, v1, "v", binWidth = 500.0)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(!boot.isNaN && !boot.isInfinite && boot > 0.25,
+      s"bootstrap drift must be finite and large, got $boot")
   }
 }

@@ -660,5 +660,15 @@ class SimilaritySpec extends SparkSpec {
         mid, "probe_id", "pe", k = 2)
       .as[(Long, Long, Long)].collect().head
     assert(tied == ((200L, 0L, 1L)))
+    // labels keep their own type — string topics vote and tie-break
+    // lexicographically, no numeric coercion anywhere
+    val strLabeled = Seq(
+      (1L, Seq(1.0, 0.0), "news"),
+      (2L, Seq(0.9, 0.1), "news"),
+      (3L, Seq(0.0, 1.0), "sports")).toDF("vec_id", "e", "label")
+    val strOut = Similarity.knnClassify(strLabeled, "vec_id", "e", "label",
+        probe, "probe_id", "pe", k = 3)
+      .as[(Long, String, Long)].collect().head
+    assert(strOut == ((100L, "news", 2L)))
   }
 }
