@@ -584,6 +584,49 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
 
 
+    // Index TAKEDOWN for the retrieval family: a standing BM25 postings
+    // table loses every 9th-mod-2 document via the generalized bucket
+    // rewrite (same machinery as ext_dedup_index_forget), WITHOUT a
+    // rebuild — per-term df self-heals (it is counted from surviving
+    // postings at query time) while the 1-row corpus stats stay stale
+    // until the next refresh, the documented drift of delete-in-place.
+    // The oracle scores post-forget postings with full-corpus stats.
+    QueryDef("ext_bm25_forget", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val (_, stats) =
+        graft.ext.Retrieval.buildBm25Index(s, "graft_bm25f", docs, buckets = 16)
+      val queries = graft.ext.Retrieval.dfDerivedQueries(docs, n = 4, perQuery = 3)
+      val forget = docs.filter(col("doc_id") % 9 === 2).select("doc_id")
+      graft.core.Materialize.bucketForget(s, "graft_bm25f_postings",
+        buckets = 16, bucketCols = Seq("term"), "doc_id", forget)
+      graft.ext.Retrieval.bm25TopKIndexed(
+        s.table("graft_bm25f_postings"), stats, queries, k = 5)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      qt AS (SELECT CAST((rnk - 11) // 3 AS BIGINT) AS query_id, term
+        FROM (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+        WHERE rnk BETWEEN 11 AND 22),
+      tf2 AS (SELECT * FROM dl WHERE doc_id % 9 <> 2),
+      df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+      scored AS (SELECT qt.query_id, tf2.doc_id,
+          round(sum(
+            ln(1 + (n_docs - df2.df + 0.5) / (df2.df + 0.5)) *
+            (tf2.tc * 2.2) /
+            (tf2.tc + 1.2 * (0.25 + 0.75 * tf2.dl * n_docs
+              / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM tf2 JOIN qt USING (term) JOIN df2 ON df2.term = tf2.term
+        CROSS JOIN stats GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+      SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
+
+
     // Pseudo-relevance-feedback retrieval (RM3 posture): pass 1 BM25 →
     // top-5 feedback docs per query → top-2 fresh tf·idf terms appended
     // → pass 2 BM25 over the expanded queries. The oracle replays both
