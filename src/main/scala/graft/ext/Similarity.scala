@@ -1047,6 +1047,52 @@ object Similarity {
   }
 
   /**
+   * Seed-set expansion ("more like this" corpus growth): starting from
+   * a seed id set, each round adds every vector whose same-bucket
+   * cosine to ANY currently-selected vector reaches `tau`; `rounds`
+   * bounds the transitive growth (semantic drift control — the round a
+   * doc joined IS its provenance: distance-from-seed in hops). The
+   * neighborhood-based counterpart of DSIR's importance weighting for
+   * domain-targeted corpus construction.
+   *
+   * Scale shape: the vector table is bucketed once behind a persist
+   * barrier; each round joins it against the CURRENT selection's
+   * vectors on the bucket id (the same candidate bound every LSH
+   * operator here uses — never all-pairs), and new ids leave through a
+   * distinct + anti-join. Rounds are a small constant; per-round cost
+   * is the candidate join, which tracks bucket co-occupancy, not n².
+   *
+   * @return (idCol, round) — round 0 = seed, r = joined in round r
+   */
+  def seedExpand(vectors: DataFrame, idCol: String, vecCol: String,
+                 seeds: DataFrame, tau: Double, rounds: Int,
+                 bits: Int = 4, scoreDigits: Int = 6): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val vb = vectors
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", bucketId(col("__v"), bits))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    var selected = vb.join(seeds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), lit(0L).as("round"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    for (r <- 1 to rounds) {
+      val selVecs = vb
+        .join(selected.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col("__bucket"), col("__v").as("__sv"))
+      val added = vb.join(selVecs, Seq("__bucket"))
+        .filter(round(cosineNative(col("__v"), col("__sv")) + lit(1e-9),
+          scoreDigits) >= tau)
+        .select(col(idCol)).distinct()
+        .join(selected, Seq(idCol), "left_anti")
+        .select(col(idCol), lit(r.toLong).as("round"))
+      selected = graft.core.CacheRegistry.persistTracked(
+        selected.unionByName(added))
+    }
+    selected
+  }
+
+  /**
    * kNN label transfer (semi-supervised auto-labeling): every unlabeled
    * vector takes the MAJORITY label of its k nearest labeled neighbors
    * by cosine (rounded scores, id-tiebroken k-set — [[bruteForceTopK]]'s

@@ -618,6 +618,56 @@ object ExtCorpusQueries {
       WHERE doc_id % 2 = 1""")),
 
 
+    // Precision/recall curve for the held-out classifier: the integer
+    // margin sweeps a -8..8 threshold grid — exact integer confusion
+    // counts per threshold, guarded ratios (nothing selected ⇒
+    // precision 0, not a division error). The model-evaluation row the
+    // selection queries' fixed cut (score > 0) is one point of.
+    QueryDef("ext_classifier_pr_curve", (s, dir) => {
+      val feats = classifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(
+        feats.filter(col("doc_id") % 2 === 0),
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      val scored = Classifier.score(
+          feats.filter(col("doc_id") % 2 === 1), "buckets", model)
+        .select(col("y"), col("score"))
+      val grid = s.range(-4, 5).select((col("id") * 2).as("threshold"))
+      scored.crossJoin(broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+          sum(when(col("score") > col("threshold") && col("y") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") > col("threshold") && col("y") =!= 1, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") <= col("threshold") && col("y") === 1, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          round(coalesce(col("tp").cast("double") /
+            nullif(col("tp") + col("fp"), lit(0L)), lit(0.0)) + lit(1e-9), 6)
+            .as("precision"),
+          round(coalesce(col("tp").cast("double") /
+            nullif(col("tp") + col("fn"), lit(0L)), lit(0.0)) + lit(1e-9), 6)
+            .as("recall"))
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64,
+        trainWhere = "doc_id % 2 = 0")},
+      ho AS (SELECT y, z FROM qzf WHERE doc_id % 2 = 1),
+      g AS (SELECT CAST(x * 2 AS BIGINT) AS threshold FROM range(-4, 5) r(x)),
+      c AS (SELECT threshold,
+          CAST(sum(CASE WHEN z > threshold AND y = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN z > threshold AND y <> 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN z <= threshold AND y = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn
+        FROM ho CROSS JOIN g GROUP BY 1)
+      SELECT threshold, tp, fp, fn,
+        round(coalesce(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 0) + 1e-9, 6)
+          AS precision,
+        round(coalesce(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 0) + 1e-9, 6)
+          AS recall
+      FROM c""")),
+
+
     // BPE tokenizer induction: 16 merge rounds over the English
     // vocabulary. The oracle unrolls the identical loop round by round
     // (SQL has no iteration — same pattern as the k-means oracle); the

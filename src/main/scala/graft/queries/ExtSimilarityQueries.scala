@@ -744,6 +744,69 @@ object ExtSimilarityQueries {
       SELECT id AS vec_id, label AS community FROM l2""")),
 
 
+    // Seed-set expansion over 12 rotation chains (links step 25° apart
+    // in a 2-plane outside the bucket dims): consecutive links score
+    // cos 25° ≈ 0.906 ≥ τ=0.9, skip-links cos 50° ≈ 0.643 < τ — so
+    // round 1 adds exactly the j=1 links, round 2 the j=2 links, and
+    // j≥3 stays out. Both engines build the identical chain fixture
+    // from the same double literals; the oracle unrolls both rounds.
+    QueryDef("ext_seed_expand", (s, dir) => {
+      import s.implicits._
+      val ang = Seq(
+        (0, 1.0, 0.0),
+        (1, 0.9063077870366499, 0.42261826174069944),
+        (2, 0.6427876096865393, 0.766044443118978),
+        (3, 0.25881904510252074, 0.9659258262890683),
+        (4, -0.17364817766693041, 0.984807753012208))
+      val rows = for { c <- 0 until 12; (j, cv, sv) <- ang } yield {
+        val a = Array.fill(64)(0.0)
+        a(8 + 2 * c) = cv
+        a(9 + 2 * c) = sv
+        (c * 100L + j, a.toSeq)
+      }
+      val vecs = rows.toDF("vec_id", "e")
+      val seeds = vecs.filter(col("vec_id") % 100 === 0).select("vec_id")
+      Similarity.seedExpand(vecs, "vec_id", "e", seeds,
+        tau = 0.9, rounds = 2)
+    }, Some("""WITH ang AS (SELECT j, CAST(cv AS DOUBLE) AS cv,
+          CAST(sv AS DOUBLE) AS sv FROM (VALUES
+        (0, 1.0, 0.0),
+        (1, 0.9063077870366499, 0.42261826174069944),
+        (2, 0.6427876096865393, 0.766044443118978),
+        (3, 0.25881904510252074, 0.9659258262890683),
+        (4, -0.17364817766693041, 0.984807753012208)) t(j, cv, sv)),
+      ch AS (SELECT x AS c FROM range(12) r(x)),
+      v AS (SELECT c * 100 + j AS vec_id,
+          list_transform(range(64), i ->
+            CASE WHEN i = 8 + 2 * c THEN cv
+                 WHEN i = 9 + 2 * c THEN sv
+                 ELSE CAST(0.0 AS DOUBLE) END) AS e
+        FROM ch CROSS JOIN ang),
+      b AS (SELECT vec_id, e, (CASE WHEN e[1] > e[33] THEN 1 ELSE 0 END)
+           + (CASE WHEN e[2] > e[34] THEN 2 ELSE 0 END)
+           + (CASE WHEN e[3] > e[35] THEN 4 ELSE 0 END)
+           + (CASE WHEN e[4] > e[36] THEN 8 ELSE 0 END) AS bk FROM v),
+      sel0 AS (SELECT vec_id FROM v WHERE vec_id % 100 = 0),
+      r1 AS (SELECT DISTINCT a.vec_id FROM b a
+        JOIN b s2 ON a.bk = s2.bk
+        JOIN sel0 ON sel0.vec_id = s2.vec_id
+        WHERE round(list_inner_product(a.e, s2.e) /
+            nullif(sqrt(list_inner_product(a.e, a.e))
+                 * sqrt(list_inner_product(s2.e, s2.e)), 0) + 1e-9, 6) >= 0.9
+          AND a.vec_id NOT IN (SELECT vec_id FROM sel0)),
+      sel1 AS (SELECT vec_id FROM sel0 UNION ALL SELECT vec_id FROM r1),
+      r2 AS (SELECT DISTINCT a.vec_id FROM b a
+        JOIN b s2 ON a.bk = s2.bk
+        JOIN sel1 ON sel1.vec_id = s2.vec_id
+        WHERE round(list_inner_product(a.e, s2.e) /
+            nullif(sqrt(list_inner_product(a.e, a.e))
+                 * sqrt(list_inner_product(s2.e, s2.e)), 0) + 1e-9, 6) >= 0.9
+          AND a.vec_id NOT IN (SELECT vec_id FROM sel1))
+      SELECT vec_id, CAST(0 AS BIGINT) AS round FROM sel0
+      UNION ALL SELECT vec_id, CAST(1 AS BIGINT) FROM r1
+      UNION ALL SELECT vec_id, CAST(2 AS BIGINT) FROM r2""")),
+
+
     // Binary-quantized Hamming top-5 (self-excluded, every 100th vector
     // probes): sign packing and XOR+popcount are integer end to end, so
     // the oracle needs no rounding protocol — the 32-bit halves keep

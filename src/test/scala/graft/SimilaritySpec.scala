@@ -623,6 +623,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("seedExpand: transitive growth one angular step per round, drift bounded") {
+    import spark.implicits._
+    // one chain of 25°-stepped links in dims 8/9: seed reaches link 1
+    // in round 1 (cos 25° ≈ .906 ≥ .9), link 2 only via link 1 in
+    // round 2 (seed↔link2 is cos 50° ≈ .64), links 3-4 stay out at
+    // rounds = 2
+    val ang = Seq((0, 1.0, 0.0), (1, 0.9063077870366499, 0.42261826174069944),
+      (2, 0.6427876096865393, 0.766044443118978),
+      (3, 0.25881904510252074, 0.9659258262890683),
+      (4, -0.17364817766693041, 0.984807753012208))
+    val rows = ang.map { case (j, cv, sv) =>
+      val a = Array.fill(64)(0.0); a(8) = cv; a(9) = sv
+      (j.toLong, a.toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "e")
+    val seeds = Seq(Tuple1(0L)).toDF("vec_id")
+    val out = Similarity.seedExpand(vecs, "vec_id", "e", seeds,
+        tau = 0.9, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
+      s"round labels must be hop distance from the seed, got $out")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("hammingTopK: sign packing + XOR popcount, integer distances") {
     import spark.implicits._
     val allPos = Seq.fill(64)(1.0)
