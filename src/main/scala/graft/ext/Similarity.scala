@@ -1086,8 +1086,15 @@ object Similarity {
         .select(col(idCol)).distinct()
         .join(selected, Seq(idCol), "left_anti")
         .select(col(idCol), lit(r.toLong).as("round"))
+      val prev = selected
       selected = graft.core.CacheRegistry.persistTracked(
         selected.unionByName(added))
+      // materialize the new selection, then drop the superseded round's
+      // cache — a long-lived session running many expansions must not
+      // accrete `rounds` cached frames per call (the perceptronTrain
+      // lesson from the r6 review)
+      selected.count()
+      prev.unpersist(blocking = false)
     }
     selected
   }
