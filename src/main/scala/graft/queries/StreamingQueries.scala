@@ -888,6 +888,64 @@ object StreamingQueries {
         .queryName("graft_st_dedup_bykey").outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table("graft_st_dedup_bykey").select("user_id").distinct()
-    }, Some("SELECT DISTINCT user_id FROM events"))
+    }, Some("SELECT DISTINCT user_id FROM events")),
+
+
+    // Streaming PSI drift monitor: four id-chunks of the corpus drain
+    // one per trigger, each scored against the PINNED full-corpus
+    // n_chars distribution — one (batch_id, psi, n_rows) row appended
+    // per trigger, replay-guarded. The oracle recomputes each chunk's
+    // PSI against the same reference, chunk by chunk.
+    QueryDef("st_drift_monitor", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_drift"
+      graft.core.Materialize.dropWithLocation(s, prefix + "_psi")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.DriftMonitor.psiIngest(
+        stream, docs, "n_chars", binWidth = 500.0, prefix)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_psi")
+      s.table(prefix + "_psi")
+    }, Some {
+      val chunks = (0 until 4).map { i =>
+        s"""c$i AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_new
+           FROM docs CROSS JOIN mxs
+           WHERE doc_id >= $i * step AND doc_id < ${i + 1} * step
+           GROUP BY 1),
+         j$i AS (SELECT coalesce(o.bin, c$i.bin) AS bin,
+             coalesce(o.n_old, 0) AS n_old, coalesce(c$i.n_new, 0) AS n_new
+           FROM o FULL OUTER JOIN c$i ON o.bin = c$i.bin),
+         t$i AS (SELECT CAST(sum(n_old) AS DOUBLE) AS do_,
+             CAST(sum(n_new) AS DOUBLE) AS dn FROM j$i),
+         p$i AS (SELECT round(sum(round(
+               (n_new / dn + 1e-6 - (n_old / do_ + 1e-6))
+               * ln((n_new / dn + 1e-6) / (n_old / do_ + 1e-6)) + 1e-9, 6))
+             + 1e-9, 6) AS psi,
+             (SELECT CAST(coalesce(sum(n_new), 0) AS BIGINT) FROM c$i)
+               AS n_rows
+           FROM j$i CROSS JOIN t$i)"""
+      }.mkString(",\n      ")
+      s"""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        mxs AS (SELECT max(doc_id) // 4 + 1 AS step FROM docs),
+        o AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n_old FROM docs GROUP BY 1),
+        $chunks
+      ${(0 until 4).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS batch_id, psi, n_rows FROM p$i")
+        .mkString("\n      UNION ALL ")}"""
+    })
   )
 }

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Streaming distribution-drift monitor: every micro-batch is scored
+ * against a FIXED reference distribution with
+ * [[graft.ext.Corpus.psiDrift]] and one (batch_id, psi, n_rows) row is
+ * appended to a standing monitor table — the production posture where
+ * an ingest feed is continuously audited against the last release and
+ * an alert fires when PSI crosses the 0.25 line. The reference is
+ * deliberately static (drift is measured against a pinned baseline, not
+ * a moving average); refreshing it is a new monitor run.
+ *
+ * Per-trigger work: the batch collapses to bin counts map-side (the
+ * psiDrift shape — bins-sized arithmetic against the broadcast
+ * reference), so cost is O(batch) regardless of how long the monitor
+ * has been running; the appended row is O(1). Replay-guarded by batch
+ * id: a crash-replayed trigger finds its row already present and
+ * appends nothing.
+ */
+object DriftMonitor {
+
+  def psiIngest(stream: DataFrame, ref: DataFrame, valueCol: String,
+                binWidth: Double, tablePrefix: String,
+                checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = ref.sparkSession
+    val table = tablePrefix + "_psi"
+    val writer = stream.writeStream.outputMode("append")
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val replayed = spark.catalog.tableExists(table) &&
+        spark.table(table).filter(col("batch_id") === batchId).count() > 0
+      if (!replayed && !batch.isEmpty) {
+        val scored = graft.ext.Corpus.psiDrift(ref, batch, valueCol, binWidth)
+          .agg(round(sum(col("psi_term")) + lit(1e-9), 6).as("psi"))
+          .select(lit(batchId).as("batch_id"), col("psi"),
+            lit(batch.count()).as("n_rows"))
+        scored.write.mode("append").format("parquet").saveAsTable(table)
+      }
+    }.start()
+  }
+}

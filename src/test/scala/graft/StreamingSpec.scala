@@ -743,4 +743,40 @@ class StreamingSpec extends SparkSpec {
       graft.core.CacheRegistry.releaseAll()
     }
   }
+
+  test("drift monitor: one row per batch; an identical re-drain appends nothing") {
+    import spark.implicits._
+    val prefix = "graft_test_drift"
+    graft.core.Materialize.dropWithLocation(spark, prefix + "_psi")
+    val ref = (1L to 100L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val stage = java.nio.file.Files.createTempDirectory("graft_drift_spec")
+    ref.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = graft.streaming.DriftMonitor.psiIngest(
+        stream, ref, "n_chars", binWidth = 500.0, prefix)
+      try q.processAllAvailable() finally q.stop()
+      spark.catalog.refreshTable(prefix + "_psi")
+    }
+    drain()
+    val rows = spark.table(prefix + "_psi")
+      .select("batch_id", "psi", "n_rows")
+      .as[(Long, Double, Long)].collect()
+    assert(rows.length == 1 && rows.head._1 == 0L && rows.head._3 == 100L)
+    assert(math.abs(rows.head._2) < 1e-4,
+      s"batch == reference must score ~zero drift, got ${rows.head._2}")
+    // a fresh stream over the SAME staged data replays batch 0: the
+    // guard must find its row and append nothing
+    drain()
+    assert(spark.table(prefix + "_psi").count() == 1,
+      "replayed batch ids must not duplicate monitor rows")
+    graft.core.Materialize.dropWithLocation(spark, prefix + "_psi")
+  }
 }
