@@ -838,6 +838,39 @@ object ExtSimilarityQueries {
       WHERE rn <= 5 AND vec_id <> probe_id""")),
 
 
+    // Degenerate vectors through sign quantization: the 1e-20 uniform
+    // vector packs IDENTICALLY to the ones vector (strict > 0 ignores
+    // magnitude ⇒ hamming 0 — binary quantization's magnitude
+    // blindness, pinned), while the zero vector and the all-negative
+    // vector BOTH pack to the all-zero code (no positive component) and
+    // are therefore mutually indistinguishable — the documented failure
+    // mode that makes the exact re-rank stage non-optional.
+    QueryDef("ext_adv_hamming", (s, dir) => {
+      val vecs = advVecs(s, dir).select(col("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") === 9100002L)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      Similarity.hammingTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "pe", k = 4)
+    }, Some(s"""WITH enc AS (SELECT vec_id,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN embedding[i + 1] > 0 THEN CAST(2 ** i AS BIGINT)
+                 ELSE 0 END)) AS BIGINT) AS h1,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN embedding[i + 33] > 0 THEN CAST(2 ** i AS BIGINT)
+                 ELSE 0 END)) AS BIGINT) AS h2
+        FROM $DuckAdvVecs),
+      p AS (SELECT vec_id AS probe_id, h1 AS p1, h2 AS p2 FROM enc
+        WHERE vec_id = 9100002),
+      d AS (SELECT p.probe_id, enc.vec_id,
+          CAST(bit_count(xor(enc.h1, p.p1))
+             + bit_count(xor(enc.h2, p.p2)) AS BIGINT) AS hamming
+        FROM enc CROSS JOIN p)
+      SELECT probe_id, vec_id, hamming FROM (SELECT *,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY hamming, vec_id) AS rn FROM d)
+      WHERE rn <= 4""")),
+
+
     // kNN label transfer: every 3rd vector plays the unlabeled batch,
     // the rest the labeled seed set; 5-neighbor majority vote, smallest
     // label on ties. Integer votes — the oracle replays the scored
