@@ -73,6 +73,19 @@ object CacheRegistry {
     }
   }
 
+  /** Unpersist ONE tracked frame and deregister it — for operators
+    * that supersede an intermediate mid-computation (e.g. seed
+    * expansion's per-round selections) without waiting for
+    * [[releaseAll]]; keeps the tracking queue exact instead of
+    * accreting dead references in a long-lived session. No-op for
+    * frames never registered. */
+  def release(ds: Dataset[_]): Unit = {
+    ds.unpersist(blocking = false)
+    frames.remove(ds)
+    val s = activeScopes.get().peek()
+    if (s != null) s.frames.remove(ds)
+  }
+
   /** Number of currently-tracked cached frames (for tests/diagnostics). */
   def trackedCount: Int = frames.size()
 

@@ -129,13 +129,28 @@ object Corpus {
    * @return (bin, n_old, n_new, psi_term), psi_term 6-digit rounded
    */
   def psiDrift(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
-               binWidth: Double, epsilon: Double = 1e-6): DataFrame = {
+               binWidth: Double, epsilon: Double = 1e-6): DataFrame =
+    psiDriftFromBins(binCounts(oldSnap, valueCol, binWidth),
+      binCounts(newSnap, valueCol, binWidth), epsilon)
+
+  /** (bin, n) fixed-width bin counts of a numeric column —
+    * [[psiDrift]]'s scan-side reduction, exposed so a standing monitor
+    * can pre-bin its pinned reference ONCE instead of re-scanning the
+    * baseline every trigger. */
+  def binCounts(df: DataFrame, valueCol: String,
+                binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth $binWidth must be positive")
-    def binned(df: DataFrame, name: String) =
-      df.select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(name))
-    val j = binned(oldSnap, "__no")
-      .join(binned(newSnap, "__nn"), Seq("bin"), "full_outer")
+    df.select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI terms from two pre-binned (bin, n) frames — the arithmetic
+    * half of [[psiDrift]], bins-sized on both sides. */
+  def psiDriftFromBins(oldBins: DataFrame, newBins: DataFrame,
+                       epsilon: Double = 1e-6): DataFrame = {
+    val j = oldBins.select(col("bin"), col("n").as("__no"))
+      .join(newBins.select(col("bin"), col("n").as("__nn")),
+        Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("__no"), lit(0L)).as("n_old"),
         coalesce(col("__nn"), lit(0L)).as("n_new"))
     val tots = j.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))

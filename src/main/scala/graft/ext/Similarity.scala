@@ -1089,12 +1089,13 @@ object Similarity {
       val prev = selected
       selected = graft.core.CacheRegistry.persistTracked(
         selected.unionByName(added))
-      // materialize the new selection, then drop the superseded round's
-      // cache — a long-lived session running many expansions must not
-      // accrete `rounds` cached frames per call (the perceptronTrain
-      // lesson from the r6 review)
+      // materialize the new selection, then drop AND deregister the
+      // superseded round's cache — a long-lived session running many
+      // expansions must not accrete `rounds` frames per call, in the
+      // registry queue or in memory (the perceptronTrain lesson from
+      // the r6 review)
       selected.count()
-      prev.unpersist(blocking = false)
+      graft.core.CacheRegistry.release(prev)
     }
     selected
   }

@@ -14,12 +14,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * deliberately static (drift is measured against a pinned baseline, not
  * a moving average); refreshing it is a new monitor run.
  *
- * Per-trigger work: the batch collapses to bin counts map-side (the
- * psiDrift shape — bins-sized arithmetic against the broadcast
- * reference), so cost is O(batch) regardless of how long the monitor
- * has been running; the appended row is O(1). Replay-guarded by batch
- * id: a crash-replayed trigger finds its row already present and
- * appends nothing.
+ * Per-trigger work: the REFERENCE is pre-binned once at stream start
+ * (a pinned, persisted (bin, count) frame — the baseline is never
+ * re-scanned), and each batch collapses to its own bin counts in ONE
+ * pass; psi, n_rows, and the empty-batch guard all come from that
+ * single aggregation, so per-trigger cost is O(batch) + bins-sized
+ * arithmetic regardless of baseline size or monitor age. The appended
+ * row is O(1). Replay-guarded by batch id: a crash-replayed trigger
+ * finds its row already present and appends nothing.
  */
 object DriftMonitor {
 
@@ -28,16 +30,21 @@ object DriftMonitor {
                 checkpoint: Option[String] = None): StreamingQuery = {
     val spark = ref.sparkSession
     val table = tablePrefix + "_psi"
+    val refBins = graft.core.CacheRegistry.persistTracked(
+      graft.ext.Corpus.binCounts(ref, valueCol, binWidth))
+    refBins.count() // pin the baseline before the first trigger
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val replayed = spark.catalog.tableExists(table) &&
         spark.table(table).filter(col("batch_id") === batchId).count() > 0
-      if (!replayed && !batch.isEmpty) {
-        val scored = graft.ext.Corpus.psiDrift(ref, batch, valueCol, binWidth)
-          .agg(round(sum(col("psi_term")) + lit(1e-9), 6).as("psi"))
-          .select(lit(batchId).as("batch_id"), col("psi"),
-            lit(batch.count()).as("n_rows"))
+      if (!replayed) {
+        val scored = graft.ext.Corpus.psiDriftFromBins(refBins,
+            graft.ext.Corpus.binCounts(batch.toDF(), valueCol, binWidth))
+          .agg(round(sum(col("psi_term")) + lit(1e-9), 6).as("psi"),
+            sum(col("n_new")).as("n_rows"))
+          .select(lit(batchId).as("batch_id"), col("psi"), col("n_rows"))
+          .filter(col("n_rows") > 0) // empty replay/trigger: no row
         scored.write.mode("append").format("parquet").saveAsTable(table)
       }
     }.start()
