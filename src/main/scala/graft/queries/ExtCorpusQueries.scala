@@ -1277,6 +1277,42 @@ object ExtCorpusQueries {
       WHERE onorm IS NULL OR nnorm IS NULL OR onorm <> nnorm""")),
 
 
+    // Snapshot diff over the degenerate corpus: the empty doc rewritten
+    // as whitespace and the 1-token doc case-folded are NOT changes
+    // (normalized-content equality — the fingerprint contract), while a
+    // real token append, a drop, and a fresh id report exactly once.
+    QueryDef("ext_adv_snapshot_diff", (s, dir) => {
+      import s.implicits._
+      val v1 = advCorpus(s, dir)
+      val v2 = v1.filter(col("doc_id") =!= 9000005L)
+        .select(col("doc_id"),
+          when(col("doc_id") === 9000001L, lit("   "))
+            .when(col("doc_id") === 9000003L, lit("WORD"))
+            .when(col("doc_id") === 9000008L, concat(col("text"), lit(" edit")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(Seq((9999999L, "brand new doc")).toDF("doc_id", "text"))
+      Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+    }, Some(s"""WITH v1 AS (SELECT doc_id, text FROM $DuckAdvCorpus),
+      v2 AS (SELECT doc_id, CASE WHEN doc_id = 9000001 THEN '   '
+            WHEN doc_id = 9000003 THEN 'WORD'
+            WHEN doc_id = 9000008 THEN text || ' edit'
+            ELSE text END AS text
+          FROM v1 WHERE doc_id <> 9000005
+        UNION ALL SELECT CAST(9999999 AS BIGINT), 'brand new doc'),
+      o AS (SELECT doc_id,
+        coalesce(array_to_string($DuckToks, ' '), '') AS norm FROM v1),
+      n AS (SELECT doc_id,
+        coalesce(array_to_string($DuckToks, ' '), '') AS norm FROM v2),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          o.norm AS onorm, n.norm AS nnorm
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT doc_id, CASE WHEN onorm IS NULL THEN 'added'
+          WHEN nnorm IS NULL THEN 'removed'
+          WHEN onorm <> nnorm THEN 'changed' END AS status
+      FROM j
+      WHERE onorm IS NULL OR nnorm IS NULL OR onorm <> nnorm""")),
+
+
     // Curriculum ordering: n_chars as the ease signal (longest docs
     // schedule first here — the signal is caller-defined), 4
     // equal-population stages, md5-permuted within each stage. The
