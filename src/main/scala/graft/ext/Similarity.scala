@@ -473,30 +473,38 @@ object Similarity {
    * outDim/dim of the bytes, the exact pass touches `candidates` rows
    * per probe instead of the corpus. Raise `candidates` to trade cost
    * for recall, exactly like nprobe in the IVF family.
+   *
+   * Scale: BOTH top-k selections run through
+   * [[graft.functions.TopKAggregator.topKPerKey]] (map-side-combining
+   * bounded buffers), never a rank window — with a window every scored
+   * corpus row would shuffle to its probe's single reducer; with the
+   * aggregator only per-partition winners (≤ candidates × partitions
+   * per probe) reach the shuffle. Ties break (score DESC, id ASC),
+   * identical to the row_number form. Requires NUMERIC (long-castable)
+   * `idCol` — the aggregator's tiebreak slot is a long.
    */
   def annTopKJl(vectors: DataFrame, idCol: String, vecCol: String,
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
                 dim: Int, outDim: Int, candidates: Int, k: Int,
                 seed: String = "jl"): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
-    val w = org.apache.spark.sql.expressions.Window
     val pv = jlProject(vectors, idCol, vecCol, dim, outDim, seed)
     val pp = jlProject(probes, probeIdCol, probeVecCol, dim, outDim, seed)
       .withColumnRenamed("proj", "__pproj")
-    val cand = pv.crossJoin(broadcast(pp))
+    val scored = pv.crossJoin(broadcast(pp))
       .withColumn("__cs", round(cosine(col("proj"), col("__pproj"))
         + lit(1e-9), 6))
-      .withColumn("__rn", row_number().over(
-        w.partitionBy(col(probeIdCol)).orderBy(desc("__cs"), col(idCol))))
-      .filter(col("__rn") <= candidates)
+    val cand = graft.functions.TopKAggregator
+      .topKPerKey(scored, Seq(probeIdCol), col("__cs"), col(idCol),
+        candidates, "__cs", idCol)
       .select(col(probeIdCol), col(idCol))
-    cand.join(vectors, Seq(idCol))
+    val exact = cand.join(vectors, Seq(idCol))
       .join(broadcast(probes), Seq(probeIdCol))
-      .withColumn("score", round(cosine(asDouble(col(vecCol)),
+      .withColumn("__score", round(cosine(asDouble(col(vecCol)),
         asDouble(col(probeVecCol))) + lit(1e-9), 6))
-      .withColumn("__rn", row_number().over(
-        w.partitionBy(col(probeIdCol)).orderBy(desc("score"), col(idCol))))
-      .filter(col("__rn") <= k)
+    graft.functions.TopKAggregator
+      .topKPerKey(exact, Seq(probeIdCol), col("__score"), col(idCol),
+        k, "score", idCol)
       .select(col(probeIdCol), col(idCol), col("score"))
   }
 

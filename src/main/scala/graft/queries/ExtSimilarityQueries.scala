@@ -187,21 +187,25 @@ object ExtSimilarityQueries {
     // Johnson-Lindenstrauss projection 64 -> 16 dims through the
     // md5-derived +-1/4 sign matrix: the pre-ANN dimensionality
     // reduction, scan-only. The oracle rebuilds the SAME matrix from
-    // md5 and projects relationally.
+    // md5 and projects relationally. Emitted exploded as
+    // (vec_id, j, pj) scalar rows — the same harness-sortable layout
+    // as ext_embed_quantize (array-valued result columns can't be
+    // sorted by the comparison harness).
     QueryDef("ext_embed_jl_project", (s, dir) =>
       Similarity.jlProject(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", dim = 64, outDim = 16),
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("__j0", "pj")))
+        .select(col("vec_id"), (col("__j0") + 1).cast("long").as("j"), col("pj")),
       Some("""WITH m AS (SELECT j, i,
           CASE WHEN substr(md5('jl_' || i || '_' || j), 1, 1) < '8'
                THEN 0.25 ELSE -0.25 END AS s
         FROM range(1, 17) t1(j), range(1, 65) t2(i)),
       v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-          unnest(embedding) AS x FROM embeddings),
-      p AS (SELECT vec_id, j,
+          unnest(embedding) AS x FROM embeddings)
+      SELECT vec_id, CAST(j AS BIGINT) AS j,
           round(sum(CAST(x AS DOUBLE) * s) + 1e-9, 6) AS pj
-        FROM v JOIN m USING (i) GROUP BY 1, 2)
-      SELECT vec_id, list(pj ORDER BY j) AS proj FROM p GROUP BY vec_id""")),
+        FROM v JOIN m USING (i) GROUP BY 1, 2""")),
 
 
     // Two-stage retrieval with JL as the coarse quantizer: top-60

@@ -151,6 +151,18 @@ class PlanSpec extends SparkSpec {
       "fused top-k must not shuffle scored rows or run a rank window")
   }
 
+  test("ann-jl two-stage top-k runs the bounded aggregator, never a rank window") {
+    val p = plan("ext_sim_ann_jl")
+    // both the coarse candidate pass and the exact re-rank must select
+    // per-probe top rows via TopKAggregator's partial/final ObjectHashAggregate
+    // split — a Window here would shuffle every scored corpus row to its
+    // probe's single reducer
+    assert(!p.contains("Window"),
+      "annTopKJl must not rank-window scored corpus rows")
+    assert(p.contains("ObjectHashAggregate"),
+      "annTopKJl top-k must run through the bounded-buffer aggregator")
+  }
+
   test("simhash pairs plan is a banded equi-join, never an all-pairs product") {
     val p = plan("ext_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
