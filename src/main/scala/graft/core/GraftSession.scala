@@ -19,13 +19,17 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
-      // per-process warehouse: persisted-index operators create tables
+      // per-APP-NAME warehouse: persisted-index operators create tables
       // under fixed names, so two concurrent local JVMs (a bench run
       // beside a test run) sharing the default ./spark-warehouse would
-      // corrupt each other's staged writes. Within-session table reuse —
-      // the only reuse the operators rely on — is unaffected.
+      // corrupt each other's staged writes. Keying by app name (not a
+      // fresh random dir per session) keeps the dir count bounded AND
+      // lets a later session with the same app name rediscover standing
+      // tables (e.g. buildBm25Index's persisted index). Two concurrent
+      // JVMs that share an app name must pass distinct names or set
+      // spark.sql.warehouse.dir explicitly.
       .config("spark.sql.warehouse.dir",
-        s"target/graft-wh-${java.util.UUID.randomUUID().toString.take(8)}"))
+        s"target/graft-wh-${appName.replaceAll("[^A-Za-z0-9._-]", "_")}"))
 
   def configure(builder: SparkSession.Builder): SparkSession = {
     val spark = builder

@@ -444,7 +444,13 @@ object Corpus {
       .withColumn("__pre_w", coalesce(sum(col("__w")).over(ord), lit(0.0)))
       .withColumn("__c", (lit(targetFrac) * col("__tot") - col("__pre_n")) /
         (col("__sw") - col("__pre_w")))
-    val cStar = pre.filter(col("__c") < col("__thr"))
+    // round-before-compare (the repo-wide fp convention): __c and __thr
+    // are raw pow()/division outputs, and a 1-ulp libm divergence between
+    // engines on an unrounded < would flip which source pins the budget
+    // constant, shifting EVERY acceptance rate — quantize both sides to
+    // 6 digits (+1e-9 nudge) so the branch is bit-stable cross-engine
+    val cStar = pre.filter(round(col("__c") + lit(1e-9), 6) <
+        round(col("__thr") + lit(1e-9), 6))
       .orderBy(col("__thr"), col(sourceCol)).limit(1)
       .select(col("__c").as("__cstar"), lit(1).as("__k"))
     val rates = w.withColumn("__k", lit(1))

@@ -102,12 +102,25 @@ object Graphs {
         .join(lab.withColumnRenamed("id", "src_id"), Seq("src_id"))
         .groupBy(col("dst_id").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
+      // smallest-label-on-ties WITHOUT negating the label column: node
+      // ids (= labels) may be strings/UUIDs, where arithmetic negation
+      // NULL-casts silently (non-ANSI) or throws (ANSI). min_by over
+      // (-c, label) keeps the label in its own type: smallest -c is the
+      // max count, lexicographic/numeric-ascending label breaks ties.
       val best = neigh.groupBy("id")
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
-        .select(col("id"), (-col("b").getField("nl")).as("label"))
+        .agg(min_by(col("label"),
+          struct((-col("c")).as("nc"), col("label"))).as("label"))
       lab = nodes.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     }
-    lab
+    // materialize the final assignment, then drop the per-call caches —
+    // a long-lived session running many propagations must not accrete
+    // two cached frames per call (the seedExpand round-cache lesson).
+    // The returned frame stays tracked for scope/releaseAll cleanup.
+    val out = graft.core.CacheRegistry.persistTracked(lab)
+    out.count()
+    graft.core.CacheRegistry.release(sym)
+    graft.core.CacheRegistry.release(nodes)
+    out
   }
 }

@@ -1165,7 +1165,14 @@ object Similarity {
    * and no state outgrows a task. Exactly the shape `mapGroups` exists
    * for; a join-per-step DataFrame unroll would shuffle k times instead.
    *
-   * Returns (probeIdCol, rank [1..k], candIdCol, mmr).
+   * Id contract: BOTH id columns must be integral (byte/short/int/long —
+   * ascending-numeric tie-break) or BOTH string (UUID-style ids —
+   * ascending-lexicographic tie-break); any other pairing throws up
+   * front rather than silently NULL-casting ids and collapsing probes
+   * (the non-ANSI long-cast failure mode this check exists to prevent).
+   *
+   * Returns (probeIdCol, rank [1..k], candIdCol, mmr), ids in their
+   * input type (long for the integral path).
    */
   def mmrRerank(candidates: DataFrame, probeIdCol: String, candIdCol: String,
                 relCol: String, vecCol: String, k: Int, lambda: Double,
@@ -1174,48 +1181,72 @@ object Similarity {
     require(lambda >= 0.0 && lambda <= 1.0,
       s"lambda $lambda outside [0, 1] — >1 would REWARD redundancy")
     require(scoreDigits >= 0, s"scoreDigits $scoreDigits must be >= 0")
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val pt = candidates.schema(probeIdCol).dataType
+    val ct = candidates.schema(candIdCol).dataType
     val spark = candidates.sparkSession
     import spark.implicits._
-    val ds = candidates.select(
-        col(probeIdCol).cast("long"), col(candIdCol).cast("long"),
-        col(relCol).cast("double"), asDouble(col(vecCol)))
-      .as[(Long, Long, Double, Seq[Double])]
     val digits = scoreDigits
     val lam = lambda
-    ds.groupByKey(_._1).flatMapGroups { (probe, it) =>
-      // id-ascending scan + strict-greater acceptance = lowest-id tiebreak
-      val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
-        .toArray.sortBy(_._1)
-      val mu = 1 - lam
-      val taken = scala.collection.mutable.HashSet.empty[Long]
-      val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
-      val kk = math.min(k, cands.length)
-      var rank = 1L
-      var stuck = false
-      while (rank <= kk && !stuck) {
-        var bestId = -1L; var bestScore = Double.NegativeInfinity
-        var bestVec: Array[Double] = null
-        cands.foreach { case (id, rel, v) =>
-          if (!taken(id)) {
-            val maxSim =
-              if (selected.isEmpty) 0d
-              else selected.map(s => cosineOracleForm(v, s)).max
-            val mmr = roundHalfUp(lam * rel - mu * maxSim + 1e-9, digits)
-            if (mmr > bestScore) { bestScore = mmr; bestId = id; bestVec = v }
-          }
-        }
-        // every remaining candidate scored NaN (a NaN relevance input):
-        // stop emitting rather than fabricate a (-1, -Inf) row
-        if (bestId == -1L) stuck = true
-        else {
-          taken += bestId
-          selected += bestVec
-          out += ((probe, rank, bestId, bestScore))
-          rank += 1
+    if (integral(pt) && integral(ct)) {
+      candidates.select(col(probeIdCol).cast("long"), col(candIdCol).cast("long"),
+          col(relCol).cast("double"), asDouble(col(vecCol)))
+        .as[(Long, Long, Double, Seq[Double])]
+        .groupByKey(_._1).flatMapGroups { (probe, it) =>
+          mmrGreedy(it.map { case (_, id, rel, v) => (id, rel, v.toArray) },
+            k, lam, digits).map { case (rank, id, s) => (probe, rank, id, s) }
+        }.toDF(probeIdCol, "rank", candIdCol, "mmr")
+    } else if (pt == StringType && ct == StringType) {
+      candidates.select(col(probeIdCol), col(candIdCol),
+          col(relCol).cast("double"), asDouble(col(vecCol)))
+        .as[(String, String, Double, Seq[Double])]
+        .groupByKey(_._1).flatMapGroups { (probe, it) =>
+          mmrGreedy(it.map { case (_, id, rel, v) => (id, rel, v.toArray) },
+            k, lam, digits).map { case (rank, id, s) => (probe, rank, id, s) }
+        }.toDF(probeIdCol, "rank", candIdCol, "mmr")
+    } else throw new IllegalArgumentException(
+      s"mmrRerank ids must be both integral or both string; got " +
+        s"$probeIdCol: ${pt.simpleString}, $candIdCol: ${ct.simpleString}")
+  }
+
+  /** The greedy MMR selection over one probe's candidate set, id type
+    * abstracted: id-ascending scan + strict-greater acceptance = lowest-id
+    * tie-break under whatever ordering K carries. Emits (rank, id, mmr). */
+  private def mmrGreedy[K: Ordering](it: Iterator[(K, Double, Array[Double])],
+      k: Int, lam: Double, digits: Int): Iterator[(Long, K, Double)] = {
+    val cands = it.toArray.sortBy(_._1)
+    val mu = 1 - lam
+    val taken = scala.collection.mutable.HashSet.empty[K]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, K, Double)]
+    val kk = math.min(k, cands.length)
+    var rank = 1L
+    var stuck = false
+    while (rank <= kk && !stuck) {
+      var bestId: Option[K] = None; var bestScore = Double.NegativeInfinity
+      var bestVec: Array[Double] = null
+      cands.foreach { case (id, rel, v) =>
+        if (!taken(id)) {
+          val maxSim =
+            if (selected.isEmpty) 0d
+            else selected.map(s => cosineOracleForm(v, s)).max
+          val mmr = roundHalfUp(lam * rel - mu * maxSim + 1e-9, digits)
+          if (mmr > bestScore) { bestScore = mmr; bestId = Some(id); bestVec = v }
         }
       }
-      out.iterator
-    }.toDF(probeIdCol, "rank", candIdCol, "mmr")
+      // every remaining candidate scored NaN (a NaN relevance input):
+      // stop emitting rather than fabricate a sentinel row
+      bestId match {
+        case None => stuck = true
+        case Some(id) =>
+          taken += id
+          selected += bestVec
+          out += ((rank, id, bestScore))
+          rank += 1
+      }
+    }
+    out.iterator
   }
 }

@@ -1072,7 +1072,8 @@ object ExtCorpusQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_w
           FROM w CROSS JOIN t),
         cc AS (SELECT (0.5 * tot - pre_n) / (sw - pre_w) AS cstar
-          FROM pre WHERE (0.5 * tot - pre_n) / (sw - pre_w) < thr
+          FROM pre WHERE round((0.5 * tot - pre_n) / (sw - pre_w) + 1e-9, 6)
+            < round(thr + 1e-9, 6)
           ORDER BY thr, source LIMIT 1),
         r AS (SELECT w.source, greatest(1.0, round(least(1.0,
               coalesce(cc.cstar, 1e308) * w.w / CAST(w.n AS DOUBLE)) * 256
@@ -1119,7 +1120,8 @@ object ExtCorpusQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_w
         FROM w CROSS JOIN t),
       cc AS (SELECT (0.5 * tot - pre_n) / (sw - pre_w) AS cstar
-        FROM pre WHERE (0.5 * tot - pre_n) / (sw - pre_w) < thr
+        FROM pre WHERE round((0.5 * tot - pre_n) / (sw - pre_w) + 1e-9, 6)
+          < round(thr + 1e-9, 6)
         ORDER BY thr, source LIMIT 1),
       r AS (SELECT w.source, greatest(1.0, round(least(1.0,
             coalesce(cc.cstar, 1e308) * w.w / CAST(w.n AS DOUBLE)) * 256

@@ -598,6 +598,36 @@ class SimilaritySpec extends SparkSpec {
     assert(first._3 == 5L)
   }
 
+  test("mmrRerank: string (UUID-style) ids select identically; mixed id types throw") {
+    import spark.implicits._
+    // same geometry as the diversity test, ids as UUID-ish strings —
+    // the string path must make the same selections, tie-break
+    // lexicographic-ascending
+    val cand = Seq(
+      ("p-1", "doc-a", 0.9, Seq(1.0, 0.0)),
+      ("p-1", "doc-b", 0.85, Seq(1.0, 0.0)),
+      ("p-1", "doc-c", 0.5, Seq(0.0, 1.0))).toDF("probe_id", "cand_id", "rel", "e")
+    val out = Similarity.mmrRerank(cand, "probe_id", "cand_id", "rel", "e",
+        k = 3, lambda = 0.7)
+      .orderBy("rank").as[(String, Long, String, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq("doc-a", "doc-c", "doc-b"))
+    assert(out.map(_._1).distinct.toSeq == Seq("p-1"))
+    // exact tie: lexicographically-lowest id wins
+    val tied = Seq(
+      ("p-9", "z", 0.8, Seq(1.0, 0.0)),
+      ("p-9", "m", 0.8, Seq(1.0, 0.0))).toDF("probe_id", "cand_id", "rel", "e")
+    val first = Similarity.mmrRerank(tied, "probe_id", "cand_id", "rel", "e",
+        k = 1, lambda = 0.7)
+      .as[(String, Long, String, Double)].collect().head
+    assert(first._3 == "m")
+    // mixed (string probe, long cand) must throw up front, not NULL-cast
+    val mixed = Seq(("p-1", 1L, 0.9, Seq(1.0, 0.0)))
+      .toDF("probe_id", "cand_id", "rel", "e")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(mixed, "probe_id", "cand_id", "rel", "e", 1, 0.5)
+    }
+  }
+
   test("mmrRerank: a zero-norm candidate neither crashes nor poisons later steps") {
     import spark.implicits._
     // the zero vector wins step 1 on relevance; its similarity to
