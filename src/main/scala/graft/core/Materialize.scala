@@ -375,29 +375,40 @@ object Materialize {
         // rows whose key is absent from the increment, then append the
         // increment — necessarily a full rewrite (there is no partition
         // grain to scope it to; on Iceberg/Delta a MERGE INTO would
-        // replace this). The merged result is written ONCE to a staging
-        // dir on the warehouse filesystem, then swapped in with a rename
-        // and registered over the moved files — a cache barrier is not
-        // enough (DROP TABLE uncaches every plan reading the table,
-        // which would force the rewrite to recompute from deleted
-        // files), and re-writing the staged data through saveAsTable
-        // would pay the full-table write twice.
-        val merged = spark.table(name).join(df, keys, "left_anti").unionByName(df)
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.sessionState.conf.warehousePath)
-        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val stage = new org.apache.hadoop.fs.Path(warehouse, s"_graft_stage_${name.toLowerCase}")
-        fs.delete(stage, true)
-        try {
-          merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-          dropWithLocation(spark, name)
-          val dest = new org.apache.hadoop.fs.Path(
-            fs.makeQualified(warehouse), name.toLowerCase)
-          if (!fs.rename(stage, dest))
-            throw new java.io.IOException(s"rename $stage -> $dest failed")
-          spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${dest.toString}'")
-        } finally fs.delete(stage, true)
-        spark.table(name)
+        // replace this).
+        replaceTable(spark, name,
+          spark.table(name).join(df, keys, "left_anti").unionByName(df))
       }
+  }
+
+  /**
+   * Atomically replace a table's full contents with `df` — which MAY
+   * read from the table itself (the delete+insert merge and the
+   * streaming-upsert fold both do). The replacement is written ONCE to
+   * a staging dir on the warehouse filesystem, then swapped in with a
+   * rename and registered over the moved files — a cache barrier is not
+   * enough (DROP TABLE uncaches every plan reading the table, which
+   * would force the rewrite to recompute from deleted files), and
+   * re-writing the staged data through saveAsTable would pay the
+   * full-table write twice. A caller that has already folded old and
+   * new state into one frame calls this directly instead of paying
+   * [[AsIncremental]]'s additional keep-rows anti-join over the table.
+   */
+  def replaceTable(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(warehouse, s"_graft_stage_${name.toLowerCase}")
+    fs.delete(stage, true)
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      dropWithLocation(spark, name)
+      val dest = new org.apache.hadoop.fs.Path(
+        fs.makeQualified(warehouse), name.toLowerCase)
+      if (!fs.rename(stage, dest))
+        throw new java.io.IOException(s"rename $stage -> $dest failed")
+      spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${dest.toString}'")
+    } finally fs.delete(stage, true)
+    spark.table(name)
   }
 }

@@ -301,6 +301,13 @@ object EventStream {
                       checkpoint: Option[String] = None): StreamingQuery = {
     val spark = events.sparkSession
     val step: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, batchId) =>
+      val debug = sys.env.contains("GRAFT_INGEST_DEBUG")
+      var tPrev = System.nanoTime()
+      def lap(phase: String): Unit = if (debug) {
+        val now = System.nanoTime()
+        println(f"[ingest-phase] batch=$batchId $phase%-14s ${(now - tPrev) / 1e9}%.3f s")
+        tPrev = now
+      }
       // foreachBatch is at-least-once: a batch can REPLAY after a crash,
       // and this fold is not idempotent — so every row carries the id of
       // the last batch folded in, and an already-applied id skips. With
@@ -311,23 +318,32 @@ object EventStream {
         if (!spark.catalog.tableExists(table)) -1L
         else spark.table(table)
           .agg(coalesce(max(col("__last_batch")), lit(-1L))).head().getLong(0)
+      lap("replay-guard")
       if (batchId > lastApplied) {
         val bagg = batch.groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+        // ONE full_outer join folds old and new state for every user —
+        // batch-only users enter, carried users pass through, shared
+        // users combine (sum / max). The fold already IS the next table
+        // state, so it commits via replaceTable directly instead of
+        // AsIncremental, whose keep-rows anti-join would re-read the
+        // table to rediscover what this join already knows (measured
+        // ~0.2 s/trigger of pure rework at micro-batch size).
         val merged =
           if (!spark.catalog.tableExists(table)) bagg
           else {
             val prev = spark.table(table).select(col("user_id"),
               col("n_events").as("__pn"), col("last_ts").as("__pt"))
-            bagg.join(prev, Seq("user_id"), "left")
+            bagg.join(prev, Seq("user_id"), "full_outer")
               .select(col("user_id"),
-                (col("n_events") + coalesce(col("__pn"), lit(0L))).as("n_events"),
-                greatest(col("last_ts"), coalesce(col("__pt"), col("last_ts")))
-                  .as("last_ts"))
+                (coalesce(col("n_events"), lit(0L))
+                  + coalesce(col("__pn"), lit(0L))).as("n_events"),
+                greatest(coalesce(col("last_ts"), col("__pt")),
+                  coalesce(col("__pt"), col("last_ts"))).as("last_ts"))
           }
-        graft.core.Materialize.materialize(spark, table,
-          merged.withColumn("__last_batch", lit(batchId)),
-          graft.core.Materialize.AsIncremental(uniqueKey = Seq("user_id")))
+        graft.core.Materialize.replaceTable(spark, table,
+          merged.withColumn("__last_batch", lit(batchId)))
+        lap("merge-commit")
       }
       ()
     }
