@@ -297,6 +297,73 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- BM25 scoring tail: rank window vs bounded top-k aggregator ----
+    // the claim under test: with a HOT query term (one term in 50% of
+    // docs), the window form funnels every scored (query, doc) row to
+    // that query's single reducer, while TopKAggregator's partial pass
+    // caps the exchange at k × partitions rows per query. Amplified
+    // corpus, half the docs carrying the injected hot term; same
+    // queries, same k, same result set (asserted) — only the tail
+    // differs.
+    if (section("bm25tail")) {
+      val docs0 = graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val docs = amplifyDocs(docs0, math.max(mult, 1))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(col("text"), lit(" hotxterm"))).otherwise(col("text")))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = docs.count()
+      import spark.implicits._
+      val queries = Seq(
+        (0L, "hotxterm"), (0L, "data"),
+        (1L, "hotxterm"), (1L, "model"),
+        (2L, "training"), (2L, "quality"),
+        (3L, "hotxterm")).toDF("query_id", "term")
+      // scoped release per run: each bm25 call registers its tf persist;
+      // dropping it between runs (but NOT the amplified-docs cache) makes
+      // every run pay the same tokenize+agg work
+      def bench(tag: String, windowTail: Boolean): Unit = {
+        val times = (1 to 3).map { _ =>
+          graft.core.CacheRegistry.scoped {
+            timed(graft.ext.Retrieval
+              .bm25TopKImpl(docs, queries, k = 10, k1 = 1.2, b = 0.75,
+                windowTail = windowTail).count())._2
+          }
+        }
+        println(f"[scaleprobe] bm25tail $tag%-10s n=$n t=${times.min}%.2fs")
+      }
+      graft.core.CacheRegistry.scoped {
+        val wRes = graft.ext.Retrieval.bm25TopKImpl(docs, queries, 10, 1.2, 0.75,
+          windowTail = true).collect().map(_.toString).sorted
+        val aRes = graft.ext.Retrieval.bm25TopKImpl(docs, queries, 10, 1.2, 0.75,
+          windowTail = false).collect().map(_.toString).sorted
+        require(wRes.sameElements(aRes),
+          "window and aggregator tails must return the identical k-set")
+      }
+      bench("window", windowTail = true)
+      bench("aggregator", windowTail = false)
+      // tail-only: same comparison with the scored frame cached, so the
+      // shared tokenize+aggregation cost is out of the timing entirely
+      val scored = graft.core.CacheRegistry.persistTracked(
+        graft.ext.Retrieval.bm25ScoredForProbe(docs, queries))
+      scored.count()
+      def benchTail(tag: String, f: DataFrame => DataFrame): Unit = {
+        val times = (1 to 3).map(_ => timed(f(scored).count())._2)
+        println(f"[scaleprobe] bm25tail tail-$tag%-10s n=$n t=${times.min}%.2fs")
+      }
+      benchTail("window", s =>
+        s.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))))
+          .filter(col("__rn") <= 10).select("query_id", "doc_id", "score"))
+      benchTail("agg", s =>
+        graft.functions.TopKAggregator.topKPerKey(s, Seq("query_id"),
+          col("score"), col("doc_id"), 10, "score", "doc_id"))
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     // ---- k-means: per-iteration scan cost vs corpus size ---------------
     // the claim under test: assignment is a SCAN against the k×dim
     // centroid literals (no exchange — pinned in PlanSpec) and the

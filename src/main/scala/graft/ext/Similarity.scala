@@ -480,8 +480,8 @@ object Similarity {
    * corpus row would shuffle to its probe's single reducer; with the
    * aggregator only per-partition winners (≤ candidates × partitions
    * per probe) reach the shuffle. Ties break (score DESC, id ASC),
-   * identical to the row_number form. Requires NUMERIC (long-castable)
-   * `idCol` — the aggregator's tiebreak slot is a long.
+   * identical to the row_number form. `idCol` must be integral (emitted
+   * as long) or string — TopKAggregator's dispatch contract.
    */
   def annTopKJl(vectors: DataFrame, idCol: String, vecCol: String,
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -19,10 +19,26 @@ import org.apache.spark.sql.functions._
  * Ordering is (score DESC, id ASC) — exactly-k row_number semantics with
  * a deterministic tiebreak, NOT tie-keeping RANK (use
  * [[graft.ops.Windows.qualifyTopK]] when ties must survive).
+ *
+ * Id contract ([[topKPerKey]]): integral ids (byte/short/int/long —
+ * numeric-ascending tiebreak, emitted as long) or string ids
+ * (UTF-8-binary-ascending tiebreak, the ordering Spark and DuckDB both
+ * use for strings; JVM UTF-16 comparison diverges on supplementary-plane
+ * characters, hence the explicit byte ordering). Any other id type
+ * throws up front rather than silently NULL-casting.
  */
 object TopKAggregator {
 
   type Entry = (Double, Long) // (score, tiebreak id)
+
+  /** Insert keeping the buffer sorted best-first and bounded at k —
+    * k is small (top-10 shapes), so linear insert beats heap overhead. */
+  private def insertSorted[E](buf: List[E], e: E, k: Int,
+                              better: (E, E) => Boolean): List[E] = {
+    val (prefix, suffix) = buf.span(better(_, e))
+    val merged = prefix ::: (e :: suffix)
+    if (merged.length > k) merged.take(k) else merged
+  }
 
   private def better(a: Entry, b: Entry): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -30,19 +46,12 @@ object TopKAggregator {
   final class TopK(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
     override def zero: List[Entry] = Nil
 
-    // insert keeping the buffer sorted best-first and bounded at k —
-    // k is small (top-10 shapes), so linear insert beats heap overhead
-    private def insert(buf: List[Entry], e: Entry): List[Entry] = {
-      val (prefix, suffix) = buf.span(better(_, e))
-      val merged = prefix ::: (e :: suffix)
-      if (merged.length > k) merged.take(k) else merged
-    }
-
     override def reduce(buf: List[Entry], in: Entry): List[Entry] =
-      if (buf.length == k && better(buf.last, in)) buf else insert(buf, in)
+      if (buf.length == k && better(buf.last, in)) buf
+      else insertSorted(buf, in, k, better)
 
     override def merge(a: List[Entry], b: List[Entry]): List[Entry] =
-      b.foldLeft(a)(insert)
+      b.foldLeft(a)((acc, e) => insertSorted(acc, e, k, better))
 
     override def finish(r: List[Entry]): Seq[Entry] = r
     override def bufferEncoder: Encoder[List[Entry]] =
@@ -51,16 +60,68 @@ object TopKAggregator {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
   }
 
+  type EntryS = (Double, String)
+
+  /** UTF-8 binary comparison — byte-wise unsigned, the collation Spark's
+    * UTF8String and DuckDB's default both implement. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def betterS(a: EntryS, b: EntryS): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && utf8Lt(a._2, b._2))
+
+  /** String-id twin of [[TopK]] — same bounded buffer, UTF-8-binary
+    * ascending tiebreak. */
+  final class TopKS(k: Int) extends Aggregator[EntryS, List[EntryS], Seq[EntryS]] {
+    override def zero: List[EntryS] = Nil
+
+    override def reduce(buf: List[EntryS], in: EntryS): List[EntryS] =
+      if (buf.length == k && betterS(buf.last, in)) buf
+      else insertSorted(buf, in, k, betterS)
+
+    override def merge(a: List[EntryS], b: List[EntryS]): List[EntryS] =
+      b.foldLeft(a)((acc, e) => insertSorted(acc, e, k, betterS))
+
+    override def finish(r: List[EntryS]): Seq[EntryS] = r
+    override def bufferEncoder: Encoder[List[EntryS]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[EntryS]]()
+    override def outputEncoder: Encoder[Seq[EntryS]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryS]]()
+  }
+
   /**
    * Per-key top-k rows as (keys..., score, id): aggregate with the
-   * bounded buffer, then explode the winners.
+   * bounded buffer, then explode the winners. Dispatches on the id
+   * column's type — integral ids run the long buffer (id emitted as
+   * long), string ids the UTF-8-ordered string buffer.
    */
   def topKPerKey(df: DataFrame, keys: Seq[String], scoreCol: Column,
                  idCol: Column, k: Int,
                  scoreName: String = "score", idName: String = "id"): DataFrame = {
-    val agg = udaf(new TopK(k))
+    import org.apache.spark.sql.types._
+    val idType = df.select(idCol).schema.head.dataType
+    val agg = idType match {
+      case ByteType | ShortType | IntegerType | LongType => udaf(new TopK(k))
+      case StringType => udaf(new TopKS(k))
+      case other => throw new IllegalArgumentException(
+        s"topKPerKey id column must be integral or string, got ${other.simpleString}")
+    }
+    val castId = idType match {
+      case StringType => idCol
+      case _          => idCol.cast("long")
+    }
     df.groupBy(keys.map(col): _*)
-      .agg(agg(scoreCol.cast("double"), idCol.cast("long")).as("__top"))
+      .agg(agg(scoreCol.cast("double"), castId).as("__top"))
       .select((keys.map(col) :+ explode(col("__top")).as("__e")): _*)
       .select((keys.map(col) :+ col("__e._1").as(scoreName) :+
         col("__e._2").as(idName)): _*)

@@ -46,6 +46,35 @@ class AggregatesSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("string-id aggregator top-k equals the window result, UTF-8 tiebreak") {
+    import spark.implicits._
+    // ids as strings, with a score tie whose winner depends on the
+    // ordering: Spark's window orders strings by UTF-8 bytes, and the
+    // string buffer must agree (including the supplementary-plane char,
+    // where JVM UTF-16 comparison would flip the order vs UTF-8)
+    val df = Seq(
+      ("g1", "doc-b", 5.0), ("g1", "doc-a", 5.0), ("g1", "😀", 5.0),
+      ("g1", "�", 5.0), ("g1", "doc-z", 9.0), ("g2", "x", 1.0))
+      .toDF("grp", "doc", "score")
+    val viaAgg = graft.functions.TopKAggregator.topKPerKey(
+        df, Seq("grp"), col("score"), col("doc"), k = 3)
+      .select("grp", "score", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("score"), col("doc"))
+    val viaWindow = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("grp"), col("score"), col("doc"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(viaAgg == viaWindow)
+    // non-orderable id type → clear error, not a NULL cast
+    intercept[IllegalArgumentException] {
+      graft.functions.TopKAggregator.topKPerKey(
+        df.withColumn("doc", array(col("doc"))), Seq("grp"),
+        col("score"), col("doc"), k = 1)
+    }
+  }
+
   test("pooled (frequency-weighted) percentiles are bit-identical to direct") {
     val li = Tables.lineitem(spark, sfDir)
     val qs = Map("p50" -> 0.5, "p80" -> 0.8, "p95" -> 0.95)

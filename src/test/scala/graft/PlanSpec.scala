@@ -163,6 +163,18 @@ class PlanSpec extends SparkSpec {
       "annTopKJl top-k must run through the bounded-buffer aggregator")
   }
 
+  test("bm25 scoring tail runs the bounded aggregator, not a query-keyed rank window") {
+    val p = plan("ext_bm25_topk")
+    // the only Window allowed is the per-doc dl sum (partitionBy doc_id,
+    // co-partitioned with the tf aggregation); the per-QUERY top-k must
+    // be TopKAggregator's ObjectHashAggregate so a hot term never funnels
+    // the matched corpus through one reducer
+    assert(p.contains("ObjectHashAggregate"),
+      "bm25 top-k must run through the bounded-buffer aggregator")
+    assert(!p.contains("windowspecdefinition(query_id"),
+      "bm25 must not rank-window scored rows by query_id")
+  }
+
   test("simhash pairs plan is a banded equi-join, never an all-pairs product") {
     val p = plan("ext_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
