@@ -61,7 +61,14 @@ object Graphs {
             + lit(damping) * coalesce(col("m"), lit(0.0)) + lit(1e-9), 6)
             .as("pr"))
     }
-    pr
+    // materialize the final ranks, then drop the per-call caches — same
+    // accretion hazard as labelPropagation's (two cached frames per call
+    // in a long-lived session otherwise)
+    val out = graft.core.CacheRegistry.persistTracked(pr)
+    out.count()
+    graft.core.CacheRegistry.release(nodes)
+    graft.core.CacheRegistry.release(e)
+    out
   }
 
   /**

@@ -748,6 +748,112 @@ object ExtSimilarityQueries {
       SELECT id AS vec_id, label AS community FROM l2""")),
 
 
+    // ---- Adversarial graph fixtures (r8): degenerate shapes through
+    // the graph operators — a giant dangling-hub star, self-loop-only
+    // nodes, and the classic bipartite oscillation. All trajectories
+    // are deterministic (integer counts / fp-stabilized ranks), so the
+    // oracle replays them exactly.
+
+    // PageRank on a 41-node star whose hub has NO out-edges (dangling):
+    // the hub's absorbed mass legitimately leaves the system each round
+    // (coalesce-to-0 semantics, same as the oracle's), leaves flatten to
+    // the (1-d)/n floor, and the hub's rank is driven by 40 leaf
+    // contributions — the maximal-in-degree / zero-out-degree corner the
+    // uniform kNN fixture never produces.
+    QueryDef("ext_adv_graph_star", (s, dir) => {
+      import s.implicits._
+      val edges = (1 to 40).map(i => (i.toLong, 0L)).toDF("src_id", "dst_id")
+      graft.ext.Graphs.pageRank(edges, iters = 2)
+        .select(col("id").as("node_id"), col("pr"))
+    }, Some("""WITH edges AS (SELECT i AS src_id, CAST(0 AS BIGINT) AS dst_id
+          FROM range(1, 41) t(i)),
+      nd AS (SELECT src_id AS id FROM edges UNION SELECT dst_id FROM edges),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+      odeg AS (SELECT src_id, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY 1),
+      p0 AS (SELECT id, round(1.0 / n + 1e-9, 6) AS pr FROM nd CROSS JOIN nn),
+      c1 AS (SELECT e.dst_id AS id, sum(p.pr / o.outdeg) AS m
+        FROM edges e JOIN p0 p ON p.id = e.src_id
+        JOIN odeg o ON o.src_id = e.src_id GROUP BY 1),
+      p1 AS (SELECT nd.id,
+          round((1 - 0.85) / n + 0.85 * coalesce(c1.m, 0) + 1e-9, 6) AS pr
+        FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.id = nd.id),
+      c2 AS (SELECT e.dst_id AS id, sum(p.pr / o.outdeg) AS m
+        FROM edges e JOIN p1 p ON p.id = e.src_id
+        JOIN odeg o ON o.src_id = e.src_id GROUP BY 1),
+      p2 AS (SELECT nd.id,
+          round((1 - 0.85) / n + 0.85 * coalesce(c2.m, 0) + 1e-9, 6) AS pr
+        FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.id = nd.id)
+      SELECT id AS node_id, pr FROM p2""")),
+
+    // Label propagation where every node's ONLY neighbor is itself
+    // (self-loops — the "isolated node" an edge-list representation can
+    // express), plus one detached 2-node pair: the self-loop nodes must
+    // keep their own label through every round (10 singleton
+    // communities, never a merge), and the pair swaps labels each
+    // synchronous round — after 2 rounds it is back to identity, the
+    // deterministic bipartite oscillation the scaladoc names.
+    QueryDef("ext_adv_graph_selfloop", (s, dir) => {
+      import s.implicits._
+      val edges = ((1 to 10).map(i => (i.toLong, i.toLong)) :+ (100L, 101L))
+        .toDF("src_id", "dst_id")
+      graft.ext.Graphs.labelPropagation(edges, iters = 2)
+        .select(col("id").as("node_id"), col("label").as("community"))
+    }, Some("""WITH edges AS (SELECT i AS src_id, i AS dst_id
+          FROM range(1, 11) t(i)
+        UNION ALL SELECT CAST(100 AS BIGINT), CAST(101 AS BIGINT)),
+      sym AS (SELECT src_id, dst_id FROM edges
+        UNION SELECT dst_id, src_id FROM edges),
+      nd AS (SELECT DISTINCT src_id AS id FROM sym),
+      n1 AS (SELECT s.dst_id AS id, l.id AS label, count(*) AS c
+        FROM sym s JOIN nd l ON l.id = s.src_id GROUP BY 1, 2),
+      b1 AS (SELECT id, label FROM (SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY c DESC, label) AS rn FROM n1)
+        WHERE rn = 1),
+      l1 AS (SELECT nd.id, coalesce(b1.label, nd.id) AS label
+        FROM nd LEFT JOIN b1 ON b1.id = nd.id),
+      n2 AS (SELECT s.dst_id AS id, l.label, count(*) AS c
+        FROM sym s JOIN l1 l ON l.id = s.src_id GROUP BY 1, 2),
+      b2 AS (SELECT id, label FROM (SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY c DESC, label) AS rn FROM n2)
+        WHERE rn = 1),
+      l2 AS (SELECT nd.id, coalesce(b2.label, nd.id) AS label
+        FROM nd LEFT JOIN b2 ON b2.id = nd.id)
+      SELECT id AS node_id, label AS community FROM l2""")),
+
+    // Label propagation on the star: round 1 the hub adopts the
+    // smallest leaf label (1, a 40-way tie broken by min) while every
+    // leaf adopts the hub's 0; round 2 the hub sees forty 0-labels and
+    // flips to 0 while the leaves see the hub's round-1 label and flip
+    // to 1 — the giant-star oscillation with BOTH tie-break and
+    // synchronous-update semantics on the line.
+    QueryDef("ext_adv_graph_star_lpa", (s, dir) => {
+      import s.implicits._
+      val edges = (1 to 40).map(i => (i.toLong, 0L)).toDF("src_id", "dst_id")
+      graft.ext.Graphs.labelPropagation(edges, iters = 2)
+        .select(col("id").as("node_id"), col("label").as("community"))
+    }, Some("""WITH edges AS (SELECT i AS src_id, CAST(0 AS BIGINT) AS dst_id
+          FROM range(1, 41) t(i)),
+      sym AS (SELECT src_id, dst_id FROM edges
+        UNION SELECT dst_id, src_id FROM edges),
+      nd AS (SELECT DISTINCT src_id AS id FROM sym),
+      n1 AS (SELECT s.dst_id AS id, l.id AS label, count(*) AS c
+        FROM sym s JOIN nd l ON l.id = s.src_id GROUP BY 1, 2),
+      b1 AS (SELECT id, label FROM (SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY c DESC, label) AS rn FROM n1)
+        WHERE rn = 1),
+      l1 AS (SELECT nd.id, coalesce(b1.label, nd.id) AS label
+        FROM nd LEFT JOIN b1 ON b1.id = nd.id),
+      n2 AS (SELECT s.dst_id AS id, l.label, count(*) AS c
+        FROM sym s JOIN l1 l ON l.id = s.src_id GROUP BY 1, 2),
+      b2 AS (SELECT id, label FROM (SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY c DESC, label) AS rn FROM n2)
+        WHERE rn = 1),
+      l2 AS (SELECT nd.id, coalesce(b2.label, nd.id) AS label
+        FROM nd LEFT JOIN b2 ON b2.id = nd.id)
+      SELECT id AS node_id, label AS community FROM l2""")),
+
+
     // Seed-set expansion over 12 rotation chains (links step 25° apart
     // in a 2-plane outside the bucket dims): consecutive links score
     // cos 25° ≈ 0.906 ≥ τ=0.9, skip-links cos 50° ≈ 0.643 < τ — so
