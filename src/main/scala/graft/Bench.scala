@@ -19,6 +19,26 @@ object Bench {
     val spark = graft.core.GraftSession.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host fingerprint (r8, judge-requested): the r6→r7 floors shifted a
+    // uniform ~1.22× from host speed alone, making rounds incomparable.
+    // Record the CPU model plus a fixed single-thread arithmetic
+    // workload's wall time — future comparisons divide floors by the
+    // calib_sec ratio to cancel host shifts.
+    val cpuModel = try {
+      scala.io.Source.fromFile("/proc/cpuinfo", "UTF-8").getLines()
+        .find(_.startsWith("model name"))
+        .map(_.split(":").last.trim.replace("\"", "'")).getOrElse("unknown")
+    } catch { case _: Throwable => "unknown" }
+    val calibSec = {
+      var x = 0L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 400000000L) { x += i * 31 + (x >> 3); i += 1 }
+      val s = (System.nanoTime() - t0) / 1e9
+      if (x == 42) println("") // sink: keep the loop un-eliminable
+      s
+    }
+    val hostJson = f"""{"cpu":"$cpuModel","calib_sec":$calibSec%.3f}"""
+
     // un-timed warm-up: pay JVM classloading / codegen-compiler / parquet
     // reader startup ONCE here instead of inside the first timed query
     // (measured ~5 s on the alphabetically-first entry otherwise)
@@ -60,7 +80,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val errStr = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errStr,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errStr,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson}"""
     println(json)
     // Durable per-query history: the driver's BENCH_r{N}.json captures
     // only truncated stdout, losing half the alphabet of per-query
@@ -114,7 +134,16 @@ object Bench {
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "\"ERROR\"")
       }.mkString("{", ",", "}")
       val mTotal = merged.collect { case (_, v, true) => v }.sum
-      val mergedJson = s"""{"metric":"total","value":$mTotal,"unit":"sec","queries":$mq,"errors":$errStr,"n_queries":${merged.size},"n_failed":${errors.size},"sf":"$sfDir","merged_runs":${prior._2 + 1}}"""
+      // floors are per-query minima, so pair them with the MIN calibration
+      // across the same runs (the fastest the host was while any floor
+      // was set)
+      val priorCalib = if (roundFile.exists) try {
+        """"calib_min_sec":([0-9.]+)""".r
+          .findFirstMatchIn(scala.io.Source.fromFile(roundFile, "UTF-8").mkString)
+          .map(_.group(1).toDouble)
+      } catch { case _: Throwable => None } else None
+      val calibMin = math.min(calibSec, priorCalib.getOrElse(calibSec))
+      val mergedJson = s"""{"metric":"total","value":$mTotal,"unit":"sec","queries":$mq,"errors":$errStr,"n_queries":${merged.size},"n_failed":${errors.size},"sf":"$sfDir","merged_runs":${prior._2 + 1},"host":$hostJson,"calib_min_sec":${f"$calibMin%.3f"}}"""
       for ((name, body) <- Seq(roundFile.getName -> mergedJson,
                                "latest.json" -> json)) {
         val w = new java.io.PrintWriter(new java.io.File(outDir, name), "UTF-8")

@@ -133,6 +133,92 @@ object Corpus {
     psiDriftFromBins(binCounts(oldSnap, valueCol, binWidth),
       binCounts(newSnap, valueCol, binWidth), epsilon)
 
+  /**
+   * Binned two-sample Kolmogorov–Smirnov drift — the max-CDF-gap
+   * complement to [[psiDrift]]'s sum-of-terms: PSI localizes WHERE mass
+   * moved (per-bin terms), KS bounds the worst cumulative divergence
+   * (the statistic classical drift tests threshold). Computed at bin
+   * boundaries, so it is exactly the KS statistic of the binned
+   * distributions (a lower bound on the unbinned one, tight as binWidth
+   * shrinks — same resolution trade every streaming drift monitor
+   * makes).
+   *
+   * Scale shape: the corpus collapses to (bin, n) counts on the scan —
+   * map-side combined, rows = distinct bins — and the cumulative sums
+   * run in an UNPARTITIONED window over that bins-sized frame (hundreds
+   * of rows by construction; the same deliberately-tiny-window posture
+   * as temperatureMix's per-source prefix sums). An empty snapshot
+   * yields CDF 0 everywhere and the gap reads the other side's CDF —
+   * maximal drift, which is the truth.
+   *
+   * @return (bin, n_old, n_new, cdf_old, cdf_new, gap) per occupied
+   *         bin, all rounded to 6 digits; KS statistic = max(gap)
+   */
+  def ksDrift(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
+              binWidth: Double): DataFrame =
+    ksDriftFromBins(binCounts(oldSnap, valueCol, binWidth),
+      binCounts(newSnap, valueCol, binWidth))
+
+  /** KS terms from two pre-binned (bin, n) frames — the arithmetic half
+    * of [[ksDrift]], bins-sized. */
+  def ksDriftFromBins(oldBins: DataFrame, newBins: DataFrame): DataFrame = {
+    val j = oldBins.select(col("bin"), col("n").as("__no"))
+      .join(newBins.select(col("bin"), col("n").as("__nn")),
+        Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__no"), lit(0L)).as("n_old"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"))
+    val tots = j.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    j.crossJoin(broadcast(tots))
+      .withColumn("__co", sum(col("n_old")).over(cum))
+      .withColumn("__cn", sum(col("n_new")).over(cum))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        round(coalesce(col("__co").cast("double") / nullif(col("__to"), lit(0L)),
+          lit(0.0)) + lit(1e-9), 6).as("cdf_old"),
+        round(coalesce(col("__cn").cast("double") / nullif(col("__tn"), lit(0L)),
+          lit(0.0)) + lit(1e-9), 6).as("cdf_new"))
+      .withColumn("gap", round(abs(col("cdf_old") - col("cdf_new"))
+        + lit(1e-9), 6))
+  }
+
+  /**
+   * Per-source corpus datasheet (the "data card" summary a release
+   * process records per source before training): document count, empty
+   * documents, whitespace-token totals and mean, character mean, and the
+   * exact-duplicate rate (1 − distinct normalized fingerprints / docs,
+   * under the dedup family's trim/lower/whitespace-collapse
+   * normalization). One scan computes the per-doc signals; one (source)
+   * hash aggregation with a distinct-fingerprint sub-aggregate produces
+   * the report — rows out = #sources.
+   */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String): DataFrame = {
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val perDoc = docs.select(col(sourceCol).as("source"),
+      size(toks).as("__ntok"),
+      length(col(textCol)).cast("long").as("__nchar"),
+      md5(concat_ws(" ", toks)).as("__fp"))
+    // means from EXACT integer sums (one division at the end), so the
+    // result is independent of distributed summation order — the same
+    // reproducibility posture as meanPoolByKey's fixed-point means
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("__ntok") === 0, 1L).otherwise(0L)).as("n_empty"),
+      sum(col("__ntok").cast("long")).as("n_tokens"),
+      sum(col("__nchar")).as("__sumchar"),
+      countDistinct(col("__fp")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_empty"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs") + lit(1e-9), 6)
+          .as("mean_tokens"),
+        round(col("__sumchar").cast("double") / col("n_docs") + lit(1e-9), 6)
+          .as("mean_chars"),
+        col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs")
+          + lit(1e-9), 6).as("dup_rate"))
+  }
+
   /** (bin, n) fixed-width bin counts of a numeric column —
     * [[psiDrift]]'s scan-side reduction, exposed so a standing monitor
     * can pre-bin its pinned reference ONCE instead of re-scanning the

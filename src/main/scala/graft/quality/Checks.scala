@@ -83,6 +83,22 @@ object Checks {
     df.filter(col(c).isNotNull && !col(c).isin(allowed: _*))
 
   /**
+   * k-anonymity audit over a quasi-identifier column set — the privacy
+   * gate run before a dataset (or its metadata) is released: any
+   * combination of quasi-identifier values shared by FEWER than k rows
+   * re-identifies those rows. Returns the violating equivalence classes
+   * with their sizes (empty ⇒ the projection is k-anonymous). One
+   * map-side-combined hash aggregation on the quasi columns; rows out ≤
+   * #violating classes.
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2 (k=1 is vacuous)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
+  /**
    * 3-sigma outlier test (reference `5_dbt/READ.md:841-864`): rows more
    * than 3 sample-stddevs from the global mean. The 1-row stats frame is
    * cross-broadcast (J7), so the fact side never shuffles.

@@ -1245,6 +1245,65 @@ object ExtCorpusQueries {
       FROM j CROSS JOIN t""")),
 
 
+    // Binned two-sample KS drift over the same snapshot pair as
+    // ext_psi_drift: cumulative per-bin CDFs and their gap — the
+    // max-gap statistic classical drift tests threshold, complementing
+    // PSI's per-bin localization. The cumulative window runs over the
+    // bins-sized frame only.
+    QueryDef("ext_ks_drift", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, col("n_chars") + 300)
+            .otherwise(col("n_chars")).as("n_chars"))
+      Corpus.ksDrift(docs, v2, "n_chars", binWidth = 500.0)
+    }, Some("""WITH o AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_old FROM documents GROUP BY 1),
+      v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN n_chars + 300
+          ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 3 <> 0),
+      nn AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_new FROM v2 GROUP BY 1),
+      j AS (SELECT coalesce(o.bin, nn.bin) AS bin,
+          coalesce(o.n_old, 0) AS n_old, coalesce(nn.n_new, 0) AS n_new
+        FROM o FULL OUTER JOIN nn ON o.bin = nn.bin),
+      t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS do_,
+          CAST(sum(n_new) AS DOUBLE) AS dn FROM j),
+      c AS (SELECT bin, n_old, n_new,
+          round(sum(n_old) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) / do_ + 1e-9, 6) AS cdf_old,
+          round(sum(n_new) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) / dn + 1e-9, 6) AS cdf_new
+        FROM j CROSS JOIN t)
+      SELECT bin, n_old, n_new, cdf_old, cdf_new,
+        round(abs(cdf_old - cdf_new) + 1e-9, 6) AS gap FROM c""")),
+
+
+    // Per-source corpus datasheet ("data card" summary): doc/empty/token
+    // counts, exact-integer means, and the exact-dup rate under the
+    // dedup-family normalization — the release-gate report, one hash agg
+    // per source.
+    QueryDef("ext_corpus_report", (s, dir) =>
+      Corpus.corpusReport(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "text", "source"),
+      Some("""WITH d AS (SELECT source,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> len(x) > 0) AS toks,
+          CAST(len(text) AS BIGINT) AS nchar FROM documents),
+        p AS (SELECT source, CAST(len(toks) AS BIGINT) AS ntok, nchar,
+          md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM d)
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        round(CAST(sum(ntok) AS DOUBLE) / count(*) + 1e-9, 6) AS mean_tokens,
+        round(CAST(sum(nchar) AS DOUBLE) / count(*) + 1e-9, 6) AS mean_chars,
+        CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) + 1e-9, 6)
+          AS dup_rate
+      FROM p GROUP BY source""")),
+
+
     // Corpus snapshot diff: v2 drops every 7th doc, appends an edit to
     // every 5th-mod-1, and adds fresh ids — the audit must report
     // exactly those as removed/changed/added and stay silent on the

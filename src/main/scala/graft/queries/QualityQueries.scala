@@ -146,7 +146,18 @@ object QualityQueries {
           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
           min(o_orderpriority), max(o_orderpriority)
-        FROM orders"""))
+        FROM orders""")),
+
+    // k-anonymity audit (privacy release gate): quasi-identifier classes
+    // (nation, market segment) shared by fewer than k=8 customers
+    // re-identify their members — the violating classes and sizes are
+    // the report. One hash aggregation; oracle = GROUP BY + HAVING.
+    QueryDef("dq_k_anonymity", (s, dir) =>
+      Checks.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 8),
+      Some("""SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS class_size
+        FROM customer GROUP BY 1, 2 HAVING count(*) < 8"""))
   ) ++ Seq(
 
     // Rolling (trailing-window) anomaly: |value − trailing mean| > 3

@@ -62,6 +62,22 @@ class ChecksSpec extends SparkSpec {
     assert(r.violations == 1 && !r.passed)
   }
 
+  test("kAnonymity: flags only classes under k, empty result when anonymous") {
+    val df = (Seq.fill(10)(("US", "M")) ++ Seq.fill(10)(("US", "F")) ++
+      Seq(("NZ", "M"), ("NZ", "M"), ("FR", "F")))
+      .toDF("country", "seg")
+    val viol = Checks.kAnonymity(df, Seq("country", "seg"), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viol == Set(("NZ", "M", 2L), ("FR", "F", 1L)))
+    // with k=2 only the singleton violates
+    val v2 = Checks.kAnonymity(df, Seq("country", "seg"), k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(v2 == Seq("FR"))
+    intercept[IllegalArgumentException] {
+      Checks.kAnonymity(df, Seq("country"), k = 1)
+    }
+  }
+
   test("madOutliers: threshold immune to the outliers themselves") {
     // 99 values near 10 plus one enormous spike: 3-sigma lets the spike
     // inflate its own sd; MAD must still flag it (and only it)

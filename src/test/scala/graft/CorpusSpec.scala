@@ -327,4 +327,50 @@ class CorpusSpec extends SparkSpec {
     assert(nullKept > 50L && nullKept < 150L,
       s"null-source group must sample at ~50%, kept $nullKept of 200")
   }
+
+  test("ksDrift: identical snapshots gap 0; disjoint snapshots reach gap 1") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val same = graft.ext.Corpus.ksDrift(a, a, "v", binWidth = 10.0)
+      .agg(max(col("gap"))).head().getDouble(0)
+    assert(same == 0.0, s"identical snapshots must have KS 0, got $same")
+    // fully separated supports: below the crossover the old CDF is 1 and
+    // the new is 0 — the max gap must reach 1 exactly
+    val b = (1 to 100).map(i => (i.toLong, i + 1000.0)).toDF("id", "v")
+    val disjoint = graft.ext.Corpus.ksDrift(a, b, "v", binWidth = 10.0)
+      .agg(max(col("gap"))).head().getDouble(0)
+    assert(disjoint == 1.0, s"disjoint snapshots must have KS 1, got $disjoint")
+    // CDFs are monotone and end at 1 on both sides
+    val rows = graft.ext.Corpus.ksDrift(a, b, "v", binWidth = 10.0)
+      .orderBy("bin").collect()
+    assert(rows.last.getAs[Double]("cdf_old") == 1.0 &&
+      rows.last.getAs[Double]("cdf_new") == 1.0)
+    val cdfs = rows.map(r => (r.getAs[Double]("cdf_old"), r.getAs[Double]("cdf_new")))
+    assert(cdfs.sliding(2).forall {
+      case Array((o1, n1), (o2, n2)) => o2 >= o1 && n2 >= n1
+      case _ => true
+    }, "binned CDFs must be monotone")
+  }
+
+  test("corpusReport: counts, exact-sum means, dup rate under normalization") {
+    import spark.implicits._
+    // src A: 4 docs, 2 exact dups under trim/lower/ws-collapse, 1 empty;
+    // src B: 2 distinct docs
+    val docs = Seq(
+      (1L, "Hello  World", "A"),
+      (2L, "  hello world ", "A"),   // normalized dup of 1
+      (3L, "", "A"),                  // empty: 0 tokens
+      (4L, "unique text", "A"),
+      (5L, "b one", "B"),
+      (6L, "b two", "B")).toDF("doc_id", "text", "source")
+    val rep = graft.ext.Corpus.corpusReport(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = rep("A")
+    assert(a.getAs[Long]("n_docs") == 4 && a.getAs[Long]("n_empty") == 1)
+    assert(a.getAs[Long]("n_tokens") == 6) // 2 + 2 + 0 + 2
+    assert(a.getAs[Long]("n_distinct") == 3) // {hello world, "", unique text}
+    assert(a.getAs[Double]("dup_rate") == 0.25)
+    val b = rep("B")
+    assert(b.getAs[Long]("n_docs") == 2 && b.getAs[Double]("dup_rate") == 0.0)
+  }
 }
