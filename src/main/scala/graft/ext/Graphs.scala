@@ -31,15 +31,27 @@ object Graphs {
    * reproducible across engines and summation orders — the same
    * fp-stabilization convention as the k-means family.
    *
-   * @param edges   (src_id, dst_id) directed edges; nodes are the union
-   *                of both endpoint sets
-   * @param iters   power-iteration rounds
-   * @param damping the classic 0.85
+   * @param edges      (src_id, dst_id) directed edges; nodes are the
+   *                   union of both endpoint sets
+   * @param iters      power-iteration rounds
+   * @param damping    the classic 0.85
+   * @param checkpoint where the final ranks' lineage cut lives —
+   *                   [[graft.core.CheckpointStrategy.Local]] (default)
+   *                   or `Reliable(dir)` on a cluster (the
+   *                   connectedComponents convention)
    * @return (id, pr) after `iters` rounds
    */
   def pageRank(edges: DataFrame, iters: Int,
-               damping: Double = 0.85): DataFrame = {
-    val e0 = edges.select(col("src_id"), col("dst_id"))
+               damping: Double = 0.85,
+               checkpoint: graft.core.CheckpointStrategy =
+                 graft.core.CheckpointStrategy.Local): DataFrame = {
+    // The edge list is often EXPENSIVE to derive (a kNN-graph build);
+    // cache it first so nodes/out-degree/iterations all read one
+    // materialization instead of re-deriving it per consumer (three
+    // derivations before this change — the dominant cost of
+    // ext_pagerank_knn, measured in SCALE.md r8)
+    val e0 = graft.core.CacheRegistry.persistTracked(
+      edges.select(col("src_id"), col("dst_id")))
     val nodes = graft.core.CacheRegistry.persistTracked(
       e0.select(col("src_id").as("id"))
         .unionByName(e0.select(col("dst_id").as("id"))).distinct())
@@ -61,13 +73,17 @@ object Graphs {
             + lit(damping) * coalesce(col("m"), lit(0.0)) + lit(1e-9), 6)
             .as("pr"))
     }
-    // materialize the final ranks, then drop the per-call caches — same
-    // accretion hazard as labelPropagation's (two cached frames per call
-    // in a long-lived session otherwise)
-    val out = graft.core.CacheRegistry.persistTracked(pr)
-    out.count()
-    graft.core.CacheRegistry.release(nodes)
+    // Cut the final ranks (one small row per node) from their lineage,
+    // THEN drop the per-call caches — a long-lived session running many
+    // rankings must not accrete cached frames per call. The cut is what
+    // makes the release safe: unpersisting an upstream cache
+    // cascade-invalidates dependent cached plans, so a merely-persisted
+    // result would silently recompute the whole iteration chain uncached
+    // at its next action.
+    val out = checkpoint.cut(pr)
     graft.core.CacheRegistry.release(e)
+    graft.core.CacheRegistry.release(nodes)
+    graft.core.CacheRegistry.release(e0)
     out
   }
 
@@ -93,11 +109,19 @@ object Graphs {
    * matrix; label state is one row per node. iters × O(|E|), the
    * Pregel shape, declaratively.
    *
+   * @param checkpoint where the final labels' lineage cut lives —
+   *                   Local (default) or Reliable(dir) on a cluster
    * @return (id, label) after `iters` rounds — nodes sharing a label
    *         are one community
    */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    val e0 = edges.select(col("src_id"), col("dst_id"))
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       checkpoint: graft.core.CheckpointStrategy =
+                         graft.core.CheckpointStrategy.Local): DataFrame = {
+    // cache the raw edge list first (same rationale as pageRank: the
+    // caller's edge derivation is the expensive part and feeds both
+    // union arms of the symmetrization)
+    val e0 = graft.core.CacheRegistry.persistTracked(
+      edges.select(col("src_id"), col("dst_id")))
     val sym = graft.core.CacheRegistry.persistTracked(
       e0.unionByName(e0.select(col("dst_id").as("src_id"),
         col("src_id").as("dst_id"))).distinct())
@@ -120,14 +144,14 @@ object Graphs {
       lab = nodes.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     }
-    // materialize the final assignment, then drop the per-call caches —
-    // a long-lived session running many propagations must not accrete
-    // two cached frames per call (the seedExpand round-cache lesson).
-    // The returned frame stays tracked for scope/releaseAll cleanup.
-    val out = graft.core.CacheRegistry.persistTracked(lab)
-    out.count()
-    graft.core.CacheRegistry.release(sym)
+    // lineage-cut then release, same rationale as pageRank's tail: the
+    // cut keeps the upstream unpersists from cascade-invalidating the
+    // result, the releases keep a long-lived session from accreting two
+    // cached frames per call
+    val out = checkpoint.cut(lab)
     graft.core.CacheRegistry.release(nodes)
+    graft.core.CacheRegistry.release(sym)
+    graft.core.CacheRegistry.release(e0)
     out
   }
 }
