@@ -18,6 +18,7 @@ object ExtCorpusQueries {
   def defs: Seq[QueryDef] = Seq(
 
 
+
     // End-to-end curation pipeline (the C4-style gate a training corpus
     // runs before tokenization): predicted-language gate → quality floor
     // → exact dedup, in that order so the cheap codegen'd filters prune
@@ -69,6 +70,7 @@ object ExtCorpusQueries {
         WHERE lang_pred = 'en' AND quality_score >= 0.6),
       surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm)
       SELECT doc_id, quality_score FROM surv JOIN gated USING (doc_id)""")),
+
 
 
     // The FULL curation chain in one query — the end-to-end path a
@@ -155,6 +157,7 @@ object ExtCorpusQueries {
              ELSE 'test' END AS split,
         s.n_tokens, s.quality_score
       FROM surv s JOIN canon USING (doc_id)""")),
+
 
 
     // Curation PROVENANCE: every input doc labeled with the FIRST stage
@@ -247,6 +250,7 @@ object ExtCorpusQueries {
       LEFT JOIN canon c ON c.doc_id = a.doc_id""")),
 
 
+
     // The DAILY-BATCH curation chain end to end: Gopher gates on both
     // sides -> incremental near-dup of the gated batch against the gated
     // accepted corpus -> deterministic train/val/test split. The
@@ -330,72 +334,6 @@ object ExtCorpusQueries {
     }),
 
 
-    // Funnel conversion: users whose first click converts to a purchase
-    // within 1 hour — event-sequence analytics over the same feed the
-    // streaming attribution join consumes. One row out.
-    QueryDef("ext_funnel", (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val firstClick = ev.filter(col("event_type") === "click")
-        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
-      val converted = firstClick
-        .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
-        .filter(col("ts") >= col("first_click") &&
-          col("ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
-        .select("user_id").distinct()
-      firstClick.agg(count(lit(1)).as("n_clicked"))
-        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
-        .withColumn("conversion_rate", round(
-          col("n_converted").cast("double") / col("n_clicked") + lit(1e-9), 6))
-    }, Some("""WITH fc AS (SELECT user_id, min(ts) AS first_click
-          FROM events WHERE event_type = 'click' GROUP BY 1),
-      conv AS (SELECT DISTINCT fc.user_id FROM fc JOIN events e
-          ON e.user_id = fc.user_id AND e.event_type = 'purchase'
-          AND e.ts >= fc.first_click
-          AND e.ts <= fc.first_click + INTERVAL 1 HOUR)
-      SELECT (SELECT count(*) FROM fc) AS n_clicked,
-        (SELECT count(*) FROM conv) AS n_converted,
-        round(CAST((SELECT count(*) FROM conv) AS DOUBLE) /
-          (SELECT count(*) FROM fc) + 1e-9, 6) AS conversion_rate""")),
-
-
-    // Cohort retention: users grouped by first-seen week, activity
-    // counted per week offset — the classic retention triangle. Two
-    // hash aggs + one user-keyed join + a broadcast of cohort sizes;
-    // no window anywhere, the shape that holds at any user count.
-    QueryDef("ext_retention_cohorts", (s, dir) => {
-      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
-      val first = ev.groupBy("user_id")
-        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-      val act = ev.join(first, Seq("user_id"))
-        .select(col("user_id"), col("cohort_week"),
-          (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
-            .cast("long").as("week_offset"))
-        .groupBy("cohort_week", "week_offset")
-        .agg(countDistinct(col("user_id")).as("active_users"))
-      val sizes = act.filter(col("week_offset") === 0)
-        .select(col("cohort_week"), col("active_users").as("cohort_size"))
-      act.join(broadcast(sizes), Seq("cohort_week"))
-        .select(col("cohort_week").cast("date").as("cohort_week"),
-          col("week_offset"), col("active_users"), col("cohort_size"),
-          round(col("active_users").cast("double") / col("cohort_size")
-            + lit(1e-9), 6).as("retention"))
-    }, Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts))
-          AS cohort_week FROM events GROUP BY 1),
-      j AS (SELECT e.user_id, f.cohort_week,
-          CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
-            AS BIGINT) AS week_offset
-        FROM events e JOIN f USING (user_id)),
-      act AS (SELECT cohort_week, week_offset,
-          CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
-        FROM j GROUP BY 1, 2),
-      sz AS (SELECT cohort_week, active_users AS cohort_size FROM act
-        WHERE week_offset = 0)
-      SELECT CAST(a.cohort_week AS DATE) AS cohort_week, a.week_offset,
-        a.active_users, s.cohort_size,
-        round(CAST(a.active_users AS DOUBLE) / s.cohort_size + 1e-9, 6)
-          AS retention
-      FROM act a JOIN sz s USING (cohort_week)""")),
-
 
     // ---- Corpus management (splits, sampling, packing, PII) -----------
 
@@ -411,6 +349,7 @@ object ExtCorpusQueries {
              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
              ELSE 'test' END AS split
       FROM documents""")),
+
 
 
     // Deterministic training-order shuffle: md5 permutation key →
@@ -433,6 +372,7 @@ object ExtCorpusQueries {
       FROM s""")),
 
 
+
     // Deterministic training mixture: short-named sources (src0..src9)
     // kept whole, long-named (src10..src19) downsampled to 64/256 via the
     // md5 cell-gate — the "N parts A to M parts B" corpus-mixing
@@ -447,6 +387,7 @@ object ExtCorpusQueries {
       WHERE length(source) = 4
          OR (length(source) = 5
              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')""")),
+
 
 
     // Stratified 20% sample per language: exact per-stratum quotas via a
@@ -464,6 +405,7 @@ object ExtCorpusQueries {
       SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.2)""")),
 
 
+
     // Per-source quota cap (RefinedWeb-style domain cap): an ABSOLUTE
     // ceiling per source — keep the 50 longest docs of each, lowest id
     // on ties — where the stratified sample above is proportional.
@@ -477,6 +419,7 @@ object ExtCorpusQueries {
             ORDER BY n_chars DESC, doc_id) AS rn
         FROM documents)
       SELECT doc_id, source, n_chars FROM t WHERE rn <= 50""")),
+
 
 
     // Per-source RELATIVE quality gate (the FineWeb per-dump pruning
@@ -494,6 +437,7 @@ object ExtCorpusQueries {
       SELECT d.doc_id, d.source, d.n_chars
       FROM documents d JOIN thr ON d.source = thr.source
       WHERE d.n_chars >= thr.t""")),
+
 
 
     // Token-budget mixture (the LLaMA-recipe knob: budgets in TOKENS,
@@ -519,6 +463,7 @@ object ExtCorpusQueries {
                         ELSE TRUE END""")),
 
 
+
     // DSIR importance log-weights (hashed-unigram likelihood ratio vs the
     // English subset as the target distribution): the md5-prefix bucket
     // is a builtin on both engines, so model build + scoring replay
@@ -539,6 +484,7 @@ object ExtCorpusQueries {
           - ln((n_raw + 1.0) / (nr + 4096.0)) AS w FROM cnt, tot)
       SELECT b.doc_id, round(sum(model.w) + 1e-9, 4) AS dsir_logweight
       FROM b JOIN model USING (bucket) GROUP BY 1""")),
+
 
 
     // DSIR selection: the top-k documents by importance weight — ordered
@@ -567,212 +513,6 @@ object ExtCorpusQueries {
       ORDER BY dsir_logweight DESC, doc_id LIMIT 100""")),
 
 
-    // Quality classifier, trained: hashed bag-of-words batch perceptron
-    // (the GPT-3/LLaMA-style linear quality filter). Positives = docs
-    // mentioning a seed lexicon; negatives = the SAME docs with the
-    // lexicon stripped — the curated-vs-raw construction real quality
-    // classifiers train on, and linearly separable by design, so the
-    // trainer provably converges. Everything is exact integer work;
-    // the oracle replays all 12 rounds unrolled with zero rounding.
-    QueryDef("ext_classifier_weights", (s, dir) => {
-      val model = Classifier.perceptronTrain(classifierFixture(s, dir),
-        "buckets", "y", numBuckets = 64, maxRounds = 12)
-      model.weightsFrame(s)
-    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
-      SELECT bucket, w AS weight FROM qw12
-      UNION ALL SELECT CAST(-1 AS BIGINT) AS bucket, bias AS weight FROM qb12""")),
-
-
-    // The trained model applied back as a selection gate: integer margin
-    // per doc, keep score > 0. On this fixture the perceptron reaches
-    // zero training errors, so `selected` equals the true label — the
-    // spec asserts both that and the margin floor.
-    QueryDef("ext_classifier_select", (s, dir) => {
-      val feats = classifierFixture(s, dir)
-      val model = Classifier.perceptronTrain(feats,
-        "buckets", "y", numBuckets = 64, maxRounds = 12)
-      Classifier.score(feats, "buckets", model)
-        .select(col("doc_id"), col("y").as("label"), col("score"),
-          (col("score") > 0).as("selected"))
-    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64)}
-      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
-
-
-    // The train/test discipline a deployed filter needs: train on the
-    // even-id half of the labeled pairs only (a twin shares its
-    // original's parity — +100000 preserves it), then score the
-    // UNSEEN odd half. The learned lexicon weights transfer, so the
-    // held-out gate still recovers the labels — generalization, not
-    // memorization, and the oracle replays both halves.
-    QueryDef("ext_classifier_holdout", (s, dir) => {
-      val feats = classifierFixture(s, dir)
-      val model = Classifier.perceptronTrain(
-        feats.filter(col("doc_id") % 2 === 0),
-        "buckets", "y", numBuckets = 64, maxRounds = 12)
-      Classifier.score(feats.filter(col("doc_id") % 2 === 1), "buckets", model)
-        .select(col("doc_id"), col("y").as("label"), col("score"),
-          (col("score") > 0).as("selected"))
-    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64,
-        trainWhere = "doc_id % 2 = 0")}
-      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf
-      WHERE doc_id % 2 = 1""")),
-
-
-    // Precision/recall curve for the held-out classifier: the integer
-    // margin sweeps a -8..8 threshold grid — exact integer confusion
-    // counts per threshold, guarded ratios (nothing selected ⇒
-    // precision 0, not a division error). The model-evaluation row the
-    // selection queries' fixed cut (score > 0) is one point of.
-    QueryDef("ext_classifier_pr_curve", (s, dir) => {
-      val feats = classifierFixture(s, dir)
-      val model = Classifier.perceptronTrain(
-        feats.filter(col("doc_id") % 2 === 0),
-        "buckets", "y", numBuckets = 64, maxRounds = 12)
-      val scored = Classifier.score(
-          feats.filter(col("doc_id") % 2 === 1), "buckets", model)
-        .select(col("y"), col("score"))
-      val grid = s.range(-4, 5).select((col("id") * 2).as("threshold"))
-      scored.crossJoin(broadcast(grid))
-        .groupBy("threshold")
-        .agg(
-          sum(when(col("score") > col("threshold") && col("y") === 1, 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("score") > col("threshold") && col("y") =!= 1, 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("score") <= col("threshold") && col("y") === 1, 1L)
-            .otherwise(0L)).as("fn"))
-        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
-          round(coalesce(col("tp").cast("double") /
-            nullif(col("tp") + col("fp"), lit(0L)), lit(0.0)) + lit(1e-9), 6)
-            .as("precision"),
-          round(coalesce(col("tp").cast("double") /
-            nullif(col("tp") + col("fn"), lit(0L)), lit(0.0)) + lit(1e-9), 6)
-            .as("recall"))
-    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64,
-        trainWhere = "doc_id % 2 = 0")},
-      ho AS (SELECT y, z FROM qzf WHERE doc_id % 2 = 1),
-      g AS (SELECT CAST(x * 2 AS BIGINT) AS threshold FROM range(-4, 5) r(x)),
-      c AS (SELECT threshold,
-          CAST(sum(CASE WHEN z > threshold AND y = 1 THEN 1 ELSE 0 END)
-            AS BIGINT) AS tp,
-          CAST(sum(CASE WHEN z > threshold AND y <> 1 THEN 1 ELSE 0 END)
-            AS BIGINT) AS fp,
-          CAST(sum(CASE WHEN z <= threshold AND y = 1 THEN 1 ELSE 0 END)
-            AS BIGINT) AS fn
-        FROM ho CROSS JOIN g GROUP BY 1)
-      SELECT threshold, tp, fp, fn,
-        round(coalesce(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 0) + 1e-9, 6)
-          AS precision,
-        round(coalesce(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 0) + 1e-9, 6)
-          AS recall
-      FROM c""")),
-
-
-    // BPE tokenizer induction: 16 merge rounds over the English
-    // vocabulary. The oracle unrolls the identical loop round by round
-    // (SQL has no iteration — same pattern as the k-means oracle); the
-    // whole chain is exact integer/string work, so the match is
-    // bit-identical, not rounded.
-    QueryDef("ext_bpe_merges", (s, dir) =>
-      Bpe.bpeTrain(Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._1,
-      Some(s"""WITH ${duckBpeRounds(16)}
-      ${(0 until 16).map(i =>
-          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
-          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
-
-
-    // The segmented vocabulary those merges induce: top-40 subword
-    // tokens by corpus frequency after all 16 merges.
-    QueryDef("ext_bpe_vocab", (s, dir) => {
-      val words = Bpe.bpeTrain(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._2
-      words.select(col("cnt"), explode(Bpe.symbols(col("sym"))).as("token"))
-        .groupBy("token").agg(sum("cnt").as("n"))
-        .orderBy(desc("n"), col("token")).limit(40)
-    },
-      Some(s"""WITH ${duckBpeRounds(16)}
-      SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
-        SELECT cnt, unnest(list_filter(string_split(sym, chr(31)),
-          x -> x <> '')) AS token FROM w16)
-      GROUP BY 1 ORDER BY n DESC, token LIMIT 40""")),
-
-
-    // The readout a tokenizer-induction run actually reports: corpus
-    // fertility (subword tokens per word) and compression (chars per
-    // subword token) under the 16 trained merges, straight off the final
-    // words table — one vocabulary-sized agg, no corpus re-encode.
-    QueryDef("ext_bpe_fertility", (s, dir) => {
-      val words = Bpe.bpeTrain(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._2
-      words.select(col("cnt"), length(col("word")).as("chars"),
-          size(Bpe.symbols(col("sym"))).as("toks"))
-        .agg(count(lit(1)).as("n_vocab_words"),
-          sum("cnt").as("n_corpus_words"),
-          sum(col("cnt") * col("toks")).as("n_corpus_tokens"),
-          round(sum(col("cnt") * col("toks")) / sum(col("cnt")) + lit(1e-9), 6)
-            .as("fertility"),
-          round(sum(col("cnt") * col("chars")) /
-            sum(col("cnt") * col("toks")) + lit(1e-9), 6)
-            .as("chars_per_token"))
-    },
-      Some(s"""WITH ${duckBpeRounds(16)},
-      wf AS (SELECT cnt, len(word) AS chars,
-          len(list_filter(string_split(sym, chr(31)), x -> x <> '')) AS toks
-        FROM w16)
-      SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
-        CAST(sum(cnt) AS BIGINT) AS n_corpus_words,
-        CAST(sum(cnt * toks) AS BIGINT) AS n_corpus_tokens,
-        round(CAST(sum(cnt * toks) AS DOUBLE) / sum(cnt) + 1e-9, 6)
-          AS fertility,
-        round(CAST(sum(cnt * chars) AS DOUBLE) / sum(cnt * toks) + 1e-9, 6)
-          AS chars_per_token
-      FROM wf""")),
-
-
-    // Applying the trained tokenizer to text it was NOT trained on — the
-    // deployment half of tokenizer induction: encode the held-out
-    // (non-English) vocabulary under the 16 English-trained merges, in
-    // rank order. On the Spark side the merge list is a 16-row driver
-    // collect and encoding is a fold of 16 non-overlapping replaces over
-    // the held-out word table — one projection, no joins, no shuffles
-    // beyond the vocab groupBy. The oracle replays training (m0..m15)
-    // then applies each merge to the held-out words the same way.
-    QueryDef("ext_bpe_encode", (s, dir) => {
-      val merges = Bpe.bpeTrain(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        "text", numMerges = 16)._1
-        .orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val held = Tables.documents(s, dir).filter(col("lang") =!= "en")
-        .select(explode(TextOps.tokens(lower(col("text")))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-      held
-        .withColumn("toks", Bpe.encodeWord(col("word"), merges))
-        .select(col("word"), col("cnt"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          array_join(col("toks"), " ").as("segmented"))
-    }, Some(s"""WITH ${duckBpeRounds(16)},
-      hw0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
-          regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym
-        FROM (SELECT unnest($DuckToks) AS word FROM documents
-              WHERE lang <> 'en')
-        GROUP BY 1),
-      ${(0 until 16).map(i =>
-        s"""hw${i + 1} AS MATERIALIZED (SELECT word, cnt,
-           CASE WHEN m.lhs IS NULL THEN sym
-             ELSE replace(sym,
-               chr(31) || m.lhs || chr(31) || chr(31) || m.rhs || chr(31),
-               chr(31) || m.lhs || m.rhs || chr(31)) END AS sym
-         FROM hw$i LEFT JOIN m$i m ON TRUE)""").mkString(",\n      ")},
-      henc AS (SELECT word, cnt,
-          list_filter(string_split(sym, chr(31)), x -> x <> '') AS toks
-        FROM hw16)
-      SELECT word, cnt, CAST(len(toks) AS BIGINT) AS n_tokens,
-        array_to_string(toks, ' ') AS segmented FROM henc""")),
-
 
     // Sequence packing, strided layout: running-token-count binning into
     // 512-token context windows, packed WITHIN each language partition
@@ -795,6 +535,7 @@ object ExtCorpusQueries {
       FROM p""")),
 
 
+
     // Adversarial packing: the degenerate corpus (zero-token empty and
     // whitespace docs, a 20-copy identical block, emoji docs) through
     // strided packing — zero-size docs consume no capacity and land at
@@ -815,6 +556,7 @@ object ExtCorpusQueries {
         CAST(floor(prev / 64.0) AS BIGINT) AS bin,
         CAST(prev % 64 AS BIGINT) AS bin_offset
       FROM p""")),
+
 
 
     // Sequence packing, TRUE next-fit: a doc that doesn't fit starts a
@@ -847,6 +589,7 @@ object ExtCorpusQueries {
       SELECT doc_id, lang, n_tokens, bin, bin_offset FROM pack""")),
 
 
+
     // Deterministic weighted sampling (A-ES): 20 docs drawn with
     // probability proportional to length via hash-derived uniforms —
     // reproducible across engines, reruns, and cluster sizes.
@@ -862,6 +605,7 @@ object ExtCorpusQueries {
           FROM t)
       SELECT doc_id, lang, n_chars FROM u
       ORDER BY ln(uu) / n_chars DESC, doc_id LIMIT 20""")),
+
 
 
     // PII scrubbing: redact emails and phone-shaped tokens (RE2-safe
@@ -893,160 +637,6 @@ object ExtCorpusQueries {
           '\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
       FROM t""")),
 
-
-    // Content-defined chunking: rolling-hash boundaries + per-chunk
-    // fingerprints (Chunking scaladoc: why CDC survives insertions where
-    // fixed-size chunking does not). Boundary positions are rolling-hash
-    // internals DuckDB cannot reproduce, so the registered output is the
-    // hash-independent TILING INVARIANT, checked in-query per document:
-    // chunks start at 0, are contiguous, sum to exactly the document's
-    // byte length (the one value the oracle computes independently), and
-    // honor the [minLen, maxLen] bounds (the final chunk may run short).
-    // ChunkingSpec additionally pins shift-invariance and determinism.
-    QueryDef("ext_cdc_chunks", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val ch = Chunking.chunks(docs, "doc_id", "text")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("chunk_idx")
-      val flags = ch
-        .withColumn("contig", col("chunk_start") ===
-          coalesce(lag(col("chunk_start") + col("chunk_len"), 1).over(w), lit(0L)))
-        .withColumn("is_last", lead(col("chunk_idx"), 1).over(w).isNull)
-        .withColumn("len_ok", col("chunk_len").between(1L, 256L) &&
-          (col("chunk_len") >= 16L || col("is_last")))
-      val perDoc = flags.groupBy("doc_id").agg(
-        bool_and(col("contig")).as("contig_all"),
-        min(col("chunk_start")).as("min_start"),
-        max(col("chunk_start") + col("chunk_len")).as("max_end"),
-        sum(col("chunk_len")).as("sum_len"),
-        bool_and(col("len_ok")).as("bounds_ok"))
-      docs.select(col("doc_id"),
-          octet_length(col("text")).cast("long").as("doc_bytes"))
-        .join(perDoc, Seq("doc_id"))
-        .select(col("doc_id"), col("doc_bytes"),
-          (col("contig_all") && col("min_start") === 0L &&
-            col("max_end") === col("doc_bytes") &&
-            col("sum_len") === col("doc_bytes")).as("tiled"),
-          col("bounds_ok"))
-    }, Some("""SELECT doc_id,
-        CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes,
-        true AS tiled, true AS bounds_ok
-      FROM documents""")),
-
-
-    // Fixed-size sliding-window chunking (the RAG/embedding-prep
-    // chunker): 32-token windows every 24 tokens, plus an end-anchored
-    // final window so no tail is orphaned — a pure projection, no
-    // shuffle. The oracle rebuilds the identical start list and slices.
-    QueryDef("ext_sliding_chunks", (s, dir) =>
-      Chunking.slidingChunks(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text", chunkSize = 32, stride = 24),
-      Some(s"""WITH t AS (SELECT doc_id, $DuckToksRaw AS toks,
-          len($DuckToksRaw) AS n FROM documents),
-      s AS (SELECT doc_id, toks, n, greatest(n - 31, 1) AS lst
-        FROM t WHERE n > 0),
-      st AS (SELECT doc_id, toks, n,
-          CASE WHEN (lst - 1) % 24 = 0 THEN range(1, lst + 1, 24)
-               ELSE list_append(range(1, lst + 1, 24), lst) END AS starts
-        FROM s),
-      e AS (SELECT doc_id, toks, n, unnest(starts) AS strt,
-          generate_subscripts(starts, 1) - 1 AS ci FROM st)
-      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
-        array_to_string(toks[strt:strt+31], ' ') AS chunk_text,
-        CAST(least(32, n - strt + 1) AS BIGINT) AS chunk_tokens
-      FROM e""")),
-
-
-    // CDC payoff query: half the docs get a copy with an APPENDED tail.
-    // The chunker's boundary decision at byte i depends only on the
-    // preceding bytes and the position of the previous boundary, so an
-    // append edit provably preserves every boundary inside the original
-    // text: every orig chunk except the final one must reappear in the
-    // edited copy fingerprint-identical — an unconditional invariant the
-    // oracle can hash (a prefix edit resyncs only probabilistically;
-    // that strictly-stronger-than-fixed-chunking behavior is pinned
-    // empirically in ChunkingSpec at >60% fp survival). Each shared
-    // fingerprint is also verified back to byte-equal substrings, so a
-    // broken fp can't silently pass. Fp matching is exact-dedup
-    // semantics on the 64-bit chunk fp — one shuffle at any scale.
-    QueryDef("ext_cdc_shared", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") % 2 === 0)
-      val edited = planted
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" <<EDITED SUFFIX APPENDED")).as("text"))
-      val ch = Chunking.chunks(planted.unionByName(edited), "doc_id", "text")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val headChunks = ch.filter(col("doc_id") < 100000)
-        .withColumn("last_idx", max("chunk_idx").over(w))
-        .filter(col("chunk_idx") < col("last_idx"))
-        .select(col("doc_id"), col("chunk_fp"),
-          col("chunk_start"), col("chunk_len"))
-      val editedChunks = ch.filter(col("doc_id") >= 100000)
-        .select((col("doc_id") - 100000).as("doc_id"), col("chunk_fp"),
-          col("chunk_start").as("e_start"), col("chunk_len").as("e_len"))
-      val matched = headChunks
-        .join(editedChunks, Seq("doc_id", "chunk_fp"), "left")
-        .join(planted.select(col("doc_id"), col("text").as("o_text")), Seq("doc_id"))
-        .join(edited.select((col("doc_id") - 100000).as("doc_id"),
-          col("text").as("e_text")), Seq("doc_id"))
-        // fixture text is ASCII (asserted by the doc_bytes oracle above),
-        // so byte offsets are character offsets for substr
-        .withColumn("content_eq", col("e_start").isNotNull &&
-          col("o_text").substr(col("chunk_start").cast("int") + 1,
-            col("chunk_len").cast("int")) ===
-          col("e_text").substr(col("e_start").cast("int") + 1,
-            col("e_len").cast("int")))
-      val perPair = matched.groupBy("doc_id").agg(
-        bool_and(col("e_start").isNotNull).as("head_chunks_shared"),
-        bool_and(col("content_eq")).as("shared_contents_verified"))
-      // single-chunk docs have no non-final chunks: vacuously true
-      planted.select(col("doc_id").as("orig_id"),
-          (col("doc_id") + 100000).as("edited_id"))
-        .join(perPair.withColumnRenamed("doc_id", "orig_id"), Seq("orig_id"), "left")
-        .select(col("orig_id"), col("edited_id"),
-          coalesce(col("head_chunks_shared"), lit(true)).as("head_chunks_shared"),
-          coalesce(col("shared_contents_verified"), lit(true))
-            .as("shared_contents_verified"))
-    }, Some("""SELECT doc_id AS orig_id, doc_id + 100000 AS edited_id,
-        true AS head_chunks_shared, true AS shared_contents_verified
-      FROM documents WHERE doc_id % 2 = 0""")),
-
-
-    // BPE induction over the degenerate head: empty/whitespace docs
-    // contribute no words, 1-char emoji words contribute no pairs, the
-    // 'word' family drives three count-3 merges, and then the count-1
-    // tie between (U+FFFD,U+FFFD) and (U+1D552,U+1D552) must resolve in
-    // UTF-8 BYTE order — a JVM UTF-16 compareTo would pick the other
-    // pair and diverge from every SQL engine. Remaining rounds find no
-    // pairs and no-op (the early-stop contract).
-    QueryDef("ext_adv_bpe_merges", (s, dir) => {
-      import s.implicits._
-      Bpe.bpeTrain(AdvDegenHead.toDF("doc_id", "text"), "text",
-        numMerges = 6)._1
-    }, Some(s"""WITH ${duckBpeRounds(6, corpusSrc = DuckAdvDegenHead)}
-      ${(0 until 6).map(i =>
-          s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, " +
-          s"c AS pair_count FROM m$i").mkString("\n      UNION ALL ")}""")),
-
-
-    // Classifier training with degenerate feature rows IN the training
-    // set: the stripped negative twins of all-lexicon docs have EMPTY
-    // token sets (margin = bias exactly — the null/empty-feature path),
-    // and the emoji doc's negative twin carries only supplementary-plane
-    // tokens through md5 bucketing. Fixed-round exact-integer replay on
-    // both engines.
-    QueryDef("ext_adv_classifier", (s, dir) => {
-      val feats = advClassifierFixture(s, dir)
-      val model = Classifier.perceptronTrain(feats,
-        "buckets", "y", numBuckets = 64, maxRounds = 8)
-      Classifier.score(feats, "buckets", model)
-        .select(col("doc_id"), col("y").as("label"), col("score"),
-          (col("score") > 0).as("selected"))
-    }, Some(s"""WITH ${duckPerceptron(rounds = 8, numBuckets = 64,
-        docsSrc = DuckAdvClassifierDocs)}
-      SELECT doc_id, y AS label, z AS score, z > 0 AS selected FROM qzf""")),
 
 
     // Temperature-scaled mixture (α=0.5, half the corpus): water-filled
@@ -1087,6 +677,7 @@ object ExtCorpusQueries {
           FROM documents)
       SELECT d.doc_id, d.source FROM d JOIN r ON d.source = r.source
       WHERE d.cell < r.cells""")),
+
 
 
     // Temperature mixture under SATURATION (the branch the uniform
@@ -1137,146 +728,6 @@ object ExtCorpusQueries {
       WHERE d.cell < r.cells""")),
 
 
-    // Debounce: per (user, type), drop events under 30 minutes from
-    // their immediate predecessor. One lag window — the oracle replays
-    // it.
-    QueryDef("ext_event_debounce", (s, dir) =>
-      graft.ext.Events.debounce(Tables.events(s, dir),
-          keyCols = Seq("user_id", "event_type"), tsCol = "ts",
-          minGap = "30 MINUTE", tieCols = Seq("event_id"))
-        .select("event_id", "user_id", "event_type"),
-      Some("""WITH w AS (SELECT event_id, user_id, event_type, ts,
-          lag(ts) OVER (PARTITION BY user_id, event_type
-            ORDER BY ts, event_id) AS prev
-        FROM events)
-      SELECT event_id, user_id, event_type FROM w
-      WHERE prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE""")),
-
-
-    // Per-key rate limit: at most 2 events per user per 1-hour tumbling
-    // window, earliest (event_id-tiebroken) first. Spark's window() and
-    // DuckDB's time_bucket share hour-aligned epoch boundaries.
-    QueryDef("ext_event_rate_limit", (s, dir) =>
-      graft.ext.Events.rateLimit(Tables.events(s, dir),
-          keyCols = Seq("user_id"), tsCol = "ts",
-          windowLen = "1 hour", maxPerWindow = 2, tieCols = Seq("event_id"))
-        .select("event_id", "user_id"),
-      Some("""WITH b AS (SELECT event_id, user_id, ts,
-          time_bucket(INTERVAL 1 HOUR, ts) AS w FROM events),
-        r AS (SELECT *, row_number() OVER (PARTITION BY user_id, w
-            ORDER BY ts, event_id) AS rn FROM b)
-      SELECT event_id, user_id FROM r WHERE rn <= 2""")),
-
-
-    // Multi-step funnel view → click → purchase, each step within 2
-    // hours of the previous step's earliest completion — the N-ary
-    // generalization of ext_funnel. The oracle chains the same
-    // earliest-completion CTEs.
-    QueryDef("ext_funnel_steps", (s, dir) =>
-      graft.ext.Events.funnelSteps(Tables.events(s, dir),
-        "user_id", "event_type", "ts",
-        steps = Seq("view", "click", "purchase"), maxGap = Some("2 HOUR")),
-      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-          WHERE event_type = 'view' GROUP BY 1),
-        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-          JOIN s1 ON s1.user_id = e.user_id
-          WHERE e.event_type = 'click' AND e.ts > s1.t
-            AND e.ts <= s1.t + INTERVAL 2 HOUR GROUP BY 1),
-        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-          JOIN s2 ON s2.user_id = e.user_id
-          WHERE e.event_type = 'purchase' AND e.ts > s2.t
-            AND e.ts <= s2.t + INTERVAL 2 HOUR GROUP BY 1)
-      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
-        CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
-      UNION ALL SELECT CAST(2 AS BIGINT), 'click',
-        CAST((SELECT count(*) FROM s2) AS BIGINT)
-      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
-        CAST((SELECT count(*) FROM s3) AS BIGINT)""")),
-
-
-    // First-order Markov transitions over per-user event journeys:
-    // (from, next-of-same-user) counts + row-normalized P(to | from).
-    // One user-keyed window + one (from, to) hash agg; the oracle
-    // replays the lead() pairing and normalization.
-    QueryDef("ext_event_transitions", (s, dir) =>
-      graft.ext.Events.transitionMatrix(
-        Tables.events(s, dir)
-          .select("event_id", "user_id", "event_type", "ts"),
-        "user_id", "event_type", orderCols = Seq("ts", "event_id")),
-      Some("""WITH s AS (SELECT user_id, event_type,
-          lead(event_type) OVER (PARTITION BY user_id
-            ORDER BY ts, event_id) AS nxt
-        FROM events),
-      p AS (SELECT event_type AS from_type, nxt AS to_type,
-          CAST(count(*) AS BIGINT) AS n
-        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-      t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
-      SELECT p.from_type, p.to_type, p.n,
-        round(p.n / CAST(t.tot AS DOUBLE) + 1e-9, 6) AS p
-      FROM p JOIN t USING (from_type)""")),
-
-
-    // PSI distribution drift between two corpus releases (n_chars,
-    // 500-wide bins): v2 drops every 3rd doc and inflates every
-    // 5th-mod-1 length by 300 — the per-bin (p_new − p_old)·ln ratio
-    // terms must match the oracle's exactly, epsilon smoothing included.
-    QueryDef("ext_psi_drift", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-      val v2 = docs.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 1, col("n_chars") + 300)
-            .otherwise(col("n_chars")).as("n_chars"))
-      Corpus.psiDrift(docs, v2, "n_chars", binWidth = 500.0)
-    }, Some("""WITH o AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
-          CAST(count(*) AS BIGINT) AS n_old FROM documents GROUP BY 1),
-      v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN n_chars + 300
-          ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 3 <> 0),
-      nn AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
-          CAST(count(*) AS BIGINT) AS n_new FROM v2 GROUP BY 1),
-      j AS (SELECT coalesce(o.bin, nn.bin) AS bin,
-          coalesce(o.n_old, 0) AS n_old, coalesce(nn.n_new, 0) AS n_new
-        FROM o FULL OUTER JOIN nn ON o.bin = nn.bin),
-      t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS do_,
-          CAST(sum(n_new) AS DOUBLE) AS dn FROM j)
-      SELECT bin, n_old, n_new,
-        round((n_new / dn + 1e-6 - (n_old / do_ + 1e-6))
-          * ln((n_new / dn + 1e-6) / (n_old / do_ + 1e-6)) + 1e-9, 6)
-          AS psi_term
-      FROM j CROSS JOIN t""")),
-
-
-    // Binned two-sample KS drift over the same snapshot pair as
-    // ext_psi_drift: cumulative per-bin CDFs and their gap — the
-    // max-gap statistic classical drift tests threshold, complementing
-    // PSI's per-bin localization. The cumulative window runs over the
-    // bins-sized frame only.
-    QueryDef("ext_ks_drift", (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-      val v2 = docs.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 1, col("n_chars") + 300)
-            .otherwise(col("n_chars")).as("n_chars"))
-      Corpus.ksDrift(docs, v2, "n_chars", binWidth = 500.0)
-    }, Some("""WITH o AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
-          CAST(count(*) AS BIGINT) AS n_old FROM documents GROUP BY 1),
-      v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN n_chars + 300
-          ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 3 <> 0),
-      nn AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
-          CAST(count(*) AS BIGINT) AS n_new FROM v2 GROUP BY 1),
-      j AS (SELECT coalesce(o.bin, nn.bin) AS bin,
-          coalesce(o.n_old, 0) AS n_old, coalesce(nn.n_new, 0) AS n_new
-        FROM o FULL OUTER JOIN nn ON o.bin = nn.bin),
-      t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS do_,
-          CAST(sum(n_new) AS DOUBLE) AS dn FROM j),
-      c AS (SELECT bin, n_old, n_new,
-          round(sum(n_old) OVER (ORDER BY bin
-              ROWS UNBOUNDED PRECEDING) / do_ + 1e-9, 6) AS cdf_old,
-          round(sum(n_new) OVER (ORDER BY bin
-              ROWS UNBOUNDED PRECEDING) / dn + 1e-9, 6) AS cdf_new
-        FROM j CROSS JOIN t)
-      SELECT bin, n_old, n_new, cdf_old, cdf_new,
-        round(abs(cdf_old - cdf_new) + 1e-9, 6) AS gap FROM c""")),
-
 
     // Per-source corpus datasheet ("data card" summary): doc/empty/token
     // counts, exact-integer means, and the exact-dup rate under the
@@ -1302,6 +753,7 @@ object ExtCorpusQueries {
         round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) + 1e-9, 6)
           AS dup_rate
       FROM p GROUP BY source""")),
+
 
 
     // Corpus snapshot diff: v2 drops every 7th doc, appends an edit to
@@ -1336,6 +788,7 @@ object ExtCorpusQueries {
           WHEN onorm <> nnorm THEN 'changed' END AS status
       FROM j
       WHERE onorm IS NULL OR nnorm IS NULL OR onorm <> nnorm""")),
+
 
 
     // Snapshot diff over the degenerate corpus: the empty doc rewritten
@@ -1374,6 +827,7 @@ object ExtCorpusQueries {
       WHERE onorm IS NULL OR nnorm IS NULL OR onorm <> nnorm""")),
 
 
+
     // Curriculum ordering: n_chars as the ease signal (longest docs
     // schedule first here — the signal is caller-defined), 4
     // equal-population stages, md5-permuted within each stage. The
@@ -1397,6 +851,7 @@ object ExtCorpusQueries {
         CAST(row_number() OVER (PARTITION BY bin, shard
           ORDER BY key, doc_id) AS BIGINT) AS pos
       FROM sh""")),
+
 
 
     // Contrastive positive pairs: DISJOINT consecutive 32-token blocks

@@ -436,5 +436,6 @@ object ExtQueries {
     * registry contents unchanged). */
   def defs: Seq[QueryDef] =
     ExtTextQueries.defs ++ ExtDedupQueries.defs ++ ExtCorpusQueries.defs ++
+      ExtModelQueries.defs ++ ExtEventsQueries.defs ++
       ExtSimilarityQueries.defs ++ ExtMultimodalQueries.defs
 }
