@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -396,5 +396,84 @@ object Retrieval {
       .filter(col("__rank") > 10)
       .select(floor((col("__rank") - 11) / perQuery).cast("long").as("query_id"),
         col("term"))
+  }
+
+  /**
+   * Late-interaction MaxSim scoring (the ColBERT posture, Khattab &
+   * Zaharia, SIGIR'20): documents and queries are BAGS of token
+   * vectors; a document's score for a query is
+   * Σ_{query tokens} max_{doc tokens} cos(q_i, d_j) — each query token
+   * independently finds its best-matching document token, so partial /
+   * reordered matches score where a single pooled vector would wash
+   * out. The standard middle ground between cheap single-vector dense
+   * retrieval and full cross-encoder re-ranking.
+   *
+   * Scale shape: the doc-token table is the only corpus-sized input and
+   * it is SCANNED ONCE against the broadcast query-token set (queries ×
+   * tokens rows — kilobytes); the per-(query, doc, qtok) max and the
+   * per-(query, doc) sum are both map-side-combined hash aggregations,
+   * and the final top-k runs through [[graft.functions.TopKAggregator]]
+   * (never a corpus-wide rank window). Per-pair cosines are 6-digit
+   * rounded BEFORE the max so the argmax is engine-stable.
+   *
+   * @param docTokens   (doc_id, tok_idx, vec) — one row per document
+   *                    token vector
+   * @param queryTokens (query_id, qtok_idx, qvec)
+   * @param k           results per query
+   * @return (query_id, doc_id, score), score = 6-digit rounded MaxSim
+   */
+  def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame,
+                 k: Int): DataFrame = {
+    val maxsim = docTokens.crossJoin(broadcast(queryTokens))
+      .withColumn("__c", round(Similarity.cosine(
+        Similarity.asDouble(col("vec")), Similarity.asDouble(col("qvec")))
+        + lit(1e-9), 6))
+      .groupBy("query_id", "doc_id", "qtok_idx")
+      .agg(max(col("__c")).as("__m"))
+    val scored = maxsim.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("__m")) + lit(1e-9), 6).as("score"))
+    graft.functions.TopKAggregator.topKPerKey(scored, Seq("query_id"),
+        col("score"), col("doc_id"), k, "score", "doc_id")
+      .select("query_id", "doc_id", "score")
+  }
+
+  /**
+   * Edit-distance-1 fuzzy term resolution via the deletion-neighborhood
+   * join (the SymSpell construction, public technique): two terms are
+   * within one edit (insert / delete / substitute) only if they share a
+   * member of each other's {self} ∪ {1-deletions} set, so candidate
+   * generation is an EQUI-join on exploded deletion variants — never a
+   * vocab × queries product — and an exact `levenshtein ≤ 1` filter
+   * culls the false positives (deletion-sharing admits e.g. transposed
+   * pairs at distance 2). This is the query-time spell-correction step
+   * of a lexical search stack: resolve each (possibly misspelled) query
+   * term to the vocabulary terms it plausibly meant, then feed those to
+   * [[bm25TopK]].
+   *
+   * Scale shape: each side explodes to (len+1) variants of itself —
+   * linear amplification with short strings — then one hash equi-join
+   * on the variant key; the verify predicate rides the join. The vocab
+   * side is corpus-vocabulary-sized (≪ corpus), the query side
+   * broadcast.
+   *
+   * @return (query_id, qterm, term) — distinct vocabulary resolutions
+   *         with levenshtein(qterm, term) ≤ 1
+   */
+  def fuzzyTermMatch(vocab: DataFrame, termCol: String,
+                     queries: DataFrame, queryIdCol: String,
+                     qtermCol: String): DataFrame = {
+    def delVariants(c: Column): Column = array_union(
+      array(c),
+      transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - 1),
+          c.substr(i + 1, length(c) - i))))
+    val v = vocab.select(col(termCol).as("term"))
+      .withColumn("__var", explode(delVariants(col("term"))))
+    val q = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), col(qtermCol).as("qterm"))
+      .withColumn("__var", explode(delVariants(col("qterm")))))
+    v.join(q, Seq("__var"))
+      .filter(levenshtein(col("qterm"), col("term")) <= 1)
+      .select("query_id", "qterm", "term").distinct()
   }
 }

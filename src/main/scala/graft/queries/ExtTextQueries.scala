@@ -584,6 +584,78 @@ object ExtTextQueries {
       SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
 
 
+    // Late-interaction MaxSim (ColBERT posture): docs and probes as
+    // 4×16-dim token-vector bags (the 64-dim fixture embedding sliced),
+    // score = Σ_qtok max_dtok cos — partial matches score where pooled
+    // vectors wash out. One corpus scan vs broadcast query tokens, two
+    // map-side aggs, aggregator top-k.
+    QueryDef("ext_maxsim_topk", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      def sliced(df: org.apache.spark.sql.DataFrame, idAs: String,
+                 vecAs: String, idxAs: String) =
+        df.select(col("vec_id").as(idAs),
+            posexplode(array((0 until 4).map(i =>
+              slice(col("embedding"), i * 16 + 1, 16)): _*))
+              .as(Seq(idxAs, vecAs)))
+      val docToks = sliced(vecs, "doc_id", "vec", "tok_idx")
+      val qToks = sliced(
+        vecs.filter(col("vec_id").isin(100L, 200L, 300L)), "query_id", "qvec",
+        "qtok_idx")
+      graft.ext.Retrieval.maxSimTopK(docToks, qToks, k = 5)
+    }, Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      dt AS (SELECT vec_id AS doc_id, i AS tok_idx,
+          e[16 * i + 1 : 16 * (i + 1)] AS dv
+        FROM v, range(0, 4) r(i)),
+      qt AS (SELECT vec_id AS query_id, i AS qtok_idx,
+          e[16 * i + 1 : 16 * (i + 1)] AS qv
+        FROM v, range(0, 4) r(i) WHERE vec_id IN (100, 200, 300)),
+      pair AS (SELECT qt.query_id, dt.doc_id, qt.qtok_idx,
+          max(round(list_inner_product(dt.dv, qt.qv) /
+            nullif(sqrt(list_inner_product(dt.dv, dt.dv))
+                 * sqrt(list_inner_product(qt.qv, qt.qv)), 0) + 1e-9, 6)) AS m
+        FROM dt CROSS JOIN qt GROUP BY 1, 2, 3),
+      scored AS (SELECT query_id, doc_id, round(sum(m) + 1e-9, 6) AS score
+        FROM pair GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+      SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
+
+
+    // Edit-distance-1 fuzzy term resolution (SymSpell deletion-
+    // neighborhood equi-join + exact levenshtein verify): misspelled
+    // query terms — 2nd character dropped from frequent vocabulary
+    // terms — resolve back to every vocabulary term within one edit.
+    // The engine never forms a vocab×queries product (PlanSpec); the
+    // oracle, vocabulary-sized, can afford the naive cross check.
+    QueryDef("ext_fuzzy_terms", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val vocab = docs
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__n"))
+        .filter(length(col("term")) >= 4)
+      val qterms = vocab
+        .orderBy(desc("__n"), col("term")).limit(5)
+        .select(row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(0)).orderBy(desc("__n"), col("term")))
+            .cast("long").as("query_id"),
+          concat(col("term").substr(lit(1), lit(1)),
+            col("term").substr(lit(3), length(col("term")) - 2)).as("qterm"))
+      graft.ext.Retrieval.fuzzyTermMatch(
+        vocab.select("term"), "term", qterms, "query_id", "qterm")
+    }, Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS term FROM documents),
+      vocab AS (SELECT term, count(*) AS n FROM toks
+        WHERE len(term) >= 4 GROUP BY 1),
+      qt AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT)
+            AS query_id,
+          substr(term, 1, 1) || substr(term, 3) AS qterm
+        FROM vocab ORDER BY n DESC, term LIMIT 5)
+      SELECT DISTINCT qt.query_id, qt.qterm, vocab.term
+      FROM vocab CROSS JOIN qt
+      WHERE levenshtein(qt.qterm, vocab.term) <= 1""")),
+
+
     // Index TAKEDOWN for the retrieval family: a standing BM25 postings
     // table loses every 9th-mod-2 document via the generalized bucket
     // rewrite (same machinery as ext_dedup_index_forget), WITHOUT a

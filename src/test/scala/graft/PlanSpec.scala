@@ -175,6 +175,20 @@ class PlanSpec extends SparkSpec {
       "bm25 must not rank-window scored rows by query_id")
   }
 
+  test("fuzzy term match plans a deletion-variant equi-join, never a product") {
+    val p = plan("ext_fuzzy_terms")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SymSpell candidates must come from the variant equi-join, not vocab×queries")
+  }
+
+  test("maxsim top-k runs the bounded aggregator, no doc-keyed rank window") {
+    val p = plan("ext_maxsim_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      "MaxSim top-k must run through the bounded-buffer aggregator")
+    assert(!p.contains("windowspecdefinition(query_id"),
+      "MaxSim must not rank-window scored rows by query_id")
+  }
+
   test("simhash pairs plan is a banded equi-join, never an all-pairs product") {
     val p = plan("ext_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -224,4 +224,46 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(ndcg - (1.0 / (math.log(3) / math.log(2))) / idcg) < 1e-5)
     assert(m(1L) == ((1L, 0.0, 0.0, 0.0)))      // judged, zero everywhere
   }
+
+  test("maxSimTopK: partial token match beats a pooled wash-out; exact doc tops") {
+    // query = tokens [x-axis, y-axis]; docA matches BOTH tokens exactly
+    // (maxsim 2.0), docB matches only x (maxsim 1.0 + eps from
+    // orthogonal), docC is diagonal in every token — a pooled
+    // single-vector cosine would rank C close to A, but per-token max
+    // keeps the distinction
+    val dt = Seq(
+      (10L, 0, Seq(1.0, 0.0)), (10L, 1, Seq(0.0, 1.0)),   // A: exact
+      (20L, 0, Seq(1.0, 0.0)), (20L, 1, Seq(1.0, 0.0)),   // B: x only
+      (30L, 0, Seq(0.7071067811865476, 0.7071067811865476)),
+      (30L, 1, Seq(0.7071067811865476, 0.7071067811865476)) // C: diagonal
+    ).toDF("doc_id", "tok_idx", "vec")
+    val qt = Seq(
+      (1L, 0, Seq(1.0, 0.0)), (1L, 1, Seq(0.0, 1.0))
+    ).toDF("query_id", "qtok_idx", "qvec")
+    val out = Retrieval.maxSimTopK(dt, qt, k = 3)
+      .orderBy(desc("score"), col("doc_id"))
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(10L, 30L, 20L))
+    assert(math.abs(out(0)._3 - 2.0) < 1e-5)       // exact: 1 + 1
+    assert(math.abs(out(1)._3 - 1.4142136) < 1e-5) // diagonal: 2 * cos45
+    assert(math.abs(out(2)._3 - 1.0) < 1e-5)       // x-only: 1 + 0
+  }
+
+  test("fuzzyTermMatch: insert/delete/substitute resolve, transposition does not") {
+    val vocab = Seq("spark", "sprak", "spar", "sparks", "stark", "plasma")
+      .toDF("term")
+    val queries = Seq((1L, "spark"), (2L, "xpark"), (3L, "sparkle"))
+      .toDF("query_id", "qterm")
+    val out = Retrieval.fuzzyTermMatch(vocab, "term", queries, "query_id", "qterm")
+      .as[(Long, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // "spark": itself, deletion twin "spar", insertion twin "sparks",
+    // substitution twin "stark" — but NOT the transposed "sprak"
+    // (levenshtein 2) even though they share deletion variants
+    assert(out(1L) == Set("spark", "spar", "sparks", "stark"))
+    // "xpark": substitution of s — only "spark" (not "spar": distance 2)
+    assert(out(2L) == Set("spark"))
+    // "sparkle" is 2+ edits from everything
+    assert(!out.contains(3L))
+  }
 }
