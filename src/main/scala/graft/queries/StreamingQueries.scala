@@ -944,7 +944,13 @@ object StreamingQueries {
              + 1e-9, 6) AS psi,
              (SELECT CAST(coalesce(sum(n_new), 0) AS BIGINT) FROM c$i)
                AS n_rows
-           FROM j$i CROSS JOIN t$i)"""
+           FROM j$i CROSS JOIN t$i),
+         k$i AS (SELECT max(round(abs(co - cn) + 1e-9, 6)) AS ks FROM (
+             SELECT round(sum(n_old) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) / do_ + 1e-9, 6) AS co,
+               round(sum(n_new) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) / dn + 1e-9, 6) AS cn
+             FROM j$i CROSS JOIN t$i))"""
       }.mkString(",\n      ")
       s"""WITH docs AS (SELECT doc_id, n_chars FROM documents),
         mxs AS (SELECT max(doc_id) // 4 + 1 AS step FROM docs),
@@ -952,7 +958,8 @@ object StreamingQueries {
             CAST(count(*) AS BIGINT) AS n_old FROM docs GROUP BY 1),
         $chunks
       ${(0 until 4).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS batch_id, psi, n_rows FROM p$i")
+        s"SELECT CAST($i AS BIGINT) AS batch_id, psi, ks, n_rows " +
+          s"FROM p$i CROSS JOIN k$i")
         .mkString("\n      UNION ALL ")}"""
     })
   )

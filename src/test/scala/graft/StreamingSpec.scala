@@ -767,11 +767,13 @@ class StreamingSpec extends SparkSpec {
     }
     drain()
     val rows = spark.table(prefix + "_psi")
-      .select("batch_id", "psi", "n_rows")
-      .as[(Long, Double, Long)].collect()
-    assert(rows.length == 1 && rows.head._1 == 0L && rows.head._3 == 100L)
+      .select("batch_id", "psi", "ks", "n_rows")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(rows.length == 1 && rows.head._1 == 0L && rows.head._4 == 100L)
     assert(math.abs(rows.head._2) < 1e-4,
-      s"batch == reference must score ~zero drift, got ${rows.head._2}")
+      s"batch == reference must score ~zero PSI, got ${rows.head._2}")
+    assert(rows.head._3 == 0.0,
+      s"batch == reference must score KS 0, got ${rows.head._3}")
     // a fresh stream over the SAME staged data replays batch 0: the
     // guard must find its row and append nothing
     drain()
