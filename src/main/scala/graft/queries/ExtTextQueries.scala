@@ -656,6 +656,56 @@ object ExtTextQueries {
       WHERE levenshtein(qt.qterm, vocab.term) <= 1""")),
 
 
+    // Typo-tolerant search end-to-end: misspelled query terms resolve
+    // through the SymSpell deletion-neighborhood join, and the RESOLVED
+    // vocabulary terms feed BM25 — the composition a lexical search
+    // stack actually runs. Same scale shapes as the two parts.
+    QueryDef("ext_fuzzy_bm25", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val vocab = docs
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__n"))
+        .filter(length(col("term")) >= 4)
+      val qterms = vocab
+        .orderBy(desc("__n"), col("term")).limit(3)
+        .select(row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(0)).orderBy(desc("__n"), col("term")))
+            .cast("long").as("query_id"),
+          concat(col("term").substr(lit(1), lit(1)),
+            col("term").substr(lit(3), length(col("term")) - 2)).as("qterm"))
+      val resolved = graft.ext.Retrieval.fuzzyTermMatch(
+          vocab.select("term"), "term", qterms, "query_id", "qterm")
+        .select("query_id", "term").distinct()
+      graft.ext.Retrieval.bm25TopK(docs, resolved, k = 5)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      dl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dl FROM tf),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          sum(tc) AS n_tokens FROM tf),
+      vocab AS (SELECT term, count(*) AS n FROM toks
+        WHERE len(term) >= 4 GROUP BY 1),
+      qt AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT)
+            AS query_id,
+          substr(term, 1, 1) || substr(term, 3) AS qterm
+        FROM vocab ORDER BY n DESC, term LIMIT 3),
+      res AS (SELECT DISTINCT qt.query_id, vocab.term
+        FROM vocab CROSS JOIN qt
+        WHERE levenshtein(qt.qterm, vocab.term) <= 1),
+      scored AS (SELECT res.query_id, dl.doc_id,
+          round(sum(
+            ln(1 + (n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+            (tc * 2.2) /
+            (tc + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(n_tokens AS DOUBLE)))
+          ) + 1e-9, 6) AS score
+        FROM dl JOIN res USING (term) JOIN dfreq USING (term)
+        CROSS JOIN stats GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rn FROM scored)
+      SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""")),
+
+
     // Index TAKEDOWN for the retrieval family: a standing BM25 postings
     // table loses every 9th-mod-2 document via the generalized bucket
     // rewrite (same machinery as ext_dedup_index_forget), WITHOUT a

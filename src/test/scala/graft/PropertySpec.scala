@@ -101,6 +101,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("topKPerKey (long AND string ids) equals the rank window on random data") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val k = 1 + rnd.nextInt(4)
+      val rows = Seq.fill(120)((
+        s"g${rnd.nextInt(4)}",
+        rnd.nextInt(6).toDouble / 5d,
+        rnd.nextInt(10000).toLong)).distinctBy(r => (r._1, r._3))
+      val df = rows.toDF("grp", "score", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(desc("score"), col("id"))
+      def winSet(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .drop("rn").collect().map(_.toString).toSet
+      val aggSet = graft.functions.TopKAggregator
+        .topKPerKey(df, Seq("grp"), col("score"), col("id"), k)
+        .select(col("grp"), col("score"), col("id")).collect()
+        .map(_.toString).toSet
+      assert(aggSet == winSet(df), s"long-id trial $trial k=$k")
+      // same data with STRING ids (zero-padded so lexicographic ==
+      // numeric order and the window agrees)
+      val dfs = rows.map(r => (r._1, r._2, f"${r._3}%05d"))
+        .toDF("grp", "score", "id")
+      val aggSetS = graft.functions.TopKAggregator
+        .topKPerKey(dfs, Seq("grp"), col("score"), col("id"), k)
+        .select(col("grp"), col("score"), col("id")).collect()
+        .map(_.toString).toSet
+      assert(aggSetS == winSet(dfs), s"string-id trial $trial k=$k")
+    }
+  }
+
   test("tti/pti ratios: tt85 >= tt50 > 0 implies tti >= 1") {
     val df = Seq((100d, 120d, 150d), (50d, 50d, 50d), (10d, 99d, 100d))
       .toDF("tt50", "tt85", "tt95")
