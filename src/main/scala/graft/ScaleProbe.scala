@@ -364,6 +364,30 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- MaxSim late interaction: corpus-linear scan, flat in probes ---
+    // the claim under test: scoring is ONE doc-token scan against the
+    // broadcast query tokens + two map-side-combined aggs, so wall time
+    // is linear in corpus tokens and the per-(query,doc,qtok) exchange
+    // carries only aggregated maxima.
+    for (m <- multSteps if section("maxsim")) {
+      val vecs = amplifyVecs(vecs0, m)
+      def sliced(df: org.apache.spark.sql.DataFrame, idAs: String,
+                 vecAs: String, idxAs: String) =
+        df.select(col("vec_id").as(idAs),
+          posexplode(array((0 until 4).map(i =>
+            slice(col("embedding"), i * 16 + 1, 16)): _*)).as(Seq(idxAs, vecAs)))
+      val docToks = graft.core.CacheRegistry.persistTracked(
+        sliced(vecs, "doc_id", "vec", "tok_idx"))
+      val n = docToks.count() / 4
+      val qToks = sliced(vecs.filter(col("vec_id").isin(
+        100L, 200L, 300L, 400L)), "query_id", "qvec", "qtok_idx")
+      val (cnt, t) = timed(
+        graft.ext.Retrieval.maxSimTopK(docToks, qToks, k = 10).count())
+      println(f"[scaleprobe] maxsim m=$m docs=$n out=$cnt t=$t%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     // ---- k-means: per-iteration scan cost vs corpus size ---------------
     // the claim under test: assignment is a SCAN against the k×dim
     // centroid literals (no exchange — pinned in PlanSpec) and the
