@@ -136,4 +136,56 @@ object Classifier {
   def score(feats: DataFrame, bucketsCol: String,
             model: PerceptronModel): DataFrame =
     feats.withColumn("score", marginCol(col(bucketsCol), model.weights, model.bias))
+
+  /**
+   * Reliability diagram (binned calibration curve) of a scored holdout —
+   * the audit run before a quality classifier's scores are used as
+   * SAMPLING WEIGHTS rather than a hard cut (the pipeline posture where
+   * "score 0.9" must actually mean ~90% positive): map the margin to a
+   * confidence via a fixed temperature sigmoid, bin confidences into
+   * `nBins` equal-width bins, and compare each bin's mean confidence
+   * against its empirical positive rate. Emits per occupied bin
+   * (bin, n, n_pos, mean_conf, pos_rate, gap, ece_term); the Expected
+   * Calibration Error is Σ ece_term (Naeini et al. 2015).
+   *
+   * Fp posture: conf is 6-digit-rounded BEFORE binning (bin edges are
+   * decided on identical doubles in any engine) and mean_conf sums
+   * exact integer micro-units (conf·10⁶) so distributed summation order
+   * cannot shift it — the corpusReport convention. gap and ece_term
+   * derive from the already-rounded means.
+   *
+   * Scale shape: one scan bins and aggregates (map-side combined,
+   * ≤ nBins rows out); the ece normalizer is a window over the
+   * bins-sized frame (the deliberately-tiny-window posture of ksDrift),
+   * never a second corpus scan.
+   *
+   * @param scored   frame with an integer margin column and a ±1 label
+   * @param temperature sigmoid scale: conf = σ(score/temperature)
+   */
+  def calibrationCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+                       nBins: Int = 10, temperature: Double = 4.0): DataFrame = {
+    require(nBins >= 2, s"nBins=$nBins must be >= 2")
+    require(temperature > 0, s"temperature=$temperature must be positive")
+    val conf = round(lit(1.0) /
+      (lit(1.0) + exp(-col(scoreCol).cast("double") / lit(temperature)))
+      + lit(1e-9), 6)
+    val full = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    scored
+      .select(least(floor(conf * nBins), lit(nBins - 1)).cast("long").as("bin"),
+        round(conf * lit(1e6)).cast("long").as("__confu"),
+        when(col(labelCol) > 0, 1L).otherwise(0L).as("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"),
+        sum(col("__confu")).as("__sumu"))
+      .withColumn("mean_conf", round(col("__sumu").cast("double") / lit(1e6)
+        / col("n") + lit(1e-9), 6))
+      .withColumn("pos_rate", round(col("n_pos").cast("double") / col("n")
+        + lit(1e-9), 6))
+      .withColumn("gap", round(abs(col("mean_conf") - col("pos_rate"))
+        + lit(1e-9), 6))
+      .withColumn("ece_term", round(col("gap") * col("n")
+        / sum(col("n")).over(full) + lit(1e-9), 6))
+      .select("bin", "n", "n_pos", "mean_conf", "pos_rate", "gap", "ece_term")
+  }
 }

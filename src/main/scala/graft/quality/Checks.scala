@@ -99,6 +99,59 @@ object Checks {
   }
 
   /**
+   * Cohen's kappa inter-rater agreement (Cohen 1960) between two label
+   * columns — the label-audit gate run when a cheap automatic rater
+   * (a heuristic, a classifier) is validated against stored labels or a
+   * second annotator: raw agreement alone rewards majority-class
+   * guessing, kappa subtracts the chance-agreement floor. Returns one
+   * row (n, po, pe, kappa): n rated rows (both labels non-NULL),
+   * observed agreement po, chance agreement pe from the rater
+   * marginals, kappa = (po − pe)/(1 − pe).
+   *
+   * Fp posture: every ratio derives from EXACT integer sums — agree,
+   * n, and s = Σ_label ca·cb — and kappa is computed as the single
+   * integer-ratio (agree·n − s)/(n² − s), algebraically equal to
+   * (po−pe)/(1−pe), so no intermediate float ordering can shift it;
+   * the only rounding is the final 6-digit quantization. A perfectly
+   * chance-saturated table (pe = 1 ⇒ n² = s) yields NULL kappa
+   * (undefined), not a division error.
+   *
+   * Scale shape: ONE corpus aggregation produces the k×k contingency
+   * cells (map-side combined; k = distinct labels); cells are cached
+   * for the marginal/total passes, the 1-row result is lineage-cut,
+   * and the cache released — nothing corpus-sized is scanned twice and
+   * a long-lived session accretes no cache.
+   */
+  def cohenKappa(df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    val rated = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b"))
+    val cells = graft.core.CacheRegistry.persistTracked(
+      rated.groupBy("__a", "__b").agg(count(lit(1)).as("__c")))
+    val tot = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0L)), lit(0L)).as("__agree"))
+    val chance = cells.groupBy("__a").agg(sum(col("__c")).as("__ca"))
+      .join(cells.groupBy("__b").agg(sum(col("__c")).as("__cb")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("__s"))
+    val out = tot.crossJoin(chance).select(
+      col("n"),
+      round(col("__agree").cast("double") /
+        nullif(col("n"), lit(0L)) + lit(1e-9), 6).as("po"),
+      round(col("__s").cast("double") /
+        nullif(col("n") * col("n"), lit(0L)) + lit(1e-9), 6).as("pe"),
+      round((col("__agree") * col("n") - col("__s")).cast("double") /
+        nullif((col("n") * col("n") - col("__s")).cast("double"), lit(0.0))
+        + lit(1e-9), 6).as("kappa"))
+    val cut = graft.core.CheckpointStrategy.Local.cut(out)
+    graft.core.CacheRegistry.release(cells)
+    cut
+  }
+
+  /**
    * 3-sigma outlier test (reference `5_dbt/READ.md:841-864`): rows more
    * than 3 sample-stddevs from the global mean. The 1-row stats frame is
    * cross-broadcast (J7), so the fact side never shuffles.

@@ -124,6 +124,43 @@ object ExtModelQueries {
       FROM c""")),
 
 
+    // Reliability diagram + ECE terms for the held-out classifier: the
+    // integer margin maps through a fixed temperature-4 sigmoid to a
+    // 6-digit-rounded confidence, 10 equal-width bins, per-bin mean
+    // confidence vs empirical positive rate. The calibration audit run
+    // before scores become sampling weights; Σ ece_term = ECE. The
+    // oracle replays the identical sigmoid/rounding/binning over the
+    // unrolled perceptron's holdout margins.
+    QueryDef("ext_classifier_calibration", (s, dir) => {
+      val feats = classifierFixture(s, dir)
+      val model = Classifier.perceptronTrain(
+        feats.filter(col("doc_id") % 2 === 0),
+        "buckets", "y", numBuckets = 64, maxRounds = 12)
+      Classifier.calibrationCurve(
+        Classifier.score(feats.filter(col("doc_id") % 2 === 1), "buckets", model),
+        "score", "y", nBins = 10, temperature = 4.0)
+    }, Some(s"""WITH ${duckPerceptron(rounds = 12, numBuckets = 64,
+        trainWhere = "doc_id % 2 = 0")},
+      ho AS (SELECT y,
+          round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 4.0)) + 1e-9, 6) AS conf
+        FROM qzf WHERE doc_id % 2 = 1),
+      b AS (SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+          CAST(round(conf * 1e6) AS BIGINT) AS confu,
+          CASE WHEN y > 0 THEN 1 ELSE 0 END AS pos FROM ho),
+      g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS n_pos,
+          CAST(sum(confu) AS BIGINT) AS sumu
+        FROM b GROUP BY 1),
+      r AS (SELECT bin, n, n_pos,
+          round(CAST(sumu AS DOUBLE) / 1e6 / n + 1e-9, 6) AS mean_conf,
+          round(CAST(n_pos AS DOUBLE) / n + 1e-9, 6) AS pos_rate
+        FROM g)
+      SELECT bin, n, n_pos, mean_conf, pos_rate,
+        round(abs(mean_conf - pos_rate) + 1e-9, 6) AS gap,
+        round(round(abs(mean_conf - pos_rate) + 1e-9, 6) * n
+          / (SELECT sum(n) FROM r) + 1e-9, 6) AS ece_term
+      FROM r""")),
+
 
     // BPE tokenizer induction: 16 merge rounds over the English
     // vocabulary. The oracle unrolls the identical loop round by round

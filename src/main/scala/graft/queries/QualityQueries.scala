@@ -182,6 +182,50 @@ object QualityQueries {
       SELECT event_id, event_type,
         round((value - mu) / sd + 1e-9, 4) AS z
       FROM w WHERE n >= 10 AND sd > 0
-        AND abs(round((value - mu) / sd + 1e-9, 4)) > 3"""))
+        AND abs(round((value - mu) / sd + 1e-9, 4)) > 3""")),
+
+    // Cohen's kappa between the documents fixture's STORED lang labels
+    // and the n-gram lang-id heuristic's predictions — the label-audit
+    // posture: is the cheap automatic rater actually agreeing with the
+    // stored labels beyond what marginal-frequency chance predicts?
+    // The oracle rebuilds the same contingency integers (agree, n,
+    // s = Σ ca·cb) and the same single integer-ratio kappa.
+    QueryDef("dq_label_agreement", (s, dir) =>
+      Checks.cohenKappa(
+        Tables.documents(s, dir).select(col("lang"),
+          graft.ext.TextOps.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred"),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            x -> len(x) > 0) AS toks FROM documents),
+        sc AS (SELECT doc_id, lang,
+          len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit','für','nicht'))) AS h_de,
+          len(list_filter(toks, t -> t IN ('the','and','of','is','to','in','that','with'))) AS h_en,
+          len(list_filter(toks, t -> t IN ('el','la','los','y','es','en','para','que'))) AS h_es,
+          len(list_filter(toks, t -> t IN ('le','la','les','et','est','dans','pour','que'))) AS h_fr,
+          len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+          FROM t),
+        pred AS (SELECT lang AS a,
+            CASE WHEN best LIKE '0000|%' THEN 'und' ELSE substr(best, 6) END AS b
+          FROM (SELECT lang, greatest(
+              printf('%04d|%s', h_de, 'de'), printf('%04d|%s', h_en, 'en'),
+              printf('%04d|%s', h_es, 'es'), printf('%04d|%s', h_fr, 'fr'),
+              printf('%04d|%s', h_zh, 'zh')) AS best FROM sc)
+          WHERE lang IS NOT NULL),
+        cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM pred GROUP BY 1, 2),
+        tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(CASE WHEN a = b THEN c ELSE 0 END), 0) AS BIGINT)
+            AS agree FROM cells),
+        ch AS (SELECT CAST(coalesce(sum(ma.ca * mb.cb), 0) AS BIGINT) AS s
+          FROM (SELECT a, sum(c) AS ca FROM cells GROUP BY 1) ma
+          JOIN (SELECT b, sum(c) AS cb FROM cells GROUP BY 1) mb
+            ON ma.a = mb.b)
+      SELECT n,
+        round(CAST(agree AS DOUBLE) / nullif(n, 0) + 1e-9, 6) AS po,
+        round(CAST(s AS DOUBLE) / nullif(n * n, 0) + 1e-9, 6) AS pe,
+        round(CAST(agree * n - s AS DOUBLE)
+          / nullif(CAST(n * n - s AS DOUBLE), 0.0) + 1e-9, 6) AS kappa
+      FROM tot CROSS JOIN ch"""))
   )
 }

@@ -102,4 +102,31 @@ class ChecksSpec extends SparkSpec {
     assert(flagged == Set(26L),
       s"only series-a's departure point is judgeable, got $flagged")
   }
+
+  test("cohenKappa: hand-computed 2x2 table; unrated rows excluded") {
+    // a/a: 20, b/b: 5, a/b: 10, b/a: 5 → n=40, agree=25
+    // marginals: A(a)=30, A(b)=10; B(a)=25, B(b)=15
+    // s = 30*25 + 10*15 = 900; kappa = (25*40-900)/(1600-900) = 100/700
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("b", "b")) ++
+      Seq.fill(10)(("a", "b")) ++ Seq.fill(5)(("b", "a")) :+
+      ((null: String, "a")) :+ (("a", null: String))
+    val out = Checks.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2").head()
+    assert(out.getLong(0) == 40L)
+    assert(out.getDouble(1) == 0.625)   // po = 25/40
+    assert(out.getDouble(2) == 0.5625)  // pe = 900/1600
+    assert(out.getDouble(3) == BigDecimal(100.0 / 700)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("cohenKappa: perfect agreement is 1, chance-saturated is NULL") {
+    val perfect = Checks.cohenKappa(
+      Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("r1", "r2"),
+      "r1", "r2").head()
+    assert(perfect.getDouble(3) == 1.0)
+    // both raters constant: pe = 1, kappa undefined → NULL not a crash
+    val degenerate = Checks.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("r1", "r2"), "r1", "r2").head()
+    assert(degenerate.isNullAt(3))
+    assert(degenerate.getDouble(1) == 1.0)
+  }
 }

@@ -146,4 +146,35 @@ class ClassifierSpec extends SparkSpec {
     assert(v(bucket("alpha", 8)) >= 2L, "case-folded dupes count twice")
     assert(v(bucket("beta", 8)) >= 1L)
   }
+
+  test("calibrationCurve: hand-computed bins, ECE terms sum over occupied bins") {
+    import spark.implicits._
+    // T=4 sigmoid: score 0 → conf 0.5 (bin 5); score 4 → σ(1)≈0.731059
+    // (bin 7); score -4 → ≈0.268941 (bin 2)
+    val rows = Seq((0L, 1L), (0L, -1L), (4L, 1L), (4L, 1L), (-4L, -1L))
+      .toDF("score", "y")
+    val out = Classifier.calibrationCurve(rows, "score", "y", nBins = 10,
+        temperature = 4.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(6))).toMap
+    assert(out.keySet == Set(2L, 5L, 7L))
+    assert(out(5L)._1 == 2L && out(5L)._2 == 1L)
+    assert(out(5L)._3 == 0.5 && out(5L)._4 == 0.5)
+    assert(out(7L)._1 == 2L && out(7L)._2 == 2L)
+    assert(out(7L)._3 == 0.731059 && out(7L)._4 == 1.0)
+    assert(out(2L)._2 == 0L)
+    // ece terms: bin5 gap 0 → 0; bin7 |0.731059-1|·2/5; bin2 |0.268941-0|·1/5
+    assert(out(5L)._5 == 0.0)
+    assert(out(7L)._5 == BigDecimal(0.268941 * 2 / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("calibrationCurve: conf 1.0 lands in the top bin, not bin nBins") {
+    import spark.implicits._
+    // score 100, T=4 → σ(25) rounds to 1.0 → floor(10.0)=10 must clamp to 9
+    val out = Classifier.calibrationCurve(
+      Seq((100L, 1L)).toDF("score", "y"), "score", "y").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 9L)
+  }
 }
