@@ -421,6 +421,46 @@ object ExtTextQueries {
         GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
 
 
+    // Count-Min sketch frequency estimates vs exact counts: one
+    // distributed pass builds the mergeable 4×64 sketch (driver state =
+    // 256 longs, the kmeans-centroid contract), the top-15 exact terms
+    // are then scored scan-only against the sketch literal. w=64 is
+    // deliberately small so collisions are VISIBLE (est > exact on some
+    // rows) while one-sided error holds on every row — the oracle
+    // rebuilds the identical md5-hashed counters relationally and
+    // replays the min-over-rows estimate.
+    QueryDef("ext_cms_vocab_freq", (s, dir) => {
+      import s.implicits._
+      val (d, w) = (4, 64)
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val sketch = graft.functions.CountMinSketch.build(
+        toks.select(col("term")).as[String], d, w)
+      toks.groupBy("term").agg(count(lit(1)).as("exact"))
+        .orderBy(desc("exact"), col("term")).limit(15)
+        .withColumn("est", graft.functions.CountMinSketch
+          .estimateCol(sketch, d, w, col("term")))
+        .withColumn("never_undercounts", col("est") >= col("exact"))
+    }, Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS term FROM documents),
+      js AS (SELECT CAST(x AS INTEGER) AS j FROM range(0, 4) r(x)),
+      h AS (SELECT term, j,
+          ((strpos('0123456789abcdef', substr(md5(j || ':' || term), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || term), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || term), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || term), 4, 1)) - 1)) % 64
+            AS b
+        FROM toks CROSS JOIN js),
+      cell AS (SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+      top AS (SELECT term, CAST(count(*) AS BIGINT) AS exact FROM toks
+        GROUP BY 1 ORDER BY exact DESC, term LIMIT 15),
+      est AS (SELECT th.term, CAST(min(c.c) AS BIGINT) AS est
+        FROM (SELECT DISTINCT t.term, h.j, h.b
+              FROM top t JOIN h ON h.term = t.term) th
+        JOIN cell c USING (j, b) GROUP BY 1)
+      SELECT t.term, t.exact, e.est, e.est >= t.exact AS never_undercounts
+      FROM top t JOIN est e USING (term)""")),
+
+
     // TF-IDF top-3 terms per document (tf = term count / doc length,
     // idf = ln(N/df)): the classic relevance weighting a training-data
     // pipeline uses for keyword extraction / corpus diagnostics. Shuffles:

@@ -73,4 +73,42 @@ class HeavyHittersSpec extends SparkSpec {
         s"flag $k: estimate ${est(k)} vs exact $ex")
     }
   }
+
+  test("count-min sketch: never undercounts; exact when wide enough") {
+    import spark.implicits._
+    import graft.functions.CountMinSketch
+    val keys = skewed.select(col("k")).as[String]
+    val exact = skewed.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val narrow = CountMinSketch.build(keys, d = 4, w = 16)
+    exact.foreach { case (k, ex) =>
+      assert(CountMinSketch.estimate(narrow, 4, 16, k) >= ex,
+        s"key $k undercounted at w=16")
+    }
+    // w far above the distinct-key count at d=4: collisions in all 4
+    // rows simultaneously are vanishingly unlikely → min is exact
+    val wide = CountMinSketch.build(keys, d = 4, w = 65536)
+    exact.foreach { case (k, ex) =>
+      assert(CountMinSketch.estimate(wide, 4, 65536, k) == ex,
+        s"key $k inexact at w=65536")
+    }
+  }
+
+  test("count-min sketch: partitioning-independent and merge = elementwise sum") {
+    import spark.implicits._
+    import graft.functions.CountMinSketch
+    val keys = skewed.select(col("k")).as[String]
+    val one = CountMinSketch.build(keys.repartition(1), d = 3, w = 32)
+    val many = CountMinSketch.build(keys.repartition(13), d = 3, w = 32)
+    assert(one.sameElements(many), "sketch must not depend on partitioning")
+    // column-form estimate == driver-form estimate on every distinct key
+    val sk = one
+    val viaCol = skewed.distinct()
+      .withColumn("est", CountMinSketch.estimateCol(sk, 3, 32, col("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaCol.foreach { case (k, e) =>
+      assert(e == CountMinSketch.estimate(sk, 3, 32, k),
+        s"column estimate diverges from JVM estimate on $k")
+    }
+  }
 }
