@@ -268,6 +268,59 @@ object TextOps {
    * depends on it. Docs with < 2 tokens have no bigrams and are absent.
    * Output: (idCol, n_bigrams, lm_score), score rounded to 6 digits.
    */
+  /**
+   * Interpolated Kneser–Ney bigram LM score (Kneser & Ney 1995; Chen &
+   * Goodman 1999's interpolated form) — [[lmScoreFrame]]'s MLE estimate
+   * upgraded to the smoothing real LM quality gates use: per bigram,
+   *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+   *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+   * — absolute discounting plus the continuation-probability backoff
+   * that scores a word by how many CONTEXTS it follows, not how often
+   * it occurs (the property that tames "Francisco": frequent but
+   * single-context words stop inflating unseen combinations). Scoring
+   * the training corpus itself, every scored bigram has c ≥ 1 > D, so
+   * probabilities are strictly positive without an unknown-word floor.
+   *
+   * Scale shape: identical to [[lmScoreFrame]] — ONE corpus-sized
+   * shuffle builds the bigram count table; c(w1·), N1+(w1·), N1+(·w2)
+   * and the 1-row type total all derive from that vocab²-bounded table
+   * (hash aggs over it, never a second corpus scan), and the scoring
+   * joins are keyed by token against model tables AQE can broadcast.
+   * Output: (idCol, n_bigrams, kn_score), score = mean ln P rounded to
+   * 6 digits; docs with < 2 tokens are absent.
+   */
+  def knScoreFrame(df: DataFrame, idCol: String, textCol: String,
+                   discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount=$discount must lie in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "w1")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = toks.withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+      .transform(graft.core.CacheRegistry.persistTracked)
+    // c(w1·) and N1+(w1·) ride one agg; N1+(·w2) and the type total are
+    // two more aggs over the same vocab²-bounded count table
+    val cu = cb.groupBy("w1")
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__t1"))
+    val ct = cb.groupBy("w2").agg(count(lit(1)).as("__t2"))
+    val tot = cb.agg(count(lit(1)).as("__tot"))
+    val d = lit(discount)
+    // expression shape mirrors the oracle SQL exactly so IEEE division/
+    // multiply sequences agree term-for-term across engines
+    val p = greatest(col("__c2").cast("double") - d, lit(0.0)) / col("__c1") +
+      d * col("__t1") / col("__c1") * (col("__t2").cast("double") / col("__tot"))
+    bigrams.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).join(ct, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(p)) + lit(1e-9), 6).as("kn_score"))
+  }
+
   def lmScoreFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol),

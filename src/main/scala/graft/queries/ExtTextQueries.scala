@@ -49,6 +49,32 @@ object ExtTextQueries {
         GROUP BY doc_id""")),
 
 
+    // Interpolated Kneser-Ney bigram scoring (D = 0.75): the smoothed
+    // upgrade of ext_lm_score — absolute discounting plus the
+    // continuation-probability backoff (a word scores by how many
+    // contexts it follows). The oracle rebuilds the identical count
+    // tables and the term-for-term identical probability expression.
+    QueryDef("ext_lm_kn_score", (s, dir) =>
+      TextOps.knScoreFrame(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
+        bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+        cu AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS t1
+          FROM cb GROUP BY 1),
+        ct AS (SELECT w2, count(*) AS t2 FROM cb GROUP BY 1),
+        tt AS (SELECT count(*) AS tot FROM cb)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          round(avg(ln(
+            greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / c1
+            + 0.75 * t1 / c1 * (CAST(t2 AS DOUBLE) / tot))) + 1e-9, 6)
+            AS kn_score
+        FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN ct USING (w2)
+          CROSS JOIN tt
+        GROUP BY doc_id""")),
+
+
     // CCNet/LLaMA-style perplexity-bucketed sampling: LM-score every doc,
     // cut the corpus into quartiles at EXACT percentile thresholds
     // (aggregated + broadcast — no global ntile window, the shape that

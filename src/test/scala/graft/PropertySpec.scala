@@ -83,6 +83,31 @@ class PropertySpec extends SparkSpec {
     assert(single == 0L)
   }
 
+  test("knScore: hand-computed interpolated Kneser-Ney probabilities") {
+    // corpus: doc1 "a b a b", doc2 "a c"
+    // cb: (a,b)=2 (b,a)=1 (a,c)=1 → 3 types; cu: a(c1=3,t1=2) b(1,1);
+    // ct: a=1 b=1 c=1; tot=3; D=0.75
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("id", "text")
+    val out = graft.ext.TextOps.knScoreFrame(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def p(c2: Long, c1: Long, t1: Long, t2: Long, tot: Long): Double =
+      math.max(c2.toDouble - 0.75, 0.0) / c1 +
+        0.75 * t1 / c1 * (t2.toDouble / tot)
+    val pba = p(2, 3, 2, 1, 3) // P(b|a)
+    val pab = p(1, 1, 1, 1, 3) // P(a|b)
+    val pca = p(1, 3, 2, 1, 3) // P(c|a)
+    def r6(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 ==
+      r6((math.log(pba) + math.log(pab) + math.log(pba)) / 3))
+    assert(out(2L) == ((1L, r6(math.log(pca)))))
+    // degenerate single-bigram corpus: P = (1-D)/1 + D·1·1 = 1 → ln = 0
+    val solo = graft.ext.TextOps.knScoreFrame(
+      Seq((1L, "a b")).toDF("id", "text"), "id", "text").head()
+    assert(solo.getDouble(2) == 0.0)
+  }
+
   test("TopKBuffer equals sort-then-take for random inputs, any k") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 50) {
