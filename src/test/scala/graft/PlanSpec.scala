@@ -442,4 +442,28 @@ class PlanSpec extends SparkSpec {
       s"adjacent-chunk pairing is one lead window, got:\n$p")
     assert(!p.contains("Join"), "pairing must not plan a self-join")
   }
+
+  test("count-min estimate is scan-only: sketch rides as a literal") {
+    import org.apache.spark.sql.functions._
+    val sketch = new Array[Long](4 * 64) // zeros suffice for plan shape
+    val p = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.CountMinSketch
+        .estimateCol(sketch, 4, 64, col("source")).as("est"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"frequency scoring must not move data:\n$p")
+  }
+
+  test("calibration curve: one corpus agg, window only over the bins frame") {
+    import org.apache.spark.sql.functions._
+    val scored = graft.core.Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 9 - 4).as("score"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("y"))
+    val p = graft.ext.Classifier.calibrationCurve(scored, "score", "y")
+      .queryExecution.executedPlan.toString
+    // two exchanges total: the bin hash agg, then the single-partition
+    // ece window over <= nBins rows; never a join or second corpus pass
+    assert("Exchange".r.findAllIn(p).size <= 2, s"expected <=2 exchanges:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
 }
