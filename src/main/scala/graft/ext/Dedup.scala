@@ -623,6 +623,97 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * EXACT threshold Jaccard self-join by prefix filtering (Chaudhuri,
+   * Ganti & Kaushik ICDE'06 SSJoin; Bayardo, Ma & Srikant WWW'07
+   * AllPairs): every pair (id_a < id_b) whose k-token-shingle SETS have
+   * Jaccard ≥ tauNum/tauDen — with NO false negatives, the exact
+   * complement to the probabilistic MinHash-LSH path
+   * ([[nearDupPairs]]). Where LSH trades recall for bucket locality,
+   * prefix filtering keeps exactness and gets its bound from a global
+   * rarest-first token order: a document of set size s only emits its
+   * p = s − ⌈tau·s⌉ + 1 RAREST shingles as join keys, and any pair at
+   * or above the threshold provably shares one of those prefix tokens.
+   *
+   * The threshold is a RATIONAL (tauNum/tauDen) so every comparison is
+   * integer: prefix length p = s − ⌈tauNum·s/tauDen⌉ + 1 by integer
+   * ceil-division, the accept test inter·tauDen ≥ tauNum·union — no
+   * float crosses an engine boundary (only the reported `jaccard`
+   * column is a rounded double), the round-before-compare convention
+   * taken to its limit.
+   *
+   * Scale shape: one shuffle for document frequencies, one window per
+   * doc for the rarest-first rank (partition = doc — bounded by doc
+   * length, never corpus-wide), one equi-join on prefix tokens, one
+   * (id, token) equi-join pair for exact verification. The prefix
+   * tokens are by construction the LOW-df tail of the vocabulary, so
+   * candidate buckets are small exactly where a naive token join
+   * explodes (stopword buckets never become join keys unless a doc is
+   * so short its whole set is prefix). Candidate count is the verified
+   * upper bound on pair work — there is no m²-bucket hazard to cap.
+   *
+   * Output: (id_a, id_b, inter, uni, jaccard) — intersection/union
+   * sizes as BIGINT, jaccard rounded to 6 digits.
+   */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                        tauNum: Int, tauDen: Int, shingleK: Int = 3,
+                        checkpoint: graft.core.CheckpointStrategy =
+                          graft.core.CheckpointStrategy.Local): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"need 0 < tauNum/tauDen <= 1 (got $tauNum/$tauDen)")
+    // distinct string shingles, exploded — cached: feeds sizes, dfs,
+    // ranks, and both verification probes. Spark's sequence(1, stop)
+    // DESCENDS for stop < 1, hence the size guard.
+    val sh = TextOps.letCol(TextOps.tokens(lower(col(textCol)))) { ts =>
+      when(size(ts) < shingleK, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), size(ts) - (shingleK - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(shingleK))))))
+    }
+    val toks = graft.core.CacheRegistry.persistTracked(
+      df.select(col(idCol).as("__id"), explode(sh).as("__tok")))
+    val sz = toks.groupBy("__id").agg(count(lit(1)).as("__s"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // rarest-first global order (df, then token for determinism);
+    // integer ceil-division for the prefix length — the double division
+    // below is exact-then-truncate (operands < 2^52, quotient never
+    // within 1/tauDen of an integer unless it IS one)
+    val p = col("__s") -
+      ((lit(tauNum) * col("__s") + lit(tauDen - 1)) / lit(tauDen))
+        .cast("long") + lit(1)
+    val prefix = toks.join(dfreq, Seq("__tok"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
+      .join(sz, Seq("__id"))
+      .filter(col("__r") <= p)
+      .select(col("__tok"), col("__id"), col("__s"))
+    // candidates: shared prefix token + the symmetric length filter
+    // (J >= tau forces min(sa,sb)*tauDen >= tauNum*max(sa,sb))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.__tok") === col("pb.__tok") &&
+          col("pa.__id") < col("pb.__id"))
+      .select(col("pa.__id").as("id_a"), col("pb.__id").as("id_b"),
+        col("pa.__s").as("__sa"), col("pb.__s").as("__sb"))
+      .filter(least(col("__sa"), col("__sb")) * lit(tauDen) >=
+        lit(tauNum) * greatest(col("__sa"), col("__sb")))
+      .distinct()
+    // exact verification: intersection via two (id, token) equi-joins
+    val out = checkpoint.cut(
+      cand
+        .join(toks.select(col("__id").as("id_a"), col("__tok")), Seq("id_a"))
+        .join(toks.select(col("__id").as("id_b"), col("__tok")),
+          Seq("id_b", "__tok"))
+        .groupBy("id_a", "id_b", "__sa", "__sb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("uni", col("__sa") + col("__sb") - col("inter"))
+        .filter(col("inter") * lit(tauDen) >= lit(tauNum) * col("uni"))
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+          round(col("inter").cast("double") / col("uni").cast("double")
+            + lit(1e-9), 6).as("jaccard")))
+    graft.core.CacheRegistry.release(toks)
+    out
+  }
+
   private val BitPowers: Array[Long] = (0 until 64).map(1L << _).toArray
 
   /**

@@ -683,6 +683,34 @@ object ExtDedupQueries {
       FROM sa JOIN sb ON id_b = id_a + 100000""")),
 
 
+    // EXACT threshold-Jaccard similarity self-join by prefix filtering
+    // (SSJoin/AllPairs — Dedup.prefixJaccardJoin scaladoc): all doc
+    // pairs with 3-shingle-set Jaccard >= 1/2, integer threshold math
+    // end to end. The oracle is the BRUTE-FORCE all-pairs join — the
+    // hash compare is therefore a direct proof of the prefix filter's
+    // no-false-negative guarantee on this corpus, not just of value
+    // parity.
+    QueryDef("ext_jaccard_prefix_join", (s, dir) =>
+      Dedup.prefixJaccardJoin(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", tauNum = 1, tauDen = 2),
+      Some(s"""WITH sh AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS tok
+        FROM (SELECT doc_id, $DuckToks AS toks FROM documents)),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM sh GROUP BY 1),
+      it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, inter, sa.s + sb.s - inter AS uni
+        FROM it JOIN sz sa ON sa.doc_id = it.id_a
+        JOIN sz sb ON sb.doc_id = it.id_b)
+      SELECT id_a, id_b, inter, uni,
+        round(CAST(inter AS DOUBLE) / uni + 1e-9, 6) AS jaccard
+      FROM j WHERE inter * 2 >= uni""")),
+
+
     // Benchmark decontamination: corpus docs sharing any 13-token shingle
     // with the benchmark set (the published n-gram-overlap convention).
     // Spark joins 64-bit shingle hashes; the oracle joins the shingle

@@ -748,6 +748,55 @@ object ExtSimilarityQueries {
       SELECT id AS vec_id, label AS community FROM l2""")),
 
 
+    // Triangle counts + local clustering coefficient over the same kNN
+    // graph (degree-ordered orientation, Suri & Vassilvitskii WWW'11):
+    // the graph-density diagnostic — high-lcc nodes sit in tight
+    // near-dup/topic cliques, lcc≈0 hubs bridge communities. The
+    // orientation makes every triangle count exactly once and bounds
+    // the heaviest wedge fanout by O(√|E|) (Graphs.triangleStats
+    // scaladoc); the oracle replays the identical oriented 3-join.
+    QueryDef("ext_graph_triangles", (s, dir) =>
+      graft.ext.Graphs.triangleStats(
+        Similarity.knnGraphFused(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 3).select("src_id", "dst_id"))
+        .withColumnRenamed("id", "vec_id"),
+      Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+            round(list_inner_product(b.e, a.e) /
+              nullif(sqrt(list_inner_product(b.e, b.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+          FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY score DESC, dst_id) AS rn FROM scored),
+        edges AS (SELECT src_id, dst_id FROM ranked WHERE rn <= 3),
+        canon AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+            greatest(src_id, dst_id) AS b
+          FROM edges WHERE src_id <> dst_id),
+        deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+            (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+          GROUP BY 1),
+        o AS (SELECT
+            CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN c.a ELSE c.b END AS u,
+            CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN c.b ELSE c.a END AS v,
+            CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN db.deg ELSE da.deg END AS dv
+          FROM canon c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b),
+        tri AS (SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+          FROM o e1 JOIN o e2
+            ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+          JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+        pn AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM
+            (SELECT tu AS id FROM tri UNION ALL SELECT tv FROM tri
+             UNION ALL SELECT tw FROM tri)
+          GROUP BY 1)
+      SELECT d.id AS vec_id, d.deg, CAST(coalesce(pn.tri, 0) AS BIGINT) AS tri,
+          CASE WHEN d.deg >= 2 THEN round(2.0 * coalesce(pn.tri, 0)
+              / (d.deg * (d.deg - 1)) + 1e-9, 6)
+            ELSE 0.0 END AS lcc
+      FROM deg d LEFT JOIN pn USING (id)""")),
+
+
     // ---- Adversarial graph fixtures (r8): degenerate shapes through
     // the graph operators — a giant dangling-hub star, self-loop-only
     // nodes, and the classic bipartite oscillation. All trajectories

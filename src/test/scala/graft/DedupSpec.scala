@@ -404,4 +404,48 @@ class DedupSpec extends SparkSpec {
       .as[String].head()
     assert(out(0)._3 == expected)
   }
+
+  test("prefixJaccardJoin: hand-checkable pairs with integer threshold math") {
+    // doc 1 vs 4 differ in the last token only: 12 3-shingles each,
+    // 11 shared -> J = 11/13; doc 2 normalizes to doc 1 exactly -> J=1;
+    // docs 3/5 match nothing at tau = 1/2
+    val got = Dedup.prefixJaccardJoin(corpus, "doc_id", "text", 1, 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got((1L, 2L)) === ((12L, 12L)))
+    assert(got((1L, 4L)) === ((11L, 13L)))
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("prefixJaccardJoin equals brute-force exact join (no false negatives)") {
+    // a corpus engineered for overlap: rotations and small edits of a
+    // base sentence, so pair Jaccards spread across the threshold
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = (0 until 24).map { i =>
+      val rot = (base.drop(i % 5) ++ base.take(i % 5)).toSeq
+      val edited = if (i % 3 == 0) rot.updated(4, s"tok$i") else rot
+      (i.toLong, edited.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 2, 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // brute force: exact Jaccard over string 3-shingle sets, all pairs
+    val sh = docs.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), size(TextOps.tokens(lower(col("text")))) - 2),
+        i => concat_ws(" ",
+          slice(TextOps.tokens(lower(col("text"))), i, lit(3))))).as("sh"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("i"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("u"))
+      .filter(col("i") * 5 >= col("u") * 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(fast === brute)
+    assert(brute.nonEmpty, "fixture must actually produce pairs")
+    graft.core.CacheRegistry.releaseAll()
+  }
 }

@@ -53,4 +53,37 @@ class GraphsSpec extends SparkSpec {
     assert(again == l2)
     graft.core.CacheRegistry.releaseAll()
   }
+
+  test("triangleStats: K4 is all-triangles, a pendant edge is none") {
+    // K4 on 1-4 (each node: deg 3, 3 triangles, lcc 1.0) plus pendant
+    // 4-5 (node 4 → deg 4, still 3 triangles, lcc 3/6 = 0.5; node 5 →
+    // deg 1, lcc 0.0). Edges given with duplicates, reversals, and a
+    // self-loop to exercise canonicalization.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 5L)
+    ).toDF("src_id", "dst_id")
+    val got = Graphs.triangleStats(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((3L, 3L, 1.0)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+    assert(got(4L) === ((4L, 3L, 0.5)))
+    assert(got(5L) === ((1L, 0L, 0.0)))
+    // total triangle incidences = 3 × #triangles
+    assert(got.values.map(_._2).sum === 12L)
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("triangleStats: a pure star has zero triangles; a 5-cycle too") {
+    val star = (1 to 6).map(i => (0L, i.toLong)).toDF("src_id", "dst_id")
+    assert(Graphs.triangleStats(star).filter(col("tri") > 0).count() === 0)
+    val cycle = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong))
+      .toDF("src_id", "dst_id")
+    val c = Graphs.triangleStats(cycle)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(c.forall(r => r._2 == 2L && r._3 == 0L && r._4 == 0.0))
+    graft.core.CacheRegistry.releaseAll()
+  }
 }
