@@ -662,16 +662,10 @@ object Dedup {
     require(tauNum > 0 && tauDen >= tauNum,
       s"need 0 < tauNum/tauDen <= 1 (got $tauNum/$tauDen)")
     // distinct string shingles, exploded — cached: feeds sizes, dfs,
-    // ranks, and both verification probes. Spark's sequence(1, stop)
-    // DESCENDS for stop < 1, hence the size guard.
-    val sh = TextOps.letCol(TextOps.tokens(lower(col(textCol)))) { ts =>
-      when(size(ts) < shingleK, array().cast("array<string>"))
-        .otherwise(array_distinct(
-          transform(sequence(lit(1), size(ts) - (shingleK - 1)),
-            i => concat_ws(" ", slice(ts, i, lit(shingleK))))))
-    }
+    // ranks, and both verification probes
     val toks = graft.core.CacheRegistry.persistTracked(
-      df.select(col(idCol).as("__id"), explode(sh).as("__tok")))
+      df.select(col(idCol).as("__id"),
+        explode(TextOps.stringShingles(col(textCol), shingleK)).as("__tok")))
     val sz = toks.groupBy("__id").agg(count(lit(1)).as("__s"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // rarest-first global order (df, then token for determinism);

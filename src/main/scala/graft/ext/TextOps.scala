@@ -225,6 +225,21 @@ object TextOps {
     xxhash64(concat_ws(" ", tokens(lower(text))))
 
   /**
+   * Distinct k-token STRING shingles (space-joined), empty for docs
+   * shorter than k tokens — the un-hashed twin of
+   * [[windowFingerprints]] for operators whose oracle re-derives the
+   * shingle text (prefix-filter join, HLL cardinality). Spark's
+   * sequence(1, stop) DESCENDS for stop < 1, hence the guard.
+   */
+  def stringShingles(text: Column, k: Int): Column =
+    letCol(tokens(lower(text))) { ts =>
+      when(size(ts) < k, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), size(ts) - (k - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(k))))))
+    }
+
+  /**
    * Rolling-window fingerprints: hash of every k-token window
    * (winnowing-style; the min over windows is a cheap robust signature).
    */

@@ -487,6 +487,62 @@ object ExtTextQueries {
       FROM top t JOIN est e USING (term)""")),
 
 
+    // HyperLogLog distinct-shingle cardinality per source vs exact:
+    // the 64-register sketch with md5-reproducible hashing — one
+    // (source, register) hash agg emits 64 rows per source no matter
+    // the input size; the oracle rebuilds every register bit-identically
+    // (integer max over string-derived ranks) and replays the
+    // bias-corrected estimate. Sources here hold 1.2-1.5k distinct
+    // shingles, so this exercises the RAW harmonic-mean branch (the
+    // linear-counting small-range branch is spec-covered); rel_err
+    // lands inside the published 1.04/√64 ≈ 13% envelope.
+    QueryDef("ext_hll_distinct", (s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("source"),
+        explode(TextOps.stringShingles(col("text"), 3)).as("term"))
+      val est = graft.functions.HyperLogLog.estimate(
+        graft.functions.HyperLogLog.registers(sh, "term", Seq("source")),
+        Seq("source"))
+      val exact = sh.groupBy("source")
+        .agg(countDistinct(col("term")).as("exact_distinct"))
+      exact.join(est, Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("est"),
+          round(abs(col("est") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double") + lit(1e-9), 6)
+            .as("rel_err"))
+    }, Some(s"""WITH sh AS (SELECT source,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS term
+        FROM (SELECT source, $DuckToks AS toks FROM documents)),
+      h AS (SELECT source, term,
+          ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) % 64
+            AS reg,
+          CASE WHEN length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) = 8
+            THEN 33
+            ELSE length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) * 4
+              + CASE substr(substr(md5(term), 3, 8),
+                  length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                ELSE 0 END + 1 END AS rho
+        FROM sh),
+      regs AS (SELECT source, reg, max(rho) AS rho FROM h GROUP BY 1, 2),
+      agg AS (SELECT source, sum(pow(2.0, -rho)) AS hsum,
+          CAST(count(*) AS BIGINT) AS hit FROM regs GROUP BY 1),
+      est AS (SELECT source,
+          round(CASE WHEN (0.709 * 4096) / (hsum + (64 - hit)) <= 160.0
+              AND hit < 64
+            THEN 64.0 * ln(64.0 / (64 - hit))
+            ELSE (0.709 * 4096) / (hsum + (64 - hit)) END + 1e-9, 6) AS est
+        FROM agg),
+      ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+          AS exact_distinct FROM sh GROUP BY 1)
+      SELECT ex.source, ex.exact_distinct, est.est,
+        round(abs(est.est - exact_distinct) / exact_distinct + 1e-9, 6)
+          AS rel_err
+      FROM ex JOIN est USING (source)""")),
+
+
     // TF-IDF top-3 terms per document (tf = term count / doc length,
     // idf = ln(N/df)): the classic relevance weighting a training-data
     // pipeline uses for keyword extraction / corpus diagnostics. Shuffles:

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.HyperLogLog
+import org.apache.spark.sql.functions._
+
+/**
+ * HLL: the typed aggregator and the relational register table must be
+ * bit-identical; merged per-source sketches must equal the global one;
+ * estimates must land within the published error envelope.
+ */
+class HyperLogLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys(n: Int, tag: String) =
+    (0 until n).map(i => s"$tag-key-$i")
+
+  test("typed aggregator registers == relational registers") {
+    val ks = keys(500, "a")
+    val fromAgg = HyperLogLog.build(ks.toDS())
+    val rel = HyperLogLog.registers(ks.toDF("k"), "k")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val fromRel = Array.tabulate(HyperLogLog.M)(i => rel.getOrElse(i, 0))
+    assert(fromAgg.toSeq === fromRel.toSeq)
+  }
+
+  test("element-wise max merge of per-source sketches equals the global sketch") {
+    val a = HyperLogLog.build(keys(300, "a").toDS())
+    val b = HyperLogLog.build(keys(400, "b").toDS())
+    val merged = new HyperLogLog.Sketch().merge(a.clone(), b)
+    val global = HyperLogLog.build((keys(300, "a") ++ keys(400, "b")).toDS())
+    assert(merged.toSeq === global.toSeq)
+    // duplicates never change registers: unioning a stream with itself
+    // is a no-op (the idempotence that makes replay safe)
+    val again = new HyperLogLog.Sketch().merge(global.clone(), global)
+    assert(again.toSeq === global.toSeq)
+  }
+
+  test("estimates: linear counting in small range, ±3σ at 2000 distinct") {
+    // small range: 5 distinct keys → V > 0, linear counting, near-exact
+    val small = HyperLogLog.estimateRegisters(
+      HyperLogLog.build(keys(5, "s").toDS()))
+    assert(small >= 4.0 && small <= 6.5, s"small-range estimate $small")
+    // 2000 distinct: standard error 1.04/√64 = 13%; allow 3σ
+    val big = HyperLogLog.estimateRegisters(
+      HyperLogLog.build(keys(2000, "x").toDS()))
+    assert(math.abs(big - 2000) / 2000 < 0.39, s"estimate $big for 2000")
+    // repeated keys must not move the estimate
+    val dup = HyperLogLog.estimateRegisters(
+      HyperLogLog.build((keys(2000, "x") ++ keys(2000, "x")).toDS()))
+    assert(dup === big)
+  }
+
+  test("driver-side estimate == relational estimate") {
+    val ks = keys(777, "m").toDF("k")
+    val relEst = HyperLogLog.estimate(HyperLogLog.registers(ks, "k"))
+      .collect().head.getDouble(0)
+    val drvEst = HyperLogLog.estimateRegisters(
+      HyperLogLog.build(ks.as[String]))
+    assert(relEst === drvEst)
+  }
+}
