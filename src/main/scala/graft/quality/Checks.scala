@@ -152,6 +152,64 @@ object Checks {
   }
 
   /**
+   * Fleiss' kappa (Fleiss 1971) — [[cohenKappa]] generalized to r ≥ 2
+   * raters per item: the agreement audit for multiply-annotated data
+   * (k quality gates voting per document, crowd labels, ensemble
+   * raters). Input is LONG format — one row per (item, assigned
+   * category); items whose rating count differs from `raters` are
+   * dropped (the constant-r design Fleiss' statistic assumes).
+   * Returns one row (n_items, raters, pbar, pe, kappa).
+   *
+   * Fp posture (the cohenKappa convention): with integer cell counts
+   * n_ij, S2 = ΣΣ n_ij², category totals c_j, C2 = Σ c_j², N items,
+   * A = S2 − N·r, D = N·r·(r−1), T = (N·r)² —
+   * P̄ = A/D, P̄e = C2/T, and kappa collapses to the single integer
+   * ratio (A·T − C2·D)/(D·(T − C2)); no intermediate float exists to
+   * reorder. Chance saturation (every rating one category ⇒ C2 = T)
+   * yields NULL kappa, not a division error. T = (N·r)² bounds the
+   * exact-integer range: N·r < 3·10⁹ (a billion items at r=3) before
+   * long overflow — beyond that, pre-aggregate per shard.
+   *
+   * Scale shape: one (item, category) hash aggregation (map-side
+   * combined), one item-keyed count for the constant-r filter, then
+   * category-count aggregations over cells — cells are cached once,
+   * the 1-row result lineage-cut, the cache released.
+   */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, s"raters $raters must be >= 2")
+    val rated = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__i"),
+        col(categoryCol).cast("string").as("__j"))
+    val cells0 = rated.groupBy("__i", "__j").agg(count(lit(1)).as("__n"))
+    val full = cells0.groupBy("__i").agg(sum(col("__n")).as("__ri"))
+      .filter(col("__ri") === raters).select("__i")
+    val cells = graft.core.CacheRegistry.persistTracked(
+      cells0.join(full, Seq("__i"), "left_semi"))
+    val item = cells.agg(
+      coalesce(sum(col("__n") * col("__n")), lit(0L)).as("__s2"),
+      countDistinct(col("__i")).as("n_items"))
+    val cat = cells.groupBy("__j").agg(sum(col("__n")).as("__cj"))
+      .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__c2"))
+    val nr = col("n_items") * lit(raters.toLong)
+    val a = col("__s2") - nr
+    val d = nr * lit((raters - 1).toLong)
+    val t = nr * nr
+    val out = item.crossJoin(cat).select(
+      col("n_items"), lit(raters.toLong).as("raters"),
+      round(a.cast("double") / nullif(d, lit(0L)) + lit(1e-9), 6).as("pbar"),
+      round(col("__c2").cast("double") / nullif(t, lit(0L)) + lit(1e-9), 6)
+        .as("pe"),
+      round((a * t - col("__c2") * d).cast("double")
+        / nullif((d * (t - col("__c2"))).cast("double"), lit(0.0))
+        + lit(1e-9), 6).as("kappa"))
+    val cut = graft.core.CheckpointStrategy.Local.cut(out)
+    graft.core.CacheRegistry.release(cells)
+    cut
+  }
+
+  /**
    * 3-sigma outlier test (reference `5_dbt/READ.md:841-864`): rows more
    * than 3 sample-stddevs from the global mean. The 1-row stats frame is
    * cross-broadcast (J7), so the fact side never shuffles.

@@ -226,6 +226,57 @@ object QualityQueries {
         round(CAST(s AS DOUBLE) / nullif(n * n, 0) + 1e-9, 6) AS pe,
         round(CAST(agree * n - s AS DOUBLE)
           / nullif(CAST(n * n - s AS DOUBLE), 0.0) + 1e-9, 6) AS kappa
-      FROM tot CROSS JOIN ch"""))
+      FROM tot CROSS JOIN ch""")),
+
+    // Fleiss' kappa across THREE deterministic quality raters (token
+    // count, char count, EN-stopword presence — all integer-threshold
+    // gates, zero fp in the votes): do independent quality heuristics
+    // agree on which documents are keepable beyond chance? The oracle
+    // rebuilds the (item, category) cells and replays the same single
+    // integer-ratio kappa (Checks.fleissKappa scaladoc).
+    QueryDef("dq_multi_rater_agreement", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = graft.ext.TextOps.tokens(lower(col("text")))
+      val stops = size(filter(t, x =>
+        x.isin("the", "and", "of", "is", "to", "in", "that", "with")))
+      def vote(c: org.apache.spark.sql.Column) =
+        when(c, "ok").otherwise("bad")
+      val ratings = docs
+        .select(col("doc_id"), vote(size(t) >= 50).as("cat"))
+        .unionByName(docs.select(col("doc_id"),
+          vote(col("n_chars") >= 280).as("cat")))
+        .unionByName(docs.select(col("doc_id"),
+          vote(stops >= 1).as("cat")))
+      Checks.fleissKappa(ratings, "doc_id", "cat", raters = 3)
+    }, Some(s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            x -> len(x) > 0) AS toks, n_chars FROM documents),
+      r AS (
+        SELECT doc_id, CASE WHEN len(toks) >= 50 THEN 'ok' ELSE 'bad' END
+          AS cat FROM t
+        UNION ALL
+        SELECT doc_id, CASE WHEN n_chars >= 280 THEN 'ok' ELSE 'bad' END
+          FROM t
+        UNION ALL
+        SELECT doc_id, CASE WHEN len(list_filter(toks, x -> x IN
+            ('the','and','of','is','to','in','that','with'))) >= 1
+          THEN 'ok' ELSE 'bad' END FROM t),
+      cells AS (SELECT doc_id AS i, cat AS j, CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2),
+      keep AS (SELECT i FROM cells GROUP BY i HAVING sum(n) = 3),
+      kc AS (SELECT c.* FROM cells c JOIN keep USING (i)),
+      item AS (SELECT CAST(coalesce(sum(n * n), 0) AS BIGINT) AS s2,
+          CAST(count(DISTINCT i) AS BIGINT) AS n_items FROM kc),
+      cat AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS c2
+        FROM (SELECT j, sum(n) AS cj FROM kc GROUP BY 1)),
+      f AS (SELECT n_items, s2, c2, n_items * 3 AS nr
+        FROM item CROSS JOIN cat)
+      SELECT n_items, CAST(3 AS BIGINT) AS raters,
+        round(CAST(s2 - nr AS DOUBLE) / nullif(nr * 2, 0) + 1e-9, 6) AS pbar,
+        round(CAST(c2 AS DOUBLE) / nullif(nr * nr, 0) + 1e-9, 6) AS pe,
+        round(CAST((s2 - nr) * (nr * nr) - c2 * (nr * 2) AS DOUBLE)
+          / nullif(CAST((nr * 2) * (nr * nr - c2) AS DOUBLE), 0.0)
+          + 1e-9, 6) AS kappa
+      FROM f"""))
   )
 }

@@ -129,4 +129,38 @@ class ChecksSpec extends SparkSpec {
     assert(degenerate.isNullAt(3))
     assert(degenerate.getDouble(1) == 1.0)
   }
+
+  test("fleissKappa: hand-computed 4-item / 3-rater table") {
+    // per-item votes (ok, bad): (3,0) (2,1) (1,2) (0,3)
+    // → P̄ = 2/3, pe = 1/2, kappa = 1/3 exactly
+    val rows = Seq(
+      (1L, "ok"), (1L, "ok"), (1L, "ok"),
+      (2L, "ok"), (2L, "ok"), (2L, "bad"),
+      (3L, "ok"), (3L, "bad"), (3L, "bad"),
+      (4L, "bad"), (4L, "bad"), (4L, "bad"))
+    val out = Checks.fleissKappa(rows.toDF("item", "cat"), "item", "cat", 3).head()
+    assert(out.getLong(0) == 4L && out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 0.666667)
+    assert(out.getDouble(3) == 0.5)
+    assert(out.getDouble(4) == 0.333333)
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("fleissKappa: wrong-count items dropped; perfect = 1; saturated = NULL") {
+    // item 9 has only 2 ratings at r=3 — must not contaminate the stats
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "b"), (2L, "b"), (2L, "b"),
+      (9L, "a"), (9L, "b"))
+    val out = Checks.fleissKappa(rows.toDF("item", "cat"), "item", "cat", 3).head()
+    assert(out.getLong(0) == 2L)
+    assert(out.getDouble(4) == 1.0, "perfect agreement")
+    // every rating one category: pe = 1 → NULL kappa, not a crash
+    val sat = Checks.fleissKappa(
+      Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+        .toDF("item", "cat"), "item", "cat", 2).head()
+    assert(sat.isNullAt(4))
+    assert(sat.getDouble(2) == 1.0)
+    graft.core.CacheRegistry.releaseAll()
+  }
 }
