@@ -528,6 +528,94 @@ object Similarity {
           / (count(lit(1)).cast("double") * lit(1e6)) + lit(1e-9), 6)
         .as("mean_val"))
 
+  /**
+   * Top principal component by the covariance trick + power iteration —
+   * the embedding-space diagnostic run before whitening/reduction
+   * decisions: the dominant variance direction and its eigenvalue. The
+   * corpus is touched in exactly TWO distributed passes regardless of
+   * size: (1) fixed-point dimension means (the [[meanPoolByKey]]
+   * convention — exact integer sums, one division), (2) the centered
+   * dim×dim outer-product sums, generated scan-side per row and
+   * collapsed by ONE map-side-combined hash aggregation (≤ dim² cells
+   * per partition reach the shuffle — never row-pairs, never a
+   * row-keyed self-join). The gram matrix is dim² longs (32 KB at
+   * dim=64 — the k-means-centroid bounded-driver-state contract), and
+   * power iteration runs on the driver in O(iters·dim²) arithmetic,
+   * corpus-independent.
+   *
+   * Fp posture: centered values are 1e-6 fixed-point integers, so the
+   * gram cells are EXACT integer sums (order-free; bound: n·(2·10⁶·
+   * maxAbs)² < 2⁶³ — ~10⁹ unit-scale rows before rescaling is needed);
+   * covariance entries and every iteration step round(+1e-9, 6) after
+   * each operation (HALF_UP — Spark/DuckDB ROUND semantics), so the
+   * whole trajectory replays bit-identically in the SQL oracle.
+   * The eigenvector sign is pinned by the deterministic start
+   * v₀ = round(1/√dim) — no sign ambiguity.
+   *
+   * @return dim rows (j, loading, eigval): 1-based dimension, the
+   *         unit top-eigenvector component after `iters` rounds, and
+   *         the Rayleigh eigenvalue estimate ‖C·v‖ of the final round
+   */
+  def pcaTopComponent(vectors: DataFrame, vecCol: String,
+                      dim: Int, iters: Int): DataFrame = {
+    require(dim >= 1 && iters >= 1, "need dim >= 1 and iters >= 1")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vs = vectors.select(asDouble(col(vecCol)).as("__v"))
+      .filter(size(col("__v")) === dim)
+    val n = vs.count()
+    require(n > 0, "need at least one vector of the declared dim")
+    // pass 1: fixed-point means per dimension
+    val mu = vs.select(posexplode(col("__v")).as(Seq("__i0", "__x")))
+      .groupBy((col("__i0") + 1).as("i"))
+      .agg(round(sum(round(col("__x") * lit(1e6)).cast("long")).cast("double")
+        / lit(n.toDouble * 1e6) + lit(1e-9), 6).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val muLit = typedLit((1 to dim).map(mu))
+    // pass 2: centered 1e-6 fixed-point ints -> dim² outer-product
+    // cells per row, collapsed map-side before the single shuffle
+    val cent = vs.select(transform(sequence(lit(1), lit(dim)), i =>
+      round((element_at(col("__v"), i) - element_at(muLit, i)) * lit(1e6)
+        + lit(1e-9)).cast("long")).as("__c"))
+    val gramRows = cent
+      .select(explode(flatten(transform(sequence(lit(1), lit(dim)), i =>
+        transform(sequence(lit(1), lit(dim)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__c"), i) * element_at(col("__c"), j))
+              .as("p")))))).as("__cell"))
+      .groupBy(col("__cell.i").as("i"), col("__cell.j").as("j"))
+      .agg(sum(col("__cell.p")).as("g"))
+      .collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    gramRows.foreach { r =>
+      cov(r.getInt(0) - 1)(r.getInt(1) - 1) =
+        roundHalfUp(r.getLong(2).toDouble / (n.toDouble * 1e12) + 1e-9, 6)
+    }
+    // driver power iteration — identical arithmetic to the SQL oracle's
+    // unrolled rounds
+    var v = Array.fill(dim)(roundHalfUp(1.0 / math.sqrt(dim.toDouble) + 1e-9, 6))
+    var eig = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += cov(i)(j) * v(j); j += 1 }
+        roundHalfUp(s + 1e-9, 6)
+      }
+      val ns = w.map(x => x * x).sum
+      if (ns == 0.0) {
+        // degenerate (constant corpus): zero covariance, zero component
+        eig = 0.0
+        v = w
+      } else {
+        eig = roundHalfUp(math.sqrt(ns) + 1e-9, 6)
+        v = w.map(x => roundHalfUp(x / math.sqrt(ns) + 1e-9, 6))
+      }
+    }
+    (1 to dim).map(j => (j.toLong, v(j - 1), eig))
+      .toDF("j", "loading", "eigval")
+  }
+
   // ---- Learned clustering: distributed Lloyd's k-means ------------------
 
   /**

@@ -208,6 +208,45 @@ object ExtSimilarityQueries {
         FROM v JOIN m USING (i) GROUP BY 1, 2""")),
 
 
+    // Top principal component of the embedding space (covariance trick
+    // + 2 power-iteration rounds): two distributed passes — fixed-point
+    // means, then dim² exact-integer gram cells collapsed map-side —
+    // and a corpus-independent driver iteration whose every step
+    // rounds(+1e-9, 6), so the oracle replays the identical trajectory
+    // relationally (Similarity.pcaTopComponent scaladoc).
+    QueryDef("ext_embed_pca_top", (s, dir) =>
+      Similarity.pcaTopComponent(
+        Tables.embeddings(s, dir).select(col("embedding")),
+        "embedding", dim = 64, iters = 2),
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      mu AS (SELECT i, round(CAST(sum(CAST(round(x * 1000000.0) AS BIGINT))
+            AS DOUBLE) / (CAST(n.n AS DOUBLE) * 1000000.0) + 1e-9, 6) AS m
+        FROM ex CROSS JOIN n GROUP BY i, n.n),
+      cent AS (SELECT vec_id, ex.i,
+          CAST(round((x - m) * 1000000.0 + 1e-9) AS BIGINT) AS c
+        FROM ex JOIN mu ON mu.i = ex.i),
+      gram AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS g
+        FROM cent a JOIN cent b USING (vec_id) GROUP BY 1, 2),
+      cov AS (SELECT i, j, round(CAST(g AS DOUBLE)
+            / (CAST(n.n AS DOUBLE) * 1e12) + 1e-9, 6) AS cv
+        FROM gram CROSS JOIN n),
+      v0 AS (SELECT i, 0.125 AS vv FROM range(1, 65) t(i)),
+      w1 AS (SELECT cov.i, round(sum(cv * vv) + 1e-9, 6) AS w
+        FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+      n1 AS (SELECT sum(w * w) AS ns FROM w1),
+      v1 AS (SELECT i, round(w / sqrt(ns) + 1e-9, 6) AS vv
+        FROM w1 CROSS JOIN n1),
+      w2 AS (SELECT cov.i, round(sum(cv * vv) + 1e-9, 6) AS w
+        FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+      n2 AS (SELECT sum(w * w) AS ns FROM w2)
+      SELECT CAST(w2.i AS BIGINT) AS j,
+        round(w / sqrt(ns) + 1e-9, 6) AS loading,
+        round(sqrt(ns) + 1e-9, 6) AS eigval
+      FROM w2 CROSS JOIN n2""")),
+
+
     // Two-stage retrieval with JL as the coarse quantizer: top-60
     // candidates by cosine in the 32-dim projected space, exact top-5
     // re-rank in the original 64-dim space over candidates only — the

@@ -725,4 +725,35 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, String, Long)].collect().head
     assert(strOut == ((100L, "news", 2L)))
   }
+
+  test("pcaTopComponent: recovers the dominant variance direction, unit norm, deterministic") {
+    // variance concentrated along (e1+e2)/√2; small independent spread
+    // on e3; e4 constant — loadings must order |l1|≈|l2| >> |l3| >> l4=0
+    val rows = (1 to 40).map { t =>
+      val s = (t % 9) - 4.0           // -4..4 spread along the diagonal
+      val e = ((t % 5) - 2.0) * 0.05  // small noise on dim 3
+      Seq(s, s, e, 1.0)
+    }
+    val df = rows.map(Tuple1(_)).toDF("e")
+    val out = Similarity.pcaTopComponent(df, "e", dim = 4, iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val l = out.map(_._2)
+    val eig = out.head._3
+    assert(math.abs(math.abs(l(0)) - math.sqrt(0.5)) < 0.01, l.toSeq)
+    assert(math.abs(l(0) - l(1)) < 1e-6, "diagonal components equal")
+    assert(math.abs(l(2)) < 0.05, "noise dim near zero")
+    assert(l(3) == 0.0, "constant dim exactly zero after centering")
+    assert(math.abs(l.map(x => x * x).sum - 1.0) < 1e-4, "unit norm")
+    assert(eig > 5.0, s"diagonal variance dominates, eig=$eig")
+    val again = Similarity.pcaTopComponent(df, "e", dim = 4, iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq, "bit-deterministic")
+  }
+
+  test("pcaTopComponent: constant corpus degenerates to zero, not NaN") {
+    val df = (1 to 5).map(_ => Tuple1(Seq(1.0, 2.0, 3.0))).toDF("e")
+    val out = Similarity.pcaTopComponent(df, "e", dim = 3, iters = 2)
+      .as[(Long, Double, Double)].collect()
+    assert(out.forall(r => r._2 == 0.0 && r._3 == 0.0))
+  }
 }
