@@ -466,4 +466,65 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"expected <=2 exchanges:\n$p")
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
+
+  test("triangle counting: oriented hash joins + hash aggs, no cartesian, no window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = (1 to 200)
+      .map(i => (i.toLong, ((i * 7) % 200 + 1).toLong)).toDF("src_id", "dst_id")
+    val p = graft.ext.Graphs.triangleStats(edges)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"wedge generation must be an equi-join:\n$p")
+    assert(!p.contains("Window"), s"no rank window anywhere:\n$p")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("prefix Jaccard join: rank window partitions per doc, no cartesian") {
+    val p = plan("ext_jaccard_prefix_join")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the prefix-token equi-join:\n$p")
+    // the only window is the per-doc rarest-first rank — partitioned by
+    // doc id, never a global single-reducer window
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may funnel one reducer:\n$p")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("hll registers: one map-side-combined hash agg, no join") {
+    import org.apache.spark.sql.functions._
+    val sh = graft.core.Tables.documents(spark, sfDir).select(col("source"),
+      explode(graft.ext.TextOps.stringShingles(col("text"), 3)).as("term"))
+    val p = graft.functions.HyperLogLog.registers(sh, "term", Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"register build is exactly one shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(p.contains("partial_max") || p.contains("max"),
+      "register max must partial-aggregate map-side")
+  }
+
+  test("pca gram cells: generated scan-side, one hash-agg shuffle, no self-join") {
+    import org.apache.spark.sql.functions._
+    // reproduce the operator's cells stage on the embeddings fixture
+    val vs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === 64)
+    val muLit = typedLit((1 to 64).map(_ => 0.0))
+    val cent = vs.select(transform(sequence(lit(1), lit(64)), i =>
+      round((element_at(col("__v"), i) - element_at(muLit, i)) * lit(1e6)
+        + lit(1e-9)).cast("long")).as("__c"))
+    val p = cent
+      .select(explode(flatten(transform(sequence(lit(1), lit(64)), i =>
+        transform(sequence(lit(1), lit(64)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__c"), i) * element_at(col("__c"), j))
+              .as("p")))))).as("__cell"))
+      .groupBy(col("__cell.i"), col("__cell.j"))
+      .agg(sum(col("__cell.p")))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"gram build is exactly one shuffle of partial-agged cells:\n$p")
+    assert(!p.contains("Join"), s"row-pairs must never form:\n$p")
+  }
 }
