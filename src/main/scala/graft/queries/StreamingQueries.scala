@@ -961,6 +961,79 @@ object StreamingQueries {
         s"SELECT CAST($i AS BIGINT) AS batch_id, psi, ks, n_rows " +
           s"FROM p$i CROSS JOIN k$i")
         .mkString("\n      UNION ALL ")}"""
-    })
+    }),
+
+
+    // Streaming HLL cardinality monitor: each micro-batch's distinct
+    // 3-shingles fold into the standing per-source register table
+    // (append-only, max-collapse — replay-IDEMPOTENT by construction)
+    // and one estimate row per source is appended per trigger. The
+    // oracle replays the cumulative register state after every chunk:
+    // batch k's estimates must equal a one-shot HLL over chunks 0..k —
+    // the cross-batch mergeability contract, trigger by trigger.
+    QueryDef("st_hll_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_hll"
+      for (t <- Seq("_hll_regs", "_hll_est"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("source"),
+          explode(graft.ext.TextOps.stringShingles(col("text"), 3)).as("term"))
+      val q = graft.streaming.SketchIngest.hllIngest(
+        stream, "term", "source", prefix)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_hll_est")
+      s.table(prefix + "_hll_est")
+        .select(col("batch_id"), col("source"), col("est"), col("n_new"))
+    }, Some(s"""WITH mxs AS (SELECT max(doc_id) // 4 + 1 AS step FROM documents),
+      sh AS (SELECT doc_id // step AS chunk, source,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS term
+        FROM (SELECT doc_id, source, list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)
+            AS toks FROM documents)
+          CROSS JOIN mxs),
+      h AS (SELECT chunk, source, term,
+          ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) % 64
+            AS reg,
+          CASE WHEN length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) = 8
+            THEN 33
+            ELSE length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) * 4
+              + CASE substr(substr(md5(term), 3, 8),
+                  length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                ELSE 0 END + 1 END AS rho
+        FROM sh),
+      ck AS (SELECT r.k, source, reg, max(rho) AS rho
+        FROM h JOIN range(0, 4) r(k) ON h.chunk <= r.k
+        GROUP BY 1, 2, 3),
+      agg AS (SELECT k, source, sum(pow(2.0, -rho)) AS hsum,
+          CAST(count(*) AS BIGINT) AS hit FROM ck GROUP BY 1, 2),
+      est AS (SELECT k, source,
+          round(CASE WHEN (0.709 * 4096) / (hsum + (64 - hit)) <= 160.0
+              AND hit < 64
+            THEN 64.0 * ln(64.0 / (64 - hit))
+            ELSE (0.709 * 4096) / (hsum + (64 - hit)) END + 1e-9, 6) AS est
+        FROM agg),
+      nn AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_new FROM sh
+        GROUP BY 1)
+      SELECT CAST(est.k AS BIGINT) AS batch_id, est.source, est.est, nn.n_new
+      FROM est JOIN nn ON nn.chunk = est.k"""))
   )
 }

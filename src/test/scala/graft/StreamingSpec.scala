@@ -744,6 +744,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hll ingest: cross-batch merge equals one-shot; replay appends nothing") {
+    import spark.implicits._
+    val prefix = "graft_test_hll_ingest"
+    for (t <- Seq("_hll_regs", "_hll_est"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    try {
+      val b0 = Seq(("s1", "alpha"), ("s1", "beta"), ("s2", "alpha"))
+        .toDF("source", "term")
+      val b1 = Seq(("s1", "alpha"), ("s1", "gamma"), ("s2", "delta"))
+        .toDF("source", "term")
+      graft.streaming.SketchIngest.applyBatch(b0, 0L, "term", "source", prefix)
+      graft.streaming.SketchIngest.applyBatch(b1, 1L, "term", "source", prefix)
+      // the drained register state must equal a one-shot build over the
+      // union — the mergeability contract, register for register
+      val drained = spark.table(prefix + "_hll_regs")
+        .groupBy("source", "reg").agg(max("rho").as("rho"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val oneShot = graft.functions.HyperLogLog
+        .registers(b0.unionByName(b1), "term", Seq("source"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(drained == oneShot)
+      // batch-1 estimates cover ALL sources seen so far and match the
+      // one-shot estimate over batches 0..1
+      val est1 = spark.table(prefix + "_hll_est")
+        .filter(col("batch_id") === 1L)
+        .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+      val expect = graft.functions.HyperLogLog.estimate(
+          graft.functions.HyperLogLog.registers(
+            b0.unionByName(b1), "term", Seq("source")), Seq("source"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(est1 == expect)
+      // at-least-once replay: applied batch re-arrives → nothing changes
+      val regsBefore = spark.table(prefix + "_hll_regs").count()
+      val estBefore = spark.table(prefix + "_hll_est").count()
+      graft.streaming.SketchIngest.applyBatch(b1, 1L, "term", "source", prefix)
+      assert(spark.table(prefix + "_hll_regs").count() == regsBefore)
+      assert(spark.table(prefix + "_hll_est").count() == estBefore)
+      // and even WITHOUT the guard, register appends are idempotent by
+      // max-collapse: simulate the crash-before-est-write path
+      graft.functions.HyperLogLog.registers(b1, "term", Seq("source"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(prefix + "_hll_regs")
+      val collapsed = spark.table(prefix + "_hll_regs")
+        .groupBy("source", "reg").agg(max("rho").as("rho"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(collapsed == oneShot, "replayed registers collapse in the max")
+    } finally for (t <- Seq("_hll_regs", "_hll_est"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+  }
+
   test("drift monitor: one row per batch; an identical re-drain appends nothing") {
     import spark.implicits._
     val prefix = "graft_test_drift"
