@@ -219,6 +219,38 @@ object Corpus {
           + lit(1e-9), 6).as("dup_rate"))
   }
 
+  /**
+   * Zipf exponent per group: OLS slope of ln(frequency) on ln(rank)
+   * over the group's token frequency table, negated (natural text sits
+   * near α ≈ 1; a machine-generated or keyword-stuffed source bends
+   * visibly away) — the corpus-health diagnostic that catches
+   * template/boilerplate sources the per-doc gates miss, companion to
+   * [[corpusReport]]'s dup_rate.
+   *
+   * Shape: one (group, token) hash agg, one rank window PARTITIONED BY
+   * GROUP (never corpus-global — parallelism = source cardinality,
+   * frame = that source's vocabulary), one group agg via the engine's
+   * own regr_slope (parity with DuckDB's established by
+   * `a21_regr_slope`). Rank ties break on token for a deterministic
+   * rank assignment; ln is taken of exact integer counts.
+   *
+   * @return (group, vocab_size, alpha) with alpha rounded to 6 digits
+   */
+  def zipfAlpha(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol),
+        explode(TextOps.tokens(lower(col(textCol)))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(groupCol).orderBy(desc("__c"), col("__tok"))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("vocab_size"),
+        round(-regr_slope(log(col("__c")), log(col("__r"))) + lit(1e-9), 6)
+          .as("alpha"))
+  }
+
   /** (bin, n) fixed-width bin counts of a numeric column —
     * [[psiDrift]]'s scan-side reduction, exposed so a standing monitor
     * can pre-bin its pinned reference ONCE instead of re-scanning the

@@ -156,6 +156,56 @@ object Graphs {
   }
 
   /**
+   * k-core peeling over the undirected view of the edge list: nodes
+   * with fewer than k neighbors are removed, degrees recomputed, and
+   * the peel repeated `iters` rounds — the density filter that isolates
+   * the stable cohesive core of a similarity graph (dense topic/near-dup
+   * cores survive; chains, pendants, and sparse bridges peel away).
+   * A fixed round budget approximates the fixpoint FROM ABOVE (every
+   * survivor set is a superset of the true k-core, shrinking each
+   * round); convergence needs at most |V| rounds and in practice a
+   * handful — raise `iters` until the survivor count stops moving
+   * (deterministic either way, so the budget is replayable).
+   *
+   * Scale shape per round: two semi-joins of the symmetrized edge list
+   * against the alive set (both endpoint gates) + one src-keyed hash
+   * aggregation — edges move, never a matrix; alive-set state is one
+   * row per node. iters × O(|E|), the [[pageRank]]/[[labelPropagation]]
+   * Pregel shape. Ids stay generic (no arithmetic on the id column).
+   *
+   * @return survivors after `iters` rounds: (id, core_deg) with the
+   *         node's degree INSIDE the surviving subgraph
+   */
+  def kCore(edges: DataFrame, k: Int, iters: Int,
+            checkpoint: graft.core.CheckpointStrategy =
+              graft.core.CheckpointStrategy.Local): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val e0 = graft.core.CacheRegistry.persistTracked(
+      edges.filter(col("src_id") =!= col("dst_id"))
+        .select(least(col("src_id"), col("dst_id")).as("a"),
+          greatest(col("src_id"), col("dst_id")).as("b"))
+        .distinct())
+    val sym = graft.core.CacheRegistry.persistTracked(
+      e0.select(col("a").as("s"), col("b").as("d"))
+        .unionByName(e0.select(col("b").as("s"), col("a").as("d"))))
+    var alive = sym.select(col("s").as("id")).distinct()
+    def degrees(a: DataFrame): DataFrame = sym
+      .join(a.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+      .join(a.withColumnRenamed("id", "d"), Seq("d"), "left_semi")
+      .groupBy(col("s").as("id")).agg(count(lit(1)).as("core_deg"))
+    for (_ <- 1 to iters)
+      alive = degrees(alive).filter(col("core_deg") >= k).select("id")
+    // survivors with their degree in the FINAL subgraph; a survivor
+    // whose last neighbors peeled in the final round reports 0
+    val out = checkpoint.cut(
+      alive.join(degrees(alive), Seq("id"), "left")
+        .select(col("id"), coalesce(col("core_deg"), lit(0L)).as("core_deg")))
+    graft.core.CacheRegistry.release(sym)
+    graft.core.CacheRegistry.release(e0)
+    out
+  }
+
+  /**
    * Per-node triangle counts and local clustering coefficient over an
    * undirected view of the edge list — the density diagnostic for a
    * similarity graph: high-LCC nodes sit in tight near-duplicate or

@@ -836,6 +836,33 @@ object ExtDedupQueries {
         FROM pairs WHERE j >= 0.5""")),
 
 
+    // The prefix-filter join under the degenerate corpus: 20 byte-equal
+    // boilerplate docs form a J=1 20-clique (190 pairs — the mega-bucket
+    // shape that must come out EXACT, not capped), emoji twins pair at
+    // J=1, and empty/1-token docs vanish (shingle set empty below k=3 —
+    // no fallback, unlike the hash-shingle family). Oracle stays the
+    // brute-force all-pairs join, so exactness under degeneracy is
+    // hash-proven.
+    QueryDef("ext_adv_prefix_join", (s, dir) =>
+      Dedup.prefixJaccardJoin(advCorpus(s, dir), "doc_id", "text",
+        tauNum = 1, tauDen = 2),
+      Some(s"""WITH sh AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS tok
+        FROM (SELECT doc_id, $DuckToks AS toks FROM $DuckAdvCorpus)),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM sh GROUP BY 1),
+      it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, inter, sa.s + sb.s - inter AS uni
+        FROM it JOIN sz sa ON sa.doc_id = it.id_a
+        JOIN sz sb ON sb.doc_id = it.id_b)
+      SELECT id_a, id_b, inter, uni,
+        round(CAST(inter AS DOUBLE) / uni + 1e-9, 6) AS jaccard
+      FROM j WHERE inter * 2 >= uni""")),
+
+
     // Leakage-safe split: same near-dup fixture as ext_dedup_components,
     // but the train/val/test decision hashes the COMPONENT id — a doc
     // and its injected near-copy must land in the same split, closing

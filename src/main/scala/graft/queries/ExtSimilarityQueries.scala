@@ -836,6 +836,50 @@ object ExtSimilarityQueries {
       FROM deg d LEFT JOIN pn USING (id)""")),
 
 
+    // k-core peeling of the kNN(4) graph at k=5 — one above the
+    // mandated out-degree, so survival requires MUTUAL-neighbor density
+    // the kNN construction doesn't hand out for free. Two rounds do
+    // real work on this fixture (500 → 278 → 57 nodes), and the 57
+    // survivors' in-subgraph degrees are the per-round peel state the
+    // fixed-budget contract exposes (Graphs.kCore scaladoc: a round
+    // budget approximates the fixpoint from above). Pure integer set
+    // operations — the oracle replays the trajectory exactly.
+    QueryDef("ext_graph_kcore", (s, dir) =>
+      graft.ext.Graphs.kCore(
+        Similarity.knnGraphFused(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 4).select("src_id", "dst_id"),
+        k = 5, iters = 2)
+        .withColumnRenamed("id", "vec_id"),
+      Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+            round(list_inner_product(b.e, a.e) /
+              nullif(sqrt(list_inner_product(b.e, b.e))
+                   * sqrt(list_inner_product(a.e, a.e)), 0) + 1e-9, 6) AS score
+          FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY score DESC, dst_id) AS rn FROM scored),
+        edges AS (SELECT src_id, dst_id FROM ranked WHERE rn <= 4),
+        canon AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+            greatest(src_id, dst_id) AS b
+          FROM edges WHERE src_id <> dst_id),
+        sym AS (SELECT a AS s, b AS d FROM canon
+          UNION ALL SELECT b, a FROM canon),
+        a0 AS (SELECT DISTINCT s AS id FROM sym),
+        d1 AS (SELECT s AS id, count(*) AS dg FROM sym
+          JOIN a0 x ON x.id = sym.s JOIN a0 y ON y.id = sym.d GROUP BY 1),
+        a1 AS (SELECT id FROM d1 WHERE dg >= 5),
+        d2 AS (SELECT s AS id, count(*) AS dg FROM sym
+          JOIN a1 x ON x.id = sym.s JOIN a1 y ON y.id = sym.d GROUP BY 1),
+        a2 AS (SELECT id FROM d2 WHERE dg >= 5),
+        df AS (SELECT s AS id, count(*) AS dg FROM sym
+          JOIN a2 x ON x.id = sym.s JOIN a2 y ON y.id = sym.d GROUP BY 1)
+      SELECT a2.id AS vec_id,
+        CAST(coalesce(df.dg, 0) AS BIGINT) AS core_deg
+      FROM a2 LEFT JOIN df ON df.id = a2.id""")),
+
+
     // ---- Adversarial graph fixtures (r8): degenerate shapes through
     // the graph operators — a giant dangling-hub star, self-loop-only
     // nodes, and the classic bipartite oscillation. All trajectories

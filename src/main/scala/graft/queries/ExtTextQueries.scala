@@ -32,6 +32,23 @@ object ExtTextQueries {
         FROM c GROUP BY doc_id""")),
 
 
+    // Zipf exponent per source (OLS slope of ln-freq on ln-rank,
+    // negated): the corpus-health diagnostic that catches template /
+    // machine-generated sources whose frequency curve bends away from
+    // the natural-text α ≈ 1. Per-source rank window + the engine's own
+    // regr_slope (cross-engine parity established by a21_regr_slope).
+    QueryDef("ext_zipf_alpha", (s, dir) =>
+      Corpus.zipfAlpha(Tables.documents(s, dir), "source", "text"),
+      Some(s"""WITH t AS (SELECT source, unnest($DuckToks) AS tok FROM documents),
+        c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY 1, 2),
+        r AS (SELECT source, c, row_number() OVER (PARTITION BY source
+            ORDER BY c DESC, tok) AS r FROM c)
+      SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+        round(-regr_slope(ln(c), ln(r)) + 1e-9, 6) AS alpha
+      FROM r GROUP BY source""")),
+
+
     // Corpus-bigram LM score — deterministic stand-in for the KenLM
     // perplexity gate: mean ln P(w2|w1) under the corpus's own bigram
     // counts; rare/garbled transitions score low.
@@ -541,6 +558,46 @@ object ExtTextQueries {
         round(abs(est.est - exact_distinct) / exact_distinct + 1e-9, 6)
           AS rel_err
       FROM ex JOIN est USING (source)""")),
+
+
+    // HLL under the degenerate head: a handful of distinct tokens
+    // (dup/case/whitespace variants collapse, empty docs contribute
+    // nothing), so V > 0 and the LINEAR-COUNTING small-range branch is
+    // the one the oracle replays — the branch ext_hll_distinct's
+    // 1.2-1.5k-distinct sources never take.
+    QueryDef("ext_adv_hll", (s, dir) => {
+      import s.implicits._
+      val terms = AdvDegenHead.toDF("doc_id", "text")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val est = graft.functions.HyperLogLog.estimate(
+        graft.functions.HyperLogLog.registers(terms, "term"))
+      terms.agg(countDistinct(col("term")).as("exact_distinct"))
+        .crossJoin(est)
+    }, Some(s"""WITH t AS (SELECT unnest($DuckToks) AS term
+          FROM $DuckAdvDegenHead),
+      h AS (SELECT term,
+          ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) % 64
+            AS reg,
+          CASE WHEN length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) = 8
+            THEN 33
+            ELSE length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) * 4
+              + CASE substr(substr(md5(term), 3, 8),
+                  length(regexp_extract(substr(md5(term), 3, 8), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                ELSE 0 END + 1 END AS rho
+        FROM t),
+      regs AS (SELECT reg, max(rho) AS rho FROM h GROUP BY 1),
+      agg AS (SELECT sum(pow(2.0, -rho)) AS hsum,
+          CAST(count(*) AS BIGINT) AS hit FROM regs)
+      SELECT (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM t)
+          AS exact_distinct,
+        round(CASE WHEN (0.709 * 4096) / (hsum + (64 - hit)) <= 160.0
+            AND hit < 64
+          THEN 64.0 * ln(64.0 / (64 - hit))
+          ELSE (0.709 * 4096) / (hsum + (64 - hit)) END + 1e-9, 6) AS est
+      FROM agg""")),
 
 
     // TF-IDF top-3 terms per document (tf = term count / doc length,

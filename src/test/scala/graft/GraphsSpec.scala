@@ -76,6 +76,23 @@ class GraphsSpec extends SparkSpec {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("kCore: chain peels off a K4 core round by round; too-high k empties") {
+    // K4 on 1-4 plus a pendant chain 4-5-6-7: at k=2 the chain peels
+    // one node per round (7 -> 6 -> 5) and K4 survives with deg 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src_id", "dst_id")
+    val core = Graphs.kCore(edges, k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // already converged: one more round changes nothing
+    val more = Graphs.kCore(edges, k = 2, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(more == core)
+    // k above the max degree peels everything
+    assert(Graphs.kCore(edges, k = 5, iters = 2).count() === 0)
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("triangleStats: a pure star has zero triangles; a 5-cycle too") {
     val star = (1 to 6).map(i => (0L, i.toLong)).toDF("src_id", "dst_id")
     assert(Graphs.triangleStats(star).filter(col("tri") > 0).count() === 0)
