@@ -113,6 +113,43 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- prefix-filter exact join vs MinHash-LSH ------------------------
+    // the claim under test: prefix filtering scales like the LSH path
+    // (candidates bounded by rare-token buckets) while staying EXACT —
+    // measured as wall + result counts + LSH recall against the exact
+    // answer at the same threshold. Near-dup pairs are injected per
+    // copy (tail-suffixed twins of every 5th doc), so pair structure
+    // amplifies linearly with m and cross-copy Jaccard stays 0.
+    for (m <- multSteps if section("prefixjoin")) {
+      val base = amplifyDocs(docs0, m)
+      val docs = base
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 400000000L).as("doc_id"),
+            concat(col("text"), lit(" dup marker tail")).as("text")))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nDocs = docs.count()
+      val (nExactPairs, tPrefix) = timed {
+        Dedup.prefixJaccardJoin(docs, "doc_id", "text", 1, 2).count()
+      }
+      val (nLshPairs, tLsh) = timed {
+        Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5,
+          numHashes = 64, bands = 32).count()
+      }
+      // LSH recall vs the exact answer (identical threshold); LSH can
+      // also differ via hash-shingle fallbacks on short docs, so this
+      // is a pair-set comparison, not just counts
+      val exactPairs = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 1, 2)
+        .select("id_a", "id_b")
+      val lshPairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5, 3, 64, 32)
+        .select("id_a", "id_b")
+      val hit = exactPairs.join(lshPairs, Seq("id_a", "id_b"), "left_semi").count()
+      println(f"[scaleprobe] prefixjoin m=$m docs=$nDocs " +
+        f"exactPairs=$nExactPairs prefix=$tPrefix%.2fs " +
+        f"lshPairs=$nLshPairs lsh=$tLsh%.2fs " +
+        f"lshRecall=${hit.toDouble / math.max(1, nExactPairs)}%.3f")
+      spark.catalog.clearCache()
+    }
+
     // ---- streaming ingest: FIXED batch vs growing standing index -------
     // the claim under test: per-trigger work is O(batch) against the
     // persisted band index — the accepted corpus can grow 8x while the

@@ -654,6 +654,13 @@ object Dedup {
    *
    * Output: (id_a, id_b, inter, uni, jaccard) — intersection/union
    * sizes as BIGINT, jaccard rounded to 6 digits.
+   *
+   * When to use (measured, SCALE.md r8 probe): [[nearDupPairs]] (LSH)
+   * is ~7× cheaper at the same threshold and recalls every pair on
+   * realistic near-dup corpora — it stays the default. Reach for this
+   * join when the no-false-negative guarantee is contractual
+   * (compliance dedup, takedown sweeps, decontamination audits) or τ is
+   * low enough that LSH's miss band is material. Both scale linearly.
    */
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                         tauNum: Int, tauDen: Int, shingleK: Int = 3,
@@ -691,7 +698,12 @@ object Dedup {
       .filter(least(col("__sa"), col("__sb")) * lit(tauDen) >=
         lit(tauNum) * greatest(col("__sa"), col("__sb")))
       .distinct()
-    // exact verification: intersection via two (id, token) equi-joins
+    // exact verification: intersection via two (id, token) equi-joins.
+    // Deliberately NOT a forced broadcast of the candidate table: the
+    // pair count scales with near-dup density (m² inside an undeduped
+    // clique), so it is only sometimes small — AQE converts these to
+    // broadcast at runtime when the measured size allows, which is the
+    // right call per-corpus
     val out = checkpoint.cut(
       cand
         .join(toks.select(col("__id").as("id_a"), col("__tok")), Seq("id_a"))

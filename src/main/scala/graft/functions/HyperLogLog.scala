@@ -91,8 +91,11 @@ object HyperLogLog {
     val grouped =
       if (groupCols.isEmpty) regs.groupBy()
       else regs.groupBy(groupCols.map(col): _*)
+    // coalesce: a global estimate over an EMPTY frame is one row with
+    // NULL hsum / 0 hits — all 64 registers zero, linear counting gives
+    // exactly 0.0, not NULL
     val agged = grouped.agg(
-      sum(pow(lit(2.0), -col("rho"))).as("__hsum"),
+      coalesce(sum(pow(lit(2.0), -col("rho"))), lit(0.0)).as("__hsum"),
       count(lit(1)).as("__hit"))
     val v = lit(M) - col("__hit")
     val denom = col("__hsum") + v.cast("double")

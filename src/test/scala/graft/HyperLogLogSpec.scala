@@ -50,6 +50,14 @@ class HyperLogLogSpec extends SparkSpec {
     assert(dup === big)
   }
 
+  test("empty input estimates 0.0, not NULL (linear counting at V = m)") {
+    val empty = spark.emptyDataFrame.select(lit("x").as("k")).filter(lit(false))
+    val est = HyperLogLog.estimate(HyperLogLog.registers(empty, "k"))
+      .collect().head
+    assert(!est.isNullAt(0) && est.getDouble(0) === 0.0)
+    assert(HyperLogLog.estimateRegisters(new Array[Int](HyperLogLog.M)) === 0.0)
+  }
+
   test("driver-side estimate == relational estimate") {
     val ks = keys(777, "m").toDF("k")
     val relEst = HyperLogLog.estimate(HyperLogLog.registers(ks, "k"))
