@@ -227,27 +227,35 @@ object Corpus {
    * template/boilerplate sources the per-doc gates miss, companion to
    * [[corpusReport]]'s dup_rate.
    *
-   * Shape: one (group, token) hash agg, one rank window PARTITIONED BY
-   * GROUP (never corpus-global — parallelism = source cardinality,
-   * frame = that source's vocabulary), one group agg via the engine's
-   * own regr_slope (parity with DuckDB's established by
-   * `a21_regr_slope`). Rank ties break on token for a deterministic
-   * rank assignment; ln is taken of exact integer counts.
+   * Shape: one (group, token) hash agg, then the top-`topR` frequency
+   * head per group through [[graft.functions.TopKAggregator.topKPerKey]]
+   * (map-side-combining bounded buffers — a 10⁸-token vocabulary never
+   * lands in one rank-window partition; the fit uses the HEAD, which is
+   * standard Zipf practice since the long tail departs the power law
+   * anyway), a rank window over the ≤topR surviving rows per group, and
+   * one group agg via the engine's own regr_slope (parity with DuckDB's
+   * established by `a21_regr_slope`). Rank ties break on token for a
+   * deterministic assignment; ln is taken of exact integer counts.
    *
-   * @return (group, vocab_size, alpha) with alpha rounded to 6 digits
+   * @return (group, vocab_size, alpha): rows actually fitted
+   *         (min(vocab, topR)) and −slope, rounded to 6 digits
    */
-  def zipfAlpha(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+  def zipfAlpha(df: DataFrame, groupCol: String, textCol: String,
+                topR: Int = 1000): DataFrame = {
+    require(topR >= 2, s"topR $topR must be >= 2 for a slope")
     val counts = df
       .select(col(groupCol),
         explode(TextOps.tokens(lower(col(textCol)))).as("__tok"))
       .groupBy(col(groupCol), col("__tok"))
       .agg(count(lit(1)).as("__c"))
-    counts
+    val head = graft.functions.TopKAggregator.topKPerKey(
+      counts, Seq(groupCol), col("__c"), col("__tok"), topR, "__cd", "__tok")
+    head
       .withColumn("__r", row_number().over(
-        Window.partitionBy(groupCol).orderBy(desc("__c"), col("__tok"))))
+        Window.partitionBy(groupCol).orderBy(desc("__cd"), col("__tok"))))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("vocab_size"),
-        round(-regr_slope(log(col("__c")), log(col("__r"))) + lit(1e-9), 6)
+        round(-regr_slope(log(col("__cd")), log(col("__r"))) + lit(1e-9), 6)
           .as("alpha"))
   }
 

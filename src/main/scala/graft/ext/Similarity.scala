@@ -572,25 +572,20 @@ object Similarity {
         / lit(n.toDouble * 1e6) + lit(1e-9), 6).as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val muLit = typedLit((1 to dim).map(mu))
-    // pass 2: centered 1e-6 fixed-point ints -> dim² outer-product
-    // cells per row, collapsed map-side before the single shuffle
+    // pass 2: centered 1e-6 fixed-point ints -> the dim² outer-product
+    // sums through the typed [[GramAggregator]] (one buffer per
+    // partition, merged driver-side — zero row amplification; the
+    // relational [[gramCells]] twin is spec-asserted bit-identical and
+    // carries the oracle)
     val cent = vs.select(transform(sequence(lit(1), lit(dim)), i =>
       round((element_at(col("__v"), i) - element_at(muLit, i)) * lit(1e6)
         + lit(1e-9)).cast("long")).as("__c"))
-    val gramRows = cent
-      .select(explode(flatten(transform(sequence(lit(1), lit(dim)), i =>
-        transform(sequence(lit(1), lit(dim)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("__c"), i) * element_at(col("__c"), j))
-              .as("p")))))).as("__cell"))
-      .groupBy(col("__cell.i").as("i"), col("__cell.j").as("j"))
-      .agg(sum(col("__cell.p")).as("g"))
-      .collect()
+    val gram = cent.as[Seq[Long]]
+      .select(new GramAggregator(dim).toColumn.name("g")).head()
     val cov = Array.ofDim[Double](dim, dim)
-    gramRows.foreach { r =>
-      cov(r.getInt(0) - 1)(r.getInt(1) - 1) =
-        roundHalfUp(r.getLong(2).toDouble / (n.toDouble * 1e12) + 1e-9, 6)
-    }
+    for (i <- 0 until dim; j <- 0 until dim)
+      cov(i)(j) =
+        roundHalfUp(gram(i * dim + j).toDouble / (n.toDouble * 1e12) + 1e-9, 6)
     // driver power iteration — identical arithmetic to the SQL oracle's
     // unrolled rounds
     var v = Array.fill(dim)(roundHalfUp(1.0 / math.sqrt(dim.toDouble) + 1e-9, 6))
@@ -615,6 +610,62 @@ object Similarity {
     (1 to dim).map(j => (j.toLong, v(j - 1), eig))
       .toDF("j", "loading", "eigval")
   }
+
+  /**
+   * dim² outer-product sums of fixed-point vectors as a mergeable typed
+   * [[org.apache.spark.sql.expressions.Aggregator]] — the production
+   * gram pass for [[pcaTopComponent]]: each partition folds its rows
+   * into ONE dim²-long buffer (map-side), buffers merge by addition,
+   * and no dim²-per-row cell stream ever materializes. Integer sums →
+   * bit-identical to the relational [[gramCells]] twin (spec-pinned).
+   */
+  final class GramAggregator(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](dim * dim)
+    override def reduce(buf: Array[Long], c: Seq[Long]): Array[Long] = {
+      if (c != null && c.length == dim) {
+        val a = c.toArray
+        var i = 0
+        while (i < dim) {
+          val ci = a(i)
+          if (ci != 0L) {
+            var j = 0
+            while (j < dim) { buf(i * dim + j) += ci * a(j); j += 1 }
+          }
+          i += 1
+        }
+      }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /**
+   * Relational twin of [[GramAggregator]]: dim² (i, j, g) cells from a
+   * single-column frame of dim-long fixed-point arrays — scan-side cell
+   * generation + one map-side-combined hash aggregation (PlanSpec-
+   * pinned). Exists for the SQL oracle and the identity assertion; the
+   * operator itself runs the aggregator.
+   */
+  def gramCells(cent: DataFrame, vecCol: String, dim: Int): DataFrame =
+    cent
+      .select(explode(flatten(transform(sequence(lit(1), lit(dim)), i =>
+        transform(sequence(lit(1), lit(dim)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col(vecCol), i) * element_at(col(vecCol), j))
+              .as("p")))))).as("__cell"))
+      .groupBy(col("__cell.i").as("i"), col("__cell.j").as("j"))
+      .agg(sum(col("__cell.p")).as("g"))
 
   // ---- Learned clustering: distributed Lloyd's k-means ------------------
 

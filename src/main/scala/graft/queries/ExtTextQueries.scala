@@ -46,7 +46,7 @@ object ExtTextQueries {
             ORDER BY c DESC, tok) AS r FROM c)
       SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
         round(-regr_slope(ln(c), ln(r)) + 1e-9, 6) AS alpha
-      FROM r GROUP BY source""")),
+      FROM r WHERE r <= 1000 GROUP BY source""")),
 
 
     // Corpus-bigram LM score — deterministic stand-in for the KenLM

@@ -514,14 +514,7 @@ class PlanSpec extends SparkSpec {
     val cent = vs.select(transform(sequence(lit(1), lit(64)), i =>
       round((element_at(col("__v"), i) - element_at(muLit, i)) * lit(1e6)
         + lit(1e-9)).cast("long")).as("__c"))
-    val p = cent
-      .select(explode(flatten(transform(sequence(lit(1), lit(64)), i =>
-        transform(sequence(lit(1), lit(64)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("__c"), i) * element_at(col("__c"), j))
-              .as("p")))))).as("__cell"))
-      .groupBy(col("__cell.i"), col("__cell.j"))
-      .agg(sum(col("__cell.p")))
+    val p = graft.ext.Similarity.gramCells(cent, "__c", 64)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"gram build is exactly one shuffle of partial-agged cells:\n$p")

@@ -750,6 +750,18 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq, "bit-deterministic")
   }
 
+  test("GramAggregator == relational gramCells, bit for bit") {
+    val rows = (1 to 30).map(i =>
+      Tuple1(Seq((i % 7 - 3).toLong, (i % 5 - 2).toLong, (i % 3 - 1).toLong)))
+    val cent = rows.toDF("c")
+    val agg = cent.as[Seq[Long]]
+      .select(new Similarity.GramAggregator(3).toColumn.name("g")).head()
+    val rel = Similarity.gramCells(cent, "c", 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (i <- 1 to 3; j <- 1 to 3)
+      assert(agg((i - 1) * 3 + (j - 1)) === rel((i, j)), s"cell ($i,$j)")
+  }
+
   test("pcaTopComponent: constant corpus degenerates to zero, not NaN") {
     val df = (1 to 5).map(_ => Tuple1(Seq(1.0, 2.0, 3.0))).toDF("e")
     val out = Similarity.pcaTopComponent(df, "e", dim = 3, iters = 2)
