@@ -565,13 +565,7 @@ object Similarity {
       .filter(size(col("__v")) === dim)
     val n = vs.count()
     require(n > 0, "need at least one vector of the declared dim")
-    // pass 1: fixed-point means per dimension
-    val mu = vs.select(posexplode(col("__v")).as(Seq("__i0", "__x")))
-      .groupBy((col("__i0") + 1).as("i"))
-      .agg(round(sum(round(col("__x") * lit(1e6)).cast("long")).cast("double")
-        / lit(n.toDouble * 1e6) + lit(1e-9), 6).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val muLit = typedLit((1 to dim).map(mu))
+    val muLit = typedLit(dimensionMeans(vs, "__v", dim).toSeq)
     // pass 2: centered 1e-6 fixed-point ints -> the dim² outer-product
     // sums through the typed [[GramAggregator]] (one buffer per
     // partition, merged driver-side — zero row amplification; the
@@ -609,6 +603,27 @@ object Similarity {
     }
     (1 to dim).map(j => (j.toLong, v(j - 1), eig))
       .toDF("j", "loading", "eigval")
+  }
+
+  /**
+   * Per-dimension fixed-point means of a vector column (1-based index
+   * order) — [[meanPoolByKey]]'s arithmetic collected to a bounded
+   * driver array (dim doubles): exact integer sums, one division,
+   * round(+1e-9, 6). Shared by [[pcaTopComponent]] (centering) and the
+   * PC1 scoring query; the SQL oracle rebuilds it identically.
+   */
+  def dimensionMeans(vectors: DataFrame, vecCol: String,
+                     dim: Int): Array[Double] = {
+    val vs = vectors.select(asDouble(col(vecCol)).as("__mv"))
+      .filter(size(col("__mv")) === dim)
+    val n = vs.count()
+    require(n > 0, "need at least one vector of the declared dim")
+    val m = vs.select(posexplode(col("__mv")).as(Seq("__i0", "__x")))
+      .groupBy((col("__i0") + 1).as("i"))
+      .agg(round(sum(round(col("__x") * lit(1e6)).cast("long")).cast("double")
+        / lit(n.toDouble * 1e6) + lit(1e-9), 6).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(dim)(i => m(i + 1))
   }
 
   /**

@@ -247,6 +247,63 @@ object ExtSimilarityQueries {
       FROM w2 CROSS JOIN n2""")),
 
 
+    // PC1 outlier scores: fit driver-side (the bounded-state contract —
+    // 64 means + 64 loadings), score SCAN-ONLY (means and loadings ride
+    // the projection as literals; per-row centered dot product, no
+    // join, no shuffle before the bounded top-20) — the same
+    // fit-then-literal-scan pattern as k-means assignment. Top-20 by
+    // |score| surfaces the vectors most extreme along the dominant
+    // variance axis.
+    QueryDef("ext_embed_pca_scores", (s, dir) => {
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val mu = Similarity.dimensionMeans(vecs, "embedding", 64)
+      val load = Similarity.pcaTopComponent(
+          vecs.select(col("embedding")), "embedding", dim = 64, iters = 2)
+        .orderBy("j").collect().map(_.getDouble(1))
+      val muL = typedLit(mu.toSeq)
+      val ldL = typedLit(load.toSeq)
+      vecs.select(col("vec_id"),
+          round(aggregate(
+            zip_with(
+              zip_with(col("embedding"), muL, (x, m) => x.cast("double") - m),
+              ldL, (c, l) => c * l),
+            lit(0.0d), (a, b) => a + b) + lit(1e-9), 6).as("pc1_score"))
+        .withColumn("__a", abs(col("pc1_score")))
+        .orderBy(desc("__a"), col("vec_id")).limit(20)
+        .select("vec_id", "pc1_score")
+    }, Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      mu AS (SELECT i, round(CAST(sum(CAST(round(x * 1000000.0) AS BIGINT))
+            AS DOUBLE) / (CAST(n.n AS DOUBLE) * 1000000.0) + 1e-9, 6) AS m
+        FROM ex CROSS JOIN n GROUP BY i, n.n),
+      cent AS (SELECT vec_id, ex.i,
+          CAST(round((x - m) * 1000000.0 + 1e-9) AS BIGINT) AS c
+        FROM ex JOIN mu ON mu.i = ex.i),
+      gram AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS g
+        FROM cent a JOIN cent b USING (vec_id) GROUP BY 1, 2),
+      cov AS (SELECT i, j, round(CAST(g AS DOUBLE)
+            / (CAST(n.n AS DOUBLE) * 1e12) + 1e-9, 6) AS cv
+        FROM gram CROSS JOIN n),
+      v0 AS (SELECT i, 0.125 AS vv FROM range(1, 65) t(i)),
+      w1 AS (SELECT cov.i, round(sum(cv * vv) + 1e-9, 6) AS w
+        FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+      n1 AS (SELECT sum(w * w) AS ns FROM w1),
+      v1 AS (SELECT i, round(w / sqrt(ns) + 1e-9, 6) AS vv
+        FROM w1 CROSS JOIN n1),
+      w2 AS (SELECT cov.i, round(sum(cv * vv) + 1e-9, 6) AS w
+        FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+      n2 AS (SELECT sum(w * w) AS ns FROM w2),
+      l AS (SELECT i, round(w / sqrt(ns) + 1e-9, 6) AS vv
+        FROM w2 CROSS JOIN n2),
+      sc AS (SELECT ex.vec_id,
+          round(sum((ex.x - mu.m) * l.vv) + 1e-9, 6) AS pc1_score
+        FROM ex JOIN mu ON mu.i = ex.i JOIN l ON l.i = ex.i
+        GROUP BY 1)
+      SELECT vec_id, pc1_score FROM sc
+      ORDER BY abs(pc1_score) DESC, vec_id LIMIT 20""")),
+
+
     // Two-stage retrieval with JL as the coarse quantizer: top-60
     // candidates by cosine in the 32-dim projected space, exact top-5
     // re-rank in the original 64-dim space over candidates only — the
