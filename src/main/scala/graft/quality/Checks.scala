@@ -210,6 +210,73 @@ object Checks {
   }
 
   /**
+   * Chi-square goodness-of-fit against the UNIFORM expectation — the
+   * category-balance audit (are labels/shards/splits evenly filled, or
+   * did an upstream filter silently empty one?): χ² = Σ (Oᵢ − n/k)² /
+   * (n/k) over the k observed categories. One hash aggregation produces
+   * the k category counts; everything after is k-sized arithmetic. All
+   * counts are exact integers; the statistic's divisions are single
+   * correctly-rounded ops, rounded(+1e-9, 6) once at the end. The
+   * caller compares χ² to the critical value for k−1 dof at their α —
+   * emitted as `dof` for convenience.
+   *
+   * @return one row (k, n, chi2, dof)
+   */
+  def chiSquareUniform(df: DataFrame, catCol: String): DataFrame = {
+    val cells = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    cells.agg(
+        count(lit(1)).as("k"),
+        coalesce(sum(col("__o")), lit(0L)).as("n"),
+        sum(col("__o") * col("__o")).as("__ssq"))
+      // Σ(O−E)²/E with E = n/k collapses to k·ΣO²/n − n — two exact
+      // integer aggregates and one division, no per-category float
+      .select(col("k"), col("n"),
+        round((col("k") * col("__ssq")).cast("double")
+          / nullif(col("n"), lit(0L)).cast("double")
+          - col("n").cast("double") + lit(1e-9), 6).as("chi2"),
+        (col("k") - 1).cast("long").as("dof"))
+  }
+
+  /**
+   * Benford first-digit audit of a positive INTEGER column — the
+   * synthetic-data / fabricated-metric detector: naturally-occurring
+   * multi-magnitude quantities follow P(d) = log10(1 + 1/d); uniform
+   * generators and template artifacts do not. Integer-only by contract
+   * because the leading digit comes from the engine's integer-to-string
+   * rendering (identical everywhere) — never from log10 arithmetic,
+   * whose behavior at exact powers of ten differs by ulps across
+   * engines. One hash aggregation on the digit; ≤9 rows of arithmetic
+   * after.
+   *
+   * @return 9 rows (digit, observed, obs_share, exp_share, dev) —
+   *         unobserved digits zero-filled, dev = obs_share − exp_share
+   */
+  def benfordAudit(df: DataFrame, intCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = spark.createDataset(1 to 9).toDF("digit")
+      .select(col("digit").cast("long").as("digit"))
+    val obs = df.filter(col(intCol).isNotNull && col(intCol) > 0)
+      .select(substring(col(intCol).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val tot = obs.agg(coalesce(sum(col("observed")), lit(0L)).as("__n"))
+    digits.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        round(coalesce(col("observed"), lit(0L)).cast("double")
+          / nullif(col("__n"), lit(0L)).cast("double") + lit(1e-9), 6)
+          .as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")) + lit(1e-9), 6)
+          .as("exp_share"))
+      .withColumn("dev", round(col("obs_share") - col("exp_share")
+        + lit(1e-9), 6))
+  }
+
+  /**
    * 3-sigma outlier test (reference `5_dbt/READ.md:841-864`): rows more
    * than 3 sample-stddevs from the global mean. The 1-row stats frame is
    * cross-broadcast (J7), so the fact side never shuffles.

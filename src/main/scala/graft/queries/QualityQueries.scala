@@ -277,6 +277,47 @@ object QualityQueries {
         round(CAST((s2 - nr) * (nr * nr) - c2 * (nr * 2) AS DOUBLE)
           / nullif(CAST((nr * 2) * (nr * nr - c2) AS DOUBLE), 0.0)
           + 1e-9, 6) AS kappa
-      FROM f"""))
+      FROM f""")),
+
+    // Chi-square category-balance audit over the stored lang labels:
+    // χ² vs the uniform expectation collapses to k·ΣO²/n − n — two
+    // exact integer aggregates and one division (Checks scaladoc), so
+    // the oracle replays it to the digit.
+    QueryDef("dq_chi_square", (s, dir) =>
+      Checks.chiSquareUniform(Tables.documents(s, dir), "lang"),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS o
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(coalesce(sum(o), 0) AS BIGINT) AS n,
+            CAST(sum(o * o) AS BIGINT) AS ssq FROM c)
+      SELECT k, n,
+        round(CAST(k * ssq AS DOUBLE) / nullif(n, 0)
+          - CAST(n AS DOUBLE) + 1e-9, 6) AS chi2,
+        k - 1 AS dof FROM a""")),
+
+    // Benford first-digit audit of n_chars — the synthetic-data
+    // detector. Leading digits come from integer-to-string rendering
+    // (never log10 on the data), so the digit histogram is
+    // engine-exact; only the published log10(1+1/d) expectations are
+    // floats, rounded identically on both sides.
+    QueryDef("dq_benford", (s, dir) =>
+      Checks.benfordAudit(Tables.documents(s, dir), "n_chars"),
+      Some("""WITH obs AS (SELECT CAST(substr(CAST(CAST(n_chars AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+            CAST(count(*) AS BIGINT) AS observed
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+          GROUP BY 1),
+        t AS (SELECT CAST(coalesce(sum(observed), 0) AS BIGINT) AS n
+          FROM obs),
+        d AS (SELECT CAST(x AS BIGINT) AS digit FROM range(1, 10) r(x))
+      SELECT d.digit,
+        CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed,
+        round(CAST(coalesce(obs.observed, 0) AS DOUBLE)
+          / nullif(t.n, 0) + 1e-9, 6) AS obs_share,
+        round(log10(1.0 + 1.0 / d.digit) + 1e-9, 6) AS exp_share,
+        round(round(CAST(coalesce(obs.observed, 0) AS DOUBLE)
+            / nullif(t.n, 0) + 1e-9, 6)
+          - round(log10(1.0 + 1.0 / d.digit) + 1e-9, 6) + 1e-9, 6) AS dev
+      FROM d LEFT JOIN obs USING (digit) CROSS JOIN t"""))
   )
 }

@@ -130,6 +130,34 @@ class ChecksSpec extends SparkSpec {
     assert(degenerate.getDouble(1) == 1.0)
   }
 
+  test("chiSquareUniform: zero when balanced; hand value on the 10/20 split") {
+    val even = Checks.chiSquareUniform(
+      Seq("a", "a", "b", "b", "c", "c").toDF("cat"), "cat").head()
+    assert(even.getLong(0) == 3L && even.getDouble(2) == 0.0)
+    // counts (10, 20): chi2 = 2*(100+400)/30 - 30 = 10/3
+    val skewed = Checks.chiSquareUniform(
+      (Seq.fill(10)("x") ++ Seq.fill(20)("y")).toDF("cat"), "cat").head()
+    assert(skewed.getLong(1) == 30L)
+    assert(skewed.getDouble(2) == 3.333333)
+    assert(skewed.getLong(3) == 1L)
+  }
+
+  test("benfordAudit: hand shares, zero-filled digits, non-positive excluded") {
+    val vals = Seq(1L, 1L, 19L, 23L, 911L, 0L, -5L)
+    val out = Checks.benfordAudit(vals.toDF("v"), "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.size == 9)
+    // 5 positive values: digits 1,1,1,2,9
+    assert(out(1L)._1 == 3L && out(1L)._2 == 0.6)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0.2)
+    assert(out(9L)._1 == 1L)
+    assert(out(3L)._1 == 0L && out(3L)._2 == 0.0, "unobserved digit zero-fills")
+    // expected shares are the Benford values
+    assert(out(1L)._3 == 0.30103)
+    assert(out(9L)._3 == 0.045757)
+  }
+
   test("fleissKappa: hand-computed 4-item / 3-rater table") {
     // per-item votes (ok, bad): (3,0) (2,1) (1,2) (0,3)
     // → P̄ = 2/3, pe = 1/2, kappa = 1/3 exactly
