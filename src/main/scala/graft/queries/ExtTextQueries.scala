@@ -1128,6 +1128,54 @@ object ExtTextQueries {
       WHERE levenshtein(a.p_name, b.p_name) <= 4""")),
 
 
+    // Fellegi-Sunter match scoring (record linkage, 1969) over blocked
+    // candidates: per-field agreement indicators fold into the classic
+    // log-likelihood weight Σ ln(m/u) | ln((1−m)/(1−u)) with fixed
+    // documented priors (EM-estimating m/u is the production refinement;
+    // the fold and banding are identical). Two-token blocking bounds the
+    // quadratic; only 'possible'-or-better pairs (weight ≥ 0) are
+    // emitted. Weight terms are per-row sums of 3 double constants —
+    // cross-engine ln ulps die in the round(+1e-9, 6); bands compare the
+    // ROUNDED weight, so banding is hash-stable too.
+    QueryDef("ext_er_score", (s, dir) => {
+      val parts = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_brand"))
+        .withColumn("blk", concat_ws(" ",
+          substring_index(col("p_name"), " ", 2)))
+      def side(t: String) = parts.select(col("blk"),
+        col("p_partkey").as(s"id_$t"), col("p_name").as(s"name_$t"),
+        col("p_size").as(s"size_$t"), col("p_brand").as(s"brand_$t"))
+      val w = side("a").join(side("b"), Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(
+            when(levenshtein(col("name_a"), col("name_b")) <= 2,
+              lit(math.log(0.9 / 0.01))).otherwise(lit(math.log(0.1 / 0.99)))
+            + when(col("size_a") === col("size_b"),
+              lit(math.log(0.95 / 0.02))).otherwise(lit(math.log(0.05 / 0.98)))
+            + when(col("brand_a") === col("brand_b"),
+              lit(math.log(0.9 / 0.04))).otherwise(lit(math.log(0.1 / 0.96)))
+            + lit(1e-9), 6).as("weight"))
+      w.filter(col("weight") >= 0)
+        .withColumn("band", when(col("weight") >= 5, "match")
+          .otherwise(lit("possible")))
+    }, Some("""WITH p AS (SELECT p_partkey, p_name, p_size, p_brand,
+          split_part(p_name, ' ', 1) || ' ' || split_part(p_name, ' ', 2)
+            AS blk FROM part),
+      c AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+          round((CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+              THEN ln(0.9 / 0.01) ELSE ln(0.1 / 0.99) END)
+            + (CASE WHEN a.p_size = b.p_size
+              THEN ln(0.95 / 0.02) ELSE ln(0.05 / 0.98) END)
+            + (CASE WHEN a.p_brand = b.p_brand
+              THEN ln(0.9 / 0.04) ELSE ln(0.1 / 0.96) END) + 1e-9, 6)
+            AS weight
+        FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+      SELECT id_a, id_b, weight,
+        CASE WHEN weight >= 5 THEN 'match' ELSE 'possible' END AS band
+      FROM c WHERE weight >= 0""")),
+
+
     // BM25 against a MATERIALIZED inverted index: postings bucketed by
     // term + 1-row stats table (Retrieval.buildBm25Index). The query
     // side — including the df-derived query set itself — reads ONLY the
