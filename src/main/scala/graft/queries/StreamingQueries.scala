@@ -420,6 +420,63 @@ object StreamingQueries {
         max(value) AS max_value
       FROM events GROUP BY 1, 2""")),
 
+    // Windowed distinct-user reach via HLL registers as NATIVE
+    // streaming state: groupBy(window, register) + max(rho) is a plain
+    // watermarked stateful aggregation — state is ≤64 rows per window
+    // no matter how many users arrive, the scalable alternative to
+    // dropDuplicates-then-count whose state grows with the key
+    // universe. Estimates derive from the drained register table;
+    // the exact side rides the batch twin for the audit columns.
+    QueryDef("st_hll_windowed", (s, dir) => withStatePartitions(s, 8) {
+      import graft.functions.HyperLogLog
+      val key = col("user_id").cast("string")
+      val q = EventStream.readEvents(s, dir)
+        .withWatermark("ts", "2 hours")
+        .select(window(col("ts"), "1 hour").as("win"),
+          HyperLogLog.idxCol(key).as("reg"), HyperLogLog.rhoCol(key).as("rho"))
+        .groupBy(col("win"), col("reg")).agg(max(col("rho")).as("rho"))
+        .writeStream.format("memory").queryName("graft_st_hll_win")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val regs = s.table("graft_st_hll_win")
+        .select(col("win.start").as("window_start"), col("reg"), col("rho"))
+      HyperLogLog.estimate(regs, Seq("window_start"))
+        .join(graft.core.Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+          .agg(countDistinct(col("user_id").cast("string"))
+            .as("exact_distinct")),
+          Seq("window_start"))
+        .select(col("window_start"), col("exact_distinct"), col("est"))
+    }, Some("""WITH e AS (SELECT date_trunc('hour', ts) AS window_start,
+          CAST(user_id AS VARCHAR) AS k FROM events),
+      h AS (SELECT window_start, k,
+          ((strpos('0123456789abcdef', substr(md5(k), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(k), 2, 1)) - 1)) % 64
+            AS reg,
+          CASE WHEN length(regexp_extract(substr(md5(k), 3, 8), '^(0*)', 1)) = 8
+            THEN 33
+            ELSE length(regexp_extract(substr(md5(k), 3, 8), '^(0*)', 1)) * 4
+              + CASE substr(substr(md5(k), 3, 8),
+                  length(regexp_extract(substr(md5(k), 3, 8), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                ELSE 0 END + 1 END AS rho
+        FROM e),
+      regs AS (SELECT window_start, reg, max(rho) AS rho FROM h GROUP BY 1, 2),
+      agg AS (SELECT window_start, sum(pow(2.0, -rho)) AS hsum,
+          CAST(count(*) AS BIGINT) AS hit FROM regs GROUP BY 1),
+      est AS (SELECT window_start,
+          round(CASE WHEN (0.709 * 4096) / (hsum + (64 - hit)) <= 160.0
+              AND hit < 64
+            THEN 64.0 * ln(64.0 / (64 - hit))
+            ELSE (0.709 * 4096) / (hsum + (64 - hit)) END + 1e-9, 6) AS est
+        FROM agg),
+      ex AS (SELECT window_start, CAST(count(DISTINCT k) AS BIGINT)
+          AS exact_distinct FROM e GROUP BY 1)
+      SELECT ex.window_start, ex.exact_distinct, est.est
+      FROM ex JOIN est USING (window_start)""")),
+
+
     // Stream-static join: the unbounded stream enriches against a
     // broadcast dimension (per-micro-batch hash join — the streaming J1).
     QueryDef("st_stream_static_join", (s, dir) => withStatePartitions(s, 8) {
