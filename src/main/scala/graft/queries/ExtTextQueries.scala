@@ -560,6 +560,52 @@ object ExtTextQueries {
       FROM ex JOIN est USING (source)""")),
 
 
+    // Bloom membership with engine-reproducible bits: the filter is a
+    // RELATION of distinct set bit positions (≤ m rows — union-merge,
+    // broadcast-probe), k=4 md5 positions per key at m=2048. Base =
+    // every third doc; probing ALL docs pins no-false-negatives row by
+    // row AND the filter's actual false positives — the oracle rebuilds
+    // the identical bit set, so even the FPs match exactly.
+    QueryDef("ext_bloom_membership", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("k"), col("doc_id").cast("string")).as("key"))
+      val basePos = graft.functions.BloomSketch.positions(
+        docs.filter(col("doc_id") % 3 === 0), "key", k = 4, m = 2048)
+      graft.functions.BloomSketch
+        .mightContain(docs.select("key"), "key", basePos, k = 4, m = 2048)
+        .join(docs, Seq("key"))
+        .select(col("doc_id"), col("might_contain"),
+          (col("doc_id") % 3 === 0).as("actual"),
+          (col("might_contain") && col("doc_id") % 3 =!= 0)
+            .as("is_false_positive"))
+    }, Some("""WITH js AS (SELECT CAST(x AS INTEGER) AS j FROM range(0, 4) r(x)),
+      base AS (SELECT 'k' || CAST(doc_id AS VARCHAR) AS key FROM documents
+        WHERE doc_id % 3 = 0),
+      bp AS (SELECT DISTINCT
+          ((strpos('0123456789abcdef', substr(md5(j || ':' || key), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 4, 1)) - 1)) % 2048
+            AS pos
+        FROM base CROSS JOIN js),
+      probe AS (SELECT doc_id, 'k' || CAST(doc_id AS VARCHAR) AS key
+        FROM documents),
+      pp AS (SELECT doc_id,
+          ((strpos('0123456789abcdef', substr(md5(j || ':' || key), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 4, 1)) - 1)) % 2048
+            AS pos
+        FROM probe CROSS JOIN js),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM pp JOIN bp USING (pos) GROUP BY 1)
+      SELECT p.doc_id, coalesce(h.c, 0) = 4 AS might_contain,
+        p.doc_id % 3 = 0 AS actual,
+        (coalesce(h.c, 0) = 4 AND p.doc_id % 3 <> 0) AS is_false_positive
+      FROM (SELECT DISTINCT doc_id FROM probe) p
+      LEFT JOIN hits h USING (doc_id)""")),
+
+
     // HLL under the degenerate head: a handful of distinct tokens
     // (dup/case/whitespace variants collapse, empty docs contribute
     // nothing), so V > 0 and the LINEAR-COUNTING small-range branch is
