@@ -1065,4 +1065,77 @@ object Dedup {
         }
       }.toDF(idCol, "simhash")
   }
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+   * the MOSS algorithm): hash every k-token shingle, slide a w-wide
+   * window over each document's hash SEQUENCE and keep each window's
+   * minimum. Guarantees: any shared token run of ≥ w + k − 1 tokens
+   * yields a shared fingerprint (no false negatives above the
+   * guarantee threshold), while storing only ~2/(w+1) of the hashes —
+   * position-independent, so prepended/reordered noise around a copied
+   * passage cannot hide it (the property MinHash resemblance lacks:
+   * winnowing localizes WHICH spans match, not just how similar the
+   * bags are).
+   *
+   * Output: (idCol, fp) — the DISTINCT selected 16-bit hashes per doc.
+   * Docs shorter than k tokens emit nothing; docs with fewer than w
+   * shingles emit the min over what they have (one truncated window).
+   *
+   * Scale shape: the only window runs per-document (partition = doc,
+   * bounded by doc length — never corpus-wide); fingerprints are 16-bit
+   * md5 prefixes, so the downstream overlap join shuffles on a
+   * bounded-cardinality key. Hash collisions add deterministic false
+   * sharing (both engines compute the same md5), bounded by the
+   * [[winnowOverlap]] df cull.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1, w >= 1; got k=$k w=$w")
+    val grams = df
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(k))))))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("col")), 1, 4), 16, 10)
+          .cast("int").as("__h"))
+    val perDoc = Window.partitionBy(col(idCol))
+    val frame = perDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      .withColumn("__wmin", min(col("__h")).over(frame))
+      // windows start at 0 .. n−w (one truncated window for short docs)
+      .filter(col("pos") <= greatest(col("__n") - w, lit(0)))
+      .select(col(idCol), col("__wmin").as("fp")).distinct()
+  }
+
+  /**
+   * Fingerprint-overlap pairs: docs sharing ≥ `minShared` winnowing
+   * fingerprints, with Jaccard over the fingerprint sets. Fingerprints
+   * appearing in more than `maxDf` docs are culled first (ubiquitous
+   * phrases — the stop-fingerprint cull; same role as the prefix-join
+   * df cap): the join cost is Σ_fp df(fp)², so the cull bounds the
+   * blowup a boilerplate fingerprint would cause at corpus scale.
+   */
+  def winnowOverlap(fps: DataFrame, idCol: String,
+                    minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    val culled = fps.withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val sizes = culled.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"))
+    val shared = culled.select(col(idCol).as("a"), col("fp"))
+      .join(culled.select(col(idCol).as("b"), col("fp")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(sizes.select(col(idCol).as("a"), col("__n").as("__na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("__n").as("__nb")), Seq("b"))
+      .select(col("a"), col("b"), col("shared"),
+        round(col("shared") / (col("__na") + col("__nb") - col("shared"))
+          + lit(1e-9), 6).as("fp_jaccard"))
+  }
 }

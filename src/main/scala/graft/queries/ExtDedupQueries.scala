@@ -789,6 +789,61 @@ object ExtDedupQueries {
       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""")),
 
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+    // MOSS algorithm): per-doc window-min over the 4-gram hash sequence
+    // — any shared run of >= w+k-1 = 7 tokens MUST share a fingerprint,
+    // at ~2/(w+1) storage. The planted variants prepend noise, so
+    // bag-of-hash positions shift but the selected mins don't: the
+    // overlap join recovers every planted pair. Oracle rebuilds the
+    // same md5 16-bit hashes, window mins, df cull, and Jaccard.
+    QueryDef("ext_winnow_pairs", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz qq "), col("text")).as("text"))
+      val fps = Dedup.winnowFingerprints(docs.unionByName(dups),
+        "doc_id", "text", k = 4, w = 4)
+      Dedup.winnowOverlap(fps, "doc_id", minShared = 3L, maxDf = 64L)
+        .select(col("a"), col("b"), col("shared"), col("fp_jaccard"))
+    }, Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'zz qq ' || text AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      t AS (SELECT doc_id, $DuckToks AS toks FROM corpus),
+      g AS (SELECT doc_id, i,
+          ((strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(gram), 4, 1)) - 1)) AS h
+        FROM (SELECT doc_id, unnest(range(1, len(toks) - 2)) AS i,
+            unnest(list_transform(range(1, len(toks) - 2),
+              i -> array_to_string(toks[i:i+3], ' '))) AS gram
+          FROM t WHERE len(toks) >= 4)),
+      wm AS (SELECT doc_id, i,
+          min(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+          count(*) OVER (PARTITION BY doc_id) AS n
+        FROM g),
+      fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+        WHERE i <= greatest(n - 3, 1)),
+      culled AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+          count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        WHERE df <= 64),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM culled GROUP BY 1),
+      shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+          CAST(count(*) AS BIGINT) AS shared
+        FROM culled x JOIN culled y
+          ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT s.a, s.b, s.shared,
+        round(s.shared / (na.n + nb.n - s.shared) + 1e-9, 6) AS fp_jaccard
+      FROM shared s
+      JOIN sizes na ON na.doc_id = s.a
+      JOIN sizes nb ON nb.doc_id = s.b""")),
+
+
     // ───────────────────────── adversarial robustness ─────────────────
     // Degenerate corpora through the dedup/BPE/classifier chains, with
     // the oracle watching (the ext_dedup_near_capped pattern): empty and

@@ -1091,6 +1091,134 @@ object StreamingQueries {
       nn AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_new FROM sh
         GROUP BY 1)
       SELECT CAST(est.k AS BIGINT) AS batch_id, est.source, est.est, nn.n_new
-      FROM est JOIN nn ON nn.chunk = est.k"""))
+      FROM est JOIN nn ON nn.chunk = est.k""")),
+
+
+    // Streaming Bloom novelty gate: each micro-batch's (user, event
+    // type) keys are flagged novel (first contact — certain) or
+    // probably-seen (Bloom membership — FPs possible, never FNs)
+    // against a standing ≤ m-row position table; state never holds the
+    // key universe. Positions carry batch provenance so the probe's
+    // batch_id < b filter is crash-replay deterministic. The oracle
+    // rebuilds the identical md5 bit set per chunk, so every flag —
+    // including the filter's actual false positives — matches exactly.
+    QueryDef("st_bloom_novelty", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_bloom"
+      for (t <- Seq("_bloom_pos", "_bloom_novel"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(concat(lit("u"), col("user_id").cast("string"),
+          lit(":"), col("event_type")).as("key"))
+      val q = graft.streaming.SketchIngest.bloomNoveltyIngest(
+        stream, "key", prefix, k = 4, m = 4096)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_bloom_novel")
+      s.table(prefix + "_bloom_novel")
+        .select(col("batch_id"), col("key"), col("novel"))
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 4 + 1 AS step FROM events),
+      ks AS (SELECT DISTINCT event_id // step AS chunk,
+          'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS key
+        FROM events CROSS JOIN mxs),
+      js AS (SELECT CAST(x AS INTEGER) AS j FROM range(0, 4) r(x)),
+      pp AS (SELECT chunk, key,
+          ((strpos('0123456789abcdef', substr(md5(j || ':' || key), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || key), 4, 1)) - 1)) % 4096
+            AS pos
+        FROM ks CROSS JOIN js),
+      prior AS (SELECT DISTINCT r.c AS chunk, pos
+        FROM pp JOIN range(0, 4) r(c) ON pp.chunk < r.c),
+      hits AS (SELECT p.chunk, p.key, CAST(count(*) AS BIGINT) AS c
+        FROM pp p JOIN prior pr ON pr.chunk = p.chunk AND pr.pos = p.pos
+        GROUP BY 1, 2)
+      SELECT CAST(k.chunk AS BIGINT) AS batch_id, k.key,
+        coalesce(h.c, 0) <> 4 AS novel
+      FROM ks k LEFT JOIN hits h ON h.chunk = k.chunk AND h.key = k.key""")),
+
+
+    // Streaming CMS frequency monitor — the Count-Min side of the
+    // sketch trio: per-trigger token counts fold into a standing d×w
+    // bucket table (append-only with batch provenance, dedupe-then-sum
+    // collapse) and the tracked heavy-hitter candidates (union of
+    // batch-local top-5s) get one point-estimate row per trigger. The
+    // oracle replays the cumulative buckets after every chunk — every
+    // estimate, including any hash-collision overcount, matches because
+    // both engines derive the same md5 buckets.
+    QueryDef("st_cms_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_cms"
+      for (t <- Seq("_cms_cnt", "_cms_cand", "_cms_est"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(explode(graft.ext.TextOps.tokens(lower(col("text"))))
+          .as("term"))
+      val q = graft.streaming.SketchIngest.cmsIngest(
+        stream, "term", prefix, d = 4, w = 64, topN = 5)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_cms_est")
+      s.table(prefix + "_cms_est")
+        .select(col("batch_id"), col("key"), col("est"))
+    }, Some(s"""WITH mxs AS (SELECT max(doc_id) // 4 + 1 AS step FROM documents),
+      tk AS (SELECT doc_id // step AS chunk, unnest(${ExtQueries.DuckToks}) AS term
+        FROM documents CROSS JOIN mxs),
+      tc AS (SELECT chunk, term, CAST(count(*) AS BIGINT) AS cnt
+        FROM tk GROUP BY 1, 2),
+      cand0 AS (SELECT chunk, term FROM (SELECT chunk, term,
+          row_number() OVER (PARTITION BY chunk
+            ORDER BY cnt DESC, term) AS rn FROM tc)
+        WHERE rn <= 5),
+      js AS (SELECT CAST(x AS INTEGER) AS j FROM range(0, 4) r(x)),
+      bkt AS (SELECT chunk, j,
+          ((strpos('0123456789abcdef', substr(md5(j || ':' || term), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || term), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || term), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(j || ':' || term), 4, 1)) - 1)) % 64
+            AS pos, cnt
+        FROM tc CROSS JOIN js),
+      cum AS (SELECT r.b AS b, j, pos, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM bkt JOIN range(0, 4) r(b) ON bkt.chunk <= r.b
+        GROUP BY 1, 2, 3),
+      cand AS (SELECT DISTINCT r.b AS b, term
+        FROM cand0 JOIN range(0, 4) r(b) ON cand0.chunk <= r.b),
+      pe AS (SELECT c.b, c.term, js.j,
+          ((strpos('0123456789abcdef', substr(md5(js.j || ':' || c.term), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(js.j || ':' || c.term), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(js.j || ':' || c.term), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(js.j || ':' || c.term), 4, 1)) - 1)) % 64
+            AS pos
+        FROM cand c CROSS JOIN js)
+      SELECT CAST(pe.b AS BIGINT) AS batch_id, pe.term AS key,
+        CAST(min(coalesce(cum.cnt, 0)) AS BIGINT) AS est
+      FROM pe LEFT JOIN cum ON cum.b = pe.b AND cum.j = pe.j
+        AND cum.pos = pe.pos
+      GROUP BY 1, 2"""))
   )
 }

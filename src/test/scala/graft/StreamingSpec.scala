@@ -794,6 +794,96 @@ class StreamingSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, prefix + t)
   }
 
+  test("bloom novelty gate: first contact novel, repeats seen, replay-safe") {
+    import spark.implicits._
+    val prefix = "graft_test_bloom_nov"
+    for (t <- Seq("_bloom_pos", "_bloom_novel"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    try {
+      val b0 = Seq("u1", "u2", "u3").toDF("key")
+      val b1 = Seq("u2", "u4", null).toDF("key")
+      graft.streaming.SketchIngest.applyBloomBatch(b0, 0L, "key", prefix, 4, 4096)
+      graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", prefix, 4, 4096)
+      def novel(b: Long) = spark.table(prefix + "_bloom_novel")
+        .filter(col("batch_id") === b)
+        .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+      // batch 0 probes an empty filter: everything is novel
+      assert(novel(0L) == Map("u1" -> true, "u2" -> true, "u3" -> true))
+      // batch 1: u2 was inserted in batch 0 → seen; u4 novel (no
+      // collision at this load: 12 set bits in m=4096); null dropped
+      assert(novel(1L) == Map("u2" -> false, "u4" -> true))
+      // crash-before-novelty-write replay: batch 1's positions are
+      // already in the table, but the probe filters batch_id < 1, so a
+      // recompute still sees the pre-batch filter → u4 stays novel
+      spark.table(prefix + "_bloom_novel")
+        .filter(col("batch_id") === 1L).write.mode("overwrite")
+        .format("parquet").saveAsTable(prefix + "_tmp_guardless")
+      graft.core.Materialize.dropWithLocation(spark, prefix + "_bloom_novel")
+      graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", prefix, 4, 4096)
+      assert(novel(1L) == Map("u2" -> false, "u4" -> true),
+        "replay with own positions present must not flip novelty")
+      // position dupes from that replay collapse under the probe's
+      // DISTINCT: state is still ≤ k × distinct-keys positions
+      val collapsed = spark.table(prefix + "_bloom_pos")
+        .select("pos").distinct().count()
+      assert(collapsed <= 4L * 5)
+      // guarded replay: nothing appended
+      val novBefore = spark.table(prefix + "_bloom_novel").count()
+      graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", prefix, 4, 4096)
+      assert(spark.table(prefix + "_bloom_novel").count() == novBefore)
+    } finally for (t <- Seq("_bloom_pos", "_bloom_novel", "_tmp_guardless"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+  }
+
+  test("cms ingest: estimates match the driver sketch over the prefix; replay-safe") {
+    import spark.implicits._
+    val prefix = "graft_test_cms_ing"
+    for (t <- Seq("_cms_cnt", "_cms_cand", "_cms_est"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+    try {
+      val b0 = Seq("a", "a", "a", "b", "b", "c").toDF("key")
+      val b1 = Seq("c", "c", "c", "c", "a").toDF("key")
+      graft.streaming.SketchIngest.applyCmsBatch(b0, 0L, "key", prefix, 2, 64, 2)
+      graft.streaming.SketchIngest.applyCmsBatch(b1, 1L, "key", prefix, 2, 64, 2)
+      def est(b: Long) = spark.table(prefix + "_cms_est")
+        .filter(col("batch_id") === b)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      // batch 0 tracks its top-2 {a, b}; batch 1's top-2 is {c, a},
+      // so the tracked union grows to {a, b, c}
+      assert(est(0L).keySet == Set("a", "b"))
+      assert(est(1L).keySet == Set("a", "b", "c"))
+      // every estimate == the driver-packed sketch over the same prefix
+      // (same md5 buckets, so collisions — if any — agree exactly)
+      val sk0 = graft.functions.CountMinSketch.build(b0.as[String], 2, 64)
+      val sk1 = graft.functions.CountMinSketch.build(
+        b0.unionByName(b1).as[String], 2, 64)
+      for ((k, v) <- est(0L))
+        assert(v == graft.functions.CountMinSketch.estimate(sk0, 2, 64, k))
+      for ((k, v) <- est(1L))
+        assert(v == graft.functions.CountMinSketch.estimate(sk1, 2, 64, k))
+      // guarded replay: nothing changes
+      val before = (spark.table(prefix + "_cms_cnt").count(),
+        spark.table(prefix + "_cms_est").count())
+      graft.streaming.SketchIngest.applyCmsBatch(b1, 1L, "key", prefix, 2, 64, 2)
+      assert((spark.table(prefix + "_cms_cnt").count(),
+        spark.table(prefix + "_cms_est").count()) == before)
+      // guardless crash replay: duplicate count rows for batch 1 collapse
+      // in the reader's dropDuplicates — the collapsed buckets are stable
+      def collapsed() = spark.table(prefix + "_cms_cnt")
+        .dropDuplicates("batch_id", "j", "pos")
+        .groupBy("j", "pos").agg(sum("cnt").as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val stable = collapsed()
+      val b1Rows = spark.table(prefix + "_cms_cnt")
+        .filter(col("batch_id") === 1L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      b1Rows.toSeq.toDF("batch_id", "j", "pos", "cnt")
+        .write.mode("append").format("parquet").saveAsTable(prefix + "_cms_cnt")
+      assert(collapsed() == stable, "replayed count rows collapse exactly")
+    } finally for (t <- Seq("_cms_cnt", "_cms_cand", "_cms_est"))
+      graft.core.Materialize.dropWithLocation(spark, prefix + t)
+  }
+
   test("drift monitor: one row per batch; an identical re-drain appends nothing") {
     import spark.implicits._
     val prefix = "graft_test_drift"
