@@ -25,11 +25,42 @@ object GraftSession {
       // corrupt each other's staged writes. Keying by app name (not a
       // fresh random dir per session) keeps the dir count bounded AND
       // lets a later session with the same app name rediscover standing
-      // tables (e.g. buildBm25Index's persisted index). Two concurrent
-      // JVMs that share an app name must pass distinct names or set
-      // spark.sql.warehouse.dir explicitly.
-      .config("spark.sql.warehouse.dir",
-        s"target/graft-wh-${appName.replaceAll("[^A-Za-z0-9._-]", "_")}"))
+      // tables (e.g. buildBm25Index's persisted index) — but two
+      // CONCURRENT JVMs sharing an app name would reintroduce the
+      // corruption, so the stable dir is guarded by a liveness-checked
+      // PID lock: the second live claimant is diverted to a
+      // pid-suffixed private dir instead of silently sharing.
+      .config("spark.sql.warehouse.dir", warehouseDir(appName)))
+
+  /** The stable per-app-name warehouse path iff this process holds (or
+    * can claim) its PID lock; a pid-suffixed private path when another
+    * LIVE process already holds it. A dead holder's lock is stale and
+    * re-claimed — sequential sessions still rediscover standing tables. */
+  private[graft] def warehouseDir(appName: String): String = {
+    val safe = appName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val me = ProcessHandle.current().pid()
+    val base = new java.io.File(s"target/graft-wh-$safe")
+    val lock = new java.io.File("target", s"graft-wh-$safe.lock")
+    def writePid(): Unit = {
+      val w = new java.io.PrintWriter(lock, "UTF-8")
+      try w.print(me.toString) finally w.close()
+    }
+    try {
+      lock.getParentFile.mkdirs()
+      if (lock.createNewFile()) { writePid(); base.getPath }
+      else {
+        val holder = try {
+          scala.io.Source.fromFile(lock, "UTF-8").mkString.trim.toLong
+        } catch { case _: Throwable => -1L }
+        val otherAlive = holder > 0 && holder != me && {
+          val h = ProcessHandle.of(holder)
+          h.isPresent && h.get.isAlive
+        }
+        if (otherAlive) s"target/graft-wh-$safe-pid$me"
+        else { writePid(); base.getPath } // stale or our own lock
+      }
+    } catch { case _: Throwable => base.getPath } // unwritable fs: best effort
+  }
 
   def configure(builder: SparkSession.Builder): SparkSession = {
     val spark = builder

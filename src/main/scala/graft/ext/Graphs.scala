@@ -173,6 +173,17 @@ object Graphs {
    * row per node. iters × O(|E|), the [[pageRank]]/[[labelPropagation]]
    * Pregel shape. Ids stay generic (no arithmetic on the id column).
    *
+   * Each round's alive set is lineage-CUT (`checkpoint.cut`): `degrees`
+   * consumes it twice (both endpoint semi-joins), so an uncut loop
+   * doubles the logical plan every round — plan ANALYSIS becomes the
+   * exponential cost long before any data moves (the
+   * [[graft.ext.Dedup.connectedComponents]] failure mode). The cut also
+   * makes each round's survivor count a free byproduct, and because the
+   * peel is monotone (alive_{t+1} ⊆ alive_t — `degrees` only emits ids
+   * from its input), an unchanged count IS the fixpoint: remaining
+   * rounds are skipped with bit-identical output, so "raise iters until
+   * it stops moving" costs only the rounds that still peel.
+   *
    * @return survivors after `iters` rounds: (id, core_deg) with the
    *         node's degree INSIDE the surviving subgraph
    */
@@ -188,13 +199,23 @@ object Graphs {
     val sym = graft.core.CacheRegistry.persistTracked(
       e0.select(col("a").as("s"), col("b").as("d"))
         .unionByName(e0.select(col("b").as("s"), col("a").as("d"))))
-    var alive = sym.select(col("s").as("id")).distinct()
+    var alive = checkpoint.cut(sym.select(col("s").as("id")).distinct())
+    var aliveN = alive.count()
     def degrees(a: DataFrame): DataFrame = sym
       .join(a.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
       .join(a.withColumnRenamed("id", "d"), Seq("d"), "left_semi")
       .groupBy(col("s").as("id")).agg(count(lit(1)).as("core_deg"))
-    for (_ <- 1 to iters)
-      alive = degrees(alive).filter(col("core_deg") >= k).select("id")
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val next = checkpoint.cut(
+        degrees(alive).filter(col("core_deg") >= k).select("id"))
+      val n = next.count()
+      // monotone shrink ⇒ equal counts ⇒ equal sets ⇒ every later
+      // round reproduces this one — stopping here changes nothing
+      converged = n == aliveN
+      alive = next
+      aliveN = n
+    }
     // survivors with their degree in the FINAL subgraph; a survivor
     // whose last neighbors peeled in the final round reports 0
     val out = checkpoint.cut(

@@ -58,18 +58,22 @@ object BloomSketch {
    * Membership probe against a [[positions]] table: a key might be a
    * member iff ALL k of its positions are set. The positions table is
    * ≤ m rows — broadcast it; the probe is then one scan-side join +
-   * count, no corpus shuffle.
+   * count, no corpus shuffle. Probe keys are DISTINCTed up front
+   * (one row out per distinct key): counting hits over a duplicated
+   * key would see d·k semi-join survivors and fail the `=== k` test —
+   * a false NEGATIVE, which the Bloom contract forbids.
    */
   def mightContain(probe: DataFrame, keyCol: String,
                    filterPositions: DataFrame, k: Int, m: Int): DataFrame = {
-    val exploded = probe
+    val keys = probe.select(col(keyCol)).distinct()
+    val exploded = keys
       .select(col(keyCol), explode(array((0 until k).map(j =>
         posIdxCol(j, col(keyCol), m)): _*)).as("pos"))
     exploded
       .join(broadcast(filterPositions.select(col("pos"))), Seq("pos"),
         "left_semi")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__hits"))
-      .join(probe.select(col(keyCol)).distinct(), Seq(keyCol), "right")
+      .join(keys, Seq(keyCol), "right")
       .select(col(keyCol),
         (coalesce(col("__hits"), lit(0L)) === k).as("might_contain"))
   }

@@ -75,7 +75,12 @@ object HyperLogLog {
    */
   def registers(df: DataFrame, keyCol: String,
                 groupCols: Seq[String] = Nil): DataFrame =
-    df.select(groupCols.map(col) :+ idxCol(col(keyCol)).as("reg")
+    // null keys are skipped (the BloomSketch.positions / typed Sketch
+    // convention): md5(NULL) would otherwise land a (NULL, NULL)
+    // register row that counts toward __hit but not __hsum, skewing
+    // the linear-counting zero-register estimate
+    df.filter(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+ idxCol(col(keyCol)).as("reg")
         :+ rhoCol(col(keyCol)).as("rho"): _*)
       .groupBy((groupCols :+ "reg").map(col): _*)
       .agg(max(col("rho")).as("rho"))

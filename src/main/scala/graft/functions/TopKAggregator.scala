@@ -86,7 +86,8 @@ object TopKAggregator {
     override def zero: List[EntryS] = Nil
 
     override def reduce(buf: List[EntryS], in: EntryS): List[EntryS] =
-      if (buf.length == k && betterS(buf.last, in)) buf
+      if (in._2 == null) buf // null ids are dropped, not NPE'd in utf8Lt
+      else if (buf.length == k && betterS(buf.last, in)) buf
       else insertSorted(buf, in, k, betterS)
 
     override def merge(a: List[EntryS], b: List[EntryS]): List[EntryS] =
@@ -104,11 +105,18 @@ object TopKAggregator {
    * bounded buffer, then explode the winners. Dispatches on the id
    * column's type — integral ids run the long buffer (id emitted as
    * long), string ids the UTF-8-ordered string buffer.
+   *
+   * NULL-id rows are dropped up front: the integral encoder would
+   * silently coerce a NULL id to 0 and the string comparator would
+   * NPE — neither is a sane ranking entry. A caller who needs
+   * NULL-id rows ranked must key them explicitly (coalesce to a
+   * sentinel) or use the tie-keeping window form.
    */
-  def topKPerKey(df: DataFrame, keys: Seq[String], scoreCol: Column,
+  def topKPerKey(df0: DataFrame, keys: Seq[String], scoreCol: Column,
                  idCol: Column, k: Int,
                  scoreName: String = "score", idName: String = "id"): DataFrame = {
     import org.apache.spark.sql.types._
+    val df = df0.filter(idCol.isNotNull)
     val idType = df.select(idCol).schema.head.dataType
     val agg = idType match {
       case ByteType | ShortType | IntegerType | LongType => udaf(new TopK(k))

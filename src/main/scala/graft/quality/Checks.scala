@@ -29,9 +29,13 @@ object Checks {
   def notNull(df: DataFrame, cols: Seq[String]): DataFrame =
     df.filter(cols.map(col(_).isNull).reduce(_ || _))
 
-  /** dbt `unique` (reference `5_dbt/READ.md:298-299`): keys with >1 row. */
+  /** dbt `unique` (reference `5_dbt/READ.md:298-299`): keys with >1 row.
+    * NULL-keyed rows are excluded first — dbt's unique test ignores
+    * them (NULL coverage is [[notNull]]'s job), and counting the NULL
+    * group would double-report what notNull already flags. */
   def unique(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
 
   /**

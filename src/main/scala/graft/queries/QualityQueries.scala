@@ -34,6 +34,7 @@ object QualityQueries {
     QueryDef("dq_unique", (s, dir) =>
       Checks.unique(Tables.lineitem(s, dir), Seq("l_orderkey")),
       Some("SELECT l_orderkey, count(*) AS n_rows FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL " +
         "GROUP BY l_orderkey HAVING count(*) > 1")),
 
     // relationships: child keys with no parent in a restricted parent set

@@ -75,6 +75,26 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("topKPerKey drops NULL-id rows instead of NPE (string) or id=0 (long)") {
+    import spark.implicits._
+    // pre-fix: a null string id NPE'd inside utf8Lt; a null long id was
+    // silently encoded as 0 and could win the tiebreak as a phantom row
+    val sdf = Seq(("g", "a", 1.0), ("g", null, 9.0), ("g", "b", 2.0))
+      .toDF("grp", "doc", "score")
+    val sGot = graft.functions.TopKAggregator.topKPerKey(
+        sdf, Seq("grp"), col("score"), col("doc"), k = 2)
+      .select("id").as[String].collect().toSet
+    assert(sGot === Set("a", "b"))
+    val ldf = Seq(("g", java.lang.Long.valueOf(7L), 1.0),
+        ("g", null.asInstanceOf[java.lang.Long], 9.0),
+        ("g", java.lang.Long.valueOf(8L), 2.0))
+      .toDF("grp", "doc", "score")
+    val lGot = graft.functions.TopKAggregator.topKPerKey(
+        ldf, Seq("grp"), col("score"), col("doc"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(lGot === Set(7L, 8L))
+  }
+
   test("pooled (frequency-weighted) percentiles are bit-identical to direct") {
     val li = Tables.lineitem(spark, sfDir)
     val qs = Map("p50" -> 0.5, "p80" -> 0.8, "p95" -> 0.95)

@@ -50,4 +50,17 @@ class BloomSketchSpec extends SparkSpec {
     val fp = nonMembers.count(BloomSketch.mightContainPacked(packed, K, M, _))
     assert(fp < 50, s"fp=$fp of 500 — rate far above the engineered band")
   }
+
+  test("duplicated probe keys never produce a false negative") {
+    // pre-fix, a key occurring d times in the probe frame counted d*k
+    // semi-join hits and failed the `hits == k` membership test — a
+    // false negative. The probe must distinct its keys internally.
+    val ks = keys(30, "a")
+    val pos = BloomSketch.positions(ks.toDF("k"), "k", K, M)
+    val dupProbe = (ks ++ ks ++ ks.take(7)).toDF("k") // d in {2, 3}
+    val flags = BloomSketch.mightContain(dupProbe, "k", pos, K, M)
+      .as[(String, Boolean)].collect()
+    assert(flags.length === 30, "one row per DISTINCT probe key")
+    assert(flags.forall(_._2), "duplicated member key reported absent!")
+  }
 }

@@ -20,6 +20,13 @@ class ChecksSpec extends SparkSpec {
     assert(out == Map(1 -> 2L, 3 -> 3L))
   }
 
+  test("unique ignores NULL keys (dbt semantics — notNull's job, not unique's)") {
+    val df = Seq(Option(1), Option(1), None, None, None).toDF("k")
+    val out = Checks.unique(df, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 2L), "the 3 NULL-keyed rows must not be a duplicate group")
+  }
+
   test("relationships ignores NULL child keys (dbt semantics)") {
     val child = Seq(Option(1), Option(2), None, Option(9)).toDF("fk")
     val parent = Seq(1, 2, 3).toDF("pk")

@@ -93,6 +93,31 @@ class GraphsSpec extends SparkSpec {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("kCore: deep iters is bounded (per-round lineage cut) and fixpoint-stable") {
+    // K4 plus a 16-node pendant chain: at k=2 the chain peels from its
+    // single free end one node per round (~16 rounds to the K4 fixpoint).
+    // Before the per-round cut, `degrees` consuming `alive` twice
+    // doubled the logical plan every round — iters = 25 hung plan
+    // analysis before any data moved; with the cut this completes in
+    // seconds, and the monotone-peel early exit makes the post-fixpoint
+    // rounds free. Deterministic either way, so the deep-budget answer
+    // must equal both the K4 core and the answer one round deeper.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = (100L until 116L).sliding(2).map(p => (p.head, p.last)).toSeq :+
+      ((4L, 100L))
+    val edges = (k4 ++ chain).toDF("src_id", "dst_id")
+    val t0 = System.nanoTime()
+    val deep = Graphs.kCore(edges, k = 2, iters = 25)
+      .as[(Long, Long)].collect().toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(deep == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(sec < 120.0, s"25-round peel took ${sec}s — lineage cut regressed?")
+    val deeper = Graphs.kCore(edges, k = 2, iters = 26)
+      .as[(Long, Long)].collect().toMap
+    assert(deeper == deep)
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("triangleStats: a pure star has zero triangles; a 5-cycle too") {
     val star = (1 to 6).map(i => (0L, i.toLong)).toDF("src_id", "dst_id")
     assert(Graphs.triangleStats(star).filter(col("tri") > 0).count() === 0)

@@ -58,6 +58,29 @@ class HyperLogLogSpec extends SparkSpec {
     assert(HyperLogLog.estimateRegisters(new Array[Int](HyperLogLog.M)) === 0.0)
   }
 
+  test("null keys are skipped: relational == typed on a null-bearing stream") {
+    // pre-fix, md5(NULL) produced a (reg=NULL, rho=NULL) register row
+    // that inflated __hit without touching __hsum — diverging from the
+    // typed Sketch (which skips nulls) and skewing linear counting
+    val withNulls = (keys(40, "n").map(Option(_)) ++ Seq(None, None, None))
+      .toDF("k")
+    val rel = HyperLogLog.registers(withNulls, "k")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(!rel.keySet.exists(_ == null) && rel.values.forall(_ >= 1))
+    val typed = HyperLogLog.build(
+      withNulls.as[Option[String]].map(_.orNull)(
+        org.apache.spark.sql.Encoders.STRING))
+    val fromRel = Array.tabulate(HyperLogLog.M)(i => rel.getOrElse(i, 0))
+    assert(typed.toSeq === fromRel.toSeq)
+    // and the estimate equals the null-free stream's estimate exactly
+    val clean = HyperLogLog.estimate(
+      HyperLogLog.registers(keys(40, "n").toDF("k"), "k"))
+      .collect().head.getDouble(0)
+    val dirty = HyperLogLog.estimate(HyperLogLog.registers(withNulls, "k"))
+      .collect().head.getDouble(0)
+    assert(dirty === clean)
+  }
+
   test("driver-side estimate == relational estimate") {
     val ks = keys(777, "m").toDF("k")
     val relEst = HyperLogLog.estimate(HyperLogLog.registers(ks, "k"))

@@ -249,4 +249,29 @@ class MaterializeSpec extends SparkSpec {
       ("a3", "t3", None)))
     Materialize.dropWithLocation(spark, name)
   }
+
+  test("warehouseDir: stable dir when lock is ours/stale, diverted when a live other JVM holds it") {
+    val app = s"whlock-test-${System.nanoTime()}"
+    val lock = new java.io.File("target", s"graft-wh-$app.lock")
+    try {
+      // fresh claim → stable dir, lock records our pid
+      val first = graft.core.GraftSession.warehouseDir(app)
+      assert(first == s"target/graft-wh-$app")
+      val pid = scala.io.Source.fromFile(lock, "UTF-8").mkString.trim.toLong
+      assert(pid == ProcessHandle.current().pid())
+      // re-claim by the same process → same stable dir (same session JVM)
+      assert(graft.core.GraftSession.warehouseDir(app) == first)
+      // a LIVE other process holds the lock (pid 1 is always alive in the
+      // container) → this process is diverted to a pid-suffixed dir
+      val w = new java.io.PrintWriter(lock, "UTF-8")
+      try w.print("1") finally w.close()
+      val diverted = graft.core.GraftSession.warehouseDir(app)
+      assert(diverted == s"target/graft-wh-$app-pid${ProcessHandle.current().pid()}")
+      // a DEAD holder is stale: reclaim the stable dir (sequential
+      // sessions rediscover standing tables)
+      val w2 = new java.io.PrintWriter(lock, "UTF-8")
+      try w2.print("999999999") finally w2.close()
+      assert(graft.core.GraftSession.warehouseDir(app) == first)
+    } finally lock.delete()
+  }
 }
