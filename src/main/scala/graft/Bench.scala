@@ -81,7 +81,6 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val errStr = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errStr,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson}"""
-    println(json)
     // Durable per-query history: the driver's BENCH_r{N}.json captures
     // only truncated stdout, losing half the alphabet of per-query
     // timings. Persist the full JSON in-repo so round-over-round
@@ -151,6 +150,35 @@ object Bench {
       }
     } catch { case e: Throwable =>
       System.err.println(s"bench_results write failed: $e") }
+    // stdout gets a SLIM line, printed LAST: the driver keeps only the
+    // final ~2000 chars of stdout and json-parses them, so the full
+    // 345-query map (~10 KB) made its artifact unparseable from r07 on.
+    // Family subtotals + the slowest queries fit the window; the full
+    // per-query map lives in bench_results/ (written above).
+    println(slimJson(results, errors, sfDir, hostJson))
     spark.stop()
+  }
+
+  /** ≤ ~1.5 KB summary: total, per-family subtotals, slowest 12 rows,
+    * first 5 errors. Family = the registry's name prefix convention. */
+  private[graft] def slimJson(results: Seq[(String, Double, Boolean)],
+                              errors: List[String], sfDir: String,
+                              hostJson: String): String = {
+    val total = results.collect { case (_, v, true) => v }.sum
+    val famOf = (n: String) => n.split("_")(0) match {
+      case f @ ("tpch" | "pl" | "st" | "ext" | "dq") => f
+      case _ => "core"
+    }
+    val fams = results.groupBy { case (n, _, _) => famOf(n) }.toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        val s = rs.collect { case (_, v, true) => v }.sum
+        f""""$f":{"sec":$s%.1f,"n":${rs.size}}"""
+      }.mkString("{", ",", "}")
+    val slowest = results.filter(_._3).sortBy(-_._2).take(12)
+      .map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val errSlim = (errors.take(5).map(e => "\"" + e.replace("\"", "'") + "\"")
+      ++ (if (errors.size > 5) Seq(s""""+${errors.size - 5} more"""") else Nil))
+      .mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"families":$fams,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson,"full":"bench_results/"}"""
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -26,20 +26,73 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *
  * Per-trigger cost: one batch-sized register aggregation (64 rows per
  * group out of the shuffle) + a collapse of the standing register
- * table (groups × 64 × triggers-so-far rows — kilobytes; run
- * [[graft.core.Materialize.bucketCompact]]-style maintenance or
- * periodic re-write if a monitor lives for millions of triggers).
- * Estimates derive from registers alone, so the trajectory row is
- * O(groups), never O(keys).
+ * table. Batch-carrying tables are physically partitioned by a derived
+ * `__pb` copy of batch_id (the data column keeps its type/position;
+ * the partition copy exists purely so replay-guard and provenance
+ * filters prune to one partition instead of scanning the full trigger
+ * history), and bounded sketch-state writes are coalesced to one file
+ * per trigger so standing-table reads list O(triggers) files, not
+ * O(triggers × tasks). For a monitor that lives beyond thousands of
+ * triggers, [[compactHll]]/[[compactBloom]]/[[compactCms]] rewrite the
+ * standing state to its collapsed form without breaking the replay
+ * arguments (each scaladoc carries the proof obligation).
  */
 object SketchIngest {
+
+  /** Partition-column twin of batch_id: `filter(col(PB) === b)` prunes
+    * to one partition at the catalog level. Kept SEPARATE from the
+    * batch_id data column so reader-visible schemas (types, column
+    * order) are unchanged by the physical layout. */
+  private val PB = "__pb"
+
+  /** Append `df` (which must carry `batch_id`) to `table`, partitioned
+    * by the derived `__pb`. `bounded` marks frames whose size is capped
+    * by sketch geometry (≤ m positions, d×w buckets, top-N candidates)
+    * — those coalesce to ONE file per trigger; unbounded frames (per-key
+    * novelty/estimate rows) keep their task parallelism. */
+  private def appendByBatch(df: DataFrame, table: String,
+                            bounded: Boolean): Unit = {
+    val out = if (bounded) df.coalesce(1) else df
+    out.withColumn(PB, col("batch_id"))
+      .write.mode("append").format("parquet").partitionBy(PB)
+      .saveAsTable(table)
+  }
+
+  /** The pruning column of `df`: the `__pb` partition copy when the
+    * table carries it, else the plain batch_id data column (tolerates
+    * standing tables written before the partitioned layout). */
+  private def bcol(df: DataFrame) =
+    if (df.columns.contains(PB)) col(PB) else col("batch_id")
+
+  /** Has this batch already committed its LAST (guard) write? One
+    * partition-pruned count — metadata + at most one tiny partition,
+    * never a scan of the full trigger history. Falls back to a
+    * batch_id filter for pre-partitioning tables (an old monitor's
+    * standing tables predating the `__pb` layout). */
+  private def committed(spark: SparkSession, guardTable: String,
+                        batchId: Long): Boolean =
+    spark.catalog.tableExists(guardTable) && {
+      val t = spark.table(guardTable)
+      t.filter(bcol(t) === batchId).count() > 0
+    }
+
+  /** Rewrite `table` with `compacted`, keeping the `__pb` layout when
+    * the frame carries it. The frame is lineage-cut first (it reads the
+    * table it overwrites). Run quiesced — between triggers, like any
+    * OPTIMIZE/VACUUM; compacted state is bounded by sketch geometry, so
+    * the cut holds kilobytes-to-megabytes, never the key universe. */
+  private def rewrite(spark: SparkSession, table: String,
+                      compacted: DataFrame): Unit = {
+    val cut = graft.core.CheckpointStrategy.Local.cut(compacted)
+    val w = cut.write.mode("overwrite").format("parquet")
+    (if (cut.columns.contains(PB)) w.partitionBy(PB) else w)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
 
   def hllIngest(stream: DataFrame, keyCol: String, groupCol: String,
                 tablePrefix: String,
                 checkpoint: Option[String] = None): StreamingQuery = {
-    val spark = stream.sparkSession
-    val regsT = tablePrefix + "_hll_regs"
-    val estT = tablePrefix + "_hll_est"
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -87,22 +140,23 @@ object SketchIngest {
     val spark = batch.sparkSession
     val posT = tablePrefix + "_bloom_pos"
     val novT = tablePrefix + "_bloom_novel"
-    val replayed = spark.catalog.tableExists(novT) &&
-      spark.table(novT).filter(col("batch_id") === batchId).count() > 0
-    if (!replayed) graft.core.CacheRegistry.scoped {
+    if (!committed(spark, novT, batchId)) graft.core.CacheRegistry.scoped {
       val keys = graft.core.CacheRegistry.persistTracked(
         batch.filter(col(keyCol).isNotNull).select(keyCol).distinct())
       if (keys.count() > 0) {
-        graft.functions.BloomSketch.positions(keys, keyCol, k, m)
-          .select(lit(batchId).as("batch_id"), col("pos"))
-          .write.mode("append").format("parquet").saveAsTable(posT)
+        appendByBatch(
+          graft.functions.BloomSketch.positions(keys, keyCol, k, m)
+            .select(lit(batchId).as("batch_id"), col("pos")),
+          posT, bounded = true)
         spark.catalog.refreshTable(posT)
-        val prior = spark.table(posT)
-          .filter(col("batch_id") < batchId).select("pos").distinct()
-        graft.functions.BloomSketch.mightContain(keys, keyCol, prior, k, m)
-          .select(lit(batchId).as("batch_id"), col(keyCol),
-            (!col("might_contain")).as("novel"))
-          .write.mode("append").format("parquet").saveAsTable(novT)
+        val priorT = spark.table(posT)
+        val prior = priorT.filter(bcol(priorT) < batchId)
+          .select("pos").distinct()
+        appendByBatch(
+          graft.functions.BloomSketch.mightContain(keys, keyCol, prior, k, m)
+            .select(lit(batchId).as("batch_id"), col(keyCol),
+              (!col("might_contain")).as("novel")),
+          novT, bounded = false)
       }
     }
   }
@@ -151,37 +205,41 @@ object SketchIngest {
     val cntT = tablePrefix + "_cms_cnt"
     val candT = tablePrefix + "_cms_cand"
     val estT = tablePrefix + "_cms_est"
-    val replayed = spark.catalog.tableExists(estT) &&
-      spark.table(estT).filter(col("batch_id") === batchId).count() > 0
-    if (!replayed) graft.core.CacheRegistry.scoped {
+    if (!committed(spark, estT, batchId)) graft.core.CacheRegistry.scoped {
       val counts = graft.core.CacheRegistry.persistTracked(
         batch.filter(col(keyCol).isNotNull)
           .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")))
       if (counts.count() > 0) {
-        counts.select(posexplode(array((0 until d).map(j =>
-            graft.functions.CountMinSketch.hashIdxCol(j, col(keyCol), w)): _*))
-            .as(Seq("j", "pos")), col("cnt"))
-          .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
-          .select(lit(batchId).as("batch_id"), col("j"), col("pos"), col("cnt"))
-          .write.mode("append").format("parquet").saveAsTable(cntT)
-        counts.orderBy(desc("cnt"), col(keyCol)).limit(topN)
-          .select(lit(batchId).as("batch_id"), col(keyCol).as("key"))
-          .write.mode("append").format("parquet").saveAsTable(candT)
+        appendByBatch(
+          counts.select(posexplode(array((0 until d).map(j =>
+              graft.functions.CountMinSketch.hashIdxCol(j, col(keyCol), w)): _*))
+              .as(Seq("j", "pos")), col("cnt"))
+            .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+            .select(lit(batchId).as("batch_id"), col("j"), col("pos"),
+              col("cnt")),
+          cntT, bounded = true)
+        appendByBatch(
+          counts.orderBy(desc("cnt"), col(keyCol)).limit(topN)
+            .select(lit(batchId).as("batch_id"), col(keyCol).as("key")),
+          candT, bounded = true)
         spark.catalog.refreshTable(cntT)
         spark.catalog.refreshTable(candT)
-        val buckets = spark.table(cntT).filter(col("batch_id") <= batchId)
+        val cntTbl = spark.table(cntT)
+        val buckets = cntTbl.filter(bcol(cntTbl) <= batchId)
           .dropDuplicates("batch_id", "j", "pos")
           .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
-        val cand = spark.table(candT).filter(col("batch_id") <= batchId)
+        val candTbl = spark.table(candT)
+        val cand = candTbl.filter(bcol(candTbl) <= batchId)
           .select(col("key")).distinct()
-        cand.select(col("key"), posexplode(array((0 until d).map(j =>
-            graft.functions.CountMinSketch.hashIdxCol(j, col("key"), w)): _*))
-            .as(Seq("j", "pos")))
-          .join(broadcast(buckets), Seq("j", "pos"), "left")
-          .groupBy(col("key"))
-          .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-          .select(lit(batchId).as("batch_id"), col("key"), col("est"))
-          .write.mode("append").format("parquet").saveAsTable(estT)
+        appendByBatch(
+          cand.select(col("key"), posexplode(array((0 until d).map(j =>
+              graft.functions.CountMinSketch.hashIdxCol(j, col("key"), w)): _*))
+              .as(Seq("j", "pos")))
+            .join(broadcast(buckets), Seq("j", "pos"), "left")
+            .groupBy(col("key"))
+            .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+            .select(lit(batchId).as("batch_id"), col("key"), col("est")),
+          estT, bounded = false)
       }
     }
   }
@@ -193,24 +251,115 @@ object SketchIngest {
     val spark = batch.sparkSession
     val regsT = tablePrefix + "_hll_regs"
     val estT = tablePrefix + "_hll_est"
-    val replayed = spark.catalog.tableExists(estT) &&
-      spark.table(estT).filter(col("batch_id") === batchId).count() > 0
-    if (!replayed) graft.core.CacheRegistry.scoped {
+    if (!committed(spark, estT, batchId)) graft.core.CacheRegistry.scoped {
       val b = graft.core.CacheRegistry.persistTracked(batch)
       val nNew = b.count()
       if (nNew > 0) {
         graft.functions.HyperLogLog
           .registers(b, keyCol, Seq(groupCol))
+          .coalesce(1) // ≤ 64 rows per group — one file per trigger
           .write.mode("append").format("parquet").saveAsTable(regsT)
         spark.catalog.refreshTable(regsT)
         val merged = spark.table(regsT)
           .groupBy(col(groupCol), col("reg"))
           .agg(max(col("rho")).as("rho"))
-        graft.functions.HyperLogLog.estimate(merged, Seq(groupCol))
-          .select(lit(batchId).as("batch_id"), col(groupCol), col("est"),
-            lit(nNew).as("n_new"))
-          .write.mode("append").format("parquet").saveAsTable(estT)
+        appendByBatch(
+          graft.functions.HyperLogLog.estimate(merged, Seq(groupCol))
+            .select(lit(batchId).as("batch_id"), col(groupCol), col("est"),
+              lit(nNew).as("n_new")),
+          estT, bounded = false)
       }
+    }
+  }
+
+  /**
+   * Compact the HLL standing register table to its 64-rows-per-group
+   * collapse — the maintenance pass a week-long monitor needs (the
+   * append-only table grows 64×groups rows per trigger; the collapsed
+   * form is 64×groups TOTAL). Replay stays correct because register
+   * state is a pure max: max(compacted, replayed-dupes) = max(all
+   * appends) — compaction commutes with every future merge, so no
+   * batch provenance is needed or kept. Run between triggers (like any
+   * OPTIMIZE); the estimate trajectory table is untouched.
+   */
+  def compactHll(spark: SparkSession, tablePrefix: String): Unit = {
+    val regsT = tablePrefix + "_hll_regs"
+    if (!spark.catalog.tableExists(regsT)) return
+    val t = spark.table(regsT)
+    val keys = t.columns.filterNot(_ == "rho") // (groupCols…, reg)
+    rewrite(spark, regsT,
+      t.groupBy(keys.map(col): _*).agg(max(col("rho")).as("rho"))
+        .select(t.columns.map(col): _*))
+  }
+
+  /**
+   * Compact the Bloom position table: batches whose novelty rows have
+   * COMMITTED (batch_id ≤ max batch in `_bloom_novel`) collapse to
+   * their distinct positions under a single provenance tag = that max
+   * committed id; later (possibly in-flight) batches pass through
+   * untouched. The probe's `batch_id < b` argument survives: any
+   * future or crash-replayed batch b is > maxCommitted, so it sees the
+   * compacted rows exactly as it would have seen their constituents,
+   * and an in-flight batch's own orphan positions keep their original
+   * id and stay excluded from its replayed probe. Output: ≤ m rows for
+   * the compacted span + untouched recents.
+   */
+  def compactBloom(spark: SparkSession, tablePrefix: String): Unit = {
+    val posT = tablePrefix + "_bloom_pos"
+    val novT = tablePrefix + "_bloom_novel"
+    if (!spark.catalog.tableExists(posT) ||
+        !spark.catalog.tableExists(novT)) return
+    val maxRow = spark.table(novT).agg(max(col("batch_id"))).head()
+    if (maxRow.isNullAt(0)) return
+    val maxC = maxRow.getLong(0)
+    val pos = spark.table(posT)
+    val compacted = pos.filter(bcol(pos) <= maxC)
+      .select("pos").distinct()
+      .select(lit(maxC).as("batch_id"), col("pos"))
+      .unionByName(pos.filter(bcol(pos) > maxC).select("batch_id", "pos"))
+      .withColumn(PB, col("batch_id"))
+    rewrite(spark, posT, compacted)
+  }
+
+  /**
+   * Compact the CMS bucket + candidate tables: batches with a
+   * COMMITTED estimate row (batch_id ≤ max batch in `_cms_est`)
+   * collapse — buckets to one summed row per (j, pos) (after the
+   * reader's own dropDuplicates, so crash-replay dupes inside the span
+   * fold exactly once), candidates to their distinct keys — both under
+   * the max committed id; later batches pass through. The reader
+   * algebra survives: dedupe-then-sum over {compacted span} ∪
+   * {untouched recents} equals dedupe-then-sum over the raw history
+   * (sum is associative over the disjoint batch ranges), and a
+   * replayed in-flight batch's `batch_id ≤ b` filter sees the
+   * compacted rows iff it saw their constituents.
+   */
+  def compactCms(spark: SparkSession, tablePrefix: String): Unit = {
+    val cntT = tablePrefix + "_cms_cnt"
+    val candT = tablePrefix + "_cms_cand"
+    val estT = tablePrefix + "_cms_est"
+    if (!spark.catalog.tableExists(cntT) ||
+        !spark.catalog.tableExists(estT)) return
+    val maxRow = spark.table(estT).agg(max(col("batch_id"))).head()
+    if (maxRow.isNullAt(0)) return
+    val maxC = maxRow.getLong(0)
+    val cnt = spark.table(cntT)
+    rewrite(spark, cntT,
+      cnt.filter(bcol(cnt) <= maxC)
+        .dropDuplicates("batch_id", "j", "pos")
+        .groupBy(col("j"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+        .select(lit(maxC).as("batch_id"), col("j"), col("pos"), col("cnt"))
+        .unionByName(cnt.filter(bcol(cnt) > maxC)
+          .select("batch_id", "j", "pos", "cnt"))
+        .withColumn(PB, col("batch_id")))
+    if (spark.catalog.tableExists(candT)) {
+      val cand = spark.table(candT)
+      rewrite(spark, candT,
+        cand.filter(bcol(cand) <= maxC).select("key").distinct()
+          .select(lit(maxC).as("batch_id"), col("key"))
+          .unionByName(cand.filter(bcol(cand) > maxC)
+            .select("batch_id", "key"))
+          .withColumn(PB, col("batch_id")))
     }
   }
 }

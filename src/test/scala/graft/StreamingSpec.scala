@@ -878,10 +878,114 @@ class StreamingSpec extends SparkSpec {
         .filter(col("batch_id") === 1L)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
       b1Rows.toSeq.toDF("batch_id", "j", "pos", "cnt")
-        .write.mode("append").format("parquet").saveAsTable(prefix + "_cms_cnt")
+        .withColumn("__pb", col("batch_id")) // the table's partition copy
+        .write.mode("append").format("parquet").partitionBy("__pb")
+        .saveAsTable(prefix + "_cms_cnt")
       assert(collapsed() == stable, "replayed count rows collapse exactly")
     } finally for (t <- Seq("_cms_cnt", "_cms_cand", "_cms_est"))
       graft.core.Materialize.dropWithLocation(spark, prefix + t)
+  }
+
+  test("bloom compaction: positions collapse; guards and crash-replay survive the rewrite") {
+    import spark.implicits._
+    val a = "graft_test_bcpt_a" // compacted after batch 1
+    val b = "graft_test_bcpt_b" // uncompacted twin — the ground truth
+    val tbls = Seq("_bloom_pos", "_bloom_novel")
+    for (p <- Seq(a, b); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      val b0 = Seq("u1", "u2", "u3").toDF("key")
+      val b1 = Seq("u2", "u4").toDF("key")
+      val b2 = Seq("u4", "u5", "u1").toDF("key")
+      for (p <- Seq(a, b)) {
+        graft.streaming.SketchIngest.applyBloomBatch(b0, 0L, "key", p, 4, 4096)
+        graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", p, 4, 4096)
+      }
+      graft.streaming.SketchIngest.compactBloom(spark, a)
+      // the compacted span is ≤ distinct-positions rows, all tagged with
+      // the max COMMITTED batch id (1)
+      val pos = spark.table(a + "_bloom_pos")
+        .select("batch_id", "pos").as[(Long, Int)].collect()
+      assert(pos.forall(_._1 == 1L), "compacted tag = max committed batch")
+      assert(pos.length == pos.map(_._2).distinct.length, "positions distinct")
+      // guard survives the rewrite: replaying committed batch 1 is a no-op
+      val novBefore = spark.table(a + "_bloom_novel").count()
+      graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", a, 4, 4096)
+      assert(spark.table(a + "_bloom_novel").count() == novBefore)
+      // crash-replay of an IN-FLIGHT batch 2 (positions written, novelty
+      // lost before the crash) recomputed over the compacted state must
+      // equal the uncompacted twin exactly
+      for (p <- Seq(a, b)) {
+        graft.functions.BloomSketch.positions(b2, "key", 4, 4096)
+          .select(lit(2L).as("batch_id"), col("pos"))
+          .withColumn("__pb", col("batch_id"))
+          .write.mode("append").format("parquet").partitionBy("__pb")
+          .saveAsTable(p + "_bloom_pos") // the orphan pre-crash write
+        graft.streaming.SketchIngest.applyBloomBatch(b2, 2L, "key", p, 4, 4096)
+      }
+      def novel(p: String) = spark.table(p + "_bloom_novel")
+        .select("batch_id", "key", "novel")
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(novel(a) == novel(b),
+        "novelty trajectory diverged after compaction")
+    } finally for (p <- Seq(a, b); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+
+  test("cms + hll compaction: state collapses; estimates keep matching the uncompacted twin") {
+    import spark.implicits._
+    val a = "graft_test_ccpt_a"
+    val b = "graft_test_ccpt_b"
+    val cmsT = Seq("_cms_cnt", "_cms_cand", "_cms_est")
+    val hllT = Seq("_hll_regs", "_hll_est")
+    for (p <- Seq(a, b); t <- cmsT ++ hllT)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      val b0 = Seq("a", "a", "b", "c").toDF("key")
+      val b1 = Seq("c", "c", "a").toDF("key")
+      val b2 = Seq("b", "b", "b", "d").toDF("key")
+      val h0 = b0.select(col("key").as("term"), lit("s1").as("source"))
+      val h1 = b1.select(col("key").as("term"), lit("s1").as("source"))
+      val h2 = b2.select(col("key").as("term"), lit("s1").as("source"))
+      for (p <- Seq(a, b)) {
+        graft.streaming.SketchIngest.applyCmsBatch(b0, 0L, "key", p, 2, 64, 2)
+        graft.streaming.SketchIngest.applyCmsBatch(b1, 1L, "key", p, 2, 64, 2)
+        graft.streaming.SketchIngest.applyBatch(h0, 0L, "term", "source", p)
+        graft.streaming.SketchIngest.applyBatch(h1, 1L, "term", "source", p)
+      }
+      graft.streaming.SketchIngest.compactCms(spark, a)
+      graft.streaming.SketchIngest.compactHll(spark, a)
+      // cnt collapsed to one row per (j, pos) in the committed span
+      val cnt = spark.table(a + "_cms_cnt").select("batch_id", "j", "pos")
+        .as[(Long, Int, Int)].collect()
+      assert(cnt.forall(_._1 == 1L))
+      assert(cnt.length == cnt.map(r => (r._2, r._3)).distinct.length)
+      // regs collapsed to the 64-per-group max form
+      val regs = spark.table(a + "_hll_regs")
+      assert(regs.count() ==
+        regs.groupBy("source", "reg").count().count())
+      // guards survive: replaying committed batch 1 appends nothing
+      val before = (spark.table(a + "_cms_est").count(),
+        spark.table(a + "_hll_est").count())
+      graft.streaming.SketchIngest.applyCmsBatch(b1, 1L, "key", a, 2, 64, 2)
+      graft.streaming.SketchIngest.applyBatch(h1, 1L, "term", "source", a)
+      assert((spark.table(a + "_cms_est").count(),
+        spark.table(a + "_hll_est").count()) == before)
+      // the NEXT trigger over compacted state equals the uncompacted twin
+      for (p <- Seq(a, b)) {
+        graft.streaming.SketchIngest.applyCmsBatch(b2, 2L, "key", p, 2, 64, 2)
+        graft.streaming.SketchIngest.applyBatch(h2, 2L, "term", "source", p)
+      }
+      def cmsEst(p: String) = spark.table(p + "_cms_est")
+        .select("batch_id", "key", "est")
+        .as[(Long, String, Long)].collect().toSet
+      def hllEst(p: String) = spark.table(p + "_hll_est")
+        .select("batch_id", "source", "est")
+        .as[(Long, String, Double)].collect().toSet
+      assert(cmsEst(a) == cmsEst(b), "CMS estimates diverged after compaction")
+      assert(hllEst(a) == hllEst(b), "HLL estimates diverged after compaction")
+    } finally for (p <- Seq(a, b); t <- cmsT ++ hllT)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
   }
 
   test("drift monitor: one row per batch; an identical re-drain appends nothing") {
