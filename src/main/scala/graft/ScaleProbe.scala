@@ -576,6 +576,74 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- graph ops: kcore + triangles on an amplified edge list --------
+    // the claims under test: kCore is iters × O(|E|) with the per-round
+    // lineage cut a fixed constant (not a per-round blowup), and the
+    // triangle wedge self-join's degree-ordered orientation keeps wedge
+    // volume O(|E|^{3/2}) — both should scale LINEARLY on an edge list
+    // amplified by disjoint copies (per-copy degree structure identical,
+    // so the arboricity bound is constant across multiples). The kNN(4)
+    // edge build is shared and EXCLUDED (pre-materialized) — the probe
+    // times the graph operators, not the similarity kernel.
+    lazy val knnEdges0 = graft.ext.Similarity.knnGraphFused(
+        graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4)
+      .select("src_id", "dst_id")
+    def amplifyEdges(m: Int): DataFrame =
+      (0 until m).map { c =>
+        knnEdges0.select((col("src_id") + lit(c * 10000000L)).as("src_id"),
+          (col("dst_id") + lit(c * 10000000L)).as("dst_id"))
+      }.reduce(_ unionByName _)
+    for (m <- multSteps if section("kcore")) {
+      val edges = amplifyEdges(m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nE = edges.count()
+      val (nCore, tCore) = timed {
+        graft.ext.Graphs.kCore(edges, k = 5, iters = 2).count()
+      }
+      println(f"[scaleprobe] kcore m=$m edges=$nE survivors=$nCore time=$tCore%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+    for (m <- multSteps if section("triangles")) {
+      val edges = amplifyEdges(m)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nE = edges.count()
+      val (nTri, tTri) = timed {
+        graft.ext.Graphs.triangleStats(edges)
+          .agg(sum("tri")).head().getLong(0)
+      }
+      println(f"[scaleprobe] triangles m=$m edges=$nE tri_incidences=$nTri time=$tTri%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    // ---- winnowing fingerprint overlap: linear in docs ------------------
+    // the claim under test: fingerprints are O(tokens) per doc (one per
+    // winnowing window), the overlap join is keyed by fingerprint hash
+    // with a maxDf cull killing stopword-scale buckets — so pair
+    // discovery scales linearly when duplicate density is constant
+    // (the amplifier's token-prefix bijection keeps per-copy structure
+    // identical and cross-copy fingerprints disjoint).
+    for (m <- multSteps if section("winnow")) {
+      val base = amplifyDocs(docs0, m)
+      val dups = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz qq "), col("text")).as("text"))
+      val docs = base.unionByName(dups)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = docs.count()
+      val (nPairs, tW) = timed {
+        Dedup.winnowOverlap(
+          Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4),
+          "doc_id", minShared = 3L, maxDf = 64L).count()
+      }
+      println(f"[scaleprobe] winnow m=$m docs=$n pairs=$nPairs time=$tW%.2fs")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     // ---- curriculum ordering: no single-reducer cliff ------------------
     // the claim under test: the global ease rank rides RowIndex (range
     // exchange + parallel sorts), so wall stays near-linear in rows where

@@ -148,6 +148,97 @@ object HyperLogLog {
   def build(keys: Dataset[String]): Array[Int] =
     keys.select(new Sketch().toColumn).head()
 
+  // ---- parameterized register count (m ∈ {64, 256, 1024, …}) ----------
+  //
+  // m = 64 gives ~13% standard error (1.04/√m) — fine for the oracle
+  // rows, coarse for a production reach monitor. The generalized forms
+  // below accept any m dividing 65536: register index = first 4 md5 hex
+  // digits (16 bits, uniform mod such m) and rank ρ = 1 + leading zero
+  // bits of hex digits 5–12 — index and rank draw on DISJOINT hash bits
+  // (at m = 1024 the legacy 2-digit index would overlap the rank
+  // sub-hash, correlating register choice with rank). The m = 64
+  // functions above keep their original digit layout — the registered
+  // oracle rows and the streaming monitor state are pinned to it.
+
+  /** Bias constant α(m) — Flajolet et al. fig. 3: published constants
+    * below 128 registers, the asymptotic formula at and above. */
+  def alphaM(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  private def requireM(m: Int): Unit =
+    require(m >= 16 && m <= 65536 && 65536 % m == 0,
+      s"need m in [16, 65536] dividing 65536 (a power of two), got $m")
+
+  /** Register index for the generalized layout: first 4 md5 hex digits
+    * (16 bits) mod m. */
+  def idxColM(key: Column, m: Int): Column = {
+    requireM(m)
+    pmod(conv(substring(md5(key), 1, 4), 16, 10).cast("int"), lit(m))
+  }
+
+  /** Rank ρ = 1 + leading zero bits of the 32-bit sub-hash at hex
+    * digits 5–12 (disjoint from the 4 index digits) — the [[rhoCol]]
+    * CASE arithmetic at the shifted offset. */
+  def rhoColM(key: Column): Column = {
+    val h = substring(md5(key), 5, 8)
+    val z = length(regexp_extract(h, "^(0*)", 1))
+    val d = substring(h, z + lit(1), lit(1))
+    val within = when(d === "1", 3)
+      .when(d.isin("2", "3"), 2)
+      .when(d.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    (when(z === 8, lit(32)).otherwise(z * 4 + within) + lit(1)).cast("int")
+  }
+
+  /** [[registers]] at a chosen register count (generalized layout). */
+  def registersM(df: DataFrame, keyCol: String, m: Int,
+                 groupCols: Seq[String] = Nil): DataFrame = {
+    requireM(m)
+    df.filter(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+ idxColM(col(keyCol), m).as("reg")
+        :+ rhoColM(col(keyCol)).as("rho"): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** [[estimate]] at a chosen register count: α(m)·m²/denominator with
+    * the linear-counting fallback below 2.5m. (No 32-bit large-range
+    * correction — cardinalities near 2³² want a 64-bit-hash sketch,
+    * not a corrected 32-bit one.) */
+  def estimateM(regs: DataFrame, m: Int,
+                groupCols: Seq[String] = Nil): DataFrame = {
+    requireM(m)
+    val grouped =
+      if (groupCols.isEmpty) regs.groupBy()
+      else regs.groupBy(groupCols.map(col): _*)
+    val agged = grouped.agg(
+      coalesce(sum(pow(lit(2.0), -col("rho"))), lit(0.0)).as("__hsum"),
+      count(lit(1)).as("__hit"))
+    val v = lit(m) - col("__hit")
+    val denom = col("__hsum") + v.cast("double")
+    val raw = lit(alphaM(m) * m * m) / denom
+    agged.select(groupCols.map(col) :+
+      round(when(raw <= lit(2.5 * m) && v > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+        .otherwise(raw) + lit(1e-9), 6).as("est"): _*)
+  }
+
+  /** Driver-side [[estimateM]] from a generalized register array. */
+  def estimateRegistersM(regs: Array[Int], m: Int): Double = {
+    requireM(m)
+    require(regs.length == m, s"need $m registers, got ${regs.length}")
+    val hsum = regs.map(r => math.pow(2.0, -r)).sum
+    val v = regs.count(_ == 0)
+    val raw = alphaM(m) * m * m / hsum
+    val e = if (raw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+            else raw
+    math.rint((e + 1e-9) * 1e6) / 1e6
+  }
+
   /** Driver-side estimate from a register array ([[estimate]] math). */
   def estimateRegisters(regs: Array[Int]): Double = {
     require(regs.length == M, s"need $M registers, got ${regs.length}")

@@ -560,6 +560,64 @@ object ExtTextQueries {
       FROM ex JOIN est USING (source)""")),
 
 
+    // The same reach estimate at m = 256 registers (r9): the
+    // parameterized layout draws the register index from the FIRST 4
+    // md5 hex digits (16 bits, uniform mod any power of two ≤ 65536)
+    // and the rank from digits 5–12 — disjoint bits, so register
+    // choice never correlates with rank at large m. Error envelope
+    // halves per 4× registers (1.04/√m); the oracle rebuilds the
+    // generalized layout and the asymptotic bias constant
+    // α(256) = 0.7213/(1 + 1.079/256) with the identical op order.
+    QueryDef("ext_hll_distinct_m256", (s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("source"),
+        explode(TextOps.stringShingles(col("text"), 3)).as("term"))
+      val est = graft.functions.HyperLogLog.estimateM(
+        graft.functions.HyperLogLog.registersM(sh, "term", 256, Seq("source")),
+        256, Seq("source"))
+      val exact = sh.groupBy("source")
+        .agg(countDistinct(col("term")).as("exact_distinct"))
+      exact.join(est, Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("est"),
+          round(abs(col("est") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double") + lit(1e-9), 6)
+            .as("rel_err"))
+    }, Some(s"""WITH sh AS (SELECT source,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS term
+        FROM (SELECT source, $DuckToks AS toks FROM documents)),
+      h AS (SELECT source, term,
+          ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1)) % 256
+            AS reg,
+          CASE WHEN length(regexp_extract(substr(md5(term), 5, 8), '^(0*)', 1)) = 8
+            THEN 33
+            ELSE length(regexp_extract(substr(md5(term), 5, 8), '^(0*)', 1)) * 4
+              + CASE substr(substr(md5(term), 5, 8),
+                  length(regexp_extract(substr(md5(term), 5, 8), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                ELSE 0 END + 1 END AS rho
+        FROM sh),
+      regs AS (SELECT source, reg, max(rho) AS rho FROM h GROUP BY 1, 2),
+      agg AS (SELECT source, sum(pow(2.0, -rho)) AS hsum,
+          CAST(count(*) AS BIGINT) AS hit FROM regs GROUP BY 1),
+      est AS (SELECT source,
+          round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 256) * 256
+                / (hsum + (256 - hit)) <= 640.0 AND hit < 256
+            THEN 256.0 * ln(256.0 / (256 - hit))
+            ELSE ((0.7213 / (1 + 1.079 / 256)) * 256) * 256
+                / (hsum + (256 - hit)) END + 1e-9, 6) AS est
+        FROM agg),
+      ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+          AS exact_distinct FROM sh GROUP BY 1)
+      SELECT ex.source, ex.exact_distinct, est.est,
+        round(abs(est.est - exact_distinct) / exact_distinct + 1e-9, 6)
+          AS rel_err
+      FROM ex JOIN est USING (source)""")),
+
+
     // Bloom membership with engine-reproducible bits: the filter is a
     // RELATION of distinct set bit positions (≤ m rows — union-merge,
     // broadcast-probe), k=4 md5 positions per key at m=2048. Base =

@@ -477,6 +477,63 @@ object StreamingQueries {
       FROM ex JOIN est USING (window_start)""")),
 
 
+    // Late-data drop/emit boundary, pinned (r9 adversarial): event
+    // times are SYNTHESIZED from event_id (hour = id mod 12, minute =
+    // id mod 60 — both engines derive identical timestamps), and the
+    // stream arrives in 3 id-range chunks that each span the full
+    // 12-hour pattern, so every chunk after the first is maximally
+    // late. This pins Spark's TWO-watermark semantics (the 3.4+
+    // late-event/eviction split): the late filter for trigger b uses
+    // the watermark of the PREVIOUS trigger, eviction the current one.
+    // Chunk 0 sets the watermark to max(ts) − 1h = 10:59; chunk 1 is
+    // still admitted (its trigger's LATE filter carries the initial 0
+    // watermark) and its trigger then EVICTS hours 0–9 (ends ≤ 10:59)
+    // with chunks 0+1 merged; chunk 2's hour 0–9 rows hit the 10:59
+    // late filter and are DROPPED. Hours 10–11 never close (final
+    // watermark 10:59 < their ends), so append mode withholds them.
+    // Net: the sink holds hours 0–9 with chunk-0 + chunk-1
+    // contributions only — and max_event_id per window proves chunk 2
+    // was dropped rather than merged.
+    QueryDef("st_late_data_drop", (s, dir) => withStatePartitions(s, 8) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 3 + 1
+      val stage = stageIdChunks(s, (0 until 3).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val base = lit("2026-01-01 00:00:00").cast("timestamp").cast("long")
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("event_id"),
+          timestamp_seconds(base + (col("event_id") % 12) * 3600
+            + (col("event_id") % 60) * 60).as("ts"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("max_event_id"))
+        .writeStream.format("memory").queryName("graft_st_late")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_st_late")
+        .select(col("win.start").as("window_start"),
+          col("n_events"), col("max_event_id"))
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 3 + 1 AS step FROM events),
+      e AS (SELECT event_id,
+          TIMESTAMP '2026-01-01 00:00:00'
+            + ((event_id % 12) * 3600 + (event_id % 60) * 60)
+              * INTERVAL 1 SECOND AS ts
+        FROM events CROSS JOIN mxs WHERE event_id < 2 * step)
+      SELECT date_trunc('hour', ts) AS window_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        max(event_id) AS max_event_id
+      FROM e WHERE (event_id % 12) <= 9 GROUP BY 1""")),
+
+
     // Stream-static join: the unbounded stream enriches against a
     // broadcast dimension (per-micro-batch hash join — the streaming J1).
     QueryDef("st_stream_static_join", (s, dir) => withStatePartitions(s, 8) {

@@ -81,6 +81,45 @@ class HyperLogLogSpec extends SparkSpec {
     assert(dirty === clean)
   }
 
+  test("parameterized m: error envelope tightens with register count (64→256→1024)") {
+    // standard error is 1.04/√m, so each 4× register step should halve
+    // the envelope. A SINGLE draw can invert that (a lucky m=64 set
+    // beat m=1024 on the first fixture tried), so the shrink claim is
+    // checked on the MEAN absolute error over 8 disjoint fixed key
+    // sets (deterministic — no RNG), with a generous 4σ bound on every
+    // individual draw.
+    val n = 20000
+    val sets = (0 until 8).map(t => keys(n, s"pm$t").toDF("k"))
+    val errs = Seq(64, 256, 1024).map { m =>
+      val es = sets.map { ks =>
+        val est = HyperLogLog.estimateM(
+          HyperLogLog.registersM(ks, "k", m), m)
+          .collect().head.getDouble(0)
+        math.abs(est - n) / n
+      }
+      es.foreach(e =>
+        assert(e < 4 * 1.04 / math.sqrt(m), s"m=$m err $e outside 4σ"))
+      m -> es.sum / es.length
+    }.toMap
+    assert(errs(1024) < errs(64) / 2 && errs(256) < errs(64),
+      s"mean errors must shrink with registers: $errs")
+    // relational == driver-side at every m (the m=64 identity, generalized)
+    for (m <- Seq(64, 256, 1024)) {
+      val rel: Map[Int, Int] = HyperLogLog.registersM(sets.head, "k", m)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val arr = Array.tabulate(m)(i => rel.getOrElse(i, 0))
+      val relEst = HyperLogLog
+        .estimateM(HyperLogLog.registersM(sets.head, "k", m), m)
+        .collect().head.getDouble(0)
+      assert(HyperLogLog.estimateRegistersM(arr, m) === relEst)
+    }
+    // the generalized layout rejects register counts its 16-bit index
+    // can't fill uniformly
+    intercept[IllegalArgumentException] {
+      HyperLogLog.registersM(sets.head, "k", 100)
+    }
+  }
+
   test("driver-side estimate == relational estimate") {
     val ks = keys(777, "m").toDF("k")
     val relEst = HyperLogLog.estimate(HyperLogLog.registers(ks, "k"))
