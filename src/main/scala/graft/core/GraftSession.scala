@@ -50,7 +50,8 @@ object GraftSession {
       if (lock.createNewFile()) { writePid(); base.getPath }
       else {
         val holder = try {
-          scala.io.Source.fromFile(lock, "UTF-8").mkString.trim.toLong
+          val src = scala.io.Source.fromFile(lock, "UTF-8")
+          try src.mkString.trim.toLong finally src.close()
         } catch { case _: Throwable => -1L }
         val otherAlive = holder > 0 && holder != me && {
           val h = ProcessHandle.of(holder)
