@@ -77,16 +77,33 @@ object SketchIngest {
     }
 
   /** Rewrite `table` with `compacted`, keeping the `__pb` layout when
-    * the frame carries it. The frame is lineage-cut first (it reads the
-    * table it overwrites). Run quiesced — between triggers, like any
-    * OPTIMIZE/VACUUM; compacted state is bounded by sketch geometry, so
-    * the cut holds kilobytes-to-megabytes, never the key universe. */
+    * the frame carries it — via the [[graft.core.Materialize.bucketRewrite]]
+    * staged rename-swap: the compacted copy is FULLY written to a stage
+    * table (reading the original, so no lineage cut and no
+    * executor-memory copy), then two catalog renames swap it in. A
+    * crash before the swap leaves the original untouched; between the
+    * renames the data survives under `<table>__cpt_old`, never lost.
+    * Run quiesced relative to TRIGGERS (a trigger appending mid-rewrite
+    * would be dropped with the old generation) — the OPTIMIZE/VACUUM
+    * posture. */
   private def rewrite(spark: SparkSession, table: String,
                       compacted: DataFrame): Unit = {
-    val cut = graft.core.CheckpointStrategy.Local.cut(compacted)
-    val w = cut.write.mode("overwrite").format("parquet")
-    (if (cut.columns.contains(PB)) w.partitionBy(PB) else w)
-      .saveAsTable(table)
+    val stage = s"${table}__cpt_stage"
+    val old = s"${table}__cpt_old"
+    graft.core.Materialize.dropWithLocation(spark, stage)
+    graft.core.Materialize.dropWithLocation(spark, old)
+    val w = compacted.write.mode("overwrite").format("parquet")
+    (if (compacted.columns.contains(PB)) w.partitionBy(PB) else w)
+      .saveAsTable(stage)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    // RENAME moves a managed table's directory but leaves partition
+    // metadata pointing at the pre-move paths — a partitioned table
+    // reads EMPTY after the swap until its partitions are re-discovered
+    // from the moved directory
+    if (compacted.columns.contains(PB))
+      spark.sql(s"MSCK REPAIR TABLE `$table`")
+    graft.core.Materialize.dropWithLocation(spark, old)
     spark.catalog.refreshTable(table)
   }
 

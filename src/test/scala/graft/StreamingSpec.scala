@@ -906,6 +906,7 @@ class StreamingSpec extends SparkSpec {
       // the max COMMITTED batch id (1)
       val pos = spark.table(a + "_bloom_pos")
         .select("batch_id", "pos").as[(Long, Int)].collect()
+      assert(pos.nonEmpty, "compacted table must not read empty (partition swap)")
       assert(pos.forall(_._1 == 1L), "compacted tag = max committed batch")
       assert(pos.length == pos.map(_._2).distinct.length, "positions distinct")
       // guard survives the rewrite: replaying committed batch 1 is a no-op
@@ -928,6 +929,9 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, String, Boolean)].collect().toSet
       assert(novel(a) == novel(b),
         "novelty trajectory diverged after compaction")
+      // the staged rename-swap cleans up after itself
+      assert(!spark.catalog.tableExists(a + "_bloom_pos__cpt_stage"))
+      assert(!spark.catalog.tableExists(a + "_bloom_pos__cpt_old"))
     } finally for (p <- Seq(a, b); t <- tbls)
       graft.core.Materialize.dropWithLocation(spark, p + t)
   }
