@@ -1228,17 +1228,30 @@ object Similarity {
    */
   def seedExpand(vectors: DataFrame, idCol: String, vecCol: String,
                  seeds: DataFrame, tau: Double, rounds: Int,
-                 bits: Int = 4, scoreDigits: Int = 6): DataFrame = {
+                 bits: Int = 4, scoreDigits: Int = 6,
+                 checkpoint: graft.core.CheckpointStrategy =
+                   graft.core.CheckpointStrategy.Local): DataFrame = {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val vb = vectors
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__bucket", bucketId(col("__v"), bits))
       .transform(graft.core.CacheRegistry.persistTracked)
-    var selected = vb.join(seeds.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol), lit(0L).as("round"))
-      .transform(graft.core.CacheRegistry.persistTracked)
-    for (r <- 1 to rounds) {
+    // Each round's selection is lineage-CUT (the Graphs.kCore r9
+    // convention): the loop consumes `selected` twice per round (the
+    // pickup semi-join and the anti-join) and unions onto it, so a
+    // merely-persisted chain still TRIPLES the logical plan per round —
+    // plan analysis, not data, becomes the cost at deep rounds (and the
+    // old per-round release of the superseded cache cascade-invalidated
+    // the dependent one anyway). The cut also makes the selection count
+    // free, and growth is monotone, so an unchanged count IS the
+    // fixpoint: later rounds are skipped with bit-identical output.
+    var selected = checkpoint.cut(
+      vb.join(seeds.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol), lit(0L).as("round")))
+    var selN = selected.count()
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
       val selVecs = vb
         .join(selected.select(col(idCol)), Seq(idCol), "left_semi")
         .select(col("__bucket"), col("__v").as("__sv"))
@@ -1248,17 +1261,15 @@ object Similarity {
         .select(col(idCol)).distinct()
         .join(selected, Seq(idCol), "left_anti")
         .select(col(idCol), lit(r.toLong).as("round"))
-      val prev = selected
-      selected = graft.core.CacheRegistry.persistTracked(
-        selected.unionByName(added))
-      // materialize the new selection, then drop AND deregister the
-      // superseded round's cache — a long-lived session running many
-      // expansions must not accrete `rounds` frames per call, in the
-      // registry queue or in memory (the perceptronTrain lesson from
-      // the r6 review)
-      selected.count()
-      graft.core.CacheRegistry.release(prev)
+      val next = checkpoint.cut(selected.unionByName(added))
+      val n = next.count()
+      converged = n == selN
+      selected = next
+      selN = n
     }
+    // the result is cut, so releasing its former upstream is safe — a
+    // long-lived session accretes no cache per call
+    graft.core.CacheRegistry.release(vb)
     selected
   }
 

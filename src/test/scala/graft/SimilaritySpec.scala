@@ -674,6 +674,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
       s"round labels must be hop distance from the seed, got $out")
+    // deep budget is bounded (per-round lineage cut) and fixpoint-stable:
+    // the chain exhausts at round 4 (link 4 is 25° past link 3 but its
+    // cosine to link 3 is ≥ .9, so it joins; nothing is left after), so
+    // rounds = 20 must equal rounds = 4 exactly and complete in bounded
+    // time — pre-cut, the tripling plan hung analysis near rounds ≈ 12
+    val t0 = System.nanoTime()
+    val deep = Similarity.seedExpand(vecs, "vec_id", "e", seeds,
+        tau = 0.9, rounds = 20)
+      .as[(Long, Long)].collect().toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120.0, s"20-round expansion took ${sec}s — cut regressed?")
+    val exact = Similarity.seedExpand(vecs, "vec_id", "e", seeds,
+        tau = 0.9, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(deep == exact, "post-fixpoint rounds must change nothing")
     graft.core.CacheRegistry.releaseAll()
   }
 
