@@ -32,35 +32,39 @@ object GraftSession {
       // pid-suffixed private dir instead of silently sharing.
       .config("spark.sql.warehouse.dir", warehouseDir(appName)))
 
+  /** Locks held by THIS JVM, keyed by sanitized app name — kept alive
+    * for the process lifetime so the OS lock is never GC-released and a
+    * second session with the same name in the same JVM resolves to the
+    * same stable dir. */
+  private val heldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.channels.FileLock]()
+
   /** The stable per-app-name warehouse path iff this process holds (or
-    * can claim) its PID lock; a pid-suffixed private path when another
-    * LIVE process already holds it. A dead holder's lock is stale and
-    * re-claimed — sequential sessions still rediscover standing tables. */
+    * can atomically claim) the OS file lock on `target/graft-wh-<app>.lock`;
+    * a pid-suffixed private path when another live process holds it.
+    * `FileChannel.tryLock` is the claim — atomic at the OS level (no
+    * read-check-write race) and auto-released when the holder dies, so
+    * there is no stale-lock state and sequential sessions always
+    * rediscover the standing tables. */
   private[graft] def warehouseDir(appName: String): String = {
     val safe = appName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val me = ProcessHandle.current().pid()
-    val base = new java.io.File(s"target/graft-wh-$safe")
-    val lock = new java.io.File("target", s"graft-wh-$safe.lock")
-    def writePid(): Unit = {
-      val w = new java.io.PrintWriter(lock, "UTF-8")
-      try w.print(me.toString) finally w.close()
-    }
+    val base = s"target/graft-wh-$safe"
     try {
-      lock.getParentFile.mkdirs()
-      if (lock.createNewFile()) { writePid(); base.getPath }
-      else {
-        val holder = try {
-          val src = scala.io.Source.fromFile(lock, "UTF-8")
-          try src.mkString.trim.toLong finally src.close()
-        } catch { case _: Throwable => -1L }
-        val otherAlive = holder > 0 && holder != me && {
-          val h = ProcessHandle.of(holder)
-          h.isPresent && h.get.isAlive
+      if (heldLocks.containsKey(safe)) return base
+      val lockF = new java.io.File("target", s"graft-wh-$safe.lock")
+      lockF.getParentFile.mkdirs()
+      val ch = new java.io.RandomAccessFile(lockF, "rw").getChannel
+      val fl =
+        try ch.tryLock()
+        catch { // another THREAD of this JVM holds it outside heldLocks
+          case _: java.nio.channels.OverlappingFileLockException => null
         }
-        if (otherAlive) s"target/graft-wh-$safe-pid$me"
-        else { writePid(); base.getPath } // stale or our own lock
+      if (fl != null) { heldLocks.put(safe, fl); base }
+      else {
+        ch.close()
+        s"$base-pid${ProcessHandle.current().pid()}"
       }
-    } catch { case _: Throwable => base.getPath } // unwritable fs: best effort
+    } catch { case _: Throwable => base } // unwritable fs: best effort
   }
 
   def configure(builder: SparkSession.Builder): SparkSession = {

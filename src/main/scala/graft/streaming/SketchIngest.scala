@@ -49,13 +49,43 @@ object SketchIngest {
     * by the derived `__pb`. `bounded` marks frames whose size is capped
     * by sketch geometry (≤ m positions, d×w buckets, top-N candidates)
     * — those coalesce to ONE file per trigger; unbounded frames (per-key
-    * novelty/estimate rows) keep their task parallelism. */
+    * novelty/estimate rows) keep their task parallelism. A standing
+    * table written before the `__pb` layout keeps its unpartitioned
+    * shape (appending the partition column would be rejected) — the
+    * read path already tolerates both via [[bcol]]. Recovers a
+    * half-swapped compaction first ([[recoverSwap]]): a crash between
+    * the rewrite's renames must not let this append recreate the table
+    * EMPTY while the real state sits under `__cpt_old`. */
   private def appendByBatch(df: DataFrame, table: String,
                             bounded: Boolean): Unit = {
+    val spark = df.sparkSession
+    recoverSwap(spark, table)
     val out = if (bounded) df.coalesce(1) else df
-    out.withColumn(PB, col("batch_id"))
-      .write.mode("append").format("parquet").partitionBy(PB)
-      .saveAsTable(table)
+    val legacy = spark.catalog.tableExists(table) &&
+      !spark.table(table).columns.contains(PB)
+    if (legacy)
+      out.write.mode("append").format("parquet").saveAsTable(table)
+    else
+      out.withColumn(PB, col("batch_id"))
+        .write.mode("append").format("parquet").partitionBy(PB)
+        .saveAsTable(table)
+  }
+
+  /** If `table` is ABSENT but its `__cpt_old` twin exists, a compaction
+    * crashed between its two renames — swap the surviving copy back in.
+    * Called before every append and at the start of every rewrite, so
+    * neither a restarted monitor nor the next compaction can lose the
+    * standing state (the append would otherwise recreate the table
+    * empty, and the next rewrite's cleanup would delete the survivor). */
+  private def recoverSwap(spark: SparkSession, table: String): Unit = {
+    val old = s"${table}__cpt_old"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(old)) {
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+      if (spark.table(table).columns.contains(PB))
+        spark.sql(s"MSCK REPAIR TABLE `$table`")
+      spark.catalog.refreshTable(table)
+    }
   }
 
   /** The pruning column of `df`: the `__pb` partition copy when the
@@ -90,6 +120,9 @@ object SketchIngest {
                       compacted: DataFrame): Unit = {
     val stage = s"${table}__cpt_stage"
     val old = s"${table}__cpt_old"
+    // a prior compaction may have crashed mid-swap: restore the
+    // survivor BEFORE the cleanup below can delete it
+    recoverSwap(spark, table)
     graft.core.Materialize.dropWithLocation(spark, stage)
     graft.core.Materialize.dropWithLocation(spark, old)
     val w = compacted.write.mode("overwrite").format("parquet")
@@ -301,6 +334,7 @@ object SketchIngest {
    */
   def compactHll(spark: SparkSession, tablePrefix: String): Unit = {
     val regsT = tablePrefix + "_hll_regs"
+    recoverSwap(spark, regsT)
     if (!spark.catalog.tableExists(regsT)) return
     val t = spark.table(regsT)
     val keys = t.columns.filterNot(_ == "rho") // (groupCols…, reg)
@@ -324,6 +358,7 @@ object SketchIngest {
   def compactBloom(spark: SparkSession, tablePrefix: String): Unit = {
     val posT = tablePrefix + "_bloom_pos"
     val novT = tablePrefix + "_bloom_novel"
+    recoverSwap(spark, posT)
     if (!spark.catalog.tableExists(posT) ||
         !spark.catalog.tableExists(novT)) return
     val maxRow = spark.table(novT).agg(max(col("batch_id"))).head()
@@ -355,6 +390,8 @@ object SketchIngest {
     val cntT = tablePrefix + "_cms_cnt"
     val candT = tablePrefix + "_cms_cand"
     val estT = tablePrefix + "_cms_est"
+    recoverSwap(spark, cntT)
+    recoverSwap(spark, candT)
     if (!spark.catalog.tableExists(cntT) ||
         !spark.catalog.tableExists(estT)) return
     val maxRow = spark.table(estT).agg(max(col("batch_id"))).head()

@@ -64,9 +64,13 @@ class HyperLogLogSpec extends SparkSpec {
     // typed Sketch (which skips nulls) and skewing linear counting
     val withNulls = (keys(40, "n").map(Option(_)) ++ Seq(None, None, None))
       .toDF("k")
-    val rel = HyperLogLog.registers(withNulls, "k")
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    assert(!rel.keySet.exists(_ == null) && rel.values.forall(_ >= 1))
+    val regRows = HyperLogLog.registers(withNulls, "k").collect()
+    // NULL-typed reads via getInt would mask a (NULL, NULL) register row
+    // as (0, 0) — assert on isNullAt so the regression stays visible
+    assert(regRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "null keys must not produce a NULL register row")
+    val rel = regRows.map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rel.values.forall(_ >= 1))
     val typed = HyperLogLog.build(
       withNulls.as[Option[String]].map(_.orNull)(
         org.apache.spark.sql.Encoders.STRING))

@@ -250,28 +250,28 @@ class MaterializeSpec extends SparkSpec {
     Materialize.dropWithLocation(spark, name)
   }
 
-  test("warehouseDir: stable dir when lock is ours/stale, diverted when a live other JVM holds it") {
+  test("warehouseDir: OS lock claims the stable dir; a foreign holder diverts") {
     val app = s"whlock-test-${System.nanoTime()}"
     val lock = new java.io.File("target", s"graft-wh-$app.lock")
     try {
-      // fresh claim → stable dir, lock records our pid
+      // fresh claim → stable dir (the OS lock is now held by this JVM)
       val first = graft.core.GraftSession.warehouseDir(app)
       assert(first == s"target/graft-wh-$app")
-      val pid = scala.io.Source.fromFile(lock, "UTF-8").mkString.trim.toLong
-      assert(pid == ProcessHandle.current().pid())
-      // re-claim by the same process → same stable dir (same session JVM)
+      // re-claim by the same process → same stable dir, not a divert
       assert(graft.core.GraftSession.warehouseDir(app) == first)
-      // a LIVE other process holds the lock (pid 1 is always alive in the
-      // container) → this process is diverted to a pid-suffixed dir
-      val w = new java.io.PrintWriter(lock, "UTF-8")
-      try w.print("1") finally w.close()
-      val diverted = graft.core.GraftSession.warehouseDir(app)
-      assert(diverted == s"target/graft-wh-$app-pid${ProcessHandle.current().pid()}")
-      // a DEAD holder is stale: reclaim the stable dir (sequential
-      // sessions rediscover standing tables)
-      val w2 = new java.io.PrintWriter(lock, "UTF-8")
-      try w2.print("999999999") finally w2.close()
-      assert(graft.core.GraftSession.warehouseDir(app) == first)
+      // a FOREIGN holder (simulated by an untracked lock on a second
+      // app's file — tryLock sees it exactly as another process's lock)
+      // diverts this claimant to a pid-suffixed private dir. No stale
+      // case exists: the OS releases the lock when the holder dies.
+      val app2 = s"whlock-test2-${System.nanoTime()}"
+      val lock2 = new java.io.File("target", s"graft-wh-$app2.lock")
+      val ch = new java.io.RandomAccessFile(lock2, "rw").getChannel
+      val foreign = ch.lock()
+      try {
+        val diverted = graft.core.GraftSession.warehouseDir(app2)
+        assert(diverted ==
+          s"target/graft-wh-$app2-pid${ProcessHandle.current().pid()}")
+      } finally { foreign.release(); ch.close(); lock2.delete() }
     } finally lock.delete()
   }
 }

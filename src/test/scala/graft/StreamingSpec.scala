@@ -936,6 +936,49 @@ class StreamingSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, p + t)
   }
 
+  test("bloom ingest: pre-__pb legacy tables keep working; mid-swap crash recovers") {
+    import spark.implicits._
+    val leg = "graft_test_bleg"   // legacy-layout monitor
+    val cra = "graft_test_bcra_a" // crashes mid-compaction-swap
+    val twn = "graft_test_bcra_b" // never-crashed twin
+    val tbls = Seq("_bloom_pos", "_bloom_novel")
+    for (p <- Seq(leg, cra, twn); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      val b0 = Seq("u1", "u2", "u3").toDF("key")
+      val b1 = Seq("u2", "u4").toDF("key")
+      // ---- legacy layout: batch-0 state written UNPARTITIONED (the
+      // pre-r9 shape); the next trigger must append in the same shape
+      // instead of being rejected for the extra partition column
+      graft.functions.BloomSketch.positions(b0, "key", 4, 4096)
+        .select(lit(0L).as("batch_id"), col("pos"))
+        .write.format("parquet").saveAsTable(leg + "_bloom_pos")
+      b0.select(lit(0L).as("batch_id"), col("key"), lit(true).as("novel"))
+        .write.format("parquet").saveAsTable(leg + "_bloom_novel")
+      graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", leg, 4, 4096)
+      val legNov = spark.table(leg + "_bloom_novel")
+        .filter(col("batch_id") === 1L)
+        .select("key", "novel").as[(String, Boolean)].collect().toMap
+      assert(legNov == Map("u2" -> false, "u4" -> true),
+        "legacy-layout monitor must keep its history and semantics")
+      // ---- mid-swap crash: positions table renamed to __cpt_old (the
+      // state a crash between rewrite()'s two renames leaves) — the next
+      // trigger must recover the survivor, not recreate an empty table
+      for (p <- Seq(cra, twn))
+        graft.streaming.SketchIngest.applyBloomBatch(b0, 0L, "key", p, 4, 4096)
+      spark.sql(s"ALTER TABLE `${cra}_bloom_pos` RENAME TO `${cra}_bloom_pos__cpt_old`")
+      for (p <- Seq(cra, twn))
+        graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", p, 4, 4096)
+      def nov(p: String) = spark.table(p + "_bloom_novel")
+        .select("batch_id", "key", "novel")
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(nov(cra) == nov(twn),
+        "recovered monitor must match the never-crashed twin")
+      assert(!spark.catalog.tableExists(cra + "_bloom_pos__cpt_old"))
+    } finally for (p <- Seq(leg, cra, twn); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+
   test("cms + hll compaction: state collapses; estimates keep matching the uncompacted twin") {
     import spark.implicits._
     val a = "graft_test_ccpt_a"
