@@ -1043,6 +1043,52 @@ object ExtSimilarityQueries {
       SELECT id AS node_id, label AS community FROM l2""")),
 
 
+    // Deep-budget k-core (r9 adversarial): K4 plus a 10-node pendant
+    // chain at k = 2 — the chain peels from its single free end one
+    // node per round, reaching the K4 fixpoint only at round 10, so a
+    // 12-round budget exercises the per-round lineage cut and the
+    // monotone-peel early exit the registered kNN row (iters = 2) never
+    // touches. The oracle unrolls all 12 rounds mechanically; rounds
+    // past the fixpoint are identities on both sides, so the engine's
+    // early exit is output-invisible by construction.
+    QueryDef("ext_adv_kcore_deep", (s, dir) => {
+      import s.implicits._
+      val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      val chain = (3L +: (100L to 109L)).sliding(2)
+        .map(p => (p.head, p.last)).toSeq
+      val edges = (k4 ++ chain).toDF("src_id", "dst_id")
+      graft.ext.Graphs.kCore(edges, k = 2, iters = 12)
+        .select(col("id").as("node_id"), col("core_deg"))
+    }, Some {
+      // each a{i} is consumed TWICE (both endpoint joins) — DuckDB
+      // inlines plain CTEs per reference, so an unrolled 12-round chain
+      // would re-evaluate 2^12 subtrees; MATERIALIZED pins each round
+      // to one evaluation (the SQL mirror of the engine's per-round cut)
+      val rounds = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT s AS id, count(*) AS dg FROM sym
+          JOIN a${i - 1} x ON x.id = sym.s JOIN a${i - 1} y ON y.id = sym.d
+          GROUP BY 1),
+        a$i AS MATERIALIZED (SELECT id FROM d$i WHERE dg >= 2)"""
+      }.mkString(",\n        ")
+      s"""WITH raw AS (SELECT * FROM (VALUES
+          (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+          (3, 100), (100, 101), (101, 102), (102, 103), (103, 104),
+          (104, 105), (105, 106), (106, 107), (107, 108), (108, 109))
+          t(src_id, dst_id)),
+        canon AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+            greatest(src_id, dst_id) AS b FROM raw WHERE src_id <> dst_id),
+        sym AS (SELECT a AS s, b AS d FROM canon
+          UNION ALL SELECT b, a FROM canon),
+        a0 AS (SELECT DISTINCT s AS id FROM sym),
+        $rounds,
+        df AS (SELECT s AS id, count(*) AS dg FROM sym
+          JOIN a12 x ON x.id = sym.s JOIN a12 y ON y.id = sym.d GROUP BY 1)
+      SELECT CAST(a12.id AS BIGINT) AS node_id,
+        CAST(coalesce(df.dg, 0) AS BIGINT) AS core_deg
+      FROM a12 LEFT JOIN df ON df.id = a12.id"""
+    }),
+
+
     // Seed-set expansion over 12 rotation chains (links step 25° apart
     // in a 2-plane outside the bucket dims): consecutive links score
     // cos 25° ≈ 0.906 ≥ τ=0.9, skip-links cos 50° ≈ 0.643 < τ — so
