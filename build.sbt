@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures the tail of `sbt "runMain graft.Bench"` and
+// json-parses the FINAL line. sbt's default LoggedOutput wraps the
+// forked app's stdout in "[info] " (breaking the parse) and tags its
+// stderr "[error]" into the same log, and the "[success] Total time"
+// footer prints after the app's last line. Pass the forked streams
+// through untouched and drop the footer so the bench's slim JSON is the
+// true final stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by settings/tasks;
+// console / classLoaderLayeringStrategy only by the interactive console
+Global / excludeLintKeys ++= Set(showSuccess, classLoaderLayeringStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

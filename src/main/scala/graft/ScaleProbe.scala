@@ -60,8 +60,9 @@ object ScaleProbe {
     val multSteps =
       Seq(1, mult / 4, mult / 2, mult).filter(_ >= 1).distinct.sorted
     // SPARK_GRAFT_PROBE=knn|incnear|ingest|embedingest|skewjoin|kmeans|
-    // ivfpq|bpe|classifier|ngrams|spancut runs one section (the exact
-    // kNN section is O(n²) by design — at sf0.1 m=8 it alone is ~90 s)
+    // ivfpq|bpe|classifier|ngrams|spancut|sketchtriggers|… runs one
+    // section (the exact kNN section is O(n²) by design — at sf0.1 m=8
+    // it alone is ~90 s)
     val only = sys.env.get("SPARK_GRAFT_PROBE")
     def section(name: String): Boolean = only.forall(_ == name)
 
@@ -491,6 +492,50 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- IVF-PQ at the production codebook size (k=256) -----------------
+    // the claim under test (r10): the ~0.76 recall plateau of the k=8
+    // contract-query codebooks is a codebook-size property, not an
+    // IVF-PQ ceiling — k=256 codewords per subspace (the standard
+    // 8-bit-per-subspace operating point) at large amplification should
+    // clear recall 0.9 with the same bucketed movement story. One m
+    // (SPARK_GRAFT_MULT, run at 64), not a sweep — training is the
+    // expensive leg and the recall number is the deliverable.
+    if (section("ivfpq256")) {
+      val base = amplifyVecs(vecs0, mult)
+        .select(col("vec_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("e"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = base.count()
+      val probes = base.filter(col("vec_id") < 10000000L &&
+          col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val (books, tTrain) = timed {
+        Similarity.pqTrain(base, "vec_id", "e", dim = 64, m = 4, k = 256,
+          iters = 3)
+      }
+      val (approx, tSearch) = timed {
+        val t = Similarity.ivfPqTopK(base, "vec_id", "e",
+            probes, "probe_id", "pe", books, k = 10, nlist = 32, nprobe = 8)
+          .select(col("probe_id"), col("vec_id"))
+          .transform(graft.core.CacheRegistry.persistTracked)
+        t.count(); t
+      }
+      val (exact, tBrute) = timed {
+        val e = Similarity.bruteForceTopKFused(base, "vec_id", "e",
+            probes, "probe_id", "pe", k = 10)
+          .select(col("probe_id"), col("vec_id"))
+          .transform(graft.core.CacheRegistry.persistTracked)
+        e.count(); e
+      }
+      val nExact = exact.count()
+      val hit = exact.join(approx, Seq("probe_id", "vec_id"), "left_semi").count()
+      println(f"[scaleprobe] ivfpq256 m=$mult n=$n train=$tTrain%.2fs " +
+        f"search=$tSearch%.2fs brute=$tBrute%.2fs " +
+        f"recall=${hit.toDouble / nExact}%.3f")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     // ---- BPE: vocab-agg slope + merge-round corpus independence --------
     // the claims under test: the one corpus-sized cost is the initial
     // distinct-word aggregation (linear in corpus tokens); the 16 merge
@@ -628,8 +673,12 @@ object ScaleProbe {
     // identical and cross-copy fingerprints disjoint).
     for (m <- multSteps if section("winnow")) {
       val base = amplifyDocs(docs0, m)
+      // dup ids shift past the amplified max id: a fixed offset would
+      // collide with real doc ids at larger multipliers/scale factors,
+      // silently merging distinct docs into the probe's pair counts
+      val maxId = base.agg(max(col("doc_id")).cast("long")).head().getLong(0)
       val dups = base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + lit(maxId + 1L)).as("doc_id"),
           concat(lit("zz qq "), col("text")).as("text"))
       val docs = base.unionByName(dups)
         .transform(graft.core.CacheRegistry.persistTracked)
@@ -660,6 +709,65 @@ object ScaleProbe {
       println(f"[scaleprobe] curriculum m=$m docs=$n out=$nOut time=$tCur%.2fs")
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
+    }
+
+    // ---- sketch monitors: per-trigger wall across trigger count ---------
+    // the claim under test (SCALE.md, argued r9 from the partition
+    // layout, measured here): the per-trigger cost of the HLL/Bloom/CMS
+    // monitors is FLAT in monitor age — the replay guard reads one
+    // `__pb` partition, the bounded standing tables list O(triggers)
+    // single-file partitions, and the compaction cadence
+    // (compactEvery=8, the wired default posture) collapses even that
+    // growth. Each trigger folds a constant-size batch of FRESH keys
+    // (per-batch prefix) through the same apply* path the streaming
+    // ingest uses; first-4 vs last-4 trigger means expose any growth.
+    if (section("sketchtriggers")) {
+      val trigSteps = sys.env.get("SPARK_GRAFT_TRIGS")
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(4, 32, 128))
+      val ev = graft.core.Tables.events(spark, sfDir)
+        .select(col("user_id").cast("string").as("key"),
+          (col("user_id") % 4).cast("string").as("src"))
+        .limit(2000)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      ev.count()
+      def batchDf(i: Int) = ev.select(
+        concat(lit(f"b$i%03d-"), col("key")).as("key"), col("src"))
+      val sketches = Seq[(String, Seq[String], (DataFrame, Long, String) => Unit,
+                          (SparkSession, String) => Unit)](
+        ("hll", Seq("_hll_regs", "_hll_est"),
+          (b, i, p) => graft.streaming.SketchIngest.applyBatch(b, i, "key", "src", p),
+          (s, p) => graft.streaming.SketchIngest.compactHll(s, p)),
+        ("bloom", Seq("_bloom_pos", "_bloom_novel"),
+          (b, i, p) => graft.streaming.SketchIngest
+            .applyBloomBatch(b, i, "key", p, k = 4, m = 4096),
+          (s, p) => graft.streaming.SketchIngest.compactBloom(s, p)),
+        ("cms", Seq("_cms_cnt", "_cms_cand", "_cms_est"),
+          (b, i, p) => graft.streaming.SketchIngest
+            .applyCmsBatch(b, i, "key", p, d = 4, w = 1024, topN = 20),
+          (s, p) => graft.streaming.SketchIngest.compactCms(s, p)))
+      for ((name, tables, apply1, compact1) <- sketches;
+           compactEvery <- Seq(0, 8);
+           t <- trigSteps) {
+        val prefix = s"graft_probe_trig_$name"
+        tables.foreach(suf =>
+          graft.core.Materialize.dropWithLocation(spark, prefix + suf))
+        val walls = (0 until t).map { i =>
+          val (_, w) = timed {
+            apply1(batchDf(i), i.toLong, prefix)
+            if (compactEvery > 0 && (i + 1) % compactEvery == 0)
+              compact1(spark, prefix)
+          }
+          w
+        }
+        def mean(xs: Seq[Double]) = xs.sum / xs.size
+        println(f"[scaleprobe] sketchtrig $name%-5s compactEvery=$compactEvery " +
+          f"triggers=$t%-4d first4=${mean(walls.take(4))}%.3fs " +
+          f"last4=${mean(walls.takeRight(4))}%.3fs")
+        tables.foreach(suf =>
+          graft.core.Materialize.dropWithLocation(spark, prefix + suf))
+        spark.catalog.clearCache()
+      }
+      graft.core.CacheRegistry.releaseAll()
     }
     spark.stop()
   }

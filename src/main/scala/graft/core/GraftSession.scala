@@ -49,7 +49,13 @@ object GraftSession {
   private[graft] def warehouseDir(appName: String): String = {
     val safe = appName.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"target/graft-wh-$safe"
-    try {
+    // the containsKey+tryLock sequence is check-then-act: two same-JVM
+    // threads racing it would BOTH miss heldLocks, one would lose the OS
+    // lock and be diverted to the pid dir — which same-JVM claimants
+    // share unlocked. Serializing the claim makes every same-JVM session
+    // resolve to the stable dir (the scaladoc contract); cross-JVM
+    // exclusion stays with the OS lock.
+    try heldLocks.synchronized {
       if (heldLocks.containsKey(safe)) return base
       val lockF = new java.io.File("target", s"graft-wh-$safe.lock")
       lockF.getParentFile.mkdirs()

@@ -43,12 +43,22 @@ object TopKAggregator {
   private def better(a: Entry, b: Entry): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  final class TopK(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
+  /** Input twin of [[Entry]] with a BOXED id: a primitive Long input
+    * field would make Spark's encoder coerce a NULL id to 0 before
+    * reduce could see it — the boxed field keeps the null visible so
+    * direct udaf users get the same dropped-not-phantom semantics as
+    * [[TopKS]] (topKPerKey additionally pre-filters). */
+  type EntryIn = (Double, java.lang.Long)
+
+  final class TopK(k: Int) extends Aggregator[EntryIn, List[Entry], Seq[Entry]] {
     override def zero: List[Entry] = Nil
 
-    override def reduce(buf: List[Entry], in: Entry): List[Entry] =
+    override def reduce(buf: List[Entry], in0: EntryIn): List[Entry] = {
+      if (in0._2 == null) return buf // null ids are dropped, not encoded as 0
+      val in = (in0._1, in0._2.longValue)
       if (buf.length == k && better(buf.last, in)) buf
       else insertSorted(buf, in, k, better)
+    }
 
     override def merge(a: List[Entry], b: List[Entry]): List[Entry] =
       b.foldLeft(a)((acc, e) => insertSorted(acc, e, k, better))

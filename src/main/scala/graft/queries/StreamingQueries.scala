@@ -534,6 +534,66 @@ object StreamingQueries {
       FROM e WHERE (event_id % 12) <= 9 GROUP BY 1""")),
 
 
+    // The EMIT side of the lateness family (r10): st_late_data_drop pins
+    // what the watermark DROPS; this row pins what an allowed-lateness
+    // budget MERGES — the knob users actually tune. Same synthesized
+    // 12-hour pattern, same 3 maximally-late id-chunks, but the
+    // watermark delay is 6 hours and the sink runs in UPDATE mode, so a
+    // late-but-inside-the-budget event re-emits its window's merged row
+    // instead of being discarded. Two-watermark semantics (the 3.4+
+    // late-filter/eviction split, pinned by the drop twin): chunk 0
+    // raises the watermark to 11:59 − 6h = 5:59; chunk 1's trigger
+    // still carries the INITIAL late filter (one-trigger lag) so all of
+    // chunk 1 merges; chunk 2's late filter IS 5:59 — its hours 0–4
+    // (window end ≤ 5:59) are dropped, its hours 5–11 are late yet
+    // inside the budget and MERGE. The memory sink accumulates every
+    // update row; max() per window reads the final merged state (counts
+    // are monotone under merge), and max_event_id ≥ 2·step on hours
+    // 5–11 vs < 2·step on hours 0–4 proves merge vs drop per window.
+    QueryDef("st_late_data_merge", (s, dir) => withStatePartitions(s, 8) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 3 + 1
+      val stage = stageIdChunks(s, (0 until 3).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val base = lit("2026-01-01 00:00:00").cast("timestamp").cast("long")
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("event_id"),
+          timestamp_seconds(base + (col("event_id") % 12) * 3600
+            + (col("event_id") % 60) * 60).as("ts"))
+        .withWatermark("ts", "6 hours")
+        .groupBy(window(col("ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("max_event_id"))
+        .writeStream.format("memory").queryName("graft_st_late_merge")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_st_late_merge")
+        .groupBy(col("win.start").as("window_start"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("max_event_id")).as("max_event_id"))
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 3 + 1 AS step FROM events),
+      e AS (SELECT event_id,
+          TIMESTAMP '2026-01-01 00:00:00'
+            + ((event_id % 12) * 3600 + (event_id % 60) * 60)
+              * INTERVAL 1 SECOND AS ts
+        FROM events CROSS JOIN mxs
+        WHERE event_id < 2 * step        -- chunks 0+1: always admitted
+           OR (event_id % 12) >= 5)      -- chunk 2: only windows ending
+                                         -- after the 5:59 late filter
+      SELECT date_trunc('hour', ts) AS window_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        max(event_id) AS max_event_id
+      FROM e GROUP BY 1""")),
+
+
     // Stream-static join: the unbounded stream enriches against a
     // broadcast dimension (per-micro-batch hash join — the streaming J1).
     QueryDef("st_stream_static_join", (s, dir) => withStatePartitions(s, 8) {

@@ -35,7 +35,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * O(triggers × tasks). For a monitor that lives beyond thousands of
  * triggers, [[compactHll]]/[[compactBloom]]/[[compactCms]] rewrite the
  * standing state to its collapsed form without breaking the replay
- * arguments (each scaladoc carries the proof obligation).
+ * arguments (each scaladoc carries the proof obligation) — either on
+ * the operator's own schedule (quiesced relative to triggers) or wired
+ * in-trigger via the ingests' `compactEvery` knob, where quiescence is
+ * structural.
  */
 object SketchIngest {
 
@@ -71,21 +74,52 @@ object SketchIngest {
         .saveAsTable(table)
   }
 
-  /** If `table` is ABSENT but its `__cpt_old` twin exists, a compaction
-    * crashed between its two renames — swap the surviving copy back in.
-    * Called before every append and at the start of every rewrite, so
-    * neither a restarted monitor nor the next compaction can lose the
-    * standing state (the append would otherwise recreate the table
-    * empty, and the next rewrite's cleanup would delete the survivor). */
+  /** Finish (or roll back) a compaction that crashed mid-swap. Three
+    * crash positions leave a `__cpt_old` twin behind, and ALL of them
+    * must be healed before any append or rewrite touches the table —
+    * the append would otherwise recreate the table empty, and the next
+    * rewrite's cleanup would delete the survivor:
+    *
+    *  1. between the two renames — `table` ABSENT, survivor under
+    *     `__cpt_old`: rename the survivor back in (+ MSCK — the rename
+    *     moved its directory out from under its partition metadata).
+    *  2. after the second rename but before the MSCK — `table` EXISTS
+    *     but a partitioned table READS EMPTY (partition metadata still
+    *     points at the stage table's pre-move paths): re-run the MSCK;
+    *     if the table still reads empty while the survivor doesn't,
+    *     restore the survivor (defense in depth — a swap that lost its
+    *     directory entirely must not become permanent data loss).
+    *  3. after the MSCK but before the old-copy cleanup — `table` reads
+    *     fine: just finish the cleanup.
+    *
+    * Reading the table to decide (an `isEmpty` probe) costs one
+    * metadata-pruned task and only runs when a survivor table exists —
+    * i.e. only in the trigger immediately after a crashed compaction. */
   private def recoverSwap(spark: SparkSession, table: String): Unit = {
     val old = s"${table}__cpt_old"
-    if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(old)) {
-      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+    if (!spark.catalog.tableExists(old)) return
+    def repair(): Unit = {
       if (spark.table(table).columns.contains(PB))
         spark.sql(s"MSCK REPAIR TABLE `$table`")
       spark.catalog.refreshTable(table)
     }
+    if (!spark.catalog.tableExists(table)) { // crash position 1
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+      repair()
+      return
+    }
+    if (spark.table(table).isEmpty) { // crash position 2 (or empty state)
+      repair()
+      if (spark.table(table).isEmpty && !spark.table(old).isEmpty) {
+        graft.core.Materialize.dropWithLocation(spark, table)
+        spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+        repair()
+        return
+      }
+    }
+    // crash position 3 (or a healed 2): the swapped-in copy reads —
+    // finish the interrupted cleanup
+    graft.core.Materialize.dropWithLocation(spark, old)
   }
 
   /** The pruning column of `df`: the `__pb` partition copy when the
@@ -136,17 +170,37 @@ object SketchIngest {
     // from the moved directory
     if (compacted.columns.contains(PB))
       spark.sql(s"MSCK REPAIR TABLE `$table`")
-    graft.core.Materialize.dropWithLocation(spark, old)
     spark.catalog.refreshTable(table)
+    // cleanup gate: every compaction preserves emptiness (group-bys and
+    // unions of the original), so a swapped-in table that reads empty
+    // against a non-empty survivor means the swap LOST data (stale
+    // metadata, moved-out directory) — keep the survivor for
+    // recoverSwap instead of deleting the last good copy
+    if (spark.table(table).isEmpty && !spark.table(old).isEmpty)
+      throw new IllegalStateException(
+        s"compaction swap of `$table` reads empty against a non-empty " +
+        s"`$old` — survivor retained for recoverSwap")
+    graft.core.Materialize.dropWithLocation(spark, old)
   }
 
+  /** `compactEvery` (0 = never) wires the maintenance pass into the
+    * monitor itself: every N committed batches the standing state is
+    * compacted from INSIDE the foreachBatch, where quiescence is
+    * structural — a micro-batch sink cannot race its own next trigger,
+    * so the "run quiesced relative to triggers" obligation the manual
+    * compactions carry is discharged by construction. Cadence is
+    * (batchId + 1) % N == 0, so replaying a compaction-bearing trigger
+    * re-runs the (idempotent) compaction too. */
   def hllIngest(stream: DataFrame, keyCol: String, groupCol: String,
                 tablePrefix: String,
-                checkpoint: Option[String] = None): StreamingQuery = {
+                checkpoint: Option[String] = None,
+                compactEvery: Int = 0): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       applyBatch(batch.toDF(), batchId, keyCol, groupCol, tablePrefix)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactHll(batch.sparkSession, tablePrefix)
     }.start()
   }
 
@@ -174,13 +228,18 @@ object SketchIngest {
    * + a broadcast semi-join against the ≤ m-row collapsed filter —
    * no shuffle of anything wider than the batch, state O(m) forever.
    */
+  /** `compactEvery` as in [[hllIngest]] — in-trigger auto-compaction of
+    * the position table every N committed batches. */
   def bloomNoveltyIngest(stream: DataFrame, keyCol: String,
                          tablePrefix: String, k: Int, m: Int,
-                         checkpoint: Option[String] = None): StreamingQuery = {
+                         checkpoint: Option[String] = None,
+                         compactEvery: Int = 0): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       applyBloomBatch(batch.toDF(), batchId, keyCol, tablePrefix, k, m)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactBloom(batch.sparkSession, tablePrefix)
     }.start()
   }
 
@@ -238,13 +297,18 @@ object SketchIngest {
    * candidate point-queries. State is O(d×w + N×triggers), never
    * O(keys).
    */
+  /** `compactEvery` as in [[hllIngest]] — in-trigger auto-compaction of
+    * the bucket + candidate tables every N committed batches. */
   def cmsIngest(stream: DataFrame, keyCol: String, tablePrefix: String,
                 d: Int, w: Int, topN: Int,
-                checkpoint: Option[String] = None): StreamingQuery = {
+                checkpoint: Option[String] = None,
+                compactEvery: Int = 0): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       applyCmsBatch(batch.toDF(), batchId, keyCol, tablePrefix, d, w, topN)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactCms(batch.sparkSession, tablePrefix)
     }.start()
   }
 

@@ -1072,4 +1072,169 @@ class StreamingSpec extends SparkSpec {
       "replayed batch ids must not duplicate monitor rows")
     graft.core.Materialize.dropWithLocation(spark, prefix + "_psi")
   }
+
+  /** Stage `chunks` as one parquet file each, mtime-ordered so a
+    * maxFilesPerTrigger=1 file stream drains one chunk per trigger —
+    * the StreamingQueries.stageIdChunks layout, spec-local. */
+  private def stageChunks(
+      chunks: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_spec_stage")
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val scratch = java.nio.file.Files.createTempDirectory("graft_spec_part")
+      c.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(
+        f"$stage/c$i%02d_chunk.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (chunks.size - i) * 60000L))
+    }
+    stage.toString
+  }
+
+  test("auto-compaction cadence: 6 triggers at compactEvery=2 stay bit-equal to the uncompacted twin") {
+    import spark.implicits._
+    val a = "graft_test_autocpt_a" // compactEvery = 2 (3 in-trigger compactions)
+    val b = "graft_test_autocpt_b" // compactEvery = 0 — ground truth
+    val tbls = Seq("_hll_regs", "_hll_est", "_bloom_pos", "_bloom_novel",
+      "_cms_cnt", "_cms_cand", "_cms_est")
+    for (p <- Seq(a, b); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      // 6 chunks with fresh + repeating keys so novelty, registers, and
+      // counts all evolve across the compaction points
+      val chunks = (0 until 6).map(i =>
+        Seq(s"k$i", s"k${i + 1}", "common")
+          .toDF("key").withColumn("src", lit("s1")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.StringType)))
+      val stage = stageChunks(chunks)
+      def feed() = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      for ((p, every) <- Seq(a -> 2, b -> 0)) {
+        val q1 = graft.streaming.SketchIngest.hllIngest(
+          feed(), "key", "src", p, compactEvery = every)
+        try q1.processAllAvailable() finally q1.stop()
+        val q2 = graft.streaming.SketchIngest.bloomNoveltyIngest(
+          feed(), "key", p, k = 4, m = 4096, compactEvery = every)
+        try q2.processAllAvailable() finally q2.stop()
+        val q3 = graft.streaming.SketchIngest.cmsIngest(
+          feed(), "key", p, d = 2, w = 64, topN = 2, compactEvery = every)
+        try q3.processAllAvailable() finally q3.stop()
+      }
+      // trajectories bit-equal across the 3 in-trigger compactions
+      def hll(p: String) = spark.table(p + "_hll_est")
+        .select("batch_id", "src", "est", "n_new")
+        .as[(Long, String, Double, Long)].collect().toSet
+      def nov(p: String) = spark.table(p + "_bloom_novel")
+        .select("batch_id", "key", "novel")
+        .as[(Long, String, Boolean)].collect().toSet
+      def cms(p: String) = spark.table(p + "_cms_est")
+        .select("batch_id", "key", "est")
+        .as[(Long, String, Long)].collect().toSet
+      assert(hll(a) == hll(b), "HLL estimate trajectory diverged")
+      assert(nov(a) == nov(b), "Bloom novelty trajectory diverged")
+      assert(cms(a) == cms(b), "CMS estimate trajectory diverged")
+      // the final cadence point (batch 5, (5+1)%2==0) compacted ALL
+      // committed state: standing tables must be in collapsed form
+      val regs = spark.table(a + "_hll_regs").select("src", "reg").collect()
+      assert(regs.length == regs.distinct.length,
+        "hll regs must be fully collapsed after the last cadence point")
+      val pos = spark.table(a + "_bloom_pos")
+        .select("batch_id", "pos").as[(Long, Int)].collect()
+      assert(pos.forall(_._1 == 5L) && pos.map(_._2).distinct.length == pos.length,
+        "bloom positions must be collapsed under the max committed id")
+      val cnt = spark.table(a + "_cms_cnt").select("batch_id", "j", "pos")
+        .as[(Long, Int, Int)].collect()
+      assert(cnt.forall(_._1 == 5L) &&
+        cnt.map(r => (r._2, r._3)).distinct.length == cnt.length,
+        "cms buckets must be collapsed under the max committed id")
+    } finally for (p <- Seq(a, b); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+
+  test("compaction crash between rename and MSCK: swapped-in table reads empty, next trigger repairs it") {
+    import spark.implicits._
+    val cra = "graft_test_mscr_a" // crashes after the second rename
+    val twn = "graft_test_mscr_b" // never-crashed twin
+    val tbls = Seq("_bloom_pos", "_bloom_novel")
+    for (p <- Seq(cra, twn); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      val b0 = Seq("u1", "u2", "u3").toDF("key")
+      val b1 = Seq("u2", "u4").toDF("key")
+      val b2 = Seq("u4", "u5", "u1").toDF("key")
+      for (p <- Seq(cra, twn)) {
+        graft.streaming.SketchIngest.applyBloomBatch(b0, 0L, "key", p, 4, 4096)
+        graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", p, 4, 4096)
+      }
+      // reproduce rewrite() crashing AFTER "stage RENAME TO table" but
+      // BEFORE the MSCK: stage a compacted copy, run both renames by
+      // hand, stop. The rename moves the stage directory out from under
+      // its partition metadata, so the swapped-in table READS EMPTY
+      // while the survivor sits under __cpt_old — the ADVICE r9 window
+      // where the old recoverSwap (absent-table-only) silently ran the
+      // next trigger on empty state and the next compaction deleted the
+      // survivor.
+      val posT = cra + "_bloom_pos"
+      spark.table(posT).filter(col("batch_id") <= 1L)
+        .select("pos").distinct()
+        .select(lit(1L).as("batch_id"), col("pos"))
+        .withColumn("__pb", col("batch_id"))
+        .write.mode("overwrite").format("parquet").partitionBy("__pb")
+        .saveAsTable(posT + "__cpt_stage")
+      spark.sql(s"ALTER TABLE `$posT` RENAME TO `${posT}__cpt_old`")
+      spark.sql(s"ALTER TABLE `${posT}__cpt_stage` RENAME TO `$posT`")
+      spark.catalog.refreshTable(posT)
+      assert(spark.table(posT).isEmpty,
+        "precondition: the un-MSCK'd swapped-in table must read empty " +
+        "(otherwise this spec no longer reproduces the crash window)")
+      // next trigger on both monitors: the crashed one must repair the
+      // partition metadata (or restore the survivor) before probing
+      for (p <- Seq(cra, twn))
+        graft.streaming.SketchIngest.applyBloomBatch(b2, 2L, "key", p, 4, 4096)
+      def nov(p: String) = spark.table(p + "_bloom_novel")
+        .select("batch_id", "key", "novel")
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(nov(cra) == nov(twn),
+        "repaired monitor must match the never-crashed twin")
+      assert(!spark.catalog.tableExists(posT + "__cpt_old"),
+        "interrupted cleanup must be finished")
+    } finally for (p <- Seq(cra, twn); t <- tbls;
+                   suf <- Seq("", "__cpt_old", "__cpt_stage"))
+      graft.core.Materialize.dropWithLocation(spark, p + t + suf)
+  }
+
+  test("late-data merge row: in-budget late chunks merge, beyond-filter windows stay dropped") {
+    val step = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(col("event_id"))).head().getLong(0) / 3 + 1
+    val out = graft.queries.Registry.queries("st_late_data_merge")(spark, sfDir)
+      .select(col("window_start"), col("n_events"), col("max_event_id"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant
+        .atZone(java.time.ZoneOffset.UTC).getHour, r.getLong(1), r.getLong(2)))
+    assert(out.length == 12, "all 12 hour windows must have emitted updates")
+    // hours 5-11: chunk 2 is late but inside the 6h budget — MERGED
+    // (final max_event_id comes from chunk 2's id range)
+    for ((h, _, mx) <- out if h >= 5)
+      assert(mx >= 2 * step, s"hour $h must contain chunk-2 events (merge)")
+    // hours 0-4: window end ≤ the 5:59 late filter — chunk 2 DROPPED
+    for ((h, _, mx) <- out if h <= 4)
+      assert(mx < 2 * step, s"hour $h must not contain chunk-2 events (drop)")
+    // and the merged counts are the batch counts over the admitted set
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val expect = ev.filter(col("event_id") < 2 * step ||
+        col("event_id") % 12 >= 5)
+      .groupBy((col("event_id") % 12).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    for ((h, n, _) <- out)
+      assert(n == expect(h), s"hour $h merged count must equal the batch count")
+  }
 }
