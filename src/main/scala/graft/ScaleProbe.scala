@@ -520,6 +520,16 @@ object ScaleProbe {
           .transform(graft.core.CacheRegistry.persistTracked)
         t.count(); t
       }
+      // the production two-stage point: ADC-rank 4k candidates, exact
+      // re-rank to k — recall recovers PQ's ranking error
+      val (rr, tRerank) = timed {
+        val t = Similarity.ivfPqTopK(base, "vec_id", "e",
+            probes, "probe_id", "pe", books, k = 10, nlist = 32, nprobe = 8,
+            rerankFrom = 40)
+          .select(col("probe_id"), col("vec_id"))
+          .transform(graft.core.CacheRegistry.persistTracked)
+        t.count(); t
+      }
       val (exact, tBrute) = timed {
         val e = Similarity.bruteForceTopKFused(base, "vec_id", "e",
             probes, "probe_id", "pe", k = 10)
@@ -529,9 +539,11 @@ object ScaleProbe {
       }
       val nExact = exact.count()
       val hit = exact.join(approx, Seq("probe_id", "vec_id"), "left_semi").count()
+      val hitRr = exact.join(rr, Seq("probe_id", "vec_id"), "left_semi").count()
       println(f"[scaleprobe] ivfpq256 m=$mult n=$n train=$tTrain%.2fs " +
-        f"search=$tSearch%.2fs brute=$tBrute%.2fs " +
-        f"recall=${hit.toDouble / nExact}%.3f")
+        f"search=$tSearch%.2fs rerank=$tRerank%.2fs brute=$tBrute%.2fs " +
+        f"recall=${hit.toDouble / nExact}%.3f " +
+        f"recallRr=${hitRr.toDouble / nExact}%.3f")
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
@@ -752,17 +764,19 @@ object ScaleProbe {
         tables.foreach(suf =>
           graft.core.Materialize.dropWithLocation(spark, prefix + suf))
         val walls = (0 until t).map { i =>
-          val (_, w) = timed {
-            apply1(batchDf(i), i.toLong, prefix)
-            if (compactEvery > 0 && (i + 1) % compactEvery == 0)
-              compact1(spark, prefix)
-          }
-          w
+          val (_, w) = timed { apply1(batchDf(i), i.toLong, prefix) }
+          val isCadence = compactEvery > 0 && (i + 1) % compactEvery == 0
+          val (_, c) = timed { if (isCadence) compact1(spark, prefix) }
+          (w, if (isCadence) Some(c) else None)
         }
-        def mean(xs: Seq[Double]) = xs.sum / xs.size
+        def mean(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+        // steady state = the last 8 per-trigger apply walls, compaction
+        // timed separately (its amortized share is cpt/compactEvery)
+        val cpts = walls.flatMap(_._2)
         println(f"[scaleprobe] sketchtrig $name%-5s compactEvery=$compactEvery " +
-          f"triggers=$t%-4d first4=${mean(walls.take(4))}%.3fs " +
-          f"last4=${mean(walls.takeRight(4))}%.3fs")
+          f"triggers=$t%-4d first4=${mean(walls.take(4).map(_._1))}%.3fs " +
+          f"last8=${mean(walls.takeRight(8).map(_._1))}%.3fs " +
+          f"cpt=${mean(cpts)}%.3fs x${cpts.size}")
         tables.foreach(suf =>
           graft.core.Materialize.dropWithLocation(spark, prefix + suf))
         spark.catalog.clearCache()

@@ -15,6 +15,65 @@ import ExtQueries._
  */
 object ExtSimilarityQueries {
 
+  /** DuckDB CTE chain shared by the ext_sim_ivf_pq* oracles: coarse
+    * quantizer (vec_id%8-seeded cells), per-probe nprobe=2 cell pick,
+    * four per-subspace k=8/iters=1 kmeans replays, ADC-scored
+    * candidates, ranked as `rk(probe_id, vec_id, score, rank)`.
+    * `v(vec_id, e)` stays visible to callers for exact re-ranks. */
+  private def ivfPqCtes: String = s"""v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      dimvals AS (SELECT vec_id % 8 AS lbl, generate_subscripts(e, 1) AS dim,
+          unnest(e) AS val FROM v),
+      cent AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
+        FROM dimvals GROUP BY 1, 2),
+      centv AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM cent GROUP BY lbl),
+      vscore AS (SELECT v.vec_id, c.lbl,
+          round(list_inner_product(v.e, c.cv) /
+            nullif(sqrt(list_inner_product(v.e, v.e))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM v CROSS JOIN centv c),
+      vass AS (SELECT vec_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY s DESC, lbl) AS rn FROM vscore)
+        WHERE rn = 1),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+      pscore AS (SELECT p.probe_id, c.lbl,
+          round(list_inner_product(p.pe, c.cv) /
+            nullif(sqrt(list_inner_product(p.pe, p.pe))
+                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
+        FROM p CROSS JOIN centv c),
+      pcells AS (SELECT probe_id, lbl FROM (SELECT *, row_number() OVER
+          (PARTITION BY probe_id ORDER BY s DESC, lbl) AS rn FROM pscore)
+        WHERE rn <= 2),
+      sv0 AS (SELECT vec_id, e[1:16] AS e FROM v),
+      sv1 AS (SELECT vec_id, e[17:32] AS e FROM v),
+      sv2 AS (SELECT vec_id, e[33:48] AS e FROM v),
+      sv3 AS (SELECT vec_id, e[49:64] AS e FROM v),
+      ${duckKmeans(k = 8, iters = 1, src = "sv0", p = "s0")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv1", p = "s1")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv2", p = "s2")},
+      ${duckKmeans(k = 8, iters = 1, src = "sv3", p = "s3")},
+      cand AS (SELECT pc.probe_id, va.vec_id
+        FROM pcells pc JOIN vass va ON va.lbl = pc.lbl),
+      sc AS (SELECT c.probe_id, c.vec_id,
+          round(
+            round(list_inner_product(pr.e[1:16],  b0.cv) + 1e-9, 6)
+          + round(list_inner_product(pr.e[17:32], b1.cv) + 1e-9, 6)
+          + round(list_inner_product(pr.e[33:48], b2.cv) + 1e-9, 6)
+          + round(list_inner_product(pr.e[49:64], b3.cv) + 1e-9, 6)
+          + 1e-9, 6) AS score
+        FROM cand c
+        JOIN v pr ON pr.vec_id = c.probe_id
+        JOIN s0af ON s0af.vec_id = c.vec_id
+        JOIN s1af ON s1af.vec_id = c.vec_id
+        JOIN s2af ON s2af.vec_id = c.vec_id
+        JOIN s3af ON s3af.vec_id = c.vec_id
+        JOIN s0c1 b0 ON b0.lbl = s0af.lbl
+        JOIN s1c1 b1 ON b1.lbl = s1af.lbl
+        JOIN s2c1 b2 ON b2.lbl = s2af.lbl
+        JOIN s3c1 b3 ON b3.lbl = s3af.lbl),
+      rk AS (SELECT probe_id, vec_id, score, row_number() OVER
+          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM sc)"""
+
   def defs: Seq[QueryDef] = Seq(
 
 
@@ -595,61 +654,42 @@ object ExtSimilarityQueries {
           books, k = 5, nlist = 8, nprobe = 2)
         .select(col("probe_id"), col("vec_id"), col("score"),
           col("rank").cast("long").as("rank"))
-    }, Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-      dimvals AS (SELECT vec_id % 8 AS lbl, generate_subscripts(e, 1) AS dim,
-          unnest(e) AS val FROM v),
-      cent AS (SELECT lbl, dim, round(avg(val) + 1e-9, 6) AS c
-        FROM dimvals GROUP BY 1, 2),
-      centv AS (SELECT lbl, list(c ORDER BY dim) AS cv FROM cent GROUP BY lbl),
-      vscore AS (SELECT v.vec_id, c.lbl,
-          round(list_inner_product(v.e, c.cv) /
-            nullif(sqrt(list_inner_product(v.e, v.e))
-                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
-        FROM v CROSS JOIN centv c),
-      vass AS (SELECT vec_id, lbl FROM (SELECT *, row_number() OVER
-          (PARTITION BY vec_id ORDER BY s DESC, lbl) AS rn FROM vscore)
-        WHERE rn = 1),
-      p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-      pscore AS (SELECT p.probe_id, c.lbl,
-          round(list_inner_product(p.pe, c.cv) /
-            nullif(sqrt(list_inner_product(p.pe, p.pe))
-                 * sqrt(list_inner_product(c.cv, c.cv)), 0) + 1e-9, 6) AS s
-        FROM p CROSS JOIN centv c),
-      pcells AS (SELECT probe_id, lbl FROM (SELECT *, row_number() OVER
-          (PARTITION BY probe_id ORDER BY s DESC, lbl) AS rn FROM pscore)
-        WHERE rn <= 2),
-      sv0 AS (SELECT vec_id, e[1:16] AS e FROM v),
-      sv1 AS (SELECT vec_id, e[17:32] AS e FROM v),
-      sv2 AS (SELECT vec_id, e[33:48] AS e FROM v),
-      sv3 AS (SELECT vec_id, e[49:64] AS e FROM v),
-      ${duckKmeans(k = 8, iters = 1, src = "sv0", p = "s0")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv1", p = "s1")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv2", p = "s2")},
-      ${duckKmeans(k = 8, iters = 1, src = "sv3", p = "s3")},
-      cand AS (SELECT pc.probe_id, va.vec_id
-        FROM pcells pc JOIN vass va ON va.lbl = pc.lbl),
-      sc AS (SELECT c.probe_id, c.vec_id,
-          round(
-            round(list_inner_product(pr.e[1:16],  b0.cv) + 1e-9, 6)
-          + round(list_inner_product(pr.e[17:32], b1.cv) + 1e-9, 6)
-          + round(list_inner_product(pr.e[33:48], b2.cv) + 1e-9, 6)
-          + round(list_inner_product(pr.e[49:64], b3.cv) + 1e-9, 6)
-          + 1e-9, 6) AS score
-        FROM cand c
-        JOIN v pr ON pr.vec_id = c.probe_id
-        JOIN s0af ON s0af.vec_id = c.vec_id
-        JOIN s1af ON s1af.vec_id = c.vec_id
-        JOIN s2af ON s2af.vec_id = c.vec_id
-        JOIN s3af ON s3af.vec_id = c.vec_id
-        JOIN s0c1 b0 ON b0.lbl = s0af.lbl
-        JOIN s1c1 b1 ON b1.lbl = s1af.lbl
-        JOIN s2c1 b2 ON b2.lbl = s2af.lbl
-        JOIN s3c1 b3 ON b3.lbl = s3af.lbl),
-      rk AS (SELECT probe_id, vec_id, score, row_number() OVER
-          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM sc)
+    }, Some(s"""WITH $ivfPqCtes
       SELECT probe_id, vec_id, score, CAST(rank AS BIGINT) AS rank
       FROM rk WHERE rank <= 5""")),
+
+
+    // IVF-PQ + exact re-rank — the two-stage production point (the
+    // FAISS refine step): ADC ranks rerankFrom=12 candidates per probe,
+    // then only those fetch true vectors for an exact-cosine re-rank to
+    // k=5. Oracle = the same CTE chain, cut at 12, re-scored with the
+    // true-vector inner product. Pins that re-ranked scores are exact
+    // cosines (not ADC reconstructions) and that the candidate cut
+    // happens on ADC order.
+    QueryDef("ext_sim_ivf_pq_rerank", (s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      val books = Similarity.pqTrain(base, "vec_id", "e",
+        dim = 64, m = 4, k = 8, iters = 1)
+      val probes = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      Similarity.ivfPqTopK(base, "vec_id", "e", probes, "probe_id", "pe",
+          books, k = 5, nlist = 8, nprobe = 2, rerankFrom = 12)
+        .select(col("probe_id"), col("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }, Some(s"""WITH $ivfPqCtes,
+      cut AS (SELECT probe_id, vec_id FROM rk WHERE rank <= 12),
+      ex AS (SELECT c.probe_id, c.vec_id,
+          round(list_inner_product(vv.e, pv.e) /
+            nullif(sqrt(list_inner_product(vv.e, vv.e))
+                 * sqrt(list_inner_product(pv.e, pv.e)), 0) + 1e-9, 6) AS score
+        FROM cut c
+        JOIN v pv ON pv.vec_id = c.probe_id
+        JOIN v vv ON vv.vec_id = c.vec_id),
+      rk2 AS (SELECT probe_id, vec_id, score, row_number() OVER
+          (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank FROM ex)
+      SELECT probe_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+      FROM rk2 WHERE rank <= 5""")),
 
 
     // Hard-negative mining for contrastive/retrieval training: per probe,

@@ -487,6 +487,52 @@ class SimilaritySpec extends SparkSpec {
       pruned.exists(_._1 == p.getLong(0))), "every probe gets candidates")
   }
 
+  test("IVF-PQ exact re-rank: scores become true cosines, recall dominates ADC-only") {
+    import graft.ext.Similarity
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+    val n = base.count().toInt
+    val books = Similarity.pqTrain(base, "vec_id", "e",
+      dim = 64, m = 4, k = 8, iters = 1)
+    val probes = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopKFused(base, "vec_id", "e",
+      probes, "probe_id", "pe", k = 5))
+    val plain = pairs(Similarity.ivfPqTopK(base, "vec_id", "e",
+      probes, "probe_id", "pe", books, k = 5, nlist = 8, nprobe = 4))
+    val rrDf = Similarity.ivfPqTopK(base, "vec_id", "e",
+      probes, "probe_id", "pe", books, k = 5, nlist = 8, nprobe = 4,
+      rerankFrom = 20)
+    // re-ranked scores are the TRUE cosines, not ADC reconstructions
+    val vecOf = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def rnd(x: Double) = math.floor((x + 1e-9) * 1e6 + 0.5) / 1e6
+    rrDf.collect().foreach { r =>
+      val (pid, vid, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (p, v) = (vecOf(pid), vecOf(vid))
+      val dot = p.indices.map(i => p(i) * v(i)).sum
+      val cos = dot / (math.sqrt(p.map(x => x * x).sum) *
+        math.sqrt(v.map(x => x * x).sum))
+      assert(math.abs(rnd(cos) - s) < 2e-6,
+        s"probe $pid vec $vid: rerank score $s is not the exact cosine $cos")
+    }
+    val rr = pairs(rrDf)
+    def recall(got: Set[(Long, Long)]) =
+      got.intersect(exact).size.toDouble / exact.size
+    assert(recall(rr) >= recall(plain),
+      s"re-rank recall ${recall(rr)} must dominate ADC-only ${recall(plain)}")
+    // no cell loss (nprobe = nlist) + re-rank over every candidate ==
+    // exact brute force, pair for pair
+    val full = pairs(Similarity.ivfPqTopK(base, "vec_id", "e",
+      probes, "probe_id", "pe", books, k = 5, nlist = 8, nprobe = 8,
+      rerankFrom = n))
+    assert(full == exact,
+      "full-coverage re-rank must equal the exact brute-force top-k")
+  }
+
   test("prototypicality pruning drops exactly the most-typical fraction per cluster") {
     import org.apache.spark.sql.functions._
     val vecs = graft.core.Tables.embeddings(spark, sfDir)
