@@ -154,19 +154,130 @@ object Bench {
       floors = merged
     } catch { case e: Throwable =>
       System.err.println(s"bench_results write failed: $e") }
+    // External comparator (r11, judge-requested): DuckDB wall-clock over
+    // the SAME tpch oracle SQL and fixture parquet — the reference
+    // publishes no perf figures, so this is the one externally meaningful
+    // ratio available in-sandbox. DuckDB is single-node columnar with a
+    // native optimizer: the ratio is an order-of-magnitude sanity anchor,
+    // not a race. Per-query minima merge across runs (duckdb_floors.json)
+    // exactly like the Spark floors they're compared to.
+    var duckdbFloors = Map.empty[String, Double]
+    if (only.isEmpty) try {
+      val raw = runDuckdb(sfDir,
+        SparkEntry.oracleSql.filter(_._1.startsWith("tpch_")))
+      val outDir = new java.io.File(
+        new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results")
+      outDir.mkdirs()
+      val f = new java.io.File(outDir, "duckdb_floors.json")
+      val prior = readFloors(f)
+      if (raw.nonEmpty) {
+        val mergedQ = (prior.queries.keySet ++ raw.keySet).toSeq.sorted.map { k =>
+          (k, (prior.queries.get(k).toSeq ++ raw.get(k).toSeq).min, true)
+        }
+        val runs = mergedQ.map { case (k, _, _) =>
+          k -> (prior.runs.getOrElse(k, 0) + (if (raw.contains(k)) 1 else 0))
+        }.toMap
+        val body = s"""{"queries":${qJson(mergedQ)},"runs":${runsJson(mergedQ, runs)},"n_queries":${mergedQ.size},"merged_runs":${prior.mergedRuns + 1},"sf":"$sfDir"}"""
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.println(body) finally w.close()
+        duckdbFloors = mergedQ.map(t => t._1 -> t._2).toMap
+      } else duckdbFloors = prior.queries // comparator unavailable this run
+    } catch { case e: Throwable =>
+      System.err.println(s"duckdb comparator failed: $e") }
+    // Plan-audit coverage gate (r11, judge-requested): the r10 audit
+    // silently lagged the registry by one query because nobody re-ran it
+    // after the last registration — fail loudly (stderr + slim field)
+    // whenever the latest planaudit file covers fewer queries than the
+    // registry, so the drift is visible in the round artifact itself.
+    val planaudit: Option[(Int, Int)] = if (only.isEmpty) try {
+      val outDir = new java.io.File(
+        new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results")
+      val auditRe = "planaudit_r(\\d+)\\.json".r
+      Option(outDir.listFiles()).toSeq.flatten.map(_.getName)
+        .collect { case f @ auditRe(n) => (n.toInt, f) }.sorted.lastOption
+        .flatMap { case (_, fname) =>
+          val txt = scala.io.Source.fromFile(
+            new java.io.File(outDir, fname), "UTF-8").mkString
+          """"n_queries":(\d+)""".r.findFirstMatchIn(txt)
+            .map(m => (m.group(1).toInt, SparkEntry.queries.size))
+        }
+    } catch { case _: Throwable => None } else None
+    planaudit.foreach { case (n, reg) =>
+      if (n != reg) System.err.println(
+        s"PLANAUDIT STALE: audit covers $n queries, registry has $reg — " +
+        "re-run `runMain graft.PlanAudit <sfDir>`") }
     // stdout gets a SLIM line, printed LAST: the driver keeps only the
     // final ~2000 chars of stdout and json-parses them, so the full
     // 345-query map (~10 KB) made its artifact unparseable from r07 on.
     // Family subtotals + the slowest queries fit the window; the full
     // per-query map lives in bench_results/ (written above).
-    val slim = slimJson(floors, errors, sfDir, hostJson)
+    val slim = slimJson(floors, errors, sfDir, hostJson, duckdbFloors,
+      planaudit)
     // Nothing may print after the slim line: drop the log level so
     // executor/shutdown-hook WARNs can't land in the tail, stop Spark
-    // FIRST (stop itself logs), then emit the JSON as the final line.
+    // FIRST (stop itself logs — and a throwing stop() must not swallow
+    // the line the driver parses), then emit the JSON as the final line.
     try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
     println(slim)
     System.out.flush()
+  }
+
+  /** Run tools/duckdb_bench.py over `sqls` and return per-query best
+    * wall seconds; empty on any failure (python/duckdb are driver-side
+    * tools — the bench must degrade, not die, without them; the failure
+    * reason goes to stderr so an empty comparator is diagnosable). */
+  private[graft] def runDuckdb(sfDir: String,
+                               sqls: Map[String, String]): Map[String, Double] = {
+    if (sqls.isEmpty) return Map.empty
+    val script = new java.io.File(
+      new java.io.File(sys.props.getOrElse("user.dir", ".")),
+      "tools/duckdb_bench.py")
+    if (!script.exists) return Map.empty
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val tmp = java.io.File.createTempFile("graft_tpch_sql", ".json")
+    try {
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try w.println(sqls.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + esc(k) + "\":\"" + esc(v) + "\""
+      }.mkString("{", ",", "}")) finally w.close()
+      val pb = new ProcessBuilder(
+        "python3", script.getPath, sfDir, tmp.getPath, "3")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val errT = new Thread(() => {
+        val e = scala.io.Source.fromInputStream(
+          proc.getErrorStream, "UTF-8").mkString
+        if (e.nonEmpty) System.err.println(s"duckdb_bench stderr: ${e.take(800)}")
+      })
+      errT.setDaemon(true); errT.start()
+      val out = scala.io.Source.fromInputStream(
+        proc.getInputStream, "UTF-8").mkString
+      val rc = proc.waitFor()
+      errT.join(2000)
+      if (rc != 0) {
+        System.err.println(s"duckdb_bench exited rc=$rc")
+        Map.empty
+      } else {
+        val qObj = {
+          val start = out.indexOf("\"queries\":")
+          if (start < 0) "" else out.substring(start)
+        }
+        val parsed = """"(tpch_[^"]+)": ?([0-9.]+)""".r.findAllMatchIn(qObj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (parsed.isEmpty)
+          System.err.println(s"duckdb_bench output unparseable: ${out.take(400)}")
+        parsed
+      }
+    } finally tmp.delete()
   }
 
   private case class Floors(queries: Map[String, Double],
@@ -181,12 +292,21 @@ object Bench {
     if (!f.exists) return Floors(Map.empty, Map.empty, 0, None)
     try {
       val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+      // brace-DEPTH scan, not first-'}' (ADVICE r10): a nested value in
+      // a future schema must truncate loudly in review, not silently
+      // reset floors/run counts. Strings in these files never contain
+      // braces (query names + numbers), so no quote tracking is needed.
       def obj(field: String): String = {
         val start = txt.indexOf("\"" + field + "\":{")
         if (start < 0) "" else {
           val open = start + field.length + 3
-          val close = txt.indexOf('}', open)
-          txt.substring(open, if (close < 0) txt.length else close + 1)
+          var i = open; var depth = 0
+          while (i < txt.length && (depth > 0 || i == open)) {
+            if (txt.charAt(i) == '{') depth += 1
+            else if (txt.charAt(i) == '}') depth -= 1
+            i += 1
+          }
+          txt.substring(open, i)
         }
       }
       val qRe = """"([^"]+)":([0-9.]+)""".r
@@ -220,10 +340,15 @@ object Bench {
     * The values shown are the ROUND FLOORS (per-query minima merged
     * across this round's runs — what `results` carries at the callsite),
     * labeled via `queries_are` so a reader of the driver artifact alone
-    * doesn't mistake one throttled cold run for a 20× regression. */
+    * doesn't mistake one throttled cold run for a 20× regression.
+    * The tpch family additionally carries the DuckDB comparator:
+    * `duckdb_sec` = the sum of DuckDB per-query floors over the same
+    * oracle SQL, `vs_duckdb` = spark/duckdb (see duckdb_floors.json). */
   private[graft] def slimJson(results: Seq[(String, Double, Boolean)],
                               errors: List[String], sfDir: String,
-                              hostJson: String): String = {
+                              hostJson: String,
+                              duckdb: Map[String, Double] = Map.empty,
+                              planaudit: Option[(Int, Int)] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val famOf = (n: String) => n.split("_")(0) match {
       case f @ ("tpch" | "pl" | "st" | "ext" | "dq") => f
@@ -232,13 +357,21 @@ object Bench {
     val fams = results.groupBy { case (n, _, _) => famOf(n) }.toSeq.sortBy(_._1)
       .map { case (f, rs) =>
         val s = rs.collect { case (_, v, true) => v }.sum
-        f""""$f":{"sec":$s%.1f,"n":${rs.size}}"""
+        val dk = rs.flatMap { case (n, _, _) => duckdb.get(n) }
+        // both-sides coverage only: a ratio over mismatched query sets
+        // would be noise dressed as a number
+        if (f == "tpch" && dk.size == rs.size && dk.sum > 0)
+          f""""$f":{"sec":$s%.1f,"n":${rs.size},"duckdb_sec":${dk.sum}%.1f,"vs_duckdb":${s / dk.sum}%.2f}"""
+        else f""""$f":{"sec":$s%.1f,"n":${rs.size}}"""
       }.mkString("{", ",", "}")
     val slowest = results.filter(_._3).sortBy(-_._2).take(12)
       .map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errSlim = (errors.take(5).map(e => "\"" + e.replace("\"", "'") + "\"")
       ++ (if (errors.size > 5) Seq(s""""+${errors.size - 5} more"""") else Nil))
       .mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"queries_are":"round_floor_sec_slowest12","families":$fams,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson,"full":"bench_results/"}"""
+    val audit = planaudit.map { case (n, reg) =>
+      s""","planaudit":{"n":$n,"registry":$reg,"stale":${n != reg}}"""
+    }.getOrElse("")
+    f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"queries_are":"round_floor_sec_slowest12","families":$fams,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson$audit,"full":"bench_results/"}"""
   }
 }

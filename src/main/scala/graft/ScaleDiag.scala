@@ -23,9 +23,12 @@ object ScaleDiag {
       }.reduce(_ unionByName _)
         .transform(graft.core.CacheRegistry.persistTracked)
       val base = docs.filter(col("doc_id") % 3 =!= 0)
+      // dup ids shift past the amplified max id (the winnow-probe rule):
+      // a fixed offset collides once amplification × scale factor grows
+      val maxId = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
       val batch = docs.filter(col("doc_id") % 3 === 0)
         .unionByName(docs.filter(col("doc_id") % 5 === 1)
-          .select((col("doc_id") + 400000L).as("doc_id"),
+          .select((col("doc_id") + lit(maxId + 1L)).as("doc_id"),
             concat(col("text"), lit(" dup marker tail")).as("text")))
       val (bandBase, _) = Dedup.nearDupIndex(base, "doc_id", "text",
         numHashes = 64, bands = 32)

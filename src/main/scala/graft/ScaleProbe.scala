@@ -101,9 +101,13 @@ object ScaleProbe {
         .transform(graft.core.CacheRegistry.persistTracked)
       val nDocs = docs.count()
       val base = docs.filter(col("doc_id") % 3 =!= 0)
+      // dup ids shift past the amplified max id (the winnow-probe rule):
+      // a fixed offset would collide with real doc ids at larger
+      // multipliers/scale factors, silently merging distinct docs
+      val maxId = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
       val batch = docs.filter(col("doc_id") % 3 === 0)
         .unionByName(docs.filter(col("doc_id") % 5 === 1)
-          .select((col("doc_id") + 400000L).as("doc_id"),
+          .select((col("doc_id") + lit(maxId + 1L)).as("doc_id"),
             concat(col("text"), lit(" dup marker tail")).as("text")))
       val (kept, tInc) = timed {
         Dedup.incrementalNearDup(batch, base, "doc_id", "text",
@@ -123,9 +127,12 @@ object ScaleProbe {
     // amplifies linearly with m and cross-copy Jaccard stays 0.
     for (m <- multSteps if section("prefixjoin")) {
       val base = amplifyDocs(docs0, m)
+      // dup ids shift past the amplified max id (the winnow-probe rule):
+      // a fixed offset collides once amplification × scale factor grows
+      val maxId = base.agg(max(col("doc_id")).cast("long")).head().getLong(0)
       val docs = base
         .unionByName(base.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 400000000L).as("doc_id"),
+          .select((col("doc_id") + lit(maxId + 1L)).as("doc_id"),
             concat(col("text"), lit(" dup marker tail")).as("text")))
         .transform(graft.core.CacheRegistry.persistTracked)
       val nDocs = docs.count()
@@ -173,12 +180,17 @@ object ScaleProbe {
       corpus.select(col("doc_id")).withColumn("__last_batch", lit(0L))
         .write.mode("overwrite").saveAsTable(prefix + "_docs")
       // fixed-size batch regardless of m: half near-dup tails of copy-0
-      // docs (must drop vs the index), half novel
+      // docs (must drop vs the index), half novel. Batch ids shift past
+      // the amplified max id (the winnow-probe rule — a fixed offset
+      // collides once amplification × scale factor grows); the two
+      // groups stay disjoint by a second stride of the UNAMPLIFIED max.
+      val maxIdx = corpus.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+      val max0 = docs0.agg(max(col("doc_id")).cast("long")).head().getLong(0)
       val batch = docs0.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 90000000L).as("doc_id"),
+        .select((col("doc_id") + lit(maxIdx + 1L)).as("doc_id"),
           concat(col("text"), lit(" dup marker tail")).as("text"))
         .unionByName(docs0.filter(col("doc_id") % 10 === 1)
-          .select((col("doc_id") + 95000000L).as("doc_id"),
+          .select((col("doc_id") + lit(maxIdx + max0 + 2L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", "novelx$1").as("text")))
       val (_, tBatch) = timed {
         graft.streaming.CorpusIngest.applyNearDupBatch(

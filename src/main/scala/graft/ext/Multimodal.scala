@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
  * video payloads ride as opaque `binary` columns next to a typed metadata
  * struct; decode/feature steps run per-partition in batches.
  *
- * The actual media decode is STUBBED (this environment ships no
- * image/audio codecs — see [[decodeStub]]): the Spark-side contract —
- * schema, partition sizing, per-partition batch execution, deterministic
- * output — is real and tested, and a production deployment swaps
- * [[decodeStub]] for a codec call without touching the plumbing.
+ * FORMAT-HEADER parsing is REAL (r11): [[mediaMeta]] reads width/height/
+ * duration out of PNG IHDR / JPEG SOF / WAV fmt+data bytes scan-side —
+ * pure byte arithmetic, no codec needed. The pixel/sample DECODE beyond
+ * the header is still STUBBED (this environment ships no image/audio
+ * codecs — see [[resizeStub]]/[[extractFeatures]]): the Spark-side
+ * contract — schema, partition sizing, per-partition batch execution,
+ * deterministic output — is real and tested, and a production deployment
+ * swaps the stub loop bodies for codec calls without touching the
+ * plumbing.
  *
  * Scale notes:
  *  - Binary payloads dominate row size: repartition by target bytes, not
@@ -41,19 +45,137 @@ object Multimodal {
 
   /**
    * Wrap any (id, binary) frame into the canonical media shape, deriving
-   * the byte-count metadata from the payload itself.
+   * ALL metadata from the payload itself: n_bytes from its length, and
+   * width/height/duration_ms by REAL format-header parsing
+   * ([[mediaMeta]] — PNG IHDR, JPEG SOF segment walk, WAV RIFF chunk
+   * walk; pure byte arithmetic, scan-side, no codec). Payloads that
+   * match no known magic keep NULL dimensions — the pre-r11 behavior.
    */
   def toMediaFrame(df: DataFrame, idCol: String, payloadCol: String,
-                   mediaType: Column): DataFrame =
+                   mediaType: Column): DataFrame = {
+    val mm = mediaMeta(col(payloadCol))
     df.select(
       col(idCol).cast("long").as("media_id"),
       mediaType.as("media_type"),
       col(payloadCol).as("payload"),
       struct(
         length(col(payloadCol)).cast("long").as("n_bytes"),
-        lit(null).cast("int").as("width"),
-        lit(null).cast("int").as("height"),
-        lit(null).cast("long").as("duration_ms")).as("meta"))
+        mm.getField("width").as("width"),
+        mm.getField("height").as("height"),
+        mm.getField("duration_ms").as("duration_ms")).as("meta"))
+  }
+
+  /** One payload byte as a long (1-based position, column-typed). */
+  private def byteAt(payload: Column, pos: Column): Column =
+    conv(hex(payload.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+
+  /** Big-endian u16/u32 reads at a column-typed 1-based position. */
+  private def be2(payload: Column, pos: Column): Column =
+    byteAt(payload, pos) * 256 + byteAt(payload, pos + 1)
+  private def be4(payload: Column, pos: Column): Column =
+    be2(payload, pos) * 65536 + be2(payload, pos + 2)
+
+  /** Little-endian u32 read (RIFF/WAV byte order). */
+  private def le4(payload: Column, pos: Column): Column =
+    byteAt(payload, pos) + byteAt(payload, pos + 1) * 256 +
+      byteAt(payload, pos + 2) * 65536 + byteAt(payload, pos + 3) * 16777216
+
+  private def nullL = lit(null).cast("long")
+
+  /**
+   * REAL media-format header parsing, scan-side (ADVICE/VERDICT r10):
+   * `struct(format, width, height, duration_ms)` read out of the
+   * payload's own bytes with `org.apache.spark.sql.functions` only —
+   * codegen-friendly Column arithmetic, no UDF, no codec:
+   *
+   *  - PNG: 8-byte signature, then the IHDR chunk that the spec REQUIRES
+   *    first — width/height are the two big-endian u32s at offsets 16/20.
+   *  - JPEG: SOI then a SEGMENT WALK (a bounded [[functions.aggregate]]
+   *    fold — each marker segment carries its own big-endian length, so
+   *    the walk skips APPn/COM/DQT/DHT at any position) to the first
+   *    SOF0/SOF1/SOF2 frame header: height/width are the big-endian u16s
+   *    at segment offsets 5/7. Stops dead at SOS (entropy data follows —
+   *    a well-formed file puts SOF before it) or any non-FF marker byte.
+   *  - WAV: RIFF....WAVE then a CHUNK WALK (same bounded fold — chunks
+   *    carry little-endian u32 sizes, odd sizes pad one byte) collecting
+   *    the fmt chunk's byte-rate (data offset 8) and the data chunk's
+   *    size; duration_ms = data_bytes × 1000 / byte_rate, floored.
+   *
+   * Unknown magic, truncated headers, or walks that exhaust their bound
+   * (24 JPEG segments / 16 WAV chunks — generous for real files, and a
+   * hard ceiling so the expression stays O(1) per row) yield NULLs.
+   */
+  def mediaMeta(payload: Column): Column = {
+    val n = length(payload).cast("long")
+    val isPng = n >= lit(24L) &&
+      hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A") &&
+      hex(substring(payload, 13, 4)) === lit("49484452") // "IHDR"
+    val isJpeg = n >= lit(4L) &&
+      hex(substring(payload, 1, 2)) === lit("FFD8")
+    val isWav = n >= lit(44L) &&
+      substring(payload, 1, 4).cast("string") === lit("RIFF") &&
+      substring(payload, 9, 4).cast("string") === lit("WAVE")
+
+    // JPEG segment walk: acc = (pos, w, h); w set ⇒ SOF found, pos<0 ⇒ dead
+    val jZero = struct(lit(3L).as("pos"), nullL.as("w"), nullL.as("h"))
+    val jDead = struct(lit(-1L).as("pos"), nullL.as("w"), nullL.as("h"))
+    val jWalk = aggregate(sequence(lit(1), lit(24)), jZero, (acc, _) => {
+      val pos = acc.getField("pos")
+      val m2 = byteAt(payload, pos + 1)
+      val isSof = (m2 === 192) || (m2 === 193) || (m2 === 194)
+      when(acc.getField("w").isNotNull || pos < 0, acc)
+        .when(pos + 8 > n || byteAt(payload, pos) =!= 255 || m2 === 218, jDead)
+        .when(isSof, struct(pos.as("pos"),
+          be2(payload, pos + 7).as("w"), be2(payload, pos + 5).as("h")))
+        .otherwise(struct((pos + 2 + be2(payload, pos + 2)).as("pos"),
+          nullL.as("w"), nullL.as("h")))
+    })
+
+    // WAV chunk walk: acc = (pos, rate, bytes); both set ⇒ done
+    val wZero = struct(lit(13L).as("pos"), nullL.as("rate"), nullL.as("bytes"))
+    val wWalk = aggregate(sequence(lit(1), lit(16)), wZero, (acc, _) => {
+      val pos = acc.getField("pos")
+      val rate = acc.getField("rate")
+      val dataB = acc.getField("bytes")
+      val cid = payload.substr(pos.cast("int"), lit(4)).cast("string")
+      val csz = le4(payload, pos + 4)
+      val next = pos + 8 + csz + (csz % 2) // RIFF pads odd chunks
+      when((rate.isNotNull && dataB.isNotNull) || pos < 0, acc)
+        .when(pos + 7 > n,
+          struct(lit(-1L).as("pos"), rate.as("rate"), dataB.as("bytes")))
+        .when(cid === "fmt ", struct(next.as("pos"),
+          le4(payload, pos + 16).as("rate"), dataB.as("bytes")))
+        .when(cid === "data", struct(next.as("pos"),
+          rate.as("rate"), csz.as("bytes")))
+        .otherwise(struct(next.as("pos"), rate.as("rate"), dataB.as("bytes")))
+    })
+    val wRate = wWalk.getField("rate")
+    val wBytes = wWalk.getField("bytes")
+    val durMs = when(wRate.isNotNull && wRate > 0 && wBytes.isNotNull,
+      floor(wBytes * 1000 / wRate).cast("long")).otherwise(nullL)
+
+    val nullI = lit(null).cast("int")
+    when(isPng, struct(
+        lit("png").as("format"),
+        be4(payload, lit(17L)).cast("int").as("width"),
+        be4(payload, lit(21L)).cast("int").as("height"),
+        nullL.as("duration_ms")))
+      .when(isJpeg, struct(
+        lit("jpeg").as("format"),
+        jWalk.getField("w").cast("int").as("width"),
+        jWalk.getField("h").cast("int").as("height"),
+        nullL.as("duration_ms")))
+      .when(isWav, struct(
+        lit("wav").as("format"),
+        nullI.as("width"),
+        nullI.as("height"),
+        durMs.as("duration_ms")))
+      .otherwise(struct(
+        lit(null).cast("string").as("format"),
+        nullI.as("width"),
+        nullI.as("height"),
+        nullL.as("duration_ms")))
+  }
 
   /** Partition count sized by payload bytes (default 128 MiB targets). */
   def repartitionForPayload(df: DataFrame, totalBytes: Long,

@@ -14,7 +14,95 @@ import ExtQueries._
  */
 object ExtMultimodalQueries {
 
+  import org.apache.spark.sql.Column
+
+  /** Big-endian unsigned int as `bytes` binary (network/PNG/JPEG order). */
+  private def beBin(v: Column, bytes: Int): Column =
+    unhex(lpad(hex(v), bytes * 2, "0"))
+
+  /** Little-endian unsigned int as `bytes` binary (RIFF/WAV order). */
+  private def leBin(v: Column, bytes: Int): Column = {
+    val h = lpad(hex(v), bytes * 2, "0")
+    unhex(concat((bytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+  }
+
+  /** Fixture payloads with REAL format headers, one format per doc_id%3:
+    * PNG (signature + IHDR with big-endian dims + text body), JPEG (SOI,
+    * APP0/JFIF, a COM segment of doc-varying length so the SOF position
+    * is NOT fixed and the parser's segment walk is actually exercised,
+    * SOF0 or SOF2 by parity, SOS + body + EOI), WAV (RIFF/WAVE; odd ids
+    * interpose a LIST chunk before fmt so the chunk walk is exercised;
+    * fmt carries a doc-derived sample rate/channels, data carries an
+    * even doc-derived byte count). Every field is derived from doc_id
+    * and the text bytes only, so the DuckDB oracle rebuilds the SAME
+    * bytes and parses them back with the same walks. */
+  private def realHeaderPayload(): Column = {
+    val id = col("doc_id")
+    val tb = encode(col("text"), "UTF-8")
+    val tlen = length(tb).cast("long")
+    // PNG: dims from doc_id
+    val pw = (id % 640 + 16).cast("long")
+    val ph = (id % 480 + 16).cast("long")
+    val png = concat(unhex(lit("89504E470D0A1A0A")), unhex(lit("0000000D")),
+      encode(lit("IHDR"), "UTF-8"), beBin(pw, 4), beBin(ph, 4),
+      unhex(lit("0802000000")), unhex(lit("00000000")), tb)
+    // JPEG: COM length varies by doc; SOF marker C0/C2 by parity
+    val jw = (id % 512 + 8).cast("long")
+    val jh = (id % 384 + 8).cast("long")
+    val comLen = least(id % 40 + 1, tlen).cast("long")
+    val jpeg = concat(unhex(lit("FFD8")),
+      unhex(lit("FFE000104A46494600010100000100010000")),
+      unhex(lit("FFFE")), beBin(comLen + 2, 2),
+      tb.substr(lit(1), comLen.cast("int")),
+      unhex(when(id % 2 === 0, "FFC0").otherwise(lit("FFC2"))),
+      unhex(lit("0011")), unhex(lit("08")), beBin(jh, 2), beBin(jw, 2),
+      unhex(lit("03")), unhex(lit("011100021101031101")),
+      unhex(lit("FFDA")), tb, unhex(lit("FFD9")))
+    // WAV: sample geometry from doc_id; data bytes = even prefix of text
+    val ch = (id % 2 + 1).cast("long")
+    val sr = (id % 8 * 1000 + 8000).cast("long")
+    val br = sr * ch * 2
+    val dataSz = (least(tlen, lit(2000L)) / 2).cast("long") * 2
+    val listLen = least((id % 20) * 2 + 4, dataSz).cast("long") // even
+    val listChunk = concat(encode(lit("LIST"), "UTF-8"), leBin(listLen, 4),
+      tb.substr(lit(1), listLen.cast("int")))
+    val fmtChunk = concat(encode(lit("fmt "), "UTF-8"), leBin(lit(16L), 4),
+      leBin(lit(1L), 2), leBin(ch, 2), leBin(sr, 4), leBin(br, 4),
+      leBin(ch * 2, 2), leBin(lit(16L), 2))
+    val dataChunk = concat(encode(lit("data"), "UTF-8"), leBin(dataSz, 4),
+      tb.substr(lit(1), dataSz.cast("int")))
+    val hasList = id % 2 === 1
+    val wav = concat(encode(lit("RIFF"), "UTF-8"),
+      leBin(when(hasList, listLen + 8).otherwise(lit(0L)) + 36 + dataSz, 4),
+      encode(lit("WAVE"), "UTF-8"),
+      when(hasList, concat(listChunk, fmtChunk, dataChunk))
+        .otherwise(concat(fmtChunk, dataChunk)))
+    when(id % 3 === 0, png).when(id % 3 === 1, jpeg).otherwise(wav)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    // REAL format-header parsing (r11): payloads carry genuine PNG IHDR /
+    // JPEG SOF (behind a doc-varying COM segment — the walk is load-
+    // bearing) / WAV fmt+data headers, and toMediaFrame's meta now comes
+    // from Multimodal.mediaMeta's scan-side byte arithmetic. The oracle
+    // REBUILDS the same bytes in hex-string space and PARSES them back
+    // with the same segment/chunk walks (recursive CTEs) — it never
+    // shortcuts to the generator formulas for width/height/duration.
+    QueryDef("ext_mm_real_headers", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", ExtMultimodalQueries.realHeaderPayload()),
+        "doc_id", "payload",
+        element_at(typedLit(Seq("image", "image", "audio")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      media.select(col("media_id"), col("media_type"),
+        Multimodal.mediaMeta(col("payload")).getField("format").as("format"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.duration_ms").as("duration_ms"))
+    }, Some(RealHeaderOracle.sql)),
 
 
     // ---- Multimodal plumbing ------------------------------------------
@@ -221,4 +309,154 @@ object ExtMultimodalQueries {
       SELECT doc_id AS media_id FROM fresh
       WHERE doc_id NOT IN (SELECT doc_id FROM self_drops)"""))
   )
+}
+
+/**
+ * DuckDB oracle for `ext_mm_real_headers`: REBUILDS the fixture payloads
+ * in hex-string space byte-for-byte (same doc_id/text derivations as
+ * [[ExtMultimodalQueries.realHeaderPayload]]), then PARSES the headers
+ * back out of the hex bytes -- fixed-offset IHDR reads for PNG, a
+ * recursive-CTE segment walk to SOF for JPEG, a recursive-CTE chunk walk
+ * for WAV -- never shortcutting to the generator formulas. The SQL text
+ * is assembled with small Scala helpers because every byte read expands
+ * to a strpos-arithmetic expression in hex space (DuckDB has no blob
+ * substring).
+ */
+private[queries] object RealHeaderOracle {
+  /** One payload byte (1-based position `p`) out of hex column `h`. */
+  private def byteAt(h: String, p: String): String =
+    s"((strpos('0123456789ABCDEF', substr($h, 2*($p) - 1, 1)) - 1) * 16 " +
+      s"+ (strpos('0123456789ABCDEF', substr($h, 2*($p), 1)) - 1))"
+  private def be2(h: String, p: String): String =
+    s"(${byteAt(h, p)} * 256 + ${byteAt(h, s"$p + 1")})"
+  private def be4(h: String, p: String): String =
+    s"(${be2(h, p)} * 65536 + ${be2(h, s"$p + 2")})"
+  private def le4(h: String, p: String): String =
+    s"(${byteAt(h, p)} + ${byteAt(h, s"$p + 1")} * 256 " +
+      s"+ ${byteAt(h, s"$p + 2")} * 65536 " +
+      s"+ ${byteAt(h, s"$p + 3")} * 16777216)"
+  /** v as a 2n-char big-endian hex string. */
+  private def beHex(v: String, n: Int): String =
+    s"lpad(to_hex($v), ${2 * n}, '0')"
+  /** v as a 2n-char little-endian hex string (byte pairs reversed). */
+  private def leHex(v: String, n: Int): String =
+    (n - 1 to 0 by -1)
+      .map(i => s"substr(${beHex(v, n)}, ${i * 2 + 1}, 2)")
+      .mkString("(", " || ", ")")
+
+  val sql: String = s"""WITH RECURSIVE docs AS (
+      SELECT doc_id, hex(encode(text)) AS th,
+             octet_length(encode(text)) AS tn
+      FROM documents),
+    wavf AS (
+      SELECT doc_id, th, tn,
+        doc_id % 2 + 1 AS ch,
+        doc_id % 8 * 1000 + 8000 AS sr,
+        (doc_id % 8 * 1000 + 8000) * (doc_id % 2 + 1) * 2 AS br,
+        (least(tn, 2000) // 2) * 2 AS datasz,
+        least((doc_id % 20) * 2 + 4, (least(tn, 2000) // 2) * 2) AS listlen
+      FROM docs WHERE doc_id % 3 = 2),
+    pay AS (
+      SELECT doc_id,
+        '89504E470D0A1A0A' || '0000000D' || '49484452'
+          || ${beHex("doc_id % 640 + 16", 4)}
+          || ${beHex("doc_id % 480 + 16", 4)}
+          || '0802000000' || '00000000' || th AS h
+      FROM docs WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id,
+        'FFD8' || 'FFE000104A46494600010100000100010000'
+          || 'FFFE' || ${beHex("least(doc_id % 40 + 1, tn) + 2", 2)}
+          || substr(th, 1, CAST(least(doc_id % 40 + 1, tn) * 2 AS INT))
+          || CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END
+          || '0011' || '08'
+          || ${beHex("doc_id % 384 + 8", 2)}
+          || ${beHex("doc_id % 512 + 8", 2)}
+          || '03' || '011100021101031101' || 'FFDA' || th || 'FFD9' AS h
+      FROM docs WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id,
+        '52494646'
+          || ${leHex("CASE WHEN doc_id % 2 = 1 THEN listlen + 8 ELSE 0 END" +
+                     " + 36 + datasz", 4)}
+          || '57415645'
+          || CASE WHEN doc_id % 2 = 1
+               THEN '4C495354' || ${leHex("listlen", 4)}
+                 || substr(th, 1, CAST(listlen * 2 AS INT))
+               ELSE '' END
+          || '666D7420' || '10000000' || '0100'
+          || ${leHex("ch", 2)} || ${leHex("sr", 4)} || ${leHex("br", 4)}
+          || ${leHex("ch * 2", 2)} || '1000'
+          || '64617461' || ${leHex("datasz", 4)}
+          || substr(th, 1, CAST(datasz * 2 AS INT)) AS h
+      FROM wavf),
+    jwalk AS (
+      SELECT doc_id, CAST(3 AS BIGINT) AS pos,
+        CAST(NULL AS BIGINT) AS w, CAST(NULL AS BIGINT) AS hh
+      FROM pay WHERE substr(h, 1, 4) = 'FFD8'
+      UNION ALL
+      SELECT jw.doc_id,
+        CASE WHEN ${byteAt("p.h", "jw.pos + 1")} IN (192, 193, 194)
+               OR ${byteAt("p.h", "jw.pos + 1")} = 218
+               OR ${byteAt("p.h", "jw.pos")} <> 255
+               OR jw.pos + 8 > len(p.h) // 2
+             THEN CAST(-1 AS BIGINT)
+             ELSE jw.pos + 2 + ${be2("p.h", "jw.pos + 2")} END AS pos,
+        CASE WHEN ${byteAt("p.h", "jw.pos + 1")} IN (192, 193, 194)
+               AND jw.pos + 8 <= len(p.h) // 2
+             THEN ${be2("p.h", "jw.pos + 7")} END AS w,
+        CASE WHEN ${byteAt("p.h", "jw.pos + 1")} IN (192, 193, 194)
+               AND jw.pos + 8 <= len(p.h) // 2
+             THEN ${be2("p.h", "jw.pos + 5")} END AS hh
+      FROM jwalk jw JOIN pay p ON jw.doc_id = p.doc_id
+      WHERE jw.pos > 0 AND jw.w IS NULL),
+    jdims AS (
+      SELECT doc_id, max(w) AS w, max(hh) AS hh FROM jwalk GROUP BY doc_id),
+    wwalk AS (
+      SELECT doc_id, CAST(13 AS BIGINT) AS pos,
+        CAST(NULL AS BIGINT) AS rate, CAST(NULL AS BIGINT) AS db
+      FROM pay WHERE substr(h, 1, 8) = '52494646'
+        AND substr(h, 17, 8) = '57415645'
+      UNION ALL
+      SELECT ww.doc_id,
+        CASE WHEN ww.pos + 7 > len(p.h) // 2 THEN CAST(-1 AS BIGINT)
+             ELSE ww.pos + 8 + ${le4("p.h", "ww.pos + 4")}
+                  + ${le4("p.h", "ww.pos + 4")} % 2 END AS pos,
+        CASE WHEN ww.pos + 7 <= len(p.h) // 2
+               AND substr(p.h, 2 * ww.pos - 1, 8) = '666D7420'
+             THEN ${le4("p.h", "ww.pos + 16")} ELSE ww.rate END AS rate,
+        CASE WHEN ww.pos + 7 <= len(p.h) // 2
+               AND substr(p.h, 2 * ww.pos - 1, 8) = '64617461'
+             THEN ${le4("p.h", "ww.pos + 4")} ELSE ww.db END AS db
+      FROM wwalk ww JOIN pay p ON ww.doc_id = p.doc_id
+      WHERE ww.pos > 0 AND (ww.rate IS NULL OR ww.db IS NULL)),
+    wmeta AS (
+      SELECT doc_id, max(rate) AS rate, max(db) AS db
+      FROM wwalk GROUP BY doc_id)
+    SELECT p.doc_id AS media_id,
+      (['image','image','audio'])[CAST(p.doc_id % 3 AS INT) + 1]
+        AS media_type,
+      CASE WHEN substr(p.h, 1, 16) = '89504E470D0A1A0A'
+             AND substr(p.h, 25, 8) = '49484452' THEN 'png'
+           WHEN substr(p.h, 1, 4) = 'FFD8' THEN 'jpeg'
+           WHEN substr(p.h, 1, 8) = '52494646'
+             AND substr(p.h, 17, 8) = '57415645' THEN 'wav'
+      END AS format,
+      CAST(len(p.h) // 2 AS BIGINT) AS n_bytes,
+      CAST(CASE WHEN substr(p.h, 1, 16) = '89504E470D0A1A0A'
+                  AND substr(p.h, 25, 8) = '49484452'
+                THEN ${be4("p.h", "17")}
+                WHEN substr(p.h, 1, 4) = 'FFD8' THEN j.w
+           END AS BIGINT) AS width,
+      CAST(CASE WHEN substr(p.h, 1, 16) = '89504E470D0A1A0A'
+                  AND substr(p.h, 25, 8) = '49484452'
+                THEN ${be4("p.h", "21")}
+                WHEN substr(p.h, 1, 4) = 'FFD8' THEN j.hh
+           END AS BIGINT) AS height,
+      CAST(CASE WHEN w.rate IS NOT NULL AND w.rate > 0 AND w.db IS NOT NULL
+                THEN (w.db * 1000) // w.rate
+           END AS BIGINT) AS duration_ms
+    FROM pay p
+    LEFT JOIN jdims j ON p.doc_id = j.doc_id
+    LEFT JOIN wmeta w ON p.doc_id = w.doc_id"""
 }

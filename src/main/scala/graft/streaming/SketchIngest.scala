@@ -110,7 +110,7 @@ object SketchIngest {
     }
     if (spark.table(table).isEmpty) { // crash position 2 (or empty state)
       repair()
-      if (spark.table(table).isEmpty && !spark.table(old).isEmpty) {
+      if (spark.table(table).isEmpty && survivorHasData(spark, old)) {
         graft.core.Materialize.dropWithLocation(spark, table)
         spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
         repair()
@@ -120,6 +120,29 @@ object SketchIngest {
     // crash position 3 (or a healed 2): the swapped-in copy reads —
     // finish the interrupted cleanup
     graft.core.Materialize.dropWithLocation(spark, old)
+  }
+
+  /** Whether the survivor twin holds any data bytes — probed through the
+    * FILESYSTEM, never the catalog: after `RENAME TO __cpt_old` the
+    * survivor's partition metadata still points at its PRE-move paths
+    * (the original table directory), which the stage rename then
+    * repopulates with the NEW generation — so a catalog read of the
+    * survivor returns the new data, or nothing at all when the swap lost
+    * the directory. In that lost-directory case a catalog-read gate sees
+    * table-empty AND survivor-empty (both reads hit the same dead
+    * location) and would delete the last good copy. The survivor's real
+    * bytes sit under its own moved directory; list that. */
+  private def survivorHasData(spark: SparkSession, old: String): Boolean = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, old.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) !n.startsWith(".") && walk(st.getPath)
+        else st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+    fs.exists(loc) && walk(loc)
   }
 
   /** The pruning column of `df`: the `__pb` partition copy when the
@@ -175,26 +198,32 @@ object SketchIngest {
     // unions of the original), so a swapped-in table that reads empty
     // against a non-empty survivor means the swap LOST data (stale
     // metadata, moved-out directory) — keep the survivor for
-    // recoverSwap instead of deleting the last good copy
-    if (spark.table(table).isEmpty && !spark.table(old).isEmpty)
+    // recoverSwap instead of deleting the last good copy. The survivor
+    // is probed on the FILESYSTEM ([[survivorHasData]]): its catalog
+    // metadata points at the pre-rename paths and can read empty (or
+    // the new generation) exactly when the gate matters most.
+    if (spark.table(table).isEmpty && survivorHasData(spark, old))
       throw new IllegalStateException(
         s"compaction swap of `$table` reads empty against a non-empty " +
         s"`$old` — survivor retained for recoverSwap")
     graft.core.Materialize.dropWithLocation(spark, old)
   }
 
-  /** `compactEvery` (0 = never) wires the maintenance pass into the
-    * monitor itself: every N committed batches the standing state is
-    * compacted from INSIDE the foreachBatch, where quiescence is
-    * structural — a micro-batch sink cannot race its own next trigger,
-    * so the "run quiesced relative to triggers" obligation the manual
-    * compactions carry is discharged by construction. Cadence is
-    * (batchId + 1) % N == 0, so replaying a compaction-bearing trigger
-    * re-runs the (idempotent) compaction too. */
+  /** `compactEvery` (0 = never; DEFAULT 8, the measured recommendation
+    * — SCALE.md's trigger-growth table shows uncompacted state walls
+    * growing ×2–4 by trigger 128 while cadence 8 stays flat in age, so
+    * a monitor built with defaults gets the production posture) wires
+    * the maintenance pass into the monitor itself: every N committed
+    * batches the standing state is compacted from INSIDE the
+    * foreachBatch, where quiescence is structural — a micro-batch sink
+    * cannot race its own next trigger, so the "run quiesced relative to
+    * triggers" obligation the manual compactions carry is discharged by
+    * construction. Cadence is (batchId + 1) % N == 0, so replaying a
+    * compaction-bearing trigger re-runs the (idempotent) compaction. */
   def hllIngest(stream: DataFrame, keyCol: String, groupCol: String,
                 tablePrefix: String,
                 checkpoint: Option[String] = None,
-                compactEvery: Int = 0): StreamingQuery = {
+                compactEvery: Int = 8): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -233,7 +262,7 @@ object SketchIngest {
   def bloomNoveltyIngest(stream: DataFrame, keyCol: String,
                          tablePrefix: String, k: Int, m: Int,
                          checkpoint: Option[String] = None,
-                         compactEvery: Int = 0): StreamingQuery = {
+                         compactEvery: Int = 8): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -302,7 +331,7 @@ object SketchIngest {
   def cmsIngest(stream: DataFrame, keyCol: String, tablePrefix: String,
                 d: Int, w: Int, topN: Int,
                 checkpoint: Option[String] = None,
-                compactEvery: Int = 0): StreamingQuery = {
+                compactEvery: Int = 8): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>

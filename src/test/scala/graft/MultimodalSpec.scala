@@ -121,4 +121,60 @@ class MultimodalSpec extends SparkSpec {
       targetPartitionBytes = 300000)
     assert(df.rdd.getNumPartitions == 3)
   }
+
+  test("mediaMeta parses real PNG/JPEG/WAV headers and nulls everything else") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(b => Integer.parseInt(b, 16).toByte).toArray
+    // PNG: signature + IHDR, width 260 (0x104), height 33 (0x21)
+    val png = hx("89504E470D0A1A0A 0000000D 49484452" +
+      " 00000104 00000021 0802000000 00000000 AABBCC")
+    // JPEG: SOI, APP0(JFIF), a 5-byte COM, DQT of 4 bytes, then SOF2
+    // (height 0x0140=320, width 0x00F0=240) — SOF is 3 segments deep, so
+    // only a real segment walk finds it
+    val jpeg = hx("FFD8 FFE000104A46494600010100000100010000" +
+      " FFFE0005414243 FFDB0004AAAA" +
+      " FFC2001108 0140 00F0 03011100021101031101 FFDA00" )
+    // WAV: RIFF/WAVE, an ODD-sized junk chunk (pad byte exercised), fmt
+    // (byte rate 32000), data of 16000 bytes declared (only size matters
+    // to the walk) -> duration = 16000*1000/32000 = 500 ms
+    val wav = hx("52494646 00000000 57415645" +
+      " 4A554E4B 03000000 414243 00" + // "JUNK" size 3 + pad
+      " 666D7420 10000000 0100 0100 803E0000 007D0000 0200 1000" +
+      " 64617461 803E0000") ++ Array.fill(16)(1.toByte)
+    // garbage + truncated PNG (signature only) + empty
+    val garbage = "not a media file at all".getBytes("UTF-8")
+    val shortPng = hx("89504E470D0A1A0A")
+    val rows = Seq(
+      (1L, png), (2L, jpeg), (3L, wav), (4L, garbage), (5L, shortPng))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.mediaMeta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"),
+        col("m.duration_ms"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(rows(1L) == (("png", Some(260), Some(33), None)), s"png: ${rows(1L)}")
+    assert(rows(2L) == (("jpeg", Some(240), Some(320), None)), s"jpeg: ${rows(2L)}")
+    assert(rows(3L) == (("wav", None, None, Some(500L))), s"wav: ${rows(3L)}")
+    assert(rows(4L) == ((null, None, None, None)), s"garbage: ${rows(4L)}")
+    assert(rows(5L) == ((null, None, None, None)), s"short png: ${rows(5L)}")
+  }
+
+  test("mediaMeta walk bounds: SOF beyond 24 segments yields nulls, not a wrong read") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(b => Integer.parseInt(b, 16).toByte).toArray
+    // 30 consecutive 4-byte COM segments before the SOF: the bounded
+    // walk must give up cleanly (null dims), never misparse
+    val deep = hx("FFD8" + "FFFE0002" * 30 +
+      " FFC0001108 0010 0010 03011100021101031101")
+    val out = Seq((1L, deep)).toDF("id", "payload")
+      .select(Multimodal.mediaMeta(col("payload")).as("m"))
+      .select(col("m.format"), col("m.width")).head()
+    assert(out.getString(0) == "jpeg" && out.isNullAt(1),
+      "bounded walk exhausts -> jpeg magic recognized, dims null")
+  }
 }

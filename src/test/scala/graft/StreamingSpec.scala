@@ -1211,6 +1211,56 @@ class StreamingSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, p + t + suf)
   }
 
+  test("compaction swap that LOST its directory: survivor restored from __cpt_old, not deleted") {
+    import spark.implicits._
+    val cra = "graft_test_lost_a" // swap lost the new table's directory
+    val twn = "graft_test_lost_b" // never-crashed twin
+    val tbls = Seq("_bloom_pos", "_bloom_novel")
+    for (p <- Seq(cra, twn); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      val b0 = Seq("u1", "u2", "u3").toDF("key")
+      val b1 = Seq("u2", "u4").toDF("key")
+      val b2 = Seq("u4", "u5", "u1").toDF("key")
+      for (p <- Seq(cra, twn))
+        graft.streaming.SketchIngest.applyBloomBatch(b0, 0L, "key", p, 4, 4096)
+      // reproduce the ADVICE r10 lost-directory window: the survivor is
+      // renamed to __cpt_old (its partition metadata now points at the
+      // ORIGINAL table directory — a table with exactly ONE write since
+      // creation lists through catalog partitions, so its catalog read
+      // is EMPTY after the rename; ≥2 appends would flip it to
+      // location-based listing and mask the bug), and the swapped-in
+      // replacement exists but holds no bytes — so BOTH catalog reads
+      // (table and survivor) come back empty, the same dead location
+      // twice. A catalog-probing recoverSwap skips the restore and its
+      // cleanup deletes the last good copy; the filesystem probe must
+      // see the survivor's moved directory and restore it.
+      val posT = cra + "_bloom_pos"
+      spark.sql(s"ALTER TABLE `$posT` RENAME TO `${posT}__cpt_old`")
+      Seq.empty[(Long, Long)].toDF("batch_id", "pos")
+        .withColumn("__pb", col("batch_id"))
+        .write.mode("overwrite").format("parquet").partitionBy("__pb")
+        .saveAsTable(posT)
+      assert(spark.table(posT).isEmpty &&
+             spark.table(posT + "__cpt_old").isEmpty,
+        "precondition: both CATALOG reads must be empty " +
+        "(otherwise this spec no longer reproduces the lost-directory window)")
+      for (p <- Seq(cra, twn)) {
+        graft.streaming.SketchIngest.applyBloomBatch(b1, 1L, "key", p, 4, 4096)
+        graft.streaming.SketchIngest.applyBloomBatch(b2, 2L, "key", p, 4, 4096)
+      }
+      def nov(p: String) = spark.table(p + "_bloom_novel")
+        .select("batch_id", "key", "novel")
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(nov(cra) == nov(twn),
+        "restored monitor must match the never-crashed twin")
+      assert(!spark.catalog.tableExists(posT + "__cpt_old"),
+        "interrupted cleanup must be finished after the restore")
+    } finally for (p <- Seq(cra, twn); t <- tbls;
+                   suf <- Seq("", "__cpt_old", "__cpt_stage"))
+      graft.core.Materialize.dropWithLocation(spark, p + t + suf)
+  }
+
   test("late-data merge row: in-budget late chunks merge, beyond-filter windows stay dropped") {
     val step = spark.read.parquet(s"$sfDir/events.parquet")
       .agg(max(col("event_id"))).head().getLong(0) / 3 + 1

@@ -5,6 +5,12 @@
 # development; floors only ever improve, so runs that share the host
 # with other work simply contribute less.
 #
+# Bench's floor merge is an unlocked read-modify-write of
+# bench_results/r{N}.json + floors_cum.json, so each run is serialized
+# under an exclusive flock: two concurrent Bench processes would
+# interleave read/write and silently lose floors (and corrupt the
+# per-query `runs` depth counts the equal-depth methodology relies on).
+#
 # Usage: tools/bench_loop.sh [n_runs]   (default 100; stop with
 #        touch /tmp/graft_bench_stop or kill)
 set -u
@@ -18,12 +24,13 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 TMPD="/dev/shm/graft_tmp"
-mkdir -p "$TMPD"
+mkdir -p "$TMPD" bench_results
 rm -f /tmp/graft_bench_stop
 for i in $(seq 1 "$N"); do
   [ -e /tmp/graft_bench_stop ] && { echo "[bench_loop] stop flag"; break; }
   echo "[bench_loop] run $i/$N $(date +%H:%M:%S)"
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+  flock bench_results/.bench.lock \
   java $OPENS -Xmx8g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -Djava.io.tmpdir="$TMPD" \
     -cp "$CP" graft.Bench > /tmp/graft_bench_run.txt 2>&1
