@@ -532,16 +532,6 @@ object ScaleProbe {
           .transform(graft.core.CacheRegistry.persistTracked)
         t.count(); t
       }
-      // the production two-stage point: ADC-rank 4k candidates, exact
-      // re-rank to k — recall recovers PQ's ranking error
-      val (rr, tRerank) = timed {
-        val t = Similarity.ivfPqTopK(base, "vec_id", "e",
-            probes, "probe_id", "pe", books, k = 10, nlist = 32, nprobe = 8,
-            rerankFrom = 40)
-          .select(col("probe_id"), col("vec_id"))
-          .transform(graft.core.CacheRegistry.persistTracked)
-        t.count(); t
-      }
       val (exact, tBrute) = timed {
         val e = Similarity.bruteForceTopKFused(base, "vec_id", "e",
             probes, "probe_id", "pe", k = 10)
@@ -551,11 +541,26 @@ object ScaleProbe {
       }
       val nExact = exact.count()
       val hit = exact.join(approx, Seq("probe_id", "vec_id"), "left_semi").count()
-      val hitRr = exact.join(rr, Seq("probe_id", "vec_id"), "left_semi").count()
       println(f"[scaleprobe] ivfpq256 m=$mult n=$n train=$tTrain%.2fs " +
-        f"search=$tSearch%.2fs rerank=$tRerank%.2fs brute=$tBrute%.2fs " +
-        f"recall=${hit.toDouble / nExact}%.3f " +
-        f"recallRr=${hitRr.toDouble / nExact}%.3f")
+        f"search=$tSearch%.2fs brute=$tBrute%.2fs " +
+        f"recall=${hit.toDouble / nExact}%.3f")
+      // rerankFrom sensitivity (r11): the two-stage knob's operating
+      // curve — ADC-rank rf candidates, exact re-rank to k, for
+      // rf ∈ {2k, 4k, 8k} (rf = k is plain ADC, the `recall` above) —
+      // so the knob ships with a measured default, not one point
+      for (rf <- Seq(20, 40, 80)) {
+        val (rr, tRerank) = timed {
+          val t = Similarity.ivfPqTopK(base, "vec_id", "e",
+              probes, "probe_id", "pe", books, k = 10, nlist = 32,
+              nprobe = 8, rerankFrom = rf)
+            .select(col("probe_id"), col("vec_id"))
+            .transform(graft.core.CacheRegistry.persistTracked)
+          t.count(); t
+        }
+        val hitRr = exact.join(rr, Seq("probe_id", "vec_id"), "left_semi").count()
+        println(f"[scaleprobe] ivfpq256 rerankFrom=$rf wall=$tRerank%.2fs " +
+          f"recallRr=${hitRr.toDouble / nExact}%.3f")
+      }
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }

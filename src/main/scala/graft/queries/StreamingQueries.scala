@@ -1138,6 +1138,83 @@ object StreamingQueries {
     }),
 
 
+    // Streaming drift monitor with WINDOWED RE-BASELINING (r11): the
+    // reference swaps every 2 triggers — batches 0-1 score against the
+    // pinned full-corpus baseline, batches 2-3 against the bins of
+    // window 0 (batches 0+1), all derived from the committed bins table
+    // so the trajectory replays deterministically. The oracle replays
+    // every chunk against ITS reference and recomputes psi/ks from raw
+    // counts on both sides of the swap; ref_window pins which baseline
+    // scored each row.
+    QueryDef("st_drift_rebaseline", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_driftrb"
+      graft.core.Materialize.dropWithLocation(s, prefix + "_psi")
+      graft.core.Materialize.dropWithLocation(s, prefix + "_psi_bins")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.DriftMonitor.psiRebaselineIngest(
+        stream, docs, "n_chars", binWidth = 500.0, prefix,
+        rebaselineEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_psi")
+      s.table(prefix + "_psi")
+    }, Some {
+      val chunks = (0 until 4).map { i =>
+        s"""c$i AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_new
+           FROM docs CROSS JOIN mxs
+           WHERE doc_id >= $i * step AND doc_id < ${i + 1} * step
+           GROUP BY 1)"""
+      }.mkString(",\n      ")
+      val scored = (0 until 4).map { i =>
+        val refCte = if (i < 2) "o" else "o01"
+        s"""j$i AS (SELECT coalesce(r.bin, c$i.bin) AS bin,
+             coalesce(r.n_old, 0) AS n_old, coalesce(c$i.n_new, 0) AS n_new
+           FROM $refCte r FULL OUTER JOIN c$i ON r.bin = c$i.bin),
+         t$i AS (SELECT CAST(sum(n_old) AS DOUBLE) AS do_,
+             CAST(sum(n_new) AS DOUBLE) AS dn FROM j$i),
+         p$i AS (SELECT round(sum(round(
+               (n_new / dn + 1e-6 - (n_old / do_ + 1e-6))
+               * ln((n_new / dn + 1e-6) / (n_old / do_ + 1e-6)) + 1e-9, 6))
+             + 1e-9, 6) AS psi,
+             (SELECT CAST(coalesce(sum(n_new), 0) AS BIGINT) FROM c$i)
+               AS n_rows
+           FROM j$i CROSS JOIN t$i),
+         k$i AS (SELECT max(round(abs(co - cn) + 1e-9, 6)) AS ks FROM (
+             SELECT round(sum(n_old) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) / do_ + 1e-9, 6) AS co,
+               round(sum(n_new) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) / dn + 1e-9, 6) AS cn
+             FROM j$i CROSS JOIN t$i))"""
+      }.mkString(",\n      ")
+      s"""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        mxs AS (SELECT max(doc_id) // 4 + 1 AS step FROM docs),
+        o AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n_old FROM docs GROUP BY 1),
+        $chunks,
+        o01 AS (SELECT bin, CAST(sum(n_new) AS BIGINT) AS n_old FROM (
+            SELECT * FROM c0 UNION ALL SELECT * FROM c1) GROUP BY bin),
+        $scored
+      ${(0 until 4).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS batch_id, " +
+          s"CAST(${if (i < 2) -1 else 0} AS BIGINT) AS ref_window, " +
+          s"psi, ks, n_rows FROM p$i CROSS JOIN k$i")
+        .mkString("\n      UNION ALL ")}"""
+    }),
+
+
     // Streaming HLL cardinality monitor: each micro-batch's distinct
     // 3-shingles fold into the standing per-source register table
     // (append-only, max-collapse — replay-IDEMPOTENT by construction)

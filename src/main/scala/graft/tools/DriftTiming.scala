@@ -11,16 +11,42 @@ import org.apache.spark.sql.functions._
  * per-rep wall plus the Bench calibration fingerprint so floors can be
  * host-normalized. No code touched DriftMonitor in r9, so the expected
  * verdict is noise; a reproducible per-rep cost would localize a real
- * regression instead. Usage:
+ * regression instead.
  *
- *   SPARK_GRAFT_SF_DIR=… runMain graft.tools.DriftTiming [reps]
+ * r11 adds VARIANTS to A/B the two suspects the r10 adjudication named
+ * for the honest ~0.8 s residual vs r8 (run each variant as its own
+ * invocation — the warehouse config is fixed at session build):
+ *   current — the shipped posture: per-app warehouse + PID lock
+ *             ([[graft.core.GraftSession.local]]), checkpoint on
+ *             /dev/shm when present.
+ *   r8wh    — r8-era session: DEFAULT ./spark-warehouse-<pid>, no
+ *             per-app lock infra; checkpoint on /dev/shm.
+ *   cptmp   — shipped session, checkpoint FORCED to /tmp (disk-backed).
+ *   cpshm   — shipped session, checkpoint forced to /dev/shm
+ *             (the `current` default spelled explicitly — control).
+ *
+ * Usage:
+ *   SPARK_GRAFT_SF_DIR=… runMain graft.tools.DriftTiming [reps] [variant]
  */
 object DriftTiming {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = if (args.nonEmpty) args(0).toInt else 6
-    val spark = graft.core.GraftSession.local(32, "graft-drift-timing")
+    val variant = if (args.length > 1) args(1) else "current"
+    val spark = variant match {
+      case "r8wh" =>
+        // the pre-r9 session shape: default warehouse beside the cwd,
+        // suffixed to stay isolated from concurrent runs, no lock path
+        org.apache.spark.sql.SparkSession.builder()
+          .master("local[32]").appName("graft-drift-timing-r8")
+          .config("spark.sql.shuffle.partitions", "32")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.warehouse.dir",
+            s"spark-warehouse-${ProcessHandle.current().pid()}")
+          .getOrCreate()
+      case _ => graft.core.GraftSession.local(32, "graft-drift-timing")
+    }
     spark.sparkContext.setLogLevel("ERROR")
 
     // the Bench host fingerprint: a fixed single-thread arithmetic loop
@@ -76,13 +102,18 @@ object DriftTiming {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val shm = new java.io.File("/dev/shm")
+    val cpBase: Option[java.nio.file.Path] = variant match {
+      case "cptmp" => Some(java.nio.file.Paths.get("/tmp"))
+      case _ if shm.isDirectory && shm.canWrite => Some(shm.toPath)
+      case _ => None
+    }
     val walls = (1 to reps).map { r =>
       val prefix = "graft_drift_ab"
       graft.core.Materialize.dropWithLocation(spark, prefix + "_psi")
-      if (shm.isDirectory && shm.canWrite)
+      cpBase.foreach(base =>
         spark.conf.set("spark.sql.streaming.checkpointLocation",
-          java.nio.file.Files.createTempDirectory(shm.toPath,
-            "graft_drift_cp").toString)
+          java.nio.file.Files.createTempDirectory(base,
+            "graft_drift_cp").toString))
       val t0 = System.nanoTime()
       val stage = stageChunks()
       val stream = spark.readStream.schema(schema)
@@ -101,7 +132,7 @@ object DriftTiming {
     }
     spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    println(f"[drifttiming] reps=$reps min=${walls.min}%.2fs " +
+    println(f"[drifttiming] variant=$variant reps=$reps min=${walls.min}%.2fs " +
       f"median=${walls.sorted.apply(reps / 2)}%.2fs calib=$calib%.3fs")
     spark.stop()
   }

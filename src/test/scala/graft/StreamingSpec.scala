@@ -1211,6 +1211,62 @@ class StreamingSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, p + t + suf)
   }
 
+  test("drift re-baseline: reference swaps from committed bins; crash replay identical; dupes collapse") {
+    import spark.implicits._
+    import graft.streaming.DriftMonitor.applyPsiRebaselineBatch
+    val cra = "graft_test_drb_a" // bins-written-psi-lost crash at batch 2
+    val twn = "graft_test_drb_b" // never-crashed twin
+    val pin = "graft_test_drb_c" // pinned-reference control (psiIngest math)
+    val tbls = Seq("_psi", "_psi_bins")
+    for (p <- Seq(cra, twn, pin); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      val ref = (1L to 20L).toDF("v")
+      val refBins = graft.ext.Corpus.binCounts(ref, "v", 5.0)
+      // batches 0-2 share one distribution DISJOINT from the reference;
+      // batch 3 shifts again; batch 4 lands in window 2 (ref = window 1)
+      val b = Seq((21L to 40L), (21L to 40L), (21L to 40L),
+        (41L to 60L), (41L to 60L)).map(r => r.toDF("v"))
+      def run(prefix: String, ids: Seq[Int]): Unit = ids.foreach { i =>
+        applyPsiRebaselineBatch(b(i), i.toLong, refBins, "v", 5.0, prefix,
+          rebaselineEvery = 2)
+      }
+      run(twn, 0 to 4)
+      // crash window on cra: batch 2's bins landed but its psi row was
+      // lost — replay must recompute the same row, and the duplicate
+      // bins must collapse when window 1 becomes the reference (batch 4)
+      run(cra, 0 to 1)
+      graft.ext.Corpus.binCounts(b(2), "v", 5.0)
+        .select(lit(2L).as("batch_id"), col("bin"), col("n"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(cra + "_psi_bins") // the orphan pre-crash write
+      run(cra, 2 to 4)
+      def psi(p: String) = spark.table(p + "_psi")
+        .select("batch_id", "ref_window", "psi", "ks", "n_rows")
+        .as[(Long, Long, Double, Double, Long)].collect().toSet
+      assert(psi(cra) == psi(twn),
+        "crash-replayed trajectory must equal the never-crashed twin")
+      val rows = psi(twn).toSeq.sortBy(_._1)
+      assert(rows.map(r => r._1 -> r._2) ==
+        Seq(0L -> -1L, 1L -> -1L, 2L -> 0L, 3L -> 0L, 4L -> 1L),
+        s"ref_window must record the scoring baseline: $rows")
+      // the swap is LOAD-BEARING: batch 2 matches window 0 exactly, so
+      // its re-baselined psi is near zero while the pinned control
+      // (same math, reference never swaps) reads maximal drift
+      val pinned = graft.ext.Corpus
+        .psiDriftFromBins(refBins, graft.ext.Corpus.binCounts(b(2), "v", 5.0))
+        .agg(sum(col("psi_term"))).head().getDouble(0)
+      val rb2 = rows.find(_._1 == 2L).get._3
+      assert(rb2 < 0.01 && pinned > 1.0,
+        s"re-baselined psi $rb2 must be ~0 while pinned $pinned is large")
+      // (batch 4 scores against window 1 = b2+b3 bins, which on cra
+      // contain batch 2's bins TWICE from the replay — the trajectory
+      // equality above is what proves the reader's dedupe collapses
+      // them: a doubled b2 weight would shift cra's batch-4 psi)
+    } finally for (p <- Seq(cra, twn, pin); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+
   test("compaction swap that LOST its directory: survivor restored from __cpt_old, not deleted") {
     import spark.implicits._
     val cra = "graft_test_lost_a" // swap lost the new table's directory
