@@ -43,7 +43,7 @@ object DriftTiming {
           .config("spark.sql.shuffle.partitions", "32")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.warehouse.dir",
-            s"spark-warehouse-${ProcessHandle.current().pid()}")
+            s"target/spark-warehouse-${ProcessHandle.current().pid()}")
           .getOrCreate()
       case _ => graft.core.GraftSession.local(32, "graft-drift-timing")
     }
