@@ -280,7 +280,7 @@ object Bench {
     } finally tmp.delete()
   }
 
-  private case class Floors(queries: Map[String, Double],
+  private[graft] case class Floors(queries: Map[String, Double],
                             runs: Map[String, Int],
                             mergedRuns: Int, calibMin: Option[Double])
 
@@ -288,7 +288,7 @@ object Bench {
     * queries map, per-query run counts, run total, min calibration.
     * Regex-scoped to each object so trailing scalar fields (n_queries,
     * merged_runs, …) never leak into the maps. */
-  private def readFloors(f: java.io.File): Floors = {
+  private[graft] def readFloors(f: java.io.File): Floors = {
     if (!f.exists) return Floors(Map.empty, Map.empty, 0, None)
     try {
       val txt = scala.io.Source.fromFile(f, "UTF-8").mkString

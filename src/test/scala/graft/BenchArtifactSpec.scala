@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The Bench artifact CONTRACT, pinned without running Spark: the slim
+ * stdout line must stay under the driver's ~2 KB stdout-tail window at
+ * full registry size (going over made BENCH_r07–r09 unparseable), and
+ * the floors parser must survive nested values by brace DEPTH (a
+ * first-'}' scan silently truncated the queries map — ADVICE r10).
+ */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private val hostJson =
+    """{"cpu":"Intel(R) Xeon(R) Processor @ 2.10GHz","calib_sec":0.397}"""
+
+  test("slim JSON stays under 2 KB at full registry size with every field present") {
+    // worst-case realistic shape: long query names, 4-digit walls,
+    // full duckdb coverage, stale planaudit, 7 errors
+    val results = (1 to 400).map(i =>
+      (f"ext_very_long_query_name_family_$i%03d", 9.876 + i * 0.001, i % 97 != 0))
+    val errors = results.filterNot(_._3)
+      .map(r => s"${r._1}: IllegalStateException").toList
+    val duckdb = (1 to 22).map(i => f"tpch_q$i" -> 0.1234).toMap
+    // tpch family must be present for the duckdb fields to emit
+    val withTpch = results ++ (1 to 22).map(i => (f"tpch_q$i", 0.55, true))
+    val slim = Bench.slimJson(withTpch, errors, "/root/testdata/sf0.1",
+      hostJson, duckdb, Some((349, 352)))
+    assert(slim.length < 2000,
+      s"slim must fit the driver's stdout-tail window: ${slim.length}")
+    assert(!slim.contains("\n"), "slim must be ONE line")
+    for (field <- Seq("\"queries_are\":\"round_floor_sec_slowest12\"",
+        "\"duckdb_sec\":", "\"vs_duckdb\":",
+        "\"planaudit\":{\"n\":349,\"registry\":352,\"stale\":true}",
+        "\"n_failed\":", "\"full\":\"bench_results/\""))
+      assert(slim.contains(field), s"slim must carry $field: $slim")
+  }
+
+  test("slim duckdb ratio emits only on full both-sides coverage") {
+    val results = (1 to 22).map(i => (f"tpch_q$i", 0.5, true))
+    val partial = (1 to 10).map(i => f"tpch_q$i" -> 0.1).toMap
+    val slim = Bench.slimJson(results, Nil, "sf", hostJson, partial, None)
+    assert(!slim.contains("vs_duckdb"),
+      "a ratio over mismatched query sets must not emit")
+  }
+
+  test("readFloors brace-depth scan survives nested values and trailing objects") {
+    val f = java.io.File.createTempFile("graft_floors_spec", ".json")
+    try {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      // a FUTURE nested per-query object before plain scalars, plus a
+      // trailing host object that must not leak into the maps
+      try w.println("""{"metric":"total","queries":{"a_nested":{"sec":1.5,"deep":{"x":2}},"b_plain":2.25,"c_plain":3.5},"runs":{"b_plain":7,"c_plain":9},"merged_runs":4,"calib_min_sec":0.351,"host":{"cpu":"x","calib_sec":0.4}}""")
+      finally w.close()
+      val fl = Bench.readFloors(f)
+      assert(fl.queries.get("b_plain").contains(2.25) &&
+             fl.queries.get("c_plain").contains(3.5),
+        s"scalars AFTER a nested value must survive: ${fl.queries}")
+      assert(!fl.queries.contains("cpu") && !fl.runs.contains("cpu"),
+        "trailing host object must not leak into the maps")
+      assert(fl.runs.get("b_plain").contains(7) && fl.mergedRuns == 4)
+      assert(fl.calibMin.contains(0.351))
+    } finally f.delete()
+  }
+
+  test("readFloors tolerates a missing file and a pre-runs legacy file") {
+    val missing = Bench.readFloors(new java.io.File("/nonexistent/x.json"))
+    assert(missing.queries.isEmpty && missing.mergedRuns == 0)
+    val f = java.io.File.createTempFile("graft_floors_legacy", ".json")
+    try {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println("""{"queries":{"a":1.0,"b":2.0},"merged_runs":6}""")
+      finally w.close()
+      val fl = Bench.readFloors(f)
+      // pre-r10 files carry no per-query runs: global depth attributed
+      assert(fl.runs == Map("a" -> 6, "b" -> 6))
+    } finally f.delete()
+  }
+}
