@@ -155,16 +155,20 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench_results write failed: $e") }
     // External comparator (r11, judge-requested): DuckDB wall-clock over
-    // the SAME tpch oracle SQL and fixture parquet — the reference
-    // publishes no perf figures, so this is the one externally meaningful
-    // ratio available in-sandbox. DuckDB is single-node columnar with a
-    // native optimizer: the ratio is an order-of-magnitude sanity anchor,
-    // not a race. Per-query minima merge across runs (duckdb_floors.json)
-    // exactly like the Spark floors they're compared to.
+    // the SAME oracle SQL and fixture parquet for the fully-SQL query
+    // families (tpch + the pl pipeline marts + the dq test family) — the
+    // reference publishes no perf figures, so this is the one externally
+    // meaningful ratio available in-sandbox. DuckDB is single-node
+    // columnar with a native optimizer: the ratio is an order-of-
+    // magnitude sanity anchor, not a race. Per-query minima merge across
+    // runs (duckdb_floors.json) exactly like the Spark floors they're
+    // compared to.
     var duckdbFloors = Map.empty[String, Double]
     if (only.isEmpty) try {
       val raw = runDuckdb(sfDir,
-        SparkEntry.oracleSql.filter(_._1.startsWith("tpch_")))
+        SparkEntry.oracleSql.filter { case (n, _) =>
+          n.startsWith("tpch_") || n.startsWith("pl_") || n.startsWith("dq_")
+        })
       val outDir = new java.io.File(
         new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results")
       outDir.mkdirs()
@@ -271,7 +275,7 @@ object Bench {
           val start = out.indexOf("\"queries\":")
           if (start < 0) "" else out.substring(start)
         }
-        val parsed = """"(tpch_[^"]+)": ?([0-9.]+)""".r.findAllMatchIn(qObj)
+        val parsed = """"((?:tpch|pl|dq)_[^"]+)": ?([0-9.]+)""".r.findAllMatchIn(qObj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         if (parsed.isEmpty)
           System.err.println(s"duckdb_bench output unparseable: ${out.take(400)}")
@@ -341,7 +345,8 @@ object Bench {
     * across this round's runs — what `results` carries at the callsite),
     * labeled via `queries_are` so a reader of the driver artifact alone
     * doesn't mistake one throttled cold run for a 20× regression.
-    * The tpch family additionally carries the DuckDB comparator:
+    * A family with FULL both-sides DuckDB coverage (tpch, pl, dq — the
+    * fully-SQL families) additionally carries the external comparator:
     * `duckdb_sec` = the sum of DuckDB per-query floors over the same
     * oracle SQL, `vs_duckdb` = spark/duckdb (see duckdb_floors.json). */
   private[graft] def slimJson(results: Seq[(String, Double, Boolean)],
@@ -360,7 +365,7 @@ object Bench {
         val dk = rs.flatMap { case (n, _, _) => duckdb.get(n) }
         // both-sides coverage only: a ratio over mismatched query sets
         // would be noise dressed as a number
-        if (f == "tpch" && dk.size == rs.size && dk.sum > 0)
+        if (dk.size == rs.size && dk.nonEmpty && dk.sum > 0)
           f""""$f":{"sec":$s%.1f,"n":${rs.size},"duckdb_sec":${dk.sum}%.1f,"vs_duckdb":${s / dk.sum}%.2f}"""
         else f""""$f":{"sec":$s%.1f,"n":${rs.size}}"""
       }.mkString("{", ",", "}")

@@ -21,9 +21,11 @@ class BenchArtifactSpec extends AnyFunSuite {
       (f"ext_very_long_query_name_family_$i%03d", 9.876 + i * 0.001, i % 97 != 0))
     val errors = results.filterNot(_._3)
       .map(r => s"${r._1}: IllegalStateException").toList
-    val duckdb = (1 to 22).map(i => f"tpch_q$i" -> 0.1234).toMap
-    // tpch family must be present for the duckdb fields to emit
-    val withTpch = results ++ (1 to 22).map(i => (f"tpch_q$i", 0.55, true))
+    // all three fully-SQL families covered -> three duckdb field pairs
+    val sqlFam = (1 to 22).map(i => f"tpch_q$i") ++
+      (1 to 10).map(i => f"pl_mart_$i") ++ (1 to 16).map(i => f"dq_check_$i")
+    val duckdb = sqlFam.map(_ -> 0.1234).toMap
+    val withTpch = results ++ sqlFam.map(n => (n, 0.55, true))
     val slim = Bench.slimJson(withTpch, errors, "/root/testdata/sf0.1",
       hostJson, duckdb, Some((349, 352)))
     assert(slim.length < 2000,
