@@ -1482,6 +1482,71 @@ object ExtTextQueries {
         FROM legs GROUP BY 1, 2),
       out AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY fused DESC, doc_id) AS rn FROM fused)
-      SELECT query_id, doc_id, fused FROM out WHERE rn <= 5"""))
+      SELECT query_id, doc_id, fused FROM out WHERE rn <= 5""")),
+
+    // KMV set-expression cardinality (Beyer et al., SIGMOD 2007): the
+    // bottom-k synopsis answers UNION / INTERSECTION / DIFFERENCE /
+    // Jaccard over distinct-shingle sets — what the HLL registers
+    // cannot (inclusion-exclusion variance explodes on small overlaps).
+    // Two sources' 3-shingle vocabularies, k=256; every estimate is
+    // md5-hex order statistics both engines replay bit-identically, so
+    // the estimates THEMSELVES hash-match (exact figures alongside).
+    // At 100 TB the standing state is ≤ k hashes per source — corpus
+    // overlap audits off 3 KB per source, no re-scan.
+    QueryDef("ext_kmv_setops", (s, dir) => {
+      import graft.functions.KmvSketch
+      val k = 256
+      val sh = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(TextOps.stringShingles(col("text"), 3)).as("term"))
+      val skA = KmvSketch.bottomK(sh.filter(col("source") === "src0"),
+        "term", k)
+      val skB = KmvSketch.bottomK(sh.filter(col("source") === "src1"),
+        "term", k)
+      val flags = sh.groupBy("term").agg(
+        max(when(col("source") === "src0", 1).otherwise(0)).as("ia"),
+        max(when(col("source") === "src1", 1).otherwise(0)).as("ib"))
+      val exact = flags.agg(
+        count(lit(1)).as("union_exact"),
+        sum(col("ia") * col("ib")).cast("long").as("inter_exact"))
+      KmvSketch.setOps(skA, skB, k).crossJoin(exact)
+    }, Some(s"""WITH sh AS (SELECT source,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS term
+        FROM (SELECT source, $DuckToks AS toks FROM documents
+              WHERE source IN ('src0', 'src1'))),
+      ha AS (SELECT DISTINCT substr(md5(term), 1, 12) AS hash
+        FROM sh WHERE source = 'src0'),
+      hb AS (SELECT DISTINCT substr(md5(term), 1, 12) AS hash
+        FROM sh WHERE source = 'src1'),
+      ska AS (SELECT hash FROM ha ORDER BY hash LIMIT 256),
+      skb AS (SELECT hash FROM hb ORDER BY hash LIMIT 256),
+      sku AS (SELECT DISTINCT hash FROM
+          (SELECT hash FROM ska UNION ALL SELECT hash FROM skb)
+        ORDER BY hash LIMIT 256),
+      estu AS (SELECT count(*) AS kp,
+          round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE 255::DOUBLE * 281474976710656::DOUBLE / ('0x' || max(hash))::BIGINT END
+            + 1e-9, 6) AS u FROM sku),
+      estb AS (SELECT
+          round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE 255::DOUBLE * 281474976710656::DOUBLE / ('0x' || max(hash))::BIGINT END
+            + 1e-9, 6) AS b FROM skb),
+      wit AS (SELECT count(*) AS w FROM sku
+        WHERE hash IN (SELECT hash FROM ska)
+          AND hash IN (SELECT hash FROM skb)),
+      flags AS (SELECT term,
+          max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ia,
+          max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS ib
+        FROM sh GROUP BY 1),
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS union_exact,
+          CAST(sum(ia * ib) AS BIGINT) AS inter_exact FROM flags)
+      SELECT round(u + 1e-9, 6) AS union_est,
+        round(w / kp * u + 1e-9, 6) AS inter_est,
+        round(greatest(u - b, 0.0) + 1e-9, 6) AS diff_est,
+        round(w / kp + 1e-9, 6) AS jaccard_est,
+        union_exact, inter_exact
+      FROM estu, estb, wit, ex"""))
   )
 }

@@ -642,6 +642,44 @@ object JoinAggQueries {
       graft.ops.Skew.saltedJoin(fact, dim, "c_custkey", "o_orderkey", 8)
         .select("o_orderkey", "c_custkey", "c_name", "c_nationkey")
     }, Some("""SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_nationkey
-      FROM orders JOIN customer ON o_custkey = c_custkey"""))
+      FROM orders JOIN customer ON o_custkey = c_custkey""")),
+
+    // A27 (extension): KMV bottom-k distinct sketch — where the HLL row
+    // (a26) can only pin its estimate inside an error-bound boolean
+    // (engine-specific sketch binary), the KMV synopsis is FULLY
+    // oracle-replayable: md5-hex order statistics both engines compute
+    // bit-identically, so the ESTIMATE column itself hash-matches.
+    // k=128 → expected |est−exact|/exact ≈ 1/√126 ≈ 9%; the fixture
+    // groups land well inside. The sketch is also the set-expression
+    // synopsis (union/intersection/Jaccard — ext_kmv_setops).
+    QueryDef("a27_kmv_distinct", (s, dir) => {
+      val k = 128
+      val li = Tables.lineitem(s, dir)
+      val est = graft.functions.KmvSketch.estimate(
+        graft.functions.KmvSketch.bottomK(li, "l_partkey", k,
+          Seq("l_returnflag")), k, Seq("l_returnflag"))
+        .withColumnRenamed("est", "nd_estimate")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_exact"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("nd_exact"), col("nd_estimate"),
+          round(abs(col("nd_estimate") - col("nd_exact")) /
+            col("nd_exact") + lit(1e-9), 6).as("rel_err"))
+    }, Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+          substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS hash
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      r AS (SELECT l_returnflag, hash, row_number()
+          OVER (PARTITION BY l_returnflag ORDER BY hash) AS rk FROM h),
+      s AS (SELECT l_returnflag, count(*) AS n, max(hash) AS kth
+        FROM r WHERE rk <= 128 GROUP BY 1),
+      e AS (SELECT l_returnflag,
+          round(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+            ELSE 127::DOUBLE * 281474976710656::DOUBLE / ('0x' || kth)::BIGINT END
+            + 1e-9, 6) AS nd_estimate FROM s),
+      x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact
+        FROM lineitem GROUP BY 1)
+      SELECT x.l_returnflag, nd_exact, nd_estimate,
+        round(abs(nd_estimate - nd_exact) / nd_exact + 1e-9, 6) AS rel_err
+      FROM x JOIN e USING (l_returnflag)"""))
   )
 }

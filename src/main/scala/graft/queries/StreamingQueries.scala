@@ -1288,6 +1288,72 @@ object StreamingQueries {
       FROM est JOIN nn ON nn.chunk = est.k""")),
 
 
+    // Streaming KMV set-cardinality monitor: each micro-batch's shingle
+    // keys fold into a standing bottom-k hash table per source (KMV is
+    // closed under union — appends collapse in DISTINCT + re-rank, so
+    // replay is idempotent with NO guard on the state table), and one
+    // estimate row per source is appended per trigger. Unlike the HLL
+    // twin the standing state also answers cross-source INTERSECTION /
+    // Jaccard after the fact (ext_kmv_setops machinery). compactEvery=2
+    // exercises the in-trigger compaction cadence ON the oracle path:
+    // bottom-k(compacted ∪ new) = bottom-k(all appends), so the
+    // trajectory is provably unchanged — the oracle replays the
+    // cumulative bottom-64 after every chunk and every estimate row
+    // must hash-match bit-identically anyway.
+    QueryDef("st_kmv_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_kmv"
+      for (t <- Seq("_kmv_hashes", "_kmv_est"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("source"),
+          explode(graft.ext.TextOps.stringShingles(col("text"), 3)).as("term"))
+      val q = graft.streaming.SketchIngest.kmvIngest(
+        stream, "term", "source", prefix, k = 64, compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_kmv_est")
+      s.table(prefix + "_kmv_est")
+        .select(col("batch_id"), col("source"), col("est"), col("n_new"))
+    }, Some(s"""WITH mxs AS (SELECT max(doc_id) // 4 + 1 AS step FROM documents),
+      sh AS (SELECT doc_id // step AS chunk, source,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS term
+        FROM (SELECT doc_id, source, list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)
+            AS toks FROM documents)
+          CROSS JOIN mxs),
+      h AS (SELECT chunk, source, substr(md5(term), 1, 12) AS hash FROM sh),
+      ck AS (SELECT r.k AS bid, source, hash FROM h
+        JOIN range(0, 4) r(k) ON h.chunk <= r.k GROUP BY 1, 2, 3),
+      rk AS (SELECT bid, source, hash, row_number()
+          OVER (PARTITION BY bid, source ORDER BY hash) AS rn FROM ck),
+      sm AS (SELECT bid, source, count(*) AS n, max(hash) AS kth
+        FROM rk WHERE rn <= 64 GROUP BY 1, 2),
+      est AS (SELECT bid, source,
+          round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+            ELSE 63::DOUBLE * 281474976710656::DOUBLE / ('0x' || kth)::BIGINT END
+            + 1e-9, 6) AS est FROM sm),
+      nn AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_new FROM sh
+        GROUP BY 1)
+      SELECT CAST(est.bid AS BIGINT) AS batch_id, est.source, est.est,
+        nn.n_new
+      FROM est JOIN nn ON nn.chunk = est.bid""")),
+
+
     // Streaming Bloom novelty gate: each micro-batch's (user, event
     // type) keys are flagged novel (first contact — certain) or
     // probably-seen (Bloom membership — FPs possible, never FNs)

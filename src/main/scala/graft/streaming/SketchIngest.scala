@@ -234,6 +234,93 @@ object SketchIngest {
   }
 
   /**
+   * Streaming SET-EXPRESSION cardinality monitor: every micro-batch
+   * folds its keys into a standing [[graft.functions.KmvSketch]]
+   * bottom-k hash table and appends one estimate row per group. Where
+   * [[hllIngest]] answers "how many distinct X per source", the KMV
+   * state additionally supports cross-group union/INTERSECTION/Jaccard
+   * after the fact ([[graft.functions.KmvSketch.setOps]]) — "how many
+   * users did feeds A and B both see this week" — off the same ≤ k
+   * hashes per group, no re-scan.
+   *
+   * Tables: `<prefix>_kmv_hashes` (group, hash) is APPEND-ONLY — the
+   * batch's own bottom-k per group is appended each trigger and
+   * readers collapse with DISTINCT + re-rank ≤ k (KMV is closed under
+   * union). Replay needs no guard here: a crash-replayed trigger
+   * appends byte-identical hash rows that vanish in the DISTINCT — the
+   * HLL-register idempotence argument with set-union replacing
+   * max-collapse. `<prefix>_kmv_est` (batch_id, group, est, n_new)
+   * holds the estimate trajectory; it IS batch-id replay-guarded and
+   * written LAST (marks-write-last).
+   *
+   * Per-trigger cost: one map-side-bounded MinK aggregation over the
+   * batch (≤ k hashes per group reach the shuffle) + a collapse of the
+   * standing table (≤ k × triggers-since-compaction rows per group;
+   * `compactEvery` keeps it ≤ 2k amortized).
+   */
+  def kmvIngest(stream: DataFrame, keyCol: String, groupCol: String,
+                tablePrefix: String, k: Int = 256,
+                checkpoint: Option[String] = None,
+                compactEvery: Int = 8): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      applyBatchKmv(batch.toDF(), batchId, keyCol, groupCol, tablePrefix, k)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactKmv(batch.sparkSession, tablePrefix, k)
+    }.start()
+  }
+
+  /** One KMV trigger's work, exposed for direct at-least-once testing
+    * (the [[applyBatch]] convention). */
+  def applyBatchKmv(batch: DataFrame, batchId: Long, keyCol: String,
+                    groupCol: String, tablePrefix: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val hashT = tablePrefix + "_kmv_hashes"
+    val estT = tablePrefix + "_kmv_est"
+    if (!committed(spark, estT, batchId)) graft.core.CacheRegistry.scoped {
+      val b = graft.core.CacheRegistry.persistTracked(batch)
+      val nNew = b.count()
+      if (nNew > 0) {
+        graft.functions.KmvSketch
+          .bottomKAgg(b, keyCol, k, Seq(groupCol))
+          .select(col(groupCol), col("hash"))
+          .coalesce(1) // ≤ k rows per group — one file per trigger
+          .write.mode("append").format("parquet").saveAsTable(hashT)
+        spark.catalog.refreshTable(hashT)
+        val collapsed = graft.functions.KmvSketch
+          .rerank(spark.table(hashT), k, Seq(groupCol))
+        appendByBatch(
+          graft.functions.KmvSketch.estimate(collapsed, k, Seq(groupCol))
+            .select(lit(batchId).as("batch_id"), col(groupCol), col("est"),
+              lit(nNew).as("n_new")),
+          estT, bounded = false)
+      }
+    }
+  }
+
+  /**
+   * Compact the KMV standing hash table to its bottom-k collapse —
+   * ≤ k rows per group TOTAL instead of ≤ k per trigger. Replay stays
+   * correct because KMV is closed under union: bottom-k(compacted ∪
+   * replayed-dupes ∪ future) = bottom-k(all appends) — hashes above
+   * the k-th per group can never re-enter any future bottom-k, so
+   * dropping them commutes with every future merge. No batch
+   * provenance needed or kept (the [[compactHll]] argument, with
+   * set-union replacing max).
+   */
+  def compactKmv(spark: SparkSession, tablePrefix: String, k: Int): Unit = {
+    val hashT = tablePrefix + "_kmv_hashes"
+    recoverSwap(spark, hashT)
+    if (!spark.catalog.tableExists(hashT)) return
+    val t = spark.table(hashT)
+    val groupCols = t.columns.filterNot(_ == "hash").toSeq
+    rewrite(spark, hashT,
+      graft.functions.KmvSketch.rerank(t, k, groupCols)
+        .select(t.columns.map(col): _*))
+  }
+
+  /**
    * Streaming novelty gate: flag each micro-batch key as novel
    * (never seen before, certain) or probably-seen (Bloom membership —
    * false positives possible, false negatives never) WITHOUT holding

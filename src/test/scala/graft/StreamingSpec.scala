@@ -1159,6 +1159,56 @@ class StreamingSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, p + t)
   }
 
+  test("kmv ingest: cadence bit-equal to uncompacted twin; replay and compaction idempotent") {
+    import spark.implicits._
+    val a = "graft_test_kmv_a" // compactEvery = 2
+    val b = "graft_test_kmv_b" // compactEvery = 0 — ground truth
+    val tbls = Seq("_kmv_hashes", "_kmv_est")
+    for (p <- Seq(a, b); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    try {
+      val chunks = (0 until 6).map(i =>
+        ((0 to 8).map(j => s"k${i * 3 + j}") :+ "common")
+          .toDF("key").withColumn("src", lit("s1")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.StringType)))
+      val stage = stageChunks(chunks)
+      def feed() = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      for ((p, every) <- Seq(a -> 2, b -> 0)) {
+        val q = graft.streaming.SketchIngest.kmvIngest(
+          feed(), "key", "src", p, k = 8, compactEvery = every)
+        try q.processAllAvailable() finally q.stop()
+      }
+      def est(p: String) = spark.table(p + "_kmv_est")
+        .select("batch_id", "src", "est", "n_new")
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(est(a) == est(b), "KMV estimate trajectory diverged")
+      // the final cadence point compacted the standing state: ≤ k
+      // distinct hashes per group remain
+      val hs = spark.table(a + "_kmv_hashes")
+        .select("src", "hash").as[(String, String)].collect()
+      assert(hs.length == hs.distinct.length && hs.length <= 8,
+        s"kmv hashes must be collapsed to bottom-k (got ${hs.length})")
+      // replayed trigger: batch 5 re-applied is a committed no-op
+      val est5 = est(a)
+      graft.streaming.SketchIngest.applyBatchKmv(
+        chunks(5), 5L, "key", "src", a, k = 8)
+      assert(est(a) == est5, "replayed committed batch must be a no-op")
+      // compaction is idempotent
+      graft.streaming.SketchIngest.compactKmv(spark, a, 8)
+      assert(est(a) == est5)
+      val hs2 = spark.table(a + "_kmv_hashes")
+        .select("src", "hash").as[(String, String)].collect()
+      assert(hs2.sorted.toSeq == hs.sorted.toSeq)
+    } finally for (p <- Seq(a, b); t <- tbls)
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+
   test("compaction crash between rename and MSCK: swapped-in table reads empty, next trigger repairs it") {
     import spark.implicits._
     val cra = "graft_test_mscr_a" // crashes after the second rename
