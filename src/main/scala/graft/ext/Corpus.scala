@@ -183,6 +183,52 @@ object Corpus {
   }
 
   /**
+   * Binned two-sample chi-square drift — the third classical drift
+   * statistic alongside [[psiDrift]] (sum of PSI terms) and [[ksDrift]]
+   * (max CDF gap). Per occupied bin the standard two-sample term
+   * (K1·n_new − K2·n_old)² / (n_old + n_new) with K1 = √(T_old/T_new),
+   * K2 = √(T_new/T_old); their sum is the χ² statistic thresholded
+   * against a χ²(bins−1) critical value. Unlike PSI it needs no epsilon
+   * smoothing (empty bins contribute a finite term by construction) and
+   * unlike KS it weights every bin, not just the worst cumulative point
+   * — the test of record when drift is spread thinly across many bins.
+   *
+   * Scale shape: identical to [[psiDrift]] — each snapshot collapses to
+   * bin counts on the scan (map-side combined), everything after is
+   * bins-sized arithmetic with a broadcast 1-row total. An empty
+   * snapshot makes its K factor 0/∞; both totals are guarded with
+   * `nullif` so the degenerate monitor reads NULL terms rather than
+   * crashing (the caller's alert treats NULL as "no basis", the same
+   * posture as a 0-row KS side).
+   *
+   * @return (bin, n_old, n_new, chisq_term), term 6-digit rounded;
+   *         statistic = sum(chisq_term)
+   */
+  def chiSqDrift(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
+                 binWidth: Double): DataFrame =
+    chiSqDriftFromBins(binCounts(oldSnap, valueCol, binWidth),
+      binCounts(newSnap, valueCol, binWidth))
+
+  /** Chi-square terms from two pre-binned (bin, n) frames — the
+    * arithmetic half of [[chiSqDrift]], bins-sized on both sides. */
+  def chiSqDriftFromBins(oldBins: DataFrame, newBins: DataFrame): DataFrame = {
+    val j = oldBins.select(col("bin"), col("n").as("__no"))
+      .join(newBins.select(col("bin"), col("n").as("__nn")),
+        Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__no"), lit(0L)).as("n_old"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"))
+    val tots = j.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    j.crossJoin(broadcast(tots))
+      .withColumn("__k1", sqrt(col("__to").cast("double") /
+        nullif(col("__tn"), lit(0L))))
+      .withColumn("__k2", sqrt(col("__tn").cast("double") /
+        nullif(col("__to"), lit(0L))))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        round(pow(col("__k1") * col("n_new") - col("__k2") * col("n_old"), 2)
+          / (col("n_old") + col("n_new")) + lit(1e-9), 6).as("chisq_term"))
+  }
+
+  /**
    * Per-source corpus datasheet (the "data card" summary a release
    * process records per source before training): document count, empty
    * documents, whitespace-token totals and mean, character mean, and the

@@ -720,6 +720,101 @@ object Dedup {
     out
   }
 
+  /**
+   * Exact edit-distance threshold self-join (ED-Join, Xiao et al.,
+   * VLDB'08 pattern): all unordered id pairs whose `strCol` values are
+   * within Levenshtein distance `tau`, with the distance. EXACT — the
+   * filter chain only prunes pairs provably outside the threshold, and
+   * every surviving candidate is verified with a real `levenshtein`
+   * call; the oracle for this operator is the brute-force all-pairs
+   * join, so a hash match proves no false negatives.
+   *
+   * Filter chain, all on DISTINCT strings (the dedup-first collapse: a
+   * low-cardinality string column — names, brands, titles — reduces the
+   * candidate problem to its distinct values; id pairs are re-expanded
+   * by two equi-joins at the end, so the output cost is the answer's
+   * own size, never the candidate stage's):
+   *
+   *  1. positional q-grams per distinct string, ranked rarest-first by
+   *     corpus gram frequency (the [[prefixJaccardJoin]] ordering);
+   *  2. PREFIX filter: strings with ed ≤ τ share ≥ max(l)−q+1−q·τ
+   *     position-compatible grams (each edit destroys ≤ q grams), so
+   *     their (q·τ+1)-prefixes under the global order must share a gram
+   *     — candidates come from a bucketed equi-join on prefix grams,
+   *     never all-pairs;
+   *  3. POSITION filter inside the gram buckets (|pos_a − pos_b| ≤ τ)
+   *     and the symmetric LENGTH filter (|l_a − l_b| ≤ τ);
+   *  4. SHORT-STRING valve: the count bound is vacuous when BOTH
+   *     lengths ≤ q(τ+1)−1, so short×short pairs are generated by a
+   *     length-band equi-join instead (b exploded over l±τ keys — an
+   *     equi-join plan, no CartesianProduct), bounded by the tiny
+   *     universe of strings that short;
+   *  5. exact `levenshtein ≤ τ` verification on the candidates only.
+   *
+   * Identical strings (distance 0) pair via the distinct-value groups
+   * directly. Output: (id_a, id_b, dist), id_a < id_b, dist BIGINT.
+   *
+   * Scale shape: gram buckets are keyed by (rare) prefix grams — the
+   * rarest-first order keeps bucket sizes near the gram-frequency
+   * floor; everything shuffles on gram/string keys; the final
+   * expansion is two equi-joins against the (id, string) projection.
+   */
+  def qgramEditJoin(df: DataFrame, idCol: String, strCol: String,
+                    tau: Int, q: Int = 2): DataFrame = {
+    require(tau >= 1, s"tau $tau must be >= 1")
+    require(q >= 2, s"q $q must be >= 2")
+    val shortMax = q * (tau + 1) - 1 // both <= this => count bound <= 0
+    val strs = graft.core.CacheRegistry.persistTracked(
+      df.select(col(strCol).as("__s")).filter(col("__s").isNotNull)
+        .distinct().withColumn("__l", length(col("__s"))))
+    // positional q-grams of every distinct string long enough to have any
+    val grams = strs.filter(col("__l") >= q)
+      .select(col("__s"), col("__l"), explode(transform(
+        sequence(lit(1), col("__l") - q + 1),
+        i => struct(col("__s").substr(i, lit(q)).as("g"), i.as("p"))))
+        .as("__gp"))
+      .select(col("__s"), col("__l"), col("__gp.g").as("__g"),
+        col("__gp.p").as("__p"))
+    val dfreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val prefix = grams.join(dfreq, Seq("__g"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__s").orderBy(col("__df"), col("__g"), col("__p"))))
+      .filter(col("__r") <= q * tau + 1)
+      .select(col("__g"), col("__p"), col("__s"), col("__l"))
+    val candLong = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.__g") === col("pb.__g") &&
+          col("pa.__s") < col("pb.__s") &&
+          abs(col("pa.__p") - col("pb.__p")) <= tau)
+      .filter(abs(col("pa.__l") - col("pb.__l")) <= tau)
+      .select(col("pa.__s").as("__sa"), col("pb.__s").as("__sb"))
+    // short×short pairs via a length-band equi-join (no cartesian)
+    val shorts = strs.filter(col("__l") <= shortMax)
+    val candShort = shorts.as("sa").join(
+        shorts.select(col("__s"), explode(sequence(col("__l") - tau,
+          col("__l") + tau)).as("__k")).as("sb"),
+        col("sa.__l") === col("sb.__k") && col("sa.__s") < col("sb.__s"))
+      .select(col("sa.__s").as("__sa"), col("sb.__s").as("__sb"))
+    val verified = candLong.unionByName(candShort).distinct()
+      .withColumn("__d", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("__d") <= tau)
+    // identical strings: distance 0 inside each distinct-value group
+    val pairs = verified.unionByName(
+      strs.select(col("__s").as("__sa"), col("__s").as("__sb"),
+        lit(0).as("__d")))
+    val ids = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val out = pairs
+      .join(ids.select(col("__id").as("__ia"), col("__s").as("__sa")),
+        Seq("__sa"))
+      .join(ids.select(col("__id").as("__ib"), col("__s").as("__sb")),
+        Seq("__sb"))
+      .filter(col("__sa") =!= col("__sb") || col("__ia") < col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("__d").cast("long").as("dist"))
+    graft.core.CacheRegistry.release(strs)
+    out
+  }
+
   private val BitPowers: Array[Long] = (0 until 64).map(1L << _).toArray
 
   /**

@@ -711,6 +711,26 @@ object ExtDedupQueries {
       FROM j WHERE inter * 2 >= uni""")),
 
 
+    // EXACT edit-distance threshold self-join (ED-Join prefix filtering
+    // — Dedup.qgramEditJoin scaladoc): all part-id pairs whose names are
+    // within Levenshtein distance 2, with the distance. Candidates are
+    // generated on DISTINCT names (positional 2-gram rarest-first
+    // prefixes + position/length filters + the short-string length-band
+    // valve) and re-expanded to ids afterwards. The oracle is the
+    // BRUTE-FORCE all-pairs levenshtein join, so the hash compare proves
+    // the filter chain's no-false-negative guarantee on this corpus —
+    // including the distance-0 pairs the distinct-value groups carry.
+    QueryDef("ext_edit_join", (s, dir) =>
+      Dedup.qgramEditJoin(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", tau = 2),
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2""")),
+
+
     // Benchmark decontamination: corpus docs sharing any 13-token shingle
     // with the benchmark set (the published n-gram-overlap convention).
     // Spark joins 64-bit shingle hashes; the oracle joins the shingle

@@ -232,6 +232,37 @@ object ExtEventsQueries {
               ROWS UNBOUNDED PRECEDING) / dn + 1e-9, 6) AS cdf_new
         FROM j CROSS JOIN t)
       SELECT bin, n_old, n_new, cdf_old, cdf_new,
-        round(abs(cdf_old - cdf_new) + 1e-9, 6) AS gap FROM c"""))
+        round(abs(cdf_old - cdf_new) + 1e-9, 6) AS gap FROM c""")),
+
+
+
+    // Binned two-sample chi-square drift over the same snapshot pair —
+    // the third classical statistic (PSI localizes, KS bounds the worst
+    // cumulative point, chi-square weights EVERY bin): per-bin
+    // (K1·n_new − K2·n_old)²/(n_old+n_new) terms with K = √(T_old/T_new)
+    // scaling, summed against a χ²(bins−1) critical value by the alert
+    // reader. Bins-sized arithmetic after the two scan-side collapses.
+    QueryDef("ext_chisq_drift", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, col("n_chars") + 300)
+            .otherwise(col("n_chars")).as("n_chars"))
+      Corpus.chiSqDrift(docs, v2, "n_chars", binWidth = 500.0)
+    }, Some("""WITH o AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_old FROM documents GROUP BY 1),
+      v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN n_chars + 300
+          ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 3 <> 0),
+      nn AS (SELECT CAST(floor(n_chars / 500.0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_new FROM v2 GROUP BY 1),
+      j AS (SELECT coalesce(o.bin, nn.bin) AS bin,
+          coalesce(o.n_old, 0) AS n_old, coalesce(nn.n_new, 0) AS n_new
+        FROM o FULL OUTER JOIN nn ON o.bin = nn.bin),
+      t AS (SELECT sqrt(CAST(sum(n_old) AS DOUBLE) / sum(n_new)) AS k1,
+          sqrt(CAST(sum(n_new) AS DOUBLE) / sum(n_old)) AS k2 FROM j)
+      SELECT bin, n_old, n_new,
+        round(pow(k1 * n_new - k2 * n_old, 2) / (n_old + n_new) + 1e-9, 6)
+          AS chisq_term
+      FROM j CROSS JOIN t"""))
   )
 }

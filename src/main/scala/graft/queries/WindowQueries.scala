@@ -428,6 +428,22 @@ object WindowQueries {
         CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx
       FROM orders WHERE o_totalprice > 100000""")),
 
+    // T8 (extension): 2-D Pareto skyline — the multi-objective top-k
+    // (price-size frontier of parts: rows no other part beats on BOTH).
+    // Two-phase bucketed prune (Skyline scaladoc: local skyline per hash
+    // bucket, global pass on the survivors — never a global sort over
+    // raw rows); the oracle is the definitional NOT EXISTS dominance
+    // test, so the hash match proves the pruning loses nothing and all
+    // dominance ties are kept.
+    QueryDef("t8_pareto_skyline", (s, dir) =>
+      graft.ops.Skyline.skyline2D(
+        Tables.part(s, dir).select("p_partkey", "p_size", "p_retailprice"),
+        xCol = "p_retailprice", yCol = "p_size"),
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part a
+        WHERE NOT EXISTS (SELECT 1 FROM part b
+          WHERE b.p_retailprice >= a.p_retailprice AND b.p_size >= a.p_size
+            AND (b.p_retailprice > a.p_retailprice OR b.p_size > a.p_size))""")),
+
     // W14 (extension): CUME_DIST — fraction of partition rows at or below
     // the current order key (identical definition in both engines).
     QueryDef("w14_cume_dist", (s, dir) => {

@@ -352,6 +352,23 @@ class CorpusSpec extends SparkSpec {
     }, "binned CDFs must be monotone")
   }
 
+  test("chiSqDrift: zero on identical snapshots, hand-computed two-bin case") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val same = graft.ext.Corpus.chiSqDrift(a, a, "v", binWidth = 10.0)
+      .agg(max(col("chisq_term"))).head().getDouble(0)
+    assert(same == 0.0, s"identical snapshots must have chi-square 0, got $same")
+    // two bins, old (30, 10), new (10, 30): K1 = K2 = 1 (equal totals);
+    // both bins' terms = (10-30)^2/40 = 10.0
+    val o = Seq((0L, 30.0), (1L, 10.0)).flatMap { case (b, n) =>
+      (1 to n.toInt).map(i => (i.toLong, b * 10.0 + 1)) }.toDF("id", "v")
+    val nw = Seq((0L, 10.0), (1L, 30.0)).flatMap { case (b, n) =>
+      (1 to n.toInt).map(i => (i.toLong, b * 10.0 + 1)) }.toDF("id", "v")
+    val terms = graft.ext.Corpus.chiSqDrift(o, nw, "v", binWidth = 10.0)
+      .orderBy("bin").collect().map(_.getAs[Double]("chisq_term")).toSeq
+    assert(terms == Seq(10.0, 10.0), s"expected (10, 10), got $terms")
+  }
+
   test("corpusReport: counts, exact-sum means, dup rate under normalization") {
     import spark.implicits._
     // src A: 4 docs, 2 exact dups under trim/lower/ws-collapse, 1 empty;

@@ -405,6 +405,48 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._3 == expected)
   }
 
+  test("qgramEditJoin: hand-checkable pairs, distance-0 groups, short valve") {
+    // kitten==kitten (0), kitten~mitten (1); sitting is 3 edits from both
+    // (excluded at tau=2); abc~abd (1) rides the short-string valve
+    // (len 3 <= q(tau+1)-1 = 5, no usable gram bound); xyz matches nothing
+    val df = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"),
+      (4L, "mitten"), (5L, "abc"), (6L, "abd"), (7L, "xyz"))
+      .toDF("id", "s")
+    val got = Dedup.qgramEditJoin(df, "id", "s", tau = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((1L, 3L) -> 0L, (1L, 4L) -> 1L, (3L, 4L) -> 1L,
+      (5L, 6L) -> 1L))
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("qgramEditJoin equals brute-force levenshtein join (no false negatives)") {
+    // edits of a base string spread distances across the threshold, with
+    // duplicates for distance-0 groups and a short-string cluster
+    val base = "protonation"
+    val docs = ((0 until 30).map { i =>
+      val s = i % 6 match {
+        case 0 => base
+        case 1 => base.updated(i % base.length, 'x')                  // 1 sub
+        case 2 => base.take(i % base.length) + base.drop(i % base.length + 1) // 1 del
+        case 3 => base.updated(2, 'q').updated(7, 'z')                // 2 subs
+        case 4 => base.reverse                                        // far
+        case 5 => s"ab${i % 3}"                                       // shorts
+      }
+      (i.toLong, s)
+    }).toDF("id", "s")
+    val fast = Dedup.qgramEditJoin(docs, "id", "s", tau = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.s"), col("b.s")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must produce qualifying pairs")
+    assert(fast === brute)
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("prefixJaccardJoin: hand-checkable pairs with integer threshold math") {
     // doc 1 vs 4 differ in the last token only: 12 3-shingles each,
     // 11 shared -> J = 11/13; doc 2 normalizes to doc 1 exactly -> J=1;
