@@ -1354,6 +1354,66 @@ object StreamingQueries {
       FROM est JOIN nn ON nn.chunk = est.bid""")),
 
 
+    // Streaming QUANTILE monitor: per-trigger p50/p90/p99 trajectory of
+    // the value distribution per event type, off a standing fixed-grid
+    // histogram (bucket = ⌊value/8⌋) — the mergeable-quantile posture
+    // where state is O(groups × buckets) forever and every estimate is
+    // exact integer arithmetic (bucket lower edges, cum·100 ≥ q·n), so
+    // the oracle replays the whole trajectory bit-identically — no
+    // interpolating-sketch merge-order ambiguity. compactEvery=2
+    // exercises the count-table compaction mid-run; the trajectory must
+    // hash-match the uncompacted replay anyway.
+    QueryDef("st_hist_quantile", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_hq"
+      for (t <- Seq("_hist_cnt", "_hist_q"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.SketchIngest.histQuantileIngest(
+        stream, "value", "event_type", prefix, width = 8d,
+        compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_hist_q")
+      s.table(prefix + "_hist_q")
+        .select(col("batch_id"), col("event_type"), col("n"),
+          col("p50"), col("p90"), col("p99"))
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 4 + 1 AS step FROM events),
+      ev AS (SELECT event_id // step AS chunk, event_type, value
+        FROM events CROSS JOIN mxs WHERE value IS NOT NULL),
+      bk AS (SELECT r.k AS bid, event_type,
+          CAST(floor(value / 8.0) AS BIGINT) AS bucket,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM ev JOIN range(0, 4) r(k) ON ev.chunk <= r.k GROUP BY 1, 2, 3),
+      c AS (SELECT bid, event_type, bucket, cnt,
+          sum(cnt) OVER (PARTITION BY bid, event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(cnt) OVER (PARTITION BY bid, event_type) AS n
+        FROM bk)
+      SELECT CAST(bid AS BIGINT) AS batch_id, event_type,
+        CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum * 100 >= 50 * n THEN bucket END)
+          AS DOUBLE) * 8 AS p50,
+        CAST(min(CASE WHEN cum * 100 >= 90 * n THEN bucket END)
+          AS DOUBLE) * 8 AS p90,
+        CAST(min(CASE WHEN cum * 100 >= 99 * n THEN bucket END)
+          AS DOUBLE) * 8 AS p99
+      FROM c GROUP BY 1, 2""")),
+
+
     // Streaming Bloom novelty gate: each micro-batch's (user, event
     // type) keys are flagged novel (first contact — certain) or
     // probably-seen (Bloom membership — FPs possible, never FNs)

@@ -111,15 +111,17 @@ object SketchIngest {
     if (spark.table(table).isEmpty) { // crash position 2 (or empty state)
       repair()
       if (spark.table(table).isEmpty && survivorHasData(spark, old)) {
-        graft.core.Materialize.dropWithLocation(spark, table)
+        dropSurvivor(spark, table)
         spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
         repair()
         return
       }
     }
     // crash position 3 (or a healed 2): the swapped-in copy reads —
-    // finish the interrupted cleanup
-    graft.core.Materialize.dropWithLocation(spark, old)
+    // finish the interrupted cleanup ([[dropSurvivor]]: the twin's
+    // stale partition metadata points INTO the live table's directory,
+    // so a plain managed-table drop would delete the data it guards)
+    dropSurvivor(spark, old)
   }
 
   /** Whether the survivor twin holds any data bytes — probed through the
@@ -206,7 +208,43 @@ object SketchIngest {
       throw new IllegalStateException(
         s"compaction swap of `$table` reads empty against a non-empty " +
         s"`$old` — survivor retained for recoverSwap")
-    graft.core.Materialize.dropWithLocation(spark, old)
+    dropSurvivor(spark, old)
+  }
+
+  /**
+   * Drop a RENAMED-AWAY twin without touching anyone else's data.
+   *
+   * `ALTER TABLE RENAME` moves a managed table's directory but leaves
+   * its catalog PARTITION metadata pointing at the pre-move paths —
+   * which, after the swap's second rename, is the LIVE table's
+   * directory. `DROP TABLE` on a managed partitioned table deletes
+   * every registered partition location, so a plain drop of the twin
+   * deletes the just-swapped-in generation through those stale entries
+   * (observed: standing table left with only `_SUCCESS` after a
+   * compaction from a catalog-partition-tracking session; the
+   * foreachBatch path escapes only because its session clone doesn't
+   * register catalog partitions). Forgetting the partition METADATA
+   * first (`retainData = true`) makes the drop touch exactly the
+   * twin's own moved directory.
+   */
+  private def dropSurvivor(spark: SparkSession, table: String): Unit = {
+    forgetPartitions(spark, table)
+    graft.core.Materialize.dropWithLocation(spark, table)
+  }
+
+  /** Remove `table`'s catalog partition metadata WITHOUT deleting the
+    * partition directories (`retainData = true`). No-op for
+    * unpartitioned/legacy tables and sessions that don't track
+    * filesource partitions in the catalog. */
+  private def forgetPartitions(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    try {
+      val specs = cat.listPartitions(id).map(_.spec)
+      if (specs.nonEmpty)
+        cat.dropPartitions(id, specs, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+    } catch { case _: Throwable => () }
   }
 
   /** `compactEvery` (0 = never; DEFAULT 8, the measured recommendation
@@ -595,5 +633,135 @@ object SketchIngest {
             .select("batch_id", "key"))
           .withColumn(PB, col("batch_id")))
     }
+  }
+
+  /**
+   * Streaming QUANTILE monitor: every micro-batch folds its values into
+   * a standing fixed-grid histogram (bucket = ⌊value/width⌋ per group)
+   * and appends one quantile-trajectory row per group — "what are p50 /
+   * p90 / p99 of X per source, continuously" without ever retaining the
+   * values. The histogram is the production mergeable-quantile sketch
+   * whose error model is the simplest possible: estimates are exact
+   * bucket LOWER EDGES, so the error is bounded by `width` by
+   * construction, and every estimate is pure integer arithmetic —
+   * bit-replayable by any engine, unlike interpolating sketches
+   * (t-digest/KLL) whose merge order changes the answer.
+   *
+   * Tables: `<prefix>_hist_cnt` (batch_id, group, bucket, cnt) carries
+   * batch provenance; readers collapse with
+   * dropDuplicates(batch_id, group, bucket) + sum — crash-replayed
+   * appends are byte-identical and vanish in the dedup (the
+   * [[cmsIngest]] count argument verbatim). `<prefix>_hist_q`
+   * (batch_id, group, n, p50, p90, p99) is the replay guard, written
+   * LAST (marks-write-last).
+   *
+   * Per-trigger cost: one batch-sized (group, bucket) aggregation —
+   * ≤ groups × (domain/width) rows out of the shuffle — plus a collapse
+   * of the standing table (same bound × triggers-since-compaction;
+   * `compactEvery` keeps it ×2 amortized). State is O(groups ×
+   * domain/width) forever — the quantile twin of the CMS frequency
+   * monitor's O(d×w).
+   */
+  def histQuantileIngest(stream: DataFrame, valCol: String,
+                         groupCol: String, tablePrefix: String,
+                         width: Double,
+                         checkpoint: Option[String] = None,
+                         compactEvery: Int = 8): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      applyHistBatch(batch.toDF(), batchId, valCol, groupCol, tablePrefix,
+        width)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactHist(batch.sparkSession, tablePrefix)
+    }.start()
+  }
+
+  /** One quantile-monitor trigger, exposed for at-least-once testing.
+    *
+    * The estimate rule is exact-integer: with per-group total `n` and
+    * running bucket count `cum`, the q-percent quantile is the lower
+    * edge of the first bucket where `cum·100 ≥ q·n` — the integer form
+    * of `cum ≥ ⌈q·n/100⌉`, no division, no interpolation, no floats
+    * until the final `bucket × width` edge. */
+  def applyHistBatch(batch: DataFrame, batchId: Long, valCol: String,
+                     groupCol: String, tablePrefix: String,
+                     width: Double): Unit = {
+    val spark = batch.sparkSession
+    val cntT = tablePrefix + "_hist_cnt"
+    val qT = tablePrefix + "_hist_q"
+    if (!committed(spark, qT, batchId)) graft.core.CacheRegistry.scoped {
+      val counts = graft.core.CacheRegistry.persistTracked(
+        batch.filter(col(valCol).isNotNull)
+          .groupBy(col(groupCol),
+            floor(col(valCol) / width).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("cnt")))
+      if (counts.count() > 0) {
+        appendByBatch(
+          counts.select(lit(batchId).as("batch_id"), col(groupCol),
+            col("bucket"), col("cnt")),
+          cntT, bounded = true)
+        spark.catalog.refreshTable(cntT)
+        val cntTbl = spark.table(cntT)
+        val collapsed = cntTbl.filter(bcol(cntTbl) <= batchId)
+          .dropDuplicates("batch_id", groupCol, "bucket")
+          .groupBy(col(groupCol), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+        val wCum = wAll.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val cum = collapsed
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+        def qEdge(q: Int): org.apache.spark.sql.Column =
+          min(when(col("cum") * 100 >= col("n") * q,
+            col("bucket").cast("double") * width))
+        appendByBatch(
+          cum.groupBy(col(groupCol))
+            .agg(max(col("n")).as("n"), qEdge(50).as("p50"),
+              qEdge(90).as("p90"), qEdge(99).as("p99"))
+            .select(lit(batchId).as("batch_id"), col(groupCol), col("n"),
+              col("p50"), col("p90"), col("p99")),
+          qT, bounded = false)
+      }
+    }
+  }
+
+  /**
+   * Compact the histogram count table: rows with batch_id ≤ the max
+   * COMMITTED quantile row collapse to one summed row per (group,
+   * bucket) tagged with that max batch_id; uncommitted later appends
+   * pass through untouched. Replay stays correct for the same reason as
+   * [[compactCms]]: a trigger b ≤ maxCommitted can only replay if its
+   * guard row were missing — and maxCommitted is read from the guard
+   * table itself, so every folded batch's guard row exists and the
+   * `committed` check skips the replay before it can append against the
+   * merged row.
+   */
+  def compactHist(spark: SparkSession, tablePrefix: String): Unit = {
+    val cntT = tablePrefix + "_hist_cnt"
+    val qT = tablePrefix + "_hist_q"
+    recoverSwap(spark, cntT)
+    if (!spark.catalog.tableExists(cntT) ||
+        !spark.catalog.tableExists(qT)) return
+    val maxRow = spark.table(qT).agg(max(col("batch_id"))).head()
+    if (maxRow.isNullAt(0)) return
+    val maxC = maxRow.getLong(0)
+    val cnt = spark.table(cntT)
+    val groupCol = cnt.columns
+      .filterNot(Set("batch_id", "bucket", "cnt", PB)).head
+    rewrite(spark, cntT,
+      cnt.filter(bcol(cnt) <= maxC)
+        .dropDuplicates("batch_id", groupCol, "bucket")
+        .groupBy(col(groupCol), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(lit(maxC).as("batch_id"), col(groupCol), col("bucket"),
+          col("cnt"))
+        .unionByName(cnt.filter(bcol(cnt) > maxC)
+          .select("batch_id", groupCol, "bucket", "cnt"))
+        .withColumn(PB, col("batch_id")))
   }
 }

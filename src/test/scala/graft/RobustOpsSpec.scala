@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.{RangeJoin, Windows}
+import graft.ext.{Association, TextOps}
+
+/** New-op specs: interval-overlap join, association rules, CUSUM,
+  * readability, streaming histogram quantiles. */
+class RobustOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("intervalOverlapJoin matches naive cross-filter, each pair once") {
+    val left = Seq((1L, 0d, 10d), (2L, 15d, 18d), (3L, 40d, 95d),
+        (4L, 7d, 7d))
+      .toDF("lid", "s_lo", "s_hi")
+    val right = Seq((10L, 5d, 16d), (20L, 17d, 30d), (30L, 96d, 99d),
+        (40L, 0d, 100d))
+      .toDF("rid", "w_lo", "w_hi")
+    val got = RangeJoin.intervalOverlapJoin(left, "s_lo", "s_hi",
+        right, "w_lo", "w_hi", bucketWidth = 6d)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+    val naive = left.crossJoin(right)
+      .filter(col("s_lo") <= col("w_hi") && col("w_lo") <= col("s_hi"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+    assert(got.sameElements(naive))
+    assert(got.length == got.distinct.length)
+    // spot-check semantics: degenerate [7,7] hits [5,16] and [0,100]
+    assert(naive.contains((4L, 10L)) && naive.contains((4L, 40L)))
+    // touching endpoints count as overlap (closed intervals)
+    assert(naive.contains((2L, 10L)))
+  }
+
+  test("pairRules: hand-computed support/confidence/lift, apriori prune") {
+    // baskets: 1:{a,b}, 2:{a,b}, 3:{a,c}, 4:{b}, 5:{d} — d is pruned at
+    // minItemSupport=2; c survives items but no pair reaches support 2
+    val df = Seq((1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"), (4, "b"), (5, "d"))
+      .toDF("basket", "item")
+    val rules = Association.pairRules(df, "basket", "item",
+        minItemSupport = 2, minPairSupport = 2)
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b")) -> r).toMap
+    assert(rules.keySet == Set(("a", "b")))
+    val ab = rules(("a", "b"))
+    assert(ab.getAs[Long]("n_ab") == 2)
+    assert(ab.getAs[Long]("n_a") == 3 && ab.getAs[Long]("n_b") == 3)
+    assert(math.abs(ab.getAs[Double]("support") - 0.4) < 1e-12)
+    assert(math.abs(ab.getAs[Double]("conf_a_b") - 2d / 3) < 1e-12)
+    assert(math.abs(ab.getAs[Double]("lift") - 2d * 5 / 9) < 1e-12)
+  }
+
+  test("cusum window unrolling equals the textbook recursion") {
+    val xs = Seq(1d, 5d, 2d, 9d, 0d, 0d, 7d, 8d, 3d, 1d)
+    val mu = xs.sum / xs.length
+    val slack = 0.5
+    // textbook recursion on the driver
+    val expUp = xs.scanLeft(0d)((s, x) =>
+      math.max(0d, s + x - mu - slack)).tail
+    val expDn = xs.scanLeft(0d)((s, x) =>
+      math.max(0d, s + mu - x - slack)).tail
+    val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("t", "x")
+    val got = Windows.cusum(df, Seq.empty, "t", "x", lit(mu), lit(slack))
+      .orderBy("t")
+      .select("cusum_up", "cusum_down").as[(Double, Double)].collect()
+    got.zip(expUp.zip(expDn)).foreach { case ((gu, gd), (eu, ed)) =>
+      assert(math.abs(gu - eu) < 1e-9 && math.abs(gd - ed) < 1e-9)
+    }
+  }
+
+  test("readability: hand-counted syllables/sentences/words") {
+    val df = Seq("The cat sat. The dog ran away!").toDF("text")
+    val r = df.select(
+      TextOps.syllableCount(col("text")).as("sy"),
+      size(TextOps.sentences(col("text"))).as("se"),
+      TextOps.tokenCount(col("text")).as("w"),
+      TextOps.fleschReadingEase(col("text")).as("f")).head()
+    // vowel groups: e,a,a | e,o,a,a-a(away: a,ay→2 groups: a, ay... )
+    // "the cat sat the dog ran away" → e,a,a,e,o,a,a,ay = 8
+    assert(r.getAs[Int]("sy") == 8)
+    assert(r.getAs[Int]("se") == 2)
+    assert(r.getAs[Int]("w") == 7)
+    val exp = 206.835 - 1.015 * 7d / 2 - 84.6 * 8d / 7
+    assert(math.abs(r.getAs[Double]("f") - exp) < 1e-9)
+  }
+
+  test("histogram quantile ingest: replay-idempotent, compaction-invariant") {
+    import graft.streaming.SketchIngest
+    val p1 = "graft_t_hq1"
+    val p2 = "graft_t_hq2"
+    for (p <- Seq(p1, p2); t <- Seq("_hist_cnt", "_hist_q"))
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    val chunks = Seq(
+      Seq(("a", 1d), ("a", 9d), ("b", 4d)),
+      Seq(("a", 17d), ("b", 4d), ("b", 33d)),
+      Seq(("a", 2d), ("a", 25d)))
+      .map(_.toDF("g", "v"))
+    // p1: straight ingest, compaction after every batch
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      SketchIngest.applyHistBatch(c, i.toLong, "v", "g", p1, width = 8d)
+      SketchIngest.compactHist(spark, p1)
+    }
+    // p2: at-least-once — batch 1 applied twice — and never compacted
+    SketchIngest.applyHistBatch(chunks(0), 0L, "v", "g", p2, 8d)
+    SketchIngest.applyHistBatch(chunks(1), 1L, "v", "g", p2, 8d)
+    SketchIngest.applyHistBatch(chunks(1), 1L, "v", "g", p2, 8d)
+    SketchIngest.applyHistBatch(chunks(2), 2L, "v", "g", p2, 8d)
+    def traj(p: String): Seq[Row] = {
+      spark.catalog.refreshTable(p + "_hist_q")
+      spark.table(p + "_hist_q")
+        .select("batch_id", "g", "n", "p50", "p90", "p99")
+        .orderBy("batch_id", "g").collect().toSeq
+    }
+    assert(traj(p1) == traj(p2))
+    // hand-check batch 2, group a: values {1,9,17,2,25} → buckets
+    // {0,1,2,0,3}, n=5; p50: cum·100 ≥ 250 first at bucket 1 (cum 3)
+    // → 8.0; p90/p99: threshold 450/495 → bucket 3 → 24.0
+    val a2 = traj(p1).find(r => r.getLong(0) == 2L && r.getString(1) == "a").get
+    assert(a2.getLong(2) == 5L)
+    assert(a2.getDouble(3) == 8d && a2.getDouble(4) == 24d &&
+      a2.getDouble(5) == 24d)
+    for (p <- Seq(p1, p2); t <- Seq("_hist_cnt", "_hist_q"))
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+
+  test("direct-call compaction keeps standing state (stale-partition drop regression)") {
+    // Regression: from a session that tracks filesource partitions in
+    // the catalog (any NON-foreachBatch session — the documented
+    // "operator's own schedule" maintenance path), ALTER TABLE RENAME
+    // leaves the renamed-away twin's partition metadata pointing INTO
+    // the live table's directory, and a plain managed-table DROP then
+    // deletes the just-swapped-in generation through those stale
+    // entries. dropSurvivor (retainData partition forget before the
+    // drop) must keep the standing table intact.
+    import graft.streaming.SketchIngest
+    val p = "graft_t_cptreg"
+    for (t <- Seq("_cms_cnt", "_cms_cand", "_cms_est"))
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    import spark.implicits._
+    SketchIngest.applyCmsBatch(Seq("x", "x", "y", "z").toDF("k"),
+      0L, "k", p, d = 2, w = 64, topN = 4)
+    // the standing table IS catalog-partition-tracked in this session —
+    // the precondition that makes the plain drop destructive
+    val cat = spark.sessionState.catalog
+    assert(cat.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(p + "_cms_cnt"))
+      .nonEmpty, "precondition: catalog tracks the __pb partitions")
+    SketchIngest.compactCms(spark, p)
+    spark.catalog.refreshTable(p + "_cms_cnt")
+    assert(spark.table(p + "_cms_cnt").count() == 5,
+      "compaction must preserve the standing counts")
+    SketchIngest.applyCmsBatch(Seq("x", "w", "w", "y").toDF("k"),
+      1L, "k", p, d = 2, w = 64, topN = 4)
+    spark.catalog.refreshTable(p + "_cms_est")
+    val estX = spark.table(p + "_cms_est")
+      .filter(col("batch_id") === 1L && col("key") === "x")
+      .select("est").as[Long].head()
+    assert(estX == 3L, s"x seen 3 times across batches, est said $estX")
+    for (t <- Seq("_cms_cnt", "_cms_cand", "_cms_est"))
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+}
