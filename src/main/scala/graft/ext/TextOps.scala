@@ -71,6 +71,34 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /**
+   * Syllable estimate: count of maximal vowel-group runs in the
+   * lowercased text (the standard dictionary-free heuristic — "readable"
+   * → read·a·ble's 3 groups ea/a/e). Exact only for a dictionary, but
+   * deterministic, engine-portable (no lookarounds), and monotone in
+   * real syllable count — which is all a corpus-level readability
+   * signal needs.
+   */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /**
+   * Flesch reading-ease score: `206.835 − 1.015·(words/sentences) −
+   * 84.6·(syllables/words)`, with [[syllableCount]]'s vowel-group
+   * estimate and [[sentences]]' heuristic segmentation. A quality
+   * signal for training-data curation (very low scores flag tables /
+   * code / boilerplate masquerading as prose; implausibly high ones
+   * flag token soup). Pure codegen'd expression over the scan —
+   * composes with the gopher gates at zero extra passes. Denominators
+   * clamp at 1 so empty/unterminated text scores instead of NULLing.
+   */
+  def fleschReadingEase(text: Column): Column = {
+    val words = greatest(tokenCount(text), lit(1)).cast("double")
+    val sents = greatest(size(sentences(text)), lit(1)).cast("double")
+    val syll = greatest(syllableCount(text), lit(1)).cast("double")
+    lit(206.835) - lit(1.015) * words / sents - lit(84.6) * syll / words
+  }
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {
     val n = length(text)

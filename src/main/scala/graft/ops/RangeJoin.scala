@@ -33,4 +33,36 @@ object RangeJoin {
       .filter(col(leftVal).between(col(lo), col(hi)))
       .drop("__bucket")
   }
+
+  /**
+   * Interval-OVERLAP join — both sides are intervals and a pair matches
+   * when `[lLo,lHi] ∩ [rLo,rHi] ≠ ∅` (closed endpoints). Distinct from
+   * [[bucketedRangeJoin]]'s point-in-interval shape: the naive plan is
+   * again a nested loop, and the tiling fix must now explode BOTH sides
+   * over the tiles they cover, which makes every overlapping pair meet
+   * once per SHARED tile. The usual post-join `distinct` re-shuffles the
+   * whole pair set; instead each pair is kept only in its first shared
+   * tile — `max(floor(lLo/w), floor(rLo/w))`, the tile where the
+   * later-starting interval begins, which both rows of any overlapping
+   * pair compute identically — so the output is exactly-once with zero
+   * extra exchanges.
+   *
+   * Shuffle volume is O(Σ span/bucketWidth) over both inputs; pick
+   * `bucketWidth` ≈ the typical interval span (same trade-off as
+   * [[bucketedRangeJoin]]). Column names must not collide across sides.
+   */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                          right: DataFrame, rLo: String, rHi: String,
+                          bucketWidth: Double): DataFrame = {
+    def tiled(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__tile",
+        explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    tiled(left, lLo, lHi).join(tiled(right, rLo, rHi), Seq("__tile"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__tile") ===
+        greatest(floor(col(lLo) / bucketWidth).cast("long"),
+          floor(col(rLo) / bucketWidth).cast("long")))
+      .drop("__tile")
+  }
 }

@@ -87,4 +87,38 @@ object Windows {
     val prev = lag(col(valueCol), 1).over(w)
     df.withColumn(outName, coalesce((col(valueCol) - prev) / prev, lit(0d)))
   }
+
+  /**
+   * Two-sided CUSUM change detection over an ordered series (extension:
+   * the sequential-analysis drift statistic, complementing the
+   * distributional PSI/KS/χ² drift family with ORDER sensitivity —
+   * a mean shift that never moves the histogram still trips CUSUM).
+   *
+   * The textbook form is recursive — `S⁺_t = max(0, S⁺_{t-1} + x_t − μ
+   * − slack)` — which no window frame can express directly. It unrolls
+   * exactly: with the prefix sum `P_t = Σ_{i≤t}(x_i − μ − slack)`,
+   *
+   *   `S⁺_t = P_t − min_{i ≤ t}(P_i, 0-prefix)`   (running min of P,
+   *   seeded with 0 — every reset of the max(0, ·) recursion is the
+   *   running min advancing). Symmetric for the downward side.
+   *
+   * So the whole detector is two cumulative sums + two running
+   * extremes in ONE partitioned-ordered window pass — no recursion, no
+   * driver loop, and per-series it shuffles once on the partition key.
+   * An unpartitioned call is a single global ordering: apply it to
+   * already-aggregated series (daily means), never raw facts.
+   */
+  def cusum(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+            valueCol: String, mean: Column, slack: Column,
+            upName: String = "cusum_up",
+            downName: String = "cusum_down"): DataFrame = {
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+             else Window.partitionBy(partitionCols.map(col): _*)
+               .orderBy(col(orderCol))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pUp = sum(col(valueCol) - mean - slack).over(w)
+    val pDn = sum(col(valueCol) - mean + slack).over(w)
+    df.withColumn(upName, pUp - least(min(pUp).over(w), lit(0d)))
+      .withColumn(downName, greatest(max(pDn).over(w), lit(0d)) - pDn)
+  }
 }

@@ -428,6 +428,46 @@ object ExtModelQueries {
             .as("shared_contents_verified"))
     }, Some("""SELECT doc_id AS orig_id, doc_id + 100000 AS edited_id,
         true AS head_chunks_shared, true AS shared_contents_verified
-      FROM documents WHERE doc_id % 2 = 0"""))
+      FROM documents WHERE doc_id % 2 = 0""")),
+
+    // Weight-of-evidence / information value — the classic feature-
+    // screening statistic for a binary target (here: does the value
+    // band predict a purchase event). Fixed-grid bins (no ntile tie
+    // ambiguity), +0.5 Laplace smoothing on BOTH classes so empty
+    // cells score finitely and identically on both engines; totals
+    // ride along as a broadcast 1-row frame. One scan + one hash
+    // shuffle on the bin key — the screening pass for thousands of
+    // candidate features is this same shape unioned, never a loop of
+    // collect()s.
+    QueryDef("ext_woe_iv", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bins = ev.groupBy(floor(col("value") / 50).cast("long").as("bin"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_good"),
+          sum(when(col("event_type") === "purchase", 0L).otherwise(1L))
+            .as("n_bad"))
+      val tot = bins.agg(sum(col("n_good")).as("gt"),
+        sum(col("n_bad")).as("bt"))
+      val pg = (col("n_good") + lit(0.5)) / col("gt")
+      val pb = (col("n_bad") + lit(0.5)) / col("bt")
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_good"), col("n_bad"),
+          round(log(pg / pb) + lit(1e-9), 6).as("woe"),
+          round((pg - pb) * log(pg / pb) + lit(1e-9), 6).as("iv_term"))
+    }, Some("""WITH b AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_good,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_bad
+        FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(n_good) AS BIGINT) AS gt,
+          CAST(sum(n_bad) AS BIGINT) AS bt FROM b)
+      SELECT bin, n_good, n_bad,
+        round(ln(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt))
+          + 1e-9, 6) AS woe,
+        round((((n_good + 0.5) / gt) - ((n_bad + 0.5) / bt))
+          * ln(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt))
+          + 1e-9, 6) AS iv_term
+      FROM b CROSS JOIN t"""))
   )
 }

@@ -1547,6 +1547,59 @@ object ExtTextQueries {
         round(greatest(u - b, 0.0) + 1e-9, 6) AS diff_est,
         round(w / kp + 1e-9, 6) AS jaccard_est,
         union_exact, inter_exact
-      FROM estu, estb, wit, ex"""))
+      FROM estu, estb, wit, ex""")),
+
+    // Flesch reading-ease per source: vowel-group syllables + heuristic
+    // sentence segmentation (the ext_text_sentences punctuation
+    // injection, since the fixture prose is unpunctuated), reduced to
+    // per-source curation signals. Everything per-doc is exact integer
+    // counts → one double formula with identical operand order on both
+    // engines; only the final per-source avg sees summation-order ulps,
+    // absorbed by round(4).
+    QueryDef("ext_text_readability", (s, dir) => {
+      val punct = regexp_replace(col("text"), lit(" data "), lit(". "))
+      val perDoc = Tables.documents(s, dir).select(col("source"),
+        greatest(TextOps.tokenCount(punct), lit(1)).cast("double")
+          .as("words"),
+        greatest(size(TextOps.sentences(punct)), lit(1)).cast("double")
+          .as("sents"),
+        greatest(TextOps.syllableCount(punct), lit(1)).cast("double")
+          .as("syll"),
+        TextOps.fleschReadingEase(punct).as("flesch"))
+      perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("words") / col("sents")) + lit(1e-9), 4)
+          .as("avg_wps"),
+        round(avg(col("syll") / col("words")) + lit(1e-9), 4)
+          .as("avg_spw"),
+        round(avg(col("flesch")) + lit(1e-9), 4).as("avg_flesch"),
+        sum(when(col("flesch") < 30, 1L).otherwise(0L)).as("n_hard"))
+    }, Some(s"""WITH d AS (SELECT source,
+          greatest(len($DuckPunctToks), 1)::DOUBLE AS words,
+          greatest(len(list_filter(list_transform(
+            regexp_extract_all(regexp_replace(text, ' data ', '. ', 'g'),
+              '[^.!?]+[.!?]+|[^.!?]+$$'),
+            s -> trim(s)), s -> len(s) > 0)), 1)::DOUBLE AS sents,
+          greatest(len(regexp_extract_all(
+            lower(regexp_replace(text, ' data ', '. ', 'g')),
+            '[aeiouy]+')), 1)::DOUBLE AS syll
+        FROM documents),
+      f AS (SELECT source, words, sents, syll,
+          206.835 - 1.015 * words / sents - 84.6 * syll / words AS flesch
+        FROM d)
+      SELECT source, count(*) AS n_docs,
+        round(avg(words / sents) + 1e-9, 4) AS avg_wps,
+        round(avg(syll / words) + 1e-9, 4) AS avg_spw,
+        round(avg(flesch) + 1e-9, 4) AS avg_flesch,
+        CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hard
+      FROM f GROUP BY 1"""))
   )
+
+  /** DuckDB twin of [[TextOps.tokens]] over the punctuation-injected
+    * text (the readability query's word count). */
+  private val DuckPunctToks =
+    """list_filter(string_split_regex(
+      trim(regexp_replace(text, ' data ', '. ', 'g')), '\s+'),
+      x -> len(x) > 0)"""
 }

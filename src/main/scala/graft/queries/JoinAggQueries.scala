@@ -680,6 +680,142 @@ object JoinAggQueries {
         FROM lineitem GROUP BY 1)
       SELECT x.l_returnflag, nd_exact, nd_estimate,
         round(abs(nd_estimate - nd_exact) / nd_exact + 1e-9, 6) AS rel_err
-      FROM x JOIN e USING (l_returnflag)"""))
+      FROM x JOIN e USING (l_returnflag)""")),
+
+    // J16: interval-OVERLAP join (both sides intervals) — per-user
+    // daily activity spans [min ts, max ts] × synthetic maintenance
+    // windows, tiled so no pair set is ever nested-loop'd and each
+    // overlapping pair surfaces exactly once (first-shared-tile rule,
+    // no post-join distinct). Endpoints are exact integer MICROseconds
+    // on both engines (unix_micros / epoch_us), so the overlap
+    // predicate has no float knife-edge.
+    QueryDef("j16_interval_overlap", (s, dir) => {
+      val spans = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("s_lo"),
+          max(unix_micros(col("ts"))).as("s_hi"))
+      val day0 = unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+      val windows = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("win_id"),
+        (day0 + col("n_nationkey") * lit(86400000000L) +
+          col("n_nationkey") * lit(1800000000L)).as("w_lo"))
+        .withColumn("w_hi", col("w_lo") + lit(21600000000L))
+      graft.ops.RangeJoin.intervalOverlapJoin(
+          spans, "s_lo", "s_hi", windows, "w_lo", "w_hi",
+          bucketWidth = 21600000000d)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_user_days"),
+          countDistinct(col("user_id")).as("n_users"))
+    }, Some("""WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          min(epoch_us(ts)) AS s_lo, max(epoch_us(ts)) AS s_hi
+        FROM events GROUP BY 1, 2),
+      win AS (SELECT CAST(n_nationkey AS BIGINT) AS win_id,
+          epoch_us(TIMESTAMP '2024-01-01')
+            + CAST(n_nationkey AS BIGINT) * 86400000000
+            + CAST(n_nationkey AS BIGINT) * 1800000000 AS w_lo,
+          epoch_us(TIMESTAMP '2024-01-01')
+            + CAST(n_nationkey AS BIGINT) * 86400000000
+            + CAST(n_nationkey AS BIGINT) * 1800000000
+            + 21600000000 AS w_hi
+        FROM nation)
+      SELECT win_id, count(*) AS n_user_days,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM spans JOIN win ON s_lo <= w_hi AND w_lo <= s_hi
+      GROUP BY 1""")),
+
+    // A28: robust location stats — 10%-trimmed mean (drop tails) and
+    // winsorized mean (clamp tails) per group, off ONE exact-percentile
+    // pass whose tiny per-group bounds broadcast back onto the fact
+    // scan. The production outlier-resistant aggregate: a corrupt
+    // billion-row feed moves the trimmed mean by at most the trim
+    // fraction, unlike avg.
+    QueryDef("a28_trimmed_robust", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.1)").as("p10"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(avg(when(col("l_extendedprice").between(col("p10"),
+            col("p90")), col("l_extendedprice"))), 4).as("trimmed_mean"),
+          round(avg(greatest(least(col("l_extendedprice"), col("p90")),
+            col("p10"))), 4).as("winsor_mean"),
+          round(avg(col("l_extendedprice")), 4).as("plain_mean"))
+    }, Some("""WITH b AS (SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.1) AS p10,
+          quantile_cont(l_extendedprice, 0.9) AS p90
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+        round(avg(CASE WHEN l_extendedprice BETWEEN p10 AND p90
+          THEN l_extendedprice END), 4) AS trimmed_mean,
+        round(avg(greatest(least(l_extendedprice, p90), p10)), 4)
+          AS winsor_mean,
+        round(avg(l_extendedprice), 4) AS plain_mean
+      FROM lineitem JOIN b USING (l_returnflag) GROUP BY 1""")),
+
+    // A29: exponential time-decay aggregate — freshness-weighted volume
+    // per event type with a 7-day half-life anchored at the corpus max
+    // timestamp (deterministic, no current_timestamp). One scan + one
+    // hash shuffle; the anchor rides along as a broadcast 1-row frame.
+    QueryDef("a29_time_decay", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+      val age = (col("ref_us") - unix_micros(col("ts"))).cast("double") /
+        lit(86400000000d)
+      val w = pow(lit(0.5), age / lit(7.0))
+      ev.crossJoin(broadcast(anchor))
+        .groupBy("event_type")
+        .agg(round(sum(col("value") * w), 4).as("decayed_value"),
+          round(sum(w), 4).as("decayed_n"),
+          count(lit(1)).as("n"))
+    }, Some("""WITH a AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+      SELECT event_type,
+        round(sum(value * pow(0.5,
+          (ref_us - epoch_us(ts)) / 86400000000.0 / 7.0)), 4)
+          AS decayed_value,
+        round(sum(pow(0.5,
+          (ref_us - epoch_us(ts)) / 86400000000.0 / 7.0)), 4)
+          AS decayed_n,
+        count(*) AS n
+      FROM events CROSS JOIN a GROUP BY 1""")),
+
+    // A30: market-basket association rules — support / confidence /
+    // lift over brand pairs co-purchased in one order. Pair generation
+    // is a basket-keyed SELF-JOIN (never a per-basket pair explosion
+    // through one row) with the apriori item prune broadcast onto both
+    // sides first — see graft.ext.Association.
+    QueryDef("a30_assoc_rules", (s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.ext.Association.pairRules(baskets, "l_orderkey", "p_brand",
+          minItemSupport = 2, minPairSupport = 40)
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          round(col("support") + lit(1e-12), 8).as("support"),
+          round(col("conf_a_b") + lit(1e-12), 8).as("conf_a_b"),
+          round(col("lift") + lit(1e-12), 8).as("lift"))
+    }, Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+          p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+      ic AS (SELECT item, count(*) AS n_item FROM items
+        GROUP BY 1 HAVING count(*) >= 2),
+      fi AS (SELECT basket, items.item FROM items JOIN ic USING (item)),
+      pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+          count(*) AS n_ab
+        FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 40)
+      SELECT item_a, item_b, n_ab,
+        round(CAST(n_ab AS DOUBLE) / n_baskets + 1e-12, 8) AS support,
+        round(CAST(n_ab AS DOUBLE) / ia.n_item + 1e-12, 8) AS conf_a_b,
+        round(CAST(n_ab AS DOUBLE) * n_baskets /
+          (ia.n_item * ib.n_item) + 1e-12, 8) AS lift
+      FROM pairs
+      JOIN ic ia ON ia.item = item_a
+      JOIN ic ib ON ib.item = item_b
+      CROSS JOIN nb"""))
   )
 }

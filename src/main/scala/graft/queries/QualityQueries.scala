@@ -319,6 +319,107 @@ object QualityQueries {
         round(round(CAST(coalesce(obs.observed, 0) AS DOUBLE)
             / nullif(t.n, 0) + 1e-9, 6)
           - round(log10(1.0 + 1.0 / d.digit) + 1e-9, 6) + 1e-9, 6) AS dev
-      FROM d LEFT JOIN obs USING (digit) CROSS JOIN t"""))
+      FROM d LEFT JOIN obs USING (digit) CROSS JOIN t""")),
+
+    // CUSUM change detection over the daily value means — the
+    // SEQUENTIAL drift statistic complementing the distributional
+    // psi/ks/χ² family: a mean shift that never reshapes the histogram
+    // still accumulates here. The textbook max(0, ·) recursion is
+    // unrolled into prefix-sum minus running-extreme (see
+    // graft.ops.Windows.cusum), so the whole detector is one window
+    // pass over the PRE-AGGREGATED daily series, never the raw facts.
+    QueryDef("dq_cusum_shift", (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("x"))
+      val mu = daily.agg(avg(col("x")).as("mu"))
+      graft.ops.Windows.cusum(
+          daily.crossJoin(broadcast(mu)), Seq.empty, "day", "x",
+          mean = col("mu"), slack = lit(2.0))
+        .select(col("day"), round(col("x") + lit(1e-9), 4).as("x"),
+          round(col("cusum_up") + lit(1e-9), 4).as("cusum_up"),
+          round(col("cusum_down") + lit(1e-9), 4).as("cusum_down"))
+    }, Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          avg(value) AS x FROM events GROUP BY 1),
+      m AS (SELECT avg(x) AS mu FROM daily),
+      p AS (SELECT day, x,
+          sum(x - mu - 2.0) OVER w AS p_up,
+          sum(x - mu + 2.0) OVER w AS p_dn
+        FROM daily CROSS JOIN m
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT day, round(x + 1e-9, 4) AS x,
+        round(p_up - least(min(p_up) OVER w2, 0.0) + 1e-9, 4) AS cusum_up,
+        round(greatest(max(p_dn) OVER w2, 0.0) - p_dn + 1e-9, 4)
+          AS cusum_down
+      FROM p
+      WINDOW w2 AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
+    // Concentration audit of the per-user traffic distribution — the
+    // corpus-balance statistics a training-data pipeline reports per
+    // source: Herfindahl index (Σ share²) and the Gini coefficient via
+    // the sorted-rank identity G = 2·Σ(rank·cₛₒᵣₜₑ𝒹)/(n·Σc) − (n+1)/n.
+    // Rank ties are broken by user id on both engines, and Σ rank·c is
+    // tie-invariant (equal values swap ranks freely), so the statistic
+    // is exact-integer until two final divisions. One aggregation + one
+    // dimension-cardinality window — never a sort of the raw facts.
+    QueryDef("dq_gini_concentration", (s, dir) => {
+      val byUser = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"), col("user_id"))
+      byUser.withColumn("rk", row_number().over(w))
+        .agg(count(lit(1)).as("n_users"), sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("sum_sq"),
+          sum(col("rk") * col("c")).as("rank_dot"))
+        .select(col("n_users"), col("total"),
+          round(col("sum_sq").cast("double") /
+            (col("total") * col("total")) + lit(1e-9), 6).as("hhi"),
+          round(lit(2d) * col("rank_dot") / (col("n_users") * col("total"))
+            - (col("n_users") + lit(1)).cast("double") / col("n_users")
+            + lit(1e-9), 6).as("gini"))
+    }, Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      r AS (SELECT c, user_id,
+          row_number() OVER (ORDER BY c, user_id) AS rk FROM c)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(c) AS BIGINT) AS total,
+        round(CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) + 1e-9, 6)
+          AS hhi,
+        round(2.0 * sum(rk * c) / (count(*) * sum(c))
+          - CAST(count(*) + 1 AS DOUBLE) / count(*) + 1e-9, 6) AS gini
+      FROM r""")),
+
+    // Seasonal-baseline residual audit: each (type, day, hour) cell's
+    // mean vs the month-long hour-of-day baseline for that type — the
+    // calendar-seasonality twin of dq_rolling_anomaly (which is blind
+    // to recurring daily shape). Two hash aggregations + one broadcast
+    // join of the tiny (type × 24) baseline onto the daily cells; the
+    // raw facts are scanned once per aggregation and never windowed.
+    QueryDef("dq_seasonal_residual", (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("day"), hour(col("ts")).cast("long").as("hr"),
+        col("value"))
+      val baseline = ev.groupBy("event_type", "hr")
+        .agg(avg(col("value")).as("base"))
+      val cells = ev.groupBy("event_type", "day", "hr")
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("cell_mean"))
+      cells.join(broadcast(baseline), Seq("event_type", "hr"))
+        .select(col("event_type"), col("day"), col("hr"), col("n"),
+          round(col("cell_mean") - col("base") + lit(1e-9), 4).as("resid"))
+        .filter(abs(col("resid")) > 60)
+    }, Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(hour(ts) AS BIGINT) AS hr, value FROM events),
+      base AS (SELECT event_type, hr, avg(value) AS base
+        FROM e GROUP BY 1, 2),
+      cells AS (SELECT event_type, day, hr,
+          CAST(count(*) AS BIGINT) AS n, avg(value) AS cell_mean
+        FROM e GROUP BY 1, 2, 3)
+      SELECT cells.event_type, day, cells.hr, n,
+        round(cell_mean - base + 1e-9, 4) AS resid
+      FROM cells JOIN base
+        ON cells.event_type = base.event_type AND cells.hr = base.hr
+      WHERE abs(round(cell_mean - base + 1e-9, 4)) > 60"""))
   )
 }
