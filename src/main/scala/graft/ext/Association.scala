@@ -46,12 +46,17 @@ object Association {
    */
   def pairRules(df: DataFrame, basket: String, item: String,
                 minItemSupport: Long = 2, minPairSupport: Long = 2): DataFrame = {
-    val items = df.select(col(basket).as("__basket"), col(item).as("__item"))
-      .distinct()
+    // the deduped basket frame feeds FIVE branches (total, item counts,
+    // both self-join sides via the prune); persist it or every branch
+    // re-scans and re-distincts the input
+    val items = graft.core.CacheRegistry.persistTracked(
+      df.select(col(basket).as("__basket"), col(item).as("__item"))
+        .distinct())
     val nBaskets = items.select(countDistinct(col("__basket")).as("n_baskets"))
-    val itemCounts = items.groupBy("__item")
-      .agg(count(lit(1)).as("n_item"))
-      .filter(col("n_item") >= minItemSupport)
+    val itemCounts = graft.core.CacheRegistry.persistTracked(
+      items.groupBy("__item")
+        .agg(count(lit(1)).as("n_item"))
+        .filter(col("n_item") >= minItemSupport))
     val frequent = items.join(
       broadcast(itemCounts.select("__item")), Seq("__item"))
     val a = frequent.select(col("__basket"), col("__item").as("item_a"))

@@ -816,6 +816,41 @@ object JoinAggQueries {
       FROM pairs
       JOIN ic ia ON ia.item = item_a
       JOIN ic ib ON ib.item = item_b
-      CROSS JOIN nb"""))
+      CROSS JOIN nb""")),
+
+    // A31: exact WEIGHTED median per group — the lower weighted median
+    // (smallest value whose cumulative weight reaches half the total),
+    // via one partitioned-ordered window pass: cumulative weight +
+    // per-group total in the same window spec, then min(value) over the
+    // qualifying rows. The threshold `2·cumw ≥ W` is integer-in-double
+    // exact (quantities are whole numbers), and value ties are
+    // threshold-invariant (the cumulative at the end of a tied run
+    // doesn't depend on intra-tie order), so no tiebreak knife-edge.
+    QueryDef("a31_weighted_median", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      val wc = w.orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      Tables.lineitem(s, dir)
+        .withColumn("cumw", sum(col("l_quantity")).over(wc))
+        .withColumn("tw", sum(col("l_quantity")).over(w))
+        .groupBy("l_returnflag")
+        .agg(round(min(when(col("cumw") * 2 >= col("tw"),
+            col("l_extendedprice"))), 4).as("weighted_median"),
+          round(sum(col("l_quantity")), 4).as("total_weight"))
+    }, Some("""WITH c AS (SELECT l_returnflag, l_extendedprice, l_quantity,
+          sum(l_quantity) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+          sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem)
+      SELECT l_returnflag,
+        round(min(CASE WHEN cumw * 2 >= tw THEN l_extendedprice END), 4)
+          AS weighted_median,
+        round(sum(l_quantity), 4) AS total_weight
+      FROM c GROUP BY 1"""))
   )
 }

@@ -1414,6 +1414,75 @@ object StreamingQueries {
       FROM c GROUP BY 1, 2""")),
 
 
+    // Streaming CUSUM shift monitor: the SEQUENTIAL drift statistic as
+    // a standing monitor — state is per-(type, day) sufficient stats
+    // (integer micro-unit sum + count, bounded by calendar × groups,
+    // mergeable by addition), and every trigger re-derives the full
+    // trajectory from the collapsed dailies in one days-sized window
+    // pass. The oracle replays all four trigger prefixes chunk-by-chunk
+    // — per-day means are exact-integer-derived doubles, so only the
+    // group mean sees summation-order ulps, absorbed by round(6).
+    // compactEvery=2 puts the daily-table fold ON the oracle path.
+    QueryDef("st_cusum_monitor", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_cusum"
+      for (t <- Seq("_cusum_daily", "_cusum_traj"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val ev = graft.core.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          to_date(col("ts")).as("day"), col("value"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.SketchIngest.cusumIngest(
+        stream, "value", "day", "event_type", prefix, slack = 2d,
+        compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_cusum_traj")
+      s.table(prefix + "_cusum_traj")
+        .select(col("batch_id"), col("event_type"), col("n_days"),
+          col("max_up"), col("max_dn"))
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 4 + 1 AS step FROM events),
+      ev AS (SELECT event_id // step AS chunk, event_type,
+          CAST(ts AS DATE) AS day,
+          CAST(floor(value * 1e6) AS BIGINT) AS vmic
+        FROM events CROSS JOIN mxs WHERE value IS NOT NULL),
+      d AS (SELECT r.k AS bid, event_type, day,
+          CAST(sum(vmic) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        FROM ev JOIN range(0, 4) r(k) ON ev.chunk <= r.k GROUP BY 1, 2, 3),
+      x AS (SELECT bid, event_type, day,
+          CAST(s AS DOUBLE) / 1e6 / c AS x FROM d),
+      m AS (SELECT bid, event_type, avg(x) AS mu FROM x GROUP BY 1, 2),
+      p AS (SELECT x.bid, x.event_type, day, x.x,
+          sum(x.x - mu - 2.0) OVER w AS p_up,
+          sum(x.x - mu + 2.0) OVER w AS p_dn
+        FROM x JOIN m ON x.bid = m.bid AND x.event_type = m.event_type
+        WINDOW w AS (PARTITION BY x.bid, x.event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sc AS (SELECT bid, event_type,
+          p_up - least(min(p_up) OVER w2, 0.0) AS up,
+          greatest(max(p_dn) OVER w2, 0.0) - p_dn AS dn
+        FROM p WINDOW w2 AS (PARTITION BY bid, event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT CAST(bid AS BIGINT) AS batch_id, event_type,
+        CAST(count(*) AS BIGINT) AS n_days,
+        round(max(up) + 1e-9, 6) AS max_up,
+        round(max(dn) + 1e-9, 6) AS max_dn
+      FROM sc GROUP BY 1, 2""")),
+
+
     // Streaming Bloom novelty gate: each micro-batch's (user, event
     // type) keys are flagged novel (first contact — certain) or
     // probably-seen (Bloom membership — FPs possible, never FNs)

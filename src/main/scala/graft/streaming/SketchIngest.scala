@@ -731,6 +731,111 @@ object SketchIngest {
   }
 
   /**
+   * Streaming CUSUM shift monitor — the SEQUENTIAL member of the
+   * streaming drift family ([[graft.streaming.DriftMonitor]] covers the
+   * distributional PSI/KS side; CUSUM catches a mean shift that never
+   * reshapes the histogram). State is the per-(group, day) SUFFICIENT
+   * STATISTICS (integer micro-unit sum + count), so it is bounded by
+   * calendar × groups, mergeable by addition, and replay-dedupable —
+   * the values themselves are never retained. Every trigger re-derives
+   * the full CUSUM trajectory from the collapsed dailies via the
+   * [[graft.ops.Windows.cusum]] prefix-sum unrolling (a days-sized
+   * window pass, never a scan of the raw feed) and appends one
+   * (batch_id, group, n_days, max_up, max_dn) row.
+   *
+   * Tables: `<prefix>_cusum_daily` (batch_id, group, day, s_micro, c)
+   * carries batch provenance; readers collapse with
+   * dropDuplicates(batch_id, group, day) + sum. The micro-unit sum is
+   * an INTEGER (⌊value·10⁶⌋ summed as longs), so replayed appends are
+   * byte-identical regardless of shuffle order — the [[cmsIngest]]
+   * count argument holds without any float caveat.
+   * `<prefix>_cusum_traj` is the replay guard, written LAST.
+   */
+  def cusumIngest(stream: DataFrame, valCol: String, dayCol: String,
+                  groupCol: String, tablePrefix: String,
+                  slack: Double = 0d,
+                  checkpoint: Option[String] = None,
+                  compactEvery: Int = 8): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      applyCusumBatch(batch.toDF(), batchId, valCol, dayCol, groupCol,
+        tablePrefix, slack)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactCusum(batch.sparkSession, tablePrefix)
+    }.start()
+  }
+
+  /** One CUSUM-monitor trigger, exposed for at-least-once testing. */
+  def applyCusumBatch(batch: DataFrame, batchId: Long, valCol: String,
+                      dayCol: String, groupCol: String,
+                      tablePrefix: String, slack: Double): Unit = {
+    val spark = batch.sparkSession
+    val dailyT = tablePrefix + "_cusum_daily"
+    val trajT = tablePrefix + "_cusum_traj"
+    if (!committed(spark, trajT, batchId)) graft.core.CacheRegistry.scoped {
+      val counts = graft.core.CacheRegistry.persistTracked(
+        batch.filter(col(valCol).isNotNull)
+          .groupBy(col(groupCol), col(dayCol).as("day"))
+          .agg(sum(floor(col(valCol) * 1e6).cast("long")).as("s_micro"),
+            count(lit(1)).as("c")))
+      if (counts.count() > 0) {
+        appendByBatch(
+          counts.select(lit(batchId).as("batch_id"), col(groupCol),
+            col("day"), col("s_micro"), col("c")),
+          dailyT, bounded = true)
+        spark.catalog.refreshTable(dailyT)
+        val t = spark.table(dailyT)
+        val daily = t.filter(bcol(t) <= batchId)
+          .dropDuplicates("batch_id", groupCol, "day")
+          .groupBy(col(groupCol), col("day"))
+          .agg(sum(col("s_micro")).as("s"), sum(col("c")).as("c"))
+          .withColumn("x", col("s").cast("double") / lit(1e6) / col("c"))
+        val mu = avg(col("x")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol)))
+        val scored = graft.ops.Windows.cusum(
+          daily.withColumn("mu", mu), Seq(groupCol), "day", "x",
+          mean = col("mu"), slack = lit(slack))
+        appendByBatch(
+          scored.groupBy(col(groupCol))
+            .agg(count(lit(1)).as("n_days"),
+              round(max(col("cusum_up")) + lit(1e-9), 6).as("max_up"),
+              round(max(col("cusum_down")) + lit(1e-9), 6).as("max_dn"))
+            .select(lit(batchId).as("batch_id"), col(groupCol),
+              col("n_days"), col("max_up"), col("max_dn")),
+          trajT, bounded = false)
+      }
+    }
+  }
+
+  /** Compact the CUSUM daily-statistics table — the [[compactHist]]
+    * fold with (s_micro, c) sums in place of the single count. Same
+    * replay proof: only batches whose guard rows exist are folded. */
+  def compactCusum(spark: SparkSession, tablePrefix: String): Unit = {
+    val dailyT = tablePrefix + "_cusum_daily"
+    val trajT = tablePrefix + "_cusum_traj"
+    recoverSwap(spark, dailyT)
+    if (!spark.catalog.tableExists(dailyT) ||
+        !spark.catalog.tableExists(trajT)) return
+    val maxRow = spark.table(trajT).agg(max(col("batch_id"))).head()
+    if (maxRow.isNullAt(0)) return
+    val maxC = maxRow.getLong(0)
+    val t = spark.table(dailyT)
+    val groupCol = t.columns
+      .filterNot(Set("batch_id", "day", "s_micro", "c", PB)).head
+    rewrite(spark, dailyT,
+      t.filter(bcol(t) <= maxC)
+        .dropDuplicates("batch_id", groupCol, "day")
+        .groupBy(col(groupCol), col("day"))
+        .agg(sum(col("s_micro")).as("s_micro"), sum(col("c")).as("c"))
+        .select(lit(maxC).as("batch_id"), col(groupCol), col("day"),
+          col("s_micro"), col("c"))
+        .unionByName(t.filter(bcol(t) > maxC)
+          .select("batch_id", groupCol, "day", "s_micro", "c"))
+        .withColumn(PB, col("batch_id")))
+  }
+
+  /**
    * Compact the histogram count table: rows with batch_id ≤ the max
    * COMMITTED quantile row collapse to one summed row per (group,
    * bucket) tagged with that max batch_id; uncommitted later appends

@@ -124,6 +124,64 @@ class RobustOpsSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, p + t)
   }
 
+  test("cusum ingest: replay-idempotent, compaction-invariant, matches batch cusum") {
+    import graft.streaming.SketchIngest
+    val p1 = "graft_t_cs1"
+    val p2 = "graft_t_cs2"
+    for (p <- Seq(p1, p2); t <- Seq("_cusum_daily", "_cusum_traj"))
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+    val d = java.sql.Date.valueOf(_: String)
+    val chunks = Seq(
+      Seq(("a", d("2024-01-01"), 10d), ("a", d("2024-01-02"), 12d)),
+      Seq(("a", d("2024-01-02"), 14d), ("a", d("2024-01-03"), 30d)),
+      Seq(("a", d("2024-01-04"), 31d)))
+      .map(_.toDF("g", "day", "v"))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      SketchIngest.applyCusumBatch(c, i.toLong, "v", "day", "g", p1, 0d)
+      SketchIngest.compactCusum(spark, p1)
+    }
+    // at-least-once + no compaction
+    SketchIngest.applyCusumBatch(chunks(0), 0L, "v", "day", "g", p2, 0d)
+    SketchIngest.applyCusumBatch(chunks(1), 1L, "v", "day", "g", p2, 0d)
+    SketchIngest.applyCusumBatch(chunks(1), 1L, "v", "day", "g", p2, 0d)
+    SketchIngest.applyCusumBatch(chunks(2), 2L, "v", "day", "g", p2, 0d)
+    def traj(p: String): Seq[Row] = {
+      spark.catalog.refreshTable(p + "_cusum_traj")
+      spark.table(p + "_cusum_traj")
+        .select("batch_id", "g", "n_days", "max_up", "max_dn")
+        .orderBy("batch_id", "g").collect().toSeq
+    }
+    assert(traj(p1) == traj(p2))
+    // hand-check batch 2: daily means 10, 13, 30, 31; mu = 21;
+    // up trajectory: max(0, s + x - 21): 0, 0, 9, 19 → max_up = 19;
+    // down: max(0, s + 21 - x): 11, 19, 10, 0 → max_dn = 19
+    val b2 = traj(p1).find(_.getLong(0) == 2L).get
+    assert(b2.getAs[Long]("n_days") == 4L)
+    assert(math.abs(b2.getAs[Double]("max_up") - 19d) < 1e-6)
+    assert(math.abs(b2.getAs[Double]("max_dn") - 19d) < 1e-6)
+    for (p <- Seq(p1, p2); t <- Seq("_cusum_daily", "_cusum_traj"))
+      graft.core.Materialize.dropWithLocation(spark, p + t)
+  }
+
+  test("weighted median: hand-computed lower weighted median") {
+    val df = Seq(("a", 1d, 1d), ("a", 2d, 1d), ("a", 3d, 10d),
+        ("b", 5d, 3d), ("b", 7d, 1d))
+      .toDF("g", "v", "wt")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val wc = w.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val got = df.withColumn("cumw", sum(col("wt")).over(wc))
+      .withColumn("tw", sum(col("wt")).over(w))
+      .groupBy("g")
+      .agg(min(when(col("cumw") * 2 >= col("tw"), col("v"))).as("wm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a: weights 1,1,10 of 12 — cum 1,2,12; first 2·cum ≥ 12 at v=3
+    // b: weights 3,1 of 4 — cum 3,4; 2·3 ≥ 4 already at v=5
+    assert(got == Map("a" -> 3d, "b" -> 5d))
+  }
+
   test("direct-call compaction keeps standing state (stale-partition drop regression)") {
     // Regression: from a session that tracks filesource partitions in
     // the catalog (any NON-foreachBatch session — the documented
