@@ -367,6 +367,53 @@ object Checks {
       .withColumn("lag_sec", asOf.cast("long") - col("latest").cast("long"))
       .filter(col("lag_sec") > maxLagSec)
 
+  /**
+   * Tie-corrected Mann-Whitney U from BIN COUNTS — the nonparametric
+   * two-sample test without a global sort. Binning first (`binWidth`)
+   * makes average ranks derivable arithmetically: a bucket holding t
+   * values after cumBefore earlier ones occupies ranks
+   * cumBefore+1 … cumBefore+t, so every member's average rank is
+   * cumBefore + (t+1)/2. Rank sums, U₁ = R₁ − m(m+1)/2, and the
+   * tie-corrected normal z all follow from one (bucket, n₁, n₂) hash
+   * aggregation plus one bins-sized window — the scale-honest shape
+   * (this IS the exact tie-corrected MWU of the binned values; with a
+   * bin per distinct value it is the exact test). Every intermediate
+   * is integer or dyadic-rational, so independent engines agree
+   * bit-for-bit until the final sqrt.
+   *
+   * Returns one row: m, n (group sizes), u1, z (unrounded — callers
+   * round to their comparison tolerance).
+   */
+  def mannWhitneyBinned(df: DataFrame, valCol: String, isFirst: Column,
+                        binWidth: Double): DataFrame = {
+    val bins = df.filter(col(valCol).isNotNull)
+      .groupBy(floor(col(valCol) / binWidth).cast("long").as("b"))
+      .agg(sum(when(isFirst, 1L).otherwise(0L)).as("n1"),
+        sum(when(isFirst, 0L).otherwise(1L)).as("n2"))
+      .withColumn("t", col("n1") + col("n2"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    bins.withColumn("cumBefore",
+        coalesce(sum(col("t")).over(wc), lit(0L)))
+      .withColumn("avgRank",
+        col("cumBefore") + (col("t") + lit(1)).cast("double") / 2)
+      .agg(sum(col("n1")).as("m"), sum(col("n2")).as("n"),
+        sum(col("n1") * col("avgRank")).as("r1"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))
+      .select(col("m"), col("n"),
+        (col("r1") - (col("m") * (col("m") + 1)).cast("double") / 2)
+          .as("u1"),
+        col("tiesum"))
+      .select(col("m"), col("n"), col("u1"),
+        ((col("u1") - (col("m") * col("n")).cast("double") / 2) /
+          sqrt((col("m") * col("n")).cast("double") / 12 *
+            ((col("m") + col("n") + 1) -
+              col("tiesum").cast("double") /
+                ((col("m") + col("n")) * (col("m") + col("n") - 1)))))
+          .as("z"))
+  }
+
   /** Thresholded runner (dbt `HAVING COUNT(*) > {{var}}`, reference `5_dbt/READ.md:836-837`). */
   def run(name: String, violations: DataFrame, threshold: Long = 0): CheckResult =
     CheckResult(name, violations.count(), threshold)

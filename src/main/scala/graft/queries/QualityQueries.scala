@@ -420,6 +420,90 @@ object QualityQueries {
         round(cell_mean - base + 1e-9, 4) AS resid
       FROM cells JOIN base
         ON cells.event_type = base.event_type AND cells.hr = base.hr
-      WHERE abs(round(cell_mean - base + 1e-9, 4)) > 60"""))
+      WHERE abs(round(cell_mean - base + 1e-9, 4)) > 60""")),
+
+    // Tie-corrected Mann-Whitney U — the nonparametric two-sample test
+    // completing the dq test battery (χ² needs categories, KS a full
+    // CDF; MWU ranks). Computed ENTIRELY FROM BIN COUNTS: per bucket,
+    // the average rank is cum_before + (t+1)/2, so rank sums, U, and
+    // the tie-corrected normal z all derive from one (bucket, n1, n2)
+    // aggregation + one bins-sized window — the raw facts are never
+    // globally sorted (this IS the tie-corrected MWU on the binned
+    // values; at 100 TB the bin pass is the only honest shape). Every
+    // intermediate is integer or dyadic-rational (.5s), so both engines
+    // agree bit-for-bit until the final sqrt.
+    QueryDef("dq_mann_whitney", (s, dir) =>
+      Checks.mannWhitneyBinned(
+          Tables.events(s, dir)
+            .filter(col("event_type").isin("purchase", "click")),
+          "value", col("event_type") === "purchase", binWidth = 4d)
+        .select(col("m"), col("n"), round(col("u1"), 4).as("u1"),
+          round(col("z") + lit(1e-9), 6).as("z")),
+      Some("""WITH ev AS (SELECT event_type, value FROM events
+        WHERE event_type IN ('purchase', 'click')),
+      bins AS (SELECT CAST(floor(value / 4) AS BIGINT) AS b,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n2
+        FROM ev GROUP BY 1),
+      ranked AS (SELECT b, n1, n2, n1 + n2 AS t,
+          CAST(coalesce(sum(n1 + n2) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cumBefore
+        FROM bins),
+      agg AS (SELECT CAST(sum(n1) AS BIGINT) AS m,
+          CAST(sum(n2) AS BIGINT) AS n,
+          sum(n1 * (cumBefore + CAST(t + 1 AS DOUBLE) / 2)) AS r1,
+          CAST(sum(t * t * t - t) AS BIGINT) AS tiesum
+        FROM ranked),
+      u AS (SELECT m, n, r1 - CAST(m * (m + 1) AS DOUBLE) / 2 AS u1,
+          tiesum FROM agg)
+      SELECT m, n, round(u1, 4) AS u1,
+        round((u1 - CAST(m * n AS DOUBLE) / 2) /
+          sqrt(CAST(m * n AS DOUBLE) / 12 *
+            ((m + n + 1) - CAST(tiesum AS DOUBLE) /
+              ((m + n) * (m + n - 1)))) + 1e-9, 6) AS z
+      FROM u""")),
+
+    // Lag-1..7 autocorrelation of the daily value means — is yesterday
+    // predictive of today (the weekly-seasonality fingerprint the CUSUM
+    // and seasonal-residual rows don't expose directly)? Day indices
+    // come from one dimension-cardinality window; each lag is an
+    // index-offset self-join of the 30-row daily frame against a
+    // 7-row lag spine — never a window per lag over the raw facts.
+    QueryDef("dq_autocorr", (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("x"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      val stats = daily.agg(avg(col("x")).as("xbar"),
+        sum(col("x") * col("x")).as("sxx"), count(lit(1)).as("nd"),
+        sum(col("x")).as("sx"))
+      val lags = Tables.nation(s, dir)
+        .filter(col("n_nationkey").between(1, 7))
+        .select(col("n_nationkey").cast("long").as("k"))
+      val a = daily.select(col("rn").as("ra"), col("x").as("xa"))
+      val b = daily.select(col("rn").as("rb"), col("x").as("xb"))
+      a.crossJoin(broadcast(lags))
+        .join(b, col("ra") === col("rb") + col("k"))
+        .crossJoin(broadcast(stats))
+        .groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          round(sum((col("xa") - col("xbar")) * (col("xb") - col("xbar")))
+            / first(col("sxx") - col("sx") * col("sx") / col("nd"))
+            + lit(1e-9), 6).as("acf"))
+    }, Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          avg(value) AS x FROM events GROUP BY 1),
+      idx AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      st AS (SELECT avg(x) AS xbar, sum(x * x) AS sxx,
+          count(*) AS nd, sum(x) AS sx FROM daily)
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        round(sum((a.x - xbar) * (b.x - xbar))
+          / any_value(sxx - sx * sx / nd) + 1e-9, 6) AS acf
+      FROM idx a CROSS JOIN range(1, 8) r(k)
+      JOIN idx b ON a.rn = b.rn + r.k
+      CROSS JOIN st GROUP BY k"""))
   )
 }

@@ -163,6 +163,22 @@ class RobustOpsSpec extends SparkSpec {
       graft.core.Materialize.dropWithLocation(spark, p + t)
   }
 
+  test("mannWhitneyBinned equals hand-ranked exact MWU at per-value bins") {
+    // g1 = {1,2,2,5}, g2 = {2,3,3}; combined average ranks: 1 → 1,
+    // the three 2s → (2+3+4)/3 = 3, the two 3s → 5.5, 5 → 7.
+    // R1 = 1+3+3+7 = 14, U1 = 14 − 4·5/2 = 4.
+    val df = (Seq(1d, 2d, 2d, 5d).map(("g1", _)) ++
+      Seq(2d, 3d, 3d).map(("g2", _))).toDF("g", "v")
+    val r = graft.quality.Checks.mannWhitneyBinned(
+      df, "v", col("g") === "g1", binWidth = 1d).head()
+    assert(r.getAs[Long]("m") == 4L && r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("u1") - 4d) < 1e-12)
+    // z from the tie-corrected formula: mean 6, tiesum (3³−3)+(2³−2)=30,
+    // var = 12/12·(8 − 30/42) = 7.285714…, z = −2/sqrt(var)
+    val expZ = (4d - 6d) / math.sqrt(12d / 12 * (8d - 30d / 42))
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 1e-9)
+  }
+
   test("weighted median: hand-computed lower weighted median") {
     val df = Seq(("a", 1d, 1d), ("a", 2d, 1d), ("a", 3d, 10d),
         ("b", 5d, 3d), ("b", 7d, 1d))
