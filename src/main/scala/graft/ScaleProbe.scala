@@ -800,6 +800,42 @@ object ScaleProbe {
       }
       graft.core.CacheRegistry.releaseAll()
     }
+
+    // ---- association pair generation: self-join vs per-basket explode --
+    // the claim under test (SCALE.md r11): pairRules' basket-keyed
+    // SELF-JOIN distributes each basket's m² pairs across its join
+    // task, while the collect_list-then-explode alternative pushes a
+    // basket's FULL pair set through one row — at long baskets that is
+    // task skew and single-row memory. Basket length is the scale axis:
+    // orders are merged into super-baskets of ~4·B items (B = mult
+    // step), items stay l_partkey. Both paths must agree on the pair
+    // count (checked); walls are printed per B.
+    for (b <- multSteps if section("assoc")) {
+      val baskets = graft.core.Tables.lineitem(spark, sfDir)
+        .select((col("l_orderkey") / b).cast("long").as("basket"),
+          col("l_partkey").as("item"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val nRows = baskets.count()
+      val (nSelf, tSelf) = timed {
+        val items = baskets.distinct()
+        val a = items.select(col("basket"), col("item").as("ia"))
+        val bb = items.select(col("basket"), col("item").as("ib"))
+        a.join(bb, Seq("basket")).filter(col("ia") < col("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1))).count()
+      }
+      val (nExpl, tExpl) = timed {
+        baskets.groupBy("basket").agg(collect_set(col("item")).as("items"))
+          .select(explode(expr(
+            """filter(flatten(transform(items,
+                 x -> transform(items, y -> struct(x AS a, y AS b)))),
+               p -> p.a < p.b)""")).as("p"))
+          .groupBy(col("p.a"), col("p.b")).agg(count(lit(1))).count()
+      }
+      println(f"[scaleprobe] assoc B=$b rows=$nRows pairsSelf=$nSelf " +
+        f"tSelf=$tSelf%.2fs pairsExplode=$nExpl tExplode=$tExpl%.2fs " +
+        (if (nSelf == nExpl) "agree" else "MISMATCH"))
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
