@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization — the normalization pass that runs BEFORE exact
+ * URL dedup in a web-corpus pipeline: the same page arrives as
+ * `HTTP://WWW.Site.com/a?utm_source=x&id=1#frag` and
+ * `http://www.site.com/a?id=1`, and byte-level dedup treats them as
+ * distinct documents unless the URL is normalized first (the same
+ * role [[TextOps.cleanText]] plays for body text).
+ *
+ * Rules (the common subset of the crawl-dedup folklore, chosen to be
+ * expressible as a pure codegen'd expression chain on BOTH engines —
+ * no UDF, no java.net.URI):
+ *  - scheme and host lowercase (they are case-insensitive per RFC 3986;
+ *    the path is NOT touched — it is case-sensitive),
+ *  - fragment stripped (never sent to the server),
+ *  - tracking parameters dropped (`utm_*`, `fbclid`, `gclid`),
+ *  - remaining query parameters sorted by byte order (param order is
+ *    almost always insignificant; sorting makes it canonical),
+ *  - an emptied query loses its `?`.
+ *
+ * Scale: a pure projection — streams through the scan inside
+ * whole-stage codegen, no shuffle, composes with the dedup families at
+ * zero extra passes.
+ */
+object Urls {
+
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        length(p) > 0 && !p.startsWith("utm_") &&
+          !p.startsWith("fbclid=") && !p.startsWith("gclid="))),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
+  }
+}

@@ -874,6 +874,58 @@ object ExtCorpusQueries {
             lead(chunk_text, 1) OVER (PARTITION BY doc_id ORDER BY ci)
               AS text_b FROM ch)
       SELECT doc_id, pair_idx, text_a, text_b FROM p
-      WHERE text_b IS NOT NULL"""))
+      WHERE text_b IS NOT NULL""")),
+
+    // URL canonicalization — the normalization pass before exact URL
+    // dedup (graft.ext.Urls): case-folded scheme/host, fragment and
+    // tracking params stripped, query params sorted. Two deterministic
+    // raw variants per doc (one noisy, one clean with swapped param
+    // order) must collapse to ONE canonical form, whose full string is
+    // hash-checked. Pure codegen'd projection — no shuffle beyond the
+    // per-doc collapse.
+    QueryDef("ext_url_canonicalize", (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id").cast("string")
+      val raw1 = concat(lit("HTTP://WWW.Example-"), col("source"),
+        lit(".com/Docs/"), id, lit("?utm_source=feed&id="), id,
+        lit("&lang="), col("lang"), lit("#sec"),
+        (col("doc_id") % 5).cast("string"))
+      val raw2 = concat(lit("http://www.example-"), col("source"),
+        lit(".com/Docs/"), id, lit("?lang="), col("lang"),
+        lit("&id="), id)
+      d.select(col("doc_id"), explode(array(raw1, raw2)).as("url"))
+        .withColumn("canon", graft.ext.Urls.canonicalizeUrl(col("url")))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("canon")).as("n_canon"),
+          min(col("canon")).as("canon_url"))
+    }, Some("""WITH raws AS (SELECT doc_id, unnest([
+          'HTTP://WWW.Example-' || source || '.com/Docs/' || doc_id
+            || '?utm_source=feed&id=' || doc_id || '&lang=' || lang
+            || '#sec' || (doc_id % 5),
+          'http://www.example-' || source || '.com/Docs/' || doc_id
+            || '?lang=' || lang || '&id=' || doc_id]) AS url
+        FROM documents),
+      parts AS (SELECT doc_id, url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+          regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            p -> len(p) > 0 AND substr(p, 1, 4) != 'utm_'
+              AND substr(p, 1, 7) != 'fbclid='
+              AND substr(p, 1, 6) != 'gclid=')), '&') AS params
+        FROM raws),
+      canon AS (SELECT doc_id, url, scheme || '://' || host || pth ||
+          CASE WHEN len(params) > 0 THEN '?' || params ELSE '' END
+            AS canon
+        FROM parts)
+      SELECT doc_id, CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+        CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
+        min(canon) AS canon_url
+      FROM canon GROUP BY 1"""))
   )
 }

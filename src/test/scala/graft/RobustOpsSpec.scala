@@ -198,6 +198,21 @@ class RobustOpsSpec extends SparkSpec {
     assert(got == Map("a" -> 3d, "b" -> 5d))
   }
 
+  test("canonicalizeUrl: case-fold, strip tracking/fragment, sort params") {
+    val cases = Seq(
+      "HTTP://WWW.Site.COM/A/b?utm_source=x&z=1&a=2#frag" ->
+        "http://www.site.com/A/b?a=2&z=1",
+      "https://site.com/p?fbclid=abc&gclid=def" -> "https://site.com/p",
+      "http://Site.com/p" -> "http://site.com/p",
+      "http://site.com/p?id=1&utm_campaign=c&id=1" ->
+        "http://site.com/p?id=1&id=1",
+      "ftp://Host/Path?b=2&a=1" -> "ftp://host/Path?a=1&b=2")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ext.Urls.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("direct-call compaction keeps standing state (stale-partition drop regression)") {
     // Regression: from a session that tracks filesource partitions in
     // the catalog (any NON-foreachBatch session — the documented
