@@ -926,6 +926,49 @@ object ExtCorpusQueries {
       SELECT doc_id, CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
         CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
         min(canon) AS canon_url
-      FROM canon GROUP BY 1"""))
+      FROM canon GROUP BY 1""")),
+
+    // Adversarial URL edges (the ext_adv_* convention: degenerate
+    // inputs through the same operator, oracle-visible): no query at
+    // all, tracking-only query (the '?' must disappear), fragment-only
+    // tail, and an empty path with unsorted params — each canonical
+    // string hash-checked in full.
+    QueryDef("ext_adv_url", (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+      val id = col("doc_id").cast("string")
+      val urls = array(
+        concat(lit("https://Host-"), col("source"), lit(".com/Path"), id),
+        concat(lit("http://h"), id, lit(".com/p?utm_a=1&utm_b=2")),
+        concat(lit("http://h"), id, lit(".com/p#frag"), id),
+        concat(lit("http://H"), id, lit(".COM?b=2&a=1")))
+      d.select(col("doc_id"), posexplode(urls).as(Seq("variant", "url")))
+        .select(col("doc_id"), col("variant").cast("long").as("variant"),
+          graft.ext.Urls.canonicalizeUrl(col("url")).as("canon_url"))
+    }, Some("""WITH raws AS (SELECT doc_id,
+          generate_subscripts(us, 1) - 1 AS variant, unnest(us) AS url
+        FROM (SELECT doc_id, [
+            'https://Host-' || source || '.com/Path' || doc_id,
+            'http://h' || doc_id || '.com/p?utm_a=1&utm_b=2',
+            'http://h' || doc_id || '.com/p#frag' || doc_id,
+            'http://H' || doc_id || '.COM?b=2&a=1'] AS us
+          FROM documents WHERE doc_id % 7 = 0)),
+      parts AS (SELECT doc_id, variant,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+          regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            p -> len(p) > 0 AND substr(p, 1, 4) != 'utm_'
+              AND substr(p, 1, 7) != 'fbclid='
+              AND substr(p, 1, 6) != 'gclid=')), '&') AS params
+        FROM raws)
+      SELECT doc_id, CAST(variant AS BIGINT) AS variant,
+        scheme || '://' || host || pth ||
+          CASE WHEN len(params) > 0 THEN '?' || params ELSE '' END
+          AS canon_url
+      FROM parts"""))
   )
 }
