@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
  *    almost always insignificant; sorting makes it canonical),
  *  - an emptied query loses its `?`.
  *
- * Scale: a pure projection — streams through the scan inside
- * whole-stage codegen, no shuffle, composes with the dedup families at
- * zero extra passes.
+ * Scale: a pure projection — streams through the scan with no shuffle
+ * and composes with the dedup families at zero extra passes. (The
+ * param filter/sort lambdas are interpreted per row — over a handful
+ * of array elements — so the Project sits just outside whole-stage
+ * codegen; the regex/concat work is codegen'd. Pinned in PlanSpec.)
  */
 object Urls {
 

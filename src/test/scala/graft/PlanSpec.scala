@@ -520,4 +520,35 @@ class PlanSpec extends SparkSpec {
       s"gram build is exactly one shuffle of partial-agged cells:\n$p")
     assert(!p.contains("Join"), s"row-pairs must never form:\n$p")
   }
+
+  test("url canonicalization + readability are shuffle-free scan-side projections") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.documents(spark, sfDir)
+    for (c <- Seq(
+        graft.ext.Urls.canonicalizeUrl(concat(lit("http://h.com/p?b=2&a=1&x="),
+          col("doc_id").cast("string"))).as("u"),
+        graft.ext.TextOps.fleschReadingEase(col("text")).as("f"))) {
+      val p = d.select(col("doc_id"), c).queryExecution.executedPlan.toString
+      // one Project directly over the scan: no Exchange, no extra
+      // stage. (The higher-order filter/sort lambdas keep the Project
+      // itself OUT of whole-stage codegen — interpreted per row over
+      // ≤ a handful of array elements — but the pipeline is still a
+      // single shuffle-free pass over the scan.)
+      assert(!p.contains("Exchange"), s"pure projection must not shuffle:\n$p")
+      assert(p.contains("FileScan parquet") && p.contains("Project"),
+        s"projection must sit directly on the scan:\n$p")
+    }
+  }
+
+  test("j16: interval-overlap join plans as an equi-join on tile, not a nested loop") {
+    val p = plan("j16_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tiled overlap join must never plan a product:\n$p")
+  }
+
+  test("a28: robust stats broadcast the percentile bounds back onto the facts") {
+    val p = plan("a28_trimmed_robust")
+    assert(p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-side sort for bounds:\n$p")
+  }
 }
