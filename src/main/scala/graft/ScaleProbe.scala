@@ -801,6 +801,45 @@ object ScaleProbe {
       graft.core.CacheRegistry.releaseAll()
     }
 
+    // ---- interval-overlap join: bucketWidth sensitivity ----------------
+    // the claim under test (SCALE.md r11 / RangeJoin scaladoc): pick
+    // bucketWidth ≈ the typical interval span — too small explodes the
+    // tile fan-out, too large degrades to per-tile nested loops. The
+    // probe sweeps width across 4 octaves at m× amplified interval sets
+    // (windows replicated with day shifts) and checks the output count
+    // is width-invariant (exactly-once rule) while walls move.
+    for (m <- multSteps if section("overlap")) {
+      val ev = graft.core.Tables.events(spark, sfDir)
+      val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("s_lo"),
+          max(unix_micros(col("ts"))).as("s_hi"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val day0 = unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+      val windows = (0 until m).map { c =>
+        graft.core.Tables.nation(spark, sfDir).select(
+          (col("n_nationkey") + lit(c * 100L)).as("win_id"),
+          (day0 + (col("n_nationkey") + lit(c.toLong)) % 30 * lit(86400000000L)
+            + col("n_nationkey") * lit(1800000000L) + lit(c * 600000000L))
+            .as("w_lo"))
+      }.reduce(_ unionByName _)
+        .withColumn("w_hi", col("w_lo") + lit(21600000000L))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val (nS, nW) = (spans.count(), windows.count())
+      val counts = for (hours <- Seq(1, 6, 24, 96)) yield {
+        val w = hours * 3600000000d
+        val (n, t) = timed {
+          graft.ops.RangeJoin.intervalOverlapJoin(
+            spans, "s_lo", "s_hi", windows, "w_lo", "w_hi", w).count()
+        }
+        println(f"[scaleprobe] overlap m=$m spans=$nS windows=$nW " +
+          f"width=${hours}h pairs=$n t=$t%.2fs")
+        n
+      }
+      assert(counts.distinct.size == 1,
+        s"overlap pair count must be width-invariant: $counts")
+      spark.catalog.clearCache()
+    }
+
     // ---- association pair generation: self-join vs per-basket explode --
     // the claim under test (SCALE.md r11): pairRules' basket-keyed
     // SELF-JOIN distributes each basket's m² pairs across its join
