@@ -723,6 +723,46 @@ object JoinAggQueries {
       FROM spans JOIN win ON s_lo <= w_hi AND w_lo <= s_hi
       GROUP BY 1""")),
 
+    // J17: effective-dated (SCD2 temporal) dimension join — each fact
+    // joins the dimension VERSION valid at its event time, the classic
+    // warehouse pattern the s16 snapshot produces and j9's as-of join
+    // approximates. Equi-join on the natural key with the validity
+    // range as a residual filter; the versioned dim is
+    // dimension-cardinality × versions, so it broadcasts and the fact
+    // side never shuffles. Validity endpoints are exact integer micros.
+    QueryDef("j17_scd2_temporal", (s, dir) => {
+      val day0 = unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+      val tenDays = lit(864000000000L)
+      val dim = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"),
+          explode(sequence(lit(0L), lit(2L))).as("version"))
+        .withColumn("from_us", day0 + col("version") * tenDays)
+        .withColumn("to_us",
+          when(col("version") < 2, col("from_us") + tenDays))
+        .withColumn("attr",
+          col("nk") * 100 + col("version"))
+      val facts = Tables.events(s, dir)
+        .select((col("user_id") % 25).as("nk"),
+          unix_micros(col("ts")).as("tsus"))
+      facts.join(broadcast(dim), Seq("nk"))
+        .filter(col("tsus") >= col("from_us") &&
+          (col("to_us").isNull || col("tsus") < col("to_us")))
+        .groupBy("nk", "version")
+        .agg(count(lit(1)).as("n_events"), max(col("attr")).as("attr"))
+    }, Some("""WITH dim AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+          CAST(v AS BIGINT) AS version,
+          epoch_us(TIMESTAMP '2024-01-01') + v * 864000000000 AS from_us,
+          CASE WHEN v < 2 THEN epoch_us(TIMESTAMP '2024-01-01')
+            + (v + 1) * 864000000000 END AS to_us,
+          CAST(n_nationkey AS BIGINT) * 100 + v AS attr
+        FROM nation CROSS JOIN range(0, 3) r(v)),
+      f AS (SELECT user_id % 25 AS nk, epoch_us(ts) AS tsus FROM events)
+      SELECT f.nk, version, CAST(count(*) AS BIGINT) AS n_events,
+        max(attr) AS attr
+      FROM f JOIN dim ON f.nk = dim.nk
+        AND tsus >= from_us AND (to_us IS NULL OR tsus < to_us)
+      GROUP BY 1, 2""")),
+
     // A28: robust location stats — 10%-trimmed mean (drop tails) and
     // winsorized mean (clamp tails) per group, off ONE exact-percentile
     // pass whose tiny per-group bounds broadcast back onto the fact

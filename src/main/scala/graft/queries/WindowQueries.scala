@@ -543,6 +543,36 @@ object WindowQueries {
       EXCEPT
       SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1997""")),
 
+    // U7: MULTISET set ops — exceptAll/intersectAll keep duplicate
+    // counts (bag semantics: an orderkey with 3 lineitems in '96 and 1
+    // in '97 survives EXCEPT ALL twice), which the DISTINCT u3/u4 twins
+    // erase. Spark plans these as a count-diff aggregation + generate,
+    // not a join per duplicate. Output re-aggregated per key so the
+    // multiplicity itself is what's hash-checked.
+    QueryDef("u7_except_all", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(year(col("l_shipdate")) === 1996).select("l_orderkey")
+        .exceptAll(li.filter(year(col("l_shipdate")) === 1997)
+          .select("l_orderkey"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("multiplicity"))
+    }, Some("""SELECT l_orderkey, count(*) AS multiplicity FROM (
+        SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1996
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1997)
+      GROUP BY 1""")),
+
+    QueryDef("u8_intersect_all", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(year(col("l_shipdate")) === 1996).select("l_orderkey")
+        .intersectAll(li.filter(year(col("l_shipdate")) === 1997)
+          .select("l_orderkey"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("multiplicity"))
+    }, Some("""SELECT l_orderkey, count(*) AS multiplicity FROM (
+        SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1996
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1997)
+      GROUP BY 1""")),
+
     // U2: per-year one-row summaries — the reference's row-dict
     // accumulation (4_Snowflake/READ.md:100-103) restructured as a single
     // groupBy over the year column (SURVEY §2.7 U2: one shuffle, no loop).
