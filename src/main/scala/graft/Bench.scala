@@ -361,11 +361,15 @@ object Bench {
     }
     val fams = results.groupBy { case (n, _, _) => famOf(n) }.toSeq.sortBy(_._1)
       .map { case (f, rs) =>
-        val s = rs.collect { case (_, v, true) => v }.sum
-        val dk = rs.flatMap { case (n, _, _) => duckdb.get(n) }
-        // both-sides coverage only: a ratio over mismatched query sets
-        // would be noise dressed as a number
-        if (dk.size == rs.size && dk.nonEmpty && dk.sum > 0)
+        val ok = rs.filter(_._3)
+        val s = ok.map(_._2).sum
+        // both-sides coverage of the SAME query set: the Spark sum only
+        // counts succeeded queries, so the DuckDB sum must too — summing
+        // a failed query's DuckDB time against a Spark sum that skipped
+        // it would bias the ratio low (and EVERY succeeded query must
+        // have a DuckDB floor, else the sets still mismatch)
+        val dk = ok.flatMap { case (n, _, _) => duckdb.get(n) }
+        if (ok.nonEmpty && dk.size == ok.size && dk.sum > 0)
           f""""$f":{"sec":$s%.1f,"n":${rs.size},"duckdb_sec":${dk.sum}%.1f,"vs_duckdb":${s / dk.sum}%.2f}"""
         else f""""$f":{"sec":$s%.1f,"n":${rs.size}}"""
       }.mkString("{", ",", "}")

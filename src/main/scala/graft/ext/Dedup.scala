@@ -760,7 +760,9 @@ object Dedup {
    * expansion is two equi-joins against the (id, string) projection.
    */
   def qgramEditJoin(df: DataFrame, idCol: String, strCol: String,
-                    tau: Int, q: Int = 2): DataFrame = {
+                    tau: Int, q: Int = 2,
+                    checkpoint: graft.core.CheckpointStrategy =
+                      graft.core.CheckpointStrategy.Local): DataFrame = {
     require(tau >= 1, s"tau $tau must be >= 1")
     require(q >= 2, s"q $q must be >= 2")
     val shortMax = q * (tau + 1) - 1 // both <= this => count bound <= 0
@@ -802,7 +804,11 @@ object Dedup {
       strs.select(col("__s").as("__sa"), col("__s").as("__sb"),
         lit(0).as("__d")))
     val ids = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-    val out = pairs
+    // cut BEFORE releasing the distinct-strings cache: `out` is lazy,
+    // so an un-cut release would unpersist at plan-build time and every
+    // consumer would re-scan + re-distinct the input once per branch
+    // (the prefixJaccardJoin pattern — the cut materializes eagerly)
+    val out = checkpoint.cut(pairs
       .join(ids.select(col("__id").as("__ia"), col("__s").as("__sa")),
         Seq("__sa"))
       .join(ids.select(col("__id").as("__ib"), col("__s").as("__sb")),
@@ -810,7 +816,7 @@ object Dedup {
       .filter(col("__sa") =!= col("__sb") || col("__ia") < col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"),
-        col("__d").cast("long").as("dist"))
+        col("__d").cast("long").as("dist")))
     graft.core.CacheRegistry.release(strs)
     out
   }

@@ -125,6 +125,12 @@ object Multimodal {
       val isSof = (m2 === 192) || (m2 === 193) || (m2 === 194)
       when(acc.getField("w").isNotNull || pos < 0, acc)
         .when(pos + 8 > n || byteAt(payload, pos) =!= 255 || m2 === 218, jDead)
+        // legal 0xFF fill bytes may pad before any marker: the marker
+        // is the first non-FF after the run — advance one byte instead
+        // of misreading the padding as a segment header (each fill
+        // consumes one walk iteration; exhaustion still yields NULLs)
+        .when(m2 === 255, struct((pos + 1).as("pos"),
+          nullL.as("w"), nullL.as("h")))
         .when(isSof, struct(pos.as("pos"),
           be2(payload, pos + 7).as("w"), be2(payload, pos + 5).as("h")))
         .otherwise(struct((pos + 2 + be2(payload, pos + 2)).as("pos"),

@@ -34,13 +34,22 @@ object Urls {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // strip the fragment BEFORE looking for the query: a '?' inside a
+    // fragment ('#!?page=2', fragment-router URLs) is client-side junk,
+    // not a query string
+    val noFrag = regexp_extract(url, "^([^#]*)", 1)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val params = array_join(
       array_sort(filter(split(query, "&"), p =>
         length(p) > 0 && !p.startsWith("utm_") &&
           !p.startsWith("fbclid=") && !p.startsWith("gclid="))),
       "&")
-    concat(scheme, lit("://"), host, path,
-      when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
+    // a URL this parser can't decompose (no scheme://, relative,
+    // mailto:) passes through UNCHANGED — canonicalizing it to the
+    // degenerate '://…' would merge arbitrary unparseable URLs into one
+    // dedup key, silently dropping distinct documents
+    when(length(scheme) === 0, url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(length(params) > 0, concat(lit("?"), params)).otherwise(lit(""))))
   }
 }

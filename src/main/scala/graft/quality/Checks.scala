@@ -394,23 +394,31 @@ object Checks {
     val wc = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, -1)
+    // every product of group sizes / bin populations is computed in
+    // DOUBLE (cast the first factor): m, n, and per-bin t can reach
+    // billions at the scale this helper is documented for, and a Long
+    // t³ (or m·n) overflows at t ≥ 2²¹ — silently wrapped variance, or
+    // an ANSI abort. Doubles are exact for these integers up to 2⁵³
+    // and the statistic only needs them inside a sqrt anyway.
     bins.withColumn("cumBefore",
         coalesce(sum(col("t")).over(wc), lit(0L)))
       .withColumn("avgRank",
         col("cumBefore") + (col("t") + lit(1)).cast("double") / 2)
       .agg(sum(col("n1")).as("m"), sum(col("n2")).as("n"),
         sum(col("n1") * col("avgRank")).as("r1"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))
+        sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+          .as("tiesum"))
       .select(col("m"), col("n"),
-        (col("r1") - (col("m") * (col("m") + 1)).cast("double") / 2)
+        (col("r1") - col("m").cast("double") * (col("m") + 1) / 2)
           .as("u1"),
         col("tiesum"))
       .select(col("m"), col("n"), col("u1"),
-        ((col("u1") - (col("m") * col("n")).cast("double") / 2) /
-          sqrt((col("m") * col("n")).cast("double") / 12 *
+        ((col("u1") - col("m").cast("double") * col("n") / 2) /
+          sqrt(col("m").cast("double") * col("n") / 12 *
             ((col("m") + col("n") + 1) -
-              col("tiesum").cast("double") /
-                ((col("m") + col("n")) * (col("m") + col("n") - 1)))))
+              col("tiesum") /
+                ((col("m") + col("n")).cast("double") *
+                  (col("m") + col("n") - 1)))))
           .as("z"))
   }
 

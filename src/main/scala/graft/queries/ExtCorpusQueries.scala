@@ -914,14 +914,17 @@ object ExtCorpusQueries {
           regexp_extract(url,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
           array_to_string(list_sort(list_filter(
-            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            string_split(regexp_extract(
+              regexp_extract(url, '^([^#]*)', 1), '\?([^#]*)', 1), '&'),
             p -> len(p) > 0 AND substr(p, 1, 4) != 'utm_'
               AND substr(p, 1, 7) != 'fbclid='
               AND substr(p, 1, 6) != 'gclid=')), '&') AS params
         FROM raws),
-      canon AS (SELECT doc_id, url, scheme || '://' || host || pth ||
-          CASE WHEN len(params) > 0 THEN '?' || params ELSE '' END
-            AS canon
+      canon AS (SELECT doc_id, url,
+          CASE WHEN len(scheme) = 0 THEN url
+            ELSE scheme || '://' || host || pth ||
+              CASE WHEN len(params) > 0 THEN '?' || params ELSE '' END
+          END AS canon
         FROM parts)
       SELECT doc_id, CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
         CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
@@ -931,8 +934,10 @@ object ExtCorpusQueries {
     // Adversarial URL edges (the ext_adv_* convention: degenerate
     // inputs through the same operator, oracle-visible): no query at
     // all, tracking-only query (the '?' must disappear), fragment-only
-    // tail, and an empty path with unsorted params — each canonical
-    // string hash-checked in full.
+    // tail, an empty path with unsorted params, a fragment-router '?'
+    // that must NOT be parsed as a query, and a schemeless URL that
+    // must pass through untouched — each canonical string hash-checked
+    // in full.
     QueryDef("ext_adv_url", (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
       val id = col("doc_id").cast("string")
@@ -940,7 +945,9 @@ object ExtCorpusQueries {
         concat(lit("https://Host-"), col("source"), lit(".com/Path"), id),
         concat(lit("http://h"), id, lit(".com/p?utm_a=1&utm_b=2")),
         concat(lit("http://h"), id, lit(".com/p#frag"), id),
-        concat(lit("http://H"), id, lit(".COM?b=2&a=1")))
+        concat(lit("http://H"), id, lit(".COM?b=2&a=1")),
+        concat(lit("http://h"), id, lit(".com/p#!?page="), id),
+        concat(lit("www.h"), id, lit(".com/Rel?b=2&a=1")))
       d.select(col("doc_id"), posexplode(urls).as(Seq("variant", "url")))
         .select(col("doc_id"), col("variant").cast("long").as("variant"),
           graft.ext.Urls.canonicalizeUrl(col("url")).as("canon_url"))
@@ -950,9 +957,11 @@ object ExtCorpusQueries {
             'https://Host-' || source || '.com/Path' || doc_id,
             'http://h' || doc_id || '.com/p?utm_a=1&utm_b=2',
             'http://h' || doc_id || '.com/p#frag' || doc_id,
-            'http://H' || doc_id || '.COM?b=2&a=1'] AS us
+            'http://H' || doc_id || '.COM?b=2&a=1',
+            'http://h' || doc_id || '.com/p#!?page=' || doc_id,
+            'www.h' || doc_id || '.com/Rel?b=2&a=1'] AS us
           FROM documents WHERE doc_id % 7 = 0)),
-      parts AS (SELECT doc_id, variant,
+      parts AS (SELECT doc_id, variant, url,
           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
           lower(regexp_extract(url,
@@ -960,15 +969,17 @@ object ExtCorpusQueries {
           regexp_extract(url,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
           array_to_string(list_sort(list_filter(
-            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            string_split(regexp_extract(
+              regexp_extract(url, '^([^#]*)', 1), '\?([^#]*)', 1), '&'),
             p -> len(p) > 0 AND substr(p, 1, 4) != 'utm_'
               AND substr(p, 1, 7) != 'fbclid='
               AND substr(p, 1, 6) != 'gclid=')), '&') AS params
         FROM raws)
       SELECT doc_id, CAST(variant AS BIGINT) AS variant,
-        scheme || '://' || host || pth ||
-          CASE WHEN len(params) > 0 THEN '?' || params ELSE '' END
-          AS canon_url
+        CASE WHEN len(scheme) = 0 THEN url
+          ELSE scheme || '://' || host || pth ||
+            CASE WHEN len(params) > 0 THEN '?' || params ELSE '' END
+        END AS canon_url
       FROM parts"""))
   )
 }

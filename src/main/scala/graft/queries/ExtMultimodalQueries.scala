@@ -401,6 +401,8 @@ private[queries] object RealHeaderOracle {
                OR ${byteAt("p.h", "jw.pos")} <> 255
                OR jw.pos + 8 > len(p.h) // 2
              THEN CAST(-1 AS BIGINT)
+             WHEN ${byteAt("p.h", "jw.pos + 1")} = 255
+             THEN jw.pos + 1 -- 0xFF fill byte: marker is first non-FF
              ELSE jw.pos + 2 + ${be2("p.h", "jw.pos + 2")} END AS pos,
         CASE WHEN ${byteAt("p.h", "jw.pos + 1")} IN (192, 193, 194)
                AND jw.pos + 8 <= len(p.h) // 2

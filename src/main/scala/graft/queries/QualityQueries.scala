@@ -455,15 +455,15 @@ object QualityQueries {
       agg AS (SELECT CAST(sum(n1) AS BIGINT) AS m,
           CAST(sum(n2) AS BIGINT) AS n,
           sum(n1 * (cumBefore + CAST(t + 1 AS DOUBLE) / 2)) AS r1,
-          CAST(sum(t * t * t - t) AS BIGINT) AS tiesum
+          sum(CAST(t AS DOUBLE) * t * t - t) AS tiesum
         FROM ranked),
-      u AS (SELECT m, n, r1 - CAST(m * (m + 1) AS DOUBLE) / 2 AS u1,
+      u AS (SELECT m, n, r1 - CAST(m AS DOUBLE) * (m + 1) / 2 AS u1,
           tiesum FROM agg)
       SELECT m, n, round(u1, 4) AS u1,
-        round((u1 - CAST(m * n AS DOUBLE) / 2) /
-          sqrt(CAST(m * n AS DOUBLE) / 12 *
-            ((m + n + 1) - CAST(tiesum AS DOUBLE) /
-              ((m + n) * (m + n - 1)))) + 1e-9, 6) AS z
+        round((u1 - CAST(m AS DOUBLE) * n / 2) /
+          sqrt(CAST(m AS DOUBLE) * n / 12 *
+            ((m + n + 1) - tiesum /
+              (CAST(m + n AS DOUBLE) * (m + n - 1)))) + 1e-9, 6) AS z
       FROM u""")),
 
     // Lag-1..7 autocorrelation of the daily value means — is yesterday

@@ -135,8 +135,14 @@ object SketchIngest {
     * location) and would delete the last good copy. The survivor's real
     * bytes sit under its own moved directory; list that. */
   private def survivorHasData(spark: SparkSession, old: String): Boolean = {
+    // the survivor's TABLE location (rename updates it — only the
+    // PARTITION metadata goes stale), read from the catalog so named
+    // databases and custom locations resolve; hand-building
+    // <warehouse>/<name> here would make the gate silently pass (and
+    // the cleanup delete the last good copy) for any non-default layout
     val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, old.toLowerCase)
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(old)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(p: org.apache.hadoop.fs.Path): Boolean =
       fs.listStatus(p).exists { st =>
@@ -320,6 +326,13 @@ object SketchIngest {
       val b = graft.core.CacheRegistry.persistTracked(batch)
       val nNew = b.count()
       if (nNew > 0) {
+        // heal a half-swapped compaction BEFORE the raw append (the
+        // appendByBatch invariant): a crashed compactKmv can leave the
+        // standing table absent/empty with the survivor under
+        // __cpt_old; an unguarded append would recreate it holding
+        // only this batch's hashes and the next recoverSwap would then
+        // drop the survivor — silent loss of all prior sketch state.
+        recoverSwap(spark, hashT)
         graft.functions.KmvSketch
           .bottomKAgg(b, keyCol, k, Seq(groupCol))
           .select(col(groupCol), col("hash"))

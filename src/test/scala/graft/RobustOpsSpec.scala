@@ -206,7 +206,12 @@ class RobustOpsSpec extends SparkSpec {
       "http://Site.com/p" -> "http://site.com/p",
       "http://site.com/p?id=1&utm_campaign=c&id=1" ->
         "http://site.com/p?id=1&id=1",
-      "ftp://Host/Path?b=2&a=1" -> "ftp://host/Path?a=1&b=2")
+      "ftp://Host/Path?b=2&a=1" -> "ftp://host/Path?a=1&b=2",
+      // a '?' inside the fragment is NOT a query string
+      "http://h.com/p#!?page=2" -> "http://h.com/p",
+      // unparseable (schemeless/relative/mailto) pass through untouched
+      "www.SiteA.com/x?b=2&a=1" -> "www.SiteA.com/x?b=2&a=1",
+      "mailto:a@b.c" -> "mailto:a@b.c")
     val got = cases.map(_._1).toDF("url")
       .select(graft.ext.Urls.canonicalizeUrl(col("url")).as("c"))
       .as[String].collect().toSeq
