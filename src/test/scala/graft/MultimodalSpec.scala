@@ -162,6 +162,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5L) == ((null, None, None, None)), s"short png: ${rows(5L)}")
   }
 
+  test("mediaMeta: legal 0xFF fill bytes before a marker are skipped, not misread") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(b => Integer.parseInt(b, 16).toByte).toArray
+    // SOI, COM of 4 bytes, then THREE 0xFF fill bytes before the SOF0
+    // marker (JPEG permits any number of fill FFs) — a walk that treats
+    // the padding as a segment header jumps to a garbage offset
+    val jpeg = hx("FFD8 FFFE0004AAAA FFFFFF" +
+      " FFC0001108 0021 0104 03011100021101031101 FFDA00")
+    val out = Seq((1L, jpeg)).toDF("id", "payload")
+      .select(Multimodal.mediaMeta(col("payload")).as("m"))
+      .select(col("m.format"), col("m.width"), col("m.height")).head()
+    assert(out.getString(0) == "jpeg" && out.getInt(1) == 260 &&
+      out.getInt(2) == 33, s"fill-byte jpeg: $out")
+  }
+
   test("mediaMeta walk bounds: SOF beyond 24 segments yields nulls, not a wrong read") {
     import spark.implicits._
     def hx(s: String): Array[Byte] =
