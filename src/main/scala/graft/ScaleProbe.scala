@@ -773,7 +773,24 @@ object ScaleProbe {
         ("cms", Seq("_cms_cnt", "_cms_cand", "_cms_est"),
           (b, i, p) => graft.streaming.SketchIngest
             .applyCmsBatch(b, i, "key", p, d = 4, w = 1024, topN = 20),
-          (s, p) => graft.streaming.SketchIngest.compactCms(s, p)))
+          (s, p) => graft.streaming.SketchIngest.compactCms(s, p)),
+        // r11 members: the histogram-quantile and CUSUM monitors join
+        // the aging measurement — values/days derived from the key hash
+        // so every trigger feeds fresh, deterministic data
+        ("hist", Seq("_hist_cnt", "_hist_q"),
+          (b, i, p) => graft.streaming.SketchIngest.applyHistBatch(
+            b.select(col("src"),
+              (abs(xxhash64(col("key"))) % 1000 / lit(2.0)).as("v")),
+            i, "v", "src", p, width = 8d),
+          (s, p) => graft.streaming.SketchIngest.compactHist(s, p)),
+        ("cusum", Seq("_cusum_daily", "_cusum_traj"),
+          (b, i, p) => graft.streaming.SketchIngest.applyCusumBatch(
+            b.select(col("src"),
+              date_add(lit("2024-01-01").cast("date"),
+                (abs(xxhash64(col("key"))) % 30).cast("int")).as("day"),
+              (abs(xxhash64(col("key"))) % 1000 / lit(2.0)).as("v")),
+            i, "v", "day", "src", p, slack = 0d),
+          (s, p) => graft.streaming.SketchIngest.compactCusum(s, p)))
       for ((name, tables, apply1, compact1) <- sketches;
            compactEvery <- Seq(0, 8);
            t <- trigSteps) {

@@ -504,6 +504,75 @@ object QualityQueries {
           / any_value(sxx - sx * sx / nd) + 1e-9, 6) AS acf
       FROM idx a CROSS JOIN range(1, 8) r(k)
       JOIN idx b ON a.rn = b.rn + r.k
-      CROSS JOIN st GROUP BY k"""))
+      CROSS JOIN st GROUP BY k""")),
+
+    // Degenerate inputs through the r11 robust statistics, each with an
+    // EXACTLY-known answer (the ext_adv_* posture for the dq family):
+    // trimmed/winsorized mean of a constant column must equal the
+    // constant; Gini of perfectly uniform counts is exactly 0 and HHI
+    // exactly 1/n; the equal-weight weighted median is the lower
+    // median. Every value is exact integer/dyadic arithmetic, so the
+    // hash match is bit-level, not tolerance-level.
+    QueryDef("dq_adv_degenerate", (s, dir) => {
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"))
+      // constant column: trimmed == winsorized == plain == 42.5
+      val const = keys.withColumn("v", lit(42.5))
+      val bounds = const.agg(
+        expr("percentile(v, 0.1)").as("p10"),
+        expr("percentile(v, 0.9)").as("p90"))
+      val robust = const.crossJoin(broadcast(bounds)).agg(
+        avg(when(col("v").between(col("p10"), col("p90")), col("v")))
+          .as("trimmed_mean"),
+        avg(greatest(least(col("v"), col("p90")), col("p10")))
+          .as("winsor_mean"))
+      // uniform counts: every key count 4 → gini 0, hhi 1/25
+      val uni = keys.withColumn("c", lit(4L))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"), col("k"))
+      val conc = uni.withColumn("rk", row_number().over(w)).agg(
+        (sum(col("c") * col("c")).cast("double") /
+          (sum(col("c")) * sum(col("c")))).as("hhi"),
+        (lit(2d) * sum(col("rk") * col("c")) /
+          (count(lit(1)) * sum(col("c"))) -
+          (count(lit(1)) + lit(1)).cast("double") / count(lit(1)))
+          .as("gini"))
+      // equal weights over values 1..25 → lower weighted median 13
+      val wm = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val med = keys.withColumn("cumw", sum(lit(1L)).over(wm))
+        .withColumn("tw", sum(lit(1L)).over(wAll))
+        .agg(min(when(col("cumw") * 2 >= col("tw"),
+          (col("k") + 1).cast("double"))).as("weighted_median"))
+      robust.crossJoin(conc).crossJoin(med)
+    }, Some("""WITH keys AS (SELECT CAST(n_nationkey AS BIGINT) AS k
+          FROM nation),
+      cst AS (SELECT k, CAST(42.5 AS DOUBLE) AS v FROM keys),
+      b AS (SELECT quantile_cont(v, 0.1) AS p10,
+          quantile_cont(v, 0.9) AS p90 FROM cst),
+      robust AS (SELECT
+          avg(CASE WHEN v BETWEEN p10 AND p90 THEN v END) AS trimmed_mean,
+          avg(greatest(least(v, p90), p10)) AS winsor_mean
+        FROM cst CROSS JOIN b),
+      uni0 AS (SELECT k, CAST(4 AS BIGINT) AS c FROM keys),
+      uni AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS rk
+        FROM uni0),
+      conc AS (SELECT
+          CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) AS hhi,
+          2.0 * sum(rk * c) / (count(*) * sum(c))
+            - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
+        FROM uni),
+      wm AS (SELECT k,
+          CAST(sum(1) OVER (ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumw,
+          CAST(count(*) OVER () AS BIGINT) AS tw FROM keys),
+      med AS (SELECT min(CASE WHEN cumw * 2 >= tw
+          THEN CAST(k + 1 AS DOUBLE) END) AS weighted_median FROM wm)
+      SELECT * FROM robust CROSS JOIN conc CROSS JOIN med"""))
   )
 }
