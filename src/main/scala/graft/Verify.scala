@@ -19,7 +19,7 @@ object Verify {
       // relation whose file index was concurrently invalidated →
       // partitionSpec NPE mid-stream) must not zero a correctness row;
       // a DETERMINISTIC failure fails twice and is still reported
-      val attempts = Iterator.range(0, 2).map { attempt =>
+      Iterator.range(0, 2).exists { attempt =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -35,7 +35,6 @@ object Verify {
           false
         }
       }
-      attempts.find(identity).getOrElse(false)
       // release per-query persist() barriers (dedup shingle/signature
       // frames etc.) so caches don't accumulate across the whole suite
       spark.catalog.clearCache()

@@ -6,6 +6,11 @@ import graft.ext.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  /** Hex string (whitespace ignored) -> bytes, for hand-built payloads. */
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(b => Integer.parseInt(b, 16).toByte).toArray
+
   private def media = Multimodal.toMediaFrame(
     Tables.documents(spark, sfDir).filter(col("lang") === "en")
       .withColumn("payload", encode(col("text"), "UTF-8")),
@@ -124,9 +129,6 @@ class MultimodalSpec extends SparkSpec {
 
   test("mediaMeta parses real PNG/JPEG/WAV headers and nulls everything else") {
     import spark.implicits._
-    def hx(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2)
-        .map(b => Integer.parseInt(b, 16).toByte).toArray
     // PNG: signature + IHDR, width 260 (0x104), height 33 (0x21)
     val png = hx("89504E470D0A1A0A 0000000D 49484452" +
       " 00000104 00000021 0802000000 00000000 AABBCC")
@@ -164,9 +166,6 @@ class MultimodalSpec extends SparkSpec {
 
   test("mediaMeta: legal 0xFF fill bytes before a marker are skipped, not misread") {
     import spark.implicits._
-    def hx(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2)
-        .map(b => Integer.parseInt(b, 16).toByte).toArray
     // SOI, COM of 4 bytes, then THREE 0xFF fill bytes before the SOF0
     // marker (JPEG permits any number of fill FFs) — a walk that treats
     // the padding as a segment header jumps to a garbage offset
@@ -181,9 +180,6 @@ class MultimodalSpec extends SparkSpec {
 
   test("mediaMeta walk bounds: SOF beyond 24 segments yields nulls, not a wrong read") {
     import spark.implicits._
-    def hx(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2)
-        .map(b => Integer.parseInt(b, 16).toByte).toArray
     // 30 consecutive 4-byte COM segments before the SOF: the bounded
     // walk must give up cleanly (null dims), never misparse
     val deep = hx("FFD8" + "FFFE0002" * 30 +
