@@ -778,20 +778,22 @@ object JoinAggQueries {
         .groupBy("l_returnflag")
         .agg(
           round(avg(when(col("l_extendedprice").between(col("p10"),
-            col("p90")), col("l_extendedprice"))), 4).as("trimmed_mean"),
+              col("p90")), col("l_extendedprice"))) + lit(1e-9), 4)
+            .as("trimmed_mean"),
           round(avg(greatest(least(col("l_extendedprice"), col("p90")),
-            col("p10"))), 4).as("winsor_mean"),
-          round(avg(col("l_extendedprice")), 4).as("plain_mean"))
+            col("p10"))) + lit(1e-9), 4).as("winsor_mean"),
+          round(avg(col("l_extendedprice")) + lit(1e-9), 4)
+            .as("plain_mean"))
     }, Some("""WITH b AS (SELECT l_returnflag,
           quantile_cont(l_extendedprice, 0.1) AS p10,
           quantile_cont(l_extendedprice, 0.9) AS p90
         FROM lineitem GROUP BY 1)
       SELECT l_returnflag,
         round(avg(CASE WHEN l_extendedprice BETWEEN p10 AND p90
-          THEN l_extendedprice END), 4) AS trimmed_mean,
-        round(avg(greatest(least(l_extendedprice, p90), p10)), 4)
+          THEN l_extendedprice END) + 1e-9, 4) AS trimmed_mean,
+        round(avg(greatest(least(l_extendedprice, p90), p10)) + 1e-9, 4)
           AS winsor_mean,
-        round(avg(l_extendedprice), 4) AS plain_mean
+        round(avg(l_extendedprice) + 1e-9, 4) AS plain_mean
       FROM lineitem JOIN b USING (l_returnflag) GROUP BY 1""")),
 
     // A29: exponential time-decay aggregate — freshness-weighted volume
@@ -806,16 +808,17 @@ object JoinAggQueries {
       val w = pow(lit(0.5), age / lit(7.0))
       ev.crossJoin(broadcast(anchor))
         .groupBy("event_type")
-        .agg(round(sum(col("value") * w), 4).as("decayed_value"),
-          round(sum(w), 4).as("decayed_n"),
+        .agg(round(sum(col("value") * w) + lit(1e-9), 4)
+            .as("decayed_value"),
+          round(sum(w) + lit(1e-9), 4).as("decayed_n"),
           count(lit(1)).as("n"))
     }, Some("""WITH a AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
       SELECT event_type,
         round(sum(value * pow(0.5,
-          (ref_us - epoch_us(ts)) / 86400000000.0 / 7.0)), 4)
+          (ref_us - epoch_us(ts)) / 86400000000.0 / 7.0)) + 1e-9, 4)
           AS decayed_value,
         round(sum(pow(0.5,
-          (ref_us - epoch_us(ts)) / 86400000000.0 / 7.0)), 4)
+          (ref_us - epoch_us(ts)) / 86400000000.0 / 7.0)) + 1e-9, 4)
           AS decayed_n,
         count(*) AS n
       FROM events CROSS JOIN a GROUP BY 1""")),

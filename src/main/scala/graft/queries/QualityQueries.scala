@@ -440,7 +440,8 @@ object QualityQueries {
         .select(col("m"), col("n"), round(col("u1"), 4).as("u1"),
           round(col("z") + lit(1e-9), 6).as("z")),
       Some("""WITH ev AS (SELECT event_type, value FROM events
-        WHERE event_type IN ('purchase', 'click')),
+        WHERE event_type IN ('purchase', 'click')
+          AND value IS NOT NULL),
       bins AS (SELECT CAST(floor(value / 4) AS BIGINT) AS b,
           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n1,

@@ -241,16 +241,21 @@ object SketchIngest {
   /** Remove `table`'s catalog partition metadata WITHOUT deleting the
     * partition directories (`retainData = true`). No-op for
     * unpartitioned/legacy tables and sessions that don't track
-    * filesource partitions in the catalog. */
+    * filesource partitions in the catalog (the benign
+    * AnalysisException from listPartitions). A FAILED dropPartitions
+    * is NOT swallowed: falling through to DROP TABLE with the stale
+    * entries still registered would delete the live table's data —
+    * recovery must fail-stop there, not destroy the swapped-in
+    * generation. */
   private def forgetPartitions(spark: SparkSession, table: String): Unit = {
     val cat = spark.sessionState.catalog
     val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    try {
-      val specs = cat.listPartitions(id).map(_.spec)
-      if (specs.nonEmpty)
-        cat.dropPartitions(id, specs, ignoreIfNotExists = true,
-          purge = false, retainData = true)
-    } catch { case _: Throwable => () }
+    val specs =
+      try cat.listPartitions(id).map(_.spec)
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    if (specs.nonEmpty)
+      cat.dropPartitions(id, specs, ignoreIfNotExists = true,
+        purge = false, retainData = true)
   }
 
   /** `compactEvery` (0 = never; DEFAULT 8, the measured recommendation
@@ -536,6 +541,11 @@ object SketchIngest {
       val b = graft.core.CacheRegistry.persistTracked(batch)
       val nNew = b.count()
       if (nNew > 0) {
+        // heal a half-swapped compactHll BEFORE the raw append (the
+        // applyBatchKmv guard): an unguarded append after a crashed
+        // swap would recreate the regs table holding only this batch's
+        // registers and the next recoverSwap would drop the survivor
+        recoverSwap(spark, regsT)
         graft.functions.HyperLogLog
           .registers(b, keyCol, Seq(groupCol))
           .coalesce(1) // ≤ 64 rows per group — one file per trigger
