@@ -38,12 +38,16 @@ class BenchArtifactSpec extends AnyFunSuite {
       assert(slim.contains(field), s"slim must carry $field: $slim")
   }
 
-  test("slim duckdb ratio emits only on full both-sides coverage") {
+  test("slim duckdb ratio covers the intersection with coverage exposed") {
     val results = (1 to 22).map(i => (f"tpch_q$i", 0.5, true))
     val partial = (1 to 10).map(i => f"tpch_q$i" -> 0.1).toMap
     val slim = Bench.slimJson(results, Nil, "sf", hostJson, partial, None)
-    assert(!slim.contains("vs_duckdb"),
-      "a ratio over mismatched query sets must not emit")
+    // both sums restricted to the 10 covered queries: 5.0 s vs 1.0 s
+    assert(slim.contains("\"duckdb_n\":10"),
+      s"partial coverage must be exposed, not silently dropped: $slim")
+    assert(slim.contains("\"duckdb_sec\":1.0") &&
+      slim.contains("\"vs_duckdb\":5.00"),
+      s"ratio must compare the same covered set on both sides: $slim")
   }
 
   test("readFloors brace-depth scan survives nested values and trailing objects") {
