@@ -276,11 +276,23 @@ object Bench {
         System.err.println(s"duckdb_bench exited rc=$rc")
         Map.empty
       } else {
+        // brace-bounded extraction of the queries object (names contain
+        // no braces), then GENERIC name:number pairs — a family-prefix
+        // regex here silently dropped every other family's timings
         val qObj = {
-          val start = out.indexOf("\"queries\":")
-          if (start < 0) "" else out.substring(start)
+          val start = out.indexOf("\"queries\":{")
+          if (start < 0) "" else {
+            val open = start + "\"queries\":".length
+            var i = open; var depth = 0
+            while (i < out.length && (depth > 0 || i == open)) {
+              if (out.charAt(i) == '{') depth += 1
+              else if (out.charAt(i) == '}') depth -= 1
+              i += 1
+            }
+            out.substring(open, i)
+          }
         }
-        val parsed = """"((?:tpch|pl|dq)_[^"]+)": ?([0-9.]+)""".r.findAllMatchIn(qObj)
+        val parsed = """"([A-Za-z0-9_]+)": ?([0-9.]+)""".r.findAllMatchIn(qObj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         if (parsed.isEmpty)
           System.err.println(s"duckdb_bench output unparseable: ${out.take(400)}")
