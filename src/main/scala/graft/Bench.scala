@@ -280,9 +280,12 @@ object Bench {
         // no braces), then GENERIC name:number pairs — a family-prefix
         // regex here silently dropped every other family's timings
         val qObj = {
-          val start = out.indexOf("\"queries\":{")
-          if (start < 0) "" else {
-            val open = start + "\"queries\":".length
+          val start = out.indexOf("\"queries\":")
+          // json.dumps may put whitespace between ':' and '{' — scan to
+          // the first open brace instead of assuming adjacency
+          val open = if (start < 0) -1
+            else out.indexOf('{', start + "\"queries\":".length)
+          if (open < 0) "" else {
             var i = open; var depth = 0
             while (i < out.length && (depth > 0 || i == open)) {
               if (out.charAt(i) == '{') depth += 1
