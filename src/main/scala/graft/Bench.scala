@@ -60,6 +60,24 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    // Per-query fixed constant (r11 task 7): the cheapest possible REAL
+    // query — a full count of the 5-row region parquet — timed exactly
+    // like a registry entry (fresh plan, job launch, tiny scan), min of
+    // 3. Every sub-second dq/pl query pays at least this much before
+    // doing any work, so the DuckDB family ratios are only meaningful
+    // net of it; DuckDB's own constant is measured the same way below
+    // (noop_constant) and both land in duckdb_floors.json + the slim
+    // line so SCALE.md can restate the family table work-adjusted.
+    val constantSec = {
+      import org.apache.spark.sql.functions._
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .agg(count(lit(1)).as("c")).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
     var errors = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
@@ -164,29 +182,46 @@ object Bench {
     // runs (duckdb_floors.json) exactly like the Spark floors they're
     // compared to.
     var duckdbFloors = Map.empty[String, Double]
+    var duckdbConst: Option[Double] = None
     if (only.isEmpty) try {
       // every family except st_/ext_: those oracles REPLAY streaming
       // trajectories / sketch internals via heavy unrolled CTEs whose
       // DuckDB cost measures the replay harness, not the query — the
       // relational core + tpch + pl + dq oracles are the plain SQL a
-      // user would actually run on both engines
-      val raw = runDuckdb(sfDir,
+      // user would actually run on both engines. noop_constant is
+      // DuckDB's twin of constantSec: the cheapest real query, so the
+      // family ratios can be restated net of both engines' fixed costs.
+      val rawAll = runDuckdb(sfDir,
         SparkEntry.oracleSql.filter { case (n, _) =>
           !n.startsWith("st_") && !n.startsWith("ext_")
-        })
+        } + ("noop_constant" -> "SELECT count(*) AS c FROM region"))
+      val raw = rawAll - "noop_constant"
       val outDir = new java.io.File(
         new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results")
       outDir.mkdirs()
       val f = new java.io.File(outDir, "duckdb_floors.json")
       val prior = readFloors(f)
+      val priorConst = constFrom(f, "constant_duckdb_sec")
+      val priorSparkConst = constFrom(f, "constant_spark_sec")
+      duckdbConst = (priorConst.toSeq ++ rawAll.get("noop_constant").toSeq)
+        .minOption
+      val sparkConstMin = (priorSparkConst.toSeq :+ constantSec).min
       if (raw.nonEmpty) {
-        val mergedQ = (prior.queries.keySet ++ raw.keySet).toSeq.sorted.map { k =>
-          (k, (prior.queries.get(k).toSeq ++ raw.get(k).toSeq).min, true)
+        // pre-r12 floors were stored at 3 decimals, so sub-millisecond
+        // DuckDB timings collapsed to a literal 0.000 — an impossible
+        // floor that would stick as the minimum forever; treat zeros as
+        // absent and let this run's 6-decimal value re-seed them
+        val priorQ = prior.queries.filter(_._2 > 0)
+        val mergedQ = (priorQ.keySet ++ raw.keySet).toSeq.sorted.map { k =>
+          (k, (priorQ.get(k).toSeq ++ raw.get(k).toSeq).min, true)
         }
         val runs = mergedQ.map { case (k, _, _) =>
           k -> (prior.runs.getOrElse(k, 0) + (if (raw.contains(k)) 1 else 0))
         }.toMap
-        val body = s"""{"queries":${qJson(mergedQ)},"runs":${runsJson(mergedQ, runs)},"n_queries":${mergedQ.size},"merged_runs":${prior.mergedRuns + 1},"sf":"$sfDir"}"""
+        val consts = duckdbConst.map(c =>
+          f""","constant_duckdb_sec":$c%.6f""").getOrElse("") +
+          f""","constant_spark_sec":$sparkConstMin%.6f"""
+        val body = s"""{"queries":${qJson(mergedQ, 6)},"runs":${runsJson(mergedQ, runs)},"n_queries":${mergedQ.size},"merged_runs":${prior.mergedRuns + 1},"sf":"$sfDir"$consts}"""
         val w = new java.io.PrintWriter(f, "UTF-8")
         try w.println(body) finally w.close()
         duckdbFloors = mergedQ.map(t => t._1 -> t._2).toMap
@@ -221,7 +256,7 @@ object Bench {
     // Family subtotals + the slowest queries fit the window; the full
     // per-query map lives in bench_results/ (written above).
     val slim = slimJson(floors, errors, sfDir, hostJson, duckdbFloors,
-      planaudit)
+      planaudit, Some(constantSec), duckdbConst)
     // Nothing may print after the slim line: drop the log level so
     // executor/shutdown-hook WARNs can't land in the tail, stop Spark
     // FIRST (stop itself logs — and a throwing stop() must not swallow
@@ -295,7 +330,11 @@ object Bench {
             out.substring(open, i)
           }
         }
-        val parsed = """"([A-Za-z0-9_]+)": ?([0-9.]+)""".r.findAllMatchIn(qObj)
+        // the value pattern admits scientific notation: json.dumps
+        // renders a 8.3e-05 DuckDB timing that way, and a plain [0-9.]+
+        // silently dropped it from the floors map
+        val parsed = """"([A-Za-z0-9_]+)": ?([0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+          .findAllMatchIn(qObj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         if (parsed.isEmpty)
           System.err.println(s"duckdb_bench output unparseable: ${out.take(400)}")
@@ -333,7 +372,7 @@ object Bench {
           txt.substring(open, i)
         }
       }
-      val qRe = """"([^"]+)":([0-9.]+)""".r
+      val qRe = """"([^"]+)":([0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
       val qs = qRe.findAllMatchIn(obj("queries"))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val rs = qRe.findAllMatchIn(obj("runs"))
@@ -349,9 +388,24 @@ object Bench {
     } catch { case _: Throwable => Floors(Map.empty, Map.empty, 0, None) }
   }
 
-  private def qJson(rs: Seq[(String, Double, Boolean)]): String =
+  /** Min-merged constant fields from a prior duckdb_floors.json (absent
+    * before r12). */
+  private[graft] def constFrom(f: java.io.File, field: String): Option[Double] = {
+    if (!f.exists) return None
+    try {
+      val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+      ("\"" + field + """":([0-9.]+(?:[eE][+-]?[0-9]+)?)""").r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0)
+    } catch { case _: Throwable => None }
+  }
+
+  /** `decimals` = 6 for the DuckDB floors (sub-ms values that %.3f
+    * collapses to 0), 3 for the Spark floors (tens of ms and up). */
+  private def qJson(rs: Seq[(String, Double, Boolean)],
+                    decimals: Int = 3): String =
     rs.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "\"ERROR\"")
+      "\"" + k + "\":" + (if (ok) String.format(s"%.${decimals}f",
+        Double.box(v)) else "\"ERROR\"")
     }.mkString("{", ",", "}")
 
   private def runsJson(rs: Seq[(String, Double, Boolean)],
@@ -373,7 +427,9 @@ object Bench {
                               errors: List[String], sfDir: String,
                               hostJson: String,
                               duckdb: Map[String, Double] = Map.empty,
-                              planaudit: Option[(Int, Int)] = None): String = {
+                              planaudit: Option[(Int, Int)] = None,
+                              constSpark: Option[Double] = None,
+                              constDuck: Option[Double] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val famOf = (n: String) => n.split("_")(0) match {
       case f @ ("tpch" | "pl" | "st" | "ext" | "dq") => f
@@ -403,6 +459,25 @@ object Bench {
     val audit = planaudit.map { case (n, reg) =>
       s""","planaudit":{"n":$n,"registry":$reg,"stale":${n != reg}}"""
     }.getOrElse("")
-    f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"queries_are":"round_floor_sec_slowest12","families":$fams,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson$audit,"full":"bench_results/"}"""
+    // Per-query external ratios (r11 task 1): the family aggregate can
+    // hide one badly-planned query inside a hundred good ones — surface
+    // the 10 worst spark_floor/duckdb_floor ratios so the outlier class
+    // the comparator exists for is visible in the round artifact itself.
+    // Zero/absent DuckDB floors are excluded (a ratio against a collapsed
+    // 0.000 floor is meaningless, not infinite).
+    val worst10 = results.filter(_._3)
+      .flatMap { case (n, v, _) =>
+        duckdb.get(n).filter(_ >= 1e-6).map(d => (n, v / d))
+      }.sortBy(-_._2).take(10)
+      .map { case (n, r) => f""""$n":$r%.1f""" }.mkString("{", ",", "}")
+    val worstStr = if (worst10 == "{}") "" else
+      s""","vs_duckdb_worst10":$worst10"""
+    val constStr = (constSpark, constDuck) match {
+      case (Some(s), Some(d)) =>
+        f""","constant_sec":{"spark":$s%.3f,"duckdb":$d%.4f}"""
+      case (Some(s), None) => f""","constant_sec":{"spark":$s%.3f}"""
+      case _ => ""
+    }
+    f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"queries_are":"round_floor_sec_slowest12","families":$fams$worstStr$constStr,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson$audit,"full":"bench_results/"}"""
   }
 }

@@ -18,16 +18,21 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   /** N deterministic copies of an embeddings frame: copy c shifts ids by
-    * c×10⁷ and rotates each vector's components by a copy-dependent
-    * per-dimension factor, so copies are distinct but the within-copy
-    * neighborhood structure mirrors the original. */
-  private def amplifyVecs(vecs: DataFrame, mult: Int): DataFrame =
+    * c×(max id + 1) — derived, not a literal stride, so copies can
+    * never collide with real ids whatever the fixture's id range — and
+    * rotates each vector's components by a copy-dependent per-dimension
+    * factor, so copies are distinct but the within-copy neighborhood
+    * structure mirrors the original. */
+  private def amplifyVecs(vecs: DataFrame, mult: Int): DataFrame = {
+    val stride = vecs.agg(max(col("vec_id")).cast("long"))
+      .head().getLong(0) + 1L
     (0 until mult).map { c =>
-      vecs.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+      vecs.select((col("vec_id") + lit(c * stride)).as("vec_id"),
         transform(col("embedding"),
           (x, i) => x * (lit(1.0f) + lit(c / 50.0f) *
             sin(i.cast("double") + lit(c)).cast("float"))).as("embedding"))
     }.reduce(_ unionByName _)
+  }
 
   /** N deterministic copies of a documents frame: copy c PREFIXES every
     * token with a copy-specific tag — a bijection on the token alphabet,
@@ -37,12 +42,18 @@ object ScaleProbe {
     * every other shingle depend on a single original token, which ties
     * thousands of unrelated docs into shared LSH buckets — an amplifier
     * artifact that showed up as fake superlinear candidate growth.) */
-  private def amplifyDocs(docs: DataFrame, mult: Int): DataFrame =
+  private def amplifyDocs(docs: DataFrame, mult: Int): DataFrame = {
+    // copy stride derived from the data, same rule as the dup-offset
+    // injectors below: a literal stride silently collides once the
+    // fixture's ids exceed it
+    val stride = docs.agg(max(col("doc_id")).cast("long"))
+      .head().getLong(0) + 1L
     (0 until mult).map { c =>
       if (c == 0) docs
-      else docs.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+      else docs.select((col("doc_id") + lit(c * stride)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"z${c}q$$1").as("text"))
     }.reduce(_ unionByName _)
+  }
 
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -289,8 +300,10 @@ object ScaleProbe {
     if (section("skewjoin")) {
       val orders0 = graft.core.Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val okStride = orders0.agg(max(col("o_orderkey")).cast("long"))
+        .head().getLong(0) + 1L
       val fact = (0 until 64).map { c =>
-        orders0.select((col("o_orderkey") + lit(c * 100000000L)).as("o_orderkey"),
+        orders0.select((col("o_orderkey") + lit(c * okStride)).as("o_orderkey"),
           col("o_custkey"), col("o_totalprice"))
       }.reduce(_ unionByName _)
         .withColumn("c_custkey",
@@ -471,9 +484,13 @@ object ScaleProbe {
           graft.ext.Similarity.asDouble(col("embedding")).as("e"))
         .transform(graft.core.CacheRegistry.persistTracked)
       val n = base.count()
-      val probes = base.filter(col("vec_id") < 10000000L &&
-          col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      // probes come straight from the UNAMPLIFIED frame (copy 0 is the
+      // identity copy), not from a below-the-stride filter on the
+      // amplified union — the old `< 10⁷` literal broke the moment the
+      // stride became data-derived
+      val probes = vecs0.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("pe"))
       // iters=3: the contract queries pin iters=1 for cheap oracle
       // replay; the probe trains codebooks to convergence-ish so the
       // recall number reflects PQ, not an undertrained seed
@@ -518,9 +535,10 @@ object ScaleProbe {
           graft.ext.Similarity.asDouble(col("embedding")).as("e"))
         .transform(graft.core.CacheRegistry.persistTracked)
       val n = base.count()
-      val probes = base.filter(col("vec_id") < 10000000L &&
-          col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      // copy-0 probes from the unamplified frame, as in the ivfpq section
+      val probes = vecs0.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("pe"))
       val (books, tTrain) = timed {
         Similarity.pqTrain(base, "vec_id", "e", dim = 64, m = 4, k = 256,
           iters = 3)
@@ -664,10 +682,13 @@ object ScaleProbe {
           .select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 4)
       .select("src_id", "dst_id")
+    lazy val edgeStride = knnEdges0
+      .agg(greatest(max(col("src_id")), max(col("dst_id"))).cast("long"))
+      .head().getLong(0) + 1L
     def amplifyEdges(m: Int): DataFrame =
       (0 until m).map { c =>
-        knnEdges0.select((col("src_id") + lit(c * 10000000L)).as("src_id"),
-          (col("dst_id") + lit(c * 10000000L)).as("dst_id"))
+        knnEdges0.select((col("src_id") + lit(c * edgeStride)).as("src_id"),
+          (col("dst_id") + lit(c * edgeStride)).as("dst_id"))
       }.reduce(_ unionByName _)
     for (m <- multSteps if section("kcore")) {
       val edges = amplifyEdges(m)

@@ -46,6 +46,14 @@ object Association {
    */
   def pairRules(df: DataFrame, basket: String, item: String,
                 minItemSupport: Long = 2, minPairSupport: Long = 2): DataFrame = {
+    // the item prune is a pure optimization ONLY under downward closure
+    // (pair support ≤ item support): with minItemSupport >
+    // minPairSupport it would silently drop pairs that meet the pair
+    // threshold, so that configuration is rejected rather than lied about
+    require(minItemSupport <= minPairSupport,
+      s"minItemSupport ($minItemSupport) must be <= minPairSupport " +
+        s"($minPairSupport): pruning items above the pair threshold drops " +
+        "qualifying pairs")
     // the deduped basket frame feeds FIVE branches (total, item counts,
     // both self-join sides via the prune); persist it or every branch
     // re-scans and re-distincts the input

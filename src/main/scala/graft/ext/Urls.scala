@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
  * expressible as a pure codegen'd expression chain on BOTH engines —
  * no UDF, no java.net.URI):
  *  - scheme and host lowercase (they are case-insensitive per RFC 3986;
- *    the path is NOT touched — it is case-sensitive),
+ *    the path is NOT touched — it is case-sensitive; neither is the
+ *    userinfo before the last '@' in the authority — credentials are
+ *    case-sensitive, and folding them would merge two URLs differing
+ *    only in credential case into one dedup key AND corrupt the
+ *    canonical string),
  *  - fragment stripped (never sent to the server),
  *  - tracking parameters dropped (`utm_*`, `fbclid`, `gclid`),
  *  - remaining query parameters sorted by byte order (param order is
@@ -32,7 +36,13 @@ object Urls {
 
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // the authority may carry userinfo (user:pw@host:port); only the
+    // part after the LAST '@' (host[:port]) is case-insensitive. The
+    // greedy '^(.*@)' grabs through the final '@' (empty when absent),
+    // '([^@]*)$' the remainder — so only host:port is folded.
+    val authority = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = concat(regexp_extract(authority, "^(.*@)", 1),
+      lower(regexp_extract(authority, "([^@]*)$", 1)))
     val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     // strip the fragment BEFORE looking for the query: a '?' inside a
     // fragment ('#!?page=2', fragment-router URLs) is client-side junk,

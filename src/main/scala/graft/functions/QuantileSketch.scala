@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable rank-error quantile sketch — the sampler-layer design of
+ * the KLL family (Karnin, Lang & Liberty, FOCS 2016 "Optimal quantile
+ * approximation in streams") with every sampling decision made by the
+ * repo's md5-hex order-statistic convention instead of random bits:
+ * the sketch keeps the k rows whose row-identity hashes are SMALLEST
+ * (a bottom-k-by-hash uniform row sample), so membership is a
+ * deterministic, order-insensitive function of the data and the sketch
+ * is closed under union exactly like [[KmvSketch]] — merge = sorted
+ * union, truncate at k, associative and commutative to the BIT.
+ *
+ * Why this completes the sketch family: [[graft.streaming.SketchIngest
+ * .histQuantileIngest]]'s fixed-grid histogram bounds error in VALUE
+ * units (the `width` knob) — useless when the value domain is unknown
+ * or heavy-tailed, the common case for doc-length/score columns. This
+ * sketch's error is in RANK units with no domain knob at all: by
+ * Dvoretzky–Kiefer–Wolfowitz, a uniform k-sample's empirical CDF is
+ * within ε = sqrt(ln(2/δ) / (2k)) of the true CDF in sup-norm with
+ * probability 1−δ, so every quantile estimate is within ε·n ranks of
+ * its target simultaneously (k = 256 → ε ≈ 0.102 at δ = 1%;
+ * k = 16384 → ε ≈ 0.0127). The full KLL compactor stack reaches the
+ * same ε at k ~ (1/ε)·log log(1/δ) instead of (1/ε)² — but its
+ * compaction coin-flips depend on arrival order, which no md5
+ * convention can make replay-deterministic under Spark's
+ * nondeterministic merge trees. The sampler layer alone trades sketch
+ * size (still ≤ a few hundred KB per group at ε ≈ 1%) for the property
+ * every operator in this engine is built on: the ESTIMATE ITSELF is a
+ * deterministic function of the input multiset, bit-replayable by the
+ * DuckDB oracle — the [[KmvSketch]] posture, strictly stronger than a
+ * within-bound boolean.
+ *
+ * Conventions:
+ *  - hash = first 12 md5 hex digits of the ROW IDENTITY (not the
+ *    value): `[0-9a-f]` ASCII, so lexicographic string order equals
+ *    numeric order in Spark and DuckDB alike.
+ *  - sample order = (hash, value): the value tiebreak makes the kept
+ *    set a total-order prefix even across 48-bit hash collisions.
+ *  - estimator = the LOWER sample quantile: est(q) is the smallest
+ *    sample value whose value-rank r satisfies r ≥ q·m (m = sample
+ *    size) — exact rank arithmetic both engines compute identically.
+ *
+ * Scale: two physical forms, asserted bit-identical in
+ * `QuantileSketchSpec`. The relational [[bottomKSample]] is a
+ * per-group rank over the raw rows; the typed [[MinKSample]]
+ * aggregator is the 100 TB form — ObjectHashAggregate partials keep
+ * ≤ k (hash, value) pairs per group per map task, so the shuffle moves
+ * k × partitions rows per group instead of the row universe — and the
+ * same ≤ k-pair state is the streaming/standing-table unit
+ * ([[graft.streaming.SketchIngest.qskIngest]]).
+ */
+object QuantileSketch {
+
+  /** Hex digits kept from md5 (the [[KmvSketch.HexDigits]] layout). */
+  val HexDigits: Int = KmvSketch.HexDigits
+
+  /** The sample-membership hash of a row identity. */
+  def hashCol(id: Column): Column = substring(md5(id), 1, HexDigits)
+
+  /**
+   * Relational bottom-k sample: per group, the k rows with smallest
+   * (hash, value), as (groupCols…, hash, val, rank) with rank ∈ [1, k]
+   * ascending in (hash, val). Empty `groupCols` plans
+   * TakeOrderedAndProject (no single-reducer window). Null values are
+   * skipped (a null contributes no sample point — the sketch-family
+   * convention).
+   */
+  def bottomKSample(df: DataFrame, idCol: String, valCol: String, k: Int,
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 2, s"quantile sample needs k >= 2, got $k")
+    resample(df.filter(col(valCol).isNotNull)
+      .select(groupCols.map(col) :+
+        hashCol(col(idCol).cast("string")).as("hash") :+
+        col(valCol).cast("double").as("val"): _*), k, groupCols)
+  }
+
+  /**
+   * Collapse any (groupCols…, hash, val) frame — appended batch
+   * samples, a standing ingest table, a merged pair — back to the
+   * bottom-k form. Closure under union makes this THE maintenance /
+   * merge primitive: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+   * bottom-k(B)), because a pair outside a side's bottom-k is outside
+   * the union's. Exact duplicate (hash, val) pairs collapse in the
+   * DISTINCT (crash-replayed appends are byte-identical), which is
+   * also why the state is replay-idempotent with no batch guard.
+   */
+  def resample(frame: DataFrame, k: Int,
+               groupCols: Seq[String] = Nil): DataFrame = {
+    val merged = frame
+      .select((groupCols ++ Seq("hash", "val")).map(col): _*).distinct()
+    if (groupCols.isEmpty)
+      merged.orderBy(col("hash"), col("val")).limit(k)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("hash"), col("val"))))
+    else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("hash"), col("val"))
+      merged.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
+  /**
+   * Quantile estimates per group from a [[bottomKSample]]-shaped frame:
+   * emits (groupCols…, m, <name>…) where m is the sample size and each
+   * (name, q) produces the lower sample quantile — the smallest sample
+   * value whose value-rank ≥ q·m — rounded to 6 digits after the
+   * standard +1e-9 ulp absorber. Every window here partitions by group
+   * over a ≤ k-row frame; the global form's unpartitioned window runs
+   * on ≤ k rows (bounded by construction — the PlanAudit allow-list
+   * class, not the data-proportional cliff).
+   */
+  def estimateQuantiles(sketch: DataFrame, qs: Seq[(String, Double)],
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 })
+    val (wv, wc) =
+      if (groupCols.isEmpty)
+        (Window.orderBy(col("val"), col("hash")),
+          Window.partitionBy())
+      else
+        (Window.partitionBy(groupCols.map(col): _*)
+           .orderBy(col("val"), col("hash")),
+         Window.partitionBy(groupCols.map(col): _*))
+    val ranked = sketch
+      .withColumn("__vrank", row_number().over(wv))
+      .withColumn("__m", count(lit(1)).over(wc))
+    val grouped =
+      if (groupCols.isEmpty) ranked.groupBy()
+      else ranked.groupBy(groupCols.map(col): _*)
+    grouped.agg(
+      max(col("__m")).cast("long").as("m"),
+      qs.map { case (name, q) =>
+        round(min(when(col("__vrank") >= lit(q) * col("__m"), col("val")))
+          + lit(1e-9), 6).as(name)
+      }: _*)
+  }
+
+  /**
+   * The same sample as a typed mergeable [[Aggregator]] — state is the
+   * ascending-(hash, val) list of ≤ k pairs; merge is sorted-union-
+   * truncate (associative, commutative, deterministic — spec-pinned
+   * bit-equal under arbitrary merge trees). Input is (raw id, value);
+   * hashing happens in reduce via the [[KmvSketch.MinK]] md5 layout.
+   * Null values are skipped. Partial aggregation bounds every map
+   * task's contribution at k pairs per group.
+   */
+  final class MinKSample(k: Int)
+      extends Aggregator[(String, Double),
+                         List[(String, Double)], Seq[(String, Double)]] {
+    require(k >= 2, s"quantile sample needs k >= 2, got $k")
+
+    override def zero: List[(String, Double)] = Nil
+
+    override def reduce(buf: List[(String, Double)],
+                        in: (String, Double)): List[(String, Double)] = {
+      if (in._1 == null) return buf
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(in._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new StringBuilder(HexDigits)
+      var i = 0
+      while (i < HexDigits / 2) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(i) & 0xf, 16))
+        i += 1
+      }
+      insert(buf, (sb.toString, in._2))
+    }
+
+    private def lt(a: (String, Double), b: (String, Double)): Boolean = {
+      val c = a._1.compareTo(b._1)
+      c < 0 || (c == 0 && a._2 < b._2)
+    }
+
+    /** Keep sorted ascending (hash, val), distinct pairs, ≤ k; reject
+      * early when the buffer is full and the pair is no smaller than
+      * the current max. */
+    private def insert(buf: List[(String, Double)],
+                       p: (String, Double)): List[(String, Double)] = {
+      if (buf.length == k && !lt(p, buf.last)) return buf
+      val (lo, hi) = buf.span(lt(_, p))
+      if (hi.nonEmpty && hi.head == p) buf
+      else {
+        val merged = lo ::: (p :: hi)
+        if (merged.length > k) merged.init else merged
+      }
+    }
+
+    override def merge(a: List[(String, Double)],
+                       b: List[(String, Double)]): List[(String, Double)] =
+      b.foldLeft(a)((acc, p) => insert(acc, p))
+
+    override def finish(r: List[(String, Double)]): Seq[(String, Double)] = r
+
+    override def bufferEncoder: Encoder[List[(String, Double)]] =
+      ExpressionEncoder[List[(String, Double)]]()
+    override def outputEncoder: Encoder[Seq[(String, Double)]] =
+      ExpressionEncoder[Seq[(String, Double)]]()
+  }
+
+  /**
+   * Grouped aggregator form → the same (group…, hash, val, rank) shape
+   * as [[bottomKSample]] (bit-identical; spec-pinned). The
+   * map-side-bounded path for standing ingest and for tables where a
+   * per-group sort of the raw rows would be the dominant cost.
+   */
+  def bottomKSampleAgg(df: DataFrame, idCol: String, valCol: String,
+                       k: Int, groupCols: Seq[String]): DataFrame = {
+    val agg = udaf(new MinKSample(k))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col(idCol).cast("string"),
+        col(valCol).cast("double")).as("__pairs"))
+      .select(groupCols.map(col) :+ posexplode(col("__pairs")): _*)
+      .select(groupCols.map(col) :+ col("col._1").as("hash") :+
+        col("col._2").as("val") :+
+        (col("pos") + lit(1)).cast("int").as("rank"): _*)
+  }
+}

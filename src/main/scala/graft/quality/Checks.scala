@@ -413,13 +413,21 @@ object Checks {
           .as("u1"),
         col("tiesum"))
       .select(col("m"), col("n"), col("u1"),
-        ((col("u1") - col("m").cast("double") * col("n") / 2) /
-          sqrt(col("m").cast("double") * col("n") / 12 *
-            ((col("m") + col("n") + 1) -
-              col("tiesum") /
-                ((col("m") + col("n")).cast("double") *
-                  (col("m") + col("n") - 1)))))
-          .as("z"))
+        (col("m").cast("double") * col("n") / 12 *
+          ((col("m") + col("n") + 1) -
+            col("tiesum") /
+              ((col("m") + col("n")).cast("double") *
+                (col("m") + col("n") - 1)))).as("variance"))
+      // Degenerate inputs — one group empty (m·n = 0) or every value in
+      // a single bin (tie correction cancels the variance) — make the
+      // sqrt argument 0 or NaN; the test is then UNTESTABLE, and the dq
+      // family's convention for "no verdict" is NULL, not a NaN that
+      // poisons downstream comparisons. NaN > 0 is false, so the guard
+      // catches both the exhausted-variance and the 0/0-division cases.
+      .select(col("m"), col("n"), col("u1"),
+        when(col("variance") > 0,
+          (col("u1") - col("m").cast("double") * col("n") / 2) /
+            sqrt(col("variance"))).as("z"))
   }
 
   /** Thresholded runner (dbt `HAVING COUNT(*) > {{var}}`, reference `5_dbt/READ.md:836-837`). */

@@ -906,11 +906,14 @@ object ExtCorpusQueries {
           'http://www.example-' || source || '.com/Docs/' || doc_id
             || '?lang=' || lang || '&id=' || doc_id]) AS url
         FROM documents),
+      auth AS (SELECT doc_id, url, regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authority
+        FROM raws),
       parts AS (SELECT doc_id, url,
           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
-          lower(regexp_extract(url,
-            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+          regexp_extract(authority, '^(.*@)', 1) ||
+            lower(regexp_extract(authority, '([^@]*)$', 1)) AS host,
           regexp_extract(url,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
           array_to_string(list_sort(list_filter(
@@ -919,7 +922,7 @@ object ExtCorpusQueries {
             p -> len(p) > 0 AND substr(p, 1, 4) != 'utm_'
               AND substr(p, 1, 7) != 'fbclid='
               AND substr(p, 1, 6) != 'gclid=')), '&') AS params
-        FROM raws),
+        FROM auth),
       canon AS (SELECT doc_id, url,
           CASE WHEN len(scheme) = 0 THEN url
             ELSE scheme || '://' || host || pth ||
@@ -935,9 +938,10 @@ object ExtCorpusQueries {
     // inputs through the same operator, oracle-visible): no query at
     // all, tracking-only query (the '?' must disappear), fragment-only
     // tail, an empty path with unsorted params, a fragment-router '?'
-    // that must NOT be parsed as a query, and a schemeless URL that
-    // must pass through untouched — each canonical string hash-checked
-    // in full.
+    // that must NOT be parsed as a query, a schemeless URL that must
+    // pass through untouched, and a userinfo-bearing authority whose
+    // credential case must SURVIVE while the host still folds — each
+    // canonical string hash-checked in full.
     QueryDef("ext_adv_url", (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
       val id = col("doc_id").cast("string")
@@ -947,7 +951,8 @@ object ExtCorpusQueries {
         concat(lit("http://h"), id, lit(".com/p#frag"), id),
         concat(lit("http://H"), id, lit(".COM?b=2&a=1")),
         concat(lit("http://h"), id, lit(".com/p#!?page="), id),
-        concat(lit("www.h"), id, lit(".com/Rel?b=2&a=1")))
+        concat(lit("www.h"), id, lit(".com/Rel?b=2&a=1")),
+        concat(lit("ftp://User"), id, lit(":Pw@H"), id, lit(".COM:21/F")))
       d.select(col("doc_id"), posexplode(urls).as(Seq("variant", "url")))
         .select(col("doc_id"), col("variant").cast("long").as("variant"),
           graft.ext.Urls.canonicalizeUrl(col("url")).as("canon_url"))
@@ -959,13 +964,18 @@ object ExtCorpusQueries {
             'http://h' || doc_id || '.com/p#frag' || doc_id,
             'http://H' || doc_id || '.COM?b=2&a=1',
             'http://h' || doc_id || '.com/p#!?page=' || doc_id,
-            'www.h' || doc_id || '.com/Rel?b=2&a=1'] AS us
+            'www.h' || doc_id || '.com/Rel?b=2&a=1',
+            'ftp://User' || doc_id || ':Pw@H' || doc_id || '.COM:21/F'
+            ] AS us
           FROM documents WHERE doc_id % 7 = 0)),
+      auth AS (SELECT doc_id, variant, url, regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authority
+        FROM raws),
       parts AS (SELECT doc_id, variant, url,
           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
-          lower(regexp_extract(url,
-            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+          regexp_extract(authority, '^(.*@)', 1) ||
+            lower(regexp_extract(authority, '([^@]*)$', 1)) AS host,
           regexp_extract(url,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
           array_to_string(list_sort(list_filter(
@@ -974,7 +984,7 @@ object ExtCorpusQueries {
             p -> len(p) > 0 AND substr(p, 1, 4) != 'utm_'
               AND substr(p, 1, 7) != 'fbclid='
               AND substr(p, 1, 6) != 'gclid=')), '&') AS params
-        FROM raws)
+        FROM auth)
       SELECT doc_id, CAST(variant AS BIGINT) AS variant,
         CASE WHEN len(scheme) = 0 THEN url
           ELSE scheme || '://' || host || pth ||

@@ -682,6 +682,70 @@ object JoinAggQueries {
         round(abs(nd_estimate - nd_exact) / nd_exact + 1e-9, 6) AS rel_err
       FROM x JOIN e USING (l_returnflag)""")),
 
+    // A32: mergeable RANK-error quantile sketch (QuantileSketch — the
+    // KLL-family sampler layer with md5-hex membership): per event
+    // type, p50/p90 estimated from the ≤ k-pair bottom-k-by-hash
+    // sample, alongside the exact n and the estimates' true ranks. The
+    // estimate itself is a deterministic function of the input multiset
+    // (the KMV posture — bit-replayable below), and the within_* flags
+    // check the DKW guarantee |rank(est) − q·n| ≤ ε·n with
+    // ε = sqrt(ln(2/δ)/2k) ≈ 0.102 at k = 256, δ = 1% — rank units,
+    // no domain-width knob (the st_hist_quantile gap this closes).
+    // The exact-count/true-rank legs are the verification anchor, one
+    // hash aggregation + one broadcast-join pass each; the sketch leg
+    // is map-side-bounded (≤ k pairs per group per task).
+    QueryDef("a32_kll_quantile", (s, dir) => {
+      val k = 256
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      val sketch = graft.functions.QuantileSketch.bottomKSampleAgg(
+        ev, "event_id", "value", k, Seq("event_type"))
+      val ests = graft.functions.QuantileSketch.estimateQuantiles(
+        sketch, Seq("est_p50" -> 0.5, "est_p90" -> 0.9), Seq("event_type"))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ranks = ev.join(broadcast(ests), Seq("event_type"))
+        .groupBy("event_type").agg(
+          sum(when(col("value") <= col("est_p50"), 1L).otherwise(0L))
+            .as("r50"),
+          sum(when(col("value") <= col("est_p90"), 1L).otherwise(0L))
+            .as("r90"))
+      ests.join(n, Seq("event_type")).join(ranks, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("m"),
+          col("est_p50"), col("est_p90"),
+          (abs(col("r50") - lit(0.5) * col("n")) <= lit(0.102) * col("n"))
+            .as("within_p50"),
+          (abs(col("r90") - lit(0.9) * col("n")) <= lit(0.102) * col("n"))
+            .as("within_p90"))
+    }, Some("""WITH ev AS (SELECT event_type,
+          substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS hash,
+          CAST(value AS DOUBLE) AS val
+        FROM events WHERE value IS NOT NULL),
+      rk AS (SELECT event_type, hash, val, row_number()
+          OVER (PARTITION BY event_type ORDER BY hash, val) AS rn
+        FROM (SELECT DISTINCT event_type, hash, val FROM ev)),
+      sm AS (SELECT event_type, val,
+          row_number() OVER (PARTITION BY event_type ORDER BY val, hash)
+            AS vrank,
+          count(*) OVER (PARTITION BY event_type) AS m
+        FROM rk WHERE rn <= 256),
+      est AS (SELECT event_type, CAST(max(m) AS BIGINT) AS m,
+          round(min(CASE WHEN vrank >= 0.5 * m THEN val END) + 1e-9, 6)
+            AS est_p50,
+          round(min(CASE WHEN vrank >= 0.9 * m THEN val END) + 1e-9, 6)
+            AS est_p90
+        FROM sm GROUP BY 1),
+      cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      r AS (SELECT e.event_type,
+          sum(CASE WHEN value <= est_p50 THEN 1 ELSE 0 END) AS r50,
+          sum(CASE WHEN value <= est_p90 THEN 1 ELSE 0 END) AS r90
+        FROM events ev2 JOIN est e ON ev2.event_type = e.event_type
+        WHERE ev2.value IS NOT NULL GROUP BY 1)
+      SELECT cnt.event_type, cnt.n, est.m, est.est_p50, est.est_p90,
+        abs(r50 - 0.5 * cnt.n) <= 0.102 * cnt.n AS within_p50,
+        abs(r90 - 0.9 * cnt.n) <= 0.102 * cnt.n AS within_p90
+      FROM cnt JOIN est USING (event_type)
+        JOIN r ON r.event_type = cnt.event_type""")),
+
     // J16: interval-OVERLAP join (both sides intervals) — per-user
     // daily activity spans [min ts, max ts] × synthetic maintenance
     // windows, tiled so no pair set is ever nested-loop'd and each

@@ -362,21 +362,27 @@ object QualityQueries {
     // the sorted-rank identity G = 2·Σ(rank·cₛₒᵣₜₑ𝒹)/(n·Σc) − (n+1)/n.
     // Rank ties are broken by user id on both engines, and Σ rank·c is
     // tie-invariant (equal values swap ranks freely), so the statistic
-    // is exact-integer until two final divisions. One aggregation + one
-    // dimension-cardinality window — never a sort of the raw facts.
+    // is exact-integer until two final divisions. The rank is assigned
+    // by RowIndex.globalIndex (range-repartition + zipWithIndex), NOT a
+    // bare row_number() window: the per-user frame is data-proportional
+    // (10⁸–10⁹ users at 100 TB), so a SinglePartition WindowExec over it
+    // would be the exact cliff RowIndex documents. Both denominators are
+    // cast to double BEFORE multiplying — total² wraps Long past ~3e9
+    // events while the DuckDB oracle's HUGEINT sums do not.
     QueryDef("dq_gini_concentration", (s, dir) => {
       val byUser = Tables.events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("c"), col("user_id"))
-      byUser.withColumn("rk", row_number().over(w))
+      graft.ops.RowIndex.globalIndex(byUser, Seq("c", "user_id"), "idx")
+        .withColumn("rk", col("idx") + lit(1L))
         .agg(count(lit(1)).as("n_users"), sum(col("c")).as("total"),
           sum(col("c") * col("c")).as("sum_sq"),
           sum(col("rk") * col("c")).as("rank_dot"))
         .select(col("n_users"), col("total"),
           round(col("sum_sq").cast("double") /
-            (col("total") * col("total")) + lit(1e-9), 6).as("hhi"),
-          round(lit(2d) * col("rank_dot") / (col("n_users") * col("total"))
+            (col("total").cast("double") * col("total")) + lit(1e-9), 6)
+            .as("hhi"),
+          round(lit(2d) * col("rank_dot") /
+            (col("n_users").cast("double") * col("total"))
             - (col("n_users") + lit(1)).cast("double") / col("n_users")
             + lit(1e-9), 6).as("gini"))
     }, Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c

@@ -1354,6 +1354,76 @@ object StreamingQueries {
       FROM est JOIN nn ON nn.chunk = est.bid""")),
 
 
+    // Streaming RANK-error quantile monitor: each micro-batch folds its
+    // bottom-k-by-hash (hash, value) sample per event type into a
+    // standing sample table (QuantileSketch — closed under union, so
+    // appends collapse in DISTINCT + re-rank and replay is idempotent
+    // with NO guard on the state table), and one p50/p90 estimate row
+    // per group is appended per trigger. Unlike st_hist_quantile there
+    // is no domain-width knob: the error bound is DKW rank-based,
+    // and the ESTIMATE itself is deterministic (md5 membership), so the
+    // oracle replays the cumulative bottom-64 sample after every chunk
+    // and every estimate row must hash-match bit-identically.
+    // compactEvery=2 exercises the in-trigger compaction cadence ON the
+    // oracle path: bottom-k(compacted ∪ new) = bottom-k(all appends),
+    // so the trajectory is provably unchanged.
+    QueryDef("st_kll_ingest", (s, dir) => withStatePartitions(s, 4) {
+      val prefix = "graft_stream_qsk"
+      for (t <- Seq("_qsk_sample", "_qsk_q"))
+        graft.core.Materialize.dropWithLocation(s, prefix + t)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = graft.streaming.SketchIngest.qskIngest(
+        stream, "event_id", "value", "event_type", prefix, k = 64,
+        compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      s.catalog.refreshTable(prefix + "_qsk_q")
+      s.table(prefix + "_qsk_q")
+        .select(col("batch_id"), col("event_type"), col("m"),
+          col("p50"), col("p90"), col("n_new"))
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 4 + 1 AS step FROM events),
+      ev AS (SELECT event_id // step AS chunk, event_type,
+          substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS hash,
+          CAST(value AS DOUBLE) AS val
+        FROM events CROSS JOIN mxs WHERE value IS NOT NULL),
+      ck AS (SELECT DISTINCT r.k AS bid, event_type, hash, val FROM ev
+        JOIN range(0, 4) r(k) ON ev.chunk <= r.k),
+      rk AS (SELECT bid, event_type, hash, val, row_number()
+          OVER (PARTITION BY bid, event_type ORDER BY hash, val) AS rn
+        FROM ck),
+      sm AS (SELECT bid, event_type, val,
+          row_number() OVER (PARTITION BY bid, event_type
+            ORDER BY val, hash) AS vrank,
+          count(*) OVER (PARTITION BY bid, event_type) AS m
+        FROM rk WHERE rn <= 64),
+      est AS (SELECT bid, event_type, CAST(max(m) AS BIGINT) AS m,
+          round(min(CASE WHEN vrank >= 0.5 * m THEN val END) + 1e-9, 6)
+            AS p50,
+          round(min(CASE WHEN vrank >= 0.9 * m THEN val END) + 1e-9, 6)
+            AS p90
+        FROM sm GROUP BY 1, 2),
+      nn AS (SELECT event_id // step AS chunk,
+          CAST(count(*) AS BIGINT) AS n_new
+        FROM events CROSS JOIN mxs GROUP BY 1)
+      SELECT CAST(est.bid AS BIGINT) AS batch_id, est.event_type, est.m,
+        est.p50, est.p90, nn.n_new
+      FROM est JOIN nn ON nn.chunk = est.bid""")),
+
+
     // Streaming QUANTILE monitor: per-trigger p50/p90/p99 trajectory of
     // the value distribution per event type, off a standing fixed-grid
     // histogram (bucket = ⌊value/8⌋) — the mergeable-quantile posture

@@ -377,6 +377,96 @@ object SketchIngest {
   }
 
   /**
+   * Streaming RANK-error quantile monitor — the
+   * [[graft.functions.QuantileSketch]] bottom-k-by-hash sample as the
+   * standing state unit, closing [[histQuantileIngest]]'s domain-width
+   * gap: no `width` knob, error in rank units (DKW ε = sqrt(ln(2/δ)/2k))
+   * whatever the value distribution. Each trigger folds the batch's own
+   * ≤ k-pair sample per group into a standing sample table and appends
+   * one p50/p90 estimate row per group.
+   *
+   * Tables: `<prefix>_qsk_sample` (group, hash, val) is APPEND-ONLY —
+   * readers collapse with DISTINCT + re-rank ≤ k on (hash, val)
+   * (closure under union, the KMV argument: a pair outside a side's
+   * bottom-k is outside the union's). Replay needs no guard here: a
+   * crash-replayed trigger appends byte-identical (hash, val) rows
+   * that vanish in the DISTINCT. `<prefix>_qsk_q`
+   * (batch_id, group, m, p50, p90, n_new) holds the estimate
+   * trajectory; it IS batch-id replay-guarded and written LAST
+   * (marks-write-last).
+   *
+   * Per-trigger cost: one map-side-bounded MinKSample aggregation over
+   * the batch (≤ k pairs per group reach the shuffle) + a collapse of
+   * the standing table (≤ k × triggers-since-compaction rows per
+   * group; `compactEvery` keeps it ≤ 2k amortized).
+   */
+  def qskIngest(stream: DataFrame, idCol: String, valCol: String,
+                groupCol: String, tablePrefix: String, k: Int = 256,
+                checkpoint: Option[String] = None,
+                compactEvery: Int = 8): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      applyBatchQsk(batch.toDF(), batchId, idCol, valCol, groupCol,
+        tablePrefix, k)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactQsk(batch.sparkSession, tablePrefix, k)
+    }.start()
+  }
+
+  /** One quantile-sketch trigger's work, exposed for direct
+    * at-least-once testing (the [[applyBatch]] convention). */
+  def applyBatchQsk(batch: DataFrame, batchId: Long, idCol: String,
+                    valCol: String, groupCol: String, tablePrefix: String,
+                    k: Int): Unit = {
+    val spark = batch.sparkSession
+    val sampleT = tablePrefix + "_qsk_sample"
+    val estT = tablePrefix + "_qsk_q"
+    if (!committed(spark, estT, batchId)) graft.core.CacheRegistry.scoped {
+      val b = graft.core.CacheRegistry.persistTracked(batch)
+      val nNew = b.count()
+      if (nNew > 0) {
+        // heal a half-swapped compaction BEFORE the raw append (the
+        // appendByBatch invariant — see applyBatchKmv)
+        recoverSwap(spark, sampleT)
+        graft.functions.QuantileSketch
+          .bottomKSampleAgg(b, idCol, valCol, k, Seq(groupCol))
+          .select(col(groupCol), col("hash"), col("val"))
+          .coalesce(1) // ≤ k rows per group — one file per trigger
+          .write.mode("append").format("parquet").saveAsTable(sampleT)
+        spark.catalog.refreshTable(sampleT)
+        val collapsed = graft.functions.QuantileSketch
+          .resample(spark.table(sampleT), k, Seq(groupCol))
+        appendByBatch(
+          graft.functions.QuantileSketch.estimateQuantiles(collapsed,
+              Seq("p50" -> 0.5, "p90" -> 0.9), Seq(groupCol))
+            .select(lit(batchId).as("batch_id"), col(groupCol), col("m"),
+              col("p50"), col("p90"), lit(nNew).as("n_new")),
+          estT, bounded = false)
+      }
+    }
+  }
+
+  /**
+   * Compact the standing sample table to its bottom-k collapse — ≤ k
+   * rows per group TOTAL instead of ≤ k per trigger. Replay stays
+   * correct by closure under union (the [[compactKmv]] argument with
+   * (hash, val) pairs replacing hashes): a pair above the k-th per
+   * group can never re-enter any future bottom-k, so dropping it
+   * commutes with every future merge.
+   */
+  def compactQsk(spark: SparkSession, tablePrefix: String, k: Int): Unit = {
+    val sampleT = tablePrefix + "_qsk_sample"
+    recoverSwap(spark, sampleT)
+    if (!spark.catalog.tableExists(sampleT)) return
+    val t = spark.table(sampleT)
+    val groupCols = t.columns.filterNot(c => c == "hash" || c == "val").toSeq
+    rewrite(spark, sampleT,
+      graft.functions.QuantileSketch.resample(t, k, groupCols)
+        .select(t.columns.map(col): _*))
+  }
+
+  /**
    * Streaming novelty gate: flag each micro-batch key as novel
    * (never seen before, certain) or probably-seen (Bloom membership —
    * false positives possible, false negatives never) WITHOUT holding

@@ -260,6 +260,17 @@ class PlanSpec extends SparkSpec {
     assert(a == b, "distributed index must equal the window numbering")
   }
 
+  test("dq_gini: rank is distributed — no window over the per-user frame") {
+    // the per-user count frame is data-proportional (10⁸–10⁹ rows at
+    // 100 TB); its rank must come from RowIndex.globalIndex, never a
+    // row_number() window whose empty partition spec funnels every row
+    // through one reducer. The only SinglePartition allowed is the
+    // final one-row global aggregate.
+    val p = plan("dq_gini_concentration")
+    assert(!p.contains("Window"),
+      s"gini rank must be RowIndex.globalIndex, not a window:\n$p")
+  }
+
   test("incremental dedup: base enters as an anti-join build side, one agg shuffle") {
     val p = plan("ext_dedup_incremental")
     // the accepted corpus must gate the batch via LeftAnti — never a

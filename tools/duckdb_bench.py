@@ -33,7 +33,10 @@ def main():
                 con.execute(sqls[name]).fetchall()
                 sec = time.perf_counter() - t0
                 best = sec if best is None else min(best, sec)
-            out[name] = round(best, 4)
+            # 6 decimals: dq/pl oracles run in well under a millisecond,
+            # and 4-decimal rounding collapsed them toward 0 (breaking
+            # any per-query ratio taken against them)
+            out[name] = round(best, 6)
         except Exception as e:
             errors.append(f"{name}: {str(e)[:120]}")
     print(json.dumps({"queries": out, "reps": reps, "errors": errors}))
