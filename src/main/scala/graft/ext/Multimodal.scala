@@ -10,14 +10,21 @@ import org.apache.spark.sql.types._
  * struct; decode/feature steps run per-partition in batches.
  *
  * FORMAT-HEADER parsing is REAL (r11): [[mediaMeta]] reads width/height/
- * duration out of PNG IHDR / JPEG SOF / WAV fmt+data bytes scan-side —
- * pure byte arithmetic, no codec needed. The pixel/sample DECODE beyond
- * the header is still STUBBED (this environment ships no image/audio
- * codecs — see [[resizeStub]]/[[extractFeatures]]): the Spark-side
- * contract — schema, partition sizing, per-partition batch execution,
- * deterministic output — is real and tested, and a production deployment
- * swaps the stub loop bodies for codec calls without touching the
- * plumbing.
+ * duration out of PNG IHDR / JPEG SOF / WAV fmt+data / BMP
+ * BITMAPINFOHEADER bytes scan-side — pure byte arithmetic, no codec
+ * needed.
+ *
+ * The PIXEL lane is REAL for uncompressed 24bpp BMP (r12): decode,
+ * box-filter [[resize]] and gray-block [[extractFeatures]] operate on
+ * actual pixel values (bottom-up padded rows, BGR channel order) in
+ * exact integer arithmetic, so the DuckDB oracle replays the same
+ * pixels byte-for-byte — no codec is needed because BMP pixel storage
+ * IS the raw bytes. For compressed formats (PNG/JPEG/WAV samples) the
+ * decode beyond the header remains a documented STUB (this environment
+ * ships no codecs): the Spark-side contract — schema, partition sizing,
+ * per-partition batch execution, deterministic output — is real and
+ * tested, and a production deployment swaps the stub loop bodies for
+ * codec calls without touching the plumbing.
  *
  * Scale notes:
  *  - Binary payloads dominate row size: repartition by target bytes, not
@@ -101,6 +108,11 @@ object Multimodal {
    *    the fmt chunk's byte-rate (data offset 8) and the data chunk's
    *    size; duration_ms = data_bytes × 1000 / byte_rate, floored.
    *
+   *  - BMP: "BM" magic with a 40-byte BITMAPINFOHEADER (biSize == 40 at
+   *    offset 15) — width/height are the little-endian u32s at offsets
+   *    19/23. A height past 2³¹ (the top-down sign bit) yields NULLs:
+   *    this lane writes and reads bottom-up rows only.
+   *
    * Unknown magic, truncated headers, or walks that exhaust their bound
    * (24 JPEG segments / 16 WAV chunks — generous for real files, and a
    * hard ceiling so the expression stays O(1) per row) yield NULLs.
@@ -115,6 +127,9 @@ object Multimodal {
     val isWav = n >= lit(44L) &&
       substring(payload, 1, 4).cast("string") === lit("RIFF") &&
       substring(payload, 9, 4).cast("string") === lit("WAVE")
+    val isBmp = n >= lit(54L) &&
+      substring(payload, 1, 2).cast("string") === lit("BM") &&
+      le4(payload, lit(15L)) === 40
 
     // JPEG segment walk: acc = (pos, w, h); w set ⇒ SOF found, pos<0 ⇒ dead
     val jZero = struct(lit(3L).as("pos"), nullL.as("w"), nullL.as("h"))
@@ -176,6 +191,13 @@ object Multimodal {
         nullI.as("width"),
         nullI.as("height"),
         durMs.as("duration_ms")))
+      .when(isBmp, struct(
+        lit("bmp").as("format"),
+        when(le4(payload, lit(19L)) < 2147483648L,
+          le4(payload, lit(19L)).cast("int")).otherwise(nullI).as("width"),
+        when(le4(payload, lit(23L)) < 2147483648L,
+          le4(payload, lit(23L)).cast("int")).otherwise(nullI).as("height"),
+        nullL.as("duration_ms")))
       .otherwise(struct(
         lit(null).cast("string").as("format"),
         nullI.as("width"),
@@ -188,10 +210,47 @@ object Multimodal {
                             targetPartitionBytes: Long = 128L << 20): DataFrame =
     df.repartition(math.max(1, (totalBytes / targetPartitionBytes).toInt))
 
+  /** Parsed uncompressed 24bpp bottom-up BMP geometry:
+    * (width, height, pixel-data offset, padded row stride) — the JVM
+    * twin of [[mediaMeta]]'s scan-side BMP branch, for the pixel lane's
+    * tight loops. None for anything that is not a well-formed
+    * BI_RGB 24bpp single-plane BMP with its pixel block in bounds. */
+  private[graft] def bmpHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def le4(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def le2(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (le4(14) != 40) return None                 // BITMAPINFOHEADER
+    val w = le4(18); val h = le4(22)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (le2(26) != 1 || le2(28) != 24) return None // one plane, 24bpp
+    if (le4(30) != 0) return None                  // BI_RGB uncompressed
+    val off = le4(10)
+    val stride = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off + stride * h > b.length) return None
+    Some((w.toInt, h.toInt, off.toInt, stride.toInt))
+  }
+
   /**
    * Per-partition batched feature extraction (the mapPartitions analogue
    * of a batched pandas UDF): one setup per partition, rows processed in
    * a tight loop. Output: (media_id, media_type, feature array).
+   *
+   * REAL for 24bpp BMP payloads: the features are gray-block means over
+   * the DECODED pixels — the image's top-down row-major pixel sequence
+   * splits into `dims` contiguous blocks (pixel p goes to block
+   * p·dims/(w·h)), and feature d = Σ(B+G+R)/(3·count) over block d —
+   * exact integer sums until one final division, so the DuckDB oracle
+   * replays every feature bit-identically from the same bytes. Padding
+   * bytes and the header never contribute (the thing the byte-fold stub
+   * cannot do). Images with fewer pixels than `dims` leave their empty
+   * blocks at 0.0.
+   *
+   * STUB for everything else (no codecs in this environment): the
+   * documented stride-fold of raw payload bytes stands in for decoded
+   * features; a production deployment swaps that branch for a codec
+   * call without touching the plumbing.
    */
   def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
     val spark = media.sparkSession
@@ -211,12 +270,35 @@ object Multimodal {
                       else internal.getBinary(payloadIdx)
         val feats: Array[Double] =
           if (payload == null) null
-          else (0 until dims).map { d =>
-            // STUB: stride-fold of bytes stands in for decoded features
-            var acc = 0L; var i = d
-            while (i < payload.length) { acc += (payload(i) & 0xff); i += dims }
-            acc.toDouble
-          }.toArray
+          else bmpHeader(payload) match {
+            case Some((w, h, off, stride)) =>
+              // REAL: gray-block means over decoded pixels
+              val np = w * h
+              val sums = new Array[Long](dims)
+              val cnts = new Array[Long](dims)
+              var p = 0
+              while (p < np) {
+                val x = p % w; val y = p / w
+                val base = off + (h - 1 - y) * stride + x * 3
+                val gray3 = (payload(base) & 0xff) +
+                  (payload(base + 1) & 0xff) + (payload(base + 2) & 0xff)
+                val d = (p.toLong * dims / np).toInt
+                sums(d) += gray3; cnts(d) += 1
+                p += 1
+              }
+              Array.tabulate(dims)(d =>
+                if (cnts(d) == 0) 0.0
+                else sums(d).toDouble / (3.0 * cnts(d)))
+            case None =>
+              // STUB: stride-fold of bytes stands in for decoded features
+              (0 until dims).map { d =>
+                var acc = 0L; var i = d
+                while (i < payload.length) {
+                  acc += (payload(i) & 0xff); i += dims
+                }
+                acc.toDouble
+              }.toArray
+          }
         Row(id, mtype, feats)
       }
     }
@@ -224,14 +306,25 @@ object Multimodal {
   }
 
   /**
-   * Resize stub: an every-Nth-byte downsample stands in for an image
-   * resize (no codecs in this environment — a production deployment
-   * swaps the loop body for a decoder+scaler). Same batched
-   * mapPartitions shape as [[extractFeatures]]: per-partition setup once,
-   * tight loop, payload AND metadata rewritten together so downstream
-   * byte-based partition sizing stays correct.
+   * Resize — the honest API split (r12):
+   *
+   *  - 24bpp BMP payloads take the REAL path: a box-filter downsample of
+   *    the decoded pixels. Output dims are ⌈w/factor⌉ × ⌈h/factor⌉; each
+   *    output channel is the FLOOR of the mean of its factor×factor
+   *    source block (exact integer division — oracle-replayable); the
+   *    result is re-encoded as a well-formed 24bpp BMP (bottom-up padded
+   *    rows, rebuilt headers), so it round-trips through [[mediaMeta]]
+   *    and feeds every downstream pixel operator.
+   *  - Anything else falls back to the documented every-Nth-byte STUB
+   *    (no codecs in this environment; a production deployment swaps the
+   *    branch for a decoder+scaler).
+   *
+   * Same batched mapPartitions shape as [[extractFeatures]]:
+   * per-partition setup once, tight loop, payload AND metadata rewritten
+   * together so downstream byte-based partition sizing stays correct —
+   * and on the real path the meta carries the actual output dimensions.
    */
-  def resizeStub(media: DataFrame, factor: Int = 4): DataFrame = {
+  def resize(media: DataFrame, factor: Int = 4): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
     val spark = media.sparkSession
     val idIdx = media.schema.fieldIndex("media_id")
@@ -243,20 +336,82 @@ object Multimodal {
         val mtype = internal.getUTF8String(typeIdx).toString
         val payload = if (internal.isNullAt(payloadIdx)) null
                       else internal.getBinary(payloadIdx)
-        val out: Array[Byte] =
-          if (payload == null) null
-          else {
+        if (payload == null) {
+          Row(id, mtype, null, Row(null, null, null, null))
+        } else bmpHeader(payload) match {
+          case Some((w, h, off, stride)) =>
+            // REAL: box-filter downsample on decoded pixels
+            val rw = (w + factor - 1) / factor
+            val rh = (h + factor - 1) / factor
+            val rstride = (rw * 3 + 3) / 4 * 4
+            val out = new Array[Byte](54 + rstride * rh)
+            writeBmpHeader(out, rw, rh, rstride)
+            var y2 = 0
+            while (y2 < rh) {
+              var x2 = 0
+              while (x2 < rw) {
+                val x0 = x2 * factor; val x1 = math.min(x0 + factor, w)
+                val y0 = y2 * factor; val y1 = math.min(y0 + factor, h)
+                val cnt = (x1 - x0) * (y1 - y0)
+                var c = 0
+                while (c < 3) {
+                  var sum = 0L
+                  var y = y0
+                  while (y < y1) {
+                    val rowBase = off + (h - 1 - y) * stride
+                    var x = x0
+                    while (x < x1) {
+                      sum += payload(rowBase + x * 3 + c) & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  out(54 + (rh - 1 - y2) * rstride + x2 * 3 + c) =
+                    (sum / cnt).toByte
+                  c += 1
+                }
+                x2 += 1
+              }
+              y2 += 1
+            }
+            Row(id, mtype, out,
+              Row(out.length.toLong, rw, rh, null))
+          case None =>
+            // STUB: every-Nth-byte downsample (no codec available)
             val n = (payload.length + factor - 1) / factor
             val b = new Array[Byte](n)
             var i = 0
             while (i < n) { b(i) = payload(i * factor); i += 1 }
-            b
-          }
-        Row(id, mtype, out,
-          Row(if (out == null) null else out.length.toLong, null, null, null))
+            Row(id, mtype, b, Row(b.length.toLong, null, null, null))
+        }
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** 54-byte BM + BITMAPINFOHEADER prologue for a 24bpp bottom-up BMP
+    * (pixel data at offset 54, biSizeImage = stride·h, resolutions and
+    * palette fields zero). */
+  private def writeBmpHeader(out: Array[Byte], w: Int, h: Int,
+                             stride: Int): Unit = {
+    def le4(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le4(2, 54L + stride.toLong * h) // file size
+    le4(6, 0L)                      // reserved
+    le4(10, 54L)                    // pixel data offset
+    le4(14, 40L)                    // biSize
+    le4(18, w.toLong)
+    le4(22, h.toLong)
+    out(26) = 1                     // planes
+    out(28) = 24                    // bpp
+    le4(30, 0L)                     // BI_RGB
+    le4(34, stride.toLong * h)      // biSizeImage
+    // resolutions + palette counts stay zero
   }
 
   /**

@@ -80,6 +80,38 @@ object ExtMultimodalQueries {
     when(id % 3 === 0, png).when(id % 3 === 1, jpeg).otherwise(wav)
   }
 
+  /** 24bpp bottom-up BMP fixture: dims and every pixel channel derived
+    * from doc_id only (w ∈ 2..6, h ∈ 2..5; at top-down pixel (x, y):
+    * B = (id + 7x + 13y) % 256, G = (3·id + 5x + y) % 256,
+    * R = (2·id + x + 11y) % 256; rows stored bottom-up, stride padded to
+    * 4 bytes), so the DuckDB oracle rebuilds the identical bytes in hex
+    * space and then PARSES them back — pixels included. */
+  private def bmpPayload(): Column = {
+    val id = col("doc_id")
+    val w = (id % 5 + 2).cast("int")
+    val h = (id % 4 + 2).cast("int")
+    val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+    val stride = w * 3 + pad
+    def hx(v: Column) = lpad(hex(v.cast("long")), 2, "0")
+    val rowsHex = transform(sequence(lit(0), h - 1), r => {
+      val y = h - 1 - r // storage is bottom-up: stored row r is image row y
+      concat(
+        array_join(transform(sequence(lit(0), w - 1), x =>
+          concat(hx(pmod(id + x * 7 + y * 13, lit(256))),
+            hx(pmod(id * 3 + x * 5 + y, lit(256))),
+            hx(pmod(id * 2 + x + y * 11, lit(256))))), ""),
+        lit("000000").substr(lit(1), (pad * 2).cast("int")))
+    })
+    val dataSz = (stride * h).cast("long")
+    concat(encode(lit("BM"), "UTF-8"), leBin(dataSz + 54, 4),
+      leBin(lit(0L), 4), leBin(lit(54L), 4),
+      leBin(lit(40L), 4), leBin(w.cast("long"), 4), leBin(h.cast("long"), 4),
+      leBin(lit(1L), 2), leBin(lit(24L), 2), leBin(lit(0L), 4),
+      leBin(dataSz, 4), leBin(lit(0L), 4), leBin(lit(0L), 4),
+      leBin(lit(0L), 4), leBin(lit(0L), 4),
+      unhex(array_join(rowsHex, "")))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // REAL format-header parsing (r11): payloads carry genuine PNG IHDR /
@@ -103,6 +135,46 @@ object ExtMultimodalQueries {
         col("meta.height").cast("long").as("height"),
         col("meta.duration_ms").as("duration_ms"))
     }, Some(RealHeaderOracle.sql)),
+
+
+    // REAL pixel lane (r12): uncompressed 24bpp BMP payloads decode,
+    // box-filter-resize and feature-extract on ACTUAL pixel values —
+    // no codec needed because BMP pixel storage IS the raw bytes. The
+    // chain: scan-side header parse (w, h) → factor-2 resize (floor of
+    // each 2×2 block mean per channel, re-encoded as a valid BMP whose
+    // dims the independent mediaMeta parser re-reads) → gray-block
+    // features over the original (4 blocks) and the resized (global
+    // mean) pixels — exact integer sums until one final division. The
+    // oracle rebuilds the same bytes in hex space, PARSES the header
+    // back, reads every pixel from its computed hex position (bottom-up
+    // rows, stride padding skipped), and replays the identical resize /
+    // feature arithmetic.
+    QueryDef("ext_mm_pixels", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", ExtMultimodalQueries.bmpPayload()),
+        "doc_id", "payload", lit("image"))
+      val resized = Multimodal.resize(media, factor = 2)
+      val feats = Multimodal.extractFeatures(media, dims = 4)
+      val rstats = Multimodal.extractFeatures(resized, dims = 1)
+      val rMeta = Multimodal.mediaMeta(col("payload"))
+      media.select(col("media_id"),
+          col("meta.width").cast("long").as("w"),
+          col("meta.height").cast("long").as("h"))
+        .join(resized.select(col("media_id"),
+            length(col("payload")).cast("long").as("r_bytes"),
+            rMeta.getField("width").cast("long").as("rw"),
+            rMeta.getField("height").cast("long").as("rh")),
+          Seq("media_id"))
+        .join(feats.select(col("media_id") +: (0 until 4).map(i =>
+            round(element_at(col("features"), i + 1) + lit(1e-9), 6)
+              .as(s"f$i")): _*),
+          Seq("media_id"))
+        .join(rstats.select(col("media_id"),
+            round(element_at(col("features"), 1) + lit(1e-9), 6)
+              .as("r_mean")),
+          Seq("media_id"))
+    }, Some(BmpPixelsOracle.sql)),
 
 
     // ---- Multimodal plumbing ------------------------------------------
@@ -133,7 +205,7 @@ object ExtMultimodalQueries {
         "doc_id", "payload",
         element_at(typedLit(Seq("image", "audio", "video")),
           (col("doc_id") % 3 + 1).cast("int")))
-      Multimodal.resizeStub(media, factor = 4)
+      Multimodal.resize(media, factor = 4)
         .select(col("media_id"), col("media_type"),
           col("meta.n_bytes").as("n_bytes"), hex(col("payload")).as("payload_hex"))
     }, Some("""SELECT doc_id AS media_id,
@@ -322,6 +394,107 @@ object ExtMultimodalQueries {
  * to a strpos-arithmetic expression in hex space (DuckDB has no blob
  * substring).
  */
+/**
+ * DuckDB replay of the BMP pixel lane: rebuild the fixture bytes in hex
+ * space, parse w/h/offset/stride back OUT of the header bytes, read
+ * every pixel from its computed hex position (bottom-up rows, stride
+ * padding skipped), then replay the gray-block features and the
+ * factor-2 box-filter resize (per-channel floor means) with the same
+ * exact-integer arithmetic the Spark lane runs.
+ */
+private[queries] object BmpPixelsOracle {
+  private def byteAt(h: String, p: String): String =
+    s"((strpos('0123456789ABCDEF', substr($h, 2*($p) - 1, 1)) - 1) * 16 " +
+      s"+ (strpos('0123456789ABCDEF', substr($h, 2*($p), 1)) - 1))"
+  private def le4(h: String, p: String): String =
+    s"(${byteAt(h, p)} + ${byteAt(h, s"$p + 1")} * 256 " +
+      s"+ ${byteAt(h, s"$p + 2")} * 65536 " +
+      s"+ ${byteAt(h, s"$p + 3")} * 16777216)"
+  private def leHex(v: String, n: Int): String =
+    (n - 1 to 0 by -1)
+      .map(i => s"substr(lpad(to_hex($v), ${2 * n}, '0'), ${i * 2 + 1}, 2)")
+      .mkString("(", " || ", ")")
+
+  val sql: String = s"""WITH geom AS (
+      SELECT doc_id, doc_id % 5 + 2 AS gw, doc_id % 4 + 2 AS gh,
+        (doc_id % 5 + 2) * 3
+          + (4 - ((doc_id % 5 + 2) * 3) % 4) % 4 AS gstride
+      FROM documents),
+    pay AS (
+      SELECT doc_id,
+        '424D' || ${leHex("gstride * gh + 54", 4)} || '00000000'
+          || '36000000' || '28000000'
+          || ${leHex("gw", 4)} || ${leHex("gh", 4)}
+          || '0100' || '1800' || '00000000' || ${leHex("gstride * gh", 4)}
+          || '00000000' || '00000000' || '00000000' || '00000000'
+          || array_to_string(list_transform(range(0, gh), r ->
+               array_to_string(list_transform(range(0, gw), x ->
+                   lpad(to_hex((doc_id + x * 7 + (gh - 1 - r) * 13) % 256),
+                     2, '0')
+                || lpad(to_hex((doc_id * 3 + x * 5 + (gh - 1 - r)) % 256),
+                     2, '0')
+                || lpad(to_hex((doc_id * 2 + x + (gh - 1 - r) * 11) % 256),
+                     2, '0')), '')
+               || substr('000000', 1,
+                    CAST((gstride - gw * 3) * 2 AS INT))), '') AS hx
+      FROM geom),
+    hdr AS (
+      SELECT doc_id, hx,
+        ${le4("hx", "19")} AS w, ${le4("hx", "23")} AS h,
+        ${le4("hx", "11")} AS off,
+        (${le4("hx", "19")} * 3 + 3) // 4 * 4 AS stride
+      FROM pay),
+    opx AS (
+      SELECT doc_id, w, h, p,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 1")}
+          AS b,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 2")}
+          AS g,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 3")}
+          AS r
+      FROM (SELECT doc_id, hx, w, h, off, stride,
+          unnest(range(0, w * h)) AS p FROM hdr)),
+    feats AS (
+      SELECT doc_id, p * 4 // (w * h) AS d,
+        CAST(sum(b + g + r) AS BIGINT) AS s3,
+        CAST(count(*) AS BIGINT) AS c
+      FROM opx GROUP BY 1, 2),
+    fpiv AS (
+      SELECT doc_id,
+        round(max(CASE WHEN d = 0 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f0,
+        round(max(CASE WHEN d = 1 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f1,
+        round(max(CASE WHEN d = 2 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f2,
+        round(max(CASE WHEN d = 3 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f3
+      FROM feats GROUP BY 1),
+    rblk AS (
+      SELECT doc_id, (p % w) // 2 AS x2, (p // w) // 2 AS y2,
+        CAST(sum(b) AS BIGINT) // count(*) AS cb,
+        CAST(sum(g) AS BIGINT) // count(*) AS cg,
+        CAST(sum(r) AS BIGINT) // count(*) AS cr
+      FROM opx GROUP BY 1, 2, 3),
+    rstat AS (
+      SELECT doc_id,
+        round(CAST(sum(cb + cg + cr) AS DOUBLE) / (3.0 * count(*))
+          + 1e-9, 6) AS r_mean
+      FROM rblk GROUP BY 1),
+    dims AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        CAST((w + 1) // 2 AS BIGINT) AS rw,
+        CAST((h + 1) // 2 AS BIGINT) AS rh,
+        CAST(54 + ((((w + 1) // 2) * 3 + 3) // 4 * 4) * ((h + 1) // 2)
+          AS BIGINT) AS r_bytes
+      FROM hdr)
+    SELECT d.doc_id AS media_id, d.w, d.h, d.r_bytes, d.rw, d.rh,
+      f.f0, f.f1, f.f2, f.f3, rs.r_mean
+    FROM dims d
+      JOIN fpiv f ON f.doc_id = d.doc_id
+      JOIN rstat rs ON rs.doc_id = d.doc_id"""
+}
+
 private[queries] object RealHeaderOracle {
   /** One payload byte (1-based position `p`) out of hex column `h`. */
   private def byteAt(h: String, p: String): String =

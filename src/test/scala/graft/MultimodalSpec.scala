@@ -45,18 +45,76 @@ class MultimodalSpec extends SparkSpec {
     assert(actual == expected)
   }
 
-  test("resize stub keeps every Nth byte and rewrites the byte metadata") {
+  test("resize stub branch keeps every Nth byte and rewrites the byte metadata") {
     val doc = Tables.documents(spark, sfDir).filter(col("lang") === "en")
       .select("doc_id", "text").first()
     val bytes = doc.getString(1).getBytes("UTF-8")
     val expected = Iterator.from(0, 4).takeWhile(_ < bytes.length)
       .map(bytes(_)).toSeq
-    val row = Multimodal.resizeStub(media, factor = 4)
+    val row = Multimodal.resize(media, factor = 4)
       .filter(col("media_id") === doc.getLong(0))
       .select(col("payload"), col("meta.n_bytes")).collect().head
     val out = row.getAs[Array[Byte]](0).toSeq
     assert(out == expected, "payload must be the byte-stride downsample")
     assert(row.getLong(1) == expected.length, "metadata must track the new size")
+  }
+
+  /** A hand-built 24bpp bottom-up BMP with the given TOP-DOWN pixel
+    * rows (each pixel (b, g, r)). */
+  private def bmp(pixels: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels.head.length
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + stride * h)
+    out(0) = 'B'; out(1) = 'M'
+    def le4(i: Int, v: Long): Unit = (0 until 4).foreach(k =>
+      out(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+    le4(2, 54L + stride * h); le4(10, 54L); le4(14, 40L)
+    le4(18, w); le4(22, h); out(26) = 1; out(28) = 24
+    le4(30, 0L); le4(34, stride.toLong * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (b, g, r) = pixels(y)(x)
+      val base = 54 + (h - 1 - y) * stride + x * 3
+      out(base) = b.toByte; out(base + 1) = g.toByte; out(base + 2) = r.toByte
+    }
+    out
+  }
+
+  test("BMP lane: decode, box-filter resize and gray features are REAL") {
+    import spark.implicits._
+    // 3x2 image, known pixels (top-down rows)
+    val px = Seq(
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)),
+      Seq((100, 110, 120), (130, 140, 150), (200, 210, 220)))
+    val payload = bmp(px)
+    val m = Multimodal.toMediaFrame(
+      Seq((1L, payload)).toDF("id", "payload"), "id", "payload", lit("image"))
+    // header parse (scan-side) sees the real dimensions
+    val meta = m.select(col("meta.width"), col("meta.height")).head()
+    assert(meta.getInt(0) === 3 && meta.getInt(1) === 2)
+    // resize factor 2: output 2x1; cell (0,0) = mean of the 2x2 block,
+    // cell (1,0) = mean of the 1x2 rightmost column block (floor)
+    val r = Multimodal.resize(m, factor = 2)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val hdr = graft.ext.Multimodal.bmpHeader(r)
+    assert(hdr.nonEmpty, "resized payload must re-parse as a BMP")
+    val (rw, rh, off, rstride) = hdr.get
+    assert(rw === 2 && rh === 1)
+    def u8(i: Int) = r(i) & 0xff
+    // block (0,0): B mean (10+40+100+130)/4 = 70, G 80, R 90
+    assert(u8(off) === 70 && u8(off + 1) === 80 && u8(off + 2) === 90)
+    // block (1,0): B (70+200)/2 = 135, G 145, R 155
+    assert(u8(off + 3) === 135 && u8(off + 4) === 145 && u8(off + 5) === 155)
+    // features dims=2: row-major top-down pixel order, two 3-pixel blocks
+    val f = Multimodal.extractFeatures(m, dims = 2)
+      .select("features").head().getSeq[Double](0)
+    val grays = Seq(20.0, 50, 80, 110, 140, 210) // (b+g+r)/3 per pixel
+    assert(math.abs(f(0) - grays.take(3).sum / 3) < 1e-12)
+    assert(math.abs(f(1) - grays.drop(3).sum / 3) < 1e-12)
+    // a resized BMP feeds the pixel operators again (round trip)
+    val f2 = Multimodal.extractFeatures(
+      Multimodal.resize(m, factor = 2), dims = 1)
+      .select("features").head().getSeq[Double](0)
+    assert(math.abs(f2.head - (70 + 80 + 90 + 135 + 145 + 155) / 6.0) < 1e-12)
   }
 
   test("frame sampling explodes every Nth block") {
