@@ -272,6 +272,82 @@ object PipelineQueries {
           CAST(sum(total_volume) AS BIGINT) AS total_volume,
           CAST(sum(n_incidents) AS BIGINT) AS total_incidents,
           count(*) AS n_hours
-        FROM intm GROUP BY 1, 2, 3, 4, 5, 6"""))
+        FROM intm GROUP BY 1, 2, 3, 4, 5, 6""")),
+
+    // SCD2 writer ↔ temporal-join round trip (r11 stretch): the
+    // s16 snapshot writer's OUTPUT feeds the j17 temporal join directly
+    // as one pipeline — snapshot twice with changed/deleted/new rows
+    // between, then probe every history key at one date inside each
+    // run's validity window. Proves the writer's (valid_from, valid_to,
+    // is_current] intervals are exactly what the join consumes: the
+    // January probe must see run-1 state (and MISS keys first seen in
+    // run 2), the February probe must see the current state. The
+    // versioned history is dimension-cardinality × versions, so it
+    // broadcasts and the probe side never shuffles. The oracle rebuilds
+    // the expected history algebraically (the s16 oracle's CTEs) and
+    // runs the identical interval join; ISO date strings compare
+    // lexicographically in both engines.
+    QueryDef("pl_scd2_roundtrip", (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.core.Materialize._
+      val name = "graft_pl_snap_orders"
+      dropWithLocation(s, name)
+      val base = graft.core.Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select("o_orderkey", "o_orderstatus")
+      val state2 = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(graft.core.Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 50 === 1)
+          .select("o_orderkey", "o_orderstatus"))
+      snapshot(s, name, base, Seq("o_orderkey"), Seq("o_orderstatus"),
+        "2024-01-01")
+      val hist = snapshot(s, name, state2, Seq("o_orderkey"),
+        Seq("o_orderstatus"), "2024-02-01")
+      val probes = hist.select("o_orderkey").distinct()
+        .select(col("o_orderkey"),
+          explode(typedLit(Seq("2024-01-15", "2024-02-15"))).as("probe_date"))
+      probes.join(broadcast(hist.alias("h")),
+          probes("o_orderkey") === col("h.o_orderkey") &&
+            col("h.valid_from") <= col("probe_date") &&
+            (col("h.valid_to").isNull ||
+              col("probe_date") < col("h.valid_to")))
+        .select(probes("o_orderkey"), col("probe_date"),
+          col("h.o_orderstatus").as("o_orderstatus"),
+          col("h.is_current").as("is_current"))
+    }, Some("""WITH s1 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 50 = 0),
+      s2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus
+        FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 50 = 1),
+      changed AS (
+        SELECT s1.o_orderkey FROM s1 JOIN s2 USING (o_orderkey)
+        WHERE s1.o_orderstatus IS DISTINCT FROM s2.o_orderstatus),
+      hist AS (
+        SELECT s1.o_orderkey, s1.o_orderstatus, '2024-01-01' AS valid_from,
+               '2024-02-01' AS valid_to, false AS is_current
+        FROM s1 JOIN changed USING (o_orderkey)
+        UNION ALL
+        SELECT s2.o_orderkey, s2.o_orderstatus, '2024-02-01', NULL, true
+        FROM s2 JOIN changed USING (o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, '2024-01-01', NULL, true
+        FROM s1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, '2024-02-01', NULL, true
+        FROM s2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)),
+      probes AS (
+        SELECT o_orderkey, unnest(['2024-01-15', '2024-02-15']) AS probe_date
+        FROM (SELECT DISTINCT o_orderkey FROM hist))
+      SELECT p.o_orderkey, p.probe_date, h.o_orderstatus, h.is_current
+      FROM probes p JOIN hist h ON p.o_orderkey = h.o_orderkey
+        AND h.valid_from <= p.probe_date
+        AND (h.valid_to IS NULL OR p.probe_date < h.valid_to)"""))
   )
 }

@@ -594,6 +594,83 @@ object StreamingQueries {
       FROM e GROUP BY 1""")),
 
 
+    // State EVICTION under watermarks (r11 task 8): the lateness family
+    // pins what the watermark drops/merges at the SINK, but never that
+    // the state store actually SHRINKS — and unbounded state is the
+    // streaming scale-killer at 100 TB. This row reads the state-store
+    // row counts off the engine's own per-trigger progress metrics and
+    // oracle-replays the whole trajectory chunk-by-chunk. Event times
+    // are id-synthesized and MONOTONE by chunk with a deliberately
+    // front-loaded shape — chunk 0 spans hours 0-5 (six open windows),
+    // chunks 1-3 one hour each — so the 90-minute watermark's first
+    // advance evicts four windows at trigger 1 and numRowsTotal
+    // VISIBLY DROPS (6 → 3) inside the data batches, then holds at 3
+    // while total windows seen grows to 9: state tracks open windows,
+    // not history. Eviction at trigger t uses the watermark computed
+    // from data through t-1 (the 3.4+ two-watermark split the lateness
+    // rows pin); the trailing no-data batch is excluded (its timing is
+    // an engine policy, not data semantics). rows_removed is the
+    // engine's eviction counter; the oracle derives both columns from
+    // the raw events alone.
+    QueryDef("st_state_eviction", (s, dir) => withStatePartitions(s, 8) {
+      val ev = s.read.parquet(s"$dir/events.parquet").select(col("event_id"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))
+      val base = lit("2026-01-01 00:00:00").cast("timestamp").cast("long")
+      val chunkC = floor(col("event_id") / lit(step))
+      val hr = when(chunkC === 0, pmod(col("event_id"), lit(6)))
+        .otherwise(chunkC + lit(5))
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("event_id"),
+          timestamp_seconds(base + hr * 3600
+            + pmod(col("event_id"), lit(60)) * 60).as("ts"))
+        .withWatermark("ts", "90 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_st_evict")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
+        .map(p => (p.batchId, p.numInputRows,
+          p.stateOperators.head.numRowsTotal,
+          p.stateOperators.head.numRowsRemoved))
+        .toDF("batch_id", "n_input", "state_rows", "rows_removed")
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 4 + 1 AS step FROM events),
+      e AS (SELECT event_id, event_id // step AS chunk,
+          CASE WHEN event_id // step = 0 THEN event_id % 6
+               ELSE event_id // step + 5 END AS hr,
+          event_id % 60 AS mn
+        FROM events CROSS JOIN mxs),
+      t AS (SELECT unnest(range(0, 4)) AS bid),
+      inp AS (SELECT chunk AS bid, CAST(count(*) AS BIGINT) AS n_input
+        FROM e GROUP BY 1),
+      wm AS (SELECT t.bid,
+          coalesce((SELECT max(hr * 3600 + mn * 60) - 5400 FROM e
+            WHERE chunk < t.bid), -1) AS wm_sec
+        FROM t),
+      seen AS (SELECT t.bid, h.hr
+        FROM t JOIN (SELECT DISTINCT chunk, hr FROM e) h ON h.chunk <= t.bid),
+      cum AS (SELECT seen.bid,
+          CAST(count(*) AS BIGINT) AS n_seen,
+          CAST(sum(CASE WHEN (hr + 1) * 3600 <= wm_sec THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_evicted
+        FROM seen JOIN wm ON wm.bid = seen.bid GROUP BY 1)
+      SELECT c.bid AS batch_id, inp.n_input,
+        c.n_seen - c.n_evicted AS state_rows,
+        c.n_evicted - coalesce(lag(c.n_evicted) OVER (ORDER BY c.bid), 0)
+          AS rows_removed
+      FROM cum c JOIN inp ON inp.bid = c.bid""")),
+
+
     // Stream-static join: the unbounded stream enriches against a
     // broadcast dimension (per-micro-batch hash join — the streaming J1).
     QueryDef("st_stream_static_join", (s, dir) => withStatePartitions(s, 8) {
