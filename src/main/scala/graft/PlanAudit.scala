@@ -54,6 +54,7 @@ object PlanAudit {
     "dq_autocorr" -> "lag window over the pre-aggregated daily series",
     "dq_mann_whitney" -> "cumulative counts over the bin frame (O(bins))",
     "dq_adv_degenerate" -> "degenerate battery over the 25-row nation frame",
+    "a33_kll_degenerate" -> "global-form sketch ranks over ≤k-pair frames (25-row nation)",
     "ext_bm25_topk" -> "df-derived query-set rank over a ≤22-row top-k",
     "ext_bm25_forget" -> "df-derived query-set rank over a ≤22-row top-k",
     "ext_bm25_persisted" -> "df-derived query-set rank over a ≤22-row top-k",

@@ -746,6 +746,103 @@ object JoinAggQueries {
       FROM cnt JOIN est USING (event_type)
         JOIN r ON r.event_type = cnt.event_type""")),
 
+    // A33: degenerate inputs through the quantile sketch, each with an
+    // EXACTLY-known answer (the dq_adv_degenerate posture): a constant
+    // column's every quantile is the constant; k ≥ n degenerates to the
+    // exact lower quantiles; nulls contribute no sample point (m counts
+    // only non-null); k = 2 ≪ n keeps exactly the two pairs with the
+    // smallest hashes — a deterministic md5 order statistic the oracle
+    // re-derives, NOT an approximation to wave through; a single-row
+    // input answers that row at every q. Global (ungrouped) sketch
+    // form: its rank windows run on ≤ k-pair frames (PlanAudit
+    // allow-listed as bounded). Every value is exact until the standard
+    // rounding, so the hash match is bit-level.
+    QueryDef("a33_kll_degenerate", (s, dir) => {
+      import graft.functions.QuantileSketch
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"))
+      val const = QuantileSketch.estimateQuantiles(
+        QuantileSketch.bottomKSample(
+          keys.withColumn("v", lit(42.5)), "k", "v", 64),
+        Seq("c_p50" -> 0.5, "c_p90" -> 0.9))
+        .select(col("m").as("c_m"), col("c_p50"), col("c_p90"))
+      val exact = QuantileSketch.estimateQuantiles(
+        QuantileSketch.bottomKSample(
+          keys.withColumn("v", col("k").cast("double")), "k", "v", 64),
+        Seq("e_p50" -> 0.5, "e_p90" -> 0.9, "e_p100" -> 1.0))
+        .select(col("m").as("e_m"), col("e_p50"), col("e_p90"),
+          col("e_p100"))
+      val nulls = QuantileSketch.estimateQuantiles(
+        QuantileSketch.bottomKSample(
+          keys.withColumn("v", when(col("k") % 5 === 0,
+              lit(null).cast("double"))
+            .otherwise(col("k").cast("double"))), "k", "v", 64),
+        Seq("n_p50" -> 0.5))
+        .select(col("m").as("n_m"), col("n_p50"))
+      val tiny = QuantileSketch.estimateQuantiles(
+        QuantileSketch.bottomKSample(
+          keys.withColumn("v", col("k").cast("double")), "k", "v", 2),
+        Seq("t_p50" -> 0.5, "t_p90" -> 0.9))
+        .select(col("m").as("t_m"), col("t_p50"), col("t_p90"))
+      val one = QuantileSketch.estimateQuantiles(
+        QuantileSketch.bottomKSample(
+          keys.filter(col("k") === 3).withColumn("v", lit(7.25)),
+          "k", "v", 64),
+        Seq("o_p50" -> 0.5, "o_p99" -> 0.99))
+        .select(col("m").as("o_m"), col("o_p50"), col("o_p99"))
+      const.crossJoin(exact).crossJoin(nulls).crossJoin(tiny)
+        .crossJoin(one)
+    }, Some("""WITH keys AS (SELECT CAST(n_nationkey AS BIGINT) AS k
+          FROM nation),
+      hk AS (SELECT k, substr(md5(CAST(k AS VARCHAR)), 1, 12) AS hash
+        FROM keys),
+      cstq AS (SELECT CAST(count(*) AS BIGINT) AS c_m,
+          round(min(CASE WHEN vrank >= 0.5 * m THEN v END) + 1e-9, 6)
+            AS c_p50,
+          round(min(CASE WHEN vrank >= 0.9 * m THEN v END) + 1e-9, 6)
+            AS c_p90
+        FROM (SELECT v, row_number() OVER (ORDER BY v, hash) AS vrank,
+            count(*) OVER () AS m
+          FROM (SELECT DISTINCT hash, CAST(42.5 AS DOUBLE) AS v FROM hk))),
+      exq AS (SELECT CAST(count(*) AS BIGINT) AS e_m,
+          round(min(CASE WHEN vrank >= 0.5 * m THEN v END) + 1e-9, 6)
+            AS e_p50,
+          round(min(CASE WHEN vrank >= 0.9 * m THEN v END) + 1e-9, 6)
+            AS e_p90,
+          round(min(CASE WHEN vrank >= 1.0 * m THEN v END) + 1e-9, 6)
+            AS e_p100
+        FROM (SELECT v, row_number() OVER (ORDER BY v, hash) AS vrank,
+            count(*) OVER () AS m
+          FROM (SELECT DISTINCT hash, CAST(k AS DOUBLE) AS v FROM hk))),
+      nlq AS (SELECT CAST(count(*) AS BIGINT) AS n_m,
+          round(min(CASE WHEN vrank >= 0.5 * m THEN v END) + 1e-9, 6)
+            AS n_p50
+        FROM (SELECT v, row_number() OVER (ORDER BY v, hash) AS vrank,
+            count(*) OVER () AS m
+          FROM (SELECT DISTINCT hash, CAST(k AS DOUBLE) AS v FROM hk
+            WHERE k % 5 <> 0))),
+      tn AS (SELECT hash, v FROM (SELECT hash, CAST(k AS DOUBLE) AS v,
+          row_number() OVER (ORDER BY hash, CAST(k AS DOUBLE)) AS rn
+        FROM hk) WHERE rn <= 2),
+      tnq AS (SELECT CAST(count(*) AS BIGINT) AS t_m,
+          round(min(CASE WHEN vrank >= 0.5 * m THEN v END) + 1e-9, 6)
+            AS t_p50,
+          round(min(CASE WHEN vrank >= 0.9 * m THEN v END) + 1e-9, 6)
+            AS t_p90
+        FROM (SELECT v, row_number() OVER (ORDER BY v, hash) AS vrank,
+            count(*) OVER () AS m FROM tn)),
+      onq AS (SELECT CAST(count(*) AS BIGINT) AS o_m,
+          round(min(CASE WHEN vrank >= 0.5 * m THEN v END) + 1e-9, 6)
+            AS o_p50,
+          round(min(CASE WHEN vrank >= 0.99 * m THEN v END) + 1e-9, 6)
+            AS o_p99
+        FROM (SELECT v, row_number() OVER (ORDER BY v, hash) AS vrank,
+            count(*) OVER () AS m
+          FROM (SELECT DISTINCT hash, CAST(7.25 AS DOUBLE) AS v FROM hk
+            WHERE k = 3)))
+      SELECT * FROM cstq CROSS JOIN exq CROSS JOIN nlq
+        CROSS JOIN tnq CROSS JOIN onq""")),
+
     // J16: interval-OVERLAP join (both sides intervals) — per-user
     // daily activity spans [min ts, max ts] × synthetic maintenance
     // windows, tiled so no pair set is ever nested-loop'd and each

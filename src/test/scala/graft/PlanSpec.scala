@@ -271,6 +271,28 @@ class PlanSpec extends SparkSpec {
       s"gini rank must be RowIndex.globalIndex, not a window:\n$p")
   }
 
+  test("quantile sketch: global bottom-k plans TakeOrderedAndProject; grouped form never funnels one reducer") {
+    import org.apache.spark.sql.functions._
+    val df = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // global form: the k-pair prefix comes from orderBy().limit(k) —
+    // TakeOrderedAndProject, never a full sort; the rank window after
+    // it sees ≤ k rows (the bounded class the audit allow-lists)
+    val p = graft.functions.QuantileSketch
+      .bottomKSample(df, "o_orderkey", "o_totalprice", 32)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global bottom-k must not globally sort the table:\n$p")
+    // grouped form: the rank window partitions by group — no
+    // single-partition exchange anywhere
+    val g = graft.functions.QuantileSketch
+      .bottomKSample(df.withColumn("g", col("o_orderkey") % 5),
+        "o_orderkey", "o_totalprice", 32, Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!g.contains("Exchange SinglePartition"),
+      s"grouped sketch must never funnel one reducer:\n$g")
+  }
+
   test("incremental dedup: base enters as an anti-join build side, one agg shuffle") {
     val p = plan("ext_dedup_incremental")
     // the accepted corpus must gate the batch via LeftAnti — never a
