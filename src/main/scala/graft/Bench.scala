@@ -77,6 +77,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // The single-stage noop is a LOWER bound — multi-stage plans pay
+    // scheduling per stage. Measure the 2-stage twin (one shuffle:
+    // grouped count over the same 5-row table) so the per-STAGE
+    // increment is a number, not an argument.
+    val constant2Sec = {
+      import org.apache.spark.sql.functions._
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_regionkey").agg(count(lit(1)).as("c")).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
 
     var errors = List.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
@@ -194,8 +207,10 @@ object Bench {
       val rawAll = runDuckdb(sfDir,
         SparkEntry.oracleSql.filter { case (n, _) =>
           !n.startsWith("st_") && !n.startsWith("ext_")
-        } + ("noop_constant" -> "SELECT count(*) AS c FROM region"))
-      val raw = rawAll - "noop_constant"
+        } + ("noop_constant" -> "SELECT count(*) AS c FROM region")
+          + ("noop_shuffle" ->
+            "SELECT r_regionkey, count(*) AS c FROM region GROUP BY 1"))
+      val raw = rawAll - "noop_constant" - "noop_shuffle"
       val outDir = new java.io.File(
         new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results")
       outDir.mkdirs()
@@ -206,6 +221,10 @@ object Bench {
       duckdbConst = (priorConst.toSeq ++ rawAll.get("noop_constant").toSeq)
         .minOption
       val sparkConstMin = (priorSparkConst.toSeq :+ constantSec).min
+      val duck2Min = (constFrom(f, "constant2_duckdb_sec").toSeq ++
+        rawAll.get("noop_shuffle").toSeq).minOption
+      val spark2Min = (constFrom(f, "constant2_spark_sec").toSeq :+
+        constant2Sec).min
       if (raw.nonEmpty) {
         // pre-r12 floors were stored at 3 decimals, so sub-millisecond
         // DuckDB timings collapsed to a literal 0.000 — an impossible
@@ -220,7 +239,10 @@ object Bench {
         }.toMap
         val consts = duckdbConst.map(c =>
           f""","constant_duckdb_sec":$c%.6f""").getOrElse("") +
-          f""","constant_spark_sec":$sparkConstMin%.6f"""
+          f""","constant_spark_sec":$sparkConstMin%.6f""" +
+          duck2Min.map(c =>
+            f""","constant2_duckdb_sec":$c%.6f""").getOrElse("") +
+          f""","constant2_spark_sec":$spark2Min%.6f"""
         val body = s"""{"queries":${qJson(mergedQ, 6)},"runs":${runsJson(mergedQ, runs)},"n_queries":${mergedQ.size},"merged_runs":${prior.mergedRuns + 1},"sf":"$sfDir"$consts}"""
         val w = new java.io.PrintWriter(f, "UTF-8")
         try w.println(body) finally w.close()
@@ -256,7 +278,7 @@ object Bench {
     // Family subtotals + the slowest queries fit the window; the full
     // per-query map lives in bench_results/ (written above).
     val slim = slimJson(floors, errors, sfDir, hostJson, duckdbFloors,
-      planaudit, Some(constantSec), duckdbConst)
+      planaudit, Some(constantSec), duckdbConst, Some(constant2Sec))
     // Nothing may print after the slim line: drop the log level so
     // executor/shutdown-hook WARNs can't land in the tail, stop Spark
     // FIRST (stop itself logs — and a throwing stop() must not swallow
@@ -429,7 +451,8 @@ object Bench {
                               duckdb: Map[String, Double] = Map.empty,
                               planaudit: Option[(Int, Int)] = None,
                               constSpark: Option[Double] = None,
-                              constDuck: Option[Double] = None): String = {
+                              constDuck: Option[Double] = None,
+                              const2Spark: Option[Double] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val famOf = (n: String) => n.split("_")(0) match {
       case f @ ("tpch" | "pl" | "st" | "ext" | "dq") => f
@@ -483,10 +506,11 @@ object Bench {
     val worstStr = if (worst10 == "{}") "" else
       s""","vs_duckdb_worst10":$worst10""" +
         s""","vs_duckdb_excl_io":${ratioRows.count(r => ioSide(r._1))}"""
+    val s2 = const2Spark.map(v => f""","spark_2stage":$v%.3f""").getOrElse("")
     val constStr = (constSpark, constDuck) match {
       case (Some(s), Some(d)) =>
-        f""","constant_sec":{"spark":$s%.3f,"duckdb":$d%.4f}"""
-      case (Some(s), None) => f""","constant_sec":{"spark":$s%.3f}"""
+        f""","constant_sec":{"spark":$s%.3f,"duckdb":$d%.4f$s2}"""
+      case (Some(s), None) => f""","constant_sec":{"spark":$s%.3f$s2}"""
       case _ => ""
     }
     f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"queries_are":"round_floor_sec_slowest12","families":$fams$worstStr$constStr,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson$audit,"full":"bench_results/"}"""

@@ -27,15 +27,37 @@ class BenchArtifactSpec extends AnyFunSuite {
     val duckdb = sqlFam.map(_ -> 0.1234).toMap
     val withTpch = results ++ sqlFam.map(n => (n, 0.55, true))
     val slim = Bench.slimJson(withTpch, errors, "/root/testdata/sf0.1",
-      hostJson, duckdb, Some((349, 352)))
+      hostJson, duckdb, Some((349, 352)),
+      Some(0.231), Some(0.000577), Some(0.456))
     assert(slim.length < 2000,
       s"slim must fit the driver's stdout-tail window: ${slim.length}")
     assert(!slim.contains("\n"), "slim must be ONE line")
     for (field <- Seq("\"queries_are\":\"round_floor_sec_slowest12\"",
-        "\"duckdb_sec\":", "\"vs_duckdb\":",
+        "\"duckdb_sec\":", "\"vs_duckdb\":", "\"vs_duckdb_worst10\":",
+        "\"vs_duckdb_excl_io\":",
+        "\"constant_sec\":{\"spark\":0.231,\"duckdb\":0.0006,\"spark_2stage\":0.456}",
         "\"planaudit\":{\"n\":349,\"registry\":352,\"stale\":true}",
         "\"n_failed\":", "\"full\":\"bench_results/\""))
       assert(slim.contains(field), s"slim must carry $field: $slim")
+  }
+
+  test("slim worst10 excludes write-side queries and caps at 10 entries") {
+    // an s-family write query with an extreme ratio must NOT appear;
+    // compute-side queries rank by ratio, capped at 10
+    val results = Seq(("s14_compact", 9.0, true),
+        ("pl_scd2_roundtrip", 9.0, true)) ++
+      (1 to 14).map(i => (f"a$i%02d_compute", 1.0 + i, true))
+    val duckdb = (results.map(_._1) :+ "x").map(_ -> 0.01).toMap
+    val slim = Bench.slimJson(results, Nil, "sf", hostJson, duckdb, None,
+      Some(0.2), Some(0.001))
+    assert(!slim.substring(slim.indexOf("vs_duckdb_worst10"))
+      .takeWhile(_ != '}').contains("s14_compact"),
+      s"write-side rows must not pollute the ratio tail: $slim")
+    assert(slim.contains("\"vs_duckdb_excl_io\":2"), slim)
+    assert(slim.contains("\"a14_compute\":1500.0"),
+      s"the worst compute ratio must lead: $slim")
+    assert(!slim.contains("a04_compute"),
+      s"the list must cap at the 10 worst: $slim")
   }
 
   test("slim duckdb ratio covers the intersection with coverage exposed") {
