@@ -671,6 +671,99 @@ object StreamingQueries {
       FROM cum c JOIN inp ON inp.bid = c.bid""")),
 
 
+    // JOIN-state eviction — the stream-stream twin of
+    // st_state_eviction: a symmetric hash join buffers BOTH sides until
+    // the watermark (tightened by the interval condition) lets rows go,
+    // and unbounded join state is the other streaming scale-killer.
+    // Click→purchase interval join (30-min window, 1-hour watermarks)
+    // over id-synthesized MONOTONE event times in 4 chunks; both
+    // sources step the same staged files in lockstep. Two grains of
+    // oracle check: (a) the EMISSION trajectory is exact — the 1-hour
+    // eviction lag exceeds the 30-minute condition span, so no valid
+    // pair's earlier element is evicted before its partner arrives, and
+    // every pair emits at trigger max(click chunk, purchase chunk);
+    // (b) STATE is checked as a per-trigger boolean (buffered rows <
+    // cumulative post-filter input from trigger 1 on — hundreds of rows
+    // of margin; exactly equal at trigger 0, before any eviction),
+    // not an exact count: join-state eviction boundaries are
+    // engine-internal (per-side state watermarks derived from the
+    // condition, ±1 semantics), unlike the aggregation twin whose
+    // eviction granularity is whole windows the oracle can replay.
+    QueryDef("st_join_state_eviction", (s, dir) => withStatePartitions(s, 8) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"))
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val step = mx / 4 + 1
+      val stage = stageIdChunks(s, (0 until 4).map(i =>
+        ev.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val base = lit("2026-01-01 00:00:00").cast("timestamp").cast("long")
+      def src() = {
+        val raw = s.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        val chunkC = floor(col("event_id") / lit(step))
+        raw.select(col("event_id"), col("user_id"),
+          timestamp_seconds(base + (chunkC * 3 + pmod(col("event_id"), lit(3))) * 3600
+            + pmod(col("event_id"), lit(60)) * 60).as("ts"))
+      }
+      val clicks = src().filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src().filter(col("event_id") % 2 === 1)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .writeStream.format("memory").queryName("graft_st_jevict")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      // numInputRows counts SOURCE rows (each side reads the full chunk
+      // before its parity filter), so the buffered baseline is half the
+      // cumulative input: every chunk row is exactly one of click or
+      // purchase, so trigger 0 buffers cumInput/2 exactly (boolean
+      // false — nothing evicted yet) and every later trigger holds
+      // strictly less (boolean true, with hundreds of rows of margin).
+      var cumInput = 0L
+      q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
+        .map { p =>
+          cumInput += p.numInputRows
+          (p.batchId, p.numInputRows, p.sink.numOutputRows,
+            p.stateOperators.head.numRowsTotal < cumInput / 2)
+        }
+        .toDF("batch_id", "n_input", "n_pairs", "state_lt_input")
+    }, Some("""WITH mxs AS (SELECT max(event_id) // 4 + 1 AS step FROM events),
+      e AS (SELECT event_id, user_id, event_id // step AS chunk,
+          ((event_id // step) * 3 + event_id % 3) * 3600
+            + (event_id % 60) * 60 AS t
+        FROM events CROSS JOIN mxs),
+      c AS (SELECT user_id, chunk AS cc, t AS ct FROM e
+        WHERE event_id % 2 = 0),
+      p AS (SELECT user_id AS pu, chunk AS pc, t AS pt FROM e
+        WHERE event_id % 2 = 1),
+      pairs AS (SELECT greatest(cc, pc) AS bid,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM c JOIN p ON c.user_id = pu
+          AND pt >= ct AND pt <= ct + 1800
+        GROUP BY 1),
+      inp AS (SELECT chunk AS bid, CAST(2 * count(*) AS BIGINT) AS n_input
+        FROM e GROUP BY 1),
+      t AS (SELECT unnest(range(0, 4)) AS bid)
+      SELECT t.bid AS batch_id, inp.n_input,
+        coalesce(pairs.n_pairs, 0) AS n_pairs,
+        t.bid >= 1 AS state_lt_input
+      FROM t JOIN inp ON inp.bid = t.bid
+        LEFT JOIN pairs ON pairs.bid = t.bid""")),
+
+
     // Stream-static join: the unbounded stream enriches against a
     // broadcast dimension (per-micro-batch hash join — the streaming J1).
     QueryDef("st_stream_static_join", (s, dir) => withStatePartitions(s, 8) {
