@@ -107,6 +107,46 @@ object ScaleProbe {
     // ---- incremental near-dup across amplifications --------------------
     val docs0 = graft.core.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
+
+    // ---- quantile sketch: agg slope + merge bit-invariance at scale ----
+    // the claims under test: bottomKSampleAgg is LINEAR in rows at fixed
+    // (k, groups) — ObjectHashAggregate partials keep ≤ k pairs per
+    // group per map task, so the shuffle volume is constant in m — and
+    // the closure-under-union merge stays BIT-identical when the input
+    // arrives as arbitrary parts (the standing-table argument, exercised
+    // at amplified scale, not just the spec's 500 rows).
+    for (m <- multSteps if section("qsketch")) {
+      val rows = amplifyDocs(docs0, m)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("g"),
+          length(col("text")).cast("double").as("v"))
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = rows.count()
+      val (sk, tAgg) = timed {
+        val t = graft.functions.QuantileSketch
+          .bottomKSampleAgg(rows, "doc_id", "v", 256, Seq("g"))
+          .transform(graft.core.CacheRegistry.persistTracked)
+        t.count(); t
+      }
+      // split on a value predicate unrelated to hash order, re-merge
+      val p1 = graft.functions.QuantileSketch
+        .bottomKSampleAgg(rows.filter(col("v") < 900), "doc_id", "v",
+          256, Seq("g"))
+      val p2 = graft.functions.QuantileSketch
+        .bottomKSampleAgg(rows.filter(col("v") >= 900), "doc_id", "v",
+          256, Seq("g"))
+      val merged = graft.functions.QuantileSketch.resample(
+        p1.select("g", "hash", "val").unionByName(p2.select("g", "hash", "val")),
+        256, Seq("g"))
+      val diff = sk.select("g", "hash", "val")
+        .exceptAll(merged.select("g", "hash", "val")).count() +
+        merged.select("g", "hash", "val")
+          .exceptAll(sk.select("g", "hash", "val")).count()
+      println(f"[scaleprobe] qsketch m=$m rows=$n agg=$tAgg%.2fs " +
+        f"merge_diff=$diff")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     for (m <- multSteps if section("incnear")) {
       val docs = amplifyDocs(docs0, m)
         .transform(graft.core.CacheRegistry.persistTracked)
