@@ -197,11 +197,13 @@ object Bench {
     var duckdbFloors = Map.empty[String, Double]
     var duckdbConst: Option[Double] = None
     if (only.isEmpty) try {
-      // every family except st_/ext_: those oracles REPLAY streaming
-      // trajectories / sketch internals via heavy unrolled CTEs whose
-      // DuckDB cost measures the replay harness, not the query — the
-      // relational core + tpch + pl + dq oracles are the plain SQL a
-      // user would actually run on both engines. noop_constant is
+      // every family except st_/ext_ runs IN-RUN: their oracles finish
+      // in seconds. The ext compute rows ARE ratio-anchored too, but
+      // their oracle pass costs >10 min in DuckDB at sf0.1 (unrolled
+      // sketch/graph replay CTEs), so their floors are seeded by the
+      // standalone tools/duckdb_floor_seed.py (same min-merge, same
+      // flock) and picked up from duckdb_floors.json below; st_ stays
+      // on the named exclusion list (see ratioExclusions). noop_constant is
       // DuckDB's twin of constantSec: the cheapest real query, so the
       // family ratios can be restated net of both engines' fixed costs.
       val rawAll = runDuckdb(sfDir,
@@ -272,13 +274,37 @@ object Bench {
       if (n != reg) System.err.println(
         s"PLANAUDIT STALE: audit covers $n queries, registry has $reg — " +
         "re-run `runMain graft.PlanAudit <sfDir>`") }
+    // Named ratio-exclusion list (r12 verdict tasks 1/6): every query is
+    // either DuckDB-ratio'd or on this list with a reason — persisted
+    // per run so the round artifact's exclusion count is auditable.
+    val exclusions = ratioExclusions(selected.map(_._1))
+    if (only.isEmpty) try {
+      val outDir = new java.io.File(
+        new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results")
+      outDir.mkdirs()
+      val body = exclusions.toSeq.sortBy(_._1).map { case (n, r) =>
+        "\"" + n + "\":\"" + r.replace("\"", "'") + "\""
+      }.mkString("{\"exclusions\":{", ",", s"},\"n\":${exclusions.size}}")
+      val w = new java.io.PrintWriter(
+        new java.io.File(outDir, "ratio_exclusions.json"), "UTF-8")
+      try w.println(body) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"ratio_exclusions write failed: $e") }
+    // dtype-parity gate (r12 verdict task 7): surface the latest
+    // tools/dtype_parity.py artifact in the slim line so schema drift
+    // between the Spark outputs and the DuckDB oracles fails loudly in
+    // the round artifact, not just in a desk check.
+    val dtype = if (only.isEmpty) readDtype(new java.io.File(
+      new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results"))
+      else None
     // stdout gets a SLIM line, printed LAST: the driver keeps only the
     // final ~2000 chars of stdout and json-parses them, so the full
     // 345-query map (~10 KB) made its artifact unparseable from r07 on.
     // Family subtotals + the slowest queries fit the window; the full
     // per-query map lives in bench_results/ (written above).
     val slim = slimJson(floors, errors, sfDir, hostJson, duckdbFloors,
-      planaudit, Some(constantSec), duckdbConst, Some(constant2Sec))
+      planaudit, Some(constantSec), duckdbConst, Some(constant2Sec),
+      exclusions.keySet, dtype)
     // Nothing may print after the slim line: drop the log level so
     // executor/shutdown-hook WARNs can't land in the tail, stop Spark
     // FIRST (stop itself logs — and a throwing stop() must not swallow
@@ -288,6 +314,80 @@ object Bench {
     println(slim)
     System.out.flush()
   }
+
+  /**
+   * Queries EXCLUDED from the per-query DuckDB ratio lists (the
+   * worst-10 tail and any "compute ratio" reading), name → reason —
+   * the named-exclusion convention the r12 round set for the s-family,
+   * broadened to every row whose Spark wall prices work the oracle
+   * doesn't do. Three classes:
+   *  - write-side: the Spark run writes sinks/warehouse tables/
+   *    persisted indexes in-run while the oracle only reads or
+   *    recomputes the expected CONTENT — the ratio compares different
+   *    work (measured r12: s14_compact 936× is file-compaction I/O).
+   *  - streaming drains (st_*): the wall is microbatch trigger +
+   *    state-store cadence over the chunked fixture (maxFilesPerTrigger
+   *    = 1), adjudicated per-row in SCALE.md r10–r12; the DuckDB oracle
+   *    replays the whole trajectory as batch unrolled CTEs. Neither
+   *    side's number is the other's work, so the family is anchored by
+   *    the named list, not a ratio.
+   *  - ext persisted-index rows: the in-run `Materialize.bucketTable` /
+   *    `buildBm25Index` build cost is the point of the query (the
+   *    build-once/query-many shape); their ad-hoc twins (ext_bm25_topk,
+   *    ext_dedup_incremental_near, ext_sim_ann_bucket) carry the
+   *    compute ratio for the same plans.
+   * Derived from the registry at runtime so new st_/s-family rows can
+   * never be silently unanchored; persisted to
+   * bench_results/ratio_exclusions.json every full run.
+   */
+  private[graft] def ratioExclusions(names: Seq[String]): Map[String, String] = {
+    val extWrite = Map(
+      "ext_bm25_persisted" ->
+        "write-side: builds the persisted BM25 postings/stats bucket tables in-run; ad-hoc twin ext_bm25_topk carries the compute ratio",
+      "ext_bm25_forget" ->
+        "write-side: persisted BM25 index build + bucketForget staged rewrite in-run",
+      "ext_sim_ann_persisted" ->
+        "write-side: materializes the ANN bucket table in-run; ad-hoc twin ext_sim_ann_bucket carries the compute ratio",
+      "ext_dedup_incremental_persisted" ->
+        "write-side: builds persisted LSH band+shingle bucket tables in-run; ad-hoc twin ext_dedup_incremental_near carries the compute ratio",
+      "ext_dedup_index_forget" ->
+        "write-side: persisted LSH index build + two bucketForget staged rewrites in-run",
+      "ext_dedup_index_growth" ->
+        "write-side: staged persisted-index growth (append epochs + compaction) in-run")
+    names.flatMap { n =>
+      val r =
+        if (n.matches("s\\d+.*"))
+          Some("write-side: sink/warehouse/fixture writes; oracle only reads the expected content")
+        else if (n == "pl_scd2_roundtrip")
+          Some("write-side: writes the s16 SCD2 snapshot history in-run, then joins it")
+        else if (n.startsWith("st_"))
+          Some("streaming drain: wall = microbatch trigger + state-store cadence " +
+            "over the chunked fixture; the DuckDB oracle replays the trajectory " +
+            "as batch unrolled CTEs — different work (SCALE.md r10-r12)" +
+            (if (n.endsWith("_ingest") || n == "st_incremental_upsert")
+               "; plus persisted-index/table writes per trigger" else ""))
+        else extWrite.get(n)
+      r.map(n -> _)
+    }.toMap
+  }
+
+  /** Latest bench_results/dtype_r*.json (written by tools/dtype_parity
+    * .py --artifact after a Verify sweep): (flags, checked). The slim
+    * line marks it stale when it covers fewer queries than the registry
+    * — the same loud-drift convention as the planaudit field. */
+  private[graft] def readDtype(outDir: java.io.File): Option[(Int, Int)] = try {
+    val re = "dtype_r(\\d+)\\.json".r
+    Option(outDir.listFiles()).toSeq.flatten.map(_.getName)
+      .collect { case f @ re(n) => (n.toInt, f) }.sorted.lastOption
+      .flatMap { case (_, fname) =>
+        val txt = scala.io.Source.fromFile(
+          new java.io.File(outDir, fname), "UTF-8").mkString
+        for {
+          f <- """"flags":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          c <- """"checked":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        } yield (f, c)
+      }
+  } catch { case _: Throwable => None }
 
   /** Run tools/duckdb_bench.py over `sqls` and return per-query best
     * wall seconds; empty on any failure (python/duckdb are driver-side
@@ -441,10 +541,14 @@ object Bench {
     * across this round's runs — what `results` carries at the callsite),
     * labeled via `queries_are` so a reader of the driver artifact alone
     * doesn't mistake one throttled cold run for a 20× regression.
-    * A family with FULL both-sides DuckDB coverage (tpch, pl, dq — the
-    * fully-SQL families) additionally carries the external comparator:
-    * `duckdb_sec` = the sum of DuckDB per-query floors over the same
-    * oracle SQL, `vs_duckdb` = spark/duckdb (see duckdb_floors.json). */
+    * A family with both-sides DuckDB coverage (core/tpch/pl/dq timed
+    * in-run; ext seeded via tools/duckdb_floor_seed.py — its 6
+    * persisted-index rows are name-excluded, so duckdb_n < n there)
+    * additionally carries the external comparator: `duckdb_sec` = the
+    * sum of DuckDB per-query floors over the same oracle SQL,
+    * `vs_duckdb` = spark/duckdb (see duckdb_floors.json). The st family
+    * is anchored by the named exclusion list instead (see
+    * ratioExclusions — trigger-cadence walls, not comparable work). */
   private[graft] def slimJson(results: Seq[(String, Double, Boolean)],
                               errors: List[String], sfDir: String,
                               hostJson: String,
@@ -452,7 +556,9 @@ object Bench {
                               planaudit: Option[(Int, Int)] = None,
                               constSpark: Option[Double] = None,
                               constDuck: Option[Double] = None,
-                              const2Spark: Option[Double] = None): String = {
+                              const2Spark: Option[Double] = None,
+                              excluded: Set[String] = Set.empty,
+                              dtype: Option[(Int, Int)] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val famOf = (n: String) => n.split("_")(0) match {
       case f @ ("tpch" | "pl" | "st" | "ext" | "dq") => f
@@ -487,25 +593,29 @@ object Bench {
     // the 10 worst spark_floor/duckdb_floor ratios so the outlier class
     // the comparator exists for is visible in the round artifact itself.
     // Zero/absent DuckDB floors are excluded (a ratio against a collapsed
-    // 0.000 floor is meaningless, not infinite). WRITE-SIDE queries are
-    // excluded by name-prefix: the s-family (and the snapshot round
-    // trip) spend their wall writing fixtures/tables/snapshots while
-    // their oracles only READ the expected content — the ratio there
-    // compares different work and would bury genuine plan outliers
-    // (measured: s14_compact 936× is file-compaction I/O, not a plan;
-    // the class is listed with numbers in SCALE.md). The exclusion is
-    // visible as vs_duckdb_excl_io.
-    val ioSide = (n: String) => n.matches("s\\d+.*") || n == "pl_scd2_roundtrip"
+    // 0.000 floor is meaningless, not infinite). Named-exclusion rows
+    // (see ratioExclusions: write-side s-family/persisted-index builds,
+    // streaming drains) are excluded — their walls price work the oracle
+    // doesn't do, and they'd bury genuine plan outliers (measured:
+    // s14_compact 936× is file-compaction I/O, not a plan). The count is
+    // visible as vs_duckdb_excluded; reasons in ratio_exclusions.json.
     val ratioRows = results.filter(_._3)
       .flatMap { case (n, v, _) =>
         duckdb.get(n).filter(_ >= 1e-6).map(d => (n, v / d))
       }
-    val worst10 = ratioRows.filterNot { case (n, _) => ioSide(n) }
+    val worst10 = ratioRows.filterNot { case (n, _) => excluded(n) }
       .sortBy(-_._2).take(10)
       .map { case (n, r) => f""""$n":$r%.1f""" }.mkString("{", ",", "}")
     val worstStr = if (worst10 == "{}") "" else
       s""","vs_duckdb_worst10":$worst10""" +
-        s""","vs_duckdb_excl_io":${ratioRows.count(r => ioSide(r._1))}"""
+        s""","vs_duckdb_excluded":{"n":${excluded.size},"ratioed_anyway":${ratioRows.count(r => excluded(r._1))},"reasons":"bench_results/ratio_exclusions.json"}"""
+    // flags:-1 = no dtype artifact found at all — distinguishable from a
+    // clean 0 so "never ran" cannot read as "ran clean"
+    val dtypeStr = dtype match {
+      case Some((fl, c)) =>
+        s""","dtype":{"flags":$fl,"checked":$c,"stale":${c < results.size}}"""
+      case None => s""","dtype":{"flags":-1,"checked":0,"stale":true}"""
+    }
     val s2 = const2Spark.map(v => f""","spark_2stage":$v%.3f""").getOrElse("")
     val constStr = (constSpark, constDuck) match {
       case (Some(s), Some(d)) =>
@@ -513,6 +623,6 @@ object Bench {
       case (Some(s), None) => f""","constant_sec":{"spark":$s%.3f$s2}"""
       case _ => ""
     }
-    f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"queries_are":"round_floor_sec_slowest12","families":$fams$worstStr$constStr,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson$audit,"full":"bench_results/"}"""
+    f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$slowest,"queries_are":"round_floor_sec_slowest12","families":$fams$worstStr$constStr$dtypeStr,"errors":$errSlim,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","host":$hostJson$audit,"full":"bench_results/"}"""
   }
 }

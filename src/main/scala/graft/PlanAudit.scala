@@ -117,6 +117,19 @@ object PlanAudit {
       }
     if (prefix.isEmpty) persistAndDiff(facts.toSeq, errs.reverse)
     spark.stop()
+    // The SP-window gate must fail the PROCESS, not just the artifact:
+    // automation that keys on exit status (rather than parsing the
+    // planaudit JSON) would otherwise sail past an unlisted
+    // WindowExec-over-SinglePartition regression. Prefix-filtered runs
+    // gate too — a local iteration that introduces one should fail at
+    // the desk, not at the round gate.
+    val unlisted = facts.collect {
+      case (n, f) if f.spw > 0 && !spWindowAllowed.contains(n) => n }
+    if (unlisted.nonEmpty) {
+      System.err.println(s"[planaudit] exiting 1: unlisted " +
+        s"single-partition windows in ${unlisted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 
   /** Count WindowExec/WindowGroupLimitExec nodes with an EMPTY partition

@@ -67,14 +67,18 @@ object QuantileSketch {
    * Relational bottom-k sample: per group, the k rows with smallest
    * (hash, value), as (groupCols…, hash, val, rank) with rank ∈ [1, k]
    * ascending in (hash, val). Empty `groupCols` plans
-   * TakeOrderedAndProject (no single-reducer window). Null values are
-   * skipped (a null contributes no sample point — the sketch-family
-   * convention).
+   * TakeOrderedAndProject (no single-reducer window). Null values AND
+   * null row ids are skipped (neither contributes a sample point — the
+   * sketch-family convention, and the same null-id skip
+   * [[MinKSample.reduce]] applies, so the two forms stay bit-identical
+   * on nullable-id tables; without the id filter a null id would hash
+   * to a NULL that Spark sorts FIRST ascending while DuckDB sorts it
+   * LAST — a three-way divergence).
    */
   def bottomKSample(df: DataFrame, idCol: String, valCol: String, k: Int,
                     groupCols: Seq[String] = Nil): DataFrame = {
     require(k >= 2, s"quantile sample needs k >= 2, got $k")
-    resample(df.filter(col(valCol).isNotNull)
+    resample(df.filter(col(valCol).isNotNull && col(idCol).isNotNull)
       .select(groupCols.map(col) :+
         hashCol(col(idCol).cast("string")).as("hash") :+
         col(valCol).cast("double").as("val"): _*), k, groupCols)
@@ -142,23 +146,35 @@ object QuantileSketch {
   }
 
   /**
-   * The same sample as a typed mergeable [[Aggregator]] — state is the
-   * ascending-(hash, val) list of ≤ k pairs; merge is sorted-union-
-   * truncate (associative, commutative, deterministic — spec-pinned
-   * bit-equal under arbitrary merge trees). Input is (raw id, value);
-   * hashing happens in reduce via the [[KmvSketch.MinK]] md5 layout.
-   * Null values are skipped. Partial aggregation bounds every map
-   * task's contribution at k pairs per group.
+   * The same sample as a typed mergeable [[Aggregator]] — state is
+   * (size, DESCENDING-(hash, val) list of ≤ k pairs); merge is sorted-
+   * union-truncate (associative, commutative, deterministic —
+   * spec-pinned bit-equal under arbitrary merge trees). Input is
+   * (raw id, value); hashing happens in reduce via the [[KmvSketch
+   * .MinK]] md5 layout. Null values AND null ids are skipped (matching
+   * [[bottomKSample]]). Partial aggregation bounds every map task's
+   * contribution at k pairs per group.
+   *
+   * The buffer keeps the list LARGEST-first with the size cached in the
+   * tuple so the steady-state path — "row hashes above the current max,
+   * reject" — is two O(1) reads (`_1 == k` and `head`) instead of the
+   * O(k) `length`/`last` walks of an ascending list. At the advertised
+   * ε ≈ 1 % ⇒ k = 16,384 the old walk made every REJECTED row pay a
+   * 16k-node traversal; now only the O(k · ln(n/k)) accepted inserts
+   * and the fill phase walk the list (probe: ScaleProbe `qsketch_k` —
+   * per-row cost flat in k on reject-dominated input). Eviction of the
+   * displaced max is the O(1) `tail` of the descending list.
    */
   final class MinKSample(k: Int)
       extends Aggregator[(String, Double),
-                         List[(String, Double)], Seq[(String, Double)]] {
+                         (Int, List[(String, Double)]),
+                         Seq[(String, Double)]] {
     require(k >= 2, s"quantile sample needs k >= 2, got $k")
 
-    override def zero: List[(String, Double)] = Nil
+    override def zero: (Int, List[(String, Double)]) = (0, Nil)
 
-    override def reduce(buf: List[(String, Double)],
-                        in: (String, Double)): List[(String, Double)] = {
+    override def reduce(buf: (Int, List[(String, Double)]),
+                        in: (String, Double)): (Int, List[(String, Double)]) = {
       if (in._1 == null) return buf
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(in._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -177,28 +193,32 @@ object QuantileSketch {
       c < 0 || (c == 0 && a._2 < b._2)
     }
 
-    /** Keep sorted ascending (hash, val), distinct pairs, ≤ k; reject
-      * early when the buffer is full and the pair is no smaller than
-      * the current max. */
-    private def insert(buf: List[(String, Double)],
-                       p: (String, Double)): List[(String, Double)] = {
-      if (buf.length == k && !lt(p, buf.last)) return buf
-      val (lo, hi) = buf.span(lt(_, p))
-      if (hi.nonEmpty && hi.head == p) buf
+    /** Keep sorted DESCENDING (hash, val), distinct pairs, ≤ k; reject
+      * in O(1) when the buffer is full and the pair is no smaller than
+      * the current max (the list head). */
+    private def insert(buf: (Int, List[(String, Double)]),
+                       p: (String, Double)): (Int, List[(String, Double)]) = {
+      val (n, desc) = buf
+      if (n == k && !lt(p, desc.head)) return buf
+      val (hi, lo) = desc.span(q => lt(p, q))
+      if (lo.nonEmpty && lo.head == p) buf
       else {
-        val merged = lo ::: (p :: hi)
-        if (merged.length > k) merged.init else merged
+        val merged = hi ::: (p :: lo)
+        // displaced max = merged.head (p entered strictly below it when
+        // full, so hi is non-empty and the old max still leads the list)
+        if (n == k) (k, merged.tail) else (n + 1, merged)
       }
     }
 
-    override def merge(a: List[(String, Double)],
-                       b: List[(String, Double)]): List[(String, Double)] =
-      b.foldLeft(a)((acc, p) => insert(acc, p))
+    override def merge(a: (Int, List[(String, Double)]),
+                       b: (Int, List[(String, Double)])): (Int, List[(String, Double)]) =
+      b._2.foldLeft(a)((acc, p) => insert(acc, p))
 
-    override def finish(r: List[(String, Double)]): Seq[(String, Double)] = r
+    override def finish(r: (Int, List[(String, Double)])): Seq[(String, Double)] =
+      r._2.reverse
 
-    override def bufferEncoder: Encoder[List[(String, Double)]] =
-      ExpressionEncoder[List[(String, Double)]]()
+    override def bufferEncoder: Encoder[(Int, List[(String, Double)])] =
+      ExpressionEncoder[(Int, List[(String, Double)])]()
     override def outputEncoder: Encoder[Seq[(String, Double)]] =
       ExpressionEncoder[Seq[(String, Double)]]()
   }

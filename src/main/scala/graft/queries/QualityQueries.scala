@@ -465,13 +465,20 @@ object QualityQueries {
           sum(CAST(t AS DOUBLE) * t * t - t) AS tiesum
         FROM ranked),
       u AS (SELECT m, n, r1 - CAST(m AS DOUBLE) * (m + 1) / 2 AS u1,
-          tiesum FROM agg)
-      SELECT m, n, round(u1, 4) AS u1,
-        round((u1 - CAST(m AS DOUBLE) * n / 2) /
-          sqrt(CAST(m AS DOUBLE) * n / 12 *
+          CAST(m AS DOUBLE) * n / 12 *
             ((m + n + 1) - tiesum /
-              (CAST(m + n AS DOUBLE) * (m + n - 1)))) + 1e-9, 6) AS z
+              (CAST(m + n AS DOUBLE) * (m + n - 1))) AS vvar FROM agg)
+      SELECT m, n, round(u1, 4) AS u1,
+        round(CASE WHEN vvar > 0 AND isfinite(vvar)
+          THEN (u1 - CAST(m AS DOUBLE) * n / 2) / sqrt(vvar) + 1e-9
+          END, 6) AS z
       FROM u""")),
+    // ^ degenerate-input guard mirrors the Spark side (quality/Checks
+    //   .scala mannWhitneyBinned): one group empty (m*n = 0 → vvar = 0)
+    //   or all values in one bin (tie correction cancels vvar) yields
+    //   NULL z on BOTH engines, never inf/NaN. Spark's `vvar > 0` is
+    //   false for NaN; DuckDB sorts NaN ABOVE every number, so the
+    //   isfinite() conjunct pins the same branch there.
 
     // Lag-1..7 autocorrelation of the daily value means — is yesterday
     // predictive of today (the weekly-seasonality fingerprint the CUSUM

@@ -56,10 +56,38 @@ class QuantileSketchSpec extends SparkSpec {
     // idempotence: replaying the same rows changes nothing (the
     // standing-table DISTINCT argument in aggregator form)
     assert(rows(90, "a").foldLeft(all)(mk.reduce) === all)
-    // null ids are skipped; state sorted ascending by (hash, val), ≤ k
+    // null ids are skipped; state = (cached size, DESCENDING (hash, val)
+    // list) with the size exactly the list length, ≤ k — the cached
+    // size is what makes the full-buffer reject check O(1)
     assert(mk.reduce(a, (null, 1.0)) === a)
-    assert(all.length === 16 &&
-      all === all.sortBy(p => (p._1, p._2)))
+    assert(all._1 === 16 && all._2.length === all._1 &&
+      all._2 === all._2.sortBy(p => (p._1, p._2)).reverse)
+    // finish restores ascending order (the bottomKSample rank order)
+    assert(mk.finish(all) === all._2.sortBy(p => (p._1, p._2)))
+  }
+
+  test("bottomKSample and MinKSample agree on nullable-id input") {
+    // A null id must contribute NO sample point in EITHER form: the
+    // relational path would otherwise hash null → NULL, which Spark
+    // sorts FIRST ascending (entering the bottom-k) while DuckDB sorts
+    // NULLs LAST and the typed aggregator skips it — a three-way
+    // divergence this fixture pins shut.
+    val df = (rows(400, "n").map { case (id, v) => ("g1", id, v) } ++
+      Seq(("g1", null.asInstanceOf[String], 0.5),
+          ("g1", null.asInstanceOf[String], -3.0)))
+      .toDF("g", "id", "v")
+    val rel = QuantileSketch.bottomKSample(df, "id", "v", 16, Seq("g"))
+      .select("g", "hash", "val", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val agg = QuantileSketch.bottomKSampleAgg(df, "id", "v", 16, Seq("g"))
+      .select("g", "hash", "val", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rel.toSeq === agg.toSeq)
+    assert(rel.length === 16)
+    // and the null rows really were dropped, not sampled: every kept
+    // hash is a real 12-hex-digit string
+    assert(rel.forall(r => r(1) != null &&
+      r(1).asInstanceOf[String].matches("[0-9a-f]{12}")))
   }
 
   test("resample == closure under union (split/merge invariance)") {

@@ -2,6 +2,13 @@
 """Driver-parity dtype check between Spark verify output and DuckDB oracles.
 
 Usage: python3 tools/dtype_parity.py <sfDir> <verifyOutDir> [prefix]
+       [--artifact <path>]
+
+--artifact writes {"flags":N,"checked":M} to <path> (e.g.
+bench_results/dtype_r13.json) so graft.Bench can surface the result in
+the round artifact's "dtype" field; Bench marks it stale when checked
+is below the registry size, so a prefix-filtered artifact can't
+masquerade as a full sweep.
 
 The driver's comparator goes through pandas. Integer-valued columns can
 silently change KIND on one side only — e.g. DuckDB's sum(INTEGER) /
@@ -50,8 +57,14 @@ def canon_df(df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    prefix = sys.argv[3] if len(sys.argv) > 3 else ""
+    args = list(sys.argv[1:])
+    artifact = None
+    if "--artifact" in args:
+        i = args.index("--artifact")
+        artifact = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    prefix = args[2] if len(args) > 2 else ""
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
@@ -90,6 +103,13 @@ def main():
             print(f"FLAG {name}: {'; '.join(problems)}")
             n_flag += 1
     print(f"\n{len(names)} checked, {n_flag} flagged")
+    if artifact:
+        # "checked" counts result dirs that had an oracle to compare
+        # against — the number Bench's staleness check reads
+        n_checked = sum(1 for n in names if n in oracles)
+        with open(artifact, "w") as f:
+            json.dump({"flags": n_flag, "checked": n_checked}, f)
+        print(f"artifact -> {artifact}")
     sys.exit(1 if n_flag else 0)
 
 
