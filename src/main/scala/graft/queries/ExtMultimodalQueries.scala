@@ -85,8 +85,15 @@ object ExtMultimodalQueries {
     * B = (id + 7x + 13y) % 256, G = (3·id + 5x + y) % 256,
     * R = (2·id + x + 11y) % 256; rows stored bottom-up, stride padded to
     * 4 bytes), so the DuckDB oracle rebuilds the identical bytes in hex
-    * space and then PARSES them back — pixels included. */
-  private def bmpPayload(): Column = {
+    * space and then PARSES them back — pixels included.
+    *
+    * `padHex`/`pelsPerMeter` vary ONLY don't-care bytes — the stride
+    * padding content (a decoder must skip it) and the header's
+    * x/y-pixels-per-meter fields (print metadata, not pixel data) — so
+    * two calls with different values yield byte-DIFFERENT payloads that
+    * decode to IDENTICAL pixels: the ext_mm_pixel_dedup fixture. */
+  private def bmpPayload(padHex: String = "000000",
+                         pelsPerMeter: Long = 0L): Column = {
     val id = col("doc_id")
     val w = (id % 5 + 2).cast("int")
     val h = (id % 4 + 2).cast("int")
@@ -100,14 +107,15 @@ object ExtMultimodalQueries {
           concat(hx(pmod(id + x * 7 + y * 13, lit(256))),
             hx(pmod(id * 3 + x * 5 + y, lit(256))),
             hx(pmod(id * 2 + x + y * 11, lit(256))))), ""),
-        lit("000000").substr(lit(1), (pad * 2).cast("int")))
+        lit(padHex).substr(lit(1), (pad * 2).cast("int")))
     })
     val dataSz = (stride * h).cast("long")
     concat(encode(lit("BM"), "UTF-8"), leBin(dataSz + 54, 4),
       leBin(lit(0L), 4), leBin(lit(54L), 4),
       leBin(lit(40L), 4), leBin(w.cast("long"), 4), leBin(h.cast("long"), 4),
       leBin(lit(1L), 2), leBin(lit(24L), 2), leBin(lit(0L), 4),
-      leBin(dataSz, 4), leBin(lit(0L), 4), leBin(lit(0L), 4),
+      leBin(dataSz, 4), leBin(lit(pelsPerMeter), 4),
+      leBin(lit(pelsPerMeter), 4),
       leBin(lit(0L), 4), leBin(lit(0L), 4),
       unhex(array_join(rowsHex, "")))
   }
@@ -379,7 +387,46 @@ object ExtMultimodalQueries {
         ON a.doc_id < b.doc_id
         AND len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3)
       SELECT doc_id AS media_id FROM fresh
-      WHERE doc_id NOT IN (SELECT doc_id FROM self_drops)"""))
+      WHERE doc_id NOT IN (SELECT doc_id FROM self_drops)""")),
+
+
+    // PIXEL-CONTENT dedup (r13): every document ships TWICE as a BMP —
+    // once with zero stride padding and zeroed resolution header fields,
+    // once with 0xAB padding and 2835-ppm resolution — byte-DIFFERENT
+    // payloads (n_byte_variants = 2 per group, checked via distinct
+    // payload hashes) that decode to IDENTICAL pixels. The dedup key is
+    // gray-block features over the DECODED pixels plus parsed (w, h), so
+    // the pair collapses to the min media_id: the multimodal dedup
+    // family keys on CONTENT, not encoding — the property a
+    // payload-byte phash (ext_mm_neardup's hamming-0 seeds) cannot
+    // claim. The oracle rebuilds BOTH byte variants in hex space,
+    // parses each variant's pixels out of its OWN bytes, replays the
+    // feature arithmetic per variant, and groups the same way.
+    QueryDef("ext_mm_pixel_dedup", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.withColumn("payload", bmpPayload())
+        .select(col("doc_id"), col("payload"))
+      val b = docs
+        .withColumn("payload",
+          bmpPayload(padHex = "ABABAB", pelsPerMeter = 2835L))
+        .select((col("doc_id") + 700000).as("doc_id"), col("payload"))
+      val media = Multimodal.toMediaFrame(
+        a.unionByName(b), "doc_id", "payload", lit("image"))
+      val feats = Multimodal.extractFeatures(media, dims = 4)
+      val keyed = media.select(col("media_id"),
+          col("meta.width").cast("long").as("w"),
+          col("meta.height").cast("long").as("h"),
+          md5(col("payload")).as("pmd5"))
+        .join(feats.select(col("media_id") +: (0 until 4).map(i =>
+            round(element_at(col("features"), i + 1) + lit(1e-9), 6)
+              .as(s"f$i")): _*),
+          Seq("media_id"))
+      keyed.groupBy("w", "h", "f0", "f1", "f2", "f3")
+        .agg(min(col("media_id")).cast("long").as("keeper_id"),
+          count(lit(1)).cast("long").as("n_members"),
+          countDistinct(col("pmd5")).cast("long").as("n_byte_variants"))
+        .select("keeper_id", "w", "h", "n_members", "n_byte_variants")
+    }, Some(BmpPixelDedupOracle.sql))
   )
 }
 
@@ -493,6 +540,98 @@ private[queries] object BmpPixelsOracle {
     FROM dims d
       JOIN fpiv f ON f.doc_id = d.doc_id
       JOIN rstat rs ON rs.doc_id = d.doc_id"""
+}
+
+/**
+ * DuckDB replay of `ext_mm_pixel_dedup`: rebuilds BOTH byte variants of
+ * every BMP in hex space (side 0 = zero padding / zero ppm, side 1 =
+ * 0xAB padding / 2835 ppm — don't-care bytes only), parses each
+ * variant's header and pixels out of its OWN bytes (no shortcut to the
+ * shared generator formulas), replays the gray-block feature
+ * arithmetic per variant, then groups on (w, h, features) exactly like
+ * the Spark side — distinct hex payloads stand in for the distinct
+ * payload md5s (equal counts by construction).
+ */
+private[queries] object BmpPixelDedupOracle {
+  private def byteAt(h: String, p: String): String =
+    s"((strpos('0123456789ABCDEF', substr($h, 2*($p) - 1, 1)) - 1) * 16 " +
+      s"+ (strpos('0123456789ABCDEF', substr($h, 2*($p), 1)) - 1))"
+  private def le4(h: String, p: String): String =
+    s"(${byteAt(h, p)} + ${byteAt(h, s"$p + 1")} * 256 " +
+      s"+ ${byteAt(h, s"$p + 2")} * 65536 " +
+      s"+ ${byteAt(h, s"$p + 3")} * 16777216)"
+  private def leHex(v: String, n: Int): String =
+    (n - 1 to 0 by -1)
+      .map(i => s"substr(lpad(to_hex($v), ${2 * n}, '0'), ${i * 2 + 1}, 2)")
+      .mkString("(", " || ", ")")
+
+  val sql: String = s"""WITH geom AS (
+      SELECT doc_id, doc_id % 5 + 2 AS gw, doc_id % 4 + 2 AS gh,
+        (doc_id % 5 + 2) * 3
+          + (4 - ((doc_id % 5 + 2) * 3) % 4) % 4 AS gstride
+      FROM documents),
+    sides AS (
+      SELECT doc_id, gw, gh, gstride, unnest([0, 1]) AS side FROM geom),
+    pay AS (
+      SELECT doc_id + side * 700000 AS media_id,
+        '424D' || ${leHex("gstride * gh + 54", 4)} || '00000000'
+          || '36000000' || '28000000'
+          || ${leHex("gw", 4)} || ${leHex("gh", 4)}
+          || '0100' || '1800' || '00000000' || ${leHex("gstride * gh", 4)}
+          || CASE WHEN side = 0 THEN '0000000000000000'
+             ELSE '130B0000130B0000' END
+          || '00000000' || '00000000'
+          || array_to_string(list_transform(range(0, gh), r ->
+               array_to_string(list_transform(range(0, gw), x ->
+                   lpad(to_hex((doc_id + x * 7 + (gh - 1 - r) * 13) % 256),
+                     2, '0')
+                || lpad(to_hex((doc_id * 3 + x * 5 + (gh - 1 - r)) % 256),
+                     2, '0')
+                || lpad(to_hex((doc_id * 2 + x + (gh - 1 - r) * 11) % 256),
+                     2, '0')), '')
+               || substr(CASE WHEN side = 0 THEN '000000' ELSE 'ABABAB' END,
+                    1, CAST((gstride - gw * 3) * 2 AS INT))), '') AS hx
+      FROM sides),
+    hdr AS (
+      SELECT media_id, hx,
+        ${le4("hx", "19")} AS w, ${le4("hx", "23")} AS h,
+        ${le4("hx", "11")} AS off,
+        (${le4("hx", "19")} * 3 + 3) // 4 * 4 AS stride
+      FROM pay),
+    opx AS (
+      SELECT media_id, w, h, p,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 1")}
+          AS b,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 2")}
+          AS g,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 3")}
+          AS r
+      FROM (SELECT media_id, hx, w, h, off, stride,
+          unnest(range(0, w * h)) AS p FROM hdr)),
+    feats AS (
+      SELECT media_id, p * 4 // (w * h) AS d,
+        CAST(sum(b + g + r) AS BIGINT) AS s3,
+        CAST(count(*) AS BIGINT) AS c
+      FROM opx GROUP BY 1, 2),
+    fpiv AS (
+      SELECT media_id,
+        round(max(CASE WHEN d = 0 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f0,
+        round(max(CASE WHEN d = 1 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f1,
+        round(max(CASE WHEN d = 2 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f2,
+        round(max(CASE WHEN d = 3 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f3
+      FROM feats GROUP BY 1),
+    keyed AS (
+      SELECT hd.media_id, CAST(hd.w AS BIGINT) AS w, CAST(hd.h AS BIGINT) AS h,
+        f.f0, f.f1, f.f2, f.f3, hd.hx
+      FROM hdr hd JOIN fpiv f ON f.media_id = hd.media_id)
+    SELECT CAST(min(media_id) AS BIGINT) AS keeper_id, w, h,
+      CAST(count(*) AS BIGINT) AS n_members,
+      CAST(count(DISTINCT hx) AS BIGINT) AS n_byte_variants
+    FROM keyed GROUP BY w, h, f0, f1, f2, f3"""
 }
 
 private[queries] object RealHeaderOracle {

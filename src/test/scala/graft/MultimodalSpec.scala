@@ -61,7 +61,8 @@ class MultimodalSpec extends SparkSpec {
 
   /** A hand-built 24bpp bottom-up BMP with the given TOP-DOWN pixel
     * rows (each pixel (b, g, r)). */
-  private def bmp(pixels: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+  private def bmp(pixels: Seq[Seq[(Int, Int, Int)]],
+                  padByte: Byte = 0, ppm: Long = 0L): Array[Byte] = {
     val h = pixels.length; val w = pixels.head.length
     val stride = (w * 3 + 3) / 4 * 4
     val out = new Array[Byte](54 + stride * h)
@@ -71,10 +72,12 @@ class MultimodalSpec extends SparkSpec {
     le4(2, 54L + stride * h); le4(10, 54L); le4(14, 40L)
     le4(18, w); le4(22, h); out(26) = 1; out(28) = 24
     le4(30, 0L); le4(34, stride.toLong * h)
+    le4(38, ppm); le4(42, ppm) // x/y pixels-per-meter: don't-care bytes
     for (y <- 0 until h; x <- 0 until w) {
       val (b, g, r) = pixels(y)(x)
       val base = 54 + (h - 1 - y) * stride + x * 3
       out(base) = b.toByte; out(base + 1) = g.toByte; out(base + 2) = r.toByte
+      for (p <- w * 3 until stride) out(54 + (h - 1 - y) * stride + p) = padByte
     }
     out
   }
@@ -115,6 +118,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resize(m, factor = 2), dims = 1)
       .select("features").head().getSeq[Double](0)
     assert(math.abs(f2.head - (70 + 80 + 90 + 135 + 145 + 155) / 6.0) < 1e-12)
+  }
+
+  test("pixel-content dedup: byte-different encodings of identical pixels merge") {
+    import spark.implicits._
+    // 3x2 image (w*3 = 9 -> 3 padding bytes per row, so the padding
+    // channel is live) encoded twice: zero padding/ppm vs 0xAB padding
+    // and 2835-ppm resolution fields — different BYTES, same PIXELS
+    val px = Seq(
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)),
+      Seq((100, 110, 120), (130, 140, 150), (200, 210, 220)))
+    val pa = bmp(px)
+    val pb = bmp(px, padByte = 0xAB.toByte, ppm = 2835L)
+    assert(!java.util.Arrays.equals(pa, pb), "variants must differ as bytes")
+    assert(pa.length === pb.length)
+    val m = Multimodal.toMediaFrame(
+      Seq((1L, pa), (700001L, pb)).toDF("id", "payload"),
+      "id", "payload", lit("image"))
+    // decoded-pixel features are IDENTICAL across the byte variants...
+    val f = Multimodal.extractFeatures(m, dims = 4)
+      .orderBy("media_id").select("features")
+      .collect().map(_.getSeq[Double](0))
+    assert(f(0) === f(1))
+    // ...so a content-keyed group collapses the pair to the min id,
+    // while the byte variants stay countable inside the group
+    val grouped = m
+      .join(Multimodal.extractFeatures(m, dims = 4)
+        .select(col("media_id"), col("features")), Seq("media_id"))
+      .groupBy(col("meta.width"), col("meta.height"), col("features"))
+      .agg(min("media_id").as("keeper"),
+        count(lit(1)).as("n"), countDistinct(md5(col("payload"))).as("nb"))
+      .select("keeper", "n", "nb").head()
+    assert(grouped.getLong(0) === 1L)
+    assert(grouped.getLong(1) === 2L && grouped.getLong(2) === 2L)
   }
 
   test("frame sampling explodes every Nth block") {
