@@ -12,7 +12,7 @@ Prints ONE JSON line: {"queries":{name:sec,...},"reps":N,"errors":[...]}.
 DuckDB is single-node columnar with a native optimizer — the point is
 an order-of-magnitude sanity anchor, not a race.
 """
-import sys, json, time
+import sys, os, json, time
 
 def main():
     sf_dir, sql_file = sys.argv[1], sys.argv[2]
@@ -21,7 +21,11 @@ def main():
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # fixtures are single parquet files; Spark-written amplified
+        # tables (graft.AmpBench write) are part-file DIRECTORIES
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     with open(sql_file) as f:
         sqls = json.load(f)
     out, errors = {}, []
