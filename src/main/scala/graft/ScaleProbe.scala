@@ -147,6 +147,44 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- quantile sketch: per-row cost FLAT in k (reject path O(1)) ----
+    // r12 verdict wrong#3: the old ascending-List buffer paid an O(k)
+    // length/last walk on EVERY rejected row, making the steady state
+    // quadratic-in-k (16k-node traversal per input row at the
+    // advertised ε ≈ 1% ⇒ k = 16,384). The rebuilt buffer caches
+    // (size, max-first list), so rejection is O(1) and the wall at
+    // k = 16,384 should sit near the k = 256 wall on reject-dominated
+    // input — which this probe makes by coalescing the amplified frame
+    // to 2 partitions (rows per partition >> k, so per-partition
+    // buffers FILL and the tail of every partition is pure rejects).
+    if (section("qsketchk")) {
+      // lineitem-based: the regime needs rows-per-partition >> k, so the
+      // 5k-doc frame is too small at k = 16,384 — 600k lineitem rows
+      // x4 copies / 2 partitions = 1.2M rows per buffer, 73x the big k
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+            .as("id"),
+          col("l_extendedprice").cast("double").as("v"))
+      val liStride = li0.count() // ids re-tagged per copy below
+      val rows = (0 until 4).map(c =>
+          li0.select(concat(lit(s"c$c-"), col("id")).as("id"), col("v")))
+        .reduce(_ unionByName _)
+        .coalesce(2)
+        .transform(graft.core.CacheRegistry.persistTracked)
+      val n = rows.count()
+      require(liStride > 0)
+      for (k <- Seq(256, 16384); rep <- 1 to 2) {
+        val (_, t) = timed {
+          graft.functions.QuantileSketch
+            .bottomKSampleAgg(rows, "id", "v", k, Nil).count()
+        }
+        println(f"[scaleprobe] qsketchk k=$k rep=$rep rows=$n " +
+          f"(2 partitions) wall=$t%.2fs per_row_us=${t * 1e6 / n}%.3f")
+      }
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
     for (m <- multSteps if section("incnear")) {
       val docs = amplifyDocs(docs0, m)
         .transform(graft.core.CacheRegistry.persistTracked)

@@ -42,28 +42,34 @@ class QuantileSketchSpec extends SparkSpec {
 
   test("MinKSample merge: commutative, ASSOCIATIVE, idempotent, bounded") {
     val mk = new QuantileSketch.MinKSample(16)
+    // buffers carry mutable arrays, so every comparison goes through
+    // finish() — the lossless ascending view of the live slots. merge
+    // itself is PURE (fresh output arrays), which is what licenses
+    // reusing a/b/c across the merge-tree asserts below.
+    def fin(buf: (Int, Array[String], Array[Double])) = mk.finish(buf)
     val a = rows(90, "a").foldLeft(mk.zero)(mk.reduce)
     val b = rows(120, "b").foldLeft(mk.zero)(mk.reduce)
     val c = rows(70, "c").foldLeft(mk.zero)(mk.reduce)
     // commutativity and associativity — arbitrary merge trees agree
-    assert(mk.merge(a, b) === mk.merge(b, a))
-    assert(mk.merge(mk.merge(a, b), c) === mk.merge(a, mk.merge(b, c)))
-    assert(mk.merge(mk.merge(c, a), b) === mk.merge(b, mk.merge(a, c)))
+    assert(fin(mk.merge(a, b)) === fin(mk.merge(b, a)))
+    assert(fin(mk.merge(mk.merge(a, b), c)) ===
+      fin(mk.merge(a, mk.merge(b, c))))
+    assert(fin(mk.merge(mk.merge(c, a), b)) ===
+      fin(mk.merge(b, mk.merge(a, c))))
     // merge == single-pass over the concatenation
     val all = (rows(90, "a") ++ rows(120, "b") ++ rows(70, "c"))
       .foldLeft(mk.zero)(mk.reduce)
-    assert(mk.merge(mk.merge(a, b), c) === all)
+    assert(fin(mk.merge(mk.merge(a, b), c)) === fin(all))
     // idempotence: replaying the same rows changes nothing (the
-    // standing-table DISTINCT argument in aggregator form)
-    assert(rows(90, "a").foldLeft(all)(mk.reduce) === all)
-    // null ids are skipped; state = (cached size, DESCENDING (hash, val)
-    // list) with the size exactly the list length, ≤ k — the cached
-    // size is what makes the full-buffer reject check O(1)
-    assert(mk.reduce(a, (null, 1.0)) === a)
-    assert(all._1 === 16 && all._2.length === all._1 &&
-      all._2 === all._2.sortBy(p => (p._1, p._2)).reverse)
-    // finish restores ascending order (the bottomKSample rank order)
-    assert(mk.finish(all) === all._2.sortBy(p => (p._1, p._2)))
+    // standing-table DISTINCT argument in aggregator form) — snapshot
+    // the state BEFORE the replay so in-place mutation can't hide a diff
+    val before = fin(all).toList
+    assert(fin(rows(90, "a").foldLeft(all)(mk.reduce)) === before)
+    // null ids are skipped
+    assert(fin(mk.reduce(a, (null, 1.0))) === fin(a))
+    // bounded at k, sorted ascending, live size == cached size
+    assert(all._1 === 16 && fin(all).size === 16 &&
+      fin(all) === fin(all).sortBy(p => (p._1, p._2)))
   }
 
   test("bottomKSample and MinKSample agree on nullable-id input") {
