@@ -51,10 +51,13 @@ object AmpBench {
     case _ => "core"
   }
 
-  /** Core family + tail — the measured set, derived from the registry
-    * so it can't drift. */
+  /** Core + tpch families + tail — the measured set, derived from the
+    * registry so it can't drift. tpch rides along because it is the
+    * most externally comparable SQL family (plain analytics over the
+    * amplified facts) and costs seconds to include. */
   def benchNames: Seq[String] =
-    SparkEntry.queries.keys.toSeq.filter(n => famOf(n) == "core" || Tail(n))
+    SparkEntry.queries.keys.toSeq
+      .filter(n => famOf(n) == "core" || famOf(n) == "tpch" || Tail(n))
       .sorted
 
   def main(args: Array[String]): Unit = {

@@ -73,23 +73,28 @@ def main():
               f" {d0 if d0 is not None else '-'} |"
               f" {d1 if d1 is not None else '-'} | {r0} | {r1} |")
 
-    core = [q for q in common if not re.match(
-        r"(tpch|pl|st|ext|dq)_", q)]
-    core_ratio = [q for q in core if not write_side(q)
-                  and q in amp_d and q in ref_d and ref_d[q] > 0]
-    s0 = sum(ref_s[q] for q in core)
-    s1 = sum(amp_s[q] for q in core)
-    print()
-    print(f"core family ({len(core)} queries): spark {s0:.1f}s sf0.1 -> "
-          f"{s1:.1f}s sf1 (slope {s1 / s0:.2f}x at x{a.mult} data)")
-    if core_ratio:
-        cs0 = sum(ref_s[q] for q in core_ratio)
-        cs1 = sum(amp_s[q] for q in core_ratio)
-        cd0 = sum(ref_d[q] for q in core_ratio)
-        cd1 = sum(amp_d[q] for q in core_ratio)
-        print(f"core compute subset ({len(core_ratio)}): "
-              f"vs_duckdb {cs0 / cd0:.2f}x at sf0.1 -> {cs1 / cd1:.2f}x at sf1 "
-              f"(spark {cs0:.1f}->{cs1:.1f}s, duckdb {cd0:.1f}->{cd1:.1f}s)")
+    for fam_name, members in [
+            ("core", [q for q in common
+                      if not re.match(r"(tpch|pl|st|ext|dq)_", q)]),
+            ("tpch", [q for q in common if q.startswith("tpch_")])]:
+        if not members:
+            continue
+        ratio_set = [q for q in members if not write_side(q)
+                     and q in amp_d and q in ref_d and ref_d[q] > 0]
+        s0 = sum(ref_s[q] for q in members)
+        s1 = sum(amp_s[q] for q in members)
+        print()
+        print(f"{fam_name} family ({len(members)} queries): spark {s0:.1f}s "
+              f"sf0.1 -> {s1:.1f}s sf1 (slope {s1 / s0:.2f}x at x{a.mult} data)")
+        if ratio_set:
+            cs0 = sum(ref_s[q] for q in ratio_set)
+            cs1 = sum(amp_s[q] for q in ratio_set)
+            cd0 = sum(ref_d[q] for q in ratio_set)
+            cd1 = sum(amp_d[q] for q in ratio_set)
+            print(f"{fam_name} compute subset ({len(ratio_set)}): "
+                  f"vs_duckdb {cs0 / cd0:.2f}x at sf0.1 -> "
+                  f"{cs1 / cd1:.2f}x at sf1 "
+                  f"(spark {cs0:.1f}->{cs1:.1f}s, duckdb {cd0:.1f}->{cd1:.1f}s)")
 
     print()
     over = [(amp_s[q] / ref_s[q], q) for q in common if ref_s[q] > 0.05
