@@ -807,8 +807,18 @@ object Dedup {
     // cut BEFORE releasing the distinct-strings cache: `out` is lazy,
     // so an un-cut release would unpersist at plan-build time and every
     // consumer would re-scan + re-distinct the input once per branch
-    // (the prefixJaccardJoin pattern — the cut materializes eagerly)
-    val out = checkpoint.cut(pairs
+    // (the prefixJaccardJoin pattern — the cut materializes eagerly).
+    // The cut sits on the DISTINCT-NAME pairs, BEFORE the id expansion:
+    // pairs is bounded by matching distinct-string pairs (tiny — the
+    // gram filters already did their work) while the expansion can be
+    // orders of magnitude larger on duplicate-heavy columns (measured
+    // r13: 2k name pairs -> 5.5M id pairs on the sf0.1 part fixture;
+    // cutting after the expansion pushed all 5.5M rows through the
+    // block manager for no consumer benefit — the expansion is two
+    // cheap lazy equi-joins off the raw input, which the cut's lineage
+    // severance doesn't need to cover).
+    val pairsCut = checkpoint.cut(pairs)
+    val out = pairsCut
       .join(ids.select(col("__id").as("__ia"), col("__s").as("__sa")),
         Seq("__sa"))
       .join(ids.select(col("__id").as("__ib"), col("__s").as("__sb")),
@@ -816,7 +826,7 @@ object Dedup {
       .filter(col("__sa") =!= col("__sb") || col("__ia") < col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"),
-        col("__d").cast("long").as("dist")))
+        col("__d").cast("long").as("dist"))
     graft.core.CacheRegistry.release(strs)
     out
   }

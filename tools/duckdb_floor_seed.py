@@ -29,9 +29,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def time_queries(sf_dir, sqls, reps, timeout_s):
     import duckdb
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def fresh():
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        return con
+
+    con = fresh()
     out, errors = {}, []
     for name in sorted(sqls):
         best = None
@@ -52,6 +59,18 @@ def time_queries(sf_dir, sqls, reps, timeout_s):
             errors.append(f"{name}: {str(e)[:120]}")
             print(f"[seed] {name} ERROR {str(e)[:80]}", file=sys.stderr,
                   flush=True)
+            # an interrupted parallel pipeline can keep its worker
+            # threads spinning on the old connection (observed: hours of
+            # residual CPU after the pass) — drop it and start clean
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh()
+    try:
+        con.close()
+    except Exception:
+        pass
     return out, errors
 
 
@@ -77,7 +96,11 @@ def merge_floors(floors_path, lock_path, timed, reps):
         d["runs"] = dict(sorted(runs.items()))
         d["n_queries"] = len(qs)
         with open(floors_path, "w") as f:
-            json.dump(d, f)
+            # COMPACT separators are load-bearing: Bench.readFloors scans
+            # for the exact token `"queries":{` — json.dump's default
+            # colon-space would make the prior floors invisible and the
+            # next bench run would rewrite the file without them
+            json.dump(d, f, separators=(",", ":"))
         fcntl.flock(lock, fcntl.LOCK_UN)
 
 
