@@ -28,36 +28,62 @@ class BenchArtifactSpec extends AnyFunSuite {
     val withTpch = results ++ sqlFam.map(n => (n, 0.55, true))
     val slim = Bench.slimJson(withTpch, errors, "/root/testdata/sf0.1",
       hostJson, duckdb, Some((349, 352)),
-      Some(0.231), Some(0.000577), Some(0.456))
+      Some(0.231), Some(0.000577), Some(0.456),
+      Set("pl_mart_1"), Some((0, 460)))
     assert(slim.length < 2000,
       s"slim must fit the driver's stdout-tail window: ${slim.length}")
     assert(!slim.contains("\n"), "slim must be ONE line")
     for (field <- Seq("\"queries_are\":\"round_floor_sec_slowest12\"",
         "\"duckdb_sec\":", "\"vs_duckdb\":", "\"vs_duckdb_worst10\":",
-        "\"vs_duckdb_excl_io\":",
+        "\"vs_duckdb_excluded\":",
+        "\"dtype\":{\"flags\":0,\"checked\":460,\"stale\":false}",
         "\"constant_sec\":{\"spark\":0.231,\"duckdb\":0.0006,\"spark_2stage\":0.456}",
         "\"planaudit\":{\"n\":349,\"registry\":352,\"stale\":true}",
         "\"n_failed\":", "\"full\":\"bench_results/\""))
       assert(slim.contains(field), s"slim must carry $field: $slim")
+    // a missing dtype artifact must read as "never ran", not "clean"
+    val noDtype = Bench.slimJson(withTpch, errors, "sf", hostJson, duckdb)
+    assert(noDtype.contains("\"dtype\":{\"flags\":-1,\"checked\":0,\"stale\":true}"))
   }
 
-  test("slim worst10 excludes write-side queries and caps at 10 entries") {
-    // an s-family write query with an extreme ratio must NOT appear;
-    // compute-side queries rank by ratio, capped at 10
+  test("slim worst10 excludes named-exclusion queries and caps at 10 entries") {
+    // write-side/streaming rows with extreme ratios must NOT appear in
+    // the tail; compute-side queries rank by ratio, capped at 10. The
+    // exclusion set comes from the REAL derivation (ratioExclusions).
     val results = Seq(("s14_compact", 9.0, true),
-        ("pl_scd2_roundtrip", 9.0, true)) ++
+        ("pl_scd2_roundtrip", 9.0, true), ("st_dedup_ingest", 9.0, true)) ++
       (1 to 14).map(i => (f"a$i%02d_compute", 1.0 + i, true))
+    val excl = Bench.ratioExclusions(results.map(_._1))
+    assert(excl.keySet === Set("s14_compact", "pl_scd2_roundtrip",
+      "st_dedup_ingest"))
     val duckdb = (results.map(_._1) :+ "x").map(_ -> 0.01).toMap
     val slim = Bench.slimJson(results, Nil, "sf", hostJson, duckdb, None,
-      Some(0.2), Some(0.001))
-    assert(!slim.substring(slim.indexOf("vs_duckdb_worst10"))
-      .takeWhile(_ != '}').contains("s14_compact"),
-      s"write-side rows must not pollute the ratio tail: $slim")
-    assert(slim.contains("\"vs_duckdb_excl_io\":2"), slim)
+      Some(0.2), Some(0.001), None, excl.keySet)
+    val tail10 = slim.substring(slim.indexOf("vs_duckdb_worst10"))
+      .takeWhile(_ != '}')
+    assert(!tail10.contains("s14_compact") && !tail10.contains("st_dedup"),
+      s"named-exclusion rows must not pollute the ratio tail: $slim")
+    assert(slim.contains("\"vs_duckdb_excluded\":{\"n\":3,\"ratioed_anyway\":3"),
+      slim)
     assert(slim.contains("\"a14_compute\":1500.0"),
       s"the worst compute ratio must lead: $slim")
     assert(!slim.contains("a04_compute"),
       s"the list must cap at the 10 worst: $slim")
+  }
+
+  test("ratioExclusions: every class carries a reason; compute rows stay out") {
+    val names = Seq("s1_csv_scan", "pl_scd2_roundtrip", "pl_mart_daily",
+      "st_bm25_ingest", "st_session_window", "ext_bm25_persisted",
+      "ext_dedup_index_growth", "ext_edit_join", "a1_group_percentiles",
+      "tpch_q1", "dq_three_sigma")
+    val m = Bench.ratioExclusions(names)
+    assert(m.keySet === Set("s1_csv_scan", "pl_scd2_roundtrip",
+      "st_bm25_ingest", "st_session_window", "ext_bm25_persisted",
+      "ext_dedup_index_growth"))
+    assert(m.values.forall(_.nonEmpty))
+    // st ingest rows carry the additional write-side clause
+    assert(m("st_bm25_ingest").contains("writes per trigger"))
+    assert(!m("st_session_window").contains("writes per trigger"))
   }
 
   test("slim duckdb ratio covers the intersection with coverage exposed") {
