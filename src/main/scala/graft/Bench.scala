@@ -354,6 +354,16 @@ object Bench {
         "write-side: persisted LSH index build + two bucketForget staged rewrites in-run",
       "ext_dedup_index_growth" ->
         "write-side: staged persisted-index growth (append epochs + compaction) in-run")
+    // Anchored by a measured LOWER BOUND instead of a floor: these six
+    // oracles (LSH near-dup / connected-components / leakage-safe-split
+    // replays) exceed the 600 s DuckDB watchdog at sf0.1 where the
+    // Spark floors sit at 0.9-2.4 s — the ratio is < 0.005 whatever the
+    // exact DuckDB figure (SCALE.md r13). Kept out of the floor-based
+    // ratio lists so a truncated timing can never masquerade as a floor.
+    val duckLowerBound = Set("ext_curation_provenance",
+      "ext_dedup_components", "ext_dedup_components_reliable",
+      "ext_dedup_keep_best", "ext_dedup_near_minhash",
+      "ext_split_leakage_safe")
     names.flatMap { n =>
       val r =
         if (n.matches("s\\d+.*"))
@@ -366,6 +376,10 @@ object Bench {
             "as batch unrolled CTEs — different work (SCALE.md r10-r12)" +
             (if (n.endsWith("_ingest") || n == "st_incremental_upsert")
                "; plus persisted-index/table writes per trigger" else ""))
+        else if (duckLowerBound(n))
+          Some("anchored by a DuckDB lower bound, not a floor: the oracle " +
+            "replay exceeds the 600 s watchdog at sf0.1 vs a 0.9-2.4 s Spark " +
+            "floor — ratio < 0.005 (SCALE.md r13)")
         else extWrite.get(n)
       r.map(n -> _)
     }.toMap
@@ -382,9 +396,11 @@ object Bench {
       .flatMap { case (_, fname) =>
         val txt = scala.io.Source.fromFile(
           new java.io.File(outDir, fname), "UTF-8").mkString
+        // tolerate json.dump's optional colon-space — the exact-token
+        // convention already bit once on the floors file
         for {
-          f <- """"flags":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-          c <- """"checked":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          f <- """"flags": ?(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          c <- """"checked": ?(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
         } yield (f, c)
       }
   } catch { case _: Throwable => None }

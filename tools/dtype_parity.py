@@ -108,7 +108,9 @@ def main():
         # against — the number Bench's staleness check reads
         n_checked = sum(1 for n in names if n in oracles)
         with open(artifact, "w") as f:
-            json.dump({"flags": n_flag, "checked": n_checked}, f)
+            # compact separators: Bench.readDtype parses with regexes
+            json.dump({"flags": n_flag, "checked": n_checked}, f,
+                      separators=(",", ":"))
         print(f"artifact -> {artifact}")
     sys.exit(1 if n_flag else 0)
 
