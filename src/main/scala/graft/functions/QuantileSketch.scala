@@ -169,7 +169,8 @@ object QuantileSketch {
    * k on reject-dominated input. `reduce` mutates the buffer in place
    * and returns it (the Aggregator contract allows this; capacity grows
    * ×2 up to k so tiny groups never allocate 16k slots); `merge`
-   * allocates fresh output arrays, leaving both inputs intact. Slots
+   * allocates fresh output arrays — it may alias its FIRST argument
+   * (which Spark licenses mutating) but never its second. Slots
    * beyond the live size are garbage and never read — `finish` emits
    * exactly the first `size` pairs, ascending, same bits as
    * [[bottomKSample]]'s rank order.
@@ -198,11 +199,21 @@ object QuantileSketch {
       insert(buf, sb.toString, in._2)
     }
 
-    /** (h1, v1) < (h2, v2) in the sample order. */
+    /** (h1, v1) < (h2, v2) in the sample order. Values compare via
+      * `java.lang.Double.compare` — a TOTAL order in which NaN equals
+      * itself (and sorts above every finite double), matching Spark
+      * SQL's and DuckDB's sort/DISTINCT semantics. Primitive `<`/`==`
+      * would make NaN unequal to itself, so replaying the same
+      * (id, NaN) row would insert a duplicate pair each time and break
+      * the idempotence invariant the relational form's DISTINCT keeps. */
     private def lt(h1: String, v1: Double, h2: String, v2: Double): Boolean = {
       val c = h1.compareTo(h2)
-      c < 0 || (c == 0 && v1 < v2)
+      c < 0 || (c == 0 && java.lang.Double.compare(v1, v2) < 0)
     }
+
+    /** NaN-safe pair equality in the sample order (see [[lt]]). */
+    private def eq(h1: String, v1: Double, h2: String, v2: Double): Boolean =
+      h1 == h2 && java.lang.Double.compare(v1, v2) == 0
 
     /** First index in [0, n) whose pair is >= (h, v) — binary search. */
     private def lowerBound(hs: Array[String], vs: Array[Double], n: Int,
@@ -221,7 +232,7 @@ object QuantileSketch {
       // O(1) steady-state reject: buffer full and (h, v) >= current max
       if (n == k && !lt(h, v, hs(n - 1), vs(n - 1))) return buf
       val pos = lowerBound(hs, vs, n, h, v)
-      if (pos < n && hs(pos) == h && vs(pos) == v) return buf // distinct
+      if (pos < n && eq(hs(pos), vs(pos), h, v)) return buf // distinct
       if (n == k) {
         // shift [pos, k-1) right by one — the displaced max falls off
         System.arraycopy(hs, pos, hs, pos + 1, k - pos - 1)
@@ -243,13 +254,19 @@ object QuantileSketch {
     }
 
     /** Pure sorted two-pointer union with dedup, truncated at k —
-      * neither input is mutated (the spec reuses partials across merge
-      * trees, and Spark only licenses mutating the FIRST argument). */
+      * the SECOND input is never mutated nor aliased into the result
+      * (the spec reuses partials across merge trees, and Spark only
+      * licenses mutating the FIRST argument — a later in-place `reduce`
+      * on the returned buffer must not reach `b`'s arrays, so the
+      * empty-`a` short-circuit returns a defensive copy of `b`, not
+      * `b` itself). */
     override def merge(a: (Int, Array[String], Array[Double]),
                        b: (Int, Array[String], Array[Double])): (Int, Array[String], Array[Double]) = {
       val (na, ahs, avs) = a; val (nb, bhs, bvs) = b
       if (nb == 0) return a
-      if (na == 0) return b
+      if (na == 0)
+        return (nb, java.util.Arrays.copyOf(bhs, nb),
+                java.util.Arrays.copyOf(bvs, nb))
       val cap = math.min(k, na + nb)
       val oh = new Array[String](cap); val ov = new Array[Double](cap)
       var (i, j, m) = (0, 0, 0)
@@ -258,7 +275,7 @@ object QuantileSketch {
           (i < na && !lt(bhs(j), bvs(j), ahs(i), avs(i)))
         // on ties ((hA,vA) == (hB,vB)) takeA wins and j advances too
         if (takeA && i < na) {
-          if (j < nb && ahs(i) == bhs(j) && avs(i) == bvs(j)) j += 1
+          if (j < nb && eq(ahs(i), avs(i), bhs(j), bvs(j))) j += 1
           oh(m) = ahs(i); ov(m) = avs(i); i += 1; m += 1
         } else {
           oh(m) = bhs(j); ov(m) = bvs(j); j += 1; m += 1

@@ -422,10 +422,13 @@ object Checks {
       // a single bin (tie correction cancels the variance) — make the
       // sqrt argument 0 or NaN; the test is then UNTESTABLE, and the dq
       // family's convention for "no verdict" is NULL, not a NaN that
-      // poisons downstream comparisons. NaN > 0 is false, so the guard
-      // catches both the exhausted-variance and the 0/0-division cases.
+      // poisons downstream comparisons. Spark's GreaterThan is NaN-SAFE
+      // (NaN orders above every double, so NaN > 0 is TRUE — the
+      // opposite of IEEE/DuckDB), so the guard needs an explicit
+      // !isnan conjunct to match the oracle's `isfinite(vvar)` on the
+      // 0/0-division case (m + n = 1).
       .select(col("m"), col("n"), col("u1"),
-        when(col("variance") > 0,
+        when(col("variance") > 0 && !isnan(col("variance")),
           (col("u1") - col("m").cast("double") * col("n") / 2) /
             sqrt(col("variance"))).as("z"))
   }

@@ -404,12 +404,21 @@ object ExtMultimodalQueries {
     // feature arithmetic per variant, and groups the same way.
     QueryDef("ext_mm_pixel_dedup", (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // The second variant's ids shift by a DERIVED stride —
+      // max(doc_id) + 1, broadcast as a 1-row frame — never a literal:
+      // a literal stride silently collides once the fixture grows (the
+      // same rule AmpBench and ScaleProbe enforce for amplified
+      // copies). The oracle computes the identical max in SQL.
+      val shift = broadcast(
+        docs.agg((max(col("doc_id")) + lit(1L)).as("__shift")))
       val a = docs.withColumn("payload", bmpPayload())
         .select(col("doc_id"), col("payload"))
       val b = docs
         .withColumn("payload",
           bmpPayload(padHex = "ABABAB", pelsPerMeter = 2835L))
-        .select((col("doc_id") + 700000).as("doc_id"), col("payload"))
+        .crossJoin(shift)
+        .select((col("doc_id") + col("__shift")).as("doc_id"),
+          col("payload"))
       val media = Multimodal.toMediaFrame(
         a.unionByName(b), "doc_id", "payload", lit("image"))
       val feats = Multimodal.extractFeatures(media, dims = 4)
@@ -573,7 +582,8 @@ private[queries] object BmpPixelDedupOracle {
     sides AS (
       SELECT doc_id, gw, gh, gstride, unnest([0, 1]) AS side FROM geom),
     pay AS (
-      SELECT doc_id + side * 700000 AS media_id,
+      SELECT doc_id + side * (SELECT max(doc_id) + 1 FROM documents)
+          AS media_id,
         '424D' || ${leHex("gstride * gh + 54", 4)} || '00000000'
           || '36000000' || '28000000'
           || ${leHex("gw", 4)} || ${leHex("gh", 4)}

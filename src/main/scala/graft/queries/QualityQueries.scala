@@ -476,9 +476,11 @@ object QualityQueries {
     // ^ degenerate-input guard mirrors the Spark side (quality/Checks
     //   .scala mannWhitneyBinned): one group empty (m*n = 0 → vvar = 0)
     //   or all values in one bin (tie correction cancels vvar) yields
-    //   NULL z on BOTH engines, never inf/NaN. Spark's `vvar > 0` is
-    //   false for NaN; DuckDB sorts NaN ABOVE every number, so the
-    //   isfinite() conjunct pins the same branch there.
+    //   NULL z on BOTH engines, never inf/NaN. BOTH engines order NaN
+    //   above every number (Spark's GreaterThan is NaN-safe, so
+    //   `vvar > 0` alone would be TRUE for NaN) — hence the explicit
+    //   NaN conjunct on EACH side: `!isnan(variance)` in Spark,
+    //   `isfinite(vvar)` here, pinning the m+n=1 0/0 case to NULL.
 
     // Lag-1..7 autocorrelation of the daily value means — is yesterday
     // predictive of today (the weekly-seasonality fingerprint the CUSUM

@@ -153,6 +153,33 @@ class MultimodalSpec extends SparkSpec {
     assert(grouped.getLong(1) === 2L && grouped.getLong(2) === 2L)
   }
 
+  test("pixel dedup stride is DERIVED: no collision when doc_ids are large") {
+    import spark.implicits._
+    // The r13 form shifted the second byte-variant's ids by a LITERAL
+    // 700000 — green only because fixture doc_ids were far smaller.
+    // This fixture's doc_ids straddle that literal (700000 + i), so a
+    // literal stride would collide a base id with a shifted id; the
+    // derived max(doc_id)+1 stride must keep every media_id unique and
+    // every group at exactly (2 members, 2 byte variants).
+    val n = 20
+    val docs = (0 until n).map(i => (700000L + i, s"t$i", "en", "w", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pxdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Registry.queries("ext_mm_pixel_dedup")(
+      spark, dir).collect()
+    // 20 consecutive doc_ids → distinct residues mod 256/5/4 → no two
+    // docs share pixels, so every group is one doc's two variants
+    assert(out.length === n)
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_members")) === 2L),
+      "a collided stride would merge unrelated ids into one group")
+    assert(out.forall(r =>
+      r.getLong(r.fieldIndex("n_byte_variants")) === 2L))
+    val keepers = out.map(_.getLong(0)).sorted
+    assert(keepers.toSeq === (0 until n).map(700000L + _))
+  }
+
   test("frame sampling explodes every Nth block") {
     val frames = Multimodal.sampleFrames(media.limit(5), blockBytes = 16, everyNth = 2)
     val idx = frames.select("frame_idx").collect().map(_.getInt(0))

@@ -44,8 +44,8 @@ class QuantileSketchSpec extends SparkSpec {
     val mk = new QuantileSketch.MinKSample(16)
     // buffers carry mutable arrays, so every comparison goes through
     // finish() — the lossless ascending view of the live slots. merge
-    // itself is PURE (fresh output arrays), which is what licenses
-    // reusing a/b/c across the merge-tree asserts below.
+    // of two non-empty sides is PURE (fresh output arrays), which is
+    // what licenses reusing a/b/c across the merge-tree asserts below.
     def fin(buf: (Int, Array[String], Array[Double])) = mk.finish(buf)
     val a = rows(90, "a").foldLeft(mk.zero)(mk.reduce)
     val b = rows(120, "b").foldLeft(mk.zero)(mk.reduce)
@@ -70,6 +70,60 @@ class QuantileSketchSpec extends SparkSpec {
     // bounded at k, sorted ascending, live size == cached size
     assert(all._1 === 16 && fin(all).size === 16 &&
       fin(all) === fin(all).sortBy(p => (p._1, p._2)))
+  }
+
+  test("MinKSample merge never aliases its second argument") {
+    // Spark's merge-then-reduce sequencing may reduce IN PLACE into
+    // whatever merge returns; the Aggregator contract licenses mutating
+    // the FIRST argument only. The empty-first-side short-circuit must
+    // therefore hand back a COPY of b, not b itself — otherwise the
+    // later reduce scribbles over a partial Spark still owns.
+    val mk = new QuantileSketch.MinKSample(16)
+    val b = rows(40, "m").foldLeft(mk.zero)(mk.reduce)
+    val bSnap = mk.finish(b).toList
+    val out = mk.merge(mk.zero, b)
+    // reduce into the merge result until an insert actually lands
+    val extra = (0 until 64).map(i => (s"extra-$i", -1.0 - i))
+    extra.foldLeft(out)(mk.reduce)
+    assert(mk.finish(b).toList === bSnap,
+      "reduce into merge(zero, b) mutated b's arrays")
+    // and the merge result itself was correct before the reduces
+    assert(mk.merge(mk.zero, b)._1 === b._1)
+  }
+
+  test("MinKSample: NaN has a total order (idempotent replay)") {
+    // Primitive Double == treats NaN != NaN, which would re-insert the
+    // same (id, NaN) pair on every replay. The buffer compares values
+    // via java.lang.Double.compare — NaN equals itself and sorts above
+    // every finite double, matching Spark SQL and DuckDB sort/DISTINCT
+    // semantics, so replay stays a no-op and the two physical forms
+    // stay bit-identical on NaN-valued columns.
+    val mk = new QuantileSketch.MinKSample(16)
+    val base = Seq(("nan-1", Double.NaN), ("nan-2", Double.NaN),
+      ("fin-1", 3.0), ("fin-2", Double.PositiveInfinity))
+    // NaN != NaN under primitive ==, so the ASSERTIONS compare value
+    // bit patterns (the exact property the buffer must preserve)
+    def bits(s: Seq[(String, Double)]): List[(String, Long)] =
+      s.map { case (h, v) =>
+        (h, java.lang.Double.doubleToLongBits(v)) }.toList
+    val one = base.foldLeft(mk.zero)(mk.reduce)
+    val snap = bits(mk.finish(one))
+    assert(snap.size === 4)
+    // replaying the identical rows (twice) changes nothing
+    val replayed = (base ++ base).foldLeft(one)(mk.reduce)
+    assert(bits(mk.finish(replayed)) === snap)
+    // and the typed form still agrees with the relational form
+    // (val compared as bit patterns — Scala == is IEEE even boxed)
+    val df = base.toDF("id", "v").withColumn("g", lit("g1"))
+    def rows16(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = d
+      .select("g", "hash", "val", "rank")
+      .collect().map(r => r.toSeq.updated(2,
+        java.lang.Double.doubleToLongBits(r.getDouble(2))))
+      .sortBy(_.toString).toSeq
+    val rel = rows16(QuantileSketch.bottomKSample(df, "id", "v", 16, Seq("g")))
+    val agg = rows16(QuantileSketch.bottomKSampleAgg(df, "id", "v", 16, Seq("g")))
+    assert(rel === agg)
+    assert(rel.length === 4)
   }
 
   test("bottomKSample and MinKSample agree on nullable-id input") {
