@@ -133,6 +133,7 @@ object Bench {
         .collect { case roundRe(n) => n.toInt }.foldLeft(0)(math.max) + 1
       val outDir = new java.io.File(repo, "bench_results")
       outDir.mkdirs()
+      withBenchLock(outDir) {
       val roundFile = new java.io.File(outDir, f"r$round%02d.json")
       // A failure in the CURRENT run must not destroy a floor a prior run
       // already recorded (host throttling can fail one query per run):
@@ -183,6 +184,7 @@ object Bench {
         try w.println(body) finally w.close()
       }
       floors = merged
+      }
     } catch { case e: Throwable =>
       System.err.println(s"bench_results write failed: $e") }
     // External comparator (r11, judge-requested): DuckDB wall-clock over
@@ -216,6 +218,10 @@ object Bench {
       val outDir = new java.io.File(
         new java.io.File(sys.props.getOrElse("user.dir", ".")), "bench_results")
       outDir.mkdirs()
+      // the read-merge-write below races tools/duckdb_floor_seed.py's
+      // min-merge when Bench runs OUTSIDE bench_loop.sh's whole-run
+      // flock — take the same lock here (timing above stays unlocked)
+      withBenchLock(outDir) {
       val f = new java.io.File(outDir, "duckdb_floors.json")
       val prior = readFloors(f)
       val priorConst = constFrom(f, "constant_duckdb_sec")
@@ -250,6 +256,7 @@ object Bench {
         try w.println(body) finally w.close()
         duckdbFloors = mergedQ.map(t => t._1 -> t._2).toMap
       } else duckdbFloors = prior.queries // comparator unavailable this run
+      }
     } catch { case e: Throwable =>
       System.err.println(s"duckdb comparator failed: $e") }
     // Plan-audit coverage gate (r11, judge-requested): the r10 audit
@@ -484,6 +491,29 @@ object Bench {
   private[graft] case class Floors(queries: Map[String, Double],
                             runs: Map[String, Int],
                             mergedRuns: Int, calibMin: Option[Double])
+
+  /** Exclusive cross-process lock on `bench_results/.bench.lock`, so a
+    * direct `runMain graft.Bench` serializes its read-modify-write
+    * sections against `tools/duckdb_floor_seed.py`'s min-merge and a
+    * concurrent seed pass can't have its freshly-seeded floors lost
+    * between this process's read and write. Lock-family note (Linux has
+    * TWO non-interacting advisory lock families): JVM `FileLock` maps
+    * to POSIX fcntl record locks, so the seed tool takes
+    * `fcntl.lockf` — the Python binding of the SAME family — not
+    * `fcntl.flock` (BSD flock(2), invisible to fcntl locks).
+    * `bench_loop.sh`'s whole-run flock(1) is the BSD family and only
+    * serializes loop instances against each other; the file-level RMW
+    * races are guarded by this fcntl pair. */
+  private def withBenchLock[T](outDir: java.io.File)(body: => T): T = {
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(outDir, ".bench.lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
+  }
 
   /** Parse a prior floors file (round file or floors_cum.json): the
     * queries map, per-query run counts, run total, min calibration.
