@@ -14,17 +14,24 @@ import org.apache.spark.sql.types._
  * BITMAPINFOHEADER bytes scan-side — pure byte arithmetic, no codec
  * needed.
  *
- * The PIXEL lane is REAL for uncompressed 24bpp BMP (r12): decode,
- * box-filter [[resize]] and gray-block [[extractFeatures]] operate on
- * actual pixel values (bottom-up padded rows, BGR channel order) in
- * exact integer arithmetic, so the DuckDB oracle replays the same
- * pixels byte-for-byte — no codec is needed because BMP pixel storage
- * IS the raw bytes. For compressed formats (PNG/JPEG/WAV samples) the
- * decode beyond the header remains a documented STUB (this environment
- * ships no codecs): the Spark-side contract — schema, partition sizing,
- * per-partition batch execution, deterministic output — is real and
- * tested, and a production deployment swaps the stub loop bodies for
- * codec calls without touching the plumbing.
+ * The PIXEL lane is REAL for TWO formats:
+ *  - uncompressed 24bpp BMP (r12): decode, box-filter [[resize]] and
+ *    gray-block [[extractFeatures]] operate on actual pixel values
+ *    (bottom-up padded rows, BGR channel order) in exact integer
+ *    arithmetic — no codec needed because BMP pixel storage IS the
+ *    raw bytes;
+ *  - 8-bit truecolor non-interlaced PNG (r14): [[pngPixels]] is a
+ *    full decode — IDAT chunk walk, zlib inflate via the JDK's own
+ *    `java.util.zip.Inflater`, and all four PNG row filters
+ *    (Sub/Up/Average/Paeth) — and [[writePng]] re-encodes valid PNGs
+ *    (stored-deflate blocks, correct adler32/CRC32), so resize
+ *    round-trips. The "no codecs in this environment" rationale never
+ *    applied to PNG: DEFLATE ships with every JDK.
+ * Only JPEG pixel data (DCT entropy decode) and WAV sample decode
+ * remain documented STUBS: the Spark-side contract — schema,
+ * partition sizing, per-partition batch execution, deterministic
+ * output — is real and tested, and a production deployment swaps the
+ * stub loop bodies for codec calls without touching the plumbing.
  *
  * Scale notes:
  *  - Binary payloads dominate row size: repartition by target bytes, not
@@ -232,25 +239,225 @@ object Multimodal {
     Some((w.toInt, h.toInt, off.toInt, stride.toInt))
   }
 
+  /** Parsed PNG IHDR geometry for the pixel lane: (width, height) iff
+    * the payload is an 8-bit-depth TRUECOLOR (color type 2, RGB,
+    * 3 bytes/pixel) non-interlaced PNG with zlib/deflate compression
+    * and the adaptive filter method — the only layout [[pngPixels]]
+    * decodes (the overwhelmingly common encoder output for photos).
+    * The JVM twin of [[mediaMeta]]'s scan-side PNG branch. */
+  private[graft] def pngHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 33) return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return None; i += 1 }
+    // IHDR is REQUIRED first: length 13, type "IHDR" at offset 12
+    def u8(p: Int): Int = b(p) & 0xff
+    def be4(p: Int): Long = (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+      (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+    if (be4(8) != 13 || u8(12) != 'I' || u8(13) != 'H' ||
+        u8(14) != 'D' || u8(15) != 'R') return None
+    val w = be4(16); val h = be4(20)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (u8(24) != 8 || u8(25) != 2) return None // 8-bit, truecolor RGB
+    if (u8(26) != 0 || u8(27) != 0 || u8(28) != 0) return None
+    Some((w.toInt, h.toInt))
+  }
+
+  /**
+   * REAL PNG pixel decode (r14) — no external codec needed, because
+   * PNG pixel data is zlib DEFLATE (`java.util.zip.Inflater`, in every
+   * JDK) plus four per-row prediction filters that are ~40 lines of
+   * integer arithmetic:
+   *
+   *  1. chunk walk: concatenate every IDAT chunk's data (the zlib
+   *     stream may split across IDATs at any byte), stop at IEND;
+   *  2. inflate to exactly h·(1 + 3w) raw bytes (one leading filter
+   *     byte per row);
+   *  3. unfilter each row by its filter byte — None/Sub/Up/Average/
+   *     Paeth (PNG spec §9), all mod-256 integer reconstruction
+   *     against the already-reconstructed left/up/upper-left bytes.
+   *
+   * Output: top-down row-major RGB triples (3·w·h bytes) — the same
+   * logical pixel sequence [[bmpHeader]]-decoded BMPs yield (modulo
+   * BGR order, which the gray/box arithmetic is symmetric in). None
+   * for: wrong magic/layout ([[pngHeader]]), truncated or corrupt
+   * chunk structure, a deflate stream that errors or yields the wrong
+   * byte count, or an invalid filter type. CRC/adler trailers are not
+   * validated (the decode contract is the pixels, same as libpng's
+   * CRC-skip mode); [[writePng]] emits correct ones.
+   */
+  private[graft] def pngPixels(b: Array[Byte]): Option[Array[Byte]] = {
+    val hd = pngHeader(b)
+    if (hd.isEmpty) return None
+    val (w, h) = hd.get
+    def u8(p: Int): Int = b(p) & 0xff
+    def be4(p: Int): Long = (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+      (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+    // chunk walk: collect IDAT payload bytes
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33 // 8 sig + 25 IHDR chunk
+    var bad = false; var end = false
+    while (!bad && !end) {
+      if (pos + 8 > b.length) { bad = true }
+      else {
+        val len = be4(pos)
+        if (len > Int.MaxValue - 12 || pos + 8 + len + 4 > b.length) bad = true
+        else {
+          if (u8(pos + 4) == 'I' && u8(pos + 5) == 'D' &&
+              u8(pos + 6) == 'A' && u8(pos + 7) == 'T')
+            idat.write(b, pos + 8, len.toInt)
+          else if (u8(pos + 4) == 'I' && u8(pos + 5) == 'E' &&
+              u8(pos + 6) == 'N' && u8(pos + 7) == 'D') end = true
+          pos += 8 + len.toInt + 4
+        }
+      }
+    }
+    if (bad) return None
+    val stride = w * 3
+    val rawLen = h * (1 + stride)
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      var stalled = false
+      while (off < rawLen && !stalled) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        if (n == 0) stalled = true // truncated stream or dictionary ask
+        off += n
+      }
+      if (off != rawLen) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter: reconstruct each row against the previous OUTPUT row
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val rv = raw(rowIn + x) & 0xff
+        val left = if (x >= 3) out(rowOut + x - 3) & 0xff else 0
+        val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) out(rowOut - stride + x - 3) & 0xff
+                 else 0
+        val rec = ft match {
+          case 0 => rv
+          case 1 => rv + left
+          case 2 => rv + up
+          case 3 => rv + ((left + up) >> 1)
+          case _ => // Paeth predictor (PNG spec §9.4)
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            rv + (if (pa <= pb && pa <= pc) left
+                  else if (pb <= pc) up else ul)
+        }
+        out(rowOut + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /**
+   * Encode top-down row-major RGB triples as a VALID 8-bit truecolor
+   * non-interlaced PNG: filter-0 rows, the zlib stream as STORED
+   * (uncompressed) deflate blocks with a correct adler32 trailer, and
+   * correct CRC32 on every chunk — any external PNG reader accepts the
+   * output, and [[pngPixels]] round-trips it. Stored blocks keep the
+   * byte layout positionally computable (the BmpPixelsOracle
+   * discipline for fixture replay) while remaining a 100 % legal
+   * deflate encoding; a production writer that wants real compression
+   * swaps `java.util.zip.Deflater` in without touching callers.
+   */
+  private[graft] def writePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"need ${3 * w * h} bytes, got ${rgb.length}")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      // raw(y*(1+stride)) stays 0: filter None
+      System.arraycopy(rgb, y * stride, raw, y * (1 + stride) + 1, stride)
+      y += 1
+    }
+    // zlib: 2-byte header + stored blocks (<= 65535 bytes each) + adler32
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01)
+    var p = 0
+    while (p < raw.length || (raw.length == 0 && p == 0)) {
+      val len = math.min(65535, raw.length - p)
+      val last = p + len >= raw.length
+      z.write(if (last) 1 else 0) // BFINAL | BTYPE=00 (stored)
+      z.write(len & 0xff); z.write((len >> 8) & 0xff)
+      z.write(~len & 0xff); z.write((~len >> 8) & 0xff)
+      z.write(raw, p, len)
+      p += len
+      if (last) p = raw.length + 1 // exit (handles the 0-byte case)
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val av = adler.getValue
+    z.write(((av >> 24) & 0xff).toInt); z.write(((av >> 16) & 0xff).toInt)
+    z.write(((av >> 8) & 0xff).toInt); z.write((av & 0xff).toInt)
+    val idat = z.toByteArray
+    // assemble: signature + IHDR + IDAT + IEND, CRC32 over type||data
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be4(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      be4(data.length.toLong)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be4(crc.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    def ihdrBe4(i: Int, v: Int): Unit = {
+      ihdr(i) = ((v >> 24) & 0xff).toByte; ihdr(i + 1) = ((v >> 16) & 0xff).toByte
+      ihdr(i + 2) = ((v >> 8) & 0xff).toByte; ihdr(i + 3) = (v & 0xff).toByte
+    }
+    ihdrBe4(0, w); ihdrBe4(4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit truecolor; compression/filter/interlace 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /**
    * Per-partition batched feature extraction (the mapPartitions analogue
    * of a batched pandas UDF): one setup per partition, rows processed in
    * a tight loop. Output: (media_id, media_type, feature array).
    *
-   * REAL for 24bpp BMP payloads: the features are gray-block means over
-   * the DECODED pixels — the image's top-down row-major pixel sequence
-   * splits into `dims` contiguous blocks (pixel p goes to block
-   * p·dims/(w·h)), and feature d = Σ(B+G+R)/(3·count) over block d —
-   * exact integer sums until one final division, so the DuckDB oracle
-   * replays every feature bit-identically from the same bytes. Padding
-   * bytes and the header never contribute (the thing the byte-fold stub
-   * cannot do). Images with fewer pixels than `dims` leave their empty
-   * blocks at 0.0.
+   * REAL for 24bpp BMP and 8-bit RGB PNG payloads: the features are
+   * gray-block means over the DECODED pixels — the image's top-down
+   * row-major pixel sequence splits into `dims` contiguous blocks
+   * (pixel p goes to block p·dims/(w·h)), and feature d =
+   * Σ(R+G+B)/(3·count) over block d — exact integer sums until one
+   * final division, so the DuckDB oracle replays every feature
+   * bit-identically from the same bytes. Padding/filter bytes and the
+   * headers never contribute (the thing the byte-fold stub cannot do),
+   * and the two formats produce IDENTICAL features for identical
+   * pixels (the cross-format dedup property). Images with fewer pixels
+   * than `dims` leave their empty blocks at 0.0.
    *
-   * STUB for everything else (no codecs in this environment): the
-   * documented stride-fold of raw payload bytes stands in for decoded
-   * features; a production deployment swaps that branch for a codec
-   * call without touching the plumbing.
+   * STUB for everything else (JPEG DCT / WAV samples — no such codec
+   * in this environment): the documented stride-fold of raw payload
+   * bytes stands in for decoded features; a production deployment
+   * swaps that branch for a codec call without touching the plumbing.
    */
   def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
     val spark = media.sparkSession
@@ -289,15 +496,37 @@ object Multimodal {
               Array.tabulate(dims)(d =>
                 if (cnts(d) == 0) 0.0
                 else sums(d).toDouble / (3.0 * cnts(d)))
-            case None =>
-              // STUB: stride-fold of bytes stands in for decoded features
-              (0 until dims).map { d =>
-                var acc = 0L; var i = d
-                while (i < payload.length) {
-                  acc += (payload(i) & 0xff); i += dims
+            case None => pngPixels(payload) match {
+              case Some(px) =>
+                // REAL: same gray-block arithmetic over PNG-decoded
+                // pixels (top-down row-major RGB — already the logical
+                // pixel order; R+G+B sums are channel-order symmetric)
+                val np = px.length / 3
+                val sums = new Array[Long](dims)
+                val cnts = new Array[Long](dims)
+                var p = 0
+                while (p < np) {
+                  val base = p * 3
+                  val gray3 = (px(base) & 0xff) +
+                    (px(base + 1) & 0xff) + (px(base + 2) & 0xff)
+                  val d = (p.toLong * dims / np).toInt
+                  sums(d) += gray3; cnts(d) += 1
+                  p += 1
                 }
-                acc.toDouble
-              }.toArray
+                Array.tabulate(dims)(d =>
+                  if (cnts(d) == 0) 0.0
+                  else sums(d).toDouble / (3.0 * cnts(d)))
+              case None =>
+                // STUB: stride-fold of bytes stands in for decoded
+                // features (JPEG/WAV — no DCT/sample codec here)
+                (0 until dims).map { d =>
+                  var acc = 0L; var i = d
+                  while (i < payload.length) {
+                    acc += (payload(i) & 0xff); i += dims
+                  }
+                  acc.toDouble
+                }.toArray
+            }
           }
         Row(id, mtype, feats)
       }
@@ -315,9 +544,12 @@ object Multimodal {
    *    result is re-encoded as a well-formed 24bpp BMP (bottom-up padded
    *    rows, rebuilt headers), so it round-trips through [[mediaMeta]]
    *    and feeds every downstream pixel operator.
+   *  - 8-bit RGB PNG payloads (r14) take the same REAL path over
+   *    [[pngPixels]]-decoded pixels, re-encoded via [[writePng]] as a
+   *    valid PNG with the actual output dimensions in its IHDR.
    *  - Anything else falls back to the documented every-Nth-byte STUB
-   *    (no codecs in this environment; a production deployment swaps the
-   *    branch for a decoder+scaler).
+   *    (JPEG/WAV — no such codec in this environment; a production
+   *    deployment swaps the branch for a decoder+scaler).
    *
    * Same batched mapPartitions shape as [[extractFeatures]]:
    * per-partition setup once, tight loop, payload AND metadata rewritten
@@ -376,13 +608,51 @@ object Multimodal {
             }
             Row(id, mtype, out,
               Row(out.length.toLong, rw, rh, null))
-          case None =>
-            // STUB: every-Nth-byte downsample (no codec available)
-            val n = (payload.length + factor - 1) / factor
-            val b = new Array[Byte](n)
-            var i = 0
-            while (i < n) { b(i) = payload(i * factor); i += 1 }
-            Row(id, mtype, b, Row(b.length.toLong, null, null, null))
+          case None => pngPixels(payload) match {
+            case Some(px) =>
+              // REAL: box-filter downsample of the PNG-decoded pixels,
+              // re-encoded as a valid PNG ([[writePng]]) so the result
+              // round-trips through mediaMeta and the pixel operators
+              val (w, h) = pngHeader(payload).get
+              val rw = (w + factor - 1) / factor
+              val rh = (h + factor - 1) / factor
+              val out = new Array[Byte](rw * rh * 3)
+              var y2 = 0
+              while (y2 < rh) {
+                var x2 = 0
+                while (x2 < rw) {
+                  val x0 = x2 * factor; val x1 = math.min(x0 + factor, w)
+                  val y0 = y2 * factor; val y1 = math.min(y0 + factor, h)
+                  val cnt = (x1 - x0) * (y1 - y0)
+                  var c = 0
+                  while (c < 3) {
+                    var sum = 0L
+                    var y = y0
+                    while (y < y1) {
+                      var x = x0
+                      while (x < x1) {
+                        sum += px((y * w + x) * 3 + c) & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    out((y2 * rw + x2) * 3 + c) = (sum / cnt).toByte
+                    c += 1
+                  }
+                  x2 += 1
+                }
+                y2 += 1
+              }
+              val enc = writePng(rw, rh, out)
+              Row(id, mtype, enc, Row(enc.length.toLong, rw, rh, null))
+            case None =>
+              // STUB: every-Nth-byte downsample (JPEG/WAV — no codec)
+              val n = (payload.length + factor - 1) / factor
+              val b = new Array[Byte](n)
+              var i = 0
+              while (i < n) { b(i) = payload(i * factor); i += 1 }
+              Row(id, mtype, b, Row(b.length.toLong, null, null, null))
+          }
         }
       }
     }

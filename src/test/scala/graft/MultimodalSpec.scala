@@ -120,6 +120,164 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f2.head - (70 + 80 + 90 + 135 + 145 + 155) / 6.0) < 1e-12)
   }
 
+  /** Forward-filter a row the PNG way (encode direction — the spec's
+    * independent implementation; Multimodal.pngPixels only decodes).
+    * prev is the previous row's RECONSTRUCTED bytes (empty for row 0). */
+  private def pngFilterRow(ft: Int, row: Array[Int],
+                           prev: Array[Int]): Array[Int] = {
+    row.indices.map { x =>
+      val left = if (x >= 3) row(x - 3) else 0
+      val up = if (prev.nonEmpty) prev(x) else 0
+      val ul = if (prev.nonEmpty && x >= 3) prev(x - 3) else 0
+      val pred = ft match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) >> 1
+        case 4 =>
+          val p = left + up - ul
+          val pa = math.abs(p - left); val pb = math.abs(p - up)
+          val pc = math.abs(p - ul)
+          if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+      }
+      (row(x) - pred) & 0xff
+    }.toArray
+  }
+
+  /** Hand-assemble a real PNG: per-row filter types, REAL zlib
+    * compression (java.util.zip.Deflater — NOT the stored-block path
+    * writePng uses), correct CRC32/adler32. */
+  private def pngWithFilters(w: Int, h: Int, rgb: Array[Int],
+                             filters: Seq[Int]): Array[Byte] = {
+    val stride = w * 3
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = Array.empty[Int]
+    for (y <- 0 until h) {
+      val row = rgb.slice(y * stride, (y + 1) * stride)
+      raw.write(filters(y))
+      pngFilterRow(filters(y), row, prev).foreach(raw.write)
+      prev = row
+    }
+    val rb = raw.toByteArray
+    val comp = new java.io.ByteArrayOutputStream()
+    val defl = new java.util.zip.Deflater()
+    val dos = new java.util.zip.DeflaterOutputStream(comp, defl)
+    dos.write(rb); dos.close()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be4(v: Long): Unit = (3 to 0 by -1).foreach(k =>
+        out.write(((v >> (8 * k)) & 0xff).toInt))
+      be4(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data); be4(crc.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    def ibe4(i: Int, v: Int): Unit = (0 to 3).foreach(k =>
+      ihdr(i + k) = ((v >> (8 * (3 - k))) & 0xff).toByte)
+    ibe4(0, w); ibe4(4, h); ihdr(8) = 8; ihdr(9) = 2
+    chunk("IHDR", ihdr)
+    // split the stream across two IDATs: the chunk walk must reassemble
+    val cb = comp.toByteArray
+    val cut = cb.length / 2
+    chunk("IDAT", cb.take(cut)); chunk("IDAT", cb.drop(cut))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG lane: real inflate + all four row filters decode exactly") {
+    // 3x5 image exercising every filter type (one per row), real
+    // Deflater compression, IDAT split in two. The decode must equal
+    // the source pixels AND agree with ImageIO — an independent
+    // production decoder — on the same bytes.
+    val w = 3; val h = 5
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 37 + 11) % 256)
+    val payload = pngWithFilters(w, h, rgb, Seq(0, 1, 2, 3, 4))
+    val px = Multimodal.pngPixels(payload)
+    assert(px.nonEmpty, "decoder rejected a valid PNG")
+    assert(px.get.map(_ & 0xff).toSeq === rgb.toSeq)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) === rgb(base), s"R at ($x,$y)")
+      assert(((argb >> 8) & 0xff) === rgb(base + 1), s"G at ($x,$y)")
+      assert((argb & 0xff) === rgb(base + 2), s"B at ($x,$y)")
+    }
+    // malformed inputs are rejected, not crashed
+    assert(Multimodal.pngPixels(payload.take(40)).isEmpty)
+    assert(Multimodal.pngPixels(null).isEmpty)
+    val badFilter = pngWithFilters(w, h, rgb, Seq(0, 1, 2, 3, 4))
+    // corrupting compressed bytes must not yield pixels
+    badFilter(45) = (badFilter(45) ^ 0x5a).toByte
+    // (either inflate fails or the byte count is wrong — both None; a
+    // lucky bitflip that still inflates to the right length may decode,
+    // so only assert no crash)
+    Multimodal.pngPixels(badFilter)
+  }
+
+  test("writePng emits valid PNGs: ImageIO and pngPixels agree") {
+    val w = 5; val h = 3
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 7) % 256).toByte)
+    val payload = Multimodal.writePng(w, h, rgb)
+    // our own decoder round-trips
+    assert(Multimodal.pngPixels(payload).get.toSeq === rgb.toSeq)
+    // an independent production decoder accepts the stored-deflate
+    // zlib stream, the CRCs and the adler32
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO rejected writePng output")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) === (rgb(base) & 0xff))
+      assert(((argb >> 8) & 0xff) === (rgb(base + 1) & 0xff))
+      assert((argb & 0xff) === (rgb(base + 2) & 0xff))
+    }
+    // scan-side header parse sees the IHDR dims
+    assert(Multimodal.pngHeader(payload).get === ((w, h)))
+  }
+
+  test("PNG pixel operators: features match BMP of identical pixels; resize is real") {
+    import spark.implicits._
+    // same logical pixels as the BMP-lane test, encoded as PNG
+    val px = Seq(
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)),
+      Seq((100, 110, 120), (130, 140, 150), (200, 210, 220)))
+    // NOTE: test bmp() helper takes (b, g, r) tuples in BGR channel
+    // order; build the PNG from the SAME logical channel values
+    val pngBytes = Multimodal.writePng(3, 2,
+      px.flatten.flatMap { case (b, g, r) => Seq(r, g, b) }
+        .map(_.toByte).toArray)
+    val bmpBytes = bmp(px)
+    val m = Multimodal.toMediaFrame(
+      Seq((1L, pngBytes), (2L, bmpBytes)).toDF("id", "payload"),
+      "id", "payload", lit("image"))
+    // identical pixels -> identical gray-block features across formats
+    val f = Multimodal.extractFeatures(m, dims = 4)
+      .orderBy("media_id").select("features")
+      .collect().map(_.getSeq[Double](0))
+    assert(f(0) === f(1), "cross-format feature divergence")
+    // factor-2 resize on the PNG: 2x1 output, floor box means, valid
+    // PNG out, meta carries the real output dims
+    val r = Multimodal.resize(m.filter(col("media_id") === 1), factor = 2)
+    val row = r.select(col("meta.width"), col("meta.height"),
+      col("payload")).head()
+    assert(row.getInt(0) === 2 && row.getInt(1) === 1)
+    val rpx = Multimodal.pngPixels(row.getAs[Array[Byte]](2)).get
+      .map(_ & 0xff)
+    // block (0,0): channel means over the 2x2 block (floor); block
+    // (1,0): over the rightmost 1x2 column — same values as the BMP
+    // resize test (channel-order symmetric arithmetic)
+    assert(rpx.toSeq === Seq(90, 80, 70, 155, 145, 135))
+  }
+
   test("pixel-content dedup: byte-different encodings of identical pixels merge") {
     import spark.implicits._
     // 3x2 image (w*3 = 9 -> 3 padding bytes per row, so the padding
