@@ -120,6 +120,76 @@ object ExtMultimodalQueries {
       unhex(array_join(rowsHex, "")))
   }
 
+  /** 8-bit truecolor non-interlaced PNG fixture with the SAME logical
+    * pixels as [[bmpPayload]] (top-down pixel (x, y): R = (2·id + x +
+    * 11y) % 256, G = (3·id + 5x + y) % 256, B = (id + 7x + 13y) % 256;
+    * w ∈ 2..6, h ∈ 2..5), so the cross-format dedup query groups a
+    * doc's BMP and PNG encodings together on decoded CONTENT. Rows
+    * alternate PNG filters — None (even y) / Sub (odd y; the filtered
+    * byte is the mod-256 delta against the left pixel's channel) — and
+    * the filtered stream rides in ONE stored (BTYPE=00) deflate block
+    * inside a zlib wrapper with a CORRECT adler32 computed in Column
+    * space, so the Spark side decodes the payload with the real
+    * `java.util.zip.Inflater` + unfilter while the oracle reads every
+    * byte from its computable hex position and reconstructs Sub rows
+    * by prefix sums over the PARSED bytes — the BmpPixelsOracle
+    * discipline. Chunk CRC32 fields are ZEROED (a bit-reflected
+    * polynomial fold is not reasonably expressible in SQL): integrity
+    * trailers, not pixel data — the decoder skips them, like libpng's
+    * CRC-skip mode; [[graft.ext.Multimodal.writePng]] (the production
+    * writer) emits real CRCs. */
+  private def pngPayload(): Column = {
+    val id = col("doc_id")
+    val w = (id % 5 + 2).cast("int")
+    val h = (id % 4 + 2).cast("int")
+    def hx(v: Column) = lpad(hex(v.cast("long")), 2, "0")
+    // raw (filtered) byte VALUES in stream order: per row, the filter
+    // byte then w interleaved RGB triples (Sub rows: x=0 keeps the
+    // pixel, x>0 stores the constant per-channel deltas 1/5/7 the
+    // linear formulas induce — generation shortcut only; decode and
+    // oracle both RECONSTRUCT from the bytes)
+    val rawArr = flatten(transform(sequence(lit(0), h - 1), y => {
+      val f = pmod(y, lit(2))
+      val pix = flatten(transform(sequence(lit(0), w - 1), x => {
+        val r = pmod(id * 2 + x + y * 11, lit(256))
+        val g = pmod(id * 3 + x * 5 + y, lit(256))
+        val b = pmod(id + x * 7 + y * 13, lit(256))
+        val sub = f === 1 && x > 0
+        array(
+          when(sub, lit(1L)).otherwise(r.cast("long")),
+          when(sub, lit(5L)).otherwise(g.cast("long")),
+          when(sub, lit(7L)).otherwise(b.cast("long")))
+      }))
+      concat(array(f.cast("long")), pix)
+    }))
+    val n = size(rawArr)
+    val rawLen = (h * (w * 3 + 1)).cast("long") // == n
+    // adler32 over the raw stream: A = (1 + Σd) mod 65521,
+    // B = (n + Σ_j (n - j + 1)·d_j) mod 65521, trailer = B·2¹⁶ + A
+    val sumS = aggregate(rawArr, lit(0L), (acc, d) => acc + d)
+    val sumW = aggregate(
+      zip_with(rawArr, sequence(n, lit(1), lit(-1)), (d, k) => d * k),
+      lit(0L), (acc, v) => acc + v)
+    val adler = pmod(n.cast("long") + sumW, lit(65521L)) * 65536L +
+      pmod(lit(1L) + sumS, lit(65521L))
+    val rawHex = array_join(transform(rawArr, v => hx(v)), "")
+    concat(
+      unhex(lit("89504E470D0A1A0A")),                    // signature
+      unhex(lit("0000000D")), encode(lit("IHDR"), "UTF-8"),
+      beBin(w.cast("long"), 4), beBin(h.cast("long"), 4),
+      unhex(lit("0802000000")),  // 8-bit, truecolor, deflate/adaptive/progressive-off
+      unhex(lit("00000000")),                            // IHDR CRC (zeroed)
+      beBin(rawLen + 11L, 4), encode(lit("IDAT"), "UTF-8"),
+      unhex(lit("7801")),                                // zlib CMF/FLG
+      unhex(lit("01")),                                  // BFINAL | stored
+      leBin(rawLen, 2), leBin(lit(65535L) - rawLen, 2),  // LEN, NLEN
+      unhex(rawHex),
+      beBin(adler, 4),
+      unhex(lit("00000000")),                            // IDAT CRC (zeroed)
+      unhex(lit("00000000")), encode(lit("IEND"), "UTF-8"),
+      unhex(lit("00000000")))                            // IEND CRC (zeroed)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // REAL format-header parsing (r11): payloads carry genuine PNG IHDR /
@@ -435,7 +505,86 @@ object ExtMultimodalQueries {
           count(lit(1)).cast("long").as("n_members"),
           countDistinct(col("pmd5")).cast("long").as("n_byte_variants"))
         .select("keeper_id", "w", "h", "n_members", "n_byte_variants")
-    }, Some(BmpPixelDedupOracle.sql))
+    }, Some(BmpPixelDedupOracle.sql)),
+
+
+    // REAL PNG pixel lane (r14): payloads are valid zlib-wrapped PNGs
+    // (stored deflate blocks, correct adler32, rows alternating the
+    // None and Sub filters) that the Spark side decodes with the
+    // PRODUCTION path — java.util.zip.Inflater + the four-filter
+    // reconstruction in Multimodal.pngPixels — then feature-extracts,
+    // factor-2 box-resizes and RE-ENCODES via writePng, whose output
+    // the independent mediaMeta parser re-reads. The oracle rebuilds
+    // the same payload bytes in hex space, PARSES width/height/filter
+    // bytes back out of them, reconstructs Sub rows by prefix sums
+    // over the parsed bytes (never the generator formulas), and
+    // replays the feature/resize arithmetic.
+    QueryDef("ext_mm_png_pixels", (s, dir) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, dir)
+          .withColumn("payload", ExtMultimodalQueries.pngPayload()),
+        "doc_id", "payload", lit("image"))
+      val resized = Multimodal.resize(media, factor = 2)
+      val feats = Multimodal.extractFeatures(media, dims = 4)
+      val rstats = Multimodal.extractFeatures(resized, dims = 1)
+      val rMeta = Multimodal.mediaMeta(col("payload"))
+      media.select(col("media_id"),
+          col("meta.width").cast("long").as("w"),
+          col("meta.height").cast("long").as("h"))
+        .join(resized.select(col("media_id"),
+            length(col("payload")).cast("long").as("r_bytes"),
+            rMeta.getField("width").cast("long").as("rw"),
+            rMeta.getField("height").cast("long").as("rh")),
+          Seq("media_id"))
+        .join(feats.select(col("media_id") +: (0 until 4).map(i =>
+            round(element_at(col("features"), i + 1) + lit(1e-9), 6)
+              .as(s"f$i")): _*),
+          Seq("media_id"))
+        .join(rstats.select(col("media_id"),
+            round(element_at(col("features"), 1) + lit(1e-9), 6)
+              .as("r_mean")),
+          Seq("media_id"))
+    }, Some(PngPixelsOracle.sql)),
+
+
+    // CROSS-FORMAT pixel-content dedup (r14): every document ships
+    // once as a BMP and once as a PNG — different FORMATS, different
+    // compression layouts, identical logical pixels — and the dedup
+    // key is gray-block features over each payload's own DECODED
+    // pixels, so the pair collapses to the min media_id. This is the
+    // property neither a payload-byte hash nor a header compare can
+    // claim: content identity across encodings. PNG ids shift by the
+    // derived max(doc_id)+1 stride (never a literal). The oracle
+    // rebuilds BOTH formats in hex space and parses each one's pixels
+    // out of its own bytes — BMP via bottom-up stride arithmetic, PNG
+    // via filter-byte reconstruction.
+    QueryDef("ext_mm_png_pixel_dedup", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shift = broadcast(
+        docs.agg((max(col("doc_id")) + lit(1L)).as("__shift")))
+      val a = docs.withColumn("payload", bmpPayload())
+        .select(col("doc_id"), col("payload"))
+      val b = docs.withColumn("payload", ExtMultimodalQueries.pngPayload())
+        .crossJoin(shift)
+        .select((col("doc_id") + col("__shift")).as("doc_id"),
+          col("payload"))
+      val media = Multimodal.toMediaFrame(
+        a.unionByName(b), "doc_id", "payload", lit("image"))
+      val feats = Multimodal.extractFeatures(media, dims = 4)
+      val keyed = media.select(col("media_id"),
+          col("meta.width").cast("long").as("w"),
+          col("meta.height").cast("long").as("h"),
+          md5(col("payload")).as("pmd5"))
+        .join(feats.select(col("media_id") +: (0 until 4).map(i =>
+            round(element_at(col("features"), i + 1) + lit(1e-9), 6)
+              .as(s"f$i")): _*),
+          Seq("media_id"))
+      keyed.groupBy("w", "h", "f0", "f1", "f2", "f3")
+        .agg(min(col("media_id")).cast("long").as("keeper_id"),
+          count(lit(1)).cast("long").as("n_members"),
+          countDistinct(col("pmd5")).cast("long").as("n_formats"))
+        .select("keeper_id", "w", "h", "n_members", "n_formats")
+    }, Some(PngCrossFormatDedupOracle.sql))
   )
 }
 
@@ -642,6 +791,246 @@ private[queries] object BmpPixelDedupOracle {
       CAST(count(*) AS BIGINT) AS n_members,
       CAST(count(DISTINCT hx) AS BIGINT) AS n_byte_variants
     FROM keyed GROUP BY w, h, f0, f1, f2, f3"""
+}
+
+/**
+ * Shared hex-space fragments for the PNG pixel oracles: the payload
+ * BUILD (same bytes as [[ExtMultimodalQueries.pngPayload]] — stored
+ * deflate block, Column-computed adler32, zeroed CRCs) and the honest
+ * PARSE back — width/height out of the IHDR bytes, per-row filter
+ * bytes out of the raw stream, Sub rows reconstructed by prefix sums
+ * over the PARSED bytes (a whole-row Sub filter telescopes to a
+ * running mod-256 sum), never the generator formulas.
+ */
+private[queries] object PngOracleFragments {
+  def byteAt(h: String, p: String): String =
+    s"((strpos('0123456789ABCDEF', substr($h, 2*($p) - 1, 1)) - 1) * 16 " +
+      s"+ (strpos('0123456789ABCDEF', substr($h, 2*($p), 1)) - 1))"
+  def be4(h: String, p: String): String =
+    s"(${byteAt(h, p)} * 16777216 + ${byteAt(h, s"$p + 1")} * 65536 " +
+      s"+ ${byteAt(h, s"$p + 2")} * 256 + ${byteAt(h, s"$p + 3")})"
+  /** Little-endian hex of expression `v` over `n` bytes. */
+  def leHex(v: String, n: Int): String =
+    (0 until n)
+      .map(i => s"substr(lpad(to_hex($v), ${2 * n}, '0'), " +
+        s"${2 * n - 2 * i - 1}, 2)")
+      .mkString("(", " || ", ")")
+
+  /** CTE chain `geomp → ppay(media_id, hx)` building every document's
+    * PNG payload hex with media_id = doc_id + `idShift`. */
+  def buildCtes(idShift: String): String = s"""geomp AS (
+      SELECT doc_id, doc_id % 5 + 2 AS gw, doc_id % 4 + 2 AS gh
+      FROM documents),
+    prawb AS (
+      SELECT doc_id, gw, gh, gh * (1 + 3 * gw) AS rawlen,
+        flatten(list_transform(range(0, gh), y ->
+          list_concat([CAST(y % 2 AS BIGINT)],
+            flatten(list_transform(range(0, gw), x ->
+              CASE WHEN y % 2 = 1 AND x > 0
+                THEN [CAST(1 AS BIGINT), CAST(5 AS BIGINT),
+                      CAST(7 AS BIGINT)]
+                ELSE [CAST((2 * doc_id + x + 11 * y) % 256 AS BIGINT),
+                      CAST((3 * doc_id + 5 * x + y) % 256 AS BIGINT),
+                      CAST((doc_id + 7 * x + 13 * y) % 256 AS BIGINT)]
+              END))))) AS raw
+      FROM geomp),
+    padler AS (
+      SELECT doc_id, gw, gh, rawlen, raw,
+        CAST((1 + list_aggregate(raw, 'sum')) % 65521 AS BIGINT) AS ada,
+        CAST((rawlen + list_aggregate(
+            list_transform(range(1, rawlen + 1),
+              j -> raw[CAST(j AS INT)] * (rawlen - j + 1)), 'sum'))
+          % 65521 AS BIGINT) AS adb
+      FROM prawb),
+    ppay AS (
+      SELECT doc_id + $idShift AS media_id,
+        '89504E470D0A1A0A' || '0000000D' || '49484452'
+          || lpad(to_hex(gw), 8, '0') || lpad(to_hex(gh), 8, '0')
+          || '0802000000' || '00000000'
+          || lpad(to_hex(rawlen + 11), 8, '0') || '49444154'
+          || '7801' || '01'
+          || ${leHex("rawlen", 2)} || ${leHex("(65535 - rawlen)", 2)}
+          || array_to_string(list_transform(raw,
+               v -> lpad(to_hex(v), 2, '0')), '')
+          || lpad(to_hex(adb * 65536 + ada), 8, '0')
+          || '00000000' || '00000000' || '49454E44' || '00000000' AS hx
+      FROM padler)"""
+
+  /** CTE chain `phdr → prec(media_id, w, h, y, x, r, g, b)` parsing
+    * pixels back out of `ppay`'s bytes. Raw data starts at 1-based hex
+    * byte 49 (8 sig + 25 IHDR + 8 IDAT hdr + 2 zlib + 5 stored-block
+    * header); each row is one filter byte + 3w channel bytes. */
+  val parseCtes: String = s"""phdr AS (
+      SELECT media_id, hx, ${be4("hx", "17")} AS w, ${be4("hx", "21")} AS h,
+        1 + 3 * ${be4("hx", "17")} AS rowbytes
+      FROM ppay),
+    pcols AS (
+      SELECT media_id, w, h, p // w AS y, p % w AS x,
+        ${byteAt("hx", "49 + (p // w) * rowbytes")} AS fb,
+        ${byteAt("hx", "49 + (p // w) * rowbytes + 1 + 3 * (p % w)")} AS rawr,
+        ${byteAt("hx", "49 + (p // w) * rowbytes + 1 + 3 * (p % w) + 1")} AS rawg,
+        ${byteAt("hx", "49 + (p // w) * rowbytes + 1 + 3 * (p % w) + 2")} AS rawb
+      FROM (SELECT media_id, hx, w, h, rowbytes,
+          unnest(range(0, w * h)) AS p FROM phdr)),
+    prec AS (
+      SELECT media_id, w, h, y, x,
+        CAST(CASE WHEN fb = 0 THEN rawr
+          ELSE (sum(rawr) OVER win) % 256 END AS BIGINT) AS r,
+        CAST(CASE WHEN fb = 0 THEN rawg
+          ELSE (sum(rawg) OVER win) % 256 END AS BIGINT) AS g,
+        CAST(CASE WHEN fb = 0 THEN rawb
+          ELSE (sum(rawb) OVER win) % 256 END AS BIGINT) AS b
+      FROM pcols
+      WINDOW win AS (PARTITION BY media_id, y ORDER BY x
+        ROWS UNBOUNDED PRECEDING))"""
+
+  /** Gray-block feature pivot over `prec` (the BmpPixelsOracle
+    * arithmetic, channel-order symmetric). */
+  val featCtes: String = """pfeat AS (
+      SELECT media_id, (y * w + x) * 4 // (w * h) AS d,
+        CAST(sum(r + g + b) AS BIGINT) AS s3,
+        CAST(count(*) AS BIGINT) AS c
+      FROM prec GROUP BY 1, 2),
+    pfpiv AS (
+      SELECT media_id,
+        round(max(CASE WHEN d = 0 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f0,
+        round(max(CASE WHEN d = 1 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f1,
+        round(max(CASE WHEN d = 2 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f2,
+        round(max(CASE WHEN d = 3 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f3
+      FROM pfeat GROUP BY 1)"""
+}
+
+/**
+ * DuckDB replay of `ext_mm_png_pixels`: build the PNG hex, parse the
+ * pixels back (filter-byte reconstruction), replay the gray-block
+ * features, the factor-2 floor box resize and the resized-payload
+ * byte accounting (a single-stored-block writePng re-encode of an
+ * rw×rh image is exactly rh·(1+3·rw) + 68 bytes: 8 signature +
+ * 25 IHDR + 12 IDAT framing + 11 zlib/stored overhead + raw + 12 IEND).
+ */
+private[queries] object PngPixelsOracle {
+  import PngOracleFragments._
+  val sql: String = s"""WITH ${buildCtes("0")},
+    $parseCtes,
+    $featCtes,
+    prblk AS (
+      SELECT media_id, x // 2 AS x2, y // 2 AS y2,
+        CAST(sum(r) AS BIGINT) // count(*) AS cr,
+        CAST(sum(g) AS BIGINT) // count(*) AS cg,
+        CAST(sum(b) AS BIGINT) // count(*) AS cb
+      FROM prec GROUP BY 1, 2, 3),
+    prstat AS (
+      SELECT media_id,
+        round(CAST(sum(cr + cg + cb) AS DOUBLE) / (3.0 * count(*))
+          + 1e-9, 6) AS r_mean
+      FROM prblk GROUP BY 1),
+    pdims AS (
+      SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        CAST((w + 1) // 2 AS BIGINT) AS rw,
+        CAST((h + 1) // 2 AS BIGINT) AS rh,
+        CAST(((h + 1) // 2) * (1 + 3 * ((w + 1) // 2)) + 68 AS BIGINT)
+          AS r_bytes
+      FROM phdr)
+    SELECT d.media_id, d.w, d.h, d.r_bytes, d.rw, d.rh,
+      f.f0, f.f1, f.f2, f.f3, rs.r_mean
+    FROM pdims d
+      JOIN pfpiv f ON f.media_id = d.media_id
+      JOIN prstat rs ON rs.media_id = d.media_id"""
+}
+
+/**
+ * DuckDB replay of `ext_mm_png_pixel_dedup`: rebuild every document's
+ * BMP (bottom-up stride layout, the BmpPixelsOracle build) AND its PNG
+ * (filtered stored-deflate stream), parse each format's pixels out of
+ * its OWN bytes with that format's arithmetic, replay the shared
+ * gray-block features, then group on (w, h, features) exactly like the
+ * Spark side — distinct hex payloads stand in for the distinct payload
+ * md5s (equal counts by construction). PNG media_ids shift by the same
+ * derived max(doc_id)+1 stride as the Spark query.
+ */
+private[queries] object PngCrossFormatDedupOracle {
+  import PngOracleFragments.{byteAt, be4, leHex}
+  private def le4(h: String, p: String): String =
+    s"(${byteAt(h, p)} + ${byteAt(h, s"$p + 1")} * 256 " +
+      s"+ ${byteAt(h, s"$p + 2")} * 65536 " +
+      s"+ ${byteAt(h, s"$p + 3")} * 16777216)"
+
+  val sql: String = s"""WITH ${PngOracleFragments.buildCtes(
+        "(SELECT max(doc_id) + 1 FROM documents)")},
+    ${PngOracleFragments.parseCtes},
+    ${PngOracleFragments.featCtes},
+    pkeyed AS (
+      SELECT hd.media_id, CAST(hd.w AS BIGINT) AS w,
+        CAST(hd.h AS BIGINT) AS h, f.f0, f.f1, f.f2, f.f3, hd.hx
+      FROM phdr hd JOIN pfpiv f ON f.media_id = hd.media_id),
+    bgeom AS (SELECT doc_id, doc_id % 5 + 2 AS gw, doc_id % 4 + 2 AS gh,
+        (doc_id % 5 + 2) * 3
+          + (4 - ((doc_id % 5 + 2) * 3) % 4) % 4 AS gstride
+      FROM documents),
+    bpay AS (
+      SELECT doc_id AS media_id,
+        '424D' || ${leHex("(gstride * gh + 54)", 4)} || '00000000'
+          || '36000000' || '28000000'
+          || ${leHex("gw", 4)} || ${leHex("gh", 4)}
+          || '0100' || '1800' || '00000000' || ${leHex("(gstride * gh)", 4)}
+          || '00000000' || '00000000' || '00000000' || '00000000'
+          || array_to_string(list_transform(range(0, gh), r ->
+               array_to_string(list_transform(range(0, gw), x ->
+                   lpad(to_hex((doc_id + x * 7 + (gh - 1 - r) * 13) % 256),
+                     2, '0')
+                || lpad(to_hex((doc_id * 3 + x * 5 + (gh - 1 - r)) % 256),
+                     2, '0')
+                || lpad(to_hex((doc_id * 2 + x + (gh - 1 - r) * 11) % 256),
+                     2, '0')), '')
+               || substr('000000', 1,
+                    CAST((gstride - gw * 3) * 2 AS INT))), '') AS hx
+      FROM bgeom),
+    bhdr AS (
+      SELECT media_id, hx,
+        ${le4("hx", "19")} AS w, ${le4("hx", "23")} AS h,
+        ${le4("hx", "11")} AS off,
+        (${le4("hx", "19")} * 3 + 3) // 4 * 4 AS stride
+      FROM bpay),
+    bopx AS (
+      SELECT media_id, w, h, p,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 1")}
+          AS b,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 2")}
+          AS g,
+        ${byteAt("hx", "off + (h - 1 - p // w) * stride + (p % w) * 3 + 3")}
+          AS r
+      FROM (SELECT media_id, hx, w, h, off, stride,
+          unnest(range(0, w * h)) AS p FROM bhdr)),
+    bfeat AS (
+      SELECT media_id, p * 4 // (w * h) AS d,
+        CAST(sum(b + g + r) AS BIGINT) AS s3,
+        CAST(count(*) AS BIGINT) AS c
+      FROM bopx GROUP BY 1, 2),
+    bfpiv AS (
+      SELECT media_id,
+        round(max(CASE WHEN d = 0 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f0,
+        round(max(CASE WHEN d = 1 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f1,
+        round(max(CASE WHEN d = 2 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f2,
+        round(max(CASE WHEN d = 3 THEN CAST(s3 AS DOUBLE) / (3.0 * c) END)
+          + 1e-9, 6) AS f3
+      FROM bfeat GROUP BY 1),
+    bkeyed AS (
+      SELECT hd.media_id, CAST(hd.w AS BIGINT) AS w,
+        CAST(hd.h AS BIGINT) AS h, f.f0, f.f1, f.f2, f.f3, hd.hx
+      FROM bhdr hd JOIN bfpiv f ON f.media_id = hd.media_id),
+    allkeyed AS (
+      SELECT * FROM bkeyed UNION ALL SELECT * FROM pkeyed)
+    SELECT CAST(min(media_id) AS BIGINT) AS keeper_id, w, h,
+      CAST(count(*) AS BIGINT) AS n_members,
+      CAST(count(DISTINCT hx) AS BIGINT) AS n_formats
+    FROM allkeyed GROUP BY w, h, f0, f1, f2, f3"""
 }
 
 private[queries] object RealHeaderOracle {
