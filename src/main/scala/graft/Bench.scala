@@ -504,7 +504,7 @@ object Bench {
     * `bench_loop.sh`'s whole-run flock(1) is the BSD family and only
     * serializes loop instances against each other; the file-level RMW
     * races are guarded by this fcntl pair. */
-  private def withBenchLock[T](outDir: java.io.File)(body: => T): T = {
+  private[graft] def withBenchLock[T](outDir: java.io.File)(body: => T): T = {
     val ch = java.nio.channels.FileChannel.open(
       new java.io.File(outDir, ".bench.lock").toPath,
       java.nio.file.StandardOpenOption.CREATE,

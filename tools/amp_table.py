@@ -2,12 +2,18 @@
 """Aggregate the x10 (sf1-equivalent) scale-point measurements into the
 SCALE.md table.
 
-Inputs:
-  --amp-spark  one or more AmpBench bench-mode JSON lines (repeat runs;
-               per-query MINIMA are taken across them)
-  --amp-duck   duckdb_bench.py output over the SAME amplified dir
-  --ref-spark  a round floors file at sf0.1 (bench_results/rNN.json)
-  --ref-duck   bench_results/duckdb_floors.json (sf0.1 DuckDB floors)
+Inputs (ALL optional since r14 — defaults are the DURABLE artifacts,
+so the quoted table always reflects final-depth floors):
+  --amp-spark  AmpBench bench-mode JSON lines or the min-merged durable
+               artifact; default: the latest bench_results/amp_r*_spark
+               .json (AmpBench min-merges every run into it)
+  --amp-duck   duckdb_bench.py output (or merged artifact) over the
+               SAME amplified dir; default: the latest
+               bench_results/amp_r*_duck.json
+  --ref-spark  a round floors file at sf0.1; default: the latest
+               bench_results/r*.json
+  --ref-duck   sf0.1 DuckDB floors; default bench_results/duckdb_floors
+               .json
   --mult       amplification factor (default 10)
 
 Prints a markdown section: per-query slope (t_sf1 / t_sf0.1) for the
@@ -18,7 +24,12 @@ to catch). Write-side queries (s-family) are excluded from the
 vs-DuckDB ratios by the standing named-exclusion convention but still
 shown in the slope list (their slope is real work).
 """
-import argparse, json, re
+import argparse, glob, json, os, re
+
+
+def latest(pattern):
+    files = sorted(glob.glob(pattern))
+    return files[-1] if files else None
 
 
 def load_queries(path):
@@ -29,12 +40,27 @@ def load_queries(path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--amp-spark", nargs="+", required=True)
-    ap.add_argument("--amp-duck", required=True)
-    ap.add_argument("--ref-spark", required=True)
-    ap.add_argument("--ref-duck", required=True)
+    ap.add_argument("--amp-spark", nargs="+")
+    ap.add_argument("--amp-duck")
+    ap.add_argument("--ref-spark")
+    ap.add_argument("--ref-duck")
     ap.add_argument("--mult", type=int, default=10)
     a = ap.parse_args()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    br = os.path.join(here, "bench_results")
+    if not a.amp_spark:
+        a.amp_spark = [latest(os.path.join(br, "amp_r*_spark.json"))]
+        assert a.amp_spark[0], "no bench_results/amp_r*_spark.json yet"
+    if not a.amp_duck:
+        a.amp_duck = latest(os.path.join(br, "amp_r*_duck.json"))
+        assert a.amp_duck, "no bench_results/amp_r*_duck.json yet"
+    if not a.ref_spark:
+        a.ref_spark = latest(os.path.join(br, "r[0-9]*.json"))
+        assert a.ref_spark, "no bench_results/r*.json yet"
+    if not a.ref_duck:
+        a.ref_duck = os.path.join(br, "duckdb_floors.json")
+    print(f"# inputs: amp_spark={a.amp_spark} amp_duck={a.amp_duck} "
+          f"ref_spark={a.ref_spark} ref_duck={a.ref_duck}")
 
     amp_s = {}
     calib = None
@@ -42,7 +68,7 @@ def main():
         qs, d = load_queries(p)
         for k, v in qs.items():
             amp_s[k] = min(amp_s.get(k, v), v)
-        c = d.get("calib_sec")
+        c = d.get("calib_sec") or d.get("calib_min_sec")
         if c:
             calib = min(calib, c) if calib else c
     amp_d, _ = load_queries(a.amp_duck)
@@ -76,7 +102,8 @@ def main():
     for fam_name, members in [
             ("core", [q for q in common
                       if not re.match(r"(tpch|pl|st|ext|dq)_", q)]),
-            ("tpch", [q for q in common if q.startswith("tpch_")])]:
+            ("tpch", [q for q in common if q.startswith("tpch_")]),
+            ("ext", [q for q in common if q.startswith("ext_")])]:
         if not members:
             continue
         ratio_set = [q for q in members if not write_side(q)
