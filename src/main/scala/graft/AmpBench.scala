@@ -100,8 +100,84 @@ object AmpBench {
       case "bench" => bench(args(1))
       case "st" => st(args(1))
       case "ann" => ann(args(1))
+      case "graphs" => graphs(args(1))
       case other => sys.error(s"unknown mode $other")
     }
+  }
+
+  /**
+   * The graph family's documented scale path, MEASURED (r14): the four
+   * registered graph rows (kcore / lpa / pagerank / triangles) feed
+   * from the EXACT all-pairs knn graph — O(n²) by construction, and
+   * the ×10 bench shows exactly that (65–83× slopes at ×10 vectors).
+   * The knnGraph scaladoc names the corpus-scale path: LSH-bucketed
+   * candidate generation ([[graft.ext.Similarity.knnGraphApprox]]),
+   * exact scoring within buckets. This mode runs the SAME graph ops on
+   * the approx feeder at ×10 and reports wall + feeder edge recall vs
+   * the exact graph — the demonstration that the quadratic term lives
+   * in the feeder choice, not the graph operators (which are linear in
+   * edges per iteration). Persists bench_results/amp_r{N}_graphs.json.
+   */
+  private def graphs(dir: String): Unit = {
+    import graft.ext.{Graphs, Similarity}
+    val spark = graft.core.GraftSession.local(32, "graft-amp-graphs")
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    vecs.persist(); val n = vecs.count()
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def approxEdges(k: Int) = Similarity.knnGraphApprox(
+      vecs, "vec_id", "embedding", k = k, bits = 8, tables = 8,
+      multiprobeHamming = 1).select("src_id", "dst_id")
+    // feeder edge recall on a bounded probe subset (exact top-3 for 50
+    // sources via the fused operator — cheap; the FULL exact graph is
+    // the 400 M-pair scan this mode exists to avoid)
+    val probeIds = vecs.orderBy(col("vec_id")).limit(50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val exact50 = Similarity.bruteForceTopKFused(vecs, "vec_id", "embedding",
+        probeIds, "probe_id", "probe_vec", k = 4)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(desc("score"), col("vec_id"))))
+      .filter(col("__rn") <= 3)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (ae, aeSec) = timed {
+      val e = graft.core.CacheRegistry.persistTracked(approxEdges(3))
+      e.count(); e
+    }
+    val approx50 = ae.join(
+        probeIds.select(col("probe_id").as("src_id")), Seq("src_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edgeRecall = (exact50 & approx50).size.toDouble /
+      math.max(1, exact50.size)
+    val (_, kcSec) = timed(Graphs.kCore(ae, k = 5, iters = 2).count())
+    val (_, lpaSec) = timed(Graphs.labelPropagation(ae, iters = 2).count())
+    val (_, prSec) = timed(Graphs.pageRank(ae, iters = 2).count())
+    val (_, triSec) = timed(Graphs.triangleStats(ae).count())
+    val line = f"""{"n_vectors":$n,"feeder":"knnGraphApprox(k=3,bits=8,tables=8,multiprobe=1)",""" +
+      f""""feeder_wall_sec":$aeSec%.3f,"feeder_edge_recall_at3":$edgeRecall%.4f,""" +
+      f""""kcore_sec":$kcSec%.3f,"lpa_sec":$lpaSec%.3f,""" +
+      f""""pagerank_sec":$prSec%.3f,"triangles_sec":$triSec%.3f,""" +
+      f""""dir":"$dir"}"""
+    try {
+      val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))
+      val outDir = new java.io.File(repo, "bench_results")
+      outDir.mkdirs()
+      val f = new java.io.File(outDir, f"amp_r${roundNo(repo)}%02d_graphs.json")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[amp-graphs] wrote ${f.getPath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"amp graphs artifact write failed: $e") }
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
+    System.out.flush()
   }
 
   private def write(src: String, out: String, mult: Int): Unit = {

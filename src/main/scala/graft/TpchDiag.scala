@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-stage decomposition of the tpch-at-sf1 premium (r13 verdict
+ * task 2): runs the named tpch queries over an (amplified) dir with a
+ * stage listener and splits wall into SCAN (stages reading input
+ * bytes), EXCHANGE (shuffle write time + fetch wait), and COMPUTE
+ * (executor run time net of those), plus the scheduling residue (wall
+ * minus max-concurrent executor time). Also prints per-stage task
+ * counts so AQE's partition coalescing is auditable — thousands of
+ * tiny post-shuffle tasks at this data size is the classic local-mode
+ * constant-amplifier.
+ *
+ * Config sweep: each query runs under the session default
+ * (shuffle.partitions=32, AQE advisory 64 MB) and under runtime
+ * variants (advisory 16 MB / shuffle.partitions 8) — all settable
+ * without a new session, so the comparison is iso-JVM and warm.
+ *
+ *   sbt "runMain graft.TpchDiag /dev/shm/graft_sf1 tpch_q3 tpch_q9 tpch_q18"
+ */
+object TpchDiag {
+
+  private case class StageRec(name: String, tasks: Int, wallMs: Long,
+                              runMs: Long, cpuNs: Long, inBytes: Long,
+                              swBytes: Long, swTimeNs: Long,
+                              srBytes: Long, fetchWaitMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/dev/shm/graft_sf1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("tpch_q3", "tpch_q9", "tpch_q18")
+    val spark = graft.core.GraftSession.local(32, "graft-tpch-diag")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stages = scala.collection.concurrent.TrieMap[Int, StageRec]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+          yield c - s).getOrElse(0L)
+        stages(si.stageId) = StageRec(si.name.takeWhile(_ != '\n'),
+          si.numTasks, wall, m.executorRunTime, m.executorCpuTime,
+          m.inputMetrics.bytesRead, m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleWriteMetrics.writeTime,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleReadMetrics.fetchWaitTime)
+      }
+    })
+
+    // warm: classload + codegen outside timings
+    try spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
+
+    val variants = Seq(
+      ("default(sp=32,adv=64m)", () => {
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "67108864")
+      }),
+      ("adv=16m", () => {
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "16777216")
+      }),
+      ("sp=8", () => {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "67108864")
+      }))
+
+    for (name <- names) {
+      for ((vname, setConf) <- variants) {
+        setConf()
+        var best = Double.MaxValue
+        var bestStages = Map.empty[Int, StageRec]
+        for (_ <- 0 until 2) {
+          stages.clear()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best) { best = sec; bestStages = stages.toMap }
+        }
+        val recs = bestStages.values.toSeq
+        val scanMs = recs.filter(_.inBytes > 0).map(_.runMs).sum
+        val swMs = recs.map(_.swTimeNs).sum / 1000000
+        val fetchMs = recs.map(_.fetchWaitMs).sum
+        val runMs = recs.map(_.runMs).sum
+        val computeMs = runMs - scanMs - swMs - fetchMs
+        val stageWallMs = recs.map(_.wallMs).sum
+        println(f"[tpchdiag] $name%-9s $vname%-22s wall=$best%6.2fs " +
+          f"stages=${recs.size}%2d tasks=${recs.map(_.tasks).sum}%4d " +
+          f"run=${runMs / 1000.0}%6.2fs scan=${scanMs / 1000.0}%5.2fs " +
+          f"shufW=${swMs / 1000.0}%5.2fs fetch=${fetchMs / 1000.0}%5.2fs " +
+          f"other=${computeMs / 1000.0}%6.2fs " +
+          f"stageWall=${stageWallMs / 1000.0}%6.2fs " +
+          f"shufBytes=${recs.map(_.swBytes).sum / (1 << 20)}%4dMB")
+        // per-stage lines for the default variant only (the audit view)
+        if (vname.startsWith("default")) {
+          bestStages.toSeq.sortBy(_._1).foreach { case (id, r) =>
+            println(f"    stage $id%3d tasks=${r.tasks}%4d " +
+              f"wall=${r.wallMs / 1000.0}%6.2fs run=${r.runMs / 1000.0}%6.2fs " +
+              f"in=${r.inBytes / (1 << 20)}%4dMB sw=${r.swBytes / (1 << 20)}%4dMB " +
+              f"sr=${r.srBytes / (1 << 20)}%4dMB ${r.name}")
+          }
+        }
+      }
+    }
+    spark.stop()
+  }
+}
