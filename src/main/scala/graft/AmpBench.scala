@@ -148,7 +148,13 @@ object AmpBench {
       .select(col("probe_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val (ae, aeSec) = timed {
-      val e = graft.core.CacheRegistry.persistTracked(approxEdges(3))
+      // lineage CUT, not a registry persist: each graph op below caches
+      // and releases its own edge frame, and a registry release of an
+      // equal plan would evict this one too — the downstream ops would
+      // then silently recompute the 60 s feeder and time as feeder+op
+      // (the r11 cascade-invalidation lesson, re-learned here: the
+      // first pass measured pagerank at 60 s for a 60 k-edge graph)
+      val e = graft.core.CheckpointStrategy.Local.cut(approxEdges(3))
       e.count(); e
     }
     val approx50 = ae.join(
@@ -481,22 +487,34 @@ object AmpBench {
         probes, "probe_id", "probe_vec", k, nlist = 64, nprobe = 8),
       "probe_id", "vec_id"))
     // PQ codebooks train on the bounded id-ordered copy-0 sample
-    // (standard practice: training cost independent of corpus size)
+    // (standard practice: training cost independent of corpus size) at
+    // the production codebook size k=256 (the ScaleProbe ivfpq256
+    // operating point — 8 bits per subspace)
     val trainN = math.max(500L, n / 10)
     val (books, trainSec) = timed(Similarity.pqTrain(
       vecs.filter(col("vec_id") < trainN), "vec_id", "embedding",
-      dim = 64, m = 4, k = 32, iters = 3))
+      dim = 64, m = 4, k = 256, iters = 3))
     val (ivfpq, ivfpqSec) = timed(topkSet(
       Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
         probes, "probe_id", "probe_vec", books, k,
         nlist = 64, nprobe = 8, rerankFrom = 4 * k),
       "probe_id", "vec_id"))
+    // a second operating point: double the cell coverage and the
+    // re-rank window — the knob a production deployment turns when the
+    // corpus geometry is adversarial (uniform sphere: cluster-pruning
+    // recall is bounded by cell coverage, unlike the margin-driven LSH)
+    val (ivfpq2, ivfpq2Sec) = timed(topkSet(
+      Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        probes, "probe_id", "probe_vec", books, k,
+        nlist = 64, nprobe = 16, rerankFrom = 8 * k),
+      "probe_id", "vec_id"))
     val line =
       f"""{"n_vectors":$n,"k":$k,"n_probes":${truth.size},""" +
       f""""brute_force":{"wall_sec":$truthSec%.3f,"recall":1.0},""" +
       f""""lsh_multitable":{"wall_sec":$lshSec%.3f,"recall":${recallOf(lsh)}%.4f},""" +
-      f""""ivf":{"wall_sec":$ivfSec%.3f,"recall":${recallOf(ivf)}%.4f},""" +
-      f""""ivf_pq_rerank":{"wall_sec":$ivfpqSec%.3f,"recall":${recallOf(ivfpq)}%.4f,"train_sec":$trainSec%.3f},""" +
+      f""""ivf":{"wall_sec":$ivfSec%.3f,"recall":${recallOf(ivf)}%.4f,"coverage":0.125},""" +
+      f""""ivf_pq_rerank":{"wall_sec":$ivfpqSec%.3f,"recall":${recallOf(ivfpq)}%.4f,"train_sec":$trainSec%.3f,"coverage":0.125},""" +
+      f""""ivf_pq_rerank_wide":{"wall_sec":$ivfpq2Sec%.3f,"recall":${recallOf(ivfpq2)}%.4f,"coverage":0.25},""" +
       f""""dir":"$dir"}"""
     try {
       val repo = new java.io.File(sys.props.getOrElse("user.dir", "."))

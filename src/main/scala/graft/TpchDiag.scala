@@ -58,35 +58,44 @@ object TpchDiag {
     catch { case _: Throwable => () }
 
     val variants = Seq(
-      ("default(sp=32,adv=64m)", () => {
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-          "67108864")
-      }),
       ("adv=16m", () => {
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
           "16777216")
       }),
+      ("default(sp=32,adv=64m)", () => {
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "67108864")
+      }),
       ("sp=8", () => {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-          "67108864")
+          "16777216")
       }))
 
     for (name <- names) {
-      for ((vname, setConf) <- variants) {
+      // INTERLEAVED variant reps (warm every variant once unmeasured,
+      // then 3 rounds over all variants, min per variant): a fresh-JVM
+      // first variant pays residual JIT/page-cache warm-up that a
+      // sequential sweep misattributes to the config — the first cut
+      // of this tool measured the LEADING variant ~2× worse whichever
+      // config led.
+      variants.foreach { case (_, sc) =>
+        sc(); SparkEntry.queries(name)(spark, dir).count() }
+      val best = scala.collection.mutable.Map[String, (Double, Map[Int, StageRec])]()
+      for (_ <- 0 until 3; (vname, setConf) <- variants) {
         setConf()
-        var best = Double.MaxValue
-        var bestStages = Map.empty[Int, StageRec]
-        for (_ <- 0 until 2) {
-          stages.clear()
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, dir).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          if (sec < best) { best = sec; bestStages = stages.toMap }
-        }
+        stages.clear()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best.get(vname).map(_._1).getOrElse(Double.MaxValue))
+          best(vname) = (sec, stages.toMap)
+      }
+      for ((vname, _) <- variants) {
+        val (bestSec, bestStages) = best(vname)
         val recs = bestStages.values.toSeq
         val scanMs = recs.filter(_.inBytes > 0).map(_.runMs).sum
         val swMs = recs.map(_.swTimeNs).sum / 1000000
@@ -94,7 +103,7 @@ object TpchDiag {
         val runMs = recs.map(_.runMs).sum
         val computeMs = runMs - scanMs - swMs - fetchMs
         val stageWallMs = recs.map(_.wallMs).sum
-        println(f"[tpchdiag] $name%-9s $vname%-22s wall=$best%6.2fs " +
+        println(f"[tpchdiag] $name%-9s $vname%-22s wall=$bestSec%6.2fs " +
           f"stages=${recs.size}%2d tasks=${recs.map(_.tasks).sum}%4d " +
           f"run=${runMs / 1000.0}%6.2fs scan=${scanMs / 1000.0}%5.2fs " +
           f"shufW=${swMs / 1000.0}%5.2fs fetch=${fetchMs / 1000.0}%5.2fs " +

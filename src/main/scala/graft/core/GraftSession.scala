@@ -19,6 +19,13 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // AQE advisory size stays at the 64 MB default: TpchDiag's
+      // ORDER-ROBUST sweep at the ×10 scale point (interleaved variant
+      // minima — a sequential sweep misattributes fresh-JVM warm-up to
+      // whichever config runs first) measured advisory 16 MB vs 64 MB
+      // and shuffle.partitions 8 vs 32 as a wash within noise on
+      // q3/q9/q18; the wall there is driver planning + stage constants,
+      // not reduce-side width (SCALE.md r14).
       // per-APP-NAME warehouse: persisted-index operators create tables
       // under fixed names, so two concurrent local JVMs (a bench run
       // beside a test run) sharing the default ./spark-warehouse would
