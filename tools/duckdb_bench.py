@@ -42,6 +42,18 @@ def main():
 
     def fresh():
         con = duckdb.connect()
+        # bounded resources (r14, learned the hard way: an amplified
+        # graph-oracle cross join grew the process to 126 GB RSS and
+        # the kernel OOM-killed the whole pass, losing every completed
+        # timing): cap memory so a monster query errors INSIDE DuckDB
+        # (recorded as an error row) instead of taking the process
+        # down, and point spill at a bounded temp dir.
+        con.execute("SET memory_limit='24GB'")
+        con.execute("SET temp_directory='/tmp/graft_duck_spill'")
+        try:
+            con.execute("SET max_temp_directory_size='40GB'")
+        except Exception:
+            pass  # older DuckDB: no such setting
         for t in TABLES:
             # fixtures are single parquet files; Spark-written amplified
             # tables (graft.AmpBench write) are part-file DIRECTORIES
@@ -79,6 +91,11 @@ def main():
             # any per-query ratio taken against them)
             out[name] = round(best, 6)
             runs_done[name] = done
+            if merge_out:
+                # merge INCREMENTALLY: a crash (or an OOM kill) later in
+                # the pass must not lose this completed timing
+                merge(merge_out, {name: out[name]}, {name: done},
+                      quiet=True)
         if err is not None:
             errors.append(f"{name}: {err}")
             print(f"[duck] {name} ERROR {err[:80]}", file=sys.stderr,
@@ -88,12 +105,15 @@ def main():
         except Exception:
             pass
     if merge_out:
-        merge(merge_out, out, runs_done)
+        print(f"[duck] merged into {merge_out}", file=sys.stderr, flush=True)
     print(json.dumps({"queries": out, "reps": reps, "errors": errors}))
 
 
-def merge(path, timed, runs_done):
-    """Min-merge into a floor-shaped JSON under the bench fcntl lock."""
+def merge(path, timed, runs_done, quiet=False):
+    """Min-merge into a floor-shaped JSON under the bench fcntl lock.
+    `quiet` marks the incremental per-query calls: no stderr line and
+    no merged_runs bump (merged_runs counts PASSES, and a pass makes
+    many incremental calls — it is bumped once by the first query)."""
     bench_dir = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(bench_dir, exist_ok=True)
     lock_path = os.path.join(bench_dir, ".bench.lock")
@@ -111,12 +131,18 @@ def merge(path, timed, runs_done):
         d["queries"] = dict(sorted(qs.items()))
         d["runs"] = dict(sorted(runs.items()))
         d["n_queries"] = len(qs)
-        d["merged_runs"] = d.get("merged_runs", 0) + 1
+        if not merge._bumped:
+            d["merged_runs"] = d.get("merged_runs", 0) + 1
+            merge._bumped = True
         with open(path, "w") as f:
             # compact separators: Bench.readFloors scans for `"queries":{`
             json.dump(d, f, separators=(",", ":"))
         fcntl.lockf(lock, fcntl.LOCK_UN)
-    print(f"[duck] merged into {path}", file=sys.stderr, flush=True)
+    if not quiet:
+        print(f"[duck] merged into {path}", file=sys.stderr, flush=True)
+
+
+merge._bumped = False
 
 
 if __name__ == "__main__":
