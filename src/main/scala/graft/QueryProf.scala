@@ -24,6 +24,37 @@ object QueryProf {
     val suffix = if (args.length > 3) args(3) else ""
     val spark = graft.core.GraftSession.local(cpus, "graft-queryprof")
     spark.sparkContext.setLogLevel("WARN")
+    // job/stage/task counters: stage-count × per-stage-constant is the
+    // dominant term for most sub-5s rows at sf0.1 (guide §1.1 — decide
+    // whether time goes to scheduling or compute before optimizing)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val verboseJobs = sys.env.contains("GRAFT_PROF_JOBS")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          if (verboseJobs) jobStarts.put(j.jobId, (System.nanoTime(),
+            Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("?")))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (verboseJobs) Option(jobStarts.remove(j.jobId)).foreach {
+            case (t0, site) => println(
+              f"[prof-job] id=${j.jobId}%-4d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $site")
+          }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks)
+        }
+      })
     // same warm-up as Bench so the first timed rep doesn't absorb JVM /
     // codegen / parquet-reader startup
     try {
@@ -38,11 +69,15 @@ object QueryProf {
                          else n == w)
     }
     selected.foreach { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+      val times = (0 until reps).map { i =>
+        val (j0, s0, k0) = (jobs.get, stages.get, tasks.get)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        if (i == reps - 1)
+          println(s"[prof-shape] $name jobs=${jobs.get - j0} " +
+            s"stages=${stages.get - s0} tasks=${tasks.get - k0}")
         sec
       }
       println(f"[prof] $name%-38s min=${times.min}%.3f " +

@@ -85,7 +85,13 @@ object Similarity {
     // at execution exactly like a broadcast build side
     val probeChild = probes.select(col(probeIdCol).cast("long"),
       transform(col(probeVecCol), x => x.cast("double")))
-    val child = vectors.select(col(idCol).cast("long"), col(vecCol))
+    // widen the scored side: the operator's dot-product pass is
+    // per-partition and its merge is global (pass 2), so split count
+    // changes nothing but parallelism — a single-file embedding scan
+    // otherwise runs the whole O(|vectors|×|probes|) kernel in one task
+    // (guide §2.5; measured r14 on the graph-feeder rows)
+    val child = graft.core.Parallel.widen(
+      vectors.select(col(idCol).cast("long"), col(vecCol)))
     val out = Seq(
       AttributeReference("probe_id", LongType, nullable = false)(),
       AttributeReference("vec_id", LongType, nullable = false)(),

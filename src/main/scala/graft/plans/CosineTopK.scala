@@ -238,8 +238,18 @@ case class CosineTopKExec(k: Int, output: Seq[Attribute],
       }
       out.result().iterator
     }
-    // pass 2: merge partitions × probes × k survivors in one narrow task
-    partials.coalesce(1).mapPartitions { iter =>
+    // pass 2: merge partitions × probes × k survivors in one task.
+    // shuffle = true is load-bearing: a NARROW coalesce(1) fuses the
+    // scoring pass into the single merge task (CoalescedRDD computes its
+    // parents sequentially in one task), silently serializing the whole
+    // O(|vectors|×|probes|) kernel on one core no matter how many input
+    // splits the scan yields (measured r14: the entire fused-kNN family
+    // ran 1-task). The shuffle boundary moves only the bounded partials
+    // — partitions × probes × k triples, kilobytes — and restores
+    // map-side parallelism; merge content is order-invariant (total
+    // order on (score desc, id asc), one row per id), so the output is
+    // bit-identical.
+    partials.coalesce(1, shuffle = true).mapPartitions { iter =>
       val bufs = Array.fill(nProbes)(new TopKBuffer(kk))
       iter.foreach { case (p, s, id) => bufs(p).offer(s, id) }
       val proj = UnsafeProjection.create(Array[DataType](LongType, LongType, DoubleType))

@@ -228,11 +228,16 @@ object ExtMultimodalQueries {
     // rows, stride padding skipped), and replays the identical resize /
     // feature arithmetic.
     QueryDef("ext_mm_pixels", (s, dir) => {
-      val media = Multimodal.toMediaFrame(
-        Tables.documents(s, dir)
-          .withColumn("payload", ExtMultimodalQueries.bmpPayload()),
-        "doc_id", "payload", lit("image"))
-      val resized = Multimodal.resize(media, factor = 2)
+      // persist barriers (the ext_mm_pixel_dedup rationale): media feeds
+      // THREE consumers and resized two — uncached, each action
+      // re-optimizes/re-codegens the huge per-byte payload expression
+      val media = graft.core.CacheRegistry.persistTracked(
+        Multimodal.toMediaFrame(
+          Tables.documents(s, dir)
+            .withColumn("payload", ExtMultimodalQueries.bmpPayload()),
+          "doc_id", "payload", lit("image")))
+      val resized = graft.core.CacheRegistry.persistTracked(
+        Multimodal.resize(media, factor = 2))
       val feats = Multimodal.extractFeatures(media, dims = 4)
       val rstats = Multimodal.extractFeatures(resized, dims = 1)
       val rMeta = Multimodal.mediaMeta(col("payload"))
@@ -489,8 +494,15 @@ object ExtMultimodalQueries {
         .crossJoin(shift)
         .select((col("doc_id") + col("__shift")).as("doc_id"),
           col("payload"))
-      val media = Multimodal.toMediaFrame(
-        a.unionByName(b), "doc_id", "payload", lit("image"))
+      // persist barrier (cost, not cross-run caching): the payload
+      // builder is a huge expression tree (hex arithmetic per byte) and
+      // media feeds TWO consumers (the keyed frame and the feature
+      // decode) — uncached, every downstream action re-carries and
+      // re-optimizes/re-codegens the giant tree, which at this payload
+      // size costs more driver time than the execution itself
+      val media = graft.core.CacheRegistry.persistTracked(
+        Multimodal.toMediaFrame(
+          a.unionByName(b), "doc_id", "payload", lit("image")))
       val feats = Multimodal.extractFeatures(media, dims = 4)
       val keyed = media.select(col("media_id"),
           col("meta.width").cast("long").as("w"),
@@ -520,11 +532,14 @@ object ExtMultimodalQueries {
     // over the parsed bytes (never the generator formulas), and
     // replays the feature/resize arithmetic.
     QueryDef("ext_mm_png_pixels", (s, dir) => {
-      val media = Multimodal.toMediaFrame(
-        Tables.documents(s, dir)
-          .withColumn("payload", ExtMultimodalQueries.pngPayload()),
-        "doc_id", "payload", lit("image"))
-      val resized = Multimodal.resize(media, factor = 2)
+      // persist barriers — same rationale as ext_mm_pixels
+      val media = graft.core.CacheRegistry.persistTracked(
+        Multimodal.toMediaFrame(
+          Tables.documents(s, dir)
+            .withColumn("payload", ExtMultimodalQueries.pngPayload()),
+          "doc_id", "payload", lit("image")))
+      val resized = graft.core.CacheRegistry.persistTracked(
+        Multimodal.resize(media, factor = 2))
       val feats = Multimodal.extractFeatures(media, dims = 4)
       val rstats = Multimodal.extractFeatures(resized, dims = 1)
       val rMeta = Multimodal.mediaMeta(col("payload"))
@@ -568,8 +583,15 @@ object ExtMultimodalQueries {
         .crossJoin(shift)
         .select((col("doc_id") + col("__shift")).as("doc_id"),
           col("payload"))
-      val media = Multimodal.toMediaFrame(
-        a.unionByName(b), "doc_id", "payload", lit("image"))
+      // persist barrier (cost, not cross-run caching): the payload
+      // builder is a huge expression tree (hex arithmetic per byte) and
+      // media feeds TWO consumers (the keyed frame and the feature
+      // decode) — uncached, every downstream action re-carries and
+      // re-optimizes/re-codegens the giant tree, which at this payload
+      // size costs more driver time than the execution itself
+      val media = graft.core.CacheRegistry.persistTracked(
+        Multimodal.toMediaFrame(
+          a.unionByName(b), "doc_id", "payload", lit("image")))
       val feats = Multimodal.extractFeatures(media, dims = 4)
       val keyed = media.select(col("media_id"),
           col("meta.width").cast("long").as("w"),

@@ -1242,8 +1242,13 @@ object ExtTextQueries {
     // cross-engine ln ulps die in the round(+1e-9, 6); bands compare the
     // ROUNDED weight, so banding is hash-stable too.
     QueryDef("ext_er_score", (s, dir) => {
-      val parts = Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_brand"))
+      // widen the single-file scan BEFORE the blocked self-join: the
+      // broadcast join preserves the probe side's partitioning, so the
+      // whole pair-generation + levenshtein stage otherwise runs in the
+      // scan's one task (measured r14: 4.5 s in 4 tasks)
+      val parts = graft.core.Parallel.widen(
+          Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_brand")))
         .withColumn("blk", concat_ws(" ",
           substring_index(col("p_name"), " ", 2)))
       def side(t: String) = parts.select(col("blk"),

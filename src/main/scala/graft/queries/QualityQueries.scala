@@ -193,8 +193,12 @@ object QualityQueries {
     // s = Σ ca·cb) and the same single integer-ratio kappa.
     QueryDef("dq_label_agreement", (s, dir) =>
       Checks.cohenKappa(
-        Tables.documents(s, dir).select(col("lang"),
-          graft.ext.TextOps.langId(col("text")).as("lang_pred")),
+        // widen before langId: the 5-language marker scoring is an
+        // interpreted higher-order expression chain that otherwise runs
+        // in the single-file scan's one task (guide §2.5)
+        graft.core.Parallel.widen(Tables.documents(s, dir))
+          .select(col("lang"),
+            graft.ext.TextOps.langId(col("text")).as("lang_pred")),
         "lang", "lang_pred"),
       Some(s"""WITH t AS (SELECT doc_id, lang,
           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
