@@ -53,6 +53,13 @@ object QueryProf {
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
           tasks.addAndGet(s.stageInfo.numTasks)
+          if (verboseJobs) {
+            val i = s.stageInfo
+            val dur = (for (a <- i.completionTime; b <- i.submissionTime)
+              yield (a - b) / 1e3).getOrElse(-1.0)
+            if (dur >= 0.25) println(
+              f"[prof-stage] id=${i.stageId}%-4d $dur%6.3f s tasks=${i.numTasks}%-3d ${i.name.take(90)}")
+          }
         }
       })
     // same warm-up as Bench so the first timed rep doesn't absorb JVM /

@@ -668,12 +668,14 @@ object Dedup {
                           graft.core.CheckpointStrategy.Local): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"need 0 < tauNum/tauDen <= 1 (got $tauNum/$tauDen)")
-    // distinct string shingles, exploded — cached: feeds sizes, dfs,
-    // ranks, and both verification probes
+    // distinct string shingles, exploded — cached: feeds dfs, ranks,
+    // and both verification probes. Widened first: the interpreted
+    // shingle expression otherwise runs in the single-file scan's one
+    // task (measured r14: 3.3 s of the query's 4.5 s wall)
     val toks = graft.core.CacheRegistry.persistTracked(
-      df.select(col(idCol).as("__id"),
-        explode(TextOps.stringShingles(col(textCol), shingleK)).as("__tok")))
-    val sz = toks.groupBy("__id").agg(count(lit(1)).as("__s"))
+      graft.core.Parallel.widen(df)
+        .select(col(idCol).as("__id"),
+          explode(TextOps.stringShingles(col(textCol), shingleK)).as("__tok")))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // rarest-first global order (df, then token for determinism);
     // integer ceil-division for the prefix length — the double division
@@ -682,10 +684,14 @@ object Dedup {
     val p = col("__s") -
       ((lit(tauNum) * col("__s") + lit(tauDen - 1)) / lit(tauDen))
         .cast("long") + lit(1)
+    // __s rides the SAME __id-keyed window exchange as the rank (guide
+    // §2.4 "window keyed like a preceding aggregation shares one
+    // exchange") — the former groupBy-count + join cost two extra
+    // stages for a value the window partition already holds
     val prefix = toks.join(dfreq, Seq("__tok"))
       .withColumn("__r", row_number().over(
         Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
-      .join(sz, Seq("__id"))
+      .withColumn("__s", count(lit(1)).over(Window.partitionBy("__id")))
       .filter(col("__r") <= p)
       .select(col("__tok"), col("__id"), col("__s"))
     // candidates: shared prefix token + the symmetric length filter
