@@ -556,26 +556,43 @@ object TextOps {
    * Gopher-style quality gate as a reusable frame transform (the same
    * bounds the curation chain applies inline; Rae et al. 2021 rule
    * family): keep docs whose word count, mean word length, and
-   * top-token dominance sit in the published ranges. One explode + two
-   * hash aggs + a semi-join back — map-side combinable, no per-doc UDF
-   * state, the shape that gates a crawl batch at any scale.
+   * top-token dominance sit in the published ranges.
+   *
+   * Implementation (r14 optimization): the stats are PER-DOCUMENT, so
+   * the former explode → two hash aggregations → semi-join shape paid
+   * three shuffles for state a single row already holds. Now a pure
+   * per-row filter expression — token count from the array size, char
+   * sum and top-token multiplicity from `aggregate` over the SORTED
+   * token array (max run length of equal neighbors = max multiplicity)
+   * — ZERO exchanges at any scale; the arithmetic (integer sums,
+   * double division, `round(x + 1e-9, 4)`) is the exact expression the
+   * aggregate form evaluated, so the keep-set is bit-identical
+   * (PropertySpec pins gate ≡ ext_gopher_rules' passing set). Rows are
+   * gated independently — ids are one-doc-per-row, as every caller
+   * (batch curation, streaming triggers) already supplies.
    */
   def gopherGate(df: DataFrame, idCol: String, textCol: String,
                  minWords: Long = 20, maxWords: Long = 1000,
                  minMwl: Double = 3.0, maxMwl: Double = 10.0,
                  maxTtf: Double = 0.2): DataFrame = {
-    val perTok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-    val pass = perTok.groupBy(col(idCol)).agg(
-        sum(col("c")).as("n_words"),
-        round(sum(length(col("tok")) * col("c")).cast("double") /
-          sum(col("c")) + lit(1e-9), 4).as("mwl"),
-        round(max(col("c")).cast("double") /
-          sum(col("c")) + lit(1e-9), 4).as("ttf"))
-      .filter(col("n_words").between(minWords, maxWords) &&
-        col("mwl").between(minMwl, maxMwl) && col("ttf") <= maxTtf)
-      .select(col(idCol))
-    df.join(pass, Seq(idCol), "left_semi")
+    val keep = letCol(array_sort(tokens(col(textCol)))) { ts =>
+      val n = size(ts).cast("long")
+      val sumLen = aggregate(ts, lit(0L), (a, t) => a + length(t))
+      val maxMult = aggregate(ts,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, t) => {
+          val run = when(t === st.getField("prev"),
+            st.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))
+      val mwl = round(sumLen.cast("double") / n + lit(1e-9), 4)
+      val ttf = round(maxMult.cast("double") / n + lit(1e-9), 4)
+      n.between(minWords, maxWords) &&
+        mwl.between(minMwl, maxMwl) && ttf <= maxTtf
+    }
+    df.filter(keep)
   }
 
   /**

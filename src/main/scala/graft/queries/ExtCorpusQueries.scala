@@ -265,21 +265,11 @@ object ExtCorpusQueries {
         .unionByName(docs.filter(col("doc_id") % 5 === 1)
           .select((col("doc_id") + 400000).as("doc_id"),
             concat(col("text"), lit(" dup marker tail")).as("text")))
-      def gated(df: org.apache.spark.sql.DataFrame) = {
-        val perTok = df.select(col("doc_id"),
-            explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        val pass = perTok.groupBy("doc_id").agg(
-            sum(col("c")).as("n_words"),
-            round(sum(length(col("tok")) * col("c")).cast("double") /
-              sum(col("c")) + lit(1e-9), 4).as("mwl"),
-            round(max(col("c")).cast("double") /
-              sum(col("c")) + lit(1e-9), 4).as("ttf"))
-          .filter(col("n_words").between(20, 1000) &&
-            col("mwl").between(3.0, 10.0) && col("ttf") <= 0.2)
-          .select("doc_id")
-        df.join(pass, Seq("doc_id"), "left_semi")
-      }
+      // the shared zero-shuffle gate (TextOps.gopherGate, r14): same
+      // bounds and bit-identical keep-set as the former inline
+      // explode + two-agg + semi-join form, minus its three exchanges
+      def gated(df: org.apache.spark.sql.DataFrame) =
+        TextOps.gopherGate(df, "doc_id", "text")
       Dedup.incrementalNearDup(gated(batchRaw), gated(baseRaw),
           "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
         .select(col("doc_id"), Corpus.hashSplit(col("doc_id")).as("split"),
