@@ -1209,7 +1209,10 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1, w >= 1; got k=$k w=$w")
-    val grams = df
+    // widen the single-file scan before the per-gram md5 lane (one md5 +
+    // base-conversion per k-gram otherwise runs in the scan's one task;
+    // guide §2.5 — guarded no-op on multi-split inputs)
+    val grams = graft.core.Parallel.widen(df)
       .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(

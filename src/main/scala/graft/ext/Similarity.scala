@@ -193,11 +193,15 @@ object Similarity {
       df.withColumn("__tb", explode(perTable))
         .select(col(id), col(vc), col("__tb.t").as("__t"), col("__tb.b").as("__b"))
     }
+    // widen the single-file vector scan before the per-table bucket-id
+    // expressions (tables × bits sign-dot-products per row otherwise run
+    // in one task; guide §2.5 — guarded no-op on multi-split inputs)
+    val wvec = graft.core.Parallel.widen(vectors)
     val src = exploded(
-      vectors.select(col(idCol).as("src_id"), col(vecCol).as("__pv")),
+      wvec.select(col(idCol).as("src_id"), col(vecCol).as("__pv")),
       "src_id", "__pv", multiprobeHamming == 1)
     val dst = exploded(
-      vectors.select(col(idCol).as("dst_id"), col(vecCol)),
+      wvec.select(col(idCol).as("dst_id"), col(vecCol)),
       "dst_id", vecCol, multiprobe = false)
     // score AT the collision site, then dedup on the narrow
     // (src, dst, score) triple: a pair colliding in several tables is

@@ -143,11 +143,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"))
   }
 
-  test("fused top-k plans the custom operator: no exchange, no window") {
+  test("fused top-k plans the custom operator: no scored shuffle, no window") {
     val p = plan("ext_sim_topk_fused")
     // SparkPlan nodeName strips the Exec suffix in plan strings
     assert(p.contains("CosineTopK"), "custom strategy must plan the fused node")
-    assert(!p.contains("Exchange") && !p.contains("Window"),
+    // The r14 scan-parallelism repair inserts ONE RoundRobin exchange of
+    // the RAW VECTOR INPUT below the operator (Parallel.widen — the
+    // single-file fixture scan otherwise runs the whole scoring kernel
+    // in one task). The pin protects what it always protected: nothing
+    // ROW-COUNT-SHAPED (scored triples) is ever hash/range-shuffled and
+    // no rank window runs — the operator's bounded-buffer merge is an
+    // RDD-level boundary moving only partitions × probes × k partials.
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") && !p.contains("Window"),
       "fused top-k must not shuffle scored rows or run a rank window")
   }
 
